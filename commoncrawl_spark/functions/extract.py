@@ -1,0 +1,373 @@
+"""Article extraction — the single shared module behind both the Spark
+pandas UDF and the pure-Python test oracle.
+
+Semantics mirror the reference pipeline's extraction stage
+(``/root/reference/extract_from_warc.py:33-156``):
+
+1. ``html_from_warc(warc_bytes)``  — gunzip (pass-through on non-gzip),
+   split WARC header / HTTP header / body on the first two ``\\r\\n\\r\\n``,
+   charset from the HTTP header ``charset=`` regex, else
+   ``charset_normalizer.from_bytes().best()``, else utf-8-ignore
+   (extract_from_warc.py:33-56).
+2. ``extract_article(html)`` — Guardian-style selector chains: headline
+   ``h1[class~=content__headline]``, ``time[itemprop=datePublished]@datetime``,
+   ``a[rel=author]``, body ``div[itemprop=articleBody]`` falling back to
+   ``div[class~=content__article-body]`` with script/style/aside decomposed
+   and ``get_text('\\n', strip=True)``; three-fallback chains for the
+   signposting / section-label / keyword tag lists, excluding literal
+   ``home`` (extract_from_warc.py:58-156).
+
+bs4/lxml are not available in this environment, so the DOM layer is a
+small stdlib ``html.parser`` tree (``MiniSoup``) that implements exactly
+the query surface the extractor needs. Because the UDF and the oracle
+import *this same module*, byte-identity of extracted text between the
+Spark path and the oracle path holds by construction; tests additionally
+pin golden outputs so the module itself can't drift silently.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from html.parser import HTMLParser
+from typing import Any, Iterable, Optional
+
+try:  # pragma: no cover - present in this environment via requests
+    from charset_normalizer import from_bytes as _cn_from_bytes
+except ImportError:  # pragma: no cover
+    _cn_from_bytes = None
+
+# --------------------------------------------------------------------------
+# Mini DOM
+# --------------------------------------------------------------------------
+
+_VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# attributes bs4 treats as whitespace-separated lists (the subset we match on)
+_MULTI_VALUED_ATTRS = frozenset({"class", "rel"})
+
+
+class Node:
+    """One element in the mini DOM tree."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict[str, str] | None = None,
+                 parent: "Node | None" = None):
+        self.name = name
+        self.attrs = attrs or {}
+        self.children: list[Any] = []  # Node | str (text)
+        self.parent = parent
+
+    # -- attribute access ---------------------------------------------------
+    def __getitem__(self, key: str) -> str:
+        return self.attrs[key]
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self.attrs.get(key, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    # -- traversal ----------------------------------------------------------
+    def iter_descendants(self) -> Iterable["Node"]:
+        for child in self.children:
+            if isinstance(child, Node):
+                yield child
+                yield from child.iter_descendants()
+
+    def _matches(self, name: str | list[str] | None,
+                 class_re: re.Pattern | None,
+                 attrs: dict[str, Any] | None) -> bool:
+        if name is not None:
+            if isinstance(name, (list, tuple, set, frozenset)):
+                if self.name not in name:
+                    return False
+            elif self.name != name:
+                return False
+        if class_re is not None:
+            if not any(class_re.search(c) for c in self.classes):
+                return False
+        if attrs:
+            for key, want in attrs.items():
+                if want is True:  # attribute-presence test (href=True)
+                    if key not in self.attrs:
+                        return False
+                    continue
+                have = self.attrs.get(key)
+                if have is None:
+                    return False
+                if key in _MULTI_VALUED_ATTRS:
+                    if want != have and want not in have.split():
+                        return False
+                elif have != want:
+                    return False
+        return True
+
+    def find(self, name=None, class_=None, attrs=None, **kw) -> "Node | None":
+        for n in self.iter_descendants():
+            if n._matches(name, _as_re(class_), _merge(attrs, kw)):
+                return n
+        return None
+
+    def find_all(self, name=None, class_=None, attrs=None, **kw) -> list["Node"]:
+        pat, att = _as_re(class_), _merge(attrs, kw)
+        return [n for n in self.iter_descendants() if n._matches(name, pat, att)]
+
+    # -- mutation -----------------------------------------------------------
+    def decompose(self) -> None:
+        if self.parent is not None:
+            self.parent.children = [c for c in self.parent.children if c is not self]
+            self.parent = None
+
+    # -- text ---------------------------------------------------------------
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        parts: list[str] = []
+        self._collect_text(parts)
+        if strip:
+            parts = [p.strip() for p in parts]
+            parts = [p for p in parts if p]
+        return separator.join(parts)
+
+    def _collect_text(self, out: list[str]) -> None:
+        for child in self.children:
+            if isinstance(child, Node):
+                child._collect_text(out)
+            else:
+                out.append(child)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.name} {self.attrs}>"
+
+
+def _as_re(class_) -> re.Pattern | None:
+    if class_ is None:
+        return None
+    if isinstance(class_, re.Pattern):
+        return class_
+    return re.compile(re.escape(str(class_)))
+
+
+def _merge(attrs: dict | None, kw: dict) -> dict:
+    merged = dict(attrs or {})
+    merged.update(kw)
+    return merged
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self._stack = [self.root]
+        self._raw_text_until: str | None = None  # inside <script>/<style>
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attr_map: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_map:  # first occurrence wins, like browsers
+                attr_map[k] = v if v is not None else ""
+        node = Node(tag, attr_map, parent=self._stack[-1])
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_ELEMENTS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        attr_map = {k: (v if v is not None else "") for k, v in attrs}
+        node = Node(tag, attr_map, parent=self._stack[-1])
+        self._stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        # pop to the nearest matching open tag; ignore stray closers
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].name == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+# --------------------------------------------------------------------------
+# Stage 1: WARC bytes -> HTML string  (extract_from_warc.py:33-56)
+# --------------------------------------------------------------------------
+
+_CHARSET_RE = re.compile(rb"charset=([\w\-]+)", re.IGNORECASE)
+
+
+def html_from_warc(warc_bytes: bytes) -> str:
+    """Decode a stored WARC segment (gzip member of WARC-header + HTTP-header
+    + HTML body) into an HTML string, reproducing the reference's charset
+    fallback chain bit-for-bit."""
+    try:
+        raw = gzip.decompress(warc_bytes)
+    except (OSError, gzip.BadGzipFile):
+        raw = warc_bytes
+
+    header_end = raw.find(b"\r\n\r\n")
+    if header_end == -1:
+        return raw.decode("utf-8", errors="ignore")
+    http_header_end = raw.find(b"\r\n\r\n", header_end + 4)
+    if http_header_end == -1:
+        return raw.decode("utf-8", errors="ignore")
+
+    http_headers = raw[header_end + 4 : http_header_end]
+    body = raw[http_header_end + 4 :]
+
+    match = _CHARSET_RE.search(http_headers)
+    if match:
+        try:
+            encoding = match.group(1).decode("ascii")
+            return body.decode(encoding, errors="ignore")
+        except (LookupError, UnicodeDecodeError):
+            pass
+
+    if _cn_from_bytes is not None:
+        best = _cn_from_bytes(body).best()
+        if best is not None:
+            return str(best)
+        return body.decode("utf-8", errors="ignore")
+    # deterministic fallback when charset_normalizer is absent
+    return body.decode("utf-8", errors="ignore")
+
+
+# --------------------------------------------------------------------------
+# Stage 2: HTML string -> article struct  (extract_from_warc.py:58-156)
+# --------------------------------------------------------------------------
+
+_RE_HEADLINE = re.compile(r"content__headline")
+_RE_BODY = re.compile(r"content__article-body")
+_RE_SIGNPOSTING = re.compile(r"signposting")
+_RE_SIGNPOSTING_ITEM = re.compile(r"signposting__item")
+_RE_SUBNAV_LIST = re.compile(r"subnav__list")
+_RE_SUBNAV_ITEM = re.compile(r"subnav__item")
+_RE_SUBNAV_LINK = re.compile(r"subnav-link")
+_RE_LABELS = re.compile(r"content__labels")
+_RE_SECTION_LABEL_LINK = re.compile(r"content__section-label__link")
+_RE_KEYWORDS = re.compile(r"submeta__keywords")
+_RE_SUBMETA_LINK = re.compile(r"submeta__link")
+_RE_KEYWORD_LIST = re.compile(r"keyword-list")
+_RE_SUBMETA_LINKS = re.compile(r"submeta__links")
+
+
+def extract_article(html: str) -> dict[str, Any]:
+    """Extract the 7-field article struct from Guardian-style HTML."""
+    soup = parse_html(html)
+
+    title_tag = soup.find("h1", class_=_RE_HEADLINE)
+    title = title_tag.get_text(strip=True) if title_tag else None
+
+    time_tag = soup.find("time", attrs={"itemprop": "datePublished"})
+    publish_time = (
+        time_tag["datetime"] if time_tag and "datetime" in time_tag.attrs else None
+    )
+
+    author_tag = soup.find("a", attrs={"rel": "author"})
+    author = author_tag.get_text(strip=True) if author_tag else None
+
+    body_tag = soup.find("div", attrs={"itemprop": "articleBody"})
+    if not body_tag:
+        body_tag = soup.find("div", class_=_RE_BODY)
+    text = ""
+    if body_tag:
+        for element in body_tag.find_all(["script", "style", "aside"]):
+            element.decompose()
+        text = body_tag.get_text(separator="\n", strip=True)
+
+    signposting_tags: list[str] = []
+    signposting_ul = soup.find("ul", class_=_RE_SIGNPOSTING)
+    if signposting_ul:
+        for li in signposting_ul.find_all("li", class_=_RE_SIGNPOSTING_ITEM):
+            a_tag = li.find("a")
+            if a_tag:
+                tag_text = a_tag.get_text(strip=True)
+                if tag_text.lower() != "home":
+                    signposting_tags.append(tag_text)
+    if not signposting_tags:
+        subnav_ul = soup.find("ul", class_=_RE_SUBNAV_LIST)
+        if subnav_ul:
+            for li in subnav_ul.find_all("li", class_=_RE_SUBNAV_ITEM):
+                a_tag = li.find("a", class_=_RE_SUBNAV_LINK)
+                if a_tag:
+                    tag_text = a_tag.get_text(strip=True)
+                    if tag_text.lower() != "home":
+                        signposting_tags.append(tag_text)
+    if not signposting_tags:
+        labels_div = soup.find("div", class_=_RE_LABELS)
+        if labels_div:
+            for a_tag in labels_div.find_all("a", attrs={"href": True}):
+                tag_text = a_tag.get_text(strip=True)
+                if tag_text.lower() != "home":
+                    signposting_tags.append(tag_text)
+
+    section_labels: list[str] = []
+    labels_div = soup.find("div", class_=_RE_LABELS)
+    if labels_div:
+        for a_tag in labels_div.find_all("a", class_=_RE_SECTION_LABEL_LINK):
+            section_labels.append(a_tag.get_text(strip=True))
+
+    keyword_tags: list[str] = []
+    keywords_div = soup.find("div", class_=_RE_KEYWORDS)
+    if keywords_div:
+        for a_tag in keywords_div.find_all("a", class_=_RE_SUBMETA_LINK):
+            keyword_tags.append(a_tag.get_text(strip=True))
+    if not keyword_tags:
+        keyword_list = soup.find("ul", class_=_RE_KEYWORD_LIST)
+        if keyword_list:
+            for a_tag in keyword_list.find_all("a", attrs={"itemprop": "keywords"}):
+                keyword_tags.append(a_tag.get_text(strip=True))
+    if not keyword_tags:
+        submeta_links = soup.find("ul", class_=_RE_SUBMETA_LINKS)
+        if submeta_links:
+            for a_tag in submeta_links.find_all("a", class_=_RE_SUBMETA_LINK):
+                keyword_tags.append(a_tag.get_text(strip=True))
+
+    return {
+        "title": title,
+        "publish_time": publish_time,
+        "author": author,
+        "text": text,
+        "signposting_tags": signposting_tags,
+        "section_labels": section_labels,
+        "keyword_tags": keyword_tags,
+    }
+
+
+def extract_from_warc_bytes(warc_bytes: Optional[bytes]) -> dict[str, Any]:
+    """Full per-record pipeline: WARC bytes -> article struct + error channel.
+
+    Mirrors process_single_file (extract_from_warc.py:158-185): empty HTML
+    or empty extracted text are failures routed to the error side-channel,
+    never silently dropped.
+    """
+    try:
+        if not warc_bytes:
+            raise ValueError("Empty WARC bytes.")
+        html = html_from_warc(bytes(warc_bytes))
+        if not html or not html.strip():
+            raise ValueError("Extracted HTML is empty.")
+        article = extract_article(html)
+        if not article.get("text") or not article["text"].strip():
+            raise ValueError("Extracted article text is empty.")
+        article["error"] = None
+        return article
+    except Exception as exc:  # noqa: BLE001 - error side-channel by design
+        return {
+            "title": None,
+            "publish_time": None,
+            "author": None,
+            "text": None,
+            "signposting_tags": None,
+            "section_labels": None,
+            "keyword_tags": None,
+            "error": f"{type(exc).__name__}: {exc}",
+        }

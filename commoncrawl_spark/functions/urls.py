@@ -1,0 +1,123 @@
+"""URL canonicalization and keying.
+
+Semantics from the reference's ``normalize_url``
+(``/root/reference/download_and_merge.py:187-196``, identical copies at
+cc_merge_indexes.py:154-163 and main_merge_and_deduplicate.py:11-20):
+
+    parsed = urlparse(url)
+    netloc = parsed.netloc.lower();  strip leading "www."
+    path   = parsed.path.rstrip("/")
+    key    = netloc + path            # drops scheme, query, fragment
+    (on any parse error: the raw url)
+
+Two implementations with identical outputs on the URL domain the engine
+sees (scheme://host/path[?query][#frag]):
+
+- ``canonicalize_url_col``  — pure Catalyst expression chain (regexp), the
+  hot path: JVM-side, codegen'd, no Python.
+- ``canonicalize_urls_series`` / ``canonicalize_udf`` — vectorized pandas
+  path adding punycode (IDNA) host normalization per the north rule; used
+  when URLs may carry non-ASCII hosts.
+
+Keys: the engine's seen-set key is ``sha1(canonical_url)`` (north rule);
+the reference's per-record file id was ``md5(url)``
+(download_warc_segments.py:46-48) — kept as ``page_id_col`` for parity.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Catalyst-native canonical URL: lower(host) minus www., path minus
+    trailing '/', query/fragment dropped. NULL-safe; non-URL strings pass
+    through unchanged (the reference's ``except: return url``)."""
+    # strip scheme, then split "netloc" = up to first '/', path = the rest
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    netloc = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    netloc = F.regexp_replace(netloc, r"^www\.", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    # no scheme separator -> urlparse sees an empty netloc and the whole
+    # string (minus query/fragment) as the path; case is preserved
+    bare = F.regexp_replace(F.regexp_extract(url, r"^([^?#]*)", 1), r"/+$", "")
+    return F.when(url.rlike(_SCHEME_RE), F.concat(netloc, path)).otherwise(bare)
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased registrable host (netloc minus www. and port) — the
+    politeness-scheduler partition key."""
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    netloc = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    netloc = F.regexp_replace(netloc, r"^www\.", "")
+    return F.regexp_replace(netloc, r":\d+$", "")
+
+
+def url_key_col(url: Column) -> Column:
+    """Seen-set key: sha1 hex of the canonical URL (north rule)."""
+    return F.sha1(canonicalize_url_col(url))
+
+
+def page_id_col(url: Column) -> Column:
+    """Reference-parity record id: md5 hex of the *raw* url
+    (download_warc_segments.py:46-48)."""
+    return F.md5(url)
+
+
+# --------------------------------------------------------------------------
+# Python / pandas path (oracle + punycode variant)
+# --------------------------------------------------------------------------
+
+def canonicalize_url_py(url: str, punycode: bool = False) -> str:
+    """Reference-faithful scalar canonicalization (the test oracle)."""
+    try:
+        parsed = urlparse(url)
+        netloc = parsed.netloc.lower()
+        if netloc.startswith("www."):
+            netloc = netloc[4:]
+        if punycode and netloc and not netloc.isascii():
+            host, sep, port = netloc.partition(":")
+            try:
+                host = host.encode("idna").decode("ascii")
+            except UnicodeError:
+                pass
+            netloc = host + sep + port
+        path = parsed.path.rstrip("/")
+        return f"{netloc}{path}"
+    except Exception:  # noqa: BLE001 - reference behavior (bare except)
+        return url
+
+
+def canonicalize_urls_series(urls: pd.Series, punycode: bool = True) -> pd.Series:
+    """Vectorized canonicalization over an Arrow batch; fast path via pandas
+    string ops, falling back per-value only for non-ASCII hosts."""
+    s = urls.fillna("")
+    has_scheme = s.str.match(_SCHEME_RE)
+    rest = s.str.replace(_SCHEME_RE, "", regex=True)
+    netloc = rest.str.extract(r"^([^/?#]*)", expand=False).str.lower()
+    netloc = netloc.str.replace(r"^www\.", "", regex=True)
+    path = rest.str.extract(r"^[^/?#]*([^?#]*)", expand=False)
+    path = path.str.replace(r"/+$", "", regex=True)
+    bare = s.str.extract(r"^([^?#]*)", expand=False).str.replace(r"/+$", "", regex=True)
+    out = (netloc + path).where(has_scheme, bare)
+    if punycode:
+        non_ascii = out.map(lambda v: not v.isascii(), na_action="ignore").fillna(False)
+        if non_ascii.any():
+            out.loc[non_ascii] = urls[non_ascii].map(
+                lambda u: canonicalize_url_py(u, punycode=True)
+            )
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-vectorized canonical URL with punycode host normalization."""
+    return canonicalize_urls_series(urls, punycode=True)

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Single-JVM ``local[N]`` in this sandbox; on a real cluster the same
+builder options apply (AQE, Arrow, UTC, shuffle partitions ~ cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "commoncrawl_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cores=None`` -> ``local[*]``. ``shuffle_partitions`` defaults to the
+    core count (never Spark's 200 default: wrong at both ends locally).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores_str = env if env else "*"
+    else:
+        cores_str = str(cores)
+    n_parts = shuffle_partitions or (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores_str}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html is a fat binary column: keep Arrow batches small so a batch of
+        # pages fits comfortably in a python worker (SURVEY.md section 4).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

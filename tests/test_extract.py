@@ -1,0 +1,136 @@
+"""Byte-identity of extraction: Spark pandas-UDF output == pure-Python oracle
+== the golden `text` column computed at fixture-generation time.
+
+Mirrors the reference semantics at extract_from_warc.py:33-156.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from commoncrawl_spark.functions.extract import (
+    extract_article,
+    extract_from_warc_bytes,
+    html_from_warc,
+    parse_html,
+)
+from commoncrawl_spark.operators.extraction import extract_articles, split_articles
+
+HTML = """
+<html><body>
+<ul class="signposting">
+ <li class="signposting__item"><a href="/">Home</a></li>
+ <li class="signposting__item"><a href="/world">World</a></li>
+</ul>
+<h1 class="content__headline js-headline">Big <em>News</em> Today</h1>
+<time itemprop="datePublished" datetime="2020-01-02T03:04:05+00:00">Jan 2</time>
+<a rel="author" href="/profile/x">Jane Doe</a>
+<div itemprop="articleBody">
+  <script>bad()</script><style>.x{}</style><aside>noise</aside>
+  <p>First paragraph.</p>
+  <p>Second <b>bold</b> paragraph.</p>
+</div>
+<div class="submeta__keywords"><a class="submeta__link" href="/t/a">Alpha</a>
+<a class="submeta__link" href="/t/b">Beta</a></div>
+</body></html>
+"""
+
+
+def test_extract_article_fields():
+    out = extract_article(HTML)
+    assert out["title"] == "BigNewsToday"  # bs4 strip=True joins stripped strings
+    assert out["publish_time"] == "2020-01-02T03:04:05+00:00"
+    assert out["author"] == "Jane Doe"
+    assert out["text"] == "First paragraph.\nSecond\nbold\nparagraph."
+    assert out["signposting_tags"] == ["World"]  # 'Home' excluded
+    assert out["section_labels"] == []
+    assert out["keyword_tags"] == ["Alpha", "Beta"]
+
+
+def test_body_fallback_class_and_decompose():
+    html = '<div class="content__article-body x"><aside>no</aside><p>Keep me.</p></div>'
+    assert extract_article(html)["text"] == "Keep me."
+
+
+def test_signposting_fallback_chain():
+    subnav = (
+        '<ul class="subnav__list"><li class="subnav__item">'
+        '<a class="subnav-link" href="/s">Sport</a></li></ul>'
+    )
+    assert extract_article(subnav)["signposting_tags"] == ["Sport"]
+    labels = '<div class="content__labels"><a href="/c">Culture</a><a>NoHref</a></div>'
+    assert extract_article(labels)["signposting_tags"] == ["Culture"]
+
+
+def test_keyword_fallback_chain():
+    kwlist = (
+        '<ul class="keyword-list"><li><a itemprop="keywords" href="/k">K1</a></li></ul>'
+    )
+    assert extract_article(kwlist)["keyword_tags"] == ["K1"]
+    sublinks = (
+        '<ul class="submeta__links"><li><a class="submeta__link" href="/k">K2</a></li></ul>'
+    )
+    assert extract_article(sublinks)["keyword_tags"] == ["K2"]
+
+
+def test_html_from_warc_charset_chain():
+    body = "<html><body>café</body></html>"
+    for charset in ["utf-8", "iso-8859-1"]:
+        raw = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="
+            + charset.encode() + b"\r\n\r\n" + body.encode(charset)
+        )
+        assert html_from_warc(gzip.compress(raw)) == body
+        assert html_from_warc(raw) == body  # pass-through branch
+
+
+def test_html_from_warc_missing_separators():
+    assert html_from_warc(b"no separators at all") == "no separators at all"
+
+
+def test_error_side_channel():
+    out = extract_from_warc_bytes(b"")
+    assert out["error"] is not None and out["text"] is None
+    # valid framing but no articleBody -> empty text -> error (F4)
+    raw = b"WARC/1.0\r\n\r\nHTTP/1.1 200 OK\r\n\r\n<html><p>hi</p></html>"
+    out = extract_from_warc_bytes(raw)
+    assert "empty" in out["error"].lower()
+
+
+def test_minisoup_multivalued_attrs():
+    root = parse_html('<a rel="author nofollow" href="/x">A</a>')
+    assert root.find("a", attrs={"rel": "author"}) is not None
+    assert root.find("a", attrs={"rel": "editor"}) is None
+
+
+@pytest.mark.spark
+def test_spark_udf_byte_identity(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    ok, failed = split_articles(extract_articles(pages))
+    got = {r["url"]: r["text"] for r in ok.select("url", "text").collect()}
+
+    pdf = pd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html", "text"])
+    oracle_ok = pdf[pdf["text"].notna() & (pdf["text"].str.strip() != "")]
+    expect = dict(zip(oracle_ok["url"], oracle_ok["text"]))
+
+    assert set(got) == set(expect)
+    mismatches = [u for u in expect if got[u] != expect[u]]
+    assert mismatches == [], f"text bytes differ for {len(mismatches)} urls"
+    # error side-channel covers exactly the rest
+    n_failed = failed.count()
+    assert n_failed == len(pdf) - len(oracle_ok)
+
+
+@pytest.mark.spark
+def test_spark_udf_matches_module_oracle_rowwise(spark, fixture_dir):
+    """UDF output equals calling the shared module directly (full struct)."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").limit(50)
+    rows = extract_articles(pages).select("url", "html", "article").collect()
+    for r in rows:
+        oracle = extract_from_warc_bytes(r["html"])
+        got = r["article"].asDict(recursive=True)
+        assert got == oracle, f"struct mismatch for {r['url']}"
