@@ -1,0 +1,162 @@
+"""URL-seen set: exact anti-join + partitioned Bloom prefilter.
+
+A5 in the reference is six "skip if key in completed set" sites
+(create_tasks.py:62-66, download_and_merge.py:104,
+download_warc_segments.py:163-184, extract_from_warc.py:208-216,
+get_html.py:107-136, cc_merge_indexes.py:111-114), all driver-memory
+Python sets. The engine's key is ``sha1(canonical_punycode_url)``
+(north rule), and membership is distributed:
+
+- **exact path**: ``frontier LEFT ANTI JOIN seen ON key`` — one shuffle,
+  AQE turns it into a broadcast anti-join when the seen side is small.
+- **scale path** (10^10 keys; the seen set dwarfs every frontier batch):
+  bucket the seen set by ``pmod(xxhash64(key), P)``, build one Bloom bitmap
+  per bucket with ``applyInPandas`` (numpy, vectorized), broadcast the
+  blob table (P * m bits, e.g. 1024 buckets x 16 MB covers 10^10 keys at
+  ~1% FP), prefilter candidates with a pandas UDF, and run the exact
+  anti-join only on the ~1% survivors. Bloom false positives are then
+  removed exactly; false negatives are impossible (property-tested), so
+  the composition is exact while the anti-join shuffle shrinks ~100x.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urls import url_key_col
+
+SEEN_SCHEMA = T.StructType([T.StructField("url_sha1", T.StringType(), False)])
+
+
+def with_url_key(df: DataFrame, url_col: str = "url",
+                 out_col: str = "url_sha1") -> DataFrame:
+    return df.withColumn(out_col, url_key_col(F.col(url_col)))
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   key: str = "url_sha1") -> DataFrame:
+    """Exact resume semantics: keep candidates whose key is not in seen."""
+    return candidates.join(seen.select(key).distinct(), key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Bloom prefilter
+# ---------------------------------------------------------------------------
+
+def _bloom_params(n_keys: int, fp_rate: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target false-positive rate."""
+    n = max(n_keys, 1)
+    m = max(int(-n * math.log(fp_rate) / (math.log(2) ** 2)), 64)
+    m = 1 << (m - 1).bit_length()  # power of two -> cheap masking
+    k = max(1, min(5, round(m / n * math.log(2))))
+    return m, k
+
+
+def _key_indices(keys: pd.Series, m: int, k: int) -> np.ndarray:
+    """k bit-indices per key, derived from fixed 32-bit slices of the sha1
+    hex itself — no second hash pass needed, identical in build and probe."""
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for j in range(k):
+        sl = keys.str.slice(j * 8, j * 8 + 8)
+        out[:, j] = sl.apply(int, base=16).to_numpy(dtype=np.int64) % m
+    return out
+
+
+def build_bloom_table(seen: DataFrame, n_buckets: int = 64,
+                      fp_rate: float = 0.01,
+                      key: str = "url_sha1") -> DataFrame:
+    """One Bloom blob per hash bucket. Bucketing by xxhash64 spreads even a
+    single-host corpus uniformly (keys are sha1 hex — already uniform)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ks = pdf[key]
+        m, k = _bloom_params(len(ks), fp_rate)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        idx = _key_indices(ks, m, k).ravel()
+        np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "m_bits": [m],
+                "k_hashes": [k],
+                "n_keys": [len(ks)],
+                "bloom": [bits.tobytes()],
+            }
+        )
+
+    bucketed = seen.select(key).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("m_bits", T.LongType()),
+            T.StructField("k_hashes", T.IntegerType()),
+            T.StructField("n_keys", T.LongType()),
+            T.StructField("bloom", T.BinaryType()),
+        ]
+    )
+    return bucketed.groupBy("bucket").applyInPandas(build, schema)
+
+
+def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
+                    n_buckets: int = 64, key: str = "url_sha1") -> DataFrame:
+    """Drop candidates that are *definitely not* in the seen set.
+
+    The bloom blobs are broadcast once per job (a plain sc.broadcast of the
+    collected table — small relative to 10^10-key shuffle traffic); the
+    probe is a vectorized pandas UDF, so the common case (unseen URL) never
+    reaches the anti-join shuffle.
+    """
+    spark = candidates.sparkSession
+    blobs = {
+        r["bucket"]: (r["m_bits"], r["k_hashes"], np.frombuffer(r["bloom"], np.uint8))
+        for r in bloom_table.collect()
+    }
+    bc = spark.sparkContext.broadcast(blobs)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        table = bc.value
+        for pdf in it:
+            ks, buckets = pdf.iloc[:, 0], pdf.iloc[:, 1]
+            res = np.zeros(len(ks), dtype=bool)
+            for b in pd.unique(buckets):
+                entry = table.get(int(b))
+                sel = (buckets == b).to_numpy()
+                if entry is None:
+                    continue  # empty bucket -> definitely unseen
+                m, k, bits = entry
+                idx = _key_indices(ks[sel], m, k)
+                hit = np.ones(int(sel.sum()), dtype=bool)
+                for j in range(k):
+                    hit &= (bits[idx[:, j] // 8] >> (idx[:, j] % 8) & 1).astype(bool)
+                res[sel] = hit
+            yield pd.Series(res)
+
+    with_bucket = candidates.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    probe = F.struct(F.col(key), F.col("_bucket"))
+    return (
+        with_bucket.withColumn("_maybe_seen", maybe_seen(probe))
+        .drop("_bucket")
+    )
+
+
+def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
+                            n_buckets: int = 64, fp_rate: float = 0.01,
+                            key: str = "url_sha1") -> DataFrame:
+    """Bloom prefilter + exact anti-join on survivors: exact overall."""
+    blooms = build_bloom_table(seen, n_buckets, fp_rate, key)
+    flagged = bloom_prefilter(candidates, blooms, n_buckets, key)
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    return definitely_new.unionByName(anti_join_seen(survivors, seen, key))

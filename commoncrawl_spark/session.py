@@ -7,8 +7,33 @@ builder options apply (AQE, Arrow, UTC, shuffle partitions ~ cores).
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for worker shipping — the local-mode equivalent of
+    deploying with ``spark-submit --py-files commoncrawl_spark.zip``."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(os.path.dirname(pkg_dir), ".commoncrawl_spark.zip")
+    mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < mtime:
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
 
 
 def get_spark(
@@ -49,6 +74,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:  # already added in a reused session
+        pass
     return spark
 
 

@@ -1,0 +1,131 @@
+"""Iceberg-style snapshot table layer over partitioned Parquet.
+
+The environment has no Iceberg runtime jar, so this module provides the
+subset of table semantics the engine needs — atomic append/overwrite
+commits, read-latest, time-travel to a snapshot id, and commit metadata —
+behind one small class. A real Iceberg catalog is a drop-in replacement
+(same call sites, SURVEY.md section 7).
+
+Layout:
+    <root>/data/c<snapshot>-<uuid>/part-*.parquet      data files per commit
+    <root>/_snapshots/v<N>.json                        manifest: file list + metadata
+    <root>/_snapshots/LATEST                           pointer file (atomic rename)
+
+Commit protocol (crash-safe, mirrors the reference's append-only logs +
+"scan outputs to rebuild state" resume at download_and_merge.py:83-102):
+data dirs are written first, then the manifest, then the LATEST pointer is
+swapped with os.replace — a crash at any point leaves either the previous
+snapshot fully intact or orphan data dirs that no manifest references
+(ignored by readers, removable by maintenance).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._snap_dir = os.path.join(root, "_snapshots")
+        self._data_dir = os.path.join(root, "data")
+
+    # -- state ---------------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._snap_dir, "LATEST"))
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(os.path.join(self._snap_dir, "LATEST")) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict[str, Any] | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(os.path.join(self._snap_dir, f"v{sid}.json")) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None and sid >= 0:
+            snap = self.snapshot(sid)
+            if snap is None:
+                break
+            out.append(snap)
+            sid = snap.get("parent")
+        return list(reversed(out))
+
+    # -- write ---------------------------------------------------------------
+    def _commit(self, df: DataFrame, operation: str,
+                metadata: dict[str, Any] | None) -> int:
+        os.makedirs(self._snap_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+        parent = self.current_snapshot_id()
+        new_id = 0 if parent is None else parent + 1
+
+        commit_dir = f"c{new_id}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(self._data_dir, commit_dir))
+
+        if operation == "append" and parent is not None:
+            prev = self.snapshot(parent)
+            files = list(prev["files"]) + [commit_dir]
+        else:
+            files = [commit_dir]
+
+        manifest = {
+            "id": new_id,
+            "parent": parent,
+            "operation": operation,
+            "files": files,
+            "metadata": metadata or {},
+        }
+        tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"v{new_id}.json"))
+
+        tmp_ptr = os.path.join(self._snap_dir, ".LATEST.tmp")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(new_id))
+        os.replace(tmp_ptr, os.path.join(self._snap_dir, "LATEST"))
+        return new_id
+
+    def append(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
+        """ST4: incremental checkpoint commit per round."""
+        return self._commit(df, "append", metadata)
+
+    def overwrite(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
+        return self._commit(df, "overwrite", metadata)
+
+    # -- read ----------------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        paths = [os.path.join(self._data_dir, f) for f in snap["files"]]
+        return spark.read.parquet(*paths)
+
+    def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:
+        if not self.exists():
+            return spark.createDataFrame([], schema)
+        return self.read(spark)
+
+    # -- maintenance -----------------------------------------------------------
+    def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
+        """S9 analog (rewrite_data_files): fold all live files into one commit.
+        History before the compaction stays time-travelable."""
+        df = self.read(spark).coalesce(target_partitions)
+        return self._commit(df, "overwrite", {"compacted_from": self.current_snapshot_id()})
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,117 @@
+"""Dedup window (A2) == pairwise-fold oracle; canonicalization (A1) parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.functions.urls import (
+    canonicalize_udf,
+    canonicalize_url_col,
+    canonicalize_url_py,
+)
+from commoncrawl_spark.operators.dedup import (
+    best_capture_per_url,
+    dedup_first_seen,
+    deduplicate_records_py,
+    merge_incremental,
+)
+
+URL_CASES = [
+    "https://www.example-news.test/world/2020/jan/02/story-1/",
+    "http://Example-News.test/world/2020/jan/02/story-1",
+    "https://site-01.test/a/b?q=1#frag",
+    "https://site-01.test:8080/a/b/",
+    "https://site-01.test",
+    "not a url at all",
+    "example.com/Path/",
+    "https://xn--bcher-kva.test/x",
+]
+
+
+@pytest.mark.spark
+def test_canonicalize_native_matches_python_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in URL_CASES], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url_col(F.col("url"))).collect()]
+    want = [canonicalize_url_py(u) for u in URL_CASES]
+    assert got == want
+
+
+@pytest.mark.spark
+def test_canonicalize_udf_punycode(spark):
+    df = spark.createDataFrame([("https://www.bücher.test/x/",)], ["url"])
+    got = df.select(canonicalize_udf(F.col("url"))).collect()[0][0]
+    assert got == "xn--bcher-kva.test/x"
+    # ascii urls agree with the native column
+    df2 = spark.createDataFrame([(u,) for u in URL_CASES if u.isascii()], ["url"])
+    native = [r[0] for r in df2.select(canonicalize_url_col(F.col("url"))).collect()]
+    udf = [r[0] for r in df2.select(canonicalize_udf(F.col("url"))).collect()]
+    assert native == udf
+
+
+@pytest.mark.spark
+def test_best_capture_matches_fold_oracle(spark, fixture_dir):
+    cdx = spark.read.parquet(f"{fixture_dir}/cdx.parquet")
+    got = {
+        r["canon_url"]: (r["timestamp"], r["digest"])
+        for r in best_capture_per_url(cdx).select("canon_url", "timestamp", "digest").collect()
+    }
+
+    pdf = pd.read_parquet(f"{fixture_dir}/cdx.parquet")
+    records = pdf.sort_values(["crawl", "page", "line_no"]).to_dict("records")
+    oracle = deduplicate_records_py(records, canonicalize_url_py)
+    want = {k: (v["timestamp"], v["digest"]) for k, v in oracle.items()}
+
+    assert got == want
+
+
+@pytest.mark.spark
+def test_best_capture_criteria_order(spark):
+    rows = [
+        # (url, status, mime_detected, length, timestamp, crawl, page, line_no, digest)
+        ("https://a.test/x", "404", "text/html", "99999", "20250101000000", "c1", 0, 0, "losr1"),
+        ("https://a.test/x", "200", "application/pdf", "10", "20100101000000", "c1", 0, 1, "win1"),
+        ("https://b.test/x", "200", "application/pdf", "500", "20200101000000", "c1", 0, 2, "losr2"),
+        ("https://b.test/x", "200", "text/html", "10", "20100101000000", "c1", 0, 3, "win2"),
+        ("https://c.test/x", "200", "text/html", "10", "20200101000000", "c1", 0, 4, "losr3"),
+        ("https://c.test/x", "200", "text/html", "900", "20100101000000", "c1", 0, 5, "win3"),
+        ("https://d.test/x", "200", "text/html", "10", "20100101000000", "c1", 0, 6, "losr4"),
+        ("https://d.test/x", "200", "text/html", "10", "20200101000000", "c1", 0, 7, "win4"),
+        ("https://e.test/x", "200", "text/html", "10", "20200101000000", "c1", 0, 8, "win5"),
+        ("https://e.test/x", "200", "text/html", "10", "20200101000000", "c1", 0, 9, "losr5"),
+    ]
+    cols = ["url", "status", "mime_detected", "length", "timestamp",
+            "crawl", "page", "line_no", "digest"]
+    df = spark.createDataFrame(rows, cols)
+    got = {r["canon_url"]: r["digest"] for r in best_capture_per_url(df).collect()}
+    assert got == {
+        "a.test/x": "win1",  # status 200 beats all
+        "b.test/x": "win2",  # html beats pdf
+        "c.test/x": "win3",  # larger length
+        "d.test/x": "win4",  # later timestamp
+        "e.test/x": "win5",  # full tie -> first seen
+    }
+
+
+@pytest.mark.spark
+def test_dedup_first_seen(spark):
+    rows = [(1, "a", 2, "second"), (1, "a", 1, "first"), (2, "b", 5, "only")]
+    df = spark.createDataFrame(rows, ["k1", "k2", "seq", "val"])
+    got = {(r["k1"], r["k2"]): r["val"]
+           for r in dedup_first_seen(df, ["k1", "k2"], ["seq"]).collect()}
+    assert got == {(1, "a"): "first", (2, "b"): "only"}
+
+
+@pytest.mark.spark
+def test_merge_incremental_equals_global_dedup(spark, fixture_dir):
+    """A4: folding batches through merge_incremental == one-shot dedup."""
+    cdx = spark.read.parquet(f"{fixture_dir}/cdx.parquet")
+    b1 = cdx.filter(F.col("crawl") <= "CC-MAIN-2021-21")
+    b2 = cdx.filter(F.col("crawl") > "CC-MAIN-2021-21")
+    folded = merge_incremental(best_capture_per_url(b1).drop("canon_url"), b2)
+    oneshot = best_capture_per_url(cdx)
+    key = ["canon_url", "timestamp", "digest"]
+    assert sorted(map(tuple, folded.select(key).collect())) == sorted(
+        map(tuple, oneshot.select(key).collect())
+    )

@@ -1,0 +1,66 @@
+"""Seen-set membership: exact anti-join, Bloom prefilter (zero false
+negatives, bounded false positives), composed scalable path exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.operators.seen_set import (
+    anti_join_seen,
+    anti_join_seen_scalable,
+    bloom_prefilter,
+    build_bloom_table,
+    with_url_key,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").select("url")
+    return with_url_key(pages).cache()
+
+
+@pytest.mark.spark
+def test_anti_join_exact(spark, keyed):
+    seen = keyed.filter(F.crc32(F.col("url")) % 3 == 0).select("url_sha1")
+    out = anti_join_seen(keyed, seen)
+    seen_keys = {r[0] for r in seen.collect()}
+    got = {r["url_sha1"] for r in out.select("url_sha1").collect()}
+    all_keys = {r["url_sha1"] for r in keyed.collect()}
+    assert got == all_keys - seen_keys
+
+
+@pytest.mark.spark
+def test_bloom_zero_false_negatives(spark, keyed):
+    seen = keyed.select("url_sha1").distinct()
+    blooms = build_bloom_table(seen, n_buckets=16, fp_rate=0.01)
+    flagged = bloom_prefilter(seen, blooms, n_buckets=16)
+    n_seen = seen.count()
+    n_hit = flagged.filter(F.col("_maybe_seen")).count()
+    assert n_hit == n_seen  # every member must be flagged
+
+
+@pytest.mark.spark
+def test_bloom_fp_rate_bounded(spark, keyed):
+    seen = keyed.select("url_sha1").distinct()
+    # disjoint probe set: sha1 of different strings
+    probe = (
+        spark.range(5000)
+        .select(F.sha1(F.concat(F.lit("unseen-"), F.col("id"))).alias("url_sha1"))
+    )
+    blooms = build_bloom_table(seen, n_buckets=16, fp_rate=0.01)
+    flagged = bloom_prefilter(probe, blooms, n_buckets=16)
+    fp = flagged.filter(F.col("_maybe_seen")).count()
+    assert fp / 5000 < 0.05  # target 1%, generous bound for small buckets
+
+
+@pytest.mark.spark
+def test_scalable_anti_join_equals_exact(spark, keyed):
+    seen = keyed.filter(F.crc32(F.col("url")) % 4 == 0).select("url_sha1")
+    exact = {r["url_sha1"] for r in anti_join_seen(keyed, seen).collect()}
+    scalable = {
+        r["url_sha1"]
+        for r in anti_join_seen_scalable(keyed, seen, n_buckets=8).collect()
+    }
+    assert scalable == exact
