@@ -1,0 +1,104 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Catalyst column expressions (JVM, codegen) — language ID,
+quality scoring, token counting, document fingerprinting. These extend
+the reference's capabilities toward a large-scale corpus pipeline; the
+reference itself only measures text length (read_jsonl.ipynb cell 1).
+Deterministic and portable: every function has an exact SQL equivalent
+(the DuckDB oracles in __spark_entry__.py), so nothing here depends on
+Spark-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.analytics import tokens_col
+
+# Tiny per-language stopword inventories — enough signal for a
+# deterministic n-gram/stopword-ratio heuristic; swap in fastText at
+# deployment (model file absent in this environment).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "that", "is", "was", "for", "with",
+           "on", "as", "are", "at", "this", "have", "from", "not", "they"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein",
+           "eine", "zu", "den", "im", "auf", "sich", "des", "dem", "war"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "qui", "pour", "pas", "sur", "avec", "au", "par", "ce"],
+}
+
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation marks
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,;:!?]"
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(vocab, t)))
+
+
+def language_id_col(text: Column) -> Column:
+    """Predicted language = argmax over per-language stopword hit counts;
+    'und' (undetermined) when no language scores a single hit. Ties break
+    in en > de > fr order (deterministic)."""
+    toks = tokens_col(text)
+    scores = [(lang, _stopword_hits(toks, lang)) for lang in ("en", "de", "fr")]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties: apply last
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish pretoken count (letter runs / digit runs / punct marks) —
+    the corpus-size currency of training pipelines."""
+    return F.regexp_count(text, F.lit(BPE_RE))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality signals: length, token stats, punctuation and stopword
+    ratios. All ratios guarded against empty text."""
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / safe_toks, 4
+        ),
+        "punct_ratio": F.round(F.regexp_count(text, F.lit(PUNCT_RE)) / safe_chars, 4),
+        "stopword_ratio": F.round(_stopword_hits(toks, "en") / safe_toks, 4),
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards stopword density and moderate
+    token length, penalizes punctuation soup and trivially short docs.
+    Weights are heuristic constants — the *shape* (pure column expression,
+    single pass, no shuffle) is the deliverable."""
+    f = quality_features(text)
+    len_ok = F.when(f["n_tokens"] >= 20, F.lit(1.0)).otherwise(
+        f["n_tokens"].cast("double") / 20.0
+    )
+    stop = F.least(f["stopword_ratio"] * 2.5, F.lit(1.0))
+    punct = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    return F.round(0.4 * len_ok + 0.4 * stop + 0.2 * punct, 4)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace/punct-normalized lowercase
+    text — equal for docs differing only in spacing/punctuation. (A rolling
+    shingle hash lives in text_dedup.minhash_signature; this is the cheap
+    exact-dup key.)"""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    return F.md5(norm)

@@ -1,0 +1,108 @@
+"""Corpus analytics (A6-A11, F5): the notebook-derived query family.
+
+The reference does its analysis in pandas over the extracted-article JSONL
+(read_jsonl.ipynb, read_index_jsonl.ipynb). Each helper here is the
+Catalyst-native equivalent — no UDFs, so every expression stays inside
+whole-stage codegen and aggregations get map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercase word tokens (shared with text_quality / dedup operators)."""
+    return F.filter(F.split(F.lower(text), TOKEN_RE), lambda t: t != "")
+
+
+def explode_count(df: DataFrame, arr_col: Column, out: str = "value",
+                  top_n: int | None = None) -> DataFrame:
+    """A7: df[col].explode().value_counts() — explode + groupBy count.
+    Partial aggregation happens map-side; the shuffle carries one row per
+    distinct value, not per element (read_jsonl.ipynb cell 2)."""
+    counted = (
+        df.select(F.explode(arr_col).alias(out))
+        .groupBy(out)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(out))
+    )
+    return counted.limit(top_n) if top_n else counted
+
+
+def year_histogram(df: DataFrame, ts_col: str) -> DataFrame:
+    """A8: publish_time -> year -> value_counts().sort_index()
+    (read_jsonl.ipynb cell 1)."""
+    return (
+        df.select(F.year(ts_col).alias("year"))
+        .groupBy("year")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("year")
+    )
+
+
+def top_k(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """A9: value_counts().head(k), deterministic tie-break on the key."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def describe_numeric(df: DataFrame, col: str,
+                     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+                     ) -> DataFrame:
+    """A10: exact percentiles + min/max/mean/count of a numeric column
+    (read_jsonl.ipynb cell 1 .describe()). Exact `percentile` (not approx)
+    so results are oracle-comparable; swap to percentile_approx at 100 TB."""
+    aggs = [
+        F.count(col).alias("n"),
+        F.round(F.avg(col), 4).alias("mean"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+    ] + [
+        F.round(F.percentile(col, q), 4).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.agg(*aggs)
+
+
+def keyword_filter(
+    df: DataFrame,
+    text: Column,
+    include: Sequence[str],
+    exclude: Sequence[str],
+) -> DataFrame:
+    """F5: whole-word include/exclude scoring (read_jsonl.ipynb cell 0
+    count_matches/keep_row): pos = total whole-word hits of include
+    keywords, neg = same for exclude; keep iff (neg==0 and pos>=1) or
+    pos>neg. Keyword lists are literals folded into the plan — never a
+    join, never Python."""
+
+    def score(kws: Sequence[str]) -> Column:
+        t = F.lower(text)
+        total = F.lit(0)
+        for kw in kws:
+            total = total + F.regexp_count(t, F.lit(r"\b" + kw.lower() + r"\b"))
+        return total
+
+    pos, neg = score(include), score(exclude)
+    return (
+        df.withColumn("pos", pos)
+        .withColumn("neg", neg)
+        .filter(((F.col("neg") == 0) & (F.col("pos") >= 1)) | (F.col("pos") > F.col("neg")))
+    )
+
+
+def sample_exact(df: DataFrame, n: int, seed: int = 42,
+                 key_cols: Sequence[str] = ()) -> DataFrame:
+    """A11: deterministic exact-n sample — rand(seed) ordered, tie-broken by
+    key columns so the pick is stable across partitionings."""
+    return df.orderBy(F.rand(seed), *[F.col(c) for c in key_cols]).limit(n)

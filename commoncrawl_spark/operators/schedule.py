@@ -1,0 +1,105 @@
+"""Per-host politeness scheduling with hot-host salting (W5).
+
+The reference paces fetches with ``time.sleep(0.2)`` between serial
+requests (fetch_guardian_fulltext.py:130) and caps concurrency
+(download_warc_segments.py:30, download_and_merge.py:18) — a global
+budget over a single-host corpus (create_tasks.py:10 is 100%
+theguardian.com). The engine generalizes that to a per-host, per-round
+fetch budget: each crawl round may take at most ``budget`` URLs per
+host, ordered by frontier priority.
+
+A naive ``Window.partitionBy(host)`` puts the entire 10^10-URL frontier
+of a single-host corpus into ONE shuffle partition. The scheduler
+therefore selects in two stages:
+
+1. **salted local top-B** — window over ``(host, salt)`` where
+   ``salt = pmod(xxhash64(url_sha1), K)``; each of the K sub-partitions
+   keeps its own top-``budget`` rows. The per-host top-``budget`` set is
+   a subset of the union of per-salt top-``budget`` sets, so no winner
+   is lost, and no shuffle partition ever holds more than ~1/K of a hot
+   host's frontier.
+2. **exact top-B per host** — a second window over ``host`` alone, but
+   now over at most ``K * budget`` rows per host, so the skewed
+   partition is bounded by construction, not by data.
+
+Both stages are plain window ``row_number`` — JVM, codegen, AQE-skew
+friendly. Priority order is the reference's deterministic crawl order:
+(crawl_rank, page, line_no) (SURVEY.md §3 "crawl-ordering determinism").
+
+Robots gating (north rule): a broadcast join against the per-host rules
+table; a URL whose path starts with any disallowed prefix never enters
+the schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import host_col
+
+DEFAULT_PRIORITY = ("crawl_rank", "page", "line_no")
+
+
+def with_host(df: DataFrame, url_col: str = "url", out_col: str = "host") -> DataFrame:
+    return df.withColumn(out_col, host_col(F.col(url_col)))
+
+
+def url_path_col(url):
+    """Path component of a URL column (scheme/host stripped, query kept off)."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    return F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Drop URLs disallowed by per-host rules.
+
+    ``robots(host, disallow_prefixes: array<string>)`` is tiny (one row
+    per host) — broadcast, never shuffled. Hosts absent from the table
+    are allowed (reference behavior: no robots handling at all, so the
+    default must be permissive).
+    """
+    rules = F.broadcast(robots.select("host", "disallow_prefixes"))
+    df = frontier if "host" in frontier.columns else with_host(frontier, url_col)
+    joined = df.join(rules, "host", "left")
+    path = url_path_col(F.col(url_col))
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~disallowed).drop("disallow_prefixes")
+
+
+def select_polite_batch(
+    frontier: DataFrame,
+    budget_per_host: int,
+    salt_buckets: int = 16,
+    priority_cols: Sequence[str] = DEFAULT_PRIORITY,
+    key_col: str = "url_sha1",
+) -> DataFrame:
+    """Top-``budget_per_host`` URLs per host by priority, skew-safely.
+
+    Exactness argument: any row in the true per-host top-B is in the
+    top-B of its own salt bucket (removing rows from other buckets only
+    improves its rank), so stage 1 never discards a stage-2 winner.
+    """
+    df = frontier if "host" in frontier.columns else with_host(frontier)
+    order = [F.col(c).asc() for c in priority_cols]
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= budget_per_host)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        survivors.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= budget_per_host)
+    )

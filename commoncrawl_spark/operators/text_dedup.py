@@ -1,0 +1,246 @@
+"""Document deduplication family: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design rule: every hash is derived from md5 (a builtin with identical
+output in Spark, DuckDB, and Python), never from engine-private hash
+functions — so each operator has an exact cross-engine oracle, and the
+signatures are reproducible across cluster versions.
+
+Scale shapes:
+- exact_duplicates: one hash-shuffle on a 32-byte key (not the text).
+- MinHash/SimHash signatures: *narrow* — higher-order array expressions
+  per row, no shuffle, no Python. LSH banding then shuffles only
+  (doc_id, band, 32-byte bucket) pairs: the join key is tiny regardless
+  of document size, and candidate verification touches only
+  bucket-colliding pairs (the LSH contract) instead of O(n^2).
+- embedding near-dup joins are bucketed by an LSH bit-signature over
+  random hyperplanes for the same reason (see similarity.py for the
+  ANN variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col
+from ..operators.analytics import tokens_col
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, sorted (deterministic)."""
+    toks = tokens_col(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    return F.array_sort(F.array_distinct(grams))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup over the normalized fingerprint: one row per
+    duplicate *group* (>=2 docs), keeper = min id. The shuffle carries the
+    32-byte fingerprint, never the document text."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each fingerprint group."""
+    w_key = fingerprint_col(F.col(text_col)).alias("fingerprint")
+    keepers = (
+        df.select(F.col(id_col), w_key)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<string>: element j = min over shingles of
+    md5(shingle || '#j'). Min over md5 hex strings is an order-preserving
+    stand-in for min over a random permutation (md5 is uniform). Empty
+    shingle sets get the sentinel 'z'*32 (sorts after every hex digest)."""
+    sh = shingles_col(text, shingle_n)
+    empty = F.size(sh) == 0
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.when(empty, F.lit("z" * 32)).otherwise(
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), j.cast("string"))))
+            )
+        ),
+    )
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket): docs sharing a bucket in any band are near-dup
+    candidates. rows-per-band r = num_hashes/bands tunes the similarity
+    threshold (~ (1/bands)^(1/r))."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.concat_ws("|", F.slice(sig, b * r + 1, r))),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from LSH bucket collisions — the
+    self-join runs on (band, bucket), so only genuine collisions meet."""
+    bk = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    a = bk.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = bk.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over distinct
+    shingle sets. Feed LSH candidates here to confirm near-dups; never run
+    it all-pairs at scale."""
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .select("a", "b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # fits signed 64-bit everywhere (DuckDB/Spark/parquet)
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens (with multiplicity): bit i of the result is
+    the sign of sum over tokens of ±1 votes from bit i of md5(token).
+    Pure array expressions — per-row, no shuffle. Token hash = first 8 hex
+    chars of md5 (32 uniform bits)."""
+    toks = tokens_col(text)
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v, i=i: acc + F.shiftright(v, i).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by the
+    pigeonhole block trick: split the signature into ``blocks`` chunks; any
+    pair within distance max_hamming < blocks agrees exactly on >=1 chunk,
+    so the self-join key is (block_idx, chunk_value) — never all-pairs."""
+    assert max_hamming < blocks
+    width = bits // blocks
+    sims = df.select(
+        F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash")
+    )
+    chunked = sims.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(blocks)
+            ])
+        ).alias("block", "chunk"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "block", "chunk"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "block", "chunk"
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    return (
+        a.join(b, ["block", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(xor).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,302 @@
+"""The crawl plan: frontier round loop with politeness, retries, resume.
+
+This is the engine's replacement for the reference's stage scripts and
+their retry loops (ST3: download_and_merge.py:118-182 — failed tasks
+become the next round's input, until drained) and append-only checkpoint
+logs (ST4: download_and_merge.py:167-171, download_warc_segments.py:73-81).
+
+One **round** =
+    frontier ──robots gate──▶ polite batch (per-host budget, salted)
+            ──fetch (lookup join vs pages)──▶ extract (Arrow UDF)
+            ──commit: articles / failures / trace / metrics / seen / frontier
+
+State lives in snapshot tables (tables.SnapshotTable — Iceberg-style
+atomic commits), so a crash at any point resumes from the last committed
+frontier snapshot; per-table round metadata makes round replay
+exactly-once (a table that already committed round R skips its append —
+all round outputs are deterministic functions of the round-R frontier).
+
+Scale notes (10^10 URLs, 1000 executors):
+- the fetch join broadcasts the *batch* (hosts x budget rows) against the
+  pages table, so the 100 TB side is never shuffled;
+- the politeness window is salted (operators.schedule) so a single-host
+  corpus — the reference's actual shape, create_tasks.py:10 — cannot
+  create a straggler partition;
+- the seen-set anti-join uses the partitioned-Bloom prefilter above
+  ``bloom_threshold`` keys (operators.seen_set).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import best_capture_per_url
+from ..operators.extraction import extract_articles, split_articles
+from ..operators.schedule import apply_robots, select_polite_batch, with_host
+from ..operators.seen_set import (
+    SEEN_SCHEMA,
+    anti_join_seen,
+    anti_join_seen_scalable,
+    with_url_key,
+)
+from ..tables import SnapshotTable
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_sha1", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_rank", T.IntegerType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("line_no", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),
+    ]
+)
+
+PRIORITY = ("crawl_rank", "page", "line_no")
+
+
+class CrawlJob:
+    """Checkpoint-resumable crawl over a pages table.
+
+    All state under ``checkpoint_dir``; constructing a second CrawlJob on
+    the same directory resumes exactly where the first stopped.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        budget_per_host: int = 200,
+        salt_buckets: int = 16,
+        max_retries: int = 3,
+        bloom_threshold: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.budget = budget_per_host
+        self.salt_buckets = salt_buckets
+        self.max_retries = max_retries
+        self.bloom_threshold = bloom_threshold
+        t = lambda name: SnapshotTable(os.path.join(checkpoint_dir, name))  # noqa: E731
+        self.frontier = t("frontier")
+        self.seen = t("seen")
+        self.articles = t("articles")
+        self.failures = t("failures")
+        self.trace = t("trace")
+        self.metrics = t("metrics")
+
+    # -- seeding ---------------------------------------------------------------
+
+    def seed_from_cdx(
+        self,
+        cdx: DataFrame,
+        crawl_order: Sequence[str] | None = None,
+        arrival_cols: Sequence[str] = ("crawl", "page", "line_no"),
+    ) -> int:
+        """CDX records -> deduped, 200-filtered, unseen frontier (stage 1+2
+        of the reference pipeline: dedup A2 then the status-200 gate F1).
+
+        ``crawl_order`` fixes crawl_rank = position in the INDEXES list
+        (create_tasks.py:12); default = lexicographic (CC-MAIN-YYYY-WW names
+        sort chronologically, matching the list's order).
+        """
+        best = best_capture_per_url(cdx, arrival_cols=arrival_cols)
+        best = best.filter(F.col("status") == "200")
+        if crawl_order is not None:
+            rank_map = F.create_map(
+                *[x for i, c in enumerate(crawl_order) for x in (F.lit(c), F.lit(i))]
+            )
+            ranked = best.withColumn("crawl_rank", rank_map[F.col("crawl")].cast("int"))
+        else:
+            from pyspark.sql import Window
+
+            w = Window.orderBy("crawl")
+            ranks = (
+                best.select("crawl").distinct()
+                .withColumn("crawl_rank", (F.dense_rank().over(w) - 1).cast("int"))
+            )
+            ranked = best.join(F.broadcast(ranks), "crawl")
+
+        frontier = (
+            with_host(with_url_key(ranked))
+            .select(
+                "url", "url_sha1", "host", "crawl_rank",
+                F.col("page").cast("int").alias("page"),
+                F.col("line_no").cast("int").alias("line_no"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        seen = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
+        n_seen = seen.count()
+        if n_seen > self.bloom_threshold:
+            frontier = anti_join_seen_scalable(frontier, seen)
+        elif n_seen:
+            frontier = anti_join_seen(frontier, seen)
+        self.frontier.overwrite(frontier, {"round": self.next_round()})
+        if not self.seen.exists():
+            self.seen.overwrite(seen, {"round": -1})
+        return self.frontier.read(self.spark).count()
+
+    # -- round bookkeeping -------------------------------------------------------
+
+    def next_round(self) -> int:
+        snap = self.frontier.snapshot()
+        return 0 if snap is None else int(snap["metadata"].get("round", 0))
+
+    def _append_once(self, table: SnapshotTable, df: DataFrame, rnd: int) -> None:
+        """Exactly-once per round: skip if this table already committed rnd
+        (crash-between-commits replay safety; outputs are deterministic)."""
+        snap = table.snapshot()
+        if snap is not None and snap["metadata"].get("round") == rnd:
+            return
+        table.append(df, {"round": rnd})
+
+    # -- the round ---------------------------------------------------------------
+
+    def run_round(
+        self,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        transient_fail: Column | None = None,
+    ) -> dict[str, int]:
+        """Execute one crawl round; returns counters. Empty frontier -> {}."""
+        rnd = self.next_round()
+        frontier = self.frontier.read(self.spark)
+
+        gated = apply_robots(frontier, robots) if robots is not None else frontier
+        batch = select_polite_batch(
+            gated, self.budget, self.salt_buckets, PRIORITY
+        ).persist()
+        n_selected = batch.count()
+        if n_selected == 0:
+            batch.unpersist()
+            return {}
+
+        # fetch = lookup join (J2). Inner-join with the batch broadcast keeps
+        # the pages table un-shuffled; misses are recovered batch-side.
+        hits = (
+            pages.select("url", "html")
+            .join(F.broadcast(batch), "url", "inner")
+        )
+        if transient_fail is not None:
+            hits = hits.withColumn("_flaky", transient_fail)
+        else:
+            hits = hits.withColumn("_flaky", F.lit(False))
+        hits = hits.persist()
+        fetched = hits.filter(~F.col("_flaky")).drop("_flaky")
+        flaky = hits.filter(F.col("_flaky")).drop("_flaky", "html")
+        missing = batch.join(
+            F.broadcast(hits.select("url")), "url", "left_anti"
+        ).unionByName(flaky)
+
+        extracted = extract_articles(fetched).persist()
+        ok, extract_failed = split_articles(extracted)
+
+        # ---- commits (deterministic; _append_once makes replay idempotent) ----
+        self._append_once(
+            self.articles, ok.withColumn("round", F.lit(rnd)), rnd
+        )
+        retryable = missing.filter(F.col("attempt") < self.max_retries)
+        exhausted = missing.filter(F.col("attempt") >= self.max_retries)
+        perm_failures = (
+            extract_failed.select("url", "reason")
+            .unionByName(exhausted.select("url", F.lit("fetch_failed").alias("reason")))
+            .withColumn("round", F.lit(rnd))
+        )
+        self._append_once(self.failures, perm_failures, rnd)
+        self._append_once(
+            self.trace,
+            batch.select(
+                F.lit(rnd).alias("round"), "host", "host_rank",
+                "crawl_rank", "page", "line_no", "url",
+            ),
+            rnd,
+        )
+        done_keys = (
+            fetched.select("url_sha1")
+            .unionByName(exhausted.select("url_sha1"))
+        )
+        per_host = (
+            batch.groupBy("host")
+            .agg(F.count("*").alias("n_selected"))
+            .join(
+                fetched.groupBy("host").agg(F.count("*").alias("n_fetched")),
+                "host", "left",
+            )
+            .join(
+                missing.groupBy("host").agg(F.count("*").alias("n_fetch_failed")),
+                "host", "left",
+            )
+            .select(
+                F.lit(rnd).alias("round"), "host", "n_selected",
+                F.coalesce("n_fetched", F.lit(0)).alias("n_fetched"),
+                F.coalesce("n_fetch_failed", F.lit(0)).alias("n_fetch_failed"),
+            )
+        )
+        self._append_once(self.metrics, per_host, rnd)
+        self._append_once(self.seen, done_keys.distinct(), rnd)
+
+        remaining = (
+            frontier.join(F.broadcast(batch.select("url_sha1")), "url_sha1", "left_anti")
+            .unionByName(
+                retryable.withColumn("attempt", F.col("attempt") + 1)
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+        )
+        counters = {
+            "round": rnd,
+            "selected": n_selected,
+            "fetched": fetched.count(),
+            "extract_ok": ok.count(),
+            "extract_failed": extract_failed.count(),
+            "retried": retryable.count(),
+            "exhausted": exhausted.count(),
+        }
+        # frontier commit LAST: it is the resume authority. Crash before this
+        # line -> the whole round replays; _append_once skips re-commits.
+        self.frontier.overwrite(remaining, {"round": rnd + 1, **{
+            k: v for k, v in counters.items() if k != "round"
+        }})
+        batch.unpersist()
+        hits.unpersist()
+        extracted.unpersist()
+        return counters
+
+    def run(
+        self,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        transient_fail: Column | None = None,
+        max_rounds: int | None = None,
+    ) -> list[dict[str, int]]:
+        """Drive rounds until the frontier drains (or max_rounds)."""
+        out = []
+        while max_rounds is None or len(out) < max_rounds:
+            t0 = time.monotonic()
+            c = self.run_round(pages, robots, transient_fail)
+            if not c:
+                break
+            c["wall_s"] = round(time.monotonic() - t0, 3)
+            out.append(c)
+        return out
+
+    # -- views -------------------------------------------------------------------
+
+    def articles_df(self) -> DataFrame:
+        return self.articles.read(self.spark)
+
+    def seen_df(self) -> DataFrame:
+        return self.seen.read(self.spark)
+
+    def trace_df(self) -> DataFrame:
+        return self.trace.read(self.spark)
+
+    def metrics_df(self) -> DataFrame:
+        return self.metrics.read(self.spark)

@@ -1,0 +1,210 @@
+"""Frontier round loop: politeness scheduling vs a pure-Python oracle,
+crawl-ordering trace, byte-identical extraction, crash-resume equivalence,
+transient-failure retry, robots gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.fixtures import CRAWLS
+from commoncrawl_spark.functions.urls import canonicalize_url_py
+from commoncrawl_spark.operators.dedup import deduplicate_records_py
+from commoncrawl_spark.plans.frontier import CrawlJob
+
+BUDGET = 40
+
+
+@pytest.fixture(scope="module")
+def tables(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").cache()
+    cdx = spark.read.parquet(f"{fixture_dir}/cdx.parquet").cache()
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet").cache()
+    return pages, cdx, robots
+
+
+def _host_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    netloc = rest.split("/", 1)[0].lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    return netloc.split(":")[0]
+
+
+def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3):
+    """Reference-faithful simulation: dedup fold -> 200 filter -> per-round
+    per-host top-budget by (crawl_rank, page, line_no); URLs missing from
+    ``fetchable`` fail transiently and retry with attempt+1 until
+    max_retries, then are exhausted (ST3 retry-until-drained semantics).
+    Returns (trace rows, seen sha1 set)."""
+    best = deduplicate_records_py(cdx_rows, canonicalize_url_py)
+    rank = {c: i for i, c in enumerate(crawl_order)}
+    frontier = [
+        {
+            "url": r["url"],
+            "host": _host_of(r["url"]),
+            "prio": (rank[r["crawl"]], r["page"], r["line_no"]),
+            "attempt": 0,
+        }
+        for r in best.values()
+        if r["status"] == "200"
+    ]
+    trace, seen = [], set()
+    rnd = 0
+    while frontier:
+        by_host: dict[str, list] = {}
+        for rec in sorted(frontier, key=lambda r: r["prio"]):
+            by_host.setdefault(rec["host"], []).append(rec)
+        batch = []
+        for host, recs in by_host.items():
+            for i, rec in enumerate(recs[:budget]):
+                batch.append((rnd, host, i + 1, rec["url"]))
+                trace.append((rnd, host, i + 1, rec["url"]))
+        if not batch:
+            break
+        picked = {u for _, _, _, u in batch}
+        remaining = []
+        for rec in frontier:
+            if rec["url"] not in picked:
+                remaining.append(rec)
+                continue
+            key = hashlib.sha1(canonicalize_url_py(rec["url"]).encode()).hexdigest()
+            if rec["url"] in fetchable:
+                seen.add(key)  # fetched
+            elif rec["attempt"] >= max_retries:
+                seen.add(key)  # exhausted
+            else:
+                rec["attempt"] += 1
+                remaining.append(rec)  # transient failure -> retry
+        frontier = remaining
+        rnd += 1
+    return trace, seen
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, tables, tmp_path_factory):
+    pages, cdx, robots = tables
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("crawl_full")), budget_per_host=BUDGET
+    )
+    n = job.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    rounds = job.run(pages)
+    return job, n, rounds
+
+
+@pytest.mark.spark
+def test_crawl_drains_and_orders_like_oracle(spark, tables, full_run):
+    pages, cdx, _ = tables
+    job, n_seeded, rounds = full_run
+    assert n_seeded > 0 and rounds
+
+    cdx_rows = [r.asDict() for r in cdx.orderBy("crawl", "page", "line_no").collect()]
+    fetchable = {r["url"] for r in pages.select("url").collect()}
+    oracle_trace, oracle_seen = python_crawl_oracle(cdx_rows, BUDGET, CRAWLS, fetchable)
+
+    got_trace = {
+        (r["round"], r["host"], r["host_rank"], r["url"])
+        for r in job.trace_df().collect()
+    }
+    assert got_trace == set(oracle_trace)
+
+    got_seen = {r["url_sha1"] for r in job.seen_df().collect()}
+    assert got_seen == oracle_seen
+
+
+@pytest.mark.spark
+def test_extracted_text_byte_identical(spark, tables, full_run):
+    pages, _, _ = tables
+    job, _, _ = full_run
+    arts = job.articles_df().select("url", F.col("text").alias("got"))
+    golden = pages.select("url", F.col("text").alias("want"))
+    joined = arts.join(golden, "url")
+    assert joined.count() == arts.count()
+    assert joined.filter(F.col("got") != F.col("want")).count() == 0
+    # failures are logged, not dropped: articles + failures == fetched urls
+    n_failed = job.failures.read(spark).count()
+    assert arts.count() + n_failed == job.seen_df().count()
+
+
+@pytest.mark.spark
+def test_per_host_budget_respected(full_run):
+    job, _, _ = full_run
+    per = (
+        job.trace_df().groupBy("round", "host").count().agg(F.max("count")).first()[0]
+    )
+    assert per <= BUDGET
+
+
+@pytest.mark.spark
+def test_metrics_lineage(full_run):
+    job, _, rounds = full_run
+    m = job.metrics_df()
+    tot = m.agg(F.sum("n_selected"), F.sum("n_fetched")).first()
+    assert tot[0] == sum(r["selected"] for r in rounds)
+    assert tot[1] == sum(r["fetched"] for r in rounds)
+
+
+@pytest.mark.spark
+def test_resume_equals_uninterrupted(spark, tables, full_run, tmp_path_factory):
+    pages, cdx, _ = tables
+    ref_job, _, _ = full_run
+
+    d = str(tmp_path_factory.mktemp("crawl_resume"))
+    job1 = CrawlJob(spark, d, budget_per_host=BUDGET)
+    job1.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    job1.run(pages, max_rounds=2)  # "crash" after round 2
+    job2 = CrawlJob(spark, d, budget_per_host=BUDGET)  # fresh process resumes
+    job2.run(pages)
+
+    for name, a, b in [
+        ("seen", ref_job.seen_df(), job2.seen_df()),
+        ("articles", ref_job.articles_df().select("url", "text"),
+         job2.articles_df().select("url", "text")),
+        ("trace", ref_job.trace_df(), job2.trace_df()),
+    ]:
+        ra = {tuple(r) for r in a.collect()}
+        rb = {tuple(r) for r in b.collect()}
+        assert ra == rb, f"{name} diverged after resume"
+
+
+@pytest.mark.spark
+def test_transient_failures_retried_to_same_result(spark, tables, full_run,
+                                                   tmp_path_factory):
+    pages, cdx, _ = tables
+    ref_job, _, _ = full_run
+    d = str(tmp_path_factory.mktemp("crawl_flaky"))
+    job = CrawlJob(spark, d, budget_per_host=BUDGET, max_retries=3)
+    job.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    # ~1/4 of first-attempt fetches fail transiently
+    flaky = (F.col("attempt") == 0) & (F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+    job.run(pages, transient_fail=flaky)
+
+    a = {tuple(r) for r in ref_job.seen_df().collect()}
+    b = {tuple(r) for r in job.seen_df().collect()}
+    assert a == b
+    ta = {tuple(r) for r in ref_job.articles_df().select("url", "text").collect()}
+    tb = {tuple(r) for r in job.articles_df().select("url", "text").collect()}
+    assert ta == tb
+
+
+@pytest.mark.spark
+def test_robots_gating(spark, tables, tmp_path_factory):
+    pages, cdx, _ = tables
+    # forbid the hot host's /sport prefix
+    robots = spark.createDataFrame(
+        [("example-news.test", ["/sport"], 0.2)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    d = str(tmp_path_factory.mktemp("crawl_robots"))
+    job = CrawlJob(spark, d, budget_per_host=BUDGET)
+    job.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    job.run(pages, robots=robots)
+    fetched = job.trace_df().filter(
+        (F.col("host") == "example-news.test") & F.col("url").rlike("/sport/")
+    )
+    assert fetched.count() == 0
+    # gated URLs remain unfetched in the frontier (never silently dropped)
+    left = job.frontier.read(spark)
+    assert left.filter(F.col("url").rlike("/sport/")).count() > 0
