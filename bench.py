@@ -1,0 +1,162 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline metric is crawl-pipeline throughput in URLs/sec over a
+synthetic pages corpus deterministically derived from the documents
+table (scaled up BENCH_PAGE_FACTOR x by replication with distinct URLs,
+so the frontier is meaningfully larger than the raw table). Individual
+query timings are reported under "queries" (seconds).
+
+Set SPARK_GRAFT_BENCH_SCALING=1 to also run the two-parallelism scaling
+probe (local[8] vs local[32]) — see scripts/scaling_bench.py for the
+full report used in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.stdout, real_stdout = sys.stderr, sys.stdout  # noqa: keep stdout clean for JSON
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from commoncrawl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PAGE_FACTOR = int(os.environ.get("BENCH_PAGE_FACTOR", "16"))
+BODY_REPEAT = int(os.environ.get("BENCH_BODY_REPEAT", "10"))
+
+
+def build_corpus(spark, sf_dir: str):
+    """Deterministic synthetic crawl corpus from the documents table,
+    replicated PAGE_FACTOR x with distinct URLs. Generated DISTRIBUTED —
+    pure Catalyst expressions (explode + concat + encode), no driver loop —
+    so corpus size is bounded by the cluster, not the driver."""
+    from commoncrawl_spark.fixtures import CRAWLS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    rep = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(PAGE_FACTOR - 1))).alias("_r"),
+    ).select(
+        (F.col("doc_id") * PAGE_FACTOR + F.col("_r")).alias("id"),
+        "text", "lang", "source",
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".news.test/"),
+        F.col("lang"), F.lit("/"), F.col("id").cast("string"), F.lit("/story"),
+    )
+    title = F.concat(F.lit("Doc "), F.col("id").cast("string"), F.lit(" report"))
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html><body><h1 class="content__headline">'),
+        title, F.lit("</h1>"),
+        F.lit('<time itemprop="datePublished" datetime="2024-01-01T00:00:00+00:00">'
+              "2024-01-01T00:00:00+00:00</time>"),
+        F.lit('<a rel="author" href="/p/a">Alice Carter</a>'),
+        F.lit('<div itemprop="articleBody"><p>'),
+        F.concat_ws("</p><p>", F.array_repeat(F.col("text"), BODY_REPEAT)),
+        F.lit("</p></div></body></html>"),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              "charset=utf-8\r\n\r\n"),
+        html,
+    )
+    pages = rep.select(url.alias("url"), F.encode(warc, "utf-8").alias("html"))
+
+    crawl_arr = F.array(*[F.lit(c) for c in CRAWLS])
+    cap = rep.select(
+        F.col("id"), url.alias("url"),
+        F.explode(F.sequence(F.lit(0), F.col("id") % 3)).alias("c"),
+    )
+    cdx = cap.select(
+        "url",
+        F.element_at(
+            crawl_arr, ((F.col("id") + F.col("c")) % len(CRAWLS) + 1).cast("int")
+        ).alias("crawl"),
+        (F.col("id") % 10).cast("int").alias("page"),
+        (F.col("id") * 3 + F.col("c")).cast("int").alias("line_no"),
+        F.when((F.col("id") + F.col("c")) % 11 == 0, F.lit("404"))
+        .otherwise(F.lit("200")).alias("status"),
+        F.when((F.col("id") + F.col("c")) % 7 == 0, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html")).alias("mime_detected"),
+        ((F.col("id") * 7919 + F.col("c") * 104729) % 80000 + 2000)
+        .cast("string").alias("length"),
+        F.concat(F.lit("2024"), F.lpad(((F.col("id") + F.col("c")) % 12 + 1)
+                                       .cast("string"), 2, "0"),
+                 F.lit("0100000"), (F.col("c") % 10).cast("string"))
+        .alias("timestamp"),
+    )
+    return pages, cdx
+
+
+def bench_crawl(spark, pages, cdx) -> tuple[float, int]:
+    """Full pipeline: dedup -> 200 gate -> fetch join -> extract. Returns
+    (seconds, urls_extracted)."""
+    from commoncrawl_spark.operators.dedup import best_capture_per_url
+    from commoncrawl_spark.operators.extraction import extract_articles, split_articles
+
+    t0 = time.monotonic()
+    best = best_capture_per_url(cdx, arrival_cols=("crawl", "page", "line_no"))
+    fetch = (
+        best.filter(F.col("status") == "200")
+        .select("url")
+        .join(pages.select("url", "html"), "url")
+    )
+    ok, _ = split_articles(extract_articles(fetch))
+    n = ok.count()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark("bench", cores=int(cpus), shuffle_partitions=int(cpus))
+    queries: dict[str, float] = {}
+
+    # the local parquet is one row-group (one split); repartition so the
+    # generated corpus is spread like a real many-file table would be
+    pages, cdx = build_corpus(spark, SF_DIR)
+    pages = pages.repartition(4 * int(cpus)).persist()
+    cdx = cdx.repartition(4 * int(cpus)).persist()
+    n_pages = pages.count()
+    cdx.count()
+
+    crawl_s, n_urls = bench_crawl(spark, pages, cdx)
+    queries["crawl_pipeline"] = round(crawl_s, 3)
+
+    os.environ["SPARK_GRAFT_REPARTITION"] = str(4 * int(cpus))
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in [
+        "best_capture_dedup", "bloom_anti_join", "politeness_schedule",
+        "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
+        "simhash_neardup", "embedding_topk", "quality_scores",
+    ]:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "crawl_pipeline_urls_per_sec",
+        "value": round(n_urls / crawl_s, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_pages": n_pages,
+        "n_urls_extracted": n_urls,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out), file=real_stdout)
+
+
+if __name__ == "__main__":
+    main()

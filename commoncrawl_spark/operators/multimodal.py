@@ -1,0 +1,156 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side shape is real and tested — schemas, Arrow batch flow,
+mapInPandas signatures, partitioning — while the actual codec step is
+STUBBED: this container has no image/audio libraries, so ``decode=True``
+raises NotImplementedError and the default path computes deterministic
+fake features (md5-derived) that exercise the identical plumbing. Swap
+``_fake_decode`` for PIL/librosa/pyav in deployment; nothing else changes.
+
+Batch-shape rules baked in here:
+- binary payloads ride ArrayType-free BinaryType columns; Arrow moves
+  them zero-copy into the Python worker in bounded batches
+  (spark.sql.execution.arrow.maxRecordsPerBatch, set small in session.py
+  because payloads are fat);
+- metadata extraction that needs no codec (byte length, magic bytes,
+  container sniff) stays JVM-side — never pay the Python hop for it;
+- frame sampling / feature extraction is mapInPandas (one in-out batch
+  stream per partition), not a scalar UDF, so one input row may emit
+  many output rows (frames) without an explode shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("magic_hex", T.StringType()),
+        T.StructField("container", T.StringType()),
+    ]
+)
+
+_MAGIC = {
+    "89504e47": "png",
+    "ffd8ff": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi
+    "664c6143": "flac",
+    "1a45dfa3": "mkv",
+}
+
+
+def media_meta_cols(bin_col_name: str) -> list[Column]:
+    """JVM-side metadata — no codec, no Python: size, magic bytes, container
+    sniff from the magic table."""
+    magic = F.lower(F.hex(F.expr(f"substring({bin_col_name}, 1, 4)")))
+    sniff = F.lit("unknown")
+    for hexsig, name in _MAGIC.items():
+        sniff = F.when(magic.startswith(hexsig[:6]), F.lit(name)).otherwise(sniff)
+    return [
+        F.length(F.col(bin_col_name)).alias("n_bytes"),
+        magic.alias("magic_hex"),
+        sniff.alias("container"),
+    ]
+
+
+def attach_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:
+    return df.select("*", *media_meta_cols(bin_col))
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic FAKE decode: features derived from md5(payload).
+    Stands in for a real codec so the pipeline shape is testable."""
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_frames": 1 + h[2] % 32,
+        "duration_s": round((h[3] % 300) / 10.0, 1),
+    }
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, bin_col: str = "media",
+                 id_col: str = "doc_id", decode: bool = False) -> DataFrame:
+    """Decode/feature-extract via mapInPandas. ``decode=True`` is the real
+    codec path — NotImplementedError here (no image/audio libs in this
+    environment); the default exercises identical plumbing with
+    deterministic fake features."""
+    if decode:
+        raise NotImplementedError(
+            "real media decoding needs PIL/librosa/pyav — not available in "
+            "this environment; deploy-time drop-in replaces _fake_decode"
+        )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode(v) for v in pdf[bin_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, bin_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, bin_col: str = "media",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling plumbing: one input row fans out to ceil(F/every_n)
+    frame rows inside the partition (no explode shuffle). Frames here are
+    byte-slices of the payload — the real codec slot is the same loop."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = payload or b""
+                n = _fake_decode(payload)["n_frames"]
+                step = max(len(payload) // max(n, 1), 1)
+                for f in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    frames.append(payload[f * step:(f + 1) * step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_media_udf(payloads: pd.Series) -> pd.Series:
+    """Deterministic FAKE embedding (16-dim, md5-seeded) — the Arrow batch
+    path a real vision/audio encoder would use."""
+
+    def emb(payload):
+        h = hashlib.md5(payload or b"").digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        v = rng.standard_normal(16).astype(np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    return payloads.map(emb)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set is broadcast; the corpus is scanned once, never shuffled by
+  the join; per-query top-k is a window over (query, score).
+- ``lsh_topk``: the scale path — random-hyperplane LSH bit signatures
+  bucket the corpus so each query only scores its own bucket (and
+  optionally Hamming-adjacent probes). The hyperplanes are derived from
+  md5, so signatures are deterministic and reproducible in SQL/other
+  engines (no RNG state, no model file).
+
+All arithmetic is double-precision with a sequential left-fold (zip_with
++ aggregate), making scores bit-reproducible against an oracle that
+folds in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic double arithmetic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), 6)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    ``broadcast(queries)`` keeps the corpus un-shuffled: the cross join is
+    a map-side nested loop over each corpus partition. O(|Q| * |corpus|)
+    compute — the baseline to beat, correct at any scale where |Q| is
+    bounded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane(dim: int, plane_idx: int, seed: str = "hp") -> list[float]:
+    """Deterministic pseudo-random hyperplane component j in [-1, 1):
+    md5('{seed}-{plane_idx}-{j}') first 8 hex chars scaled. Reproducible
+    in any engine with md5 — no RNG, no stored model."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}-{plane_idx}-{j}".encode()).hexdigest()[:8]
+        out.append((int(h, 16) / 2**32) * 2.0 - 1.0)
+    return out
+
+
+def lsh_signature_col(vec: Column, dim: int, n_planes: int = 8,
+                      seed: str = "hp") -> Column:
+    """Bit-signature: bit i = sign(dot(vec, plane_i)). Planes are literal
+    arrays folded into the plan (broadcast-free constants)."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in hyperplane(dim, i, seed)])
+        sig = sig + F.when(dot_col(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's LSH
+    bucket. Recall rises with fewer planes (bigger buckets) or multi-probe;
+    cost ~ |corpus| / 2^n_planes per query. The join key is the bucket —
+    a shuffle of (id, bucket, vec) once, then equi-join instead of the
+    brute-force cross product."""
+    sig = lambda df, idn, vn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(vn),
+        lsh_signature_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = sig(corpus, "neighbor_id", "_cv")
+    q = F.broadcast(sig(queries, "query_id", "_qv"))
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+    ``block_col`` (e.g. a cluster label or LSH bucket) bounds the self-join;
+    without it this is all-pairs and only safe on small/bucketed inputs."""
+    a = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    joined = a.join(b, [block_col] if block_col else []) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .select(
+            *( [block_col] if block_col else [] ),
+            "a", "b",
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -82,17 +82,22 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     """MinHash signature as array<string>: element j = min over shingles of
     md5(shingle || '#j'). Min over md5 hex strings is an order-preserving
     stand-in for min over a random permutation (md5 is uniform). Empty
-    shingle sets get the sentinel 'z'*32 (sorts after every hex digest)."""
+    shingle sets keep the init sentinel 'z'*32 (sorts after every digest).
+
+    Single fold over the shingle array: each shingle is md5-hashed exactly
+    ``num_hashes`` times and merged into the running minima with zip_with —
+    one pass, no shingle-expression recomputation per hash seed."""
     sh = shingles_col(text, shingle_n)
-    empty = F.size(sh) == 0
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.when(empty, F.lit("z" * 32)).otherwise(
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), j.cast("string"))))
-            )
-        ),
-    )
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit("z" * 32), num_hashes)
+
+    def merge(acc: Column, s: Column) -> Column:
+        hs = F.transform(
+            seeds, lambda j: F.md5(F.concat(s, F.lit("#"), j.cast("string")))
+        )
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    return F.aggregate(sh, init, merge)
 
 
 def minhash_lsh_buckets(
@@ -186,20 +191,29 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over word tokens (with multiplicity): bit i of the result is
     the sign of sum over tokens of ±1 votes from bit i of md5(token).
     Pure array expressions — per-row, no shuffle. Token hash = first 8 hex
-    chars of md5 (32 uniform bits)."""
+    chars of md5 (32 uniform bits).
+
+    Single fold: one md5 per token; the per-bit vote vector is updated with
+    zip_with (bit i extracted as floor(h / 2^i) % 2 — exact for h < 2^32,
+    avoiding shiftright whose shift amount must be a literal)."""
     toks = tokens_col(text)
-    h = F.transform(
+    hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda acc, v, i=i: acc + F.shiftright(v, i).bitwiseAND(F.lit(1)) * 2 - 1,
+    pow2 = F.array(*[F.lit(float(2 ** i)) for i in range(bits)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc, pow2, lambda a, p: a + (F.floor(h / p) % 2) * 2 - 1
         )
-        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return out
+
+    votes = F.aggregate(hashes, zeros, merge)
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    terms = F.zip_with(
+        votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def simhash_near_duplicates(

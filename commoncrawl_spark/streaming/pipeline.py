@@ -1,0 +1,81 @@
+"""Structured Streaming surface: incremental crawl ingest + windowed stats.
+
+The reference's streaming-shaped semantics (SURVEY.md §2.8) are batch
+loops with checkpoints; the engine keeps the deterministic batch round
+loop for the frontier (plans.frontier — ST3's ordering is reproducible
+there), and offers this module for the genuinely unbounded inputs: a
+landing directory of CDX/page files that should flow continuously into
+the same dedup -> extract -> table pipeline.
+
+- file-source readStream (exactly-once per file, like the reference's
+  one-file-per-record batches, ST2);
+- watermarked event-time windows for fetch-rate/lineage dashboards
+  (replacing the reference's ad-hoc counters, A6/S8);
+- ``foreachBatch`` bridges micro-batches into SnapshotTable commits so
+  streaming and batch share one table layer (ST4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cdx import CDX_RAW_SCHEMA
+
+
+def stream_cdx_jsonl(spark: SparkSession, landing_dir: str,
+                     max_files_per_trigger: int = 64) -> DataFrame:
+    """S1 as a stream: new JSONL files in the landing dir become
+    micro-batches; malformed lines null out (PERMISSIVE), matching the
+    batch reader."""
+    return (
+        spark.readStream.schema(CDX_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .json(landing_dir)
+        .withColumnRenamed("mime-detected", "mime_detected")
+    )
+
+
+def windowed_fetch_stats(events: DataFrame, ts_col: str = "event_ts",
+                         window: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Per-host fetch-rate over event-time windows with late-data bound —
+    the streaming analog of the per-round metrics table."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("status") == "200", 1).otherwise(0)).alias("n_ok"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host", "n_fetched", "n_ok",
+        )
+    )
+
+
+def stream_to_snapshot_table(stream: DataFrame, table_root: str,
+                             checkpoint_dir: str, transform=None):
+    """foreachBatch bridge: each micro-batch lands as one SnapshotTable
+    commit (atomic, time-travelable), so batch readers see consistent
+    snapshots while the stream runs. Returns the (not-yet-started) writer;
+    call .start()/.trigger(...) at the call site."""
+    from ..tables import SnapshotTable
+
+    table = SnapshotTable(table_root)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        # skip if this epoch already committed (restart replay safety)
+        snap = table.snapshot()
+        if snap is not None and snap["metadata"].get("epoch") == epoch_id:
+            return
+        table.append(out, {"epoch": epoch_id})
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

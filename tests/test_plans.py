@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the operators must not only be correct but
+produce the plans a 100 TB deployment needs — predicate pushdown into the
+parquet scan, column pruning, broadcast joins where a side is bounded,
+map-side partial aggregation, and no Python in JVM-expressible paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.spark
+def test_filter_pushdown_reaches_scan(docs):
+    plan = plan_of(docs.filter(F.col("n_chars") > 200).select("doc_id"))
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]" in plan
+
+
+@pytest.mark.spark
+def test_column_pruning(docs):
+    plan = plan_of(docs.select("doc_id"))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan  # text column never read
+
+
+@pytest.mark.spark
+def test_analytics_stay_jvm_side(spark, docs):
+    from commoncrawl_spark.operators.analytics import explode_count, tokens_col
+
+    plan = plan_of(explode_count(docs, tokens_col(F.col("text")), top_n=10))
+    assert "EvalPython" not in plan  # no Python UDF in the hot path
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+@pytest.mark.spark
+def test_dedup_fold_is_single_shuffle_no_python(spark, sf_dir, fixture_dir):
+    from commoncrawl_spark.operators.dedup import best_capture_per_url
+
+    cdx = spark.read.parquet(f"{fixture_dir}/cdx.parquet")
+    plan = plan_of(best_capture_per_url(cdx), mode="simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle, on the key
+
+
+@pytest.mark.spark
+def test_fetch_join_broadcasts_the_batch(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    batch = spark.read.parquet(f"{fixture_dir}/cdx.parquet").limit(100).select("url")
+    hits = pages.select("url", "html").join(F.broadcast(batch), "url", "inner")
+    plan = plan_of(hits)
+    assert "BroadcastHashJoin" in plan  # pages side never shuffles
+
+
+@pytest.mark.spark
+def test_seen_anti_join_shape(spark, fixture_dir):
+    from commoncrawl_spark.operators.seen_set import anti_join_seen, with_url_key
+
+    keyed = with_url_key(spark.read.parquet(f"{fixture_dir}/pages.parquet"))
+    seen = keyed.select("url_sha1").limit(50)
+    plan = plan_of(anti_join_seen(keyed, seen))
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.spark
+def test_simhash_minhash_are_narrow(spark, docs):
+    from commoncrawl_spark.operators.text_dedup import minhash_signature, simhash_col
+
+    df = docs.select(
+        simhash_col(F.col("text")).alias("s"),
+        minhash_signature(F.col("text")).alias("m"),
+    )
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # per-row expressions: zero shuffles
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_extraction_is_arrow_batched(spark, fixture_dir):
+    from commoncrawl_spark.operators.extraction import extract_articles
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    plan = plan_of(extract_articles(pages))
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time Python

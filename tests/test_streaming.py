@@ -1,0 +1,101 @@
+"""Structured Streaming surface: file-source micro-batches -> dedup ->
+snapshot-table commits; watermarked window aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.streaming.pipeline import (
+    stream_cdx_jsonl,
+    stream_to_snapshot_table,
+    windowed_fetch_stats,
+)
+from commoncrawl_spark.tables import SnapshotTable
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, path)
+
+
+def _cdx_row(i: int, status: str = "200") -> dict:
+    return {
+        "urlkey": f"test,example)/p/{i}",
+        "timestamp": f"202401{i % 28 + 1:02d}000000",
+        "url": f"https://example.test/p/{i}",
+        "mime": "text/html",
+        "mime-detected": "text/html",
+        "status": status,
+        "digest": f"D{i}",
+        "length": str(1000 + i),
+        "offset": "0",
+        "filename": "seg.warc.gz",
+    }
+
+
+@pytest.mark.spark
+def test_stream_files_to_snapshot_commits(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _write_jsonl(f"{landing}/batch0.jsonl", [_cdx_row(i) for i in range(20)])
+    _write_jsonl(f"{landing}/batch1.jsonl",
+                 [_cdx_row(i, "404") for i in range(10, 30)])
+
+    stream = stream_cdx_jsonl(spark, landing, max_files_per_trigger=1)
+    writer = stream_to_snapshot_table(
+        stream,
+        table_root=str(tmp_path / "cdx_table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=lambda df: df.filter(F.col("status") == "200"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    table = SnapshotTable(str(tmp_path / "cdx_table"))
+    got = table.read(spark)
+    assert got.count() == 20  # only the status-200 file survived the filter
+    assert got.filter(F.col("status") != "200").count() == 0
+    assert len(table.snapshots()) >= 1  # one commit per non-empty micro-batch
+
+
+@pytest.mark.spark
+def test_windowed_fetch_stats(spark, tmp_path):
+    rows = []
+    for i in range(60):
+        rows.append(
+            (f"2024-01-01 00:{i % 3:02d}:{i % 50 + 10:02d}",
+             "example.test" if i % 4 else "other.test",
+             "200" if i % 5 else "503")
+        )
+    src = spark.createDataFrame(rows, "event_ts string, host string, status string") \
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+
+    # run the same aggregation through a memory-sink stream
+    d = str(tmp_path / "events")
+    src.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    agg = windowed_fetch_stats(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("fetch_stats")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = {
+        (r["window_start"].minute, r["host"]): (r["n_fetched"], r["n_ok"])
+        for r in spark.sql("select * from fetch_stats").collect()
+    }
+    want: dict = {}
+    for ts, host, status in rows:
+        key = (int(ts[14:16]), host)
+        n, ok = want.get(key, (0, 0))
+        want[key] = (n + 1, ok + (status == "200"))
+    assert got == want

@@ -1,0 +1,209 @@
+"""Unit semantics for text analysis, dedup family, similarity search, and
+multimodal plumbing (the DuckDB equivalence check lives in
+scripts/check_contract.py; these cover edge cases and invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.functions.text import (
+    fingerprint_col,
+    language_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from commoncrawl_spark.operators.similarity import cosine_topk, lsh_topk
+from commoncrawl_spark.operators.text_dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_buckets,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "The quick brown fox, jumps over the lazy dog near the river bank!"),  # punct/case dup of 0
+        (3, "a completely different document about spark window aggregation"),
+        (4, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 0
+        (5, ""),  # empty
+        (6, "der hund und die katze sind nicht im haus mit dem mann"),  # german
+        (7, "le chat et le chien sont dans la maison avec une femme"),  # french
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+def test_fingerprint_normalizes(spark, docs):
+    fp = {r["doc_id"]: r["f"] for r in
+          docs.select("doc_id", fingerprint_col(F.col("text")).alias("f")).collect()}
+    assert fp[0] == fp[1] == fp[2]  # case/punct/space-insensitive
+    assert fp[0] != fp[3] and fp[0] != fp[4]
+
+
+@pytest.mark.spark
+def test_exact_dedup_groups(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["keeper_id"] == 0
+    kept = drop_exact_duplicates(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.filter(F.col("doc_id").isin(1, 2)).count() == 0
+
+
+@pytest.mark.spark
+def test_language_id(spark, docs):
+    pred = {r["doc_id"]: r["l"] for r in
+            docs.select("doc_id", language_id_col(F.col("text")).alias("l")).collect()}
+    assert pred[0] == "en" and pred[6] == "de" and pred[7] == "fr"
+    assert pred[5] == "und"
+
+
+@pytest.mark.spark
+def test_quality_and_tokens_edge_cases(spark):
+    rows = [(0, ""), (1, "   "), (2, "!!! ??? ..."), (3, "word " * 50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n"),
+        quality_score_col(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 0 and by_id[1]["n"] == 0
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+    assert by_id[2]["q"] < by_id[3]["q"]  # punctuation soup scores worse
+
+
+@pytest.mark.spark
+def test_minhash_buckets_identical_docs_collide(spark, docs):
+    bk = minhash_lsh_buckets(docs)
+    b0 = {(r["band"], r["bucket"]) for r in bk.filter("doc_id = 0").collect()}
+    b1 = {(r["band"], r["bucket"]) for r in bk.filter("doc_id = 1").collect()}
+    b3 = {(r["band"], r["bucket"]) for r in bk.filter("doc_id = 3").collect()}
+    b4 = {(r["band"], r["bucket"]) for r in bk.filter("doc_id = 4").collect()}
+    assert b0 == b1  # identical text -> identical signature
+    assert not (b0 & b3)  # unrelated text shares no bucket
+    assert b0 & b4  # near-dup shares at least one band
+
+
+@pytest.mark.spark
+def test_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 4)], "a long, b long")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+    assert 0.5 < j[(0, 4)] < 1.0
+
+
+@pytest.mark.spark
+def test_simhash_blocking_equals_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rows = []
+    for i in range(40):
+        base = [vocab[j] for j in rng.integers(0, len(vocab), 30)]
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # perturbed twin
+            twin = base.copy()
+            twin[0] = "mutated"
+            rows.append((1000 + i, " ".join(twin)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_near_duplicates(df, max_hamming=3, blocks=4).collect()}
+
+    from commoncrawl_spark.operators.text_dedup import simhash_col
+    sims = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    ids = sorted(sims)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want and want  # pigeonhole blocking is exact, and nonempty
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+@pytest.mark.spark
+def test_cosine_topk_matches_numpy(spark, vectors):
+    df, rows = vectors
+    got = cosine_topk(df, df.filter("vec_id < 3"), k=4).collect()
+    vecs = {i: np.array(v) for i, v in rows}
+    for q in range(3):
+        sims = sorted(
+            ((round(float(vecs[q] @ vecs[n] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[n]))), 6), -n)
+             for n in vecs if n != q),
+            reverse=True,
+        )[:4]
+        want = [(-n, s) for s, n in sims]
+        mine = [(r["neighbor_id"], r["cosine"]) for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert [m[0] for m in mine] == [w[0] for w in want]
+        for (mn, mc), (wn, wc) in zip(mine, want):
+            assert math.isclose(mc, wc, abs_tol=1e-6)
+
+
+@pytest.mark.spark
+def test_lsh_topk_scores_are_true_cosines(spark, vectors):
+    df, rows = vectors
+    got = lsh_topk(df, df.filter("vec_id < 5"), dim=16, k=3, n_planes=4).collect()
+    assert got  # some bucket collisions at 4 planes / 16 buckets
+    vecs = {i: np.array(v) for i, v in rows}
+    for r in got:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.isclose(r["cosine"], true, abs_tol=1e-6)
+
+
+@pytest.mark.spark
+def test_multimodal_plumbing(spark):
+    from commoncrawl_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_media,
+        embed_media_udf,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(0, b"\x89PNG\r\n" + b"x" * 500), (1, b"\xff\xd8\xff" + b"y" * 300),
+         (2, None)],
+        "doc_id long, media binary",
+    )
+    meta = {r["doc_id"]: r for r in attach_media_meta(df).collect()}
+    assert meta[0]["container"] == "png" and meta[1]["container"] == "jpeg"
+    assert meta[0]["n_bytes"] == 506
+
+    dec1 = decode_media(df).orderBy("doc_id").collect()
+    dec2 = decode_media(df).orderBy("doc_id").collect()
+    assert [tuple(r) for r in dec1] == [tuple(r) for r in dec2]  # deterministic
+    with pytest.raises(NotImplementedError):
+        decode_media(df, decode=True)
+
+    frames = sample_frames(df, every_n=2)
+    assert frames.count() > 0
+    assert frames.schema.simpleString() == "struct<doc_id:bigint,frame_idx:int,frame:binary>"
+
+    emb = df.select("doc_id", embed_media_udf("media").alias("e")).collect()
+    assert all(len(r["e"]) == 16 for r in emb)
+    norms = [sum(x * x for x in r["e"]) for r in emb]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
