@@ -365,6 +365,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "pos", "neg")
     q["keyword_filter"] = kw_filter
 
+    def props_json_extract(spark, sf):
+        # C12: per-line JSON parse (reference json.loads everywhere)
+        ev = _read(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    q["props_json_extract"] = props_json_extract
+
+    def deterministic_sample(spark, sf):
+        # A11: sampling — hash-based so it is reproducible across engines,
+        # partitionings, and cluster sizes (rand(seed) is none of those)
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id").filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "28"
+        )
+    q["deterministic_sample"] = deterministic_sample
+
     # ---- text analysis ----
 
     def language_id(spark, sf):
@@ -567,6 +585,15 @@ def oracle_sql() -> dict[str, str]:
                  + len(regexp_extract_all(lower(text), '\\berror\\b')) AS neg
           FROM documents)
         WHERE (neg = 0 AND pos >= 1) OR pos > neg
+    """
+
+    o["props_json_extract"] = """
+        SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+    """
+
+    o["deterministic_sample"] = """
+        SELECT doc_id FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
     """
 
     en = _sql_stop_hits("toks", "en")

@@ -118,13 +118,25 @@ def bench_crawl(spark, pages, cdx) -> tuple[float, int]:
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    spark = get_spark("bench", cores=int(cpus), shuffle_partitions=int(cpus))
+    extra = {}
+    if os.environ.get("BENCH_NO_BROADCAST"):
+        # scaling runs: same physical plan at every core count (shuffle
+        # join, no driver-serial broadcast build) so the legs are comparable
+        extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    # 4x cores: shuffle blocks of a ~2 GB exchange stay well under executor
+    # memory per partition, and AQE coalesces the excess when input is small
+    spark = get_spark("bench", cores=int(cpus), shuffle_partitions=4 * int(cpus),
+                      extra_conf=extra)
     queries: dict[str, float] = {}
 
     # the local parquet is one row-group (one split); repartition so the
-    # generated corpus is spread like a real many-file table would be
+    # generated corpus is spread like a real many-file table would be.
+    # pages is hash-partitioned ON url — the bucketed-table layout a real
+    # deployment stores (Iceberg bucket(url)) — so the fetch join reuses
+    # the partitioning and the fat html column never shuffles; only the
+    # small deduped-frontier side moves.
     pages, cdx = build_corpus(spark, SF_DIR)
-    pages = pages.repartition(4 * int(cpus)).persist()
+    pages = pages.repartition(4 * int(cpus), "url").persist()
     cdx = cdx.repartition(4 * int(cpus)).persist()
     n_pages = pages.count()
     cdx.count()
@@ -132,18 +144,19 @@ def main() -> None:
     crawl_s, n_urls = bench_crawl(spark, pages, cdx)
     queries["crawl_pipeline"] = round(crawl_s, 3)
 
-    os.environ["SPARK_GRAFT_REPARTITION"] = str(4 * int(cpus))
-    import __spark_entry__ as e
+    if os.environ.get("BENCH_QUERIES") != "crawl_only":
+        os.environ["SPARK_GRAFT_REPARTITION"] = str(4 * int(cpus))
+        import __spark_entry__ as e
 
-    qs = e.queries()
-    for name in [
-        "best_capture_dedup", "bloom_anti_join", "politeness_schedule",
-        "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
-        "simhash_neardup", "embedding_topk", "quality_scores",
-    ]:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+        qs = e.queries()
+        for name in [
+            "best_capture_dedup", "bloom_anti_join", "politeness_schedule",
+            "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
+            "simhash_neardup", "embedding_topk", "quality_scores",
+        ]:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.monotonic() - t0, 3)
 
     out = {
         "metric": "crawl_pipeline_urls_per_sec",

@@ -51,7 +51,7 @@ _MULTI_VALUED_ATTRS = frozenset({"class", "rel"})
 class Node:
     """One element in the mini DOM tree."""
 
-    __slots__ = ("name", "attrs", "children", "parent")
+    __slots__ = ("name", "attrs", "children", "parent", "_by_name")
 
     def __init__(self, name: str, attrs: dict[str, str] | None = None,
                  parent: "Node | None" = None):
@@ -59,6 +59,9 @@ class Node:
         self.attrs = attrs or {}
         self.children: list[Any] = []  # Node | str (text)
         self.parent = parent
+        # document root only: tag-name -> nodes in document (pre-)order,
+        # filled by _TreeBuilder; lets doc-rooted find() skip full scans
+        self._by_name: dict[str, list["Node"]] | None = None
 
     # -- attribute access ---------------------------------------------------
     def __getitem__(self, key: str) -> str:
@@ -73,10 +76,22 @@ class Node:
 
     # -- traversal ----------------------------------------------------------
     def iter_descendants(self) -> Iterable["Node"]:
-        for child in self.children:
-            if isinstance(child, Node):
-                yield child
-                yield from child.iter_descendants()
+        """Pre-order descendants, iteratively (nested generators are the
+        hot path's biggest constant factor)."""
+        stack = [c for c in reversed(self.children) if isinstance(c, Node)]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+
+    def _attached_to(self, root: "Node") -> bool:
+        """True if self is still in root's tree (decompose() detaches)."""
+        n = self
+        while n is not None:
+            if n is root:
+                return True
+            n = n.parent
+        return False
 
     def _matches(self, name: str | list[str] | None,
                  class_re: re.Pattern | None,
@@ -107,13 +122,26 @@ class Node:
         return True
 
     def find(self, name=None, class_=None, attrs=None, **kw) -> "Node | None":
+        pat, att = _as_re(class_), _merge(attrs, kw)
+        if self._by_name is not None and isinstance(name, str):
+            # index order == pre-order, so "first live match" is identical
+            # to a traversal; liveness walk handles decomposed subtrees
+            for n in self._by_name.get(name, ()):
+                if n._matches(None, pat, att) and n._attached_to(self):
+                    return n
+            return None
         for n in self.iter_descendants():
-            if n._matches(name, _as_re(class_), _merge(attrs, kw)):
+            if n._matches(name, pat, att):
                 return n
         return None
 
     def find_all(self, name=None, class_=None, attrs=None, **kw) -> list["Node"]:
         pat, att = _as_re(class_), _merge(attrs, kw)
+        if self._by_name is not None and isinstance(name, str):
+            return [
+                n for n in self._by_name.get(name, ())
+                if n._matches(None, pat, att) and n._attached_to(self)
+            ]
         return [n for n in self.iter_descendants() if n._matches(name, pat, att)]
 
     # -- mutation -----------------------------------------------------------
@@ -160,6 +188,7 @@ class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
+        self.root._by_name = {}
         self._stack = [self.root]
         self._raw_text_until: str | None = None  # inside <script>/<style>
 
@@ -170,6 +199,7 @@ class _TreeBuilder(HTMLParser):
                 attr_map[k] = v if v is not None else ""
         node = Node(tag, attr_map, parent=self._stack[-1])
         self._stack[-1].children.append(node)
+        self.root._by_name.setdefault(tag, []).append(node)
         if tag not in _VOID_ELEMENTS:
             self._stack.append(node)
 
@@ -177,6 +207,7 @@ class _TreeBuilder(HTMLParser):
         attr_map = {k: (v if v is not None else "") for k, v in attrs}
         node = Node(tag, attr_map, parent=self._stack[-1])
         self._stack[-1].children.append(node)
+        self.root._by_name.setdefault(tag, []).append(node)
 
     def handle_endtag(self, tag: str) -> None:
         # pop to the nearest matching open tag; ignore stray closers

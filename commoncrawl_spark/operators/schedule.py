@@ -57,12 +57,16 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
                  url_col: str = "url") -> DataFrame:
     """Drop URLs disallowed by per-host rules.
 
-    ``robots(host, disallow_prefixes: array<string>)`` is tiny (one row
-    per host) — broadcast, never shuffled. Hosts absent from the table
-    are allowed (reference behavior: no robots handling at all, so the
-    default must be permissive).
+    ``robots(host, disallow_prefixes: array<string>[, crawl_delay_s])`` is
+    tiny (one row per host) — broadcast, never shuffled. Hosts absent from
+    the table are allowed (reference behavior: no robots handling at all,
+    so the default must be permissive). ``crawl_delay_s``, when present,
+    is carried through for budget derivation (see select_polite_batch).
     """
-    rules = F.broadcast(robots.select("host", "disallow_prefixes"))
+    cols = ["host", "disallow_prefixes"] + (
+        ["crawl_delay_s"] if "crawl_delay_s" in robots.columns else []
+    )
+    rules = F.broadcast(robots.select(*cols))
     df = frontier if "host" in frontier.columns else with_host(frontier, url_col)
     joined = df.join(rules, "host", "left")
     path = url_path_col(F.col(url_col))
@@ -79,12 +83,17 @@ def select_polite_batch(
     salt_buckets: int = 16,
     priority_cols: Sequence[str] = DEFAULT_PRIORITY,
     key_col: str = "url_sha1",
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Top-``budget_per_host`` URLs per host by priority, skew-safely.
 
     Exactness argument: any row in the true per-host top-B is in the
     top-B of its own salt bucket (removing rows from other buckets only
     improves its rank), so stage 1 never discards a stage-2 winner.
+
+    ``budget_col`` (optional, e.g. derived from robots crawl_delay_s)
+    gives a per-host budget; it is clamped to ``budget_per_host``, which
+    stage 1 uses as the global cap (required for the exactness argument).
     """
     df = frontier if "host" in frontier.columns else with_host(frontier)
     order = [F.col(c).asc() for c in priority_cols]
@@ -99,7 +108,13 @@ def select_polite_batch(
         .drop("_rn1", "_salt")
     )
     w2 = Window.partitionBy("host").orderBy(*order)
+    limit = (
+        F.least(F.coalesce(F.col(budget_col), F.lit(budget_per_host)),
+                F.lit(budget_per_host))
+        if budget_col is not None
+        else F.lit(budget_per_host)
+    )
     return (
         survivors.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= budget_per_host)
+        .filter(F.col("host_rank") <= limit)
     )

@@ -77,6 +77,7 @@ class CrawlJob:
         salt_buckets: int = 16,
         max_retries: int = 3,
         bloom_threshold: int = 2_000_000,
+        round_seconds: float | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
@@ -84,6 +85,11 @@ class CrawlJob:
         self.salt_buckets = salt_buckets
         self.max_retries = max_retries
         self.bloom_threshold = bloom_threshold
+        # when set and robots carries crawl_delay_s, a host's per-round
+        # budget becomes min(budget_per_host, floor(round_seconds / delay))
+        # — the politeness rate the reference enforced with time.sleep(0.2)
+        # (fetch_guardian_fulltext.py:130), generalized per host
+        self.round_seconds = round_seconds
         t = lambda name: SnapshotTable(os.path.join(checkpoint_dir, name))  # noqa: E731
         self.frontier = t("frontier")
         self.seen = t("seen")
@@ -171,9 +177,19 @@ class CrawlJob:
         frontier = self.frontier.read(self.spark)
 
         gated = apply_robots(frontier, robots) if robots is not None else frontier
+        budget_col = None
+        if self.round_seconds is not None and "crawl_delay_s" in gated.columns:
+            gated = gated.withColumn(
+                "_budget",
+                F.floor(F.lit(self.round_seconds)
+                        / F.greatest(F.col("crawl_delay_s"), F.lit(1e-3)))
+                .cast("int"),
+            )
+            budget_col = "_budget"
         batch = select_polite_batch(
-            gated, self.budget, self.salt_buckets, PRIORITY
-        ).persist()
+            gated, self.budget, self.salt_buckets, PRIORITY,
+            budget_col=budget_col,
+        ).drop("crawl_delay_s", "_budget").persist()
         n_selected = batch.count()
         if n_selected == 0:
             batch.unpersist()

@@ -67,6 +67,11 @@ def get_spark(
         # pages fits comfortably in a python worker (SURVEY.md section 4).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # fat binary rows (html) make G1 churn humongous regions; at 32
+        # concurrent tasks G1 write barriers halved Arrow-UDF throughput in
+        # measurement — ParallelGC is the right collector for this
+        # throughput-batch workload (2x on the extraction stage at 32 cores)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,75 @@
+"""spark-submit entry point for the crawl engine.
+
+Deployment shape per the project brief: ship the package with
+``--py-files`` and drive the round loop from this script:
+
+    cd /root/repo && python -c "from commoncrawl_spark.session import \
+_package_zip; print(_package_zip())"   # build the zip
+    spark-submit --py-files .commoncrawl_spark.zip \
+        scripts/run_crawl.py --pages pages.parquet --cdx cdx.parquet \
+        --checkpoint /data/crawl_ckpt --budget 200 --max-rounds 10
+
+On a cluster, add --master / executor confs as usual; the engine only
+assumes a SparkSession and table paths. Re-running with the same
+--checkpoint resumes from the last committed frontier snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="commoncrawl_spark crawl driver")
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--cdx", required=True, help="CDX parquet (or .jsonl) path")
+    ap.add_argument("--robots", default=None, help="robots parquet path")
+    ap.add_argument("--checkpoint", required=True, help="state directory")
+    ap.add_argument("--budget", type=int, default=200, help="per-host per-round cap")
+    ap.add_argument("--round-seconds", type=float, default=None,
+                    help="derive per-host budgets from robots crawl_delay_s")
+    ap.add_argument("--max-rounds", type=int, default=None)
+    ap.add_argument("--max-retries", type=int, default=3)
+    ap.add_argument("--seed", action="store_true",
+                    help="(re)seed the frontier from --cdx before running")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from commoncrawl_spark.plans.frontier import CrawlJob
+    from commoncrawl_spark.sources.cdx import read_cdx_jsonl
+
+    spark = SparkSession.builder.appName("commoncrawl-spark-crawl").getOrCreate()
+    job = CrawlJob(
+        spark, args.checkpoint,
+        budget_per_host=args.budget,
+        max_retries=args.max_retries,
+        round_seconds=args.round_seconds,
+    )
+    if args.seed or not job.frontier.exists():
+        cdx = (
+            read_cdx_jsonl(spark, args.cdx)
+            if args.cdx.endswith((".jsonl", ".json"))
+            else spark.read.parquet(args.cdx)
+        )
+        n = job.seed_from_cdx(cdx)
+        print(json.dumps({"seeded": n}), file=sys.stderr)
+
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    rounds = job.run(pages, robots=robots, max_rounds=args.max_rounds)
+    summary = {
+        "rounds": len(rounds),
+        "fetched": sum(r["fetched"] for r in rounds),
+        "extract_ok": sum(r["extract_ok"] for r in rounds),
+        "wall_s": round(sum(r["wall_s"] for r in rounds), 2),
+        "articles_total": job.articles_df().count() if rounds else 0,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

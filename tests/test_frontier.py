@@ -190,6 +190,28 @@ def test_transient_failures_retried_to_same_result(spark, tables, full_run,
 
 
 @pytest.mark.spark
+def test_crawl_delay_derives_per_host_budget(spark, tables, tmp_path_factory):
+    pages, cdx, _ = tables
+    # hot host: 1 s delay -> 10 fetches per 10 s round; others: 0.2 s -> 50
+    robots = spark.createDataFrame(
+        [("example-news.test", [], 1.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    d = str(tmp_path_factory.mktemp("crawl_delay"))
+    job = CrawlJob(spark, d, budget_per_host=BUDGET, round_seconds=10.0)
+    job.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    job.run(pages, robots=robots, max_rounds=3)
+    per = {
+        (r["round"], r["host"]): r["count"]
+        for r in job.trace_df().groupBy("round", "host").count().collect()
+    }
+    hot = [v for (rnd, h), v in per.items() if h == "example-news.test"]
+    cold = [v for (rnd, h), v in per.items() if h != "example-news.test"]
+    assert hot and max(hot) <= 10  # floor(10 s / 1.0 s)
+    assert max(cold, default=0) <= BUDGET  # hosts without rules: default cap
+
+
+@pytest.mark.spark
 def test_robots_gating(spark, tables, tmp_path_factory):
     pages, cdx, _ = tables
     # forbid the hot host's /sport prefix
