@@ -466,7 +466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _read(spark, sf, "embeddings")
         return lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
-    q["ann_lsh_topk"] = ann_lsh_topk  # approximate: rows-only check
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_ivf_topk(spark, sf):
+        from commoncrawl_spark.operators.similarity import ivf_topk
+
+        e = _read(spark, sf, "embeddings")
+        return ivf_topk(e, e.filter(F.col("vec_id") < 10),
+                        k=5, n_centroids=16, n_probe=4)
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- multimodal plumbing ----
 
@@ -723,6 +731,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
         FROM documents
+    """
+
+    # _fake_decode: features from md5(payload) bytes 0..3 — byte k of the
+    # digest is hex pair k, so DuckDB mirrors it exactly
+    def _md5_byte(k: int) -> str:
+        # DuckDB md5 takes VARCHAR; hashing the utf-8 string == hashing
+        # encode(text) bytes, which is what _fake_decode sees
+        return f"('0x' || substring(md5(text), {2 * k + 1}, 2))::INTEGER"
+
+    o["media_decode"] = f"""
+        SELECT doc_id,
+               CAST(64 + {_md5_byte(0)} % 192 AS INTEGER) AS width,
+               CAST(64 + {_md5_byte(1)} % 192 AS INTEGER) AS height,
+               CAST(1 + {_md5_byte(2)} % 32 AS INTEGER) AS n_frames,
+               round(({_md5_byte(3)} % 300) / 10.0, 1) AS duration_s
+        FROM documents
+    """
+
+    # LSH ANN: hyperplanes are md5-derived, embedded as double literals
+    # generated by the SAME python function the Spark plan folds in
+    from commoncrawl_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(64, i) for i in range(6)]
+
+    def _sql_dot_lit(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {vec}[i] * ({arr}::DOUBLE[])[i]), (x, y) -> x + y)")
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {_sql_dot_lit('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    o["ann_lsh_topk"] = f"""
+        WITH c AS (
+          SELECT vec_id, v, {sig_terms} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 {_sql_cosine("q.v", "n.v")} AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id) AS rank
+          FROM c q JOIN c n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5
+    """
+
+    o["ann_ivf_topk"] = f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
+        cells AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT c.vec_id, c.v, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC, cents.cell
+                   ) AS rn
+            FROM c CROSS JOIN cents)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT c.vec_id, c.v, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC, cents.cell
+                   ) AS rn
+            FROM c CROSS JOIN cents WHERE c.vec_id < 10)
+          WHERE rn <= 4)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 {_sql_cosine("p.qv", "n.v")} AS cosine,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_sql_cosine("p.qv", "n.v")} DESC, n.vec_id) AS rank
+          FROM probes p JOIN cells n ON p.cell = n.cell
+          WHERE n.vec_id <> p.query_id)
+        WHERE rank <= 5
     """
 
     return o

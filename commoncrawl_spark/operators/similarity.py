@@ -147,6 +147,80 @@ def lsh_topk(
     )
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: each vector joins its max-cosine centroid
+    (ties -> smallest centroid id). The centroid table is tiny and
+    broadcast; assignment is a map-side cross product — linear in
+    |corpus| x K, no shuffle of the corpus."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv")
+        )
+    )
+    scored = vectors.join(cents).select(
+        id_col, vec_col, "cell",
+        cosine_col(F.col(vec_col), F.col("_cv")).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into inverted
+    lists by nearest centroid; each query scores only the lists of its
+    ``n_probe`` nearest centroids — cost ~ n_probe/K of brute force.
+
+    Centroids here are the first ``n_centroids`` corpus vectors
+    (deterministic, training-free); swap in k-means centroids at
+    deployment — the partitioning/probing mechanics are identical."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    cents = F.broadcast(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv"))
+    )
+    q_scored = queries.join(cents).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell",
+        cosine_col(F.col(vec_col), F.col("_cv")).alias("_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    cands = probes.join(
+        cells.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("_nv"), "cell"),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    # each corpus vector lives in exactly one cell, so (query, neighbor)
+    # pairs are already unique — no distinct(), no extra shuffle
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        cosine_col(F.col("_qv"), F.col("_nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     threshold: float = 0.95,

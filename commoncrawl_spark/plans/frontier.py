@@ -97,6 +97,7 @@ class CrawlJob:
         self.failures = t("failures")
         self.trace = t("trace")
         self.metrics = t("metrics")
+        self.lineage = t("lineage")
 
     # -- seeding ---------------------------------------------------------------
 
@@ -257,6 +258,21 @@ class CrawlJob:
             )
         )
         self._append_once(self.metrics, per_host, rnd)
+        # per-partition lineage: which physical partition produced how many
+        # fetched rows this round, with the key range it covered (audit
+        # trail for a 1000-executor run; partition ids are physical, so
+        # this table is observability, not part of the deterministic state)
+        per_part = (
+            fetched.groupBy(F.spark_partition_id().alias("part_id"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("url_sha1").alias("min_key"),
+                F.max("url_sha1").alias("max_key"),
+            )
+            .select(F.lit(rnd).alias("round"), "part_id", "n_rows",
+                    "min_key", "max_key")
+        )
+        self._append_once(self.lineage, per_part, rnd)
         self._append_once(self.seen, done_keys.distinct(), rnd)
 
         remaining = (

@@ -138,12 +138,18 @@ def test_per_host_budget_respected(full_run):
 
 
 @pytest.mark.spark
-def test_metrics_lineage(full_run):
+def test_metrics_lineage(spark, full_run):
     job, _, rounds = full_run
     m = job.metrics_df()
     tot = m.agg(F.sum("n_selected"), F.sum("n_fetched")).first()
     assert tot[0] == sum(r["selected"] for r in rounds)
     assert tot[1] == sum(r["fetched"] for r in rounds)
+    # per-partition lineage accounts for every fetched row, per round
+    lin = job.lineage.read(spark)
+    per_round = {r["round"]: r["s"] for r in
+                 lin.groupBy("round").agg(F.sum("n_rows").alias("s")).collect()}
+    assert per_round == {r["round"]: r["fetched"] for r in rounds}
+    assert lin.filter(F.col("min_key") > F.col("max_key")).count() == 0
 
 
 @pytest.mark.spark
