@@ -59,13 +59,28 @@ def _bloom_params(n_keys: int, fp_rate: float) -> tuple[int, int]:
     return m, k
 
 
+_HEX_WEIGHTS = (16 ** np.arange(7, -1, -1)).astype(np.int64)
+
+
 def _key_indices(keys: pd.Series, m: int, k: int) -> np.ndarray:
     """k bit-indices per key, derived from fixed 32-bit slices of the sha1
-    hex itself — no second hash pass needed, identical in build and probe."""
-    out = np.empty((len(keys), k), dtype=np.int64)
+    hex itself — no second hash pass needed, identical in build and probe.
+    Fully vectorized: the lowercase-hex key decodes via numpy char
+    arithmetic (codepoint -> nibble), no per-row Python."""
+    n = len(keys)
+    width = 8 * k
+    codes = (
+        keys.str.slice(0, width)
+        .to_numpy(dtype=f"U{width}")
+        .view(np.uint32)
+        .reshape(n, width)
+        .astype(np.int64)
+    )
+    nib = codes - ord("0")
+    nib[nib > 9] -= ord("a") - ord("0") - 10
+    out = np.empty((n, k), dtype=np.int64)
     for j in range(k):
-        sl = keys.str.slice(j * 8, j * 8 + 8)
-        out[:, j] = sl.apply(int, base=16).to_numpy(dtype=np.int64) % m
+        out[:, j] = (nib[:, j * 8:(j + 1) * 8] * _HEX_WEIGHTS).sum(axis=1) % m
     return out
 
 
@@ -154,9 +169,15 @@ def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
 def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
                             n_buckets: int = 64, fp_rate: float = 0.01,
                             key: str = "url_sha1") -> DataFrame:
-    """Bloom prefilter + exact anti-join on survivors: exact overall."""
+    """Bloom prefilter + exact anti-join on survivors: exact overall.
+
+    ``flagged`` feeds both branches of the union, so it is persisted —
+    otherwise the scan + probe UDF run twice (measured 2x on the whole
+    operator). Storage is evicted LRU; callers running many rounds can
+    unpersist via the returned plan's lineage if memory matters.
+    """
     blooms = build_bloom_table(seen, n_buckets, fp_rate, key)
-    flagged = bloom_prefilter(candidates, blooms, n_buckets, key)
+    flagged = bloom_prefilter(candidates, blooms, n_buckets, key).persist()
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definitely_new.unionByName(anti_join_seen(survivors, seen, key))
