@@ -204,7 +204,8 @@ def _sql_simhash(toks: str) -> str:
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
     return (
-        f"(SELECT CASE WHEN len(hs) = 0 THEN 0 ELSE {' + '.join(terms)} END "
+        f"(SELECT CASE WHEN hs IS NULL THEN NULL "
+        f"WHEN len(hs) = 0 THEN 0 ELSE {' + '.join(terms)} END "
         f"FROM (SELECT {hs} AS hs) _sh)"
     )
 
@@ -609,7 +610,8 @@ def oracle_sql() -> dict[str, str]:
     fr = _sql_stop_hits("toks", "fr")
     o["language_id"] = f"""
         SELECT doc_id,
-               CASE WHEN best = 0 THEN 'und'
+               CASE WHEN best IS NULL THEN 'und'
+                    WHEN best = 0 THEN 'und'
                     WHEN en_h = best THEN 'en'
                     WHEN de_h = best THEN 'de' ELSE 'fr' END AS pred_lang
         FROM (
@@ -729,7 +731,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["media_meta"] = """
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-               lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+               lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
         FROM documents
     """
 

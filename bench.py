@@ -159,9 +159,10 @@ def main() -> None:
             queries[name] = round(time.monotonic() - t0, 3)
 
     out = {
-        "metric": "crawl_pipeline_urls_per_sec",
-        "value": round(n_urls / crawl_s, 1),
+        "metric": "crawl_pipeline_seconds",
+        "value": round(crawl_s, 3),
         "unit": "sec",
+        "urls_per_sec": round(n_urls / crawl_s, 1),
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_pages": n_pages,

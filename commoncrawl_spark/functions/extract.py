@@ -190,7 +190,8 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("[document]")
         self.root._by_name = {}
         self._stack = [self.root]
-        self._raw_text_until: str | None = None  # inside <script>/<style>
+        # script/style raw-text (CDATA) handling comes from html.parser
+        # itself; no extra state needed here
 
     def handle_starttag(self, tag: str, attrs) -> None:
         attr_map: dict[str, str] = {}

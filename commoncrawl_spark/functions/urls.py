@@ -98,7 +98,9 @@ def canonicalize_url_py(url: str, punycode: bool = False) -> str:
 
 def canonicalize_urls_series(urls: pd.Series, punycode: bool = True) -> pd.Series:
     """Vectorized canonicalization over an Arrow batch; fast path via pandas
-    string ops, falling back per-value only for non-ASCII hosts."""
+    string ops, falling back per-value only for non-ASCII hosts. NULL in ->
+    NULL out, matching the Catalyst path exactly."""
+    null_mask = urls.isna()
     s = urls.fillna("")
     has_scheme = s.str.match(_SCHEME_RE)
     rest = s.str.replace(_SCHEME_RE, "", regex=True)
@@ -114,6 +116,8 @@ def canonicalize_urls_series(urls: pd.Series, punycode: bool = True) -> pd.Serie
             out.loc[non_ascii] = urls[non_ascii].map(
                 lambda u: canonicalize_url_py(u, punycode=True)
             )
+    if null_mask.any():
+        out = out.where(~null_mask, None)
     return out
 
 

@@ -86,11 +86,18 @@ def keyword_filter(
     pos>neg. Keyword lists are literals folded into the plan — never a
     join, never Python."""
 
+    import re as _re
+
     def score(kws: Sequence[str]) -> Column:
+        # whole-"word" = not flanked by word chars. Explicit lookarounds
+        # instead of \b: identical for word-edged keywords, and still
+        # correct for keywords ending in symbols ('c++'), where \b would
+        # never match. Keywords are regex-escaped (literal semantics).
         t = F.lower(text)
         total = F.lit(0)
         for kw in kws:
-            total = total + F.regexp_count(t, F.lit(r"\b" + kw.lower() + r"\b"))
+            pat = r"(?<!\w)" + _re.escape(kw.lower()) + r"(?!\w)"
+            total = total + F.regexp_count(t, F.lit(pat))
         return total
 
     pos, neg = score(include), score(exclude)
@@ -103,6 +110,15 @@ def keyword_filter(
 
 def sample_exact(df: DataFrame, n: int, seed: int = 42,
                  key_cols: Sequence[str] = ()) -> DataFrame:
-    """A11: deterministic exact-n sample — rand(seed) ordered, tie-broken by
-    key columns so the pick is stable across partitionings."""
-    return df.orderBy(F.rand(seed), *[F.col(c) for c in key_cols]).limit(n)
+    """A11: deterministic exact-n sample.
+
+    With ``key_cols``: rows are ordered by md5(seed || key) — a pure
+    function of the data, so the pick is identical across partitionings,
+    cluster sizes, and reruns. Without key columns it falls back to
+    rand(seed), which is only stable for a fixed partitioning (rand seeds
+    per partition)."""
+    if key_cols:
+        h = F.md5(F.concat_ws("\x1f", F.lit(str(seed)),
+                              *[F.col(c).cast("string") for c in key_cols]))
+        return df.orderBy(h, *[F.col(c) for c in key_cols]).limit(n)
+    return df.orderBy(F.rand(seed)).limit(n)

@@ -154,10 +154,16 @@ def choose_better_record_py(old: dict, new: dict) -> dict:
         return old
     if not old_html and new_html:
         return new
+    # DataFrame convention: SQL NULL == missing key == 0 (the reference's
+    # dict .get("length", 0)); only an unparseable string skips the
+    # criterion (the reference's swallowed ValueError). A dict carrying an
+    # explicit None is treated as missing, matching the engine's coalesce.
     try:
-        if int(new.get("length", 0)) > int(old.get("length", 0)):
+        old_len = int(old.get("length") if old.get("length") is not None else 0)
+        new_len = int(new.get("length") if new.get("length") is not None else 0)
+        if new_len > old_len:
             return new
-    except (ValueError, TypeError):
+    except ValueError:
         pass
     if (new.get("timestamp", "") or "") > (old.get("timestamp", "") or ""):
         return new

@@ -112,15 +112,15 @@ def main() -> None:
     for c in (8, 2, 32, 8, 2):
         r = run_bench(c)
         reps[c].append(r)
-        print(f"rep cores={c}: {r['value']} urls/s "
+        print(f"rep cores={c}: {r['urls_per_sec']} urls/s "
               f"({r['queries']['crawl_pipeline']}s)", file=sys.stderr)
-    pair_ratios = [b["value"] / a["value"]
+    pair_ratios = [b["urls_per_sec"] / a["urls_per_sec"]
                    for a, b in zip(reps[2], reps[8])]
     pair_ratios.sort()
     med_ratio = pair_ratios[len(pair_ratios) // 2]
 
     def best(c):
-        return max(reps[c], key=lambda r: r["value"])
+        return max(reps[c], key=lambda r: r["urls_per_sec"])
 
     results = {2: best(2), 8: best(8), 32: best(32)}
     results_ratio_2_8 = med_ratio
@@ -128,7 +128,7 @@ def main() -> None:
     ceil_8_32 = hardware_ceiling(8, 32)
     wceil_2_8 = workload_ceiling(2, 8)
 
-    t = {c: results[c]["value"] for c in results}
+    t = {c: results[c]["urls_per_sec"] for c in results}
     eff_2_8 = results_ratio_2_8 / 4
     eff_8_32 = (t[32] / t[8]) / 4
     report = {
@@ -138,7 +138,7 @@ def main() -> None:
         "body_repeat": int(BODY_REPEAT),
         "urls_per_sec": {str(c): t[c] for c in t},
         "all_reps_urls_per_sec": {
-            str(c): [r["value"] for r in rs] for c, rs in reps.items()
+            str(c): [r["urls_per_sec"] for r in rs] for c, rs in reps.items()
         },
         "pair_ratios_2_to_8": [round(x, 3) for x in pair_ratios],
         "primary_pair": {
