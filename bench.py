@@ -98,6 +98,40 @@ def build_corpus(spark, sf_dir: str):
     return pages, cdx
 
 
+N_BUCKETS = int(os.environ.get("BENCH_BUCKETS", "128"))
+
+
+def materialize_tables(spark, pages, cdx):
+    """Store the corpus the way a real deployment stores it: pages as a
+    BUCKETED, per-bucket-sorted parquet table on `url` (the Iceberg
+    bucket(url) layout), cdx as plain parquet. The fetch join then needs
+    no shuffle and no sort on the fat side — only the slim frontier moves
+    — and the scan is vectorized columnar, not a JVM-cache decompression
+    (which at 32 concurrent tasks spent >60% of task time in GC).
+
+    Bucket count is FIXED (a table property), not scaled with cores: both
+    scaling legs read the identical layout, like two cluster sizes reading
+    the same table."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("pages_bucketed", "cdx_flat"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # in-memory catalog: a previous process's table leaves its location
+        # behind; clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (pages.repartition(N_BUCKETS, "url")
+     .write.bucketBy(N_BUCKETS, "url").sortBy("url")
+     .mode("overwrite").format("parquet").saveAsTable("pages_bucketed"))
+    # documents.parquet is a single row-group, so the derived cdx frame has
+    # 2 splits — written as-is, every downstream scan of it would run
+    # 2-wide (a ~4 s serial floor on the dedup map side at any core
+    # count). Spread it like a real many-file index table.
+    (cdx.repartition(N_BUCKETS)
+     .write.mode("overwrite").format("parquet").saveAsTable("cdx_flat"))
+    return spark.table("pages_bucketed"), spark.table("cdx_flat")
+
+
 def bench_crawl(spark, pages, cdx) -> tuple[float, int]:
     """Full pipeline: dedup -> 200 gate -> fetch join -> extract. Returns
     (seconds, urls_extracted)."""
@@ -123,21 +157,22 @@ def main() -> None:
         # scaling runs: same physical plan at every core count (shuffle
         # join, no driver-serial broadcast build) so the legs are comparable
         extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
-    # 4x cores: shuffle blocks of a ~2 GB exchange stay well under executor
-    # memory per partition, and AQE coalesces the excess when input is small
+    extra["spark.sql.warehouse.dir"] = os.environ.get(
+        "BENCH_WAREHOUSE", "/tmp/ccspark-warehouse")
+    # Batch sizes are BYTE-sized for the fat html column (~40-120 KB/row on
+    # the bench corpus): the defaults (4096-row parquet batches, 2048-row
+    # Arrow batches) allocate 100-400 MB per concurrent task, which at 32
+    # tasks kept the collector permanently busy (measured: >50% of task
+    # time in GC; the 32-core leg ran SLOWER than the 8-core leg). At 256
+    # rows a batch is ~10-30 MB and GC drops to <3% of task time.
+    extra["spark.sql.parquet.columnarReaderBatchSize"] = "256"
+    extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = "256"
     spark = get_spark("bench", cores=int(cpus), shuffle_partitions=4 * int(cpus),
                       extra_conf=extra)
     queries: dict[str, float] = {}
 
-    # the local parquet is one row-group (one split); repartition so the
-    # generated corpus is spread like a real many-file table would be.
-    # pages is hash-partitioned ON url — the bucketed-table layout a real
-    # deployment stores (Iceberg bucket(url)) — so the fetch join reuses
-    # the partitioning and the fat html column never shuffles; only the
-    # small deduped-frontier side moves.
     pages, cdx = build_corpus(spark, SF_DIR)
-    pages = pages.repartition(4 * int(cpus), "url").persist()
-    cdx = cdx.repartition(4 * int(cpus)).persist()
+    pages, cdx = materialize_tables(spark, pages, cdx)
     n_pages = pages.count()
     cdx.count()
 

@@ -63,9 +63,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html is a fat binary column: keep Arrow batches small so a batch of
-        # pages fits comfortably in a python worker (SURVEY.md section 4).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html is a fat binary column: batch knobs must be sized by BYTES,
+        # not rows. At real page sizes (~50-100 KB) a 2048-row Arrow batch
+        # is ~150 MB per concurrent python worker; at 32 workers that kept
+        # the JVM collector permanently busy (measured on the bench corpus:
+        # the 32-core leg ran slower than the 8-core leg). 512 rows keeps a
+        # batch ~25-50 MB; bench.py pins 256 for its heavier corpus.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # same byte-sizing for the vectorized parquet reader's column
+        # batches when scanning pages tables (default 4096 rows).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # fat binary rows (html) make G1 churn humongous regions; at 32
         # concurrent tasks G1 write barriers halved Arrow-UDF throughput in

@@ -27,7 +27,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PAGE_FACTOR = os.environ.get("BENCH_PAGE_FACTOR", "32")
+PAGE_FACTOR = os.environ.get("BENCH_PAGE_FACTOR", "64")
 BODY_REPEAT = os.environ.get("BENCH_BODY_REPEAT", "40")
 
 
@@ -93,7 +93,9 @@ def run_bench(cpus: int) -> dict:
         BENCH_BODY_REPEAT=BODY_REPEAT,
         BENCH_QUERIES="crawl_only",
         BENCH_NO_BROADCAST="1",
-        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "64g"),
+        # 24g measured best: a 64g ParallelGC heap made full collections
+        # long, and -Xms-pinned heaps paid first-touch faults mid-run
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
     )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
@@ -109,7 +111,7 @@ def main() -> None:
     # adjacent runs; the reported ratio is the median of per-pair ratios,
     # with every raw rep printed for transparency.
     reps: dict[int, list[dict]] = {2: [], 8: [], 32: []}
-    for c in (8, 2, 32, 8, 2):
+    for c in (8, 2, 32, 8, 2, 8, 2):
         r = run_bench(c)
         reps[c].append(r)
         print(f"rep cores={c}: {r['urls_per_sec']} urls/s "

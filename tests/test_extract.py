@@ -127,10 +127,15 @@ def test_spark_udf_byte_identity(spark, fixture_dir):
 
 @pytest.mark.spark
 def test_spark_udf_matches_module_oracle_rowwise(spark, fixture_dir):
-    """UDF output equals calling the shared module directly (full struct)."""
+    """UDF output equals calling the shared module directly (full struct).
+
+    extract_articles drops the fat html column at its barrier, so the
+    oracle bytes are re-read from the fixture and joined on url."""
     pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").limit(50)
-    rows = extract_articles(pages).select("url", "html", "article").collect()
+    rows = extract_articles(pages).select("url", "article").collect()
+    pdf = pd.read_parquet(f"{fixture_dir}/pages.parquet", columns=["url", "html"])
+    html_by_url = dict(zip(pdf["url"], pdf["html"]))
     for r in rows:
-        oracle = extract_from_warc_bytes(r["html"])
+        oracle = extract_from_warc_bytes(html_by_url[r["url"]])
         got = r["article"].asDict(recursive=True)
         assert got == oracle, f"struct mismatch for {r['url']}"

@@ -90,4 +90,33 @@ def test_extraction_is_arrow_batched(spark, fixture_dir):
 
     pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
     plan = plan_of(extract_articles(pages))
-    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time Python
+    # vectorized Arrow map operator, not row-at-a-time Python; MapInPandas
+    # (vs a pandas_udf expression) is also the placement barrier that keeps
+    # extraction after the fetch join (see operators/extraction.py)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time would be this
+
+
+@pytest.mark.spark
+def test_extraction_stays_above_fetch_join(spark, fixture_dir):
+    """Regression: as a pandas_udf EXPRESSION, extraction (dragged by the
+    article.error filter) was pushed below the fetch join by
+    PushPredicateThroughJoin — evaluated twice and forcing the join to
+    shuffle fat extracted rows. The MapInPandas barrier must keep a single
+    extraction above the join: no python eval anywhere in the join subtree."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.operators.extraction import extract_articles, split_articles
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    frontier = pages.select("url").limit(10)
+    fetch = frontier.join(pages.select("url", "html"), "url")
+    ok, _failed = split_articles(extract_articles(fetch))
+    plan = plan_of(ok, mode="simple")  # tree only: each operator printed once
+    assert plan.count("MapInPandas") == 1  # evaluated exactly once
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    assert join_pos != -1
+    # physical plans print top-down: the single MapInPandas must appear
+    # ABOVE (before) the join operator in the tree
+    assert plan.find("MapInPandas") < join_pos
