@@ -99,3 +99,50 @@ def test_windowed_fetch_stats(spark, tmp_path):
         n, ok = want.get(key, (0, 0))
         want[key] = (n + 1, ok + (status == "200"))
     assert got == want
+
+
+@pytest.mark.spark
+def test_per_host_admission_state_survives_micro_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-host admitted counter must carry
+    across micro-batches (maxFilesPerTrigger=1 -> one batch per file), so
+    a budget of 3 admits 2 from batch0 and only 1 from batch1."""
+    from commoncrawl_spark.streaming.stateful import per_host_admission
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows0 = [{"host": "a.test", "url": f"https://a.test/{i}"} for i in range(2)]
+    rows0 += [{"host": "b.test", "url": "https://b.test/0"}]
+    rows1 = [{"host": "a.test", "url": f"https://a.test/{i}"} for i in range(2, 4)]
+    _write_jsonl(f"{landing}/b0.jsonl", rows0)
+    time.sleep(1.1)  # file mtime order = micro-batch order
+    _write_jsonl(f"{landing}/b1.jsonl", rows1)
+
+    stream = (
+        spark.readStream.schema("host string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    out = per_host_admission(stream, budget_per_host=3)
+    q = (
+        out.writeStream.format("memory").queryName("admissions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = spark.sql("select * from admissions").collect()
+    by_url = {r["url"]: r for r in got}
+    assert len(by_url) == 5  # nothing silently dropped
+    a_admitted = sorted(
+        u for u, r in by_url.items() if r["host"] == "a.test" and r["admitted"]
+    )
+    a_rejected = [u for u, r in by_url.items()
+                  if r["host"] == "a.test" and not r["admitted"]]
+    assert len(a_admitted) == 3 and len(a_rejected) == 1
+    # batch0's two urls must both be admitted (state starts fresh),
+    # and exactly one of batch1's (state carried n_admitted=2)
+    assert "https://a.test/0" in a_admitted and "https://a.test/1" in a_admitted
+    assert by_url["https://b.test/0"]["admitted"]
+    # final counter visible on the last-admitted row
+    assert max(r["host_admitted_total"] for r in got if r["host"] == "a.test") == 3
