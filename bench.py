@@ -150,6 +150,43 @@ def bench_crawl(spark, pages, cdx) -> tuple[float, int]:
     return time.monotonic() - t0, n
 
 
+def bench_full_round(spark, pages, cdx) -> tuple[float, int]:
+    """One COMPLETE frontier round — the north-star metric's unit of work:
+    dedup -> 200 gate -> seen-set anti-join (partitioned-Bloom path, 10%
+    of URLs pre-marked crawled) -> salted politeness selection -> fetch
+    join -> extract. Returns (seconds, urls_extracted)."""
+    from commoncrawl_spark.operators.dedup import best_capture_per_url
+    from commoncrawl_spark.operators.extraction import extract_articles, split_articles
+    from commoncrawl_spark.operators.schedule import select_polite_batch, with_host
+    from commoncrawl_spark.operators.seen_set import (
+        anti_join_seen_scalable,
+        with_url_key,
+    )
+
+    # deterministic 10%-crawled seen set (url_sha1 keys, like the frontier's)
+    seen = (
+        with_url_key(pages.select("url"))
+        .filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+        .select("url_sha1")
+    )
+
+    t0 = time.monotonic()
+    best = best_capture_per_url(cdx, arrival_cols=("crawl", "page", "line_no"))
+    frontier = with_url_key(
+        best.filter(F.col("status") == "200")
+        .select("url", "crawl", "page", "line_no")
+    )
+    fresh = anti_join_seen_scalable(frontier, seen, n_buckets=32)
+    batch = select_polite_batch(
+        with_host(fresh), budget_per_host=10**9, salt_buckets=32,
+        priority_cols=("crawl", "page", "line_no"),
+    ).select("url")
+    fetch = batch.join(pages.select("url", "html"), "url")
+    ok, _ = split_articles(extract_articles(fetch))
+    n = ok.count()
+    return time.monotonic() - t0, n
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     extra = {}
@@ -180,6 +217,9 @@ def main() -> None:
     queries["crawl_pipeline"] = round(crawl_s, 3)
 
     if os.environ.get("BENCH_QUERIES") != "crawl_only":
+        round_s, n_round = bench_full_round(spark, pages, cdx)
+        queries["full_frontier_round"] = round(round_s, 3)
+        queries["full_round_urls_per_sec"] = round(n_round / round_s, 1)
         os.environ["SPARK_GRAFT_REPARTITION"] = str(4 * int(cpus))
         import __spark_entry__ as e
 
