@@ -230,9 +230,13 @@ def simhash_near_duplicates(
     so the self-join key is (block_idx, chunk_value) — never all-pairs."""
     assert max_hamming < blocks
     width = bits // blocks
+    # persisted: the pigeonhole self-join otherwise recomputes the
+    # md5-per-token signature fold on BOTH join branches (no exchange to
+    # reuse under a broadcast join — measured 2x the query's CPU). The
+    # cached frame is just (id, int64) — 16 bytes/row, MEMORY_AND_DISK.
     sims = df.select(
         F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash")
-    )
+    ).persist()
     chunked = sims.select(
         id_col,
         "simhash",
