@@ -135,7 +135,11 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from LSH bucket collisions — the
     self-join runs on (band, bucket), so only genuine collisions meet."""
-    bk = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # persisted for the same reason as simhash_near_duplicates: a broadcast
+    # self-join recomputes the minhash fold (md5 per shingle x num_hashes)
+    # on both branches; the cached frame is (id, band, 32-char bucket).
+    bk = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands,
+                             shingle_n).persist()
     a = bk.select(F.col(id_col).alias("a"), "band", "bucket")
     b = bk.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -161,9 +165,12 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over distinct
     shingle sets. Feed LSH candidates here to confirm near-dups; never run
     it all-pairs at scale."""
+    # persisted: joined twice (a-side and b-side); without the cache the
+    # shingle arrays are tokenized twice. Spills to disk if the shingle
+    # sets outgrow memory — and this op is candidates-only by contract.
     sh = df.select(
         F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
