@@ -162,11 +162,22 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
         id_col, vec_col, "cell",
         cosine_col(F.col(vec_col), F.col("_cv")).alias("_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    # argmax via max_by, NOT a window: a window over (id) would shuffle
+    # |corpus| x K scored rows and sort them; max_by partial-aggregates
+    # map-side (all K copies of a vector sit in the same input partition,
+    # straight off the broadcast join), so the exchange carries only
+    # |corpus| pre-reduced rows. Order key (cos, -cell) = max cosine,
+    # ties to the smallest cell id; null cosines (zero-norm vectors)
+    # coalesce below any real score, matching the window's NULLS LAST.
+    best = F.max_by(
+        F.struct(F.col(vec_col).alias("v"), F.col("cell").alias("c")),
+        F.struct(F.coalesce(F.col("_cos"), F.lit(float("-inf"))).alias("s"),
+                 (-F.col("cell")).alias("t")),
+    ).alias("_best")
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cos")
+        scored.groupBy(id_col).agg(best)
+        .select(id_col, F.col("_best.v").alias(vec_col),
+                F.col("_best.c").alias("cell"))
     )
 
 
