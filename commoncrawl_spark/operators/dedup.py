@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.urls import canonicalize_url_col
@@ -116,12 +116,22 @@ def dedup_first_seen(
     arrival_cols: Sequence[str],
 ) -> DataFrame:
     """A3: exact-key first-wins dedup (cc_merge_indexes copy.py:33-38) —
-    keep the earliest-arriving record per key."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in arrival_cols])
+    keep the earliest-arriving record per key.
+
+    min_by, not a row_number window: the window would shuffle every
+    column of every row and sort within each key; min_by partial-
+    aggregates map-side, so the exchange carries one pre-reduced record
+    per (partition, key). arrival_seq is unique by construction (§3 of
+    SURVEY.md), so the winner is deterministic."""
+    rec_cols = list(df.columns)
+    best = F.min_by(
+        F.struct(*[F.col(c) for c in rec_cols]),
+        F.struct(*[F.col(c) for c in arrival_cols]),
+    ).alias("_first")
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*key_cols)
+        .agg(best)
+        .select(*[F.col(f"_first.{c}").alias(c) for c in rec_cols])
     )
 
 
