@@ -209,9 +209,12 @@ class CrawlJob:
         hits = hits.persist()
         fetched = hits.filter(~F.col("_flaky")).drop("_flaky")
         flaky = hits.filter(F.col("_flaky")).drop("_flaky", "html")
+        # persisted: consumed by retryable/exhausted splits, the failures
+        # commit, the per-host metrics, and two counters — six recomputes
+        # of the anti-join otherwise. Slim (urls + frontier metadata).
         missing = batch.join(
             F.broadcast(hits.select("url")), "url", "left_anti"
-        ).unionByName(flaky)
+        ).unionByName(flaky).persist()
 
         extracted = extract_articles(fetched).persist()
         ok, extract_failed = split_articles(extracted)
@@ -299,6 +302,7 @@ class CrawlJob:
         batch.unpersist()
         hits.unpersist()
         extracted.unpersist()
+        missing.unpersist()
         return counters
 
     def run(
