@@ -57,18 +57,28 @@ def top_k(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
 
 
 def describe_numeric(df: DataFrame, col: str,
-                     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
-                     ) -> DataFrame:
-    """A10: exact percentiles + min/max/mean/count of a numeric column
-    (read_jsonl.ipynb cell 1 .describe()). Exact `percentile` (not approx)
-    so results are oracle-comparable; swap to percentile_approx at 100 TB."""
+                     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+                     exact: bool = True,
+                     approx_accuracy: int = 10_000) -> DataFrame:
+    """A10: percentiles + min/max/mean/count of a numeric column
+    (read_jsonl.ipynb cell 1 .describe()).
+
+    ``exact=True`` uses `percentile`, which buffers every value of the
+    group in executor memory — right for oracle comparison, wrong at
+    100 TB. ``exact=False`` is the scale path: `percentile_approx`
+    (t-digest sketch, bounded memory, mergeable map-side); with
+    approx_accuracy=10^4 the rank error is <=0.01%."""
+    pct = (
+        (lambda c, q: F.percentile(c, q)) if exact
+        else (lambda c, q: F.percentile_approx(c, q, approx_accuracy))
+    )
     aggs = [
         F.count(col).alias("n"),
         F.round(F.avg(col), 4).alias("mean"),
         F.min(col).alias("min"),
         F.max(col).alias("max"),
     ] + [
-        F.round(F.percentile(col, q), 4).alias(f"p{int(q * 100)}")
+        F.round(pct(col, q), 4).alias(f"p{int(q * 100)}")
         for q in quantiles
     ]
     return df.agg(*aggs)

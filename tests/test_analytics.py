@@ -1,0 +1,36 @@
+"""Analytics operators (A7-A11): the DuckDB oracle covers exact values via
+the driver contract; here we pin the scale paths and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.operators.analytics import describe_numeric
+
+
+@pytest.mark.spark
+def test_percentile_approx_tracks_exact(spark):
+    """The scale path (percentile_approx, bounded memory) must stay within
+    sketch tolerance of the exact path on a skewed distribution."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 100 + F.when(F.col("id") % 17 == 0, 5_000).otherwise(0))
+        .cast("double").alias("v")
+    )
+    exact = describe_numeric(df, "v", exact=True).first().asDict()
+    approx = describe_numeric(df, "v", exact=False).first().asDict()
+    assert exact["n"] == approx["n"]
+    assert exact["min"] == approx["min"] and exact["max"] == approx["max"]
+    spread = exact["max"] - exact["min"]
+    for k in ("p25", "p50", "p75", "p90", "p95", "p99"):
+        assert abs(exact[k] - approx[k]) <= 0.01 * spread + 1e-6, k
+
+
+@pytest.mark.spark
+def test_describe_numeric_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,)], "v double"
+    )
+    row = describe_numeric(df, "v").first()
+    assert row["n"] == 2 and row["min"] == 1.0 and row["max"] == 3.0
+    assert row["p50"] == 2.0
