@@ -97,12 +97,17 @@ def run_bench(cpus: int) -> dict:
         # long, and -Xms-pinned heaps paid first-touch faults mid-run
         SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
     )
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-         os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           os.path.join(REPO, "bench.py")]
+    for attempt in (0, 1):  # one retry: shared-host legs fail transiently
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=3600)
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"leg cores={cpus} attempt {attempt} failed "
+              f"(rc={out.returncode}); stderr tail:\n"
+              + "\n".join(out.stderr.splitlines()[-15:]), file=sys.stderr)
+    raise RuntimeError(f"bench leg cores={cpus} failed twice")
 
 
 def main() -> None:
