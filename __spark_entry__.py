@@ -417,6 +417,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
     q["doc_fingerprint"] = doc_fingerprint
 
+    def curation_pipeline(spark, sf):
+        """Composed training-data curation: language-ID -> quality gate ->
+        token-length gate -> exact first-wins dedup by fingerprint. The
+        whole pipeline is Catalyst expressions + one min_by shuffle."""
+        from commoncrawl_spark.operators.dedup import dedup_first_seen
+
+        d = _read(spark, sf, "documents")
+        f = quality_features(F.col("text"))
+        scored = d.select(
+            "doc_id",
+            language_id_col(F.col("text")).alias("pred_lang"),
+            f["n_tokens"].alias("n_tokens"),
+            quality_score_col(F.col("text")).alias("quality"),
+            fingerprint_col(F.col("text")).alias("fingerprint"),
+        )
+        kept = scored.filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 10)
+        )
+        out = dedup_first_seen(kept, ["fingerprint"], ["doc_id"])
+        return out.select("doc_id", "pred_lang", "n_tokens", "quality")
+    q["curation_pipeline"] = curation_pipeline
+
     # ---- dedup family ----
 
     def exact_dedup(spark, sf):
@@ -653,6 +677,46 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint
         FROM documents
+    """
+
+    o["curation_pipeline"] = f"""
+        WITH t AS (SELECT doc_id, text, {toks_doc} AS toks FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN best IS NULL OR best = 0 THEN 'und'
+                      WHEN en_h = best THEN 'en'
+                      WHEN de_h = best THEN 'de' ELSE 'fr' END AS pred_lang,
+                 n_tokens,
+                 round(0.4 * (CASE WHEN n_tokens >= 20 THEN 1.0
+                                   ELSE n_tokens / 20.0 END)
+                       + 0.4 * least(stopword_ratio * 2.5, 1.0)
+                       + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0), 4)
+                   AS quality,
+                 fingerprint
+          FROM (
+            SELECT doc_id,
+                   {_sql_stop_hits('toks', 'en')} AS en_h,
+                   {_sql_stop_hits('toks', 'de')} AS de_h,
+                   {_sql_stop_hits('toks', 'fr')} AS fr_h,
+                   greatest({_sql_stop_hits('toks', 'en')},
+                            {_sql_stop_hits('toks', 'de')},
+                            {_sql_stop_hits('toks', 'fr')}) AS best,
+                   len(toks) AS n_tokens,
+                   round(len(regexp_extract_all(text, '{PUNCT_RE}'))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round({_sql_stop_hits('toks', 'en')}
+                         / greatest(len(toks), 1), 4) AS stopword_ratio,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                           'g'))) AS fingerprint
+            FROM t)),
+        kept AS (
+          SELECT * FROM scored
+          WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 10)
+        SELECT doc_id, pred_lang, n_tokens, quality FROM (
+          SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY doc_id) AS rn
+          FROM kept)
+        WHERE rn = 1
     """
 
     o["exact_dedup"] = f"""
