@@ -53,6 +53,102 @@ def url_path_col(url):
     return F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
 
 
+def robots_rules_col(txt):
+    """Parse raw robots.txt text into ``struct(disallow_prefixes
+    array<string>, crawl_delay_s double)`` for the ``*`` user-agent —
+    entirely Catalyst (one ``aggregate`` fold over the lines), so a table
+    of millions of fetched robots bodies parses JVM-side with no Python.
+
+    Semantics (the common-crawler simplification of RFC 9309): groups are
+    runs of consecutive ``User-agent:`` lines followed by rules; a group
+    applies iff any of its agents is ``*``; ``Disallow:`` with an empty
+    value allows everything; the last ``Crawl-delay:`` in an applicable
+    group wins; ``#`` comments stripped; keys case-insensitive.
+    """
+    lines = F.transform(
+        F.split(txt, r"\r?\n"),
+        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")),
+    )
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(False).alias("prev_ua"),
+        F.array().cast("array<string>").alias("dis"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def step(acc, l):
+        low = F.lower(l)
+        val = F.trim(F.regexp_replace(l, r"^[A-Za-z\-]+\s*:", ""))
+        is_ua = low.rlike(r"^user-agent\s*:")
+        is_dis = low.rlike(r"^disallow\s*:")
+        is_delay = low.rlike(r"^crawl-delay\s*:")
+        is_star = is_ua & (val == "*")
+        active = (
+            F.when(is_ua & acc["prev_ua"], acc["active"] | is_star)
+            .when(is_ua, is_star)
+            .otherwise(acc["active"])
+        )
+        return F.struct(
+            active.alias("active"),
+            is_ua.alias("prev_ua"),
+            F.when(is_dis & acc["active"] & (val != ""),
+                   F.array_append(acc["dis"], val))
+            .otherwise(acc["dis"]).alias("dis"),
+            F.when(is_delay & acc["active"],
+                   F.coalesce(val.try_cast("double"), acc["delay"]))
+            .otherwise(acc["delay"]).alias("delay"),
+        )
+
+    return F.aggregate(
+        lines, init, step,
+        lambda acc: F.struct(
+            acc["dis"].alias("disallow_prefixes"),
+            acc["delay"].alias("crawl_delay_s"),
+        ),
+    )
+
+
+def parse_robots_txt(df: DataFrame, host_col_name: str = "host",
+                     text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> the rules table ``apply_robots`` consumes."""
+    rules = robots_rules_col(F.col(text_col))
+    return df.select(
+        host_col_name,
+        rules["disallow_prefixes"].alias("disallow_prefixes"),
+        rules["crawl_delay_s"].alias("crawl_delay_s"),
+    )
+
+
+def parse_robots_py(text: str) -> tuple[list[str], float | None]:
+    """Pure-Python oracle for robots_rules_col (same simplified RFC 9309
+    semantics), used by tests only."""
+    import re
+
+    active = prev_ua = False
+    dis: list[str] = []
+    delay: float | None = None
+    for raw in re.split(r"\r?\n", text):
+        line = re.sub(r"#.*$", "", raw).strip()
+        low = line.lower()
+        val = re.sub(r"^[A-Za-z\-]+\s*:", "", line).strip()
+        if re.match(r"^user-agent\s*:", low):
+            is_star = val == "*"
+            active = (active or is_star) if prev_ua else is_star
+            prev_ua = True
+            continue
+        if re.match(r"^disallow\s*:", low):
+            if active and val:
+                dis.append(val)
+        elif re.match(r"^crawl-delay\s*:", low):
+            if active:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+        prev_ua = False
+    return dis, delay
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame,
                  url_col: str = "url") -> DataFrame:
     """Drop URLs disallowed by per-host rules.

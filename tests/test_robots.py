@@ -1,0 +1,85 @@
+"""robots.txt parsing (Catalyst fold) vs the pure-Python oracle, plus
+end-to-end gating through apply_robots."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.operators.schedule import (
+    apply_robots,
+    parse_robots_py,
+    parse_robots_txt,
+)
+
+CASES = [
+    # the classic: one star group
+    "User-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 2",
+    # group for another bot only
+    "User-agent: badbot\nDisallow: /",
+    # consecutive user-agents sharing a group, star among them
+    "User-agent: badbot\nUser-agent: *\nDisallow: /x",
+    # star group ends when a new group starts
+    "User-agent: *\nDisallow: /a\n\nUser-agent: bot\nDisallow: /b",
+    # empty disallow = allow all; comments; mixed case; CRLF
+    "user-AGENT: *   # hi\r\nDISALLOW:\r\ndisallow: /c # tail\r\ncrawl-delay: 0.5",
+    # unparseable delay ignored, later delay wins
+    "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 3\nDisallow: /d",
+    # no star group at all
+    "User-agent: a\nDisallow: /x\n\nUser-agent: b\nDisallow: /y",
+    # rules before any user-agent line are ignored
+    "Disallow: /early\nUser-agent: *\nDisallow: /late",
+    "",
+]
+
+
+@pytest.mark.spark
+def test_parse_robots_matches_oracle_on_cases(spark):
+    df = spark.createDataFrame(
+        [(f"h{i}.test", t) for i, t in enumerate(CASES)], "host string, robots_txt string"
+    )
+    got = {
+        r["host"]: (list(r["disallow_prefixes"] or []), r["crawl_delay_s"])
+        for r in parse_robots_txt(df).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[f"h{i}.test"] == parse_robots_py(t), f"case {i}: {t!r}"
+
+
+line_st = st.one_of(
+    st.sampled_from(["User-agent: *", "User-agent: bot", "user-agent: Other"]),
+    st.sampled_from(["Disallow: /a", "Disallow: /b/c", "Disallow:", "disallow: /"]),
+    st.sampled_from(["Crawl-delay: 1", "Crawl-delay: 2.5", "crawl-delay: x"]),
+    st.sampled_from(["", "# comment", "Allow: /ok", "Sitemap: http://s"]),
+)
+
+
+@pytest.mark.spark
+@settings(max_examples=25, deadline=None)
+@given(st.lists(line_st, max_size=12))
+def test_parse_robots_matches_oracle_fuzz(spark, lines):
+    text = "\n".join(lines)
+    df = spark.createDataFrame([("h.test", text)], "host string, robots_txt string")
+    r = parse_robots_txt(df).first()
+    assert (list(r["disallow_prefixes"] or []), r["crawl_delay_s"]) == parse_robots_py(text)
+
+
+@pytest.mark.spark
+def test_parsed_rules_gate_the_frontier(spark):
+    robots_raw = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /private\nCrawl-delay: 2")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_txt(robots_raw)
+    frontier = spark.createDataFrame(
+        [
+            ("a.test", "https://a.test/private/x"),
+            ("a.test", "https://a.test/public/y"),
+            ("b.test", "https://b.test/private/z"),  # no rules -> permissive
+        ],
+        "host string, url string",
+    )
+    kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"https://a.test/public/y", "https://b.test/private/z"}
