@@ -441,6 +441,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "pred_lang", "n_tokens", "quality")
     q["curation_pipeline"] = curation_pipeline
 
+    def link_discovery(spark, sf):
+        """Synthetic pages (one per document, deterministic hrefs of every
+        resolution class) -> extract_links. Oracle derives the expected
+        edges from first principles, so any mis-parse or mis-resolution
+        breaks the hash."""
+        from commoncrawl_spark.operators.links import extract_links
+
+        d = _read(spark, sf, "documents").select("doc_id", "source", "lang")
+        src = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".news.test/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit("/story"),
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext.test/p/'),
+            (F.col("doc_id") % 50).cast("string"), F.lit('">x</a>'),
+            F.lit("<a href='/section/"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("'>y</a>"),
+            F.lit('<a href="rel/'),
+            (F.col("doc_id") % 3).cast("string"), F.lit('.html">z</a>'),
+            F.lit('<a href="//cdn.test/img/'),
+            (F.col("doc_id") % 5).cast("string"), F.lit('">w</a>'),
+            F.lit('<a href="mailto:a@b.test">m</a>'),
+            F.lit('<a href="#frag">f</a></body></html>'),
+        )
+        pages = d.select(src.alias("url"), F.encode(html, "utf-8").alias("html"))
+        return extract_links(pages).select("src_url", "href", "abs_url")
+    q["link_discovery"] = link_discovery
+
     # ---- dedup family ----
 
     def exact_dedup(spark, sf):
@@ -677,6 +706,37 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint
         FROM documents
+    """
+
+    o["link_discovery"] = """
+        WITH d AS (
+          SELECT doc_id, source, lang,
+                 'https://' || source || '.news.test/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) || '/story' AS src_url,
+                 'https://' || source || '.news.test' AS origin,
+                 'https://' || source || '.news.test/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) || '/' AS dir
+          FROM documents)
+        SELECT src_url, href, abs_url FROM (
+          SELECT src_url,
+                 'https://ext.test/p/' || CAST(doc_id % 50 AS VARCHAR) AS href,
+                 'https://ext.test/p/' || CAST(doc_id % 50 AS VARCHAR) AS abs_url
+          FROM d
+          UNION ALL
+          SELECT src_url,
+                 '/section/' || CAST(doc_id % 7 AS VARCHAR),
+                 origin || '/section/' || CAST(doc_id % 7 AS VARCHAR)
+          FROM d
+          UNION ALL
+          SELECT src_url,
+                 'rel/' || CAST(doc_id % 3 AS VARCHAR) || '.html',
+                 dir || 'rel/' || CAST(doc_id % 3 AS VARCHAR) || '.html'
+          FROM d
+          UNION ALL
+          SELECT src_url,
+                 '//cdn.test/img/' || CAST(doc_id % 5 AS VARCHAR),
+                 'https://cdn.test/img/' || CAST(doc_id % 5 AS VARCHAR)
+          FROM d)
     """
 
     o["curation_pipeline"] = f"""

@@ -1,0 +1,99 @@
+"""URL discovery: extract and absolutize links from page HTML.
+
+The reference never follows links — its frontier comes pre-built from
+the CDX index (create_tasks.py fans out index pages, not page links).
+A general crawl engine needs the discovery edge: pages -> hrefs ->
+canonicalized absolute URLs -> (anti-join seen) -> frontier candidates.
+
+Everything here is Catalyst expressions (regexp_extract_all + explode +
+conditional concat) — link extraction runs in the scan stage with
+whole-stage codegen, no Python, and the output is a slim (src, href)
+edge table that shuffles cheaply. Fragment-only and non-fetchable
+schemes (mailto:, javascript:, data:) are dropped at the source.
+
+Resolution handles the cases that matter at corpus scale: absolute
+http(s) URLs, protocol-relative ``//host/path``, root-relative
+``/path``, and path-relative ``x/y`` (resolved against the source
+directory; ``.``/``..`` segments are NOT normalized — the downstream
+canonicalizer treats paths textually, matching the reference's
+canonicalization which never normalizes dot-segments either).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href="..." or href='...' in an <a> tag, case-insensitive on the attr
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']"""
+
+_SKIP_SCHEMES = r"(?i)^(mailto|javascript|data|tel|ftp):"
+
+
+def _src_parts(src: Column) -> tuple[Column, Column, Column]:
+    """(scheme, scheme://host, directory-of-path) of the source URL."""
+    scheme = F.regexp_extract(src, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    origin = F.regexp_extract(src, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    # directory: origin + path up to (and incl.) the last '/'
+    path = F.regexp_extract(src, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    dir_ = F.concat(
+        origin,
+        F.when(path.rlike("/"), F.regexp_replace(path, r"[^/]*$", ""))
+        .otherwise(F.lit("/")),
+    )
+    return scheme, origin, dir_
+
+
+def absolutize_col(href: Column, src: Column) -> Column:
+    """Resolve ``href`` against source URL ``src`` (null if not fetchable)."""
+    scheme, origin, dir_ = _src_parts(src)
+    h = F.trim(href)
+    no_frag = F.regexp_replace(h, r"#.*$", "")
+    return (
+        F.when(no_frag == "", None)
+        .when(no_frag.rlike(_SKIP_SCHEMES), None)
+        .when(no_frag.rlike(r"(?i)^https?://"), no_frag)
+        .when(no_frag.startswith("//"), F.concat(scheme, F.lit(":"), no_frag))
+        .when(no_frag.startswith("/"), F.concat(origin, no_frag))
+        .otherwise(F.concat(dir_, no_frag))
+    )
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """pages(url, html: binary) -> (src_url, href, abs_url) edge table.
+
+    The html bytes are interpreted best-effort via cast-to-string (a
+    tolerant UTF8String wrap — unlike ``decode``, it never throws on
+    non-UTF-8 or gzipped payloads, which real WARC corpora contain; the
+    regex simply finds no links in binary noise). Byte-exact charset
+    handling stays in the extraction operator where it matters."""
+    text = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(text, F.lit(_HREF_RE), F.lit(1))
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href")
+    )
+    out = exploded.withColumn(
+        "abs_url", absolutize_col(F.col("href"), F.col("src_url"))
+    )
+    return out.filter(F.col("abs_url").isNotNull())
+
+
+def discover_frontier_candidates(
+    pages: DataFrame,
+    seen: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Distinct new URLs discovered from fetched pages, minus the seen set
+    — the feed for the next frontier seeding round."""
+    from .seen_set import anti_join_seen, with_url_key
+
+    links = extract_links(pages, html_col, url_col)
+    cands = with_url_key(
+        links.select(F.col("abs_url").alias("url")).distinct()
+    )
+    return anti_join_seen(cands, seen)
