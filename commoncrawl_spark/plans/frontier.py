@@ -172,8 +172,19 @@ class CrawlJob:
         pages: DataFrame,
         robots: DataFrame | None = None,
         transient_fail: Column | None = None,
+        discover_links: bool = False,
     ) -> dict[str, int]:
-        """Execute one crawl round; returns counters. Empty frontier -> {}."""
+        """Execute one crawl round; returns counters. Empty frontier -> {}.
+
+        ``discover_links=True`` turns the job into a link-FOLLOWING
+        crawler: hrefs of this round's fetched pages (minus the seen set
+        and the current frontier) enter the next frontier with
+        deterministic priority below every seeded URL — crawl_rank =
+        seeded max + 1, ordered by url_sha1 — so replaying a crashed
+        round still reproduces the same schedule. Off by default: the
+        reference's frontier comes entirely from the CDX index, and its
+        crawl-ordering trace (SURVEY.md §3) is only comparable without
+        discovered URLs."""
         rnd = self.next_round()
         frontier = self.frontier.read(self.spark)
 
@@ -187,8 +198,12 @@ class CrawlJob:
                 .cast("int"),
             )
             budget_col = "_budget"
+        # url_sha1 tie-break makes the priority a TOTAL order: seeded rows
+        # never tie (arrival seq is unique), but discovered rows share
+        # (crawl_rank, page, line_no) and must still schedule
+        # deterministically.
         batch = select_polite_batch(
-            gated, self.budget, self.salt_buckets, PRIORITY,
+            gated, self.budget, self.salt_buckets, PRIORITY + ("url_sha1",),
             budget_col=budget_col,
         ).drop("crawl_delay_s", "_budget").persist()
         n_selected = batch.count()
@@ -285,6 +300,25 @@ class CrawlJob:
                 .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
         )
+        n_discovered = 0
+        if discover_links:
+            from ..operators.links import discover_frontier_candidates
+
+            seen_now = self.seen.read(self.spark)
+            cands = (
+                discover_frontier_candidates(fetched, seen_now.select("url_sha1"))
+                .join(remaining.select("url_sha1"), "url_sha1", "left_anti")
+            )
+            next_rank = (frontier.agg(F.max("crawl_rank")).first()[0] or 0) + 1
+            new_rows = with_host(cands).select(
+                "url", "url_sha1", "host",
+                F.lit(int(next_rank)).cast("int").alias("crawl_rank"),
+                F.lit(0).cast("int").alias("page"),
+                F.lit(0).cast("int").alias("line_no"),
+                F.lit(0).cast("int").alias("attempt"),
+            ).persist()
+            n_discovered = new_rows.count()
+            remaining = remaining.unionByName(new_rows)
         counters = {
             "round": rnd,
             "selected": n_selected,
@@ -293,6 +327,7 @@ class CrawlJob:
             "extract_failed": extract_failed.count(),
             "retried": retryable.count(),
             "exhausted": exhausted.count(),
+            "discovered": n_discovered,
         }
         # frontier commit LAST: it is the resume authority. Crash before this
         # line -> the whole round replays; _append_once skips re-commits.
@@ -303,6 +338,8 @@ class CrawlJob:
         hits.unpersist()
         extracted.unpersist()
         missing.unpersist()
+        if discover_links and n_discovered:
+            new_rows.unpersist()
         return counters
 
     def run(
@@ -311,12 +348,13 @@ class CrawlJob:
         robots: DataFrame | None = None,
         transient_fail: Column | None = None,
         max_rounds: int | None = None,
+        discover_links: bool = False,
     ) -> list[dict[str, int]]:
         """Drive rounds until the frontier drains (or max_rounds)."""
         out = []
         while max_rounds is None or len(out) < max_rounds:
             t0 = time.monotonic()
-            c = self.run_round(pages, robots, transient_fail)
+            c = self.run_round(pages, robots, transient_fail, discover_links)
             if not c:
                 break
             c["wall_s"] = round(time.monotonic() - t0, 3)

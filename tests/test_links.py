@@ -72,3 +72,44 @@ def test_extraction_is_codegen_only(spark):
     )
     plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_link_following_crawl_drains_reachable_graph(spark, tmp_path):
+    """discover_links=True turns CrawlJob into a link-following crawler:
+    seed only page A; A->B,C; B->D; the job must fetch all four over
+    successive rounds, exactly once each, deterministically."""
+    from commoncrawl_spark.fixtures import _warc_wrap
+    from commoncrawl_spark.plans.frontier import CrawlJob
+
+    def page(path: str, links: list[str]) -> tuple[str, bytes]:
+        url = f"https://g.test{path}"
+        body = (
+            '<h1 class="content__headline">T</h1>'
+            '<div itemprop="articleBody"><p>hello world text</p></div>'
+            + "".join(f'<a href="{l}">l</a>' for l in links)
+        )
+        html = f"<html><body>{body}</body></html>"
+        return url, _warc_wrap(html, url, "20240101000000", "utf-8", False)
+
+    rows = [page("/a", ["/b", "https://g.test/c"]),
+            page("/b", ["/d", "/a"]),       # back-link must not refetch /a
+            page("/c", []),
+            page("/d", ["mailto:x@y.z"])]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cdx = spark.createDataFrame(
+        [("https://g.test/a", "200", "text/html", "100",
+          "20240101000000", "CC-MAIN-2024-10", 0, 0)],
+        "url string, status string, mime_detected string, length string, "
+        "timestamp string, crawl string, page int, line_no int",
+    )
+
+    job = CrawlJob(spark, str(tmp_path / "ckpt"), budget_per_host=10)
+    assert job.seed_from_cdx(cdx) == 1
+    counters = job.run(pages, discover_links=True, max_rounds=10)
+
+    fetched_urls = sorted(r["url"] for r in job.articles_df().collect())
+    assert fetched_urls == [f"https://g.test/{p}" for p in "abcd"]
+    assert sum(c["fetched"] for c in counters) == 4  # each exactly once
+    # round structure: a | b,c | d
+    assert [c["fetched"] for c in counters[:3]] == [1, 2, 1]
