@@ -253,6 +253,7 @@ def main() -> None:
             "best_capture_dedup", "bloom_anti_join", "politeness_schedule",
             "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
             "simhash_neardup", "embedding_topk", "quality_scores",
+            "curation_pipeline", "link_discovery",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
