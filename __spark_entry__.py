@@ -309,11 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["seen_anti_join"] = seen_anti_join
 
     def bloom_anti_join(spark, sf):
+        # crawl-shaped membership: ~3/4 of the candidates are UNSEEN (the
+        # common case the Bloom prefilter exists for — definitely-new URLs
+        # never reach the exact anti-join shuffle); the seen set is the
+        # md5-derived quarter of lineitem keys so DuckDB reproduces it
         key = F.sha1(F.col("o_orderkey").cast("string")).alias("url_sha1")
         cand = _read(spark, sf, "orders").select("o_orderkey", key)
-        seen = _read(spark, sf, "lineitem").select(
-            F.col("l_orderkey").alias("o_orderkey")
-        ).distinct().select("o_orderkey", key)
+        seen = (
+            _read(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+            .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                    < "4")
+            .distinct().select("o_orderkey", key)
+        )
         out = anti_join_seen_scalable(cand, seen.select("url_sha1"), n_buckets=16)
         return out.select("o_orderkey")
     q["bloom_anti_join"] = bloom_anti_join
@@ -599,7 +607,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey FROM orders
         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """
-    o["bloom_anti_join"] = o["seen_anti_join"]
+    o["bloom_anti_join"] = """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey NOT IN (
+          SELECT l_orderkey FROM lineitem
+          WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4')
+    """
 
     o["politeness_schedule"] = """
         SELECT host, host_rank, event_id FROM (

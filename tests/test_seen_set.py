@@ -56,6 +56,40 @@ def test_bloom_fp_rate_bounded(spark, keyed):
 
 
 @pytest.mark.spark
+def test_bloom_no_driver_collect(spark, keyed, monkeypatch):
+    """Scale-path invariant: the blob table must stay distributed — no
+    DataFrame.collect() (and no sc.broadcast of blobs) anywhere in the
+    build/probe/anti-join composition (VERDICT r01 'What's wrong' #3)."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError("driver-side collect() in the bloom path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    monkeypatch.setattr(
+        spark.sparkContext, "broadcast",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver-side broadcast in the bloom path")),
+    )
+    seen = keyed.filter(F.crc32(F.col("url")) % 4 == 0).select("url_sha1")
+    out = anti_join_seen_scalable(keyed, seen, n_buckets=8)
+    assert out.count() > 0  # runs end-to-end without touching the driver
+
+
+@pytest.mark.spark
+def test_bloom_probe_is_cogrouped(spark, keyed):
+    """The probe plan is a FlatMapCoGroupsInPandas over (candidates x
+    blobs) — each task holds one bucket's blob; no broadcast exchange."""
+    seen = keyed.select("url_sha1").distinct()
+    blooms = build_bloom_table(seen, n_buckets=8)
+    plan = bloom_prefilter(keyed, blooms, n_buckets=8)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                       .fromString("simple"))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+
+
+@pytest.mark.spark
 def test_scalable_anti_join_equals_exact(spark, keyed):
     seen = keyed.filter(F.crc32(F.col("url")) % 4 == 0).select("url_sha1")
     exact = {r["url_sha1"] for r in anti_join_seen(keyed, seen).collect()}
