@@ -270,6 +270,20 @@ def main() -> None:
         "n_urls_extracted": n_urls,
         "cpus": int(cpus),
     }
+    # per-query ratio vs the recorded round-1 baseline (<1.0 = faster now),
+    # so "did this round make it faster" is answerable mechanically
+    try:
+        r01 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_r01.json")
+        with open(r01) as fh:
+            base = json.load(fh).get("parsed", {}).get("queries", {})
+        out["vs_r01"] = {
+            k: round(v / base[k], 2) for k, v in queries.items()
+            if isinstance(base.get(k), (int, float)) and base[k]
+            and not k.endswith(("urls_per_sec", "rounds"))
+        }
+    except (OSError, ValueError):
+        pass
     print(json.dumps(out), file=real_stdout)
 
 

@@ -24,8 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# href="..." or href='...' in an <a> tag, case-insensitive on the attr
-_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']"""
+# href values in <a> tags, one pattern per quoting style so the closing
+# quote always pairs the opening one (a single alternation with a shared
+# [^"'] class truncated values containing the *other* quote char, e.g.
+# href="it's-here"). The unquoted branch catches href=/x; its char class
+# stops at whitespace/quotes/>/=/` per the HTML5 attribute grammar.
+_HREF_RE_DQ = r'(?i)<a\s[^>]*?href\s*=\s*"([^"<>]*)"'
+_HREF_RE_SQ = r"(?i)<a\s[^>]*?href\s*=\s*'([^'<>]*)'"
+_HREF_RE_UQ = r"(?i)<a\s[^>]*?href\s*=\s*([^\s\"'<>=`]+)"
 
 _SKIP_SCHEMES = r"(?i)^(mailto|javascript|data|tel|ftp):"
 
@@ -72,7 +78,17 @@ def extract_links(
     regex simply finds no links in binary noise). Byte-exact charset
     handling stays in the extraction operator where it matters."""
     text = F.col(html_col).cast("string")
-    hrefs = F.regexp_extract_all(text, F.lit(_HREF_RE), F.lit(1))
+    # three codegen regex passes (double-quoted, single-quoted, unquoted
+    # values); discovery is set-shaped downstream, so pass order is
+    # irrelevant. Known over-approximations, acceptable for discovery and
+    # gated later by robots/seen: hrefs inside comments or <script> string
+    # literals are extracted too, and a tag carrying several href
+    # attributes yields each of them (browsers keep the first).
+    hrefs = F.concat(
+        F.regexp_extract_all(text, F.lit(_HREF_RE_DQ), F.lit(1)),
+        F.regexp_extract_all(text, F.lit(_HREF_RE_SQ), F.lit(1)),
+        F.regexp_extract_all(text, F.lit(_HREF_RE_UQ), F.lit(1)),
+    )
     exploded = pages.select(
         F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href")
     )
@@ -89,11 +105,20 @@ def discover_frontier_candidates(
     url_col: str = "url",
 ) -> DataFrame:
     """Distinct new URLs discovered from fetched pages, minus the seen set
-    — the feed for the next frontier seeding round."""
+    — the feed for the next frontier seeding round.
+
+    Deduplication happens on the CANONICAL key (url_sha1), not the raw
+    string: two raw variants that canonicalize identically (case-differing
+    host, trailing slash, www.) must yield ONE frontier row, or the
+    downstream seen/batch machinery — which keys on url_sha1 — would
+    double-fetch or silently drop a twin. One deterministic representative
+    (min raw url) survives per key."""
     from .seen_set import anti_join_seen, with_url_key
 
     links = extract_links(pages, html_col, url_col)
-    cands = with_url_key(
-        links.select(F.col("abs_url").alias("url")).distinct()
+    cands = (
+        with_url_key(links.select(F.col("abs_url").alias("url")))
+        .groupBy("url_sha1")
+        .agg(F.min("url").alias("url"))
     )
     return anti_join_seen(cands, seen)

@@ -16,6 +16,14 @@ Scale shapes:
 - embedding near-dup joins are bucketed by an LSH bit-signature over
   random hyperplanes for the same reason (see similarity.py for the
   ANN variant).
+
+Caching note: the self-joining operators persist their slim intermediate
+(signatures / shingles / buckets) because both join branches would
+otherwise recompute the md5 folds. The cache is MEMORY_AND_DISK with LRU
+eviction; a long-running session invoking these repeatedly owns cleanup
+(``spark.catalog.clearCache()``, or ``unpersist()`` through the returned
+plan's cached ancestor) — the library cannot unpersist before the caller
+has run its terminal action on the lazily returned frame.
 """
 
 from __future__ import annotations
@@ -148,6 +156,41 @@ def minhash_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup — what a pipeline user actually
+    calls: LSH candidate pairs -> exact Jaccard verification -> drop the
+    higher-id side of every confirmed pair.
+
+    The keep rule is the standard greedy min-id-wins: a document is
+    dropped iff it is near-duplicate (verified Jaccard >= threshold) of
+    ANY lower-id document that collided with it in an LSH band. This is
+    one anti-join, deterministic, and — unlike full connected components
+    — needs no iteration; for transitive chains a surviving middle
+    element can keep a tail alive, which is the usual (and documented)
+    LSH-dedup behavior at corpus scale.
+
+    Scale shape: candidates come only from band-bucket collisions (never
+    all-pairs), the Jaccard join touches candidates only, and the final
+    anti-join key is the slim id column.
+    """
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    confirmed = jaccard_pairs(
+        df, pairs, text_col, id_col, shingle_n, threshold=threshold
+    )
+    losers = confirmed.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -17,13 +17,19 @@ exactly-once (a table that already committed round R skips its append —
 all round outputs are deterministic functions of the round-R frontier).
 
 Scale notes (10^10 URLs, 1000 executors):
-- the fetch join broadcasts the *batch* (hosts x budget rows) against the
-  pages table, so the 100 TB side is never shuffled;
+- the fetch is an injectable Transport (sources.transport): the default
+  lookup join broadcasts the *batch* (hosts x budget rows) only while it
+  is provably small (``broadcast_batch_limit``); a web-shaped batch joins
+  un-hinted so AQE + a bucketed pages layout keep the 100 TB side
+  un-shuffled either way;
 - the politeness window is salted (operators.schedule) so a single-host
   corpus — the reference's actual shape, create_tasks.py:10 — cannot
   create a straggler partition;
 - the seen-set anti-join uses the partitioned-Bloom prefilter above
-  ``bloom_threshold`` keys (operators.seen_set).
+  ``bloom_threshold`` keys (operators.seen_set);
+- transient failures re-enter the frontier with exponential backoff
+  (``not_before_round``), the reference's 2*2^attempt retry pacing
+  (download_warc_segments.py:66-70) at round granularity.
 """
 
 from __future__ import annotations
@@ -56,6 +62,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("page", T.IntegerType()),
         T.StructField("line_no", T.IntegerType()),
         T.StructField("attempt", T.IntegerType()),
+        # earliest round this row may be scheduled (retry backoff, ST3);
+        # 0 for seeded/discovered rows
+        T.StructField("not_before_round", T.IntegerType()),
     ]
 )
 
@@ -78,6 +87,10 @@ class CrawlJob:
         max_retries: int = 3,
         bloom_threshold: int = 2_000_000,
         round_seconds: float | None = None,
+        broadcast_batch_limit: int = 1_000_000,
+        transport=None,
+        retry_backoff: bool = True,
+        backoff_cap_rounds: int = 300,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
@@ -85,6 +98,20 @@ class CrawlJob:
         self.salt_buckets = salt_buckets
         self.max_retries = max_retries
         self.bloom_threshold = bloom_threshold
+        # fetch-join strategy cutover: batches at or under this row count
+        # are broadcast (the single-host reference shape); larger batches
+        # join un-hinted so AQE and the bucketed pages layout decide
+        self.broadcast_batch_limit = broadcast_batch_limit
+        # injectable fetch stage (sources.transport.Transport); None ->
+        # LookupJoinTransport over the ``pages`` argument of run_round
+        self.transport = transport
+        # reference retry pacing (download_warc_segments.py:66-70): a row
+        # failing on attempt a becomes eligible again after
+        # min(2 * 2^a, cap) rounds (1 round ~ 1 s of the reference's
+        # per-request sleep; the 300 cap is download_and_merge.py:179's
+        # 300 s ceiling). retry_backoff=False restores retry-next-round.
+        self.retry_backoff = retry_backoff
+        self.backoff_cap_rounds = backoff_cap_rounds
         # when set and robots carries crawl_delay_s, a host's per-round
         # budget becomes min(budget_per_host, floor(round_seconds / delay))
         # — the politeness rate the reference enforced with time.sleep(0.2)
@@ -138,6 +165,7 @@ class CrawlJob:
                 F.col("page").cast("int").alias("page"),
                 F.col("line_no").cast("int").alias("line_no"),
                 F.lit(0).alias("attempt"),
+                F.lit(0).alias("not_before_round"),
             )
         )
         seen = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
@@ -188,7 +216,9 @@ class CrawlJob:
         rnd = self.next_round()
         frontier = self.frontier.read(self.spark)
 
-        gated = apply_robots(frontier, robots) if robots is not None else frontier
+        # retry backoff (ST3): rows still backing off are not eligible
+        eligible = frontier.filter(F.col("not_before_round") <= F.lit(rnd))
+        gated = apply_robots(eligible, robots) if robots is not None else eligible
         budget_col = None
         if self.round_seconds is not None and "crawl_delay_s" in gated.columns:
             gated = gated.withColumn(
@@ -209,27 +239,31 @@ class CrawlJob:
         n_selected = batch.count()
         if n_selected == 0:
             batch.unpersist()
-            return {}
+            nxt = frontier.agg(F.min("not_before_round")).first()[0]
+            if nxt is None or int(nxt) <= rnd:
+                return {}  # drained (or permanently robots-gated)
+            # every remaining row is backing off: fast-forward the round
+            # clock to the earliest eligibility instead of spinning
+            self.frontier.overwrite(frontier, {"round": int(nxt)})
+            return {
+                "round": rnd, "selected": 0, "fetched": 0, "extract_ok": 0,
+                "extract_failed": 0, "retried": 0, "exhausted": 0,
+                "discovered": 0, "fast_forward_to": int(nxt),
+            }
 
-        # fetch = lookup join (J2). Inner-join with the batch broadcast keeps
-        # the pages table un-shuffled; misses are recovered batch-side.
-        hits = (
-            pages.select("url", "html")
-            .join(F.broadcast(batch), "url", "inner")
+        # fetch stage (J2/S6) through the injectable transport seam; the
+        # default lookup join broadcasts the batch only under
+        # broadcast_batch_limit (size-aware — see sources.transport).
+        # persisted: consumed by the ok/fail splits, the failures commit,
+        # the per-host metrics, and counters.
+        from ..sources.transport import LookupJoinTransport
+
+        transport = self.transport or LookupJoinTransport(
+            pages, self.broadcast_batch_limit, transient_fail
         )
-        if transient_fail is not None:
-            hits = hits.withColumn("_flaky", transient_fail)
-        else:
-            hits = hits.withColumn("_flaky", F.lit(False))
-        hits = hits.persist()
-        fetched = hits.filter(~F.col("_flaky")).drop("_flaky")
-        flaky = hits.filter(F.col("_flaky")).drop("_flaky", "html")
-        # persisted: consumed by retryable/exhausted splits, the failures
-        # commit, the per-host metrics, and two counters — six recomputes
-        # of the anti-join otherwise. Slim (urls + frontier metadata).
-        missing = batch.join(
-            F.broadcast(hits.select("url")), "url", "left_anti"
-        ).unionByName(flaky).persist()
+        result = transport.fetch(batch, n_rows_hint=n_selected).persist()
+        fetched = result.filter(F.col("_fetch_error").isNull()).drop("_fetch_error")
+        missing = result.filter(F.col("_fetch_error").isNotNull()).drop("html")
 
         extracted = extract_articles(fetched).persist()
         ok, extract_failed = split_articles(extracted)
@@ -242,7 +276,11 @@ class CrawlJob:
         exhausted = missing.filter(F.col("attempt") >= self.max_retries)
         perm_failures = (
             extract_failed.select("url", "reason")
-            .unionByName(exhausted.select("url", F.lit("fetch_failed").alias("reason")))
+            .unionByName(exhausted.select(
+                "url",
+                F.coalesce(F.col("_fetch_error"), F.lit("fetch_failed"))
+                .alias("reason"),
+            ))
             .withColumn("round", F.lit(rnd))
         )
         self._append_once(self.failures, perm_failures, rnd)
@@ -293,14 +331,32 @@ class CrawlJob:
         self._append_once(self.lineage, per_part, rnd)
         self._append_once(self.seen, done_keys.distinct(), rnd)
 
+        # reference pacing mapped to rounds: failing on attempt a defers
+        # re-eligibility by min(2*2^a, cap) rounds (2*2^attempt seconds at
+        # download_warc_segments.py:66-70; 300 s cap at
+        # download_and_merge.py:179). Off -> retry next round (round 1
+        # behavior). Computed from the PRE-increment attempt.
+        backoff = (
+            F.least(F.lit(2) * F.pow(F.lit(2.0), F.col("attempt")),
+                    F.lit(float(self.backoff_cap_rounds))).cast("int")
+            if self.retry_backoff else F.lit(1)
+        )
+        requeued = (
+            retryable
+            .withColumn("not_before_round", (F.lit(rnd) + backoff).cast("int"))
+            .withColumn("attempt", F.col("attempt") + 1)
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        hint = (
+            F.broadcast if n_selected <= self.broadcast_batch_limit
+            else (lambda df: df)
+        )
         remaining = (
-            frontier.join(F.broadcast(batch.select("url_sha1")), "url_sha1", "left_anti")
-            .unionByName(
-                retryable.withColumn("attempt", F.col("attempt") + 1)
-                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
-            )
+            frontier.join(hint(batch.select("url_sha1")), "url_sha1", "left_anti")
+            .unionByName(requeued)
         )
         n_discovered = 0
+        new_rows = None
         if discover_links:
             from ..operators.links import discover_frontier_candidates
 
@@ -316,6 +372,7 @@ class CrawlJob:
                 F.lit(0).cast("int").alias("page"),
                 F.lit(0).cast("int").alias("line_no"),
                 F.lit(0).cast("int").alias("attempt"),
+                F.lit(0).cast("int").alias("not_before_round"),
             ).persist()
             n_discovered = new_rows.count()
             remaining = remaining.unionByName(new_rows)
@@ -335,10 +392,9 @@ class CrawlJob:
             k: v for k, v in counters.items() if k != "round"
         }})
         batch.unpersist()
-        hits.unpersist()
+        result.unpersist()
         extracted.unpersist()
-        missing.unpersist()
-        if discover_links and n_discovered:
+        if new_rows is not None:  # unconditional: zero-discovery rounds too
             new_rows.unpersist()
         return counters
 

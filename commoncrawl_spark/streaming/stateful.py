@@ -43,12 +43,17 @@ def per_host_admission(
     budget_per_host: int,
     url_col: str = "url",
     host_col: str = "host",
+    order_cols: tuple[str, ...] = ("url",),
 ) -> DataFrame:
     """Admit at most ``budget_per_host`` URLs per host across the whole
     stream; rows beyond the budget flow out with ``admitted = false``.
 
-    Rows inside a micro-batch are ranked in input order (the frontier
-    already orders batches by priority before they land here)."""
+    The groupBy shuffle gives NO intra-group row order, so which rows
+    consume the budget would be nondeterministic without an explicit
+    ranking: each micro-batch group is therefore sorted by ``order_cols``
+    (pass the frontier's priority columns; default ``url``) before
+    flagging. The admitted *count* is exact either way; the sort makes the
+    admitted *set* deterministic per micro-batch as well."""
 
     def admit(
         key: Tuple[Any, ...],
@@ -58,6 +63,7 @@ def per_host_admission(
         (host,) = key
         (n_admitted,) = state.get if state.exists else (0,)
         for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
             urls = pdf[url_col]
             remaining = max(budget_per_host - n_admitted, 0)
             flags = [i < remaining for i in range(len(urls))]

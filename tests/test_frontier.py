@@ -33,12 +33,16 @@ def _host_of(url: str) -> str:
     return netloc.split(":")[0]
 
 
-def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3):
+def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3,
+                        backoff_cap=300):
     """Reference-faithful simulation: dedup fold -> 200 filter -> per-round
     per-host top-budget by (crawl_rank, page, line_no); URLs missing from
     ``fetchable`` fail transiently and retry with attempt+1 until
     max_retries, then are exhausted (ST3 retry-until-drained semantics).
-    Returns (trace rows, seen sha1 set)."""
+    A row failing on attempt a backs off min(2*2^a, cap) rounds before
+    re-eligibility (the reference's 2*2^attempt pacing at round
+    granularity); rounds where everything is backing off fast-forward to
+    the earliest eligibility. Returns (trace rows, seen sha1 set)."""
     best = deduplicate_records_py(cdx_rows, canonicalize_url_py)
     rank = {c: i for i, c in enumerate(crawl_order)}
     frontier = [
@@ -47,6 +51,7 @@ def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3)
             "host": _host_of(r["url"]),
             "prio": (rank[r["crawl"]], r["page"], r["line_no"]),
             "attempt": 0,
+            "not_before": 0,
         }
         for r in best.values()
         if r["status"] == "200"
@@ -54,8 +59,12 @@ def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3)
     trace, seen = [], set()
     rnd = 0
     while frontier:
+        eligible = [r for r in frontier if r["not_before"] <= rnd]
+        if not eligible:
+            rnd = min(r["not_before"] for r in frontier)  # fast-forward
+            continue
         by_host: dict[str, list] = {}
-        for rec in sorted(frontier, key=lambda r: r["prio"]):
+        for rec in sorted(eligible, key=lambda r: r["prio"]):
             by_host.setdefault(rec["host"], []).append(rec)
         batch = []
         for host, recs in by_host.items():
@@ -76,8 +85,9 @@ def python_crawl_oracle(cdx_rows, budget, crawl_order, fetchable, max_retries=3)
             elif rec["attempt"] >= max_retries:
                 seen.add(key)  # exhausted
             else:
+                rec["not_before"] = rnd + min(2 * 2 ** rec["attempt"], backoff_cap)
                 rec["attempt"] += 1
-                remaining.append(rec)  # transient failure -> retry
+                remaining.append(rec)  # transient failure -> retry later
         frontier = remaining
         rnd += 1
     return trace, seen
@@ -148,7 +158,10 @@ def test_metrics_lineage(spark, full_run):
     lin = job.lineage.read(spark)
     per_round = {r["round"]: r["s"] for r in
                  lin.groupBy("round").agg(F.sum("n_rows").alias("s")).collect()}
-    assert per_round == {r["round"]: r["fetched"] for r in rounds}
+    # lineage covers exactly the rounds that fetched something; rounds
+    # that only fast-forwarded the backoff clock or only exhausted
+    # failures produce no per-partition rows
+    assert per_round == {r["round"]: r["fetched"] for r in rounds if r["fetched"]}
     assert lin.filter(F.col("min_key") > F.col("max_key")).count() == 0
 
 

@@ -1,0 +1,137 @@
+"""Transport seam (S5/S6): size-aware lookup join, ranged-HTTP transport
+with Content-Length verification (torn reads fail into the retry path),
+and retry backoff pacing (ST3: failing URLs skip rounds per the
+2*2^attempt policy, deterministically)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.plans.frontier import CrawlJob
+from commoncrawl_spark.sources.transport import (
+    HttpRangeTransport,
+    LookupJoinTransport,
+)
+
+CDX_SCHEMA = (
+    "url string, status string, mime_detected string, length string, "
+    "timestamp string, crawl string, page int, line_no int"
+)
+
+
+def _mini_cdx(spark, urls):
+    rows = [
+        (u, "200", "text/html", "1000", "20240101000000", "CC-MAIN-2024-10", 0, i)
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, CDX_SCHEMA)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+@pytest.mark.spark
+def test_fetch_join_is_size_aware(spark, fixture_dir):
+    """Under the limit the batch is broadcast; over it the join is
+    un-hinted (no BroadcastExchange once auto-broadcast is off) — the
+    fix for the unconditional F.broadcast of a hosts x budget batch."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    batch = pages.select("url").limit(100)
+
+    small = LookupJoinTransport(pages, broadcast_limit=10**6)
+    assert "BroadcastExchange" in _plan(small.fetch(batch, n_rows_hint=100))
+
+    big = LookupJoinTransport(pages, broadcast_limit=0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastExchange" not in _plan(big.fetch(batch, n_rows_hint=100))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.spark
+def test_http_transport_verifies_content_length(spark, fixture_dir):
+    """A response shorter than the expected length is a torn read
+    (download_warc_segments.py:62-64): the row fails, the bytes are
+    never admitted."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").limit(20)
+    blobs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    torn = set(sorted(blobs)[:5])
+
+    def opener(url, offset, length):
+        data = blobs[url]
+        return data[: len(data) // 2] if url in torn else data
+
+    batch = spark.createDataFrame(
+        [(u, 0, len(b)) for u, b in blobs.items()],
+        "url string, offset long, length long",
+    )
+    out = HttpRangeTransport(opener=opener).fetch(batch).collect()
+    assert len(out) == len(blobs)
+    for r in out:
+        if r["url"] in torn:
+            assert r["html"] is None and r["_fetch_error"].startswith("torn_read")
+        else:
+            assert bytes(r["html"]) == blobs[r["url"]] and r["_fetch_error"] is None
+
+
+@pytest.mark.spark
+def test_crawljob_through_http_transport(spark, fixture_dir, tmp_path):
+    """The round loop runs unchanged through an injected HTTP transport:
+    reachable URLs extract byte-identically, a permanently-erroring URL
+    exhausts its retries into the failures table."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    sample = pages.limit(30).collect()
+    blobs = {r["url"]: bytes(r["html"]) for r in sample}
+    golden = {r["url"]: r["text"] for r in sample}
+    dead = sorted(blobs)[0]
+
+    def opener(url, offset, length):
+        if url == dead:
+            raise OSError("connection refused")
+        return blobs[url]
+
+    job = CrawlJob(
+        spark, str(tmp_path / "http_crawl"), budget_per_host=100,
+        max_retries=1, transport=HttpRangeTransport(opener=opener),
+    )
+    job.seed_from_cdx(_mini_cdx(spark, sorted(blobs)), crawl_order=["CC-MAIN-2024-10"])
+    job.run(pages=None)
+
+    arts = {r["url"]: r["text"] for r in job.articles_df().collect()}
+    for u, t in arts.items():
+        assert t == golden[u]
+    fails = {r["url"]: r["reason"] for r in job.failures.read(spark).collect()}
+    assert dead in fails and fails[dead].startswith("OSError")
+    assert dead not in arts
+
+
+@pytest.mark.spark
+def test_backoff_skips_rounds_deterministically(spark, fixture_dir, tmp_path):
+    """A transiently failing URL is rescheduled at rounds 0, 2, 6, 14
+    (min(2*2^attempt, cap) round gaps), then exhausted — while healthy
+    URLs complete in round 0. The trace stays fully deterministic."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    good = pages.filter(F.length(F.trim("text")) > 0)  # extractable pages
+    urls = [r["url"] for r in good.limit(3).collect()]
+    flaky_url = urls[0]
+
+    job = CrawlJob(spark, str(tmp_path / "backoff"), budget_per_host=100,
+                   max_retries=3)
+    job.seed_from_cdx(_mini_cdx(spark, urls), crawl_order=["CC-MAIN-2024-10"])
+    rounds = job.run(pages, transient_fail=F.col("url") == flaky_url)
+
+    sched = sorted(
+        r["round"] for r in job.trace_df().collect() if r["url"] == flaky_url
+    )
+    assert sched == [0, 2, 6, 14]
+    healthy = {r["url"] for r in job.articles_df().collect()}
+    assert healthy == set(urls[1:])
+    # rounds in between only fast-forward; they select nothing
+    assert all(r["selected"] == 0 for r in rounds if r["round"] not in sched)
