@@ -207,6 +207,44 @@ def bench_round_loop(spark, pages, cdx, rounds: int = 3) -> tuple[float, int, in
     return dt, sum(c["extract_ok"] for c in counters), len(counters)
 
 
+def bench_seen_probe(spark, pages) -> dict[str, float]:
+    """Steady-state seen-set shape: a crawl builds the Bloom blob table
+    ONCE (BloomSeenSet) and every subsequent round pays only the probe —
+    compared against the plain exact anti-join on identical inputs.
+    Candidates are discovery-shaped (mostly fresh keys + 10% revisits)."""
+    from commoncrawl_spark.operators.seen_set import (
+        BloomSeenSet,
+        anti_join_seen,
+        with_url_key,
+    )
+
+    keyed = with_url_key(pages.select("url")).select("url_sha1").persist()
+    n = keyed.count()
+    seen = keyed.filter(F.pmod(F.xxhash64("url_sha1"), F.lit(10)) != 0).persist()
+    seen.count()
+    fresh = spark.range(n).select(
+        F.sha1(F.concat(F.lit("new-"), F.col("id").cast("string")))
+        .alias("url_sha1")
+    )
+    revisits = keyed.filter(F.pmod(F.xxhash64("url_sha1"), F.lit(10)) == 5)
+    cands = fresh.unionByName(revisits).persist()
+    cands.count()
+
+    out = {}
+    sset = BloomSeenSet(seen, n_buckets=32)  # build amortized across rounds
+    for i in range(2):
+        t0 = time.monotonic()
+        sset.unseen(cands).write.format("noop").mode("overwrite").save()
+        out[f"bloom_probe_round{i}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    anti_join_seen(cands, seen).write.format("noop").mode("overwrite").save()
+    out["exact_anti_join"] = round(time.monotonic() - t0, 3)
+    sset.release()
+    for df in (keyed, seen, cands):
+        df.unpersist()
+    return out
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     extra = {}
@@ -245,6 +283,7 @@ def main() -> None:
         queries["round_loop_seconds"] = round(loop_s, 3)
         queries["round_loop_rounds"] = n_rounds
         queries["round_loop_urls_per_sec"] = round(n_loop / loop_s, 1)
+        queries.update(bench_seen_probe(spark, pages))
         os.environ["SPARK_GRAFT_REPARTITION"] = str(4 * int(cpus))
         import __spark_entry__ as e
 

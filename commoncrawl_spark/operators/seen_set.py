@@ -176,7 +176,8 @@ def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
 
 def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
                             n_buckets: int = 64, fp_rate: float = 0.01,
-                            key: str = "url_sha1") -> DataFrame:
+                            key: str = "url_sha1",
+                            blooms: DataFrame | None = None) -> DataFrame:
     """Bloom prefilter + exact anti-join on survivors: exact overall.
 
     ``flagged`` feeds both branches of the union, so it is persisted —
@@ -188,8 +189,70 @@ def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
     co-grouped, and probed executor-side (see ``bloom_prefilter``), which
     ``tests/test_seen_set.py::test_bloom_no_driver_collect`` pins.
     """
-    blooms = build_bloom_table(seen, n_buckets, fp_rate, key)
+    if blooms is None:
+        blooms = build_bloom_table(seen, n_buckets, fp_rate, key)
     flagged = bloom_prefilter(candidates, blooms, n_buckets, key).persist()
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definitely_new.unionByName(anti_join_seen(survivors, seen, key))
+
+
+class BloomSeenSet:
+    """Long-lived seen-set state: blobs built ONCE, probed every round.
+
+    A crawl probes the seen set thousands of times but extends it
+    incrementally, so the steady-state cost that matters is the PROBE,
+    not the build. This class keeps the seen keys and the per-bucket
+    blob table persisted across rounds; ``add()`` rebuilds only the
+    buckets the new keys touch (delta buckets' keys re-folded, untouched
+    blobs carried over by anti-join), so extending a 10^10-key set by a
+    round's worth of URLs re-reads ~|delta-buckets| of data, never the
+    full history.
+
+    Everything stays distributed (DataFrames, executor-side persist);
+    nothing is collected to the driver.
+    """
+
+    def __init__(self, seen: DataFrame, n_buckets: int = 64,
+                 fp_rate: float = 0.01, key: str = "url_sha1"):
+        self.key, self.n_buckets, self.fp_rate = key, n_buckets, fp_rate
+        self.seen = seen.select(key).persist()
+        self.blooms = build_bloom_table(
+            self.seen, n_buckets, fp_rate, key).persist()
+        self.blooms.count()  # materialize so every probe reuses the cache
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def unseen(self, candidates: DataFrame) -> DataFrame:
+        """Exact anti-join, Bloom-accelerated with the prebuilt blobs."""
+        return anti_join_seen_scalable(
+            candidates, self.seen, self.n_buckets, self.fp_rate, self.key,
+            blooms=self.blooms,
+        )
+
+    def add(self, new_keys: DataFrame) -> None:
+        """Extend the set; only blobs of touched buckets are rebuilt."""
+        new_keys = new_keys.select(self.key)
+        touched = self._bucket(new_keys).select("bucket").distinct()
+        seen2 = self.seen.unionByName(new_keys).persist()
+        rebuilt = build_bloom_table(
+            self._bucket(seen2)
+            .join(F.broadcast(touched), "bucket", "left_semi")
+            .drop("bucket"),
+            self.n_buckets, self.fp_rate, self.key,
+        )
+        untouched = self.blooms.join(F.broadcast(touched), "bucket", "left_anti")
+        blooms2 = rebuilt.unionByName(untouched).persist()
+        blooms2.count()
+        old_seen, old_blooms = self.seen, self.blooms
+        self.seen, self.blooms = seen2, blooms2
+        old_seen.unpersist()
+        old_blooms.unpersist()
+
+    def release(self) -> None:
+        self.seen.unpersist()
+        self.blooms.unpersist()

@@ -98,3 +98,39 @@ def test_scalable_anti_join_equals_exact(spark, keyed):
         for r in anti_join_seen_scalable(keyed, seen, n_buckets=8).collect()
     }
     assert scalable == exact
+
+
+@pytest.mark.spark
+def test_bloom_seen_set_incremental_add_equals_fresh_build(spark, keyed):
+    """BloomSeenSet.add rebuilds ONLY touched buckets, yet the resulting
+    blob table is byte-identical to a from-scratch build over the union
+    (per-bucket blobs are deterministic functions of the bucket's keys)."""
+    from commoncrawl_spark.operators.seen_set import BloomSeenSet
+
+    a = keyed.filter(F.crc32("url") % 2 == 0).select("url_sha1")
+    b = keyed.filter(F.crc32("url") % 2 == 1).select("url_sha1")
+    s = BloomSeenSet(a, n_buckets=8)
+    s.add(b)
+    got = sorted(
+        (r["bucket"], r["m_bits"], r["k_hashes"], r["n_keys"], bytes(r["bloom"]))
+        for r in s.blooms.collect()
+    )
+    fresh = build_bloom_table(a.unionByName(b), n_buckets=8)
+    want = sorted(
+        (r["bucket"], r["m_bits"], r["k_hashes"], r["n_keys"], bytes(r["bloom"]))
+        for r in fresh.collect()
+    )
+    assert got == want
+    s.release()
+
+
+@pytest.mark.spark
+def test_bloom_seen_set_unseen_is_exact(spark, keyed):
+    from commoncrawl_spark.operators.seen_set import BloomSeenSet
+
+    seen = keyed.filter(F.crc32("url") % 3 == 0).select("url_sha1")
+    s = BloomSeenSet(seen, n_buckets=8)
+    got = {r["url_sha1"] for r in s.unseen(keyed).collect()}
+    want = {r["url_sha1"] for r in anti_join_seen(keyed, seen).collect()}
+    assert got == want
+    s.release()

@@ -135,3 +135,30 @@ def test_backoff_skips_rounds_deterministically(spark, fixture_dir, tmp_path):
     assert healthy == set(urls[1:])
     # rounds in between only fast-forward; they select nothing
     assert all(r["selected"] == 0 for r in rounds if r["round"] not in sched)
+
+
+@pytest.mark.spark
+def test_fail_fast_group_commit(spark, fixture_dir):
+    """ST5: a group (index) with any failed row commits nothing; clean
+    groups commit whole. Row counts are conserved across the split."""
+    from commoncrawl_spark.operators.groups import split_complete_groups
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    batch = pages.select("url").limit(40).withColumn(
+        "grp", (F.crc32("url") % 4).cast("int")
+    )
+    fail = F.crc32("url") % 17 == 0  # a few rows fail, hitting some groups
+    t = LookupJoinTransport(pages, fail_predicate=fail)
+    res = t.fetch(batch, n_rows_hint=40).persist()
+
+    committable, held = split_complete_groups(res, "grp")
+    bad_groups = {
+        r["grp"] for r in
+        res.filter(F.col("_fetch_error").isNotNull()).select("grp").collect()
+    }
+    assert bad_groups  # fixture produces at least one failing group
+    assert {r["grp"] for r in held.select("grp").distinct().collect()} == bad_groups
+    assert committable.filter(F.col("grp").isin(bad_groups)).count() == 0
+    assert committable.filter(F.col("_fetch_error").isNotNull()).count() == 0
+    assert committable.count() + held.count() == res.count()
+    res.unpersist()
