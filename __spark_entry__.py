@@ -689,6 +689,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=5, n_centroids=16, n_probe=4)
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_kmeans_topk(spark, sf):
+        # trained-centroid IVF variant. No SQL oracle: k-means means are
+        # floating-point sums whose bit pattern varies with partitioning,
+        # so the driver records rows-only; quality + mechanics are pinned
+        # in tests/test_text_ops.py::test_kmeans_centroids_improve_over_first_k
+        from commoncrawl_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        cents = kmeans_centroids(e, k=16, n_iters=3)
+        return ivf_topk(e, e.filter(F.col("vec_id") < 10),
+                        k=5, n_probe=4, centroids=cents)
+    q["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
+
     # ---- multimodal plumbing ----
 
     def media_meta(spark, sf):

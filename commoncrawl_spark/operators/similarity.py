@@ -181,6 +181,56 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means (cosine assignment, mean update) for
+    IVF centroid training — entirely DataFrame ops, no driver data.
+
+    Per iteration: assignment is ``ivf_assign`` (broadcast centroids,
+    map-side ``max_by`` argmax — the corpus never shuffles whole);
+    the update posexplodes to slim ``(cell, pos, val)`` rows so the mean
+    partial-aggregates map-side and the exchange carries K x dim rows,
+    never vectors. Cells that lose all members keep their previous
+    centroid (standard empty-cluster handling, keeps K stable).
+
+    Init is the K corpus vectors with smallest ``md5(id)`` — a
+    deterministic pseudo-random sample independent of partitioning.
+    Centroid values are floating-point means, so exact bits may vary
+    across partitionings (sum order); assignments are what matters and
+    tests pin quality, not bits. Returns ``(id_col: cell 0..K-1,
+    vec_col)`` — feed straight into ``ivf_topk(centroids=...)``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    cents = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select((F.col("_r") - 1).alias(id_col), F.col(vec_col))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .select(F.col("cell").alias(id_col),
+                    F.transform("a", lambda s: s["m"]).alias(vec_col))
+        )
+        survivors = cents.join(means.select(id_col), id_col, "left_anti")
+        # localCheckpoint: K rows, truncates the per-iteration lineage so
+        # the final plan is not n_iters joins deep
+        cents = means.unionByName(survivors).localCheckpoint()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,15 +239,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into inverted
     lists by nearest centroid; each query scores only the lists of its
     ``n_probe`` nearest centroids — cost ~ n_probe/K of brute force.
 
-    Centroids here are the first ``n_centroids`` corpus vectors
-    (deterministic, training-free); swap in k-means centroids at
-    deployment — the partitioning/probing mechanics are identical."""
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    Default centroids are the first ``n_centroids`` corpus vectors
+    (deterministic, training-free — what the cross-engine oracle mirrors);
+    pass ``centroids=kmeans_centroids(corpus, ...)`` for trained lists —
+    the partitioning/probing mechanics are identical."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
     cells = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cents = F.broadcast(
@@ -238,10 +291,26 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    max_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
-    ``block_col`` (e.g. a cluster label or LSH bucket) bounds the self-join;
-    without it this is all-pairs and only safe on small/bucketed inputs."""
+    ``block_col`` (e.g. a cluster label or an ``lsh_signature_col`` bucket)
+    bounds the self-join. Without a block the join is ALL-PAIRS — O(n^2)
+    — so the unblocked path is guarded: it refuses inputs above
+    ``max_unblocked_rows`` (one cheap count) instead of silently
+    launching a 10^20-pair crossJoin on a 100 TB table. Scale users pass
+    a block; the guard exists so nobody discovers the quadratic path in
+    production."""
+    if block_col is None:
+        n = df.count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"near_duplicate_pairs without block_col is all-pairs: "
+                f"{n} rows > max_unblocked_rows={max_unblocked_rows}. "
+                "Pass block_col (e.g. an LSH bucket from "
+                "lsh_signature_col) or raise max_unblocked_rows "
+                "explicitly if the quadratic cost is intended."
+            )
     a = df.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
         *( [F.col(block_col)] if block_col else [] ),

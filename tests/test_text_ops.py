@@ -207,3 +207,47 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["e"]) == 16 for r in emb)
     norms = [sum(x * x for x in r["e"]) for r in emb]
     assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+@pytest.mark.spark
+def test_near_duplicate_pairs_guards_unblocked_quadratic(spark):
+    from commoncrawl_spark.operators.similarity import near_duplicate_pairs
+
+    big = spark.range(200_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        near_duplicate_pairs(big, threshold=0.9)
+    # small unblocked inputs still work (the baseline path)
+    small = big.limit(50)
+    assert near_duplicate_pairs(small, threshold=0.9).count() > 0
+
+
+@pytest.mark.spark
+def test_kmeans_centroids_improve_over_first_k(spark, sf_dir):
+    """Lloyd's iterations must (a) keep K stable, (b) preserve dims,
+    (c) raise mean best-centroid cosine vs the untrained first-K init."""
+    from commoncrawl_spark.operators.similarity import (
+        cosine_col,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = kmeans_centroids(emb, k=8, n_iters=4)
+    assert trained.count() == 8
+    assert trained.select(F.size("embedding")).first()[0] == \
+        emb.select(F.size("embedding")).first()[0]
+
+    def mean_best_cos(cents):
+        assigned = ivf_assign(emb, cents)
+        joined = assigned.join(
+            cents.select(F.col("vec_id").alias("cell"),
+                         F.col("embedding").alias("_cv")), "cell")
+        return joined.select(
+            F.avg(cosine_col(F.col("embedding"), F.col("_cv"))).alias("m")
+        ).first()["m"]
+
+    first_k = emb.filter(F.col("vec_id") < 8)
+    assert mean_best_cos(trained) > mean_best_cos(first_k)
