@@ -120,3 +120,31 @@ def test_extraction_stays_above_fetch_join(spark, fixture_dir):
     # physical plans print top-down: the single MapInPandas must appear
     # ABOVE (before) the join operator in the tree
     assert plan.find("MapInPandas") < join_pos
+
+
+@pytest.mark.spark
+def test_task_fanout_is_narrow_codegen(spark):
+    """S7 fan-out must be a generated column: no shuffle, no Python —
+    a 114-crawl x thousands-of-pages expansion stays executor-side."""
+    from commoncrawl_spark.sources.tasks import tasks_from_indexes
+
+    idx = spark.createDataFrame(
+        [("CC-MAIN-2024-10", 5), ("CC-MAIN-2024-18", 3)], "index string, pages int"
+    )
+    plan = plan_of(tasks_from_indexes(idx, "example.org/*"))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # explode(sequence) is narrow
+    assert "Generate" in plan
+
+
+@pytest.mark.spark
+def test_near_dedup_pipeline_never_cross_joins(spark, docs):
+    """The composed near-dedup must meet candidates only through the
+    (band, bucket) equi-join — an all-pairs plan here would be quadratic
+    at corpus scale."""
+    from commoncrawl_spark.operators.text_dedup import drop_near_duplicates
+
+    plan = plan_of(drop_near_duplicates(docs.select("doc_id", "text")),
+                   mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
