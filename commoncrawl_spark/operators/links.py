@@ -113,12 +113,24 @@ def discover_frontier_candidates(
     downstream seen/batch machinery — which keys on url_sha1 — would
     double-fetch or silently drop a twin. One deterministic representative
     (min raw url) survives per key."""
-    from .seen_set import anti_join_seen, with_url_key
+    from .seen_set import anti_join_seen
+
+    return anti_join_seen(candidate_links(pages, html_col, url_col), seen)
+
+
+def candidate_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Discovered links as canonical-key-deduped frontier candidates
+    (url_sha1, url) — membership filtering is the caller's (so CrawlJob
+    can route it through its cross-round Bloom state)."""
+    from .seen_set import with_url_key
 
     links = extract_links(pages, html_col, url_col)
-    cands = (
+    return (
         with_url_key(links.select(F.col("abs_url").alias("url")))
         .groupBy("url_sha1")
         .agg(F.min("url").alias("url"))
     )
-    return anti_join_seen(cands, seen)

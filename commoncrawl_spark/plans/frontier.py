@@ -48,7 +48,6 @@ from ..operators.schedule import apply_robots, select_polite_batch, with_host
 from ..operators.seen_set import (
     SEEN_SCHEMA,
     anti_join_seen,
-    anti_join_seen_scalable,
     with_url_key,
 )
 from ..tables import SnapshotTable
@@ -112,6 +111,11 @@ class CrawlJob:
         # 300 s ceiling). retry_backoff=False restores retry-next-round.
         self.retry_backoff = retry_backoff
         self.backoff_cap_rounds = backoff_cap_rounds
+        # cross-round Bloom seen-set state: built lazily the first time
+        # the seen table crosses bloom_threshold, then extended
+        # incrementally per round (_note_seen_keys). In-memory only —
+        # a resumed job rebuilds it from the seen table on first use.
+        self._bloom = None
         # when set and robots carries crawl_delay_s, a host's per-round
         # budget becomes min(budget_per_host, floor(round_seconds / delay))
         # — the politeness rate the reference enforced with time.sleep(0.2)
@@ -168,16 +172,40 @@ class CrawlJob:
                 F.lit(0).alias("not_before_round"),
             )
         )
+        frontier = self._filter_unseen(frontier)
+        self.frontier.overwrite(frontier, {"round": self.next_round()})
+        if not self.seen.exists():
+            self.seen.overwrite(
+                self.spark.createDataFrame([], SEEN_SCHEMA), {"round": -1}
+            )
+        return self.frontier.read(self.spark).count()
+
+    # -- seen-set membership -----------------------------------------------------
+
+    def _filter_unseen(self, candidates: DataFrame) -> DataFrame:
+        """Anti-join candidates against the seen set, choosing the side of
+        the small/large crossover automatically: below ``bloom_threshold``
+        keys the plain JVM anti-join wins outright (measured — BASELINE.md
+        round-2 probe numbers); above it, a ``BloomSeenSet`` is built ONCE
+        and kept across rounds — per-round cost is the probe plus an exact
+        join on the ~1% survivors, and ``_note_seen_keys`` extends the
+        blobs incrementally instead of rebuilding from 10^10 keys."""
         seen = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
         n_seen = seen.count()
         if n_seen > self.bloom_threshold:
-            frontier = anti_join_seen_scalable(frontier, seen)
-        elif n_seen:
-            frontier = anti_join_seen(frontier, seen)
-        self.frontier.overwrite(frontier, {"round": self.next_round()})
-        if not self.seen.exists():
-            self.seen.overwrite(seen, {"round": -1})
-        return self.frontier.read(self.spark).count()
+            from ..operators.seen_set import BloomSeenSet
+
+            if self._bloom is None:
+                self._bloom = BloomSeenSet(seen)
+            return self._bloom.unseen(candidates)
+        if n_seen:
+            return anti_join_seen(candidates, seen)
+        return candidates
+
+    def _note_seen_keys(self, done_keys: DataFrame) -> None:
+        """Keep the cross-round Bloom state in sync with the seen table."""
+        if self._bloom is not None:
+            self._bloom.add(done_keys)
 
     # -- round bookkeeping -------------------------------------------------------
 
@@ -185,13 +213,15 @@ class CrawlJob:
         snap = self.frontier.snapshot()
         return 0 if snap is None else int(snap["metadata"].get("round", 0))
 
-    def _append_once(self, table: SnapshotTable, df: DataFrame, rnd: int) -> None:
+    def _append_once(self, table: SnapshotTable, df: DataFrame, rnd: int) -> bool:
         """Exactly-once per round: skip if this table already committed rnd
-        (crash-between-commits replay safety; outputs are deterministic)."""
+        (crash-between-commits replay safety; outputs are deterministic).
+        Returns whether an append actually happened (False = replay skip)."""
         snap = table.snapshot()
         if snap is not None and snap["metadata"].get("round") == rnd:
-            return
+            return False
         table.append(df, {"round": rnd})
+        return True
 
     # -- the round ---------------------------------------------------------------
 
@@ -329,7 +359,12 @@ class CrawlJob:
                     "min_key", "max_key")
         )
         self._append_once(self.lineage, per_part, rnd)
-        self._append_once(self.seen, done_keys.distinct(), rnd)
+        new_seen = done_keys.distinct()
+        if self._append_once(self.seen, new_seen, rnd):
+            # extend the cross-round Bloom state only when the table
+            # actually advanced (a replay-skip means the blobs have
+            # these keys already, via the build-time table read)
+            self._note_seen_keys(new_seen)
 
         # reference pacing mapped to rounds: failing on attempt a defers
         # re-eligibility by min(2*2^a, cap) rounds (2*2^attempt seconds at
@@ -358,11 +393,13 @@ class CrawlJob:
         n_discovered = 0
         new_rows = None
         if discover_links:
-            from ..operators.links import discover_frontier_candidates
+            from ..operators.links import candidate_links
 
-            seen_now = self.seen.read(self.spark)
+            # membership through _filter_unseen so a long discovery crawl
+            # pays the Bloom probe, not a per-round exact anti-join
+            # against the ever-growing seen table
             cands = (
-                discover_frontier_candidates(fetched, seen_now.select("url_sha1"))
+                self._filter_unseen(candidate_links(fetched))
                 .join(remaining.select("url_sha1"), "url_sha1", "left_anti")
             )
             next_rank = (frontier.agg(F.max("crawl_rank")).first()[0] or 0) + 1

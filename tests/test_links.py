@@ -113,3 +113,47 @@ def test_link_following_crawl_drains_reachable_graph(spark, tmp_path):
     assert sum(c["fetched"] for c in counters) == 4  # each exactly once
     # round structure: a | b,c | d
     assert [c["fetched"] for c in counters[:3]] == [1, 2, 1]
+
+
+@pytest.mark.spark
+def test_link_following_crawl_identical_under_bloom_membership(spark, tmp_path):
+    """The cross-round BloomSeenSet membership path (bloom_threshold=0
+    forces it from round 1) must produce the identical crawl — articles,
+    seen set, and trace — as the plain exact-anti-join path."""
+    from commoncrawl_spark.fixtures import _warc_wrap
+    from commoncrawl_spark.plans.frontier import CrawlJob
+
+    def page(path: str, links: list[str]) -> tuple[str, bytes]:
+        url = f"https://g.test{path}"
+        body = (
+            '<h1 class="content__headline">T</h1>'
+            '<div itemprop="articleBody"><p>hello world text</p></div>'
+            + "".join(f'<a href="{l}">l</a>' for l in links)
+        )
+        html = f"<html><body>{body}</body></html>"
+        return url, _warc_wrap(html, url, "20240101000000", "utf-8", False)
+
+    rows = [page("/a", ["/b", "/c"]), page("/b", ["/d", "/a"]),
+            page("/c", ["/d"]), page("/d", [])]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cdx = spark.createDataFrame(
+        [("https://g.test/a", "200", "text/html", "100",
+          "20240101000000", "CC-MAIN-2024-10", 0, 0)],
+        "url string, status string, mime_detected string, length string, "
+        "timestamp string, crawl string, page int, line_no int",
+    )
+
+    outs = {}
+    for name, thr in (("exact", 10**9), ("bloom", 0)):
+        job = CrawlJob(spark, str(tmp_path / name), budget_per_host=10,
+                       bloom_threshold=thr)
+        job.seed_from_cdx(cdx)
+        job.run(pages, discover_links=True, max_rounds=10)
+        outs[name] = (
+            sorted(r["url"] for r in job.articles_df().collect()),
+            {r["url_sha1"] for r in job.seen_df().collect()},
+            {tuple(r) for r in job.trace_df().collect()},
+        )
+        if name == "bloom":
+            assert job._bloom is not None  # the bloom path actually ran
+    assert outs["exact"] == outs["bloom"]
