@@ -568,6 +568,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("index", F.col("page").cast("int").alias("page"), "url")
     q["task_fanout"] = task_fanout
 
+    def cdx_harvest(spark, sf):
+        """Entry point #1 composed and oracle-checked END TO END: CDX
+        records are serialized to real JSONL page bodies (to_json +
+        line_no-ordered concat), served through the transport seam,
+        re-parsed JVM-side (parse_cdx_pages), and fold-deduped
+        (merge_harvested). The oracle skips the byte round-trip (JSON
+        parse is the identity on these records) and reproduces the fold
+        over the same arrival order — any drift in task-url construction,
+        JSONL framing, parsing, or fold semantics breaks the hash."""
+        from commoncrawl_spark.fixtures import CRAWLS
+        from commoncrawl_spark.plans.harvest import harvest_indexes, merge_harvested
+        from commoncrawl_spark.sources.transport import LookupJoinTransport
+
+        base = _events_cdx(spark, sf)
+        crawls3 = F.array(*[F.lit(c) for c in CRAWLS[:3]])
+        recs = base.select(
+            "event_id", "url", "status", "mime_detected", "length", "timestamp",
+            F.element_at(crawls3, (F.col("event_id") % 3 + 1).cast("int"))
+            .alias("index"),
+            (F.col("event_id") % 4).cast("int").alias("page"),
+        )
+        line = F.to_json(F.struct(
+            F.lit("k").alias("urlkey"), F.col("timestamp"), F.col("url"),
+            F.lit("text/html").alias("mime"),
+            F.col("mime_detected").alias("mime-detected"),
+            F.col("status"), F.lit("D").alias("digest"), F.col("length"),
+            F.lit("0").alias("offset"), F.lit("f").alias("filename"),
+        ))
+        bodies = (
+            recs.select("index", "page", F.struct("event_id", line.alias("l")).alias("s"))
+            .groupBy("index", "page")
+            .agg(F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list("s")),
+                                  lambda x: x["l"])).alias("body"))
+        )
+        task_url = F.concat(
+            F.lit("https://index.commoncrawl.org/"), F.col("index"),
+            F.lit("-index?url=site.test/*&output=json&page="),
+            F.col("page").cast("string"),
+        )
+        pages = bodies.select(task_url.alias("url"),
+                              F.encode("body", "utf-8").alias("html"))
+        indexes = recs.groupBy("index").agg(
+            (F.max("page") + 1).cast("int").alias("pages"))
+        parsed, _failed = harvest_indexes(
+            indexes, LookupJoinTransport(pages), "site.test/*")
+        out = merge_harvested(parsed)
+        return out.select(
+            "canon_url", "url", "status", "mime_detected", "length",
+            "timestamp", "crawl",
+            F.col("page").cast("int").alias("page"),
+            F.col("line_no").cast("int").alias("line_no"),
+        )
+    q["cdx_harvest"] = cdx_harvest
+
     def tag_keyword_filter(spark, sf):
         """C10 + F5 composed as the reference notebook does it
         (read_jsonl.ipynb cell 0): concat the three extracted tag arrays,
@@ -1048,6 +1103,47 @@ def oracle_sql() -> dict[str, str]:
                       6) >= 0.8)
         SELECT doc_id FROM {_DOCS2_SQL}
         WHERE doc_id NOT IN (SELECT b FROM losers)
+    """
+
+    # cdx_harvest: the oracle skips the JSONL byte round-trip (JSON parse
+    # is the identity on these records) and replays the same fold over the
+    # same (crawl, page, line_no) arrival order; line_no = the record's
+    # position within its page body, which Spark gets from posexplode and
+    # the oracle from a rank over the same ordering key (event_id)
+    from commoncrawl_spark.fixtures import CRAWLS as _ALL_CRAWLS
+
+    _CRAWLS3 = _ALL_CRAWLS[:3]
+    crawl_case = (
+        "CASE event_id % 3 "
+        + " ".join(f"WHEN {k} THEN '{c}'" for k, c in enumerate(_CRAWLS3[:2]))
+        + f" ELSE '{_CRAWLS3[2]}' END"
+    )
+    o["cdx_harvest"] = f"""
+        WITH cdx AS ({_EV_CDX_SQL}),
+        recs AS (
+          SELECT event_id, url, status, mime_detected, length, "timestamp",
+                 {crawl_case} AS crawl,
+                 CAST(event_id % 4 AS INTEGER) AS page,
+                 CAST(row_number() OVER (
+                        PARTITION BY event_id % 3, event_id % 4
+                        ORDER BY event_id) - 1 AS INTEGER) AS line_no
+          FROM cdx),
+        g AS (
+          SELECT {_sql_canon("url")} AS canon_url,
+                 list(struct_pack(
+                        url := url, status := status,
+                        mime_detected := mime_detected, length := length,
+                        "timestamp" := "timestamp", crawl := crawl,
+                        page := page, line_no := line_no)
+                      ORDER BY crawl, page, line_no) AS rs
+          FROM recs GROUP BY 1),
+        w AS (SELECT canon_url, {_FOLD_SQL} AS win FROM g)
+        SELECT canon_url, win['url'] AS url, win['status'] AS status,
+               win['mime_detected'] AS mime_detected,
+               win['length'] AS length, win['timestamp'] AS "timestamp",
+               win['crawl'] AS crawl, win['page'] AS page,
+               win['line_no'] AS line_no
+        FROM w
     """
 
     o["task_fanout"] = """
