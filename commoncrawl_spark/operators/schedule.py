@@ -149,6 +149,30 @@ def parse_robots_py(text: str) -> tuple[list[str], float | None]:
     return dis, delay
 
 
+def fetch_robots_rules(hosts: DataFrame, transport,
+                       scheme: str = "https") -> DataFrame:
+    """hosts(host, ...) -> the per-host rules table ``apply_robots``
+    consumes, by fetching ``{scheme}://{host}/robots.txt`` through the
+    injectable transport (S5 seam, sources/transport.py) and parsing the
+    bodies JVM-side (``robots_rules_col`` — a Catalyst fold, no Python).
+
+    Hosts whose robots fetch fails get NO row: absent hosts are
+    permissive in ``apply_robots`` — the reference-faithful default (the
+    reference has no robots handling at all) and the common-crawler
+    convention for unreachable robots. One row per host, so the result
+    is broadcast-sized even at millions of hosts."""
+    batch = hosts.select("host").distinct().withColumn(
+        "url",
+        F.concat(F.lit(scheme + "://"), F.col("host"), F.lit("/robots.txt")),
+    )
+    fetched = transport.fetch(batch)
+    txt = (
+        fetched.filter(F.col("_fetch_error").isNull())
+        .select("host", F.col("html").cast("string").alias("robots_txt"))
+    )
+    return parse_robots_txt(txt)
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame,
                  url_col: str = "url") -> DataFrame:
     """Drop URLs disallowed by per-host rules.

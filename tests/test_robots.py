@@ -83,3 +83,42 @@ def test_parsed_rules_gate_the_frontier(spark):
     )
     kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
     assert kept == {"https://a.test/public/y", "https://b.test/private/z"}
+
+
+@pytest.mark.spark
+def test_fetch_robots_rules_through_transport(spark, tmp_path):
+    """robots.txt bodies fetched through the transport seam and parsed
+    JVM-side; an unreachable host yields no row (permissive default),
+    and the rules gate a real crawl round."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.operators.schedule import (
+        apply_robots,
+        fetch_robots_rules,
+    )
+    from commoncrawl_spark.sources.transport import LookupJoinTransport
+
+    robots_pages = spark.createDataFrame(
+        [
+            ("https://a.test/robots.txt",
+             b"User-agent: *\nDisallow: /private\nCrawl-delay: 2"),
+            ("https://b.test/robots.txt", b"User-agent: *\nDisallow:"),
+            # c.test has no robots.txt -> not_found -> permissive
+        ],
+        "url string, html binary",
+    )
+    hosts = spark.createDataFrame(
+        [("a.test",), ("b.test",), ("c.test",)], "host string"
+    )
+    rules = fetch_robots_rules(hosts, LookupJoinTransport(robots_pages))
+    got = {r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_s"])
+           for r in rules.collect()}
+    assert got == {"a.test": (["/private"], 2.0), "b.test": ([], None)}
+
+    frontier = spark.createDataFrame(
+        [("https://a.test/private/x",), ("https://a.test/ok",),
+         ("https://c.test/anything",)],
+        "url string",
+    )
+    kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"https://a.test/ok", "https://c.test/anything"}
