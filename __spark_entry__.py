@@ -397,6 +397,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("host", "host_rank", "event_id")
     q["politeness_schedule"] = politeness_schedule
 
+    def politeness_delay_schedule(spark, sf):
+        """W5 with robots crawl-delay-derived budgets: a host's per-round
+        budget is min(global cap, floor(round_seconds / delay)) — the
+        reference's time.sleep pacing generalized per host."""
+        ev = _read(spark, sf, "events").select(
+            "event_id", "ts",
+            F.concat(F.lit("site-"), (F.col("user_id") % 23).cast("string"))
+            .alias("host"),
+            # deterministic per-host crawl delay: 1..3 s; 10 s rounds
+            F.floor(F.lit(10.0) / (F.col("user_id") % 23 % 3 + 1))
+            .cast("int").alias("_budget"),
+        )
+        out = select_polite_batch(
+            ev, budget_per_host=6, salt_buckets=8,
+            priority_cols=("ts", "event_id"), key_col="event_id",
+            budget_col="_budget",
+        )
+        return out.select("host", "host_rank", "event_id")
+    q["politeness_delay_schedule"] = politeness_delay_schedule
+
     # ---- analytics (SURVEY.md §2.3 A7-A11, F5) ----
 
     def word_topk(spark, sf):
@@ -843,6 +863,21 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts, event_id) AS host_rank
           FROM events)
         WHERE host_rank <= 5
+    """
+
+    o["politeness_delay_schedule"] = """
+        SELECT host, host_rank, event_id FROM (
+          SELECT host, event_id,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY ts, event_id) AS host_rank,
+                 least(budget, 6) AS lim
+          FROM (
+            SELECT 'site-' || CAST(user_id % 23 AS VARCHAR) AS host,
+                   event_id, ts,
+                   CAST(floor(10.0 / (user_id % 23 % 3 + 1)) AS INTEGER)
+                     AS budget
+            FROM events))
+        WHERE host_rank <= lim
     """
 
     o["word_topk"] = f"""

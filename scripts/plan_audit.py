@@ -1,0 +1,225 @@
+"""Physical-plan audit: regenerates SCALE.md from live explain() output.
+
+Every 100 TB-readiness claim in this repo reduces to a plan property —
+a filter reaching the parquet scan, a join NOT broadcasting the fat
+side, a probe co-grouping instead of collecting, an aggregate keeping
+its map-side partial. This script renders those properties from the
+actual optimizer output so the claims cannot drift from the code:
+rerun after engine changes (`python scripts/plan_audit.py`) and diff.
+
+The hard assertions live in tests/test_plans.py and friends; this
+report is the human-readable companion with the evidence inline.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from commoncrawl_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "SCALE.md")
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def grab(plan: str, *patterns: str, context: int = 0) -> list[str]:
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if any(re.search(p, line) for p in patterns):
+            out.extend(x.strip()[:110] for x in lines[i:i + 1 + context])
+    return out
+
+
+def main() -> None:
+    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    sections: list[tuple[str, str, list[str]]] = []
+
+    # 1. scan pushdown + pruning
+    p = plan_of(docs.filter(F.col("n_chars") > 200).select("doc_id"),
+                "formatted")
+    sections.append((
+        "Scan: predicate pushdown + column pruning",
+        "A 2-column projection with a filter must reach the parquet reader "
+        "as PushedFilters + a pruned ReadSchema — at 100 TB this is the "
+        "difference between reading 2 columns and reading the html blobs.",
+        grab(p, "PushedFilters", "ReadSchema"),
+    ))
+
+    # 2. dedup fold: one shuffle, no Python
+    from commoncrawl_spark.operators.dedup import best_capture_per_url
+    from commoncrawl_spark.fixtures import write_fixtures
+    import tempfile
+
+    fx = tempfile.mkdtemp()
+    write_fixtures(fx, n_pages=200)
+    cdx = spark.read.parquet(f"{fx}/cdx.parquet")
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    p = plan_of(best_capture_per_url(cdx))
+    sections.append((
+        "choose_better_record fold (A2): one hash shuffle, zero Python",
+        "The arrival-order fold is JVM array expressions after a single "
+        "exchange on the canonical key; no window sort, no UDF. Shuffle "
+        "payload = one struct per capture, never re-joined.",
+        [f"Exchange count: {p.count('Exchange hashpartitioning')} (expect 1)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"]
+        + grab(p, "Exchange hashpartitioning")[:1],
+    ))
+
+    # 3. size-aware fetch join
+    from commoncrawl_spark.sources.transport import LookupJoinTransport
+
+    batch = pages.select("url").limit(50)
+    small = plan_of(LookupJoinTransport(pages).fetch(batch, n_rows_hint=50))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    big = plan_of(LookupJoinTransport(pages, broadcast_limit=0)
+                  .fetch(batch, n_rows_hint=50))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    sections.append((
+        "Fetch join (J2/S6): batch broadcast only while provably small",
+        "Under broadcast_batch_limit the slim batch broadcasts (fat pages "
+        "side never moves); above it the hint is withheld so AQE and the "
+        "bucketed pages layout decide — no driver-memory cliff at "
+        "hosts x budget batch sizes.",
+        [f"small batch -> BroadcastHashJoin present: "
+         f"{'BroadcastHashJoin' in small}",
+         f"large batch (hint withheld, auto-broadcast off) -> "
+         f"SortMergeJoin: {'SortMergeJoin' in big}, "
+         f"BroadcastExchange: {'BroadcastExchange' in big}"],
+    ))
+
+    # 4. Bloom probe: cogrouped, no driver collect
+    from commoncrawl_spark.operators.seen_set import (
+        build_bloom_table,
+        bloom_prefilter,
+        with_url_key,
+    )
+
+    keyed = with_url_key(pages.select("url"))
+    blooms = build_bloom_table(keyed.select("url_sha1"), n_buckets=8)
+    p = plan_of(bloom_prefilter(keyed, blooms, n_buckets=8))
+    sections.append((
+        "Seen-set Bloom probe (A5): bucket-cogroup, blobs stay distributed",
+        "Candidates and the one-row-per-bucket blob table co-group on the "
+        "bucket key: each task holds exactly one blob; a 16 GB blob table "
+        "never touches the driver (no collect, no broadcast).",
+        [f"FlatMapCoGroupsInPandas present: "
+         f"{'FlatMapCoGroupsInPandas' in p}",
+         f"BroadcastExchange present: {'BroadcastExchange' in p} (expect False)"],
+    ))
+
+    # 5. salted politeness
+    from commoncrawl_spark.operators.schedule import select_polite_batch, with_host
+    fr = with_host(with_url_key(pages.select("url")))
+    p = plan_of(select_polite_batch(fr, 10, salt_buckets=8,
+                                    priority_cols=("url",)))
+    n_win = len(re.findall(r"\bWindow \[", p))
+    n_wgl = len(re.findall(r"WindowGroupLimit", p))
+    sections.append((
+        "Politeness top-k (W5): salted two-stage window",
+        "Stage 1 ranks within (host, salt) so a single-host 10^10-URL "
+        "frontier never lands in one partition; stage 2 ranks only the "
+        "<= salt_buckets x budget survivors. Two Window operators, both "
+        "JVM; Spark additionally inserts partial+final WindowGroupLimit "
+        "(rank-limit pushdown), so rows beyond the budget are pruned "
+        "BEFORE each window's sort. Exactness argued in "
+        "operators/schedule.py.",
+        [f"Window operators: {n_win} (expect 2)",
+         f"WindowGroupLimit operators: {n_wgl} "
+         f"(expect 4: partial+final per stage)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # 6. extraction barrier above the join
+    from commoncrawl_spark.operators.extraction import (
+        extract_articles,
+        split_articles,
+    )
+
+    fetch = pages.select("url").limit(10).join(pages.select("url", "html"), "url")
+    ok, _ = split_articles(extract_articles(fetch))
+    p = plan_of(ok)
+    join_pos = max(p.find("SortMergeJoin"), p.find("BroadcastHashJoin"),
+                   p.find("ShuffledHashJoin"))
+    sections.append((
+        "Extraction (C6/UDF1): MapInPandas barrier above the fetch join",
+        "A pandas_udf EXPRESSION got pushed below the join by Catalyst "
+        "(ran twice, shuffled fat article rows — round-1 pathology #1). "
+        "MapInPandas is a plan-node barrier: exactly one, after the join, "
+        "and the fat html column dies at the barrier.",
+        [f"MapInPandas count: {p.count('MapInPandas')} (expect 1)",
+         f"MapInPandas above join: {p.find('MapInPandas') < join_pos}"],
+    ))
+
+    # 7. aggregation partials
+    from commoncrawl_spark.operators.analytics import explode_count, tokens_col
+    p = plan_of(explode_count(docs, tokens_col(F.col("text")), top_n=10))
+    sections.append((
+        "Analytics (A7-A10): map-side partial aggregation",
+        "explode + count carries one row per distinct token through the "
+        "exchange, not one per element.",
+        [f"HashAggregate operators: {p.count('HashAggregate')} "
+         f"(expect >= 2: partial + final)"],
+    ))
+
+    # 8. anti-join membership
+    from commoncrawl_spark.operators.seen_set import anti_join_seen
+    p = plan_of(anti_join_seen(orders.select(F.col('o_orderkey').alias('k')),
+                               lineitem.select(F.col('l_orderkey').alias('k')),
+                               key='k'))
+    sections.append((
+        "Resume membership (J1/A5): LEFT ANTI join",
+        "Exact path below the bloom_threshold crossover; AQE may turn it "
+        "into a broadcast anti-join when the seen side is small.",
+        grab(p, "LeftAnti")[:2],
+    ))
+
+    with open(OUT, "w") as fh:
+        fh.write(
+            "# SCALE.md — physical-plan audit (generated by "
+            "`scripts/plan_audit.py`)\n\n"
+            "Each 100 TB claim, with the optimizer's own output as "
+            "evidence. Regenerate after engine changes; the matching hard "
+            "assertions live in `tests/test_plans.py`, "
+            "`tests/test_transport.py`, `tests/test_seen_set.py`.\n"
+        )
+        for title, why, ev in sections:
+            fh.write(f"\n## {title}\n\n{why}\n\n```\n")
+            for line in ev:
+                fh.write(f"{line}\n")
+            fh.write("```\n")
+        fh.write(
+            "\n## Non-plan scale properties (measured, see BASELINE.md)\n\n"
+            "- N->4N scaling efficiency 0.92 (round 2; 0.87 round 1), "
+            "interleaved-pairs method with taskset pinning.\n"
+            "- Hot-host skew defeat: salted top-k 3.4x over the naive "
+            "single-task window on a 16M-row single-host frontier "
+            "(skew_report.json).\n"
+            "- Bloom-vs-exact membership crossover measured and encoded "
+            "as CrawlJob's bloom_threshold (BASELINE.md round-2 section).\n"
+            "- Arrow/parquet batch sizes are byte-sized for the fat html "
+            "column (session.py, bench.py) — row-count defaults are "
+            "byte-bombs at ~50-100 KB per value.\n"
+        )
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
