@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# plain `python scripts/run_crawl.py` works too: put the repo root on the
+# path (spark-submit --py-files makes this a no-op)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -41,7 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     from commoncrawl_spark.plans.frontier import CrawlJob
     from commoncrawl_spark.sources.cdx import read_cdx_jsonl
 
-    spark = SparkSession.builder.appName("commoncrawl-spark-crawl").getOrCreate()
+    if SparkSession.getActiveSession() is not None:
+        spark = SparkSession.getActiveSession()  # spark-submit provided
+    else:
+        # standalone python invocation: get_spark ships the package to
+        # workers (the local equivalent of --py-files)
+        from commoncrawl_spark.session import get_spark
+
+        spark = get_spark("commoncrawl-spark-crawl")
     job = CrawlJob(
         spark, args.checkpoint,
         budget_per_host=args.budget,

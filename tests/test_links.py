@@ -157,3 +157,55 @@ def test_link_following_crawl_identical_under_bloom_membership(spark, tmp_path):
         if name == "bloom":
             assert job._bloom is not None  # the bloom path actually ran
     assert outs["exact"] == outs["bloom"]
+
+
+@pytest.mark.spark
+def test_discovery_crawl_resume_with_bloom_state(spark, tmp_path):
+    """Crash a discovery crawl after round 1 and resume in a FRESH
+    CrawlJob: the in-memory BloomSeenSet is gone, must rebuild lazily
+    from the seen table, and the final state must equal an
+    uninterrupted run."""
+    from commoncrawl_spark.fixtures import _warc_wrap
+    from commoncrawl_spark.plans.frontier import CrawlJob
+
+    def page(path: str, links: list[str]) -> tuple[str, bytes]:
+        url = f"https://g.test{path}"
+        body = (
+            '<h1 class="content__headline">T</h1>'
+            '<div itemprop="articleBody"><p>hello world text</p></div>'
+            + "".join(f'<a href="{l}">l</a>' for l in links)
+        )
+        return url, _warc_wrap(f"<html><body>{body}</body></html>", url,
+                               "20240101000000", "utf-8", False)
+
+    rows = [page("/a", ["/b", "/c"]), page("/b", ["/d"]),
+            page("/c", ["/d", "/e"]), page("/d", []), page("/e", ["/a"])]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cdx = spark.createDataFrame(
+        [("https://g.test/a", "200", "text/html", "100",
+          "20240101000000", "CC-MAIN-2024-10", 0, 0)],
+        "url string, status string, mime_detected string, length string, "
+        "timestamp string, crawl string, page int, line_no int",
+    )
+
+    def state(job):
+        return (
+            sorted(r["url"] for r in job.articles_df().collect()),
+            {r["url_sha1"] for r in job.seen_df().collect()},
+            {tuple(r) for r in job.trace_df().collect()},
+        )
+
+    ref = CrawlJob(spark, str(tmp_path / "ref"), budget_per_host=10,
+                   bloom_threshold=0)
+    ref.seed_from_cdx(cdx)
+    ref.run(pages, discover_links=True, max_rounds=10)
+
+    d = str(tmp_path / "crash")
+    j1 = CrawlJob(spark, d, budget_per_host=10, bloom_threshold=0)
+    j1.seed_from_cdx(cdx)
+    j1.run(pages, discover_links=True, max_rounds=1)  # "crash"
+    j2 = CrawlJob(spark, d, budget_per_host=10, bloom_threshold=0)
+    assert j2._bloom is None  # fresh process: no in-memory state
+    j2.run(pages, discover_links=True, max_rounds=10)
+    assert j2._bloom is not None  # rebuilt lazily from the seen table
+    assert state(ref) == state(j2)
