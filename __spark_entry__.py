@@ -358,6 +358,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["best_capture_dedup"] = best_capture_dedup
 
+    def incremental_merge(spark, sf):
+        """A4: out-of-core batched dedup — fold a new arrival-suffix batch
+        into an already-deduped prefix (main_merge_and_deduplicate.py's
+        100-file rounds). Because choose_better_record is a LEFT fold and
+        batches are arrival-order prefixes, incremental == one global
+        fold, which is exactly what the oracle computes."""
+        from commoncrawl_spark.operators.dedup import merge_incremental
+
+        cdx = _events_cdx(spark, sf)
+        half = F.col("event_id") < 5000
+        existing = best_capture_per_url(cdx.filter(half),
+                                        arrival_cols=("event_id",))
+        merged = merge_incremental(
+            existing.drop("canon_url"), cdx.filter(~half),
+            arrival_cols=("event_id",),
+        )
+        return merged.select(
+            "canon_url",
+            F.col("event_id").alias("w_event_id"),
+            F.col("status").alias("w_status"),
+            F.col("length").alias("w_length"),
+            F.col("timestamp").alias("w_timestamp"),
+        )
+    q["incremental_merge"] = incremental_merge
+
     def seen_anti_join(spark, sf):
         cand = _read(spark, sf, "orders").select("o_orderkey")
         seen = _read(spark, sf, "lineitem").select(
@@ -844,6 +869,10 @@ def oracle_sql() -> dict[str, str]:
                win['timestamp'] AS w_timestamp
         FROM w
     """
+
+    # incremental == global by left-fold composition (batches are arrival
+    # prefixes), so the oracle is the same global fold as best_capture_dedup
+    o["incremental_merge"] = o["best_capture_dedup"]
 
     o["seen_anti_join"] = """
         SELECT o_orderkey FROM orders
