@@ -79,3 +79,49 @@ def stream_to_snapshot_table(stream: DataFrame, table_root: str,
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_crawl(
+    spark: SparkSession,
+    landing_dir: str,
+    pages: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+):
+    """The crawl pipeline as a STREAM: CDX files landing continuously ->
+    per-micro-batch dedup (A2) -> status gate (F1) -> fetch lookup join
+    (J2) -> Arrow extraction (C6) -> one SnapshotTable commit per batch.
+
+    Composes the exact batch operators inside ``foreachBatch``, so
+    streaming and batch crawls share one code path and one table layer;
+    the file source's exactly-once tracking plus the epoch-deduped
+    snapshot commit give end-to-end exactly-once per landed file across
+    restarts (test-pinned). The deterministic ROUND loop
+    (plans.frontier.CrawlJob) remains the ordering-reproducible mode;
+    this is the continuous-ingest mode for unbounded landing dirs.
+
+    Returns the not-yet-started writer: call
+    ``.trigger(availableNow=True).start()`` (drain-now) or with a
+    processingTime trigger (continuous)."""
+    from ..operators.dedup import best_capture_per_url
+    from ..operators.extraction import extract_articles, split_articles
+
+    stream = stream_cdx_jsonl(spark, landing_dir)
+
+    def transform(batch: DataFrame) -> DataFrame:
+        # a stream has no stable file order, so the fold's arrival order
+        # is data-derived (content columns form a deterministic total
+        # order) — partition- and trigger-independent
+        best = best_capture_per_url(
+            batch, arrival_cols=("timestamp", "urlkey", "digest")
+        )
+        fetch = (
+            best.filter(F.col("status") == "200")
+            .select("url")
+            .join(pages.select("url", "html"), "url")
+        )
+        ok, _failed = split_articles(extract_articles(fetch))
+        return ok
+
+    return stream_to_snapshot_table(stream, table_root, checkpoint_dir,
+                                    transform)

@@ -146,3 +146,51 @@ def test_per_host_admission_state_survives_micro_batches(spark, tmp_path):
     assert by_url["https://b.test/0"]["admitted"]
     # final counter visible on the last-admitted row
     assert max(r["host_admitted_total"] for r in got if r["host"] == "a.test") == 3
+
+
+@pytest.mark.spark
+def test_stream_crawl_end_to_end_exactly_once(spark, tmp_path):
+    """The composed streaming crawl: CDX files land -> micro-batch dedup
+    -> fetch join -> extraction -> snapshot commits. Draining twice (new
+    files in between, with a duplicate capture of an already-crawled URL
+    inside one batch) yields byte-identical articles, exactly once per
+    URL within each landed batch."""
+    from commoncrawl_spark.fixtures import _warc_wrap
+    from commoncrawl_spark.streaming.pipeline import stream_crawl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def warc(i: int) -> bytes:
+        url = f"https://example.test/p/{i}"
+        html = (
+            '<html><body><h1 class="content__headline">T</h1>'
+            f'<div itemprop="articleBody"><p>body {i} text</p></div>'
+            "</body></html>"
+        )
+        return _warc_wrap(html, url, "20240101000000", "utf-8", False)
+
+    pages = spark.createDataFrame(
+        [(f"https://example.test/p/{i}", warc(i)) for i in range(6)],
+        "url string, html binary",
+    )
+
+    q = stream_crawl(spark, str(landing), pages,
+                     str(tmp_path / "articles"), str(tmp_path / "ckpt"))
+
+    # batch 1: urls 0-2, with url 1 captured twice (dedup inside batch)
+    _write_jsonl(str(landing / "b1.jsonl"),
+                 [_cdx_row(0), _cdx_row(1), _cdx_row(1, status="404"),
+                  _cdx_row(2)])
+    q.trigger(availableNow=True).start().awaitTermination(120)
+    # batch 2: urls 3-5 land later
+    _write_jsonl(str(landing / "b2.jsonl"),
+                 [_cdx_row(3), _cdx_row(4), _cdx_row(5)])
+    q.trigger(availableNow=True).start().awaitTermination(120)
+
+    arts = SnapshotTable(str(tmp_path / "articles")).read(spark)
+    got = {r["url"]: r["text"] for r in arts.collect()}
+    assert sorted(got) == [f"https://example.test/p/{i}" for i in range(6)]
+    assert arts.count() == 6  # once per URL: in-batch dedup + epoch commits
+    for i in range(6):
+        assert got[f"https://example.test/p/{i}"] == f"body {i} text"
