@@ -32,11 +32,21 @@ def split_complete_groups(
     ``results`` is a fetch/extract output carrying ``group_col`` (e.g.
     the crawl index) and ``error_col`` (null = success), the shape
     ``sources.transport`` produces.
+
+    A null group key means "no group": such a row is its own unit of
+    work (committable iff it itself succeeded). They are split out
+    explicitly because null never equi-joins — routing them through the
+    anti/semi pair would commit errored null-key rows and lose them from
+    ``held``, breaking both fail-fast and row conservation.
     """
+    null_rows = results.filter(F.col(group_col).isNull())
+    grouped = results.filter(F.col(group_col).isNotNull())
     failed = (
-        results.filter(F.col(error_col).isNotNull())
+        grouped.filter(F.col(error_col).isNotNull())
         .select(group_col).distinct()
     )
-    committable = results.join(failed, group_col, "left_anti")
-    held = results.join(failed, group_col, "left_semi")
+    committable = grouped.join(failed, group_col, "left_anti").unionByName(
+        null_rows.filter(F.col(error_col).isNull()))
+    held = grouped.join(failed, group_col, "left_semi").unionByName(
+        null_rows.filter(F.col(error_col).isNotNull()))
     return committable, held

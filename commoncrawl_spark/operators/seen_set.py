@@ -174,16 +174,30 @@ def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
     )
 
 
+def _probe_and_verify(candidates: DataFrame, seen: DataFrame,
+                      blooms: DataFrame, n_buckets: int,
+                      key: str) -> tuple[DataFrame, DataFrame]:
+    """(result, flagged): ``flagged`` feeds both branches of the union, so
+    it is persisted — otherwise the scan + cogroup probe run twice
+    (measured 2x on the whole operator). The caller owns unpersisting
+    ``flagged`` once the result has been consumed."""
+    flagged = bloom_prefilter(candidates, blooms, n_buckets, key).persist()
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    result = definitely_new.unionByName(anti_join_seen(survivors, seen, key))
+    return result, flagged
+
+
 def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
                             n_buckets: int = 64, fp_rate: float = 0.01,
                             key: str = "url_sha1",
                             blooms: DataFrame | None = None) -> DataFrame:
     """Bloom prefilter + exact anti-join on survivors: exact overall.
 
-    ``flagged`` feeds both branches of the union, so it is persisted —
-    otherwise the scan + cogroup probe run twice (measured 2x on the whole
-    operator). Storage is evicted LRU; callers running many rounds can
-    unpersist via the returned plan's lineage if memory matters.
+    The intermediate probe frame is persisted (see ``_probe_and_verify``);
+    one-shot callers can rely on LRU eviction, while round-loop callers
+    should use ``BloomSeenSet.unseen``, which releases the previous
+    round's probe cache on every call.
 
     Nothing in this composition touches the driver: blobs are built,
     co-grouped, and probed executor-side (see ``bloom_prefilter``), which
@@ -191,10 +205,8 @@ def anti_join_seen_scalable(candidates: DataFrame, seen: DataFrame,
     """
     if blooms is None:
         blooms = build_bloom_table(seen, n_buckets, fp_rate, key)
-    flagged = bloom_prefilter(candidates, blooms, n_buckets, key).persist()
-    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    return definitely_new.unionByName(anti_join_seen(survivors, seen, key))
+    result, _ = _probe_and_verify(candidates, seen, blooms, n_buckets, key)
+    return result
 
 
 class BloomSeenSet:
@@ -220,6 +232,7 @@ class BloomSeenSet:
         self.blooms = build_bloom_table(
             self.seen, n_buckets, fp_rate, key).persist()
         self.blooms.count()  # materialize so every probe reuses the cache
+        self._last_probe: DataFrame | None = None
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -228,17 +241,31 @@ class BloomSeenSet:
         )
 
     def unseen(self, candidates: DataFrame) -> DataFrame:
-        """Exact anti-join, Bloom-accelerated with the prebuilt blobs."""
-        return anti_join_seen_scalable(
-            candidates, self.seen, self.n_buckets, self.fp_rate, self.key,
-            blooms=self.blooms,
-        )
+        """Exact anti-join, Bloom-accelerated with the prebuilt blobs.
+
+        The previous call's probe cache is released here: a round loop
+        probing thousands of times holds at most ONE probe frame in
+        storage, instead of leaking one per round."""
+        if self._last_probe is not None:
+            self._last_probe.unpersist()
+        result, self._last_probe = _probe_and_verify(
+            candidates, self.seen, self.blooms, self.n_buckets, self.key)
+        return result
 
     def add(self, new_keys: DataFrame) -> None:
-        """Extend the set; only blobs of touched buckets are rebuilt."""
+        """Extend the set; only blobs of touched buckets are rebuilt.
+
+        Both successors are ``localCheckpoint``-ed (eager, executor-side
+        — still no driver data): without it each round stacks one more
+        ``unionByName`` on ``seen`` and one rebuild-join on ``blooms``,
+        so plan depth and any cache-loss recompute grow linearly with
+        rounds — and the recompute lineage would reach back through the
+        round's transport fetch (slow and, for a live HTTP transport,
+        nondeterministic). Checkpointing cuts the lineage at K rows per
+        round, same as ``kmeans_centroids``."""
         new_keys = new_keys.select(self.key)
         touched = self._bucket(new_keys).select("bucket").distinct()
-        seen2 = self.seen.unionByName(new_keys).persist()
+        seen2 = self.seen.unionByName(new_keys).localCheckpoint(eager=True)
         rebuilt = build_bloom_table(
             self._bucket(seen2)
             .join(F.broadcast(touched), "bucket", "left_semi")
@@ -246,8 +273,7 @@ class BloomSeenSet:
             self.n_buckets, self.fp_rate, self.key,
         )
         untouched = self.blooms.join(F.broadcast(touched), "bucket", "left_anti")
-        blooms2 = rebuilt.unionByName(untouched).persist()
-        blooms2.count()
+        blooms2 = rebuilt.unionByName(untouched).localCheckpoint(eager=True)
         old_seen, old_blooms = self.seen, self.blooms
         self.seen, self.blooms = seen2, blooms2
         old_seen.unpersist()
@@ -256,3 +282,6 @@ class BloomSeenSet:
     def release(self) -> None:
         self.seen.unpersist()
         self.blooms.unpersist()
+        if self._last_probe is not None:
+            self._last_probe.unpersist()
+            self._last_probe = None

@@ -206,11 +206,20 @@ def kmeans_centroids(
     vec_col)`` — feed straight into ``ivf_topk(centroids=...)``."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    cents = (
+    # init selection is sort+limit, NOT a global window: orderBy().limit(k)
+    # compiles to TakeOrderedAndProject (partial top-k map-side, only K
+    # rows cross the exchange), where a no-partition row_number window
+    # would funnel the whole corpus through one task. The window below
+    # runs over the already-reduced K rows only.
+    topk = (
         vectors.select(id_col, vec_col)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
+        .withColumn("_o", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_o", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("_o", F.col(id_col))
+    cents = (
+        topk.withColumn("_r", F.row_number().over(w))
         .select((F.col("_r") - 1).alias(id_col), F.col(vec_col))
         .localCheckpoint()
     )

@@ -190,13 +190,17 @@ class CrawlJob:
         and kept across rounds — per-round cost is the probe plus an exact
         join on the ~1% survivors, and ``_note_seen_keys`` extends the
         blobs incrementally instead of rebuilding from 10^10 keys."""
+        if self._bloom is not None:
+            # steady state: never re-read or re-count the (10^10-row)
+            # seen table once the cross-round Bloom state exists —
+            # _note_seen_keys keeps it in sync with every commit
+            return self._bloom.unseen(candidates)
         seen = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
         n_seen = seen.count()
         if n_seen > self.bloom_threshold:
             from ..operators.seen_set import BloomSeenSet
 
-            if self._bloom is None:
-                self._bloom = BloomSeenSet(seen)
+            self._bloom = BloomSeenSet(seen)
             return self._bloom.unseen(candidates)
         if n_seen:
             return anti_join_seen(candidates, seen)
@@ -206,6 +210,16 @@ class CrawlJob:
         """Keep the cross-round Bloom state in sync with the seen table."""
         if self._bloom is not None:
             self._bloom.add(done_keys)
+
+    def _read_frontier(self) -> DataFrame:
+        """Read the frontier snapshot, defaulting columns added since the
+        checkpoint was written (schema evolution: a pre-backoff frontier
+        lacks not_before_round; resuming it must not break — the frontier
+        commit is the resume authority)."""
+        df = self.frontier.read(self.spark)
+        if "not_before_round" not in df.columns:
+            df = df.withColumn("not_before_round", F.lit(0).cast("int"))
+        return df
 
     # -- round bookkeeping -------------------------------------------------------
 
@@ -244,7 +258,7 @@ class CrawlJob:
         crawl-ordering trace (SURVEY.md §3) is only comparable without
         discovered URLs."""
         rnd = self.next_round()
-        frontier = self.frontier.read(self.spark)
+        frontier = self._read_frontier()
 
         # retry backoff (ST3): rows still backing off are not eligible
         eligible = frontier.filter(F.col("not_before_round") <= F.lit(rnd))
@@ -269,11 +283,18 @@ class CrawlJob:
         n_selected = batch.count()
         if n_selected == 0:
             batch.unpersist()
-            nxt = frontier.agg(F.min("not_before_round")).first()[0]
-            if nxt is None or int(nxt) <= rnd:
-                return {}  # drained (or permanently robots-gated)
-            # every remaining row is backing off: fast-forward the round
-            # clock to the earliest eligibility instead of spinning
+            # look only at rows still BACKING OFF (not_before > rnd): a
+            # permanently-gated row (robots, zero budget) with
+            # not_before_round = 0 must not mask waiting retries — min
+            # over the whole frontier would return 0 and terminate the
+            # crawl with retries silently abandoned
+            nxt = (
+                frontier.filter(F.col("not_before_round") > rnd)
+                .agg(F.min("not_before_round")).first()[0]
+            )
+            if nxt is None:
+                return {}  # drained, or only permanently-gated rows remain
+            # fast-forward the round clock to the earliest eligibility
             self.frontier.overwrite(frontier, {"round": int(nxt)})
             return {
                 "round": rnd, "selected": 0, "fetched": 0, "extract_ok": 0,

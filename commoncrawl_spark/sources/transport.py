@@ -143,11 +143,16 @@ class HttpRangeTransport:
         def fetch_one(url: str, off, want) -> tuple[bytes | None, str | None]:
             off = int(off) if off is not None and pd.notna(off) else None
             want = int(want) if want is not None and pd.notna(want) else None
+            # length verification only applies to an actually-ranged request:
+            # a row carrying length but no offset gets a plain GET, and the
+            # full response legitimately differs from the CDX segment length
+            ranged = off is not None and want is not None
             try:
-                data = opener(url, off, want)
+                data = opener(url, off if ranged else None,
+                              want if ranged else None)
             except Exception as exc:  # noqa: BLE001 — error side-channel
                 return None, f"{type(exc).__name__}: {exc}"[:200]
-            if want is not None and data is not None and len(data) != want:
+            if ranged and data is not None and len(data) != want:
                 return None, f"torn_read: got {len(data)} want {want}"
             return data, None
 

@@ -52,8 +52,12 @@ def per_host_admission(
     consume the budget would be nondeterministic without an explicit
     ranking: each micro-batch group is therefore sorted by ``order_cols``
     (pass the frontier's priority columns; default ``url``) before
-    flagging. The admitted *count* is exact either way; the sort makes the
-    admitted *set* deterministic per micro-batch as well."""
+    flagging. The sort must span the WHOLE group — Spark hands a group to
+    ``applyInPandasWithState`` as an iterator of Arrow chunks with
+    shuffle-dependent boundaries, so a per-chunk sort would still admit a
+    chunking-dependent set — hence the chunks are concatenated first.
+    Memory bound: one host's rows within one micro-batch (the micro-batch
+    trigger bounds it; a host's lifetime URL count never materializes)."""
 
     def admit(
         key: Tuple[Any, ...],
@@ -62,7 +66,10 @@ def per_host_admission(
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         (n_admitted,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+                else chunks[0]
             pdf = pdf.sort_values(list(order_cols), kind="mergesort")
             urls = pdf[url_col]
             remaining = max(budget_per_host - n_admitted, 0)

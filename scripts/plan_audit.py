@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from commoncrawl_spark.plans.explain import plan_string  # noqa: E402
 from commoncrawl_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
@@ -29,10 +30,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def plan_of(df, mode: str = "simple") -> str:
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
+    return plan_string(df, mode)
 
 
 def grab(plan: str, *patterns: str, context: int = 0) -> list[str]:

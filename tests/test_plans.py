@@ -8,12 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-
-def plan_of(df, mode: str = "formatted") -> str:
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
+from commoncrawl_spark.plans.explain import plan_string as plan_of
 
 
 @pytest.fixture(scope="module")

@@ -82,9 +82,9 @@ def test_bloom_probe_is_cogrouped(spark, keyed):
     blobs) — each task holds one bucket's blob; no broadcast exchange."""
     seen = keyed.select("url_sha1").distinct()
     blooms = build_bloom_table(seen, n_buckets=8)
-    plan = bloom_prefilter(keyed, blooms, n_buckets=8)._jdf.queryExecution() \
-        .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode
-                       .fromString("simple"))
+    from commoncrawl_spark.plans.explain import plan_string
+
+    plan = plan_string(bloom_prefilter(keyed, blooms, n_buckets=8), "simple")
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from commoncrawl_spark.plans.explain import plan_string as _plan
 from commoncrawl_spark.plans.frontier import CrawlJob
 from commoncrawl_spark.sources.transport import (
     HttpRangeTransport,
@@ -26,13 +27,6 @@ def _mini_cdx(spark, urls):
         for i, u in enumerate(urls)
     ]
     return spark.createDataFrame(rows, CDX_SCHEMA)
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted")
-    )
 
 
 @pytest.mark.spark
@@ -135,6 +129,90 @@ def test_backoff_skips_rounds_deterministically(spark, fixture_dir, tmp_path):
     assert healthy == set(urls[1:])
     # rounds in between only fast-forward; they select nothing
     assert all(r["selected"] == 0 for r in rounds if r["round"] not in sched)
+
+
+@pytest.mark.spark
+def test_unranged_get_skips_length_verification(spark, fixture_dir):
+    """A batch row carrying a length but NO offset gets a plain GET — the
+    full response is correct even when its size differs from the CDX
+    segment length, so it must not be failed as a torn read."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").limit(10)
+    blobs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+
+    def opener(url, offset, length):
+        assert offset is None and length is None  # un-ranged request
+        return blobs[url]
+
+    batch = spark.createDataFrame(  # wrong lengths on purpose; no offset col
+        [(u, 1) for u in blobs], "url string, length long"
+    )
+    out = HttpRangeTransport(opener=opener).fetch(batch).collect()
+    assert len(out) == len(blobs)
+    for r in out:
+        assert r["_fetch_error"] is None
+        assert bytes(r["html"]) == blobs[r["url"]]
+
+
+@pytest.mark.spark
+def test_gated_rows_do_not_mask_waiting_retries(spark, fixture_dir, tmp_path):
+    """An eligible-but-robots-gated row (not_before_round=0) must not make
+    the empty-batch drain check conclude the crawl is done while another
+    row is still backing off: the round clock fast-forwards to the
+    retry's eligibility and the retry is either completed or exhausted
+    into the failures table — never silently lost (ST3)."""
+    from urllib.parse import urlparse
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    good = pages.filter(F.length(F.trim("text")) > 0)
+    pool = sorted(r["url"] for r in good.limit(10).collect())
+    gated_url = pool[0]
+    gp = urlparse(gated_url)
+    flaky_url = next(  # must not fall under the gated path prefix
+        u for u in pool[1:] if not urlparse(u).path.startswith(gp.path)
+    )
+    urls = sorted([gated_url, flaky_url])
+    robots = spark.createDataFrame(
+        [(gp.netloc, [gp.path])],
+        "host string, disallow_prefixes array<string>",
+    )
+
+    job = CrawlJob(spark, str(tmp_path / "gated"), budget_per_host=100,
+                   max_retries=1)
+    job.seed_from_cdx(_mini_cdx(spark, urls), crawl_order=["CC-MAIN-2024-10"])
+    rounds = job.run(pages, robots=robots,
+                     transient_fail=F.col("url") == flaky_url)
+
+    # round 0 selects the flaky row; round 1's batch is empty (only the
+    # gated row is eligible) and fast-forwards to round 2; round 2
+    # exhausts the retry into failures
+    assert [r["round"] for r in rounds] == [0, 1, 2]
+    assert rounds[1]["selected"] == 0 and rounds[1]["fast_forward_to"] == 2
+    fails = {r["url"] for r in job.failures.read(spark).collect()}
+    assert flaky_url in fails  # the retry was exhausted, not abandoned
+    arts = {r["url"] for r in job.articles_df().collect()}
+    assert gated_url not in arts and flaky_url not in arts
+
+
+@pytest.mark.spark
+def test_fail_fast_group_commit_null_keys(spark):
+    """Null group keys never equi-join: such rows are their own unit of
+    work — committable iff they themselves succeeded — and must be
+    conserved across the split, not silently committed-when-errored."""
+    from commoncrawl_spark.operators.groups import split_complete_groups
+
+    res = spark.createDataFrame(
+        [
+            (0, "u1", None), (0, "u2", "err"),   # group 0: held whole
+            (1, "u3", None),                      # group 1: committable
+            (None, "u4", None),                   # null-group success
+            (None, "u5", "boom"),                 # null-group failure
+        ],
+        "grp int, url string, _fetch_error string",
+    )
+    committable, held = split_complete_groups(res, "grp")
+    assert {r["url"] for r in committable.collect()} == {"u3", "u4"}
+    assert {r["url"] for r in held.collect()} == {"u1", "u2", "u5"}
+    assert committable.count() + held.count() == res.count()
 
 
 @pytest.mark.spark
