@@ -751,6 +751,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id")
     q["near_dedup_pipeline"] = near_dedup_pipeline
 
+    def dedup_clusters_q(spark, sf):
+        """Transitive duplicate clusters: LSH candidate pairs -> exact
+        Jaccard verification (>= 0.8) -> distributed connected
+        components (min-label propagation + pointer doubling) -> every
+        document labeled with its component-minimum doc_id. Unlike the
+        greedy pairwise keep rule, A~B~C collapses to ONE cluster even
+        when A and C never collide in any LSH band."""
+        from commoncrawl_spark.operators.graph import dedup_clusters
+        from commoncrawl_spark.operators.text_dedup import (
+            jaccard_pairs,
+            minhash_candidate_pairs,
+        )
+
+        d = _docs2_spark(spark, sf)
+        cand = minhash_candidate_pairs(d, num_hashes=NUM_HASHES, bands=BANDS)
+        verified = jaccard_pairs(d, cand, threshold=0.8).select("a", "b")
+        return dedup_clusters(verified, d)
+    q["dedup_clusters"] = dedup_clusters_q
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -1167,6 +1186,37 @@ def oracle_sql() -> dict[str, str]:
                       6) >= 0.8)
         SELECT doc_id FROM {_DOCS2_SQL}
         WHERE doc_id NOT IN (SELECT b FROM losers)
+    """
+
+    # dedup_clusters: same verified-pair machinery, then transitive
+    # closure via a recursive CTE — min reachable doc_id = the component
+    # label the engine's pointer-doubled label propagation computes
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, {sh_doc} AS sh FROM {_DOCS2_SQL}),
+        sigs AS (SELECT doc_id, {_sql_minhash_sigs()} FROM base),
+        bks AS ({band_rows}),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bks x JOIN bks y ON x.band = y.band AND x.bucket = y.bucket
+          WHERE x.doc_id < y.doc_id),
+        vpairs AS (
+          SELECT p.a, p.b
+          FROM pairs p
+          JOIN base xa ON xa.doc_id = p.a
+          JOIN base yb ON yb.doc_id = p.b
+          WHERE round(len(list_intersect(xa.sh, yb.sh))
+                      / greatest(len(list_distinct(list_concat(xa.sh, yb.sh))), 1),
+                      6) >= 0.8),
+        e AS (SELECT a AS id, b AS nb FROM vpairs
+              UNION SELECT b, a FROM vpairs),
+        reach(id, lbl) AS (
+          SELECT id, id FROM (SELECT DISTINCT id FROM e)
+          UNION
+          SELECT e.id, r.lbl FROM e JOIN reach r ON r.id = e.nb),
+        lab AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+        FROM {_DOCS2_SQL} d LEFT JOIN lab l ON l.id = d.doc_id
     """
 
     # cdx_harvest: the oracle skips the JSONL byte round-trip (JSON parse

@@ -1,0 +1,130 @@
+"""Distributed connected components over a pair/edge table.
+
+Near-duplicate pairs (MinHash-LSH verified Jaccard, simhash pigeonhole,
+embedding near-dup) form a GRAPH: A~B and B~C means {A,B,C} is one
+duplicate cluster even when A and C never collide in any band. The
+greedy min-id keep rule (``text_dedup.drop_near_duplicates``) is
+single-pass but not transitive; this module gives the transitive
+closure — each node labeled with the minimum id of its component — as
+iterative min-label propagation, entirely DataFrame ops.
+
+Scale shape (10^10 nodes, 1000 executors):
+- state per iteration is one slim ``(id, label)`` frame — two columns,
+  never text or vectors;
+- one iteration = one equi-join (labels onto the symmetric edge list)
+  plus one min-aggregation, both partial-aggregating map-side; no
+  windows, no driver data;
+- each iteration is a neighbor-min step PLUS a pointer-doubling step
+  (every node jumps to its label's label), so convergence is
+  O(log diameter) — a 10^6-long chain closes in ~20 iterations, and
+  the shallow clusters near-dup graphs actually produce close in 2-3;
+  ``max_iters`` is a safety guard far above that;
+- per-iteration ``localCheckpoint`` truncates the lineage so the plan
+  does not deepen with iterations (same discipline as
+  ``similarity.kmeans_centroids``), and the convergence check is the
+  driver-side count of changed labels — one long, not data.
+
+Reference parity: the reference has no graph stage (its dedup is exact
+by canonical URL, download_and_merge.py:198-209); this operator is part
+of the LLM-training-data family the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Label every node in ``edges`` with its component's minimum id.
+
+    Returns ``(id, cluster)`` with one row per distinct node; ``cluster``
+    is the component-minimum node id (deterministic representative).
+    Ids may be any orderable type (long doc ids, sha1 hex strings).
+
+    Min-label propagation with pointer doubling: every node adopts the
+    smallest label among itself and its neighbors, then jumps to its
+    label's label (labels only shrink, so the jump is monotone). A
+    fixpoint is exactly the component-minimum labeling; the doubling
+    step makes the iteration count logarithmic in component diameter
+    instead of linear. Convergence is checked by counting changed
+    labels per iteration (0 = done).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("id"), F.col(b_col).alias("nb"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("id"), F.col(a_col).alias("nb")))
+        .filter(F.col("id").isNotNull() & F.col("nb").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("id").distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("id", "nb"), "nb")
+            .select("id", "cluster")
+        )
+        stepped = (
+            labels.unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        # pointer doubling: follow the label chain one extra hop. Every
+        # label IS a node id, and labels only decrease, so the jump is
+        # always valid and monotone: cluster' = label(label(id)).
+        new_labels = (
+            stepped.join(
+                stepped.select(F.col("id").alias("cluster"),
+                               F.col("cluster").alias("_c2")),
+                "cluster",
+            )
+            .select("id", F.col("_c2").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Cluster assignment for a whole corpus from verified duplicate pairs.
+
+    Every corpus document gets a ``cluster`` label: members of a
+    duplicate component share the component-minimum ``id_col``;
+    singletons (documents in no pair) are their own cluster. The keep
+    set of a transitive dedup is then ``cluster == id_col`` — one
+    representative per component, which unlike the greedy single-pass
+    rule cannot keep a chain's tail alive through a dropped middle.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        corpus.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )
