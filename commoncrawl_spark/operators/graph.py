@@ -35,6 +35,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One label-propagation round: neighbor-min, then pointer doubling.
+
+    Split out (un-checkpointed) so plan tests and the SCALE.md audit can
+    inspect the per-iteration physical plan — the loop checkpoints each
+    round, which would otherwise hide it behind an RDD scan.
+    """
+    nbr_labels = (
+        sym.join(labels.withColumnRenamed("id", "nb"), "nb")
+        .select("id", "cluster")
+    )
+    stepped = (
+        labels.unionByName(nbr_labels)
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    # pointer doubling: follow the label chain one extra hop. Every
+    # label IS a node id, and labels only decrease, so the jump is
+    # always valid and monotone: cluster' = label(label(id)).
+    return (
+        stepped.join(
+            stepped.select(F.col("id").alias("cluster"),
+                           F.col("cluster").alias("_c2")),
+            "cluster",
+        )
+        .select("id", F.col("_c2").alias("cluster"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",
@@ -69,27 +98,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        nbr_labels = (
-            sym.join(labels.withColumnRenamed("id", "nb"), "nb")
-            .select("id", "cluster")
-        )
-        stepped = (
-            labels.unionByName(nbr_labels)
-            .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
-        )
-        # pointer doubling: follow the label chain one extra hop. Every
-        # label IS a node id, and labels only decrease, so the jump is
-        # always valid and monotone: cluster' = label(label(id)).
-        new_labels = (
-            stepped.join(
-                stepped.select(F.col("id").alias("cluster"),
-                               F.col("cluster").alias("_c2")),
-                "cluster",
-            )
-            .select("id", F.col("_c2").alias("cluster"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _propagate(sym, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
             .filter(F.col("cluster") != F.col("old"))

@@ -189,6 +189,35 @@ def main() -> None:
         grab(p, "LeftAnti")[:2],
     ))
 
+    # 9. connected components: slim state, equi-joins only (one
+    # propagation round, pre-checkpoint — the loop checkpoints each
+    # round, which would hide the plan behind an RDD scan)
+    from commoncrawl_spark.operators.graph import _propagate
+
+    edges = (
+        docs.select((F.col("doc_id") % 50).alias("a"),
+                    (F.col("doc_id") % 97).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = (
+        edges.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionByName(edges.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .distinct()
+    )
+    labels = sym.select("id").distinct().withColumn("cluster", F.col("id"))
+    p = plan_of(_propagate(sym, labels))
+    sections.append((
+        "Dedup clusters (connected components): slim labels, no cartesian",
+        "Each pointer-doubled label-propagation round is two equi-joins + "
+        "one min-aggregate over (id, label) pairs — two columns through "
+        "every exchange, never text/vectors; lineage is cut per round by "
+        "localCheckpoint so the plan does not deepen with iterations.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"HashAggregate operators: {p.count('HashAggregate')} "
+         f"(expect >= 2: partial + final min)"],
+    ))
+
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALE.md — physical-plan audit (generated by "
