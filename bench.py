@@ -114,22 +114,19 @@ def materialize_tables(spark, pages, cdx):
     the same table."""
     import shutil
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name in ("pages_bucketed", "cdx_flat"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # in-memory catalog: a previous process's table leaves its location
-        # behind; clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-    (pages.repartition(N_BUCKETS, "url")
-     .write.bucketBy(N_BUCKETS, "url").sortBy("url")
-     .mode("overwrite").format("parquet").saveAsTable("pages_bucketed"))
+    from commoncrawl_spark.tables import write_bucketed
+
+    pages_b = write_bucketed(pages, "pages_bucketed", N_BUCKETS, "url")
     # documents.parquet is a single row-group, so the derived cdx frame has
     # 2 splits — written as-is, every downstream scan of it would run
     # 2-wide (a ~4 s serial floor on the dedup map side at any core
     # count). Spread it like a real many-file index table.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS cdx_flat")
+    shutil.rmtree(os.path.join(warehouse, "cdx_flat"), ignore_errors=True)
     (cdx.repartition(N_BUCKETS)
      .write.mode("overwrite").format("parquet").saveAsTable("cdx_flat"))
-    return spark.table("pages_bucketed"), spark.table("cdx_flat")
+    return pages_b, spark.table("cdx_flat")
 
 
 def bench_crawl(spark, pages, cdx) -> tuple[float, int]:

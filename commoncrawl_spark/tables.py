@@ -129,3 +129,44 @@ class SnapshotTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    key: str = "url",
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Store a table BUCKETED (and per-bucket sorted) on ``key`` — the
+    Iceberg ``bucket(key)`` layout via the Spark catalog.
+
+    This is how a 100 TB pages corpus should sit on disk: a join against
+    any frame pre-shuffled to the same bucketing needs NO shuffle and no
+    sort on the fat side — only the slim probe side moves (pinned by
+    ``tests/test_plans.py::test_bucketed_join_fat_side_never_shuffles``).
+    The crawl's fetch join, the dedup fold, and the seen-set anti-join
+    all key on ``url``/``url_sha1``, so one layout serves them all.
+
+    Bucket count is a TABLE property — fix it per dataset size, never per
+    cluster size, so jobs at any parallelism read the identical layout.
+    Spark requires bucketed writes to go through ``saveAsTable``; the
+    input is pre-repartitioned to one file per bucket so the layout is
+    exactly n_buckets files (not tasks x buckets small files).
+    """
+    spark = df.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # in-memory catalog: a previous process's table leaves its location
+    # behind; clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    shutil.rmtree(os.path.join(warehouse, table_name), ignore_errors=True)
+    (
+        df.repartition(n_buckets, key)
+        .write.bucketBy(n_buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)

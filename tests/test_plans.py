@@ -57,6 +57,34 @@ def test_fetch_join_broadcasts_the_batch(spark, fixture_dir):
 
 
 @pytest.mark.spark
+def test_bucketed_join_fat_side_never_shuffles(spark, fixture_dir, tmp_path):
+    """The package bucketed layout (tables.write_bucketed) must give the
+    fetch join its scale shape: with broadcast off, joining a slim probe
+    frame against the bucketed pages table shuffles ONLY the probe side —
+    the 100 TB side is read in place, one bucket per task."""
+    from commoncrawl_spark.tables import write_bucketed
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    pb = write_bucketed(pages, "t_pages_bucketed_plan", 8, "url")
+    batch = spark.createDataFrame(
+        [(r["url"],) for r in pages.select("url").limit(40).collect()],
+        "url string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = pb.select("url", "html").join(batch, "url")
+        simple = plan_of(joined, "simple")
+        formatted = plan_of(joined, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert simple.count("Exchange hashpartitioning") == 1  # probe side only
+    assert "SortMergeJoin" in simple
+    # the bucketed scan declares its bucketing: no exchange above it
+    assert "Bucketed: true" in formatted
+
+
+@pytest.mark.spark
 def test_seen_anti_join_shape(spark, fixture_dir):
     from commoncrawl_spark.operators.seen_set import anti_join_seen, with_url_key
 
