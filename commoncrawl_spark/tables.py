@@ -58,7 +58,10 @@ class SnapshotTable:
         out = []
         sid = self.current_snapshot_id()
         while sid is not None and sid >= 0:
-            snap = self.snapshot(sid)
+            try:
+                snap = self.snapshot(sid)
+            except FileNotFoundError:
+                break  # history ends where expire_snapshots() pruned it
             if snap is None:
                 break
             out.append(snap)
@@ -126,6 +129,47 @@ class SnapshotTable:
         History before the compaction stays time-travelable."""
         df = self.read(spark).coalesce(target_partitions)
         return self._commit(df, "overwrite", {"compacted_from": self.current_snapshot_id()})
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: drop manifests older than
+        the ``keep_last`` most recent, returning the expired ids.
+
+        Only manifests go; data files shared with surviving snapshots
+        stay (appends share their ancestors' files). Time-travel to an
+        expired id then fails fast instead of reading a half-vacuumed
+        table. The LATEST pointer is untouched — expiration never
+        changes what ``read()`` returns.
+        """
+        chain = self.snapshots()
+        expired = chain[:-keep_last] if keep_last > 0 else chain
+        for snap in expired:
+            try:
+                os.remove(os.path.join(self._snap_dir, f"v{snap['id']}.json"))
+            except FileNotFoundError:
+                pass
+        return [s["id"] for s in expired]
+
+    def vacuum(self) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: delete data dirs no
+        surviving manifest references — crash leftovers (a commit that
+        wrote data but died before its manifest) and dirs stranded by
+        ``expire_snapshots`` — returning the removed dir names. Safe at
+        any time: the commit protocol (data -> manifest -> pointer)
+        means unreferenced dirs are invisible to every reader.
+        """
+        if not os.path.isdir(self._data_dir):
+            return []
+        live: set[str] = set()
+        for name in os.listdir(self._snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._snap_dir, name)) as fh:
+                    live.update(json.load(fh)["files"])
+        removed = []
+        for d in sorted(os.listdir(self._data_dir)):
+            if d not in live:
+                shutil.rmtree(os.path.join(self._data_dir, d), ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
