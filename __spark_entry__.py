@@ -770,6 +770,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_clusters(verified, d)
     q["dedup_clusters"] = dedup_clusters_q
 
+    def host_pagerank(spark, sf):
+        """Crawl-priority PageRank over a deterministic host-link graph
+        (two synthetic out-edges per document, 97 hosts). Fixed 3
+        iterations, GraphX dangling semantics, so the DuckDB oracle can
+        unroll the exact same recurrence as CTEs. Feeds
+        select_polite_batch's priority_cols in a real crawl."""
+        from commoncrawl_spark.operators.graph import pagerank
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        # non-invertible maps (quadratic, and a 97->41 fold) so in-degree
+        # is genuinely skewed — an affine map mod 97 would make the graph
+        # regular and every rank trivially 1.0
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        r = pagerank(edges, iters=3, damping=0.85)
+        return r.select("node", F.round("rank", 6).alias("pr"))
+    q["host_pagerank"] = host_pagerank
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -1186,6 +1209,34 @@ def oracle_sql() -> dict[str, str]:
                       6) >= 0.8)
         SELECT doc_id FROM {_DOCS2_SQL}
         WHERE doc_id NOT IN (SELECT b FROM losers)
+    """
+
+    # host_pagerank: the engine's fixed-iteration recurrence unrolled as
+    # CTEs — rank0 = 1, rank' = 0.15 + 0.85 * sum(rank/out_degree) over
+    # incoming edges, dangling mass leaking exactly as in the operator
+    _pr_iter = """
+        SELECT n.node,
+               0.15 + 0.85 * COALESCE(m.mass, 0) AS pr
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.pr / deg.deg) AS mass
+          FROM e JOIN deg USING (src) JOIN {prev} r ON r.node = e.src
+          GROUP BY e.dst) m USING (node)
+    """
+    o["host_pagerank"] = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+        r1 AS ({_pr_iter.format(prev="r0")}),
+        r2 AS ({_pr_iter.format(prev="r1")}),
+        r3 AS ({_pr_iter.format(prev="r2")})
+        SELECT node, ROUND(pr, 6) AS pr FROM r3
     """
 
     # dedup_clusters: same verified-pair machinery, then transitive

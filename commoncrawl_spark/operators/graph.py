@@ -112,6 +112,80 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a slim ``(src, dst)`` edge table —
+    the crawl-frontier priority signal: hosts (or URLs) that the link
+    graph points at hardest get fetched first (feed the result into
+    ``schedule.select_polite_batch``'s priority ordering).
+
+    Semantics (GraphX-style, so a SQL oracle can reproduce it exactly):
+    ``rank0 = 1.0`` for every node in ``src ∪ dst``; each iteration
+    ``rank' = (1 - d) + d * Σ_{incoming} rank/out_degree``. Dangling
+    nodes contribute nothing (mass leaks, as in GraphX's default) —
+    deterministic and CTE-expressible, unlike redistribution schemes.
+    Fixed ``iters`` rather than a convergence test keeps the result
+    bit-stable across runs and oracle-checkable.
+
+    Scale shape (10^10 edges, 1000 executors):
+    - the per-iteration state is ``(node, rank)`` — two slim columns;
+    - one iteration = one equi-join of ranks onto the out-degree-
+      annotated edge list plus one sum-aggregation, both map-side
+      partial; no windows, no driver data, no collect;
+    - the edge list is hash-partitioned by ``src`` ONCE and persisted —
+      every iteration's join reuses that exchange (the rank side, the
+      small one, moves);
+    - ``localCheckpoint`` per iteration truncates lineage so the plan
+      stays one-iteration deep (same discipline as
+      ``connected_components``).
+
+    Returns ``(node, rank)``, one row per distinct node.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree travels WITH the edge list so the loop never re-joins it
+    ann = (
+        e.join(out_deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    ann.count()  # materialize once, before the loop
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            ann.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ann.unpersist()
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame,
     corpus: DataFrame,

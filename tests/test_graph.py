@@ -101,3 +101,73 @@ def test_dedup_clusters_covers_singletons(spark):
     # transitive keep set: one representative per component
     keep = {d for d, c in got.items() if d == c}
     assert keep == {0, 1, 2, 4, 6, 7}
+
+
+def _pagerank_py(edges, iters=3, d=0.85):
+    """Pure-Python oracle: same GraphX-style recurrence as the operator."""
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    out_deg = defaultdict(int)
+    for s, _ in edges:
+        out_deg[s] += 1
+    nodes = sorted({n for e in edges for n in e})
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        mass = defaultdict(float)
+        for s, t in edges:
+            mass[t] += rank[s] / out_deg[s]
+        rank = {n: (1 - d) + d * mass[n] for n in nodes}
+    return rank
+
+
+@pytest.mark.spark
+def test_pagerank_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    want = _pagerank_py(edges, iters=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+@pytest.mark.spark
+def test_pagerank_dangling_and_sink(spark):
+    """Chain 1->2->3 with 3 dangling: mass leaks from 3 (GraphX
+    semantics), the sink outranks the source."""
+    from commoncrawl_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = {row["node"]: row["rank"] for row in pagerank(df, iters=10).collect()}
+    assert r[3] > r[2] > r[1]
+    assert abs(r[1] - 0.15) < 1e-12  # no in-edges: floor rank
+
+
+@pytest.mark.spark
+def test_pagerank_feeds_polite_batch_priority(spark):
+    """Composition: rank the frontier's hosts, fetch high-rank hosts'
+    URLs first within the politeness budget."""
+    from commoncrawl_spark.operators.graph import pagerank
+    from commoncrawl_spark.operators.schedule import select_polite_batch
+
+    hostgraph = spark.createDataFrame(
+        [("a.test", "hub.test"), ("b.test", "hub.test"), ("hub.test", "a.test")],
+        "src string, dst string")
+    ranks = pagerank(hostgraph, iters=5)
+    frontier = spark.createDataFrame(
+        [(f"https://{h}/p{i}", h, f"k{h}{i}")
+         for h in ("a.test", "b.test", "hub.test") for i in range(3)],
+        "url string, host string, url_sha1 string")
+    ranked = (frontier.join(ranks.withColumnRenamed("node", "host"), "host")
+              .withColumn("neg_rank", -F.col("rank")))
+    batch = select_polite_batch(
+        ranked, budget_per_host=1, priority_cols=("neg_rank", "url"))
+    rows = {r["host"]: r for r in batch.collect()}
+    assert len(rows) == 3  # politeness still caps per host
+    # hub.test has 2 in-edges -> highest rank; check it survived with
+    # its lexicographically-first url (deterministic tiebreak)
+    assert rows["hub.test"]["url"] == "https://hub.test/p0"
