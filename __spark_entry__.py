@@ -538,6 +538,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
     q["doc_fingerprint"] = doc_fingerprint
 
+    def gopher_quality(spark, sf):
+        """Gopher-style repetition/boilerplate filter (Rae et al. 2021)
+        over a deterministic multi-line rendering of each document (the
+        synthetic corpus is single-line, so the query appends substring
+        lines — duplicated on doc_id % 3, a bullet on % 4, an ellipsis
+        on % 5 — exercising every line-level signal both ways)."""
+        from commoncrawl_spark.functions.text import (
+            gopher_keep_col,
+            repetition_signals,
+        )
+
+        d = _read(spark, sf, "documents")
+        l2 = F.substring(F.col("text"), 1, 40)
+        l3 = F.when(F.col("doc_id") % 3 == 0, l2).otherwise(
+            F.substring(F.col("text"), 41, 40))
+        l4 = F.when(F.col("doc_id") % 4 == 0, F.lit("- bullet item")
+                    ).otherwise(F.lit("plain tail line"))
+        l5 = F.when(F.col("doc_id") % 5 == 0, F.lit("to be continued...")
+                    ).otherwise(F.lit("the end"))
+        mtext = F.concat_ws("\n", F.col("text"), l2, l3, l4, l5)
+        r = repetition_signals(mtext)
+        return d.select(
+            "doc_id",
+            r["n_lines"].alias("n_lines"),
+            r["n_words"].alias("n_words"),
+            r["mean_word_len"].alias("mean_word_len"),
+            r["dup_line_frac"].alias("dup_line_frac"),
+            r["dup_line_char_frac"].alias("dup_line_char_frac"),
+            r["bullet_line_frac"].alias("bullet_line_frac"),
+            r["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+            r["symbol_word_ratio"].alias("symbol_word_ratio"),
+            r["alpha_word_frac"].alias("alpha_word_frac"),
+            gopher_keep_col(mtext).alias("keep"),
+        )
+    q["gopher_quality"] = gopher_quality
+
     def curation_pipeline(spark, sf):
         """Composed training-data curation: language-ID -> quality gate ->
         token-length gate -> exact first-wins dedup by fingerprint. The
@@ -1039,6 +1075,62 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE n_tokens / 20.0 END)
                      + 0.4 * least(stopword_ratio * 2.5, 1.0)
                      + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0), 4) AS quality
+        FROM feats
+    """
+
+    # gopher_quality: same multi-line construction, signals via DuckDB
+    # list lambdas — exact match to the Catalyst array expressions
+    o["gopher_quality"] = """
+        WITH m AS (
+          SELECT doc_id,
+            concat_ws(chr(10), text,
+              substr(text, 1, 40),
+              CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+                   ELSE substr(text, 41, 40) END,
+              CASE WHEN doc_id % 4 = 0 THEN '- bullet item'
+                   ELSE 'plain tail line' END,
+              CASE WHEN doc_id % 5 = 0 THEN 'to be continued...'
+                   ELSE 'the end' END) AS mtext
+          FROM documents),
+        sig AS (
+          SELECT doc_id, mtext,
+            list_filter(list_transform(string_split(mtext, chr(10)),
+                                       l -> trim(l)), l -> l != '') AS lines,
+            list_filter(regexp_split_to_array(mtext, '\\s+'),
+                        w -> w != '') AS words
+          FROM m),
+        feats AS (
+          SELECT doc_id,
+            len(lines) AS n_lines,
+            len(words) AS n_words,
+            round(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                  / greatest(len(words), 1), 4) AS mean_word_len,
+            round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1), 4)
+              AS dup_line_frac,
+            round(1.0 - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                         l -> length(l))), 0)
+                  / greatest(coalesce(list_sum(list_transform(lines,
+                                               l -> length(l))), 0), 1), 4)
+              AS dup_line_char_frac,
+            round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+                  / greatest(len(lines), 1), 4) AS bullet_line_frac,
+            round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                  / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+            round((len(regexp_extract_all(mtext, '#'))
+                   + len(regexp_extract_all(mtext, '(\\.\\.\\.|…)')))
+                  / greatest(len(words), 1), 4) AS symbol_word_ratio,
+            round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  / greatest(len(words), 1), 4) AS alpha_word_frac
+          FROM sig)
+        SELECT *,
+          (n_words BETWEEN 50 AND 100000
+           AND mean_word_len BETWEEN 3 AND 10
+           AND symbol_word_ratio < 0.1
+           AND bullet_line_frac < 0.9
+           AND ellipsis_line_frac < 0.3
+           AND alpha_word_frac > 0.8
+           AND dup_line_frac < 0.3
+           AND dup_line_char_frac < 0.3) AS keep
         FROM feats
     """
 

@@ -95,6 +95,79 @@ def quality_score_col(text: Column) -> Column:
     return F.round(0.4 * len_ok + 0.4 * stop + 0.2 * punct, 4)
 
 
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition / boilerplate signals (Rae et al. 2021,
+    table A1 family): duplicate-line fractions, bullet/ellipsis line
+    fractions, symbol-to-word ratio, alphabetic-word fraction. Pure
+    Catalyst array expressions — one pass, no shuffle, no Python — and
+    every signal has an exact DuckDB equivalent (oracle-checked), so the
+    filter is portable and auditable.
+
+    Line signals use trimmed non-blank lines; word signals use raw
+    whitespace words (not the lowercased token stream — Gopher's rules
+    are about surface form, e.g. ALL-CAPS and symbols count as-is).
+    """
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    uniq = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    uniq_chars = F.aggregate(uniq, F.lit(0), lambda a, l: a + F.length(l))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    return {
+        "n_lines": n_lines,
+        "n_words": n_words,
+        "mean_word_len": F.round(word_chars / safe_words, 4),
+        "dup_line_frac": F.round(
+            F.lit(1.0) - F.size(uniq) / safe_lines, 4),
+        "dup_line_char_frac": F.round(
+            F.lit(1.0)
+            - uniq_chars / F.greatest(line_chars, F.lit(1)).cast("double"), 4),
+        "bullet_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+            / safe_lines, 4),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+            / safe_lines, 4),
+        "symbol_word_ratio": F.round(
+            (F.regexp_count(text, F.lit("#"))
+             + F.regexp_count(text, F.lit(r"(\.\.\.|…)"))) / safe_words, 4),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            / safe_words, 4),
+    }
+
+
+def gopher_keep_col(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """Gopher's document-level keep rule as one boolean column: word-count
+    bounds, mean word length in [3, 10], symbol-to-word < 0.1, bullet
+    lines < 90%, ellipsis lines < 30%, alphabetic words > 80%, duplicate
+    lines < 30% (by count and by character mass). Thresholds are the
+    published constants; word bounds are parameters because corpus units
+    differ (pages vs chunks)."""
+    r = repetition_signals(text)
+    return (
+        (r["n_words"] >= min_words) & (r["n_words"] <= max_words)
+        & (r["mean_word_len"] >= 3) & (r["mean_word_len"] <= 10)
+        & (r["symbol_word_ratio"] < 0.1)
+        & (r["bullet_line_frac"] < 0.9)
+        & (r["ellipsis_line_frac"] < 0.3)
+        & (r["alpha_word_frac"] > 0.8)
+        & (r["dup_line_frac"] < 0.3)
+        & (r["dup_line_char_frac"] < 0.3)
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace/punct-normalized lowercase
     text — equal for docs differing only in spacing/punctuation. (A rolling

@@ -251,3 +251,45 @@ def test_kmeans_centroids_improve_over_first_k(spark, sf_dir):
 
     first_k = emb.filter(F.col("vec_id") < 8)
     assert mean_best_cos(trained) > mean_best_cos(first_k)
+
+
+@pytest.mark.spark
+def test_repetition_signals_hand_computed(spark):
+    """4 lines: 'aaa bbb' twice (dup), a bullet, an ellipsis line.
+    Every signal checked against hand arithmetic."""
+    from commoncrawl_spark.functions.text import repetition_signals
+
+    text = "aaa bbb\naaa bbb\n- item one\nwait for it...\n\n  \n"
+    df = spark.createDataFrame([(text,)], "text string")
+    r = repetition_signals(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in r.items()]).first()
+    assert row["n_lines"] == 4            # blanks dropped
+    assert row["n_words"] == 10
+    assert row["dup_line_frac"] == 0.25   # 1 - 3/4
+    # chars: 7+7+10+14=38 trimmed; uniq 7+10+14=31
+    assert row["dup_line_char_frac"] == round(1 - 31 / 38, 4)
+    assert row["bullet_line_frac"] == 0.25
+    assert row["ellipsis_line_frac"] == 0.25
+    assert row["symbol_word_ratio"] == 0.1   # one '...' / 10 words
+    assert row["alpha_word_frac"] == 0.9     # only '-' has no letter
+    # aaa bbb aaa bbb - item one wait for it... -> 3+3+3+3+1+4+3+4+3+5 = 32
+    assert row["mean_word_len"] == 3.2
+
+
+@pytest.mark.spark
+def test_gopher_keep_boundaries(spark):
+    """Keep rule flips on word count and duplicate-line mass."""
+    from commoncrawl_spark.functions.text import gopher_keep_col
+
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "too few words here"
+    dup = "\n".join(["same line of words here"] * 10)
+    df = spark.createDataFrame([(1, good), (2, short), (3, dup)],
+                               "id long, text string")
+    got = {r["id"]: r["keep"] for r in
+           df.select("id", gopher_keep_col(F.col("text")).alias("keep")).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # the short doc passes once the bound is relaxed
+    relaxed = df.filter(F.col("id") == 2).select(
+        gopher_keep_col(F.col("text"), min_words=3).alias("keep")).first()
+    assert relaxed["keep"] is True
