@@ -218,6 +218,49 @@ def main() -> None:
          f"(expect >= 2: partial + final min)"],
     ))
 
+    # 10. pagerank: one iteration = one equi-join + one sum-aggregate
+    # over (node, rank); the degree-annotated edge list is partitioned
+    # once outside the loop (the loop body never re-aggregates degrees)
+    from commoncrawl_spark.operators.graph import pagerank
+
+    pr_edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+    )
+    e = pr_edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # checkpoint/persist exactly as the loop does, so this is the plan of
+    # ONE iteration, not iteration+setup
+    ann = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    contribs = (ann.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass")))
+    p = plan_of(nodes.join(contribs, "node", "left").select(
+        "node", (F.lit(0.15) + F.lit(0.85)
+                 * F.coalesce("mass", F.lit(0.0))).alias("rank")))
+    full = plan_of(pagerank(pr_edges, iters=2))
+    sections.append((
+        "Frontier PageRank: slim rank state, degree join hoisted",
+        "Each iteration moves only (node, rank) pairs through one "
+        "equi-join and one map-side-partial sum; the edge list carries "
+        "its out-degree from a single pre-loop join, and localCheckpoint "
+        "keeps the per-iteration plan constant-depth (the final plan is "
+        "an RDD scan over the last checkpoint, not a 2-iteration tree).",
+        [f"single-iteration CartesianProduct: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"single-iteration Python operators: {p.count('EvalPython')} "
+         f"(expect 0)",
+         f"single-iteration HashAggregate: {p.count('HashAggregate')} "
+         f"(expect 2: partial + final sum)",
+         f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in full}"],
+    ))
+
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALE.md — physical-plan audit (generated by "
