@@ -574,6 +574,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["gopher_quality"] = gopher_quality
 
+    def asof_capture(spark, sf):
+        """Backward-inclusive as-of join: each click event gains the
+        latest prior-or-equal view by the same user — the 'which capture
+        was current at fetch time' shape. Union-merge plan: one exchange
+        per side, one sort, running last(ignorenulls) — no Python, no
+        cartesian. Oracle is DuckDB's native ASOF LEFT JOIN."""
+        from commoncrawl_spark.operators.temporal import asof_join
+
+        ev = _read(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value")
+        return asof_join(clicks, views, on="user_id")
+    q["asof_capture"] = asof_capture
+
+    def capture_time_travel(spark, sf):
+        """latest_as_of over the synthetic CDX log: the newest capture
+        per URL as of a cutoff — best_capture's T-bounded generalization
+        (T = +inf reproduces the reference's whole-log fold)."""
+        from commoncrawl_spark.operators.temporal import latest_as_of
+
+        cdx = _events_cdx(spark, sf)
+        return latest_as_of(
+            cdx, "20240105000000", key_col="url", ts_col="timestamp",
+            tiebreak_cols=("event_id",),
+        )
+    q["capture_time_travel"] = capture_time_travel
+
     def curation_pipeline(spark, sf):
         """Composed training-data curation: language-ID -> quality gate ->
         token-length gate -> exact first-wins dedup by fingerprint. The
@@ -951,6 +980,29 @@ def oracle_sql() -> dict[str, str]:
     # incremental == global by left-fold composition (batches are arrival
     # prefixes), so the oracle is the same global fold as best_capture_dedup
     o["incremental_merge"] = o["best_capture_dedup"]
+
+    # asof_capture: DuckDB's native ASOF LEFT JOIN is the spec the
+    # union-merge window plan must reproduce exactly
+    o["asof_capture"] = """
+        SELECT l.event_id, l.user_id, l.ts,
+               r.ts AS asof_ts, r.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    o["capture_time_travel"] = f"""
+        WITH cdx AS ({_EV_CDX_SQL}),
+        elig AS (SELECT * FROM cdx WHERE "timestamp" <= '20240105000000'),
+        rnk AS (SELECT *, row_number() OVER (
+                  PARTITION BY url
+                  ORDER BY "timestamp" DESC, event_id DESC) AS rn
+                FROM elig)
+        SELECT url, event_id, status, mime_detected, length, "timestamp"
+        FROM rnk WHERE rn = 1
+    """
 
     o["seen_anti_join"] = """
         SELECT o_orderkey FROM orders

@@ -1,0 +1,116 @@
+"""Temporal joins over capture histories.
+
+A crawl's CDX index is a (url, timestamp) capture history; two questions
+recur that plain equi-joins cannot answer:
+
+- "what was the newest capture of each URL as of time T?" — table
+  time-travel against the capture log (the reference's best-capture fold
+  is the T = +inf special case, download_and_merge.py:198-209);
+- "for each fetch/event, which capture was current at that moment?" —
+  the AS-OF join (backward, inclusive), which Spark has no native
+  operator for.
+
+Both are built from shuffle-once DataFrame compositions — no Python, no
+windows wider than one partition pass:
+
+- ``latest_as_of`` is filter + ``max_by`` (map-side partial aggregate —
+  the same single-shuffle shape as the dedup fold);
+- ``asof_join`` is the union-merge pattern: tag both sides, hash-
+  partition by key, one per-partition sort on (ts, side), then a
+  running ``last(payload, ignorenulls=True)`` propagates the most
+  recent right payload onto each left row. One exchange per side, one
+  sort, zero Python — the merge-join shape a 100 TB capture log needs.
+  Skew note: a single hot key serializes its own history into one
+  partition's sort, like any merge join; beyond-RAM keys would need
+  time-range chunking with boundary replication, documented out of
+  scope here.
+
+DuckDB's native ``ASOF JOIN`` is the oracle (query ``asof_capture``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_as_of(
+    captures: DataFrame,
+    as_of,
+    key_col: str = "url",
+    ts_col: str = "timestamp",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Newest capture per key with ``ts_col <= as_of`` — capture-log
+    time travel. ``as_of`` is a Column or literal comparable to
+    ``ts_col``. Keys with no capture by then are absent (they did not
+    exist at T). ``tiebreak_cols`` order same-timestamp captures
+    deterministically (e.g. a capture id). Single shuffle, map-side-
+    partial ``max_by``."""
+    eligible = captures.filter(F.col(ts_col) <= F.lit(as_of))
+    payload = F.struct(*[c for c in captures.columns if c != key_col])
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    return (
+        eligible.groupBy(key_col)
+        .agg(F.max_by(payload, order).alias("_latest"))
+        .select(key_col, "_latest.*")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward (inclusive) as-of join: every ``left`` row gains the
+    ``right`` row with the largest ``right_ts <= left_ts`` for the same
+    ``on`` key — nulls when no such row exists (left-outer semantics).
+
+    ``right_cols`` (default: all non-key, non-ts columns) arrive
+    prefixed; ``right_ts`` arrives as ``<prefix><right_ts>``. Rows of
+    ``right`` sharing an identical (key, ts) are tie-broken by the
+    payload struct's ordering, deterministically.
+
+    Matches DuckDB ``l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    pay_fields = [F.col(right_ts).alias(f"{prefix}{right_ts}")] + [
+        F.col(c).alias(f"{prefix}{c}") for c in right_cols
+    ]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*pay_fields).alias("_pay"),
+    )
+    # identical (key, ts) right rows: keep the struct-max payload so the
+    # propagated value is deterministic regardless of partition order
+    r = r.groupBy(on, "_ts", "_side").agg(F.max("_pay").alias("_pay"))
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => inclusive match
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = left.columns + [
+        F.col(f"_m.{prefix}{right_ts}").alias(f"{prefix}{right_ts}")
+    ] + [F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return (
+        u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(*out_cols)
+    )
