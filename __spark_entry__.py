@@ -603,6 +603,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["capture_time_travel"] = capture_time_travel
 
+    def sessionization(spark, sf):
+        """Gap-based sessionization of the event stream: a new session per
+        user whenever >6h elapse since their previous event. For a crawl
+        this is fetch-burst segmentation per host. One hash exchange +
+        per-partition sort (lag + running sum) — no Python; gap compared
+        at microsecond precision so the boundary cuts identically in any
+        SQL engine."""
+        from commoncrawl_spark.operators.temporal import sessionize
+
+        ev = _read(spark, sf, "events").select("event_id", "user_id", "ts")
+        return sessionize(ev, key_col="user_id", ts_col="ts",
+                          gap_seconds=21600)
+    q["sessionization"] = sessionization
+
     def curation_pipeline(spark, sf):
         """Composed training-data curation: language-ID -> quality gate ->
         token-length gate -> exact first-wins dedup by fingerprint. The
@@ -1002,6 +1016,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM elig)
         SELECT url, event_id, status, mime_detected, length, "timestamp"
         FROM rnk WHERE rn = 1
+    """
+
+    # sessionization: identical lag + running-sum composition; epoch_us on
+    # both sides so a fractional-second gap straddling the 6h threshold
+    # cuts the same way (Spark unix_micros == DuckDB epoch_us)
+    o["sessionization"] = """
+        WITH lagged AS (
+          SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM lagged
+        ),
+        numbered AS (
+          SELECT *,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS ord
+          FROM flagged
+        )
+        SELECT event_id, user_id, ts,
+               CAST(user_id AS VARCHAR) || '#' || CAST(ord AS VARCHAR)
+                 AS session_id
+        FROM numbered
     """
 
     o["seen_anti_join"] = """

@@ -34,6 +34,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 
 def latest_as_of(
@@ -56,6 +57,51 @@ def latest_as_of(
         eligible.groupBy(key_col)
         .agg(F.max_by(payload, order).alias("_latest"))
         .select(key_col, "_latest.*")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts whenever the
+    time since the key's previous event exceeds ``gap_seconds``. The session id
+    is ``<key>#<n>`` with ``n`` the 0-based session ordinal per key —
+    deterministic given distinct (key, ts) pairs.
+
+    For a crawl this segments fetch bursts per host (politeness-budget
+    accounting, ST1's pacing analysis); for web events it is the classic
+    session cut. Plan: one hash exchange on the key, one per-partition
+    sort, then lag + running sum — the same single-shuffle shape as any
+    window aggregate, no Python. (The streaming equivalent with state
+    timeouts lives in ``streaming.stateful``; Spark's native
+    ``session_window`` gives windows, not joinable ordinals, which is
+    why this composition exists.)
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # microsecond precision for timestamps — a seconds cast truncates,
+    # and a fractional gap straddling the threshold must cut the same
+    # way here and in any SQL engine. timestamp_diff covers both
+    # TIMESTAMP and TIMESTAMP_NTZ (parquet defaults to NTZ) without a
+    # session-timezone-dependent epoch conversion.
+    if isinstance(df.schema[ts_col].dataType,
+                  (TimestampType, TimestampNTZType)):
+        delta = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+        gap_lit = F.lit(int(gap_seconds) * 1_000_000)
+    else:
+        delta = F.col(ts_col).cast("long") - prev.cast("long")
+        gap_lit = F.lit(gap_seconds)
+    is_new = (prev.isNull() | (delta > gap_lit)).cast("long")
+    ordinal = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
+    return df.withColumn(
+        out_col,
+        F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                 ordinal.cast("string")),
     )
 
 

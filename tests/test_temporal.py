@@ -70,3 +70,63 @@ def test_latest_as_of_tiebreak(spark):
     for _ in range(3):
         row = latest_as_of(caps, "2024-12-31", tiebreak_cols=("cap_id",)).first()
         assert row["cap_id"] == 7
+
+
+@pytest.mark.spark
+def test_sessionize_long_ts(spark):
+    """Gap cut on integer seconds: > gap starts a new session, == gap
+    does not; ordinals restart per key."""
+    from commoncrawl_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 101), ("u", 500), ("v", 0), ("v", 99)],
+        "k string, ts long")
+    got = {(r["k"], r["ts"]): r["session_id"]
+           for r in sessionize(ev, key_col="k", ts_col="ts",
+                               gap_seconds=100).collect()}
+    assert got[("u", 0)] == "u#0"
+    assert got[("u", 100)] == "u#0"   # delta == gap: same session
+    assert got[("u", 101)] == "u#0"
+    assert got[("u", 500)] == "u#1"   # 399 > 100: new session
+    assert got[("v", 0)] == "v#0"
+    assert got[("v", 99)] == "v#0"
+
+
+@pytest.mark.spark
+def test_sessionize_timestamp_microsecond_boundary(spark):
+    """A fractional-second gap straddling the threshold must cut at
+    microsecond precision, not truncated seconds: 100.000001s > 100s
+    opens a new session even though the seconds-cast delta is exactly
+    100. Covers both TIMESTAMP and parquet's TIMESTAMP_NTZ."""
+    from commoncrawl_spark.operators.temporal import sessionize
+    from pyspark.sql import functions as F
+
+    for ts_type in ("timestamp", "timestamp_ntz"):
+        ev = spark.createDataFrame(
+            [("u", "2024-01-01 00:00:00.000000"),
+             ("u", "2024-01-01 00:01:40.000001"),   # +100.000001 s
+             ("v", "2024-01-01 00:00:00.000000"),
+             ("v", "2024-01-01 00:01:40.000000")],  # +100 s exactly
+            "k string, raw string",
+        ).select("k", F.col("raw").cast(ts_type).alias("ts"))
+        got = {(r["k"], str(r["ts"])): r["session_id"]
+               for r in sessionize(ev, key_col="k", ts_col="ts",
+                                   gap_seconds=100).collect()}
+        by_key = {}
+        for (k, _), sid in got.items():
+            by_key.setdefault(k, set()).add(sid)
+        assert by_key["u"] == {"u#0", "u#1"}, ts_type  # strictly over
+        assert by_key["v"] == {"v#0"}, ts_type          # exactly at gap
+
+
+@pytest.mark.spark
+def test_sessionize_plan_shape(spark):
+    """One hash exchange on the key drives both windows; no Python in
+    the plan."""
+    from commoncrawl_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame([("u", 0)], "k string, ts long")
+    plan = (sessionize(ev, key_col="k", ts_col="ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
