@@ -214,25 +214,67 @@ class BloomSeenSet:
 
     A crawl probes the seen set thousands of times but extends it
     incrementally, so the steady-state cost that matters is the PROBE,
-    not the build. This class keeps the seen keys and the per-bucket
-    blob table persisted across rounds; ``add()`` rebuilds only the
-    buckets the new keys touch (delta buckets' keys re-folded, untouched
-    blobs carried over by anti-join), so extending a 10^10-key set by a
-    round's worth of URLs re-reads ~|delta-buckets| of data, never the
-    full history.
+    not the build. Two pieces of persisted executor-side state make a
+    round cheap:
+
+    * the per-bucket Bloom blob table (rebuilt per-touched-bucket on
+      ``add``), which drops definitely-new candidates before any join;
+    * the seen KEYS, held as an LSM-style list of GENERATIONS, each
+      persisted pre-partitioned on the key. A hash-partitioned cached
+      frame satisfies the verify join's distribution requirement
+      as-is, so the per-round exact check exchanges ONLY the bloom
+      survivors — the 10^10-key history is never reshuffled (pinned by
+      ``test_bloom_seen_set_verify_never_reshuffles_seen``). ``add``
+      shuffles just the round's delta into a new generation; once
+      ``max_generations`` accumulate they compact into one (a full
+      reshuffle amortized over that many rounds). ``localCheckpoint``
+      would be the usual lineage cut here, but it erases
+      outputPartitioning (Scan ExistingRDD), which re-introduces the
+      full-history exchange — so generations cut lineage FIRST
+      (checkpoint the slim delta), then repartition + persist.
 
     Everything stays distributed (DataFrames, executor-side persist);
     nothing is collected to the driver.
     """
 
     def __init__(self, seen: DataFrame, n_buckets: int = 64,
-                 fp_rate: float = 0.01, key: str = "url_sha1"):
+                 fp_rate: float = 0.01, key: str = "url_sha1",
+                 max_generations: int = 8):
         self.key, self.n_buckets, self.fp_rate = key, n_buckets, fp_rate
-        self.seen = seen.select(key).persist()
+        self.max_generations = max_generations
+        spark = seen.sparkSession
+        self._P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # the base generation usually comes from stable storage (a
+        # snapshot table) — deterministic lineage, no checkpoint needed
+        self._gens = [self._new_generation(seen, checkpoint=False)]
         self.blooms = build_bloom_table(
             self.seen, n_buckets, fp_rate, key).persist()
         self.blooms.count()  # materialize so every probe reuses the cache
         self._last_probe: DataFrame | None = None
+
+    @property
+    def seen(self) -> DataFrame:
+        """All generations as one frame (bloom rebuilds, callers)."""
+        out = self._gens[0]
+        for g in self._gens[1:]:
+            out = out.unionByName(g)
+        return out
+
+    def _new_generation(self, keys_df: DataFrame,
+                        checkpoint: bool = True) -> DataFrame:
+        """Materialize keys hash-partitioned on the key and pin them.
+
+        Deltas are checkpointed first: their lineage reaches back through
+        the round's transport fetch (slow to recompute and, for a live
+        HTTP transport, nondeterministic). The repartition then restores
+        the outputPartitioning the checkpoint erased, and persist pins
+        the partitioned layout for every later verify join."""
+        g = keys_df.select(self.key)
+        if checkpoint:
+            g = g.localCheckpoint(eager=True)
+        g = g.repartition(self._P, self.key).persist()
+        g.count()
+        return g
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -243,44 +285,66 @@ class BloomSeenSet:
     def unseen(self, candidates: DataFrame) -> DataFrame:
         """Exact anti-join, Bloom-accelerated with the prebuilt blobs.
 
+        Verify step: fold the survivors through one left-anti join per
+        generation. The first join exchanges the survivors once; a
+        sort-merge join preserves its streamed side's partitioning, so
+        every later generation joins with ZERO additional exchanges.
+
         The previous call's probe cache is released here: a round loop
         probing thousands of times holds at most ONE probe frame in
         storage, instead of leaking one per round."""
         if self._last_probe is not None:
             self._last_probe.unpersist()
-        result, self._last_probe = _probe_and_verify(
-            candidates, self.seen, self.blooms, self.n_buckets, self.key)
-        return result
+        flagged = bloom_prefilter(
+            candidates, self.blooms, self.n_buckets, self.key).persist()
+        self._last_probe = flagged
+        definitely_new = flagged.filter(
+            ~F.col("_maybe_seen")).drop("_maybe_seen")
+        survivors = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        for g in self._gens:
+            survivors = survivors.join(g, self.key, "left_anti")
+        return definitely_new.unionByName(survivors)
 
     def add(self, new_keys: DataFrame) -> None:
-        """Extend the set; only blobs of touched buckets are rebuilt.
-
-        Both successors are ``localCheckpoint``-ed (eager, executor-side
-        — still no driver data): without it each round stacks one more
-        ``unionByName`` on ``seen`` and one rebuild-join on ``blooms``,
-        so plan depth and any cache-loss recompute grow linearly with
-        rounds — and the recompute lineage would reach back through the
-        round's transport fetch (slow and, for a live HTTP transport,
-        nondeterministic). Checkpointing cuts the lineage at K rows per
-        round, same as ``kmeans_centroids``."""
+        """Extend the set; only blobs of touched buckets are rebuilt
+        (delta buckets' keys re-folded, untouched blobs carried over by
+        anti-join), and only the DELTA keys are shuffled — they become a
+        new generation; the existing history stays where it sits."""
         new_keys = new_keys.select(self.key)
         touched = self._bucket(new_keys).select("bucket").distinct()
-        seen2 = self.seen.unionByName(new_keys).localCheckpoint(eager=True)
+        self._gens.append(self._new_generation(new_keys))
+        if len(self._gens) > self.max_generations:
+            self._compact()
         rebuilt = build_bloom_table(
-            self._bucket(seen2)
+            self._bucket(self.seen)
             .join(F.broadcast(touched), "bucket", "left_semi")
             .drop("bucket"),
             self.n_buckets, self.fp_rate, self.key,
         )
         untouched = self.blooms.join(F.broadcast(touched), "bucket", "left_anti")
+        # blooms stay checkpointed, not partition-pinned: the probe
+        # cogroups them by BUCKET (n_buckets rows — that exchange is
+        # noise), and checkpointing stops plan depth and cache-loss
+        # recompute growing by one rebuild-join per round
         blooms2 = rebuilt.unionByName(untouched).localCheckpoint(eager=True)
-        old_seen, old_blooms = self.seen, self.blooms
-        self.seen, self.blooms = seen2, blooms2
-        old_seen.unpersist()
+        old_blooms = self.blooms
+        self.blooms = blooms2
         old_blooms.unpersist()
 
+    def _compact(self) -> None:
+        """Merge all generations into one (one full reshuffle, amortized
+        over ``max_generations`` rounds of delta-only adds). The union is
+        checkpointed so the merged generation's lineage is self-contained
+        — its ancestors' checkpoint RDDs are about to be released."""
+        merged = self._new_generation(self.seen, checkpoint=True)
+        for g in self._gens:
+            g.unpersist()
+        self._gens = [merged]
+
     def release(self) -> None:
-        self.seen.unpersist()
+        for g in self._gens:
+            g.unpersist()
+        self._gens = []
         self.blooms.unpersist()
         if self._last_probe is not None:
             self._last_probe.unpersist()

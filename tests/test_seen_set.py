@@ -134,3 +134,65 @@ def test_bloom_seen_set_unseen_is_exact(spark, keyed):
     want = {r["url_sha1"] for r in anti_join_seen(keyed, seen).collect()}
     assert got == want
     s.release()
+
+
+@pytest.mark.spark
+def test_bloom_seen_set_verify_never_reshuffles_seen(spark, keyed):
+    """The steady-state scale property: generations are persisted
+    hash-partitioned on the key, so the verify fold adds ZERO exchanges
+    per generation — the plan's exchange count is identical with 1 and
+    with 4 generations (only the survivors and the bucket cogroup
+    shuffle), and the cached generations feed the joins directly."""
+    from commoncrawl_spark.operators.seen_set import BloomSeenSet
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exclude exchanges stored INSIDE cached relations (executed once
+        # at generation materialization, not per probe)
+        outside, depth_in_cache = 0, None
+        for line in plan.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if depth_in_cache is not None and indent > depth_in_cache:
+                continue
+            depth_in_cache = None
+            if "InMemoryRelation" in line:
+                depth_in_cache = indent
+            elif "Exchange hashpartitioning" in line:
+                outside += 1
+        return outside
+
+    quarters = [keyed.filter(F.crc32("url") % 4 == i).select("url_sha1")
+                for i in range(4)]
+    s1 = BloomSeenSet(quarters[0], n_buckets=8)
+    one_gen = exchanges(s1.unseen(keyed))
+    s4 = BloomSeenSet(quarters[0], n_buckets=8, max_generations=10)
+    for q in quarters[1:]:
+        s4.add(q)
+    assert len(s4._gens) == 4
+    four_gen = exchanges(s4.unseen(keyed))
+    assert four_gen == one_gen, (one_gen, four_gen)
+    # and the result is still exact
+    got = {r["url_sha1"] for r in s4.unseen(keyed).collect()}
+    want = {r["url_sha1"] for r in anti_join_seen(
+        keyed, quarters[0].unionByName(quarters[1])
+        .unionByName(quarters[2]).unionByName(quarters[3])).collect()}
+    assert got == want
+    s1.release()
+    s4.release()
+
+
+@pytest.mark.spark
+def test_bloom_seen_set_compaction_preserves_membership(spark, keyed):
+    """Adds past max_generations trigger compaction; membership answers
+    are unchanged before/after and generation count collapses to one."""
+    from commoncrawl_spark.operators.seen_set import BloomSeenSet
+
+    parts = [keyed.filter(F.crc32("url") % 3 == i).select("url_sha1")
+             for i in range(3)]
+    s = BloomSeenSet(parts[0], n_buckets=8, max_generations=2)
+    s.add(parts[1])
+    s.add(parts[2])  # 3 gens > 2 -> compacted
+    assert len(s._gens) == 1
+    got = {r["url_sha1"] for r in s.unseen(keyed).collect()}
+    assert got == set()  # every key was added
+    s.release()
