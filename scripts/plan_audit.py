@@ -123,6 +123,44 @@ def main() -> None:
          f"BroadcastExchange present: {'BroadcastExchange' in p} (expect False)"],
     ))
 
+    # 4b. Generational seen-set: verify fold never reshuffles history
+    from commoncrawl_spark.operators.seen_set import BloomSeenSet
+
+    def outside_exchanges(plan: str) -> int:
+        out, cache_depth = 0, None
+        for line in plan.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if cache_depth is not None and indent > cache_depth:
+                continue
+            cache_depth = None
+            if "InMemoryRelation" in line:
+                cache_depth = indent
+            elif "Exchange hashpartitioning" in line:
+                out += 1
+        return out
+
+    quarters = [keyed.filter(F.crc32("url") % 4 == i).select("url_sha1")
+                for i in range(4)]
+    s1 = BloomSeenSet(quarters[0], n_buckets=8)
+    e1 = outside_exchanges(plan_of(s1.unseen(keyed)))
+    s4 = BloomSeenSet(quarters[0], n_buckets=8, max_generations=10)
+    for q in quarters[1:]:
+        s4.add(q)
+    e4 = outside_exchanges(plan_of(s4.unseen(keyed)))
+    s1.release()
+    s4.release()
+    sections.append((
+        "Generational seen-set (A5/J1): probe rounds never reshuffle history",
+        "Seen keys persist as hash-partitioned generations (LSM shape): "
+        "the verify fold's seen side satisfies the join distribution from "
+        "cache, so a probe exchanges only the bloom survivors. At 10^10 "
+        "keys that is the difference between moving ~640 GB per round and "
+        "moving only the round's candidates; add() shuffles just the delta.",
+        [f"exchanges outside cached relations, 1 generation: {e1}",
+         f"exchanges outside cached relations, 4 generations: {e4} "
+         f"(expect equal — zero marginal exchanges per generation)"],
+    ))
+
     # 5. salted politeness
     from commoncrawl_spark.operators.schedule import select_polite_batch, with_host
     fr = with_host(with_url_key(pages.select("url")))
