@@ -617,6 +617,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           gap_seconds=21600)
     q["sessionization"] = sessionization
 
+    def capture_diff(spark, sf):
+        """Incremental-recrawl planning: diff the capture log between two
+        cutoffs — per URL compare latest-as-of(T_old) vs latest-as-of(
+        T_new), classify added/changed/unchanged. Two max_by folds over
+        one scan + a full-outer merge on the key; no Python."""
+        from commoncrawl_spark.operators.temporal import snapshot_diff
+
+        cdx = _events_cdx(spark, sf)
+        return snapshot_diff(
+            cdx, "20240103000000", "20240105000000",
+            key_col="url", ts_col="timestamp",
+            compare_cols=("status", "length"), tiebreak_cols=("event_id",))
+    q["capture_diff"] = capture_diff
+
+    def blocklist_filter(spark, sf):
+        """UT1-style domain blocklist over the capture log: hosts explode
+        into dot-suffixes and a broadcast equi semi-join finds blocked
+        URLs (never a LIKE nested-loop against the list); the kept rows
+        come back via one anti-join on the url key."""
+        from commoncrawl_spark.operators.blocklist import filter_blocked_hosts
+
+        cdx = _events_cdx(spark, sf).select("event_id", "url", "status")
+        bl = spark.createDataFrame(
+            [("site-3.test",), ("site-17.test",), ("site-29.test",)],
+            "domain string")
+        return filter_blocked_hosts(cdx, bl)
+    q["blocklist_filter"] = blocklist_filter
+
+    def segment_dedup(spark, sf):
+        """Corpus-wide segment-level dedup (CCNet/RefinedWeb line-dedup
+        shape, 10-word segments, keep-first): explode is per-row, the
+        keep decision shuffles only md5 fingerprints + (id, pos), and
+        reassembly is one groupBy on doc_id — two exchanges, no Python."""
+        from commoncrawl_spark.operators.text_dedup import dedup_segments
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return dedup_segments(d, seg_words=10, keep="first")
+    q["segment_dedup"] = segment_dedup
+
     def curation_pipeline(spark, sf):
         """Composed training-data curation: language-ID -> quality gate ->
         token-length gate -> exact first-wins dedup by fingerprint. The
@@ -1016,6 +1055,88 @@ def oracle_sql() -> dict[str, str]:
                 FROM elig)
         SELECT url, event_id, status, mime_detected, length, "timestamp"
         FROM rnk WHERE rn = 1
+    """
+
+    # capture_diff: latest-as-of at each cutoff via row_number (same total
+    # order as Spark's max_by over (ts, event_id)), then a full outer join
+    o["capture_diff"] = f"""
+        WITH cdx AS ({_EV_CDX_SQL}),
+        oldv AS (
+          SELECT url, status AS old_status, length AS old_length FROM (
+            SELECT *, row_number() OVER (PARTITION BY url
+              ORDER BY "timestamp" DESC, event_id DESC) AS rn
+            FROM cdx WHERE "timestamp" <= '20240103000000') WHERE rn = 1
+        ),
+        newv AS (
+          SELECT url, status AS new_status, length AS new_length FROM (
+            SELECT *, row_number() OVER (PARTITION BY url
+              ORDER BY "timestamp" DESC, event_id DESC) AS rn
+            FROM cdx WHERE "timestamp" <= '20240105000000') WHERE rn = 1
+        )
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'removed'
+                    WHEN o.old_status IS DISTINCT FROM n.new_status
+                         OR o.old_length IS DISTINCT FROM n.new_length
+                    THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               o.old_status, o.old_length, n.new_status, n.new_length
+        FROM oldv o FULL OUTER JOIN newv n ON o.url = n.url
+    """
+
+    # blocklist_filter: host = lowercased netloc minus www./port (same as
+    # host_col); blocked = equal to or subdomain of any listed domain
+    o["blocklist_filter"] = f"""
+        WITH cdx AS ({_EV_CDX_SQL}),
+        hosts AS (
+          SELECT event_id, url, status,
+                 regexp_replace(
+                   lower(regexp_extract(url, 'https?://([^/?#]*)', 1)),
+                   '^www\\.', '') AS host
+          FROM cdx
+        ),
+        bl(domain) AS (
+          VALUES ('site-3.test'), ('site-17.test'), ('site-29.test')
+        )
+        SELECT event_id, url, status FROM hosts h
+        WHERE NOT EXISTS (
+          SELECT 1 FROM bl
+          WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain)
+    """
+
+    # segment_dedup: same segmentation (1-based inclusive list slice ==
+    # Spark's slice), keep-first via row_number over the fingerprint
+    # ordered by (doc_id, pos) — the same total order as Spark's
+    # min(struct(id, pos))
+    o["segment_dedup"] = """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        base AS (
+          SELECT doc_id, CAST(ceil(len(w) / 10.0) AS INT) AS n_segments, w
+          FROM words
+        ),
+        numbered AS (
+          SELECT doc_id, w, unnest(range(n_segments)) AS i FROM base
+        ),
+        segs AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(w[i*10+1 : i*10+10], ' ') AS segment
+          FROM numbered
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(segment) ORDER BY doc_id, pos) AS rn
+          FROM segs
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(segment, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT b.doc_id, coalesce(r.text, '') AS text, b.n_segments,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
     """
 
     # sessionization: identical lag + running-sum composition; epoch_us on

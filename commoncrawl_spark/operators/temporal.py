@@ -160,3 +160,54 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .select(*out_cols)
     )
+
+
+def snapshot_diff(
+    captures: DataFrame,
+    as_of_old,
+    as_of_new,
+    key_col: str = "url",
+    ts_col: str = "timestamp",
+    compare_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """What changed in the capture log between two cutoffs: per key,
+    compare ``latest_as_of(as_of_old)`` with ``latest_as_of(as_of_new)``
+    and classify ``added`` (key absent at T_old), ``removed`` (present
+    at T_old, absent at T_new — only possible with retractions, kept for
+    generality), ``changed`` (any ``compare_cols`` differs, null-safe),
+    or ``unchanged``. Output: ``key_col, change, old_<c>..., new_<c>...``
+    (flattened, so the frame is directly joinable/writable).
+
+    The incremental-recrawl planner's core question — "which URLs gained
+    a newer capture since the last harvest" — is ``change IN ('added',
+    'changed')``. Plan: two single-shuffle max_by folds over the same
+    scan + one full-outer merge join on the key; no Python, no window
+    sort."""
+    if not compare_cols:
+        compare_cols = [c for c in captures.columns
+                        if c not in (key_col, ts_col)]
+    old = latest_as_of(captures, as_of_old, key_col, ts_col, tiebreak_cols)
+    new = latest_as_of(captures, as_of_new, key_col, ts_col, tiebreak_cols)
+    old = old.select(
+        key_col, F.lit(True).alias("_has_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    new = new.select(
+        key_col, F.lit(True).alias("_has_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = old.join(new, key_col, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_has_old").isNull(), F.lit("added"))
+        .when(F.col("_has_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        key_col, change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

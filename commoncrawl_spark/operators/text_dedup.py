@@ -312,3 +312,87 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    keep: str = "first",
+) -> DataFrame:
+    """Corpus-wide segment-level deduplication (the CCNet/RefinedWeb
+    "line dedup" shape): cut every document into consecutive
+    ``seg_words``-word segments, fingerprint each, and remove segments
+    whose text occurs elsewhere in the corpus. ``keep='first'`` retains
+    one canonical occurrence (the globally smallest ``(id, position)``);
+    ``keep='none'`` drops every occurrence of any repeated segment
+    (classic boilerplate removal: nav bars / disclaimers repeated across
+    pages vanish entirely). Returns one row per input document:
+    ``(id_col, text, n_segments, n_kept)`` with the surviving segments
+    rejoined in original order — a document whose every segment was
+    removed keeps an empty string.
+
+    Scale shape: segmentation is a per-row array expression (no
+    shuffle); the keep-decision shuffles only 16-byte fingerprints plus
+    (id, pos) — never segment text twice; reassembly is one groupBy on
+    the document id. Two exchanges total, zero Python. Word documents
+    have no newline structure here, but on real web text the same
+    operator with a newline split expression is line-level dedup
+    verbatim (reference analog: the merge step's content-hash dedup,
+    main_merge_and_deduplicate.py, applied at sub-document granularity).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segments = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * seg_words + 1, seg_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    seg = (
+        df.select(F.col(id_col), segments.alias("_segs"))
+        .select(id_col, F.posexplode("_segs").alias("pos", "segment"))
+        .withColumn("_fp", F.md5(F.col("segment")))
+    )
+    # one hash exchange on the fingerprint; min/count are partial-agg
+    # friendly so the map side pre-combines before the shuffle
+    firsts = seg.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col).alias("id"),
+                       F.col("pos").alias("pos"))).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = seg.join(firsts, "_fp")
+    if keep == "first":
+        kept = joined.filter(
+            (F.col(f"_first.id") == F.col(id_col))
+            & (F.col("_first.pos") == F.col("pos")))
+    else:
+        kept = joined.filter(F.col("_n") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.when(n_seg > 0, n_seg).otherwise(F.lit(0)).alias("n_segments"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

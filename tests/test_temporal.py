@@ -130,3 +130,37 @@ def test_sessionize_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.spark
+def test_snapshot_diff_classification(spark):
+    from commoncrawl_spark.operators.temporal import snapshot_diff
+
+    caps = spark.createDataFrame(
+        [("a", 1, "200"), ("a", 5, "404"),   # changed between T=2 and T=6
+         ("b", 1, "200"),                    # unchanged
+         ("c", 4, "200")],                   # added after T=2
+        "url string, ts long, status string")
+    got = {r["url"]: (r["change"], r["old_status"], r["new_status"])
+           for r in snapshot_diff(
+               caps, 2, 6, key_col="url", ts_col="ts",
+               compare_cols=("status",)).collect()}
+    assert got["a"] == ("changed", "200", "404")
+    assert got["b"] == ("unchanged", "200", "200")
+    assert got["c"] == ("added", None, "200")
+
+
+@pytest.mark.spark
+def test_snapshot_diff_null_safe_compare(spark):
+    """NULL -> value transitions classify as changed, NULL -> NULL as
+    unchanged (eqNullSafe, not SQL equals)."""
+    from commoncrawl_spark.operators.temporal import snapshot_diff
+
+    caps = spark.createDataFrame(
+        [("a", 1, None), ("a", 5, "200"),
+         ("b", 1, None), ("b", 5, None)],
+        "url string, ts long, status string")
+    got = {r["url"]: r["change"] for r in snapshot_diff(
+        caps, 2, 6, key_col="url", ts_col="ts",
+        compare_cols=("status",)).collect()}
+    assert got == {"a": "changed", "b": "unchanged"}

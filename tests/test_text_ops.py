@@ -293,3 +293,39 @@ def test_gopher_keep_boundaries(spark):
     relaxed = df.filter(F.col("id") == 2).select(
         gopher_keep_col(F.col("text"), min_words=3).alias("keep")).first()
     assert relaxed["keep"] is True
+
+
+@pytest.mark.spark
+def test_dedup_segments_keep_first(spark):
+    from commoncrawl_spark.operators.text_dedup import dedup_segments
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "x y z x y z")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_segments"], r["n_kept"])
+           for r in dedup_segments(df, seg_words=3).collect()}
+    assert got[1] == ("a b c d e f", 2, 2)   # both first occurrences
+    assert got[2] == ("x y z", 2, 1)         # 'a b c' deduped to doc 1
+    assert got[3] == ("", 2, 0)              # every segment seen before
+
+
+@pytest.mark.spark
+def test_dedup_segments_keep_none(spark):
+    from commoncrawl_spark.operators.text_dedup import dedup_segments
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "x y z x y z")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           dedup_segments(df, seg_words=3, keep="none").collect()}
+    assert got == {1: "d e f", 2: "", 3: ""}  # only globally-unique stays
+
+
+@pytest.mark.spark
+def test_dedup_segments_plan_no_python(spark):
+    from commoncrawl_spark.operators.text_dedup import dedup_segments
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (dedup_segments(df, seg_words=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
