@@ -92,3 +92,89 @@ def per_host_admission(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("session_id", T.StringType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ordinal", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "key",
+    ts_col: str = "ts_micros",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.sessionize``: gap-based
+    session ids (``<key>#<ordinal>``) assigned incrementally, with per-key
+    state = (current ordinal, last event time) surviving micro-batches in
+    the state store — 16 bytes per key, never the event history.
+
+    ``ts_col`` is event time in MICROSECONDS (long): the batch operator
+    cuts at microsecond precision and the streaming twin must agree.
+    Rows inside a micro-batch are sorted by event time before the fold
+    (chunks concatenated first — Arrow chunk boundaries are shuffle-
+    dependent); ACROSS micro-batches rows must arrive in event-time
+    order per key to match the batch result (feed from an ordered log,
+    or front it with a watermark + sorted foreachBatch). Out-of-order
+    arrivals never crash: a stale row joins the CURRENT session (its gap
+    to ``last_ts`` is negative, which never exceeds the threshold) and
+    ``last_ts`` only moves forward.
+
+    Spark's native ``session_window`` yields window bounds, not joinable
+    per-key ordinals, and cannot express keep-alive state across
+    restarts at this granularity — which is why this operator exists
+    (same reason as the batch twin)."""
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def assign(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            ordinal, last_ts = state.get
+            if last_ts < 0:  # stored sentinel for "no event yet"
+                last_ts = None
+        else:
+            ordinal, last_ts = -1, None
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+                else chunks[0]
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            out_ids = []
+            for ts in pdf[ts_col]:
+                ts = int(ts)
+                if last_ts is None or ts - last_ts > gap_us:
+                    ordinal += 1
+                last_ts = ts if last_ts is None else max(last_ts, ts)
+                out_ids.append(f"{k}#{ordinal}")
+            yield pd.DataFrame(
+                {
+                    "key": k,
+                    "ts_micros": pdf[ts_col].to_numpy(),
+                    "session_id": out_ids,
+                }
+            )
+        state.update((ordinal, last_ts if last_ts is not None else -1))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        assign,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

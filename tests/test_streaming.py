@@ -194,3 +194,44 @@ def test_stream_crawl_end_to_end_exactly_once(spark, tmp_path):
     assert arts.count() == 6  # once per URL: in-batch dedup + epoch commits
     for i in range(6):
         assert got[f"https://example.test/p/{i}"] == f"body {i} text"
+
+
+@pytest.mark.spark
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Two micro-batches (event-time ordered per key across batches):
+    session ordinals continue across the batch boundary via the state
+    store, and the assignment equals the batch sessionize on the
+    concatenated input."""
+    import pandas as pd
+
+    from commoncrawl_spark.operators.temporal import sessionize
+    from commoncrawl_spark.streaming.stateful import streaming_sessionize
+
+    gap = 100  # seconds
+    batch1 = [("u", 0), ("u", 50_000_000), ("v", 0)]
+    # u's next event is 150s after its last (> gap) -> new session;
+    # v's is 90s after (<= gap) -> same session, both across the boundary
+    batch2 = [("u", 200_000_000), ("v", 90_000_000)]
+    d = str(tmp_path / "sess_src")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate([batch1, batch2]):
+        pd.DataFrame(rows, columns=["key", "ts_micros"]).to_parquet(
+            f"{d}/b{i}.parquet")
+
+    stream = (spark.readStream.schema("key string, ts_micros long")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = streaming_sessionize(stream, gap_seconds=gap)
+    (out.writeStream.format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+        .awaitTermination(120))
+    got = {(r["key"], r["ts_micros"]): r["session_id"]
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    allrows = spark.createDataFrame(batch1 + batch2, "key string, ts long")
+    want = {(r["key"], r["ts"]): r["session_id"]
+            for r in sessionize(allrows, key_col="key", ts_col="ts",
+                                gap_seconds=gap * 1_000_000).collect()}
+    assert got == want
+    assert got[("u", 200_000_000)] == "u#1"   # new session after boundary
+    assert got[("v", 90_000_000)] == "v#0"    # continued across boundary
