@@ -210,6 +210,46 @@ def _sql_simhash(toks: str) -> str:
     )
 
 
+def _sql_segment_ctes(src: str) -> str:
+    """Segment-dedup CTE chain (10-word segments, keep-first) over any
+    relation exposing (doc_id, text); final relation is ``segfinal``.
+    Mirrors ``text_dedup.dedup_segments``: 1-based inclusive list slice
+    == Spark's slice; row_number over the fingerprint ordered by
+    (doc_id, pos) == Spark's min(struct(id, pos))."""
+    return f"""
+        words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM {src}
+        ),
+        segbase AS (
+          SELECT doc_id, CAST(ceil(len(w) / 10.0) AS INT) AS n_segments, w
+          FROM words
+        ),
+        numbered AS (
+          SELECT doc_id, w, unnest(range(n_segments)) AS i FROM segbase
+        ),
+        segs AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(w[i*10+1 : i*10+10], ' ') AS segment
+          FROM numbered
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(segment) ORDER BY doc_id, pos) AS rn
+          FROM segs
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(segment, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ),
+        segfinal AS (
+          SELECT b.doc_id, coalesce(r.text, '') AS text, b.n_segments,
+                 CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+          FROM segbase b LEFT JOIN rebuilt r USING (doc_id)
+        )
+    """
+
+
 def _sql_minhash_sigs() -> str:
     """sig_0..sig_15 select-list fragment over a CTE exposing ``sh``."""
     sigs = []
@@ -680,6 +720,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "pred_lang", "n_tokens", "quality")
     q["curation_pipeline"] = curation_pipeline
 
+    def curation_pipeline_v2(spark, sf):
+        """curation_pipeline survivors -> corpus-wide segment dedup over
+        the curated subset -> boilerplate-fraction gate (a document must
+        keep at least half its segments). The segment stage shuffles only
+        md5 fingerprints + (id, pos); the gate is a free post-filter on
+        the reassembly aggregate — still zero Python end to end."""
+        from commoncrawl_spark.operators.text_dedup import dedup_segments
+
+        d = _read(spark, sf, "documents")
+        curated = curation_pipeline(spark, sf).select("doc_id")
+        cursrc = d.join(curated, "doc_id").select("doc_id", "text")
+        seg = dedup_segments(cursrc, seg_words=10, keep="first")
+        return seg.filter(F.col("n_kept") * 2 >= F.col("n_segments"))
+    q["curation_pipeline_v2"] = curation_pipeline_v2
+
     def link_discovery(spark, sf):
         """Synthetic pages (one per document, deterministic hrefs of every
         resolution class) -> extract_links. Oracle derives the expected
@@ -1108,35 +1163,19 @@ def oracle_sql() -> dict[str, str]:
     # Spark's slice), keep-first via row_number over the fingerprint
     # ordered by (doc_id, pos) — the same total order as Spark's
     # min(struct(id, pos))
-    o["segment_dedup"] = """
-        WITH words AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    o["segment_dedup"] = (
+        f"WITH {_sql_segment_ctes('documents')} SELECT * FROM segfinal")
+
+    # curation_pipeline_v2: the curation survivors feed the segment-dedup
+    # chain, then a boilerplate-fraction gate (>= half the segments kept)
+    o["curation_pipeline_v2"] = f"""
+        WITH curated AS ({{curation}}),
+        cursrc AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN curated c ON c.doc_id = d.doc_id
         ),
-        base AS (
-          SELECT doc_id, CAST(ceil(len(w) / 10.0) AS INT) AS n_segments, w
-          FROM words
-        ),
-        numbered AS (
-          SELECT doc_id, w, unnest(range(n_segments)) AS i FROM base
-        ),
-        segs AS (
-          SELECT doc_id, CAST(i AS INT) AS pos,
-                 array_to_string(w[i*10+1 : i*10+10], ' ') AS segment
-          FROM numbered
-        ),
-        ranked AS (
-          SELECT *, row_number() OVER (
-            PARTITION BY md5(segment) ORDER BY doc_id, pos) AS rn
-          FROM segs
-        ),
-        rebuilt AS (
-          SELECT doc_id, string_agg(segment, ' ' ORDER BY pos) AS text,
-                 count(*) AS n_kept
-          FROM ranked WHERE rn = 1 GROUP BY doc_id
-        )
-        SELECT b.doc_id, coalesce(r.text, '') AS text, b.n_segments,
-               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
-        FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        {_sql_segment_ctes('cursrc')}
+        SELECT * FROM segfinal WHERE n_kept * 2 >= n_segments
     """
 
     # sessionization: identical lag + running-sum composition; epoch_us on
@@ -1789,5 +1828,10 @@ def oracle_sql() -> dict[str, str]:
           WHERE n.vec_id <> p.query_id)
         WHERE rank <= 5
     """
+
+    # curation_pipeline_v2 embeds the full curation SQL (defined later in
+    # this function than the v2 template) as its survivors CTE.
+    o["curation_pipeline_v2"] = o["curation_pipeline_v2"].replace(
+        "{curation}", o["curation_pipeline"])
 
     return o
