@@ -449,6 +449,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("o_orderkey")
     q["bloom_anti_join"] = bloom_anti_join
 
+    def cuckoo_anti_join(spark, sf):
+        """The cuckoo-filter seen set WITH recrawl eviction exercised end
+        to end: seed the set, remove() a subset (those URLs become
+        crawlable again), then take the exact cuckoo-accelerated
+        anti-join. The oracle is membership in (seen MINUS removed) —
+        any false negative from the in-place fingerprint deletion, or
+        any stale-eviction leak, breaks the hash."""
+        from commoncrawl_spark.operators.cuckoo import CuckooSeenSet
+
+        key = F.sha1(F.col("o_orderkey").cast("string")).alias("url_sha1")
+        cand = _read(spark, sf, "orders").select("o_orderkey", key)
+        first = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+        seen = (
+            _read(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+            .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                    < "4")
+            .distinct().select("o_orderkey", key)
+        )
+        s = CuckooSeenSet(seen.select("url_sha1"), n_buckets=16)
+        s.remove(seen.filter(first < "1").select("url_sha1"))
+        return s.unseen(cand).select("o_orderkey")
+    q["cuckoo_anti_join"] = cuckoo_anti_join
+
     def politeness_schedule(spark, sf):
         ev = _read(spark, sf, "events").select(
             "event_id", "ts",
@@ -1216,6 +1240,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderkey NOT IN (
           SELECT l_orderkey FROM lineitem
           WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4')
+    """
+
+    # cuckoo_anti_join: membership in (seen MINUS removed) — the removed
+    # md5-first-char-<'1' subset must be crawlable again after eviction
+    o["cuckoo_anti_join"] = """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey NOT IN (
+          SELECT l_orderkey FROM lineitem
+          WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'
+            AND substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) >= '1')
     """
 
     o["politeness_schedule"] = """
