@@ -255,6 +255,14 @@ def bench_seen_probe(spark, pages) -> dict[str, float]:
     anti_join_seen(cands, seen).write.format("noop").mode("overwrite").save()
     out["exact_anti_join"] = round(time.monotonic() - t0, 3)
     sset.release()
+    from commoncrawl_spark.operators.cuckoo import CuckooSeenSet
+
+    cset = CuckooSeenSet(seen, n_buckets=32)
+    for i in range(2):
+        t0 = time.monotonic()
+        cset.unseen(cands).write.format("noop").mode("overwrite").save()
+        out[f"cuckoo_probe_round{i}"] = round(time.monotonic() - t0, 3)
+    cset.release()
     for df in (keyed, seen, cands):
         df.unpersist()
     return out

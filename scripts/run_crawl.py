@@ -47,7 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     from commoncrawl_spark.sources.cdx import read_cdx_jsonl
 
     if SparkSession.getActiveSession() is not None:
-        spark = SparkSession.getActiveSession()  # spark-submit provided
+        spark = SparkSession.getActiveSession()  # driving session provided
+    elif os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # under spark-submit the JVM is already up with the submitted conf
+        # (--master, --py-files, executor settings): build on it verbatim
+        # so --py-files is what ships the package to the workers
+        spark = SparkSession.builder.getOrCreate()
     else:
         # standalone python invocation: get_spark ships the package to
         # workers (the local equivalent of --py-files)

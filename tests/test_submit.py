@@ -1,0 +1,62 @@
+"""Deployment-shape evidence: the engine runs under REAL
+``spark-submit --py-files`` — the north star's deployment contract —
+with the package reaching the Python workers only through the shipped
+zip (no PYTHONPATH, cwd outside the repo)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, REPO)
+    from commoncrawl_spark.fixtures import write_fixtures
+    from commoncrawl_spark.session import _package_zip
+
+    zip_path = _package_zip()
+    fixtures = str(tmp_path / "fixtures")
+    write_fixtures(fixtures, n_pages=120, seed=7)
+
+    # scrub every path by which workers could import the package except
+    # the --py-files zip itself
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "run_crawl.py"),
+        "--pages", f"{fixtures}/pages.parquet",
+        "--cdx", f"{fixtures}/cdx.parquet",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--budget", "50",
+        "--max-rounds", "2",
+        "--seed",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the extraction stage is a mapInPandas over executor workers — it
+    # only succeeds if the zip shipped: extract_ok > 0 proves it
+    assert summary["rounds"] >= 1
+    assert summary["extract_ok"] > 0
+    assert summary["articles_total"] == summary["extract_ok"]
