@@ -90,7 +90,11 @@ class CrawlJob:
         transport=None,
         retry_backoff: bool = True,
         backoff_cap_rounds: int = 300,
+        seen_state: str = "bloom",
     ):
+        if seen_state not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_state must be 'bloom' or 'cuckoo', got {seen_state!r}")
         self.spark = spark
         self.dir = checkpoint_dir
         self.budget = budget_per_host
@@ -111,10 +115,14 @@ class CrawlJob:
         # 300 s ceiling). retry_backoff=False restores retry-next-round.
         self.retry_backoff = retry_backoff
         self.backoff_cap_rounds = backoff_cap_rounds
-        # cross-round Bloom seen-set state: built lazily the first time
-        # the seen table crosses bloom_threshold, then extended
-        # incrementally per round (_note_seen_keys). In-memory only —
-        # a resumed job rebuilds it from the seen table on first use.
+        # cross-round filter state (BloomSeenSet or CuckooSeenSet per
+        # seen_state): built lazily the first time the seen table crosses
+        # bloom_threshold, then extended incrementally per round
+        # (_note_seen_keys). In-memory only — a resumed job rebuilds it
+        # from the seen table on first use. 'cuckoo' costs ~2x the blob
+        # bytes but supports in-place DELETION, which makes
+        # evict_for_recrawl cheap at 10^10 keys.
+        self.seen_state = seen_state
         self._bloom = None
         # when set and robots carries crawl_delay_s, a host's per-round
         # budget becomes min(budget_per_host, floor(round_seconds / delay))
@@ -198,18 +206,91 @@ class CrawlJob:
         seen = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
         n_seen = seen.count()
         if n_seen > self.bloom_threshold:
-            from ..operators.seen_set import BloomSeenSet
-
-            self._bloom = BloomSeenSet(seen)
+            self._bloom = self._make_state(seen)
             return self._bloom.unseen(candidates)
         if n_seen:
             return anti_join_seen(candidates, seen)
         return candidates
 
+    def _make_state(self, seen: DataFrame):
+        if self.seen_state == "cuckoo":
+            from ..operators.cuckoo import CuckooSeenSet
+
+            return CuckooSeenSet(seen)
+        from ..operators.seen_set import BloomSeenSet
+
+        return BloomSeenSet(seen)
+
     def _note_seen_keys(self, done_keys: DataFrame) -> None:
         """Keep the cross-round Bloom state in sync with the seen table."""
         if self._bloom is not None:
             self._bloom.add(done_keys)
+
+    def evict_for_recrawl(self, urls: DataFrame, requeue: bool = True) -> int:
+        """Recrawl scheduling: make previously-fetched URLs fetchable again.
+
+        ``urls`` needs a ``url`` column (``url_sha1`` is derived if absent;
+        a pre-keyed frame is used as-is). Three coordinated updates:
+
+        * the persistent seen table loses the keys — via a NEW snapshot,
+          so the pre-eviction membership stays time-travelable;
+        * the cross-round filter state follows: in-place fingerprint
+          deletion when ``seen_state='cuckoo'`` (delta-sized work — the
+          reason the cuckoo variant exists); the Bloom state, which
+          cannot delete, is released and lazily rebuilt on next use;
+        * with ``requeue=True``, the URLs re-enter the frontier BELOW
+          every queued row (crawl_rank = max + 1, url_sha1 tie-break —
+          the same deterministic placement as discovered links), so a
+          recrawl never starves fresh seeds and replays stay ordered.
+
+        Only keys actually in the seen set count; returns how many were
+        evicted. Reference analog: deleting output files so the resume
+        scan re-queues them (download_warc_segments.py:163-171 existence
+        check) — here a metadata operation instead of filesystem surgery.
+        """
+        keyed = urls if "url_sha1" in urls.columns else with_url_key(urls)
+        cols = ["url_sha1"] + (["url"] if "url" in keyed.columns else [])
+        seen_df = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
+        evict = (
+            keyed.select(*cols).dropDuplicates(["url_sha1"])
+            .join(seen_df, "url_sha1", "left_semi").persist()
+        )
+        n = evict.count()
+        if n == 0:
+            evict.unpersist()
+            return 0
+        # keep the snapshot's round marker: _append_once replay detection
+        # compares it against the NEXT round's number, which must not match
+        snap = self.seen.snapshot()
+        prev_round = snap["metadata"].get("round", -1) if snap else -1
+        self.seen.overwrite(
+            seen_df.join(evict.select("url_sha1"), "url_sha1", "left_anti"),
+            {"round": prev_round, "evicted": n},
+        )
+        if self._bloom is not None:
+            if hasattr(self._bloom, "remove"):
+                self._bloom.remove(evict.select("url_sha1"))
+            else:
+                self._bloom.release()
+                self._bloom = None  # rebuilt from the table on next use
+        if requeue:
+            if "url" not in evict.columns:
+                raise ValueError("requeue=True needs a url column")
+            rnd = self.next_round()
+            frontier = self._read_frontier()
+            next_rank = (frontier.agg(F.max("crawl_rank")).first()[0] or 0) + 1
+            rows = with_host(evict).select(
+                "url", "url_sha1", "host",
+                F.lit(int(next_rank)).cast("int").alias("crawl_rank"),
+                F.lit(0).cast("int").alias("page"),
+                F.lit(0).cast("int").alias("line_no"),
+                F.lit(0).cast("int").alias("attempt"),
+                F.lit(0).cast("int").alias("not_before_round"),
+            ).join(frontier.select("url_sha1"), "url_sha1", "left_anti")
+            self.frontier.overwrite(
+                frontier.unionByName(rows), {"round": rnd, "recrawl": n})
+        evict.unpersist()
+        return n
 
     def _read_frontier(self) -> DataFrame:
         """Read the frontier snapshot, defaulting columns added since the

@@ -1,0 +1,94 @@
+"""Recrawl eviction through CrawlJob: evicted URLs leave the seen table
+(time-travelably), the cross-round filter state follows (in-place for
+cuckoo, release-and-rebuild for bloom), and requeued URLs are actually
+re-fetched on the next run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.plans.frontier import CrawlJob
+
+BUDGET = 40
+
+
+@pytest.fixture(scope="module")
+def tables(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").cache()
+    cdx = spark.read.parquet(f"{fixture_dir}/cdx.parquet").cache()
+    return pages, cdx
+
+
+@pytest.mark.spark
+def test_evict_and_recrawl_refetches(spark, tables, tmp_path_factory):
+    pages, cdx = tables
+    job = CrawlJob(spark, str(tmp_path_factory.mktemp("recrawl")),
+                   budget_per_host=BUDGET)
+    job.seed_from_cdx(cdx)
+    assert job.run(pages)
+    arts1 = job.articles_df().count()
+    seen1 = job.seen_df().count()
+
+    evict = job.articles_df().select("url").orderBy("url").limit(20)
+    assert job.evict_for_recrawl(evict) == 20
+    assert job.seen_df().count() == seen1 - 20
+
+    rounds2 = job.run(pages)
+    assert rounds2 and sum(r["fetched"] for r in rounds2) == 20
+    assert job.seen_df().count() == seen1  # membership restored
+    # the refetch produced fresh article rows (append-only log)
+    assert job.articles_df().count() == arts1 + 20
+    # pre-eviction membership is still time-travelable
+    snaps = job.seen.snapshots()
+    evicted_snap = [s for s in snaps if "evicted" in s["metadata"]]
+    assert evicted_snap and evicted_snap[0]["metadata"]["evicted"] == 20
+
+
+@pytest.mark.spark
+def test_evict_unknown_urls_is_noop(spark, tables, tmp_path_factory):
+    pages, cdx = tables
+    job = CrawlJob(spark, str(tmp_path_factory.mktemp("recrawl_noop")),
+                   budget_per_host=BUDGET)
+    job.seed_from_cdx(cdx)
+    job.run(pages)
+    seen1 = job.seen_df().count()
+    ghost = spark.createDataFrame(
+        [("https://never.crawled.test/x",)], "url string")
+    assert job.evict_for_recrawl(ghost) == 0
+    assert job.seen_df().count() == seen1
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("state", ["cuckoo", "bloom"])
+def test_evict_updates_filter_state(spark, tables, tmp_path_factory, state):
+    """cuckoo: the live state object is edited IN PLACE (same instance
+    survives the eviction). bloom: the state cannot delete, so it is
+    released and lazily rebuilt. Both stay membership-exact."""
+    pages, cdx = tables
+    job = CrawlJob(spark, str(tmp_path_factory.mktemp(f"recrawl_{state}")),
+                   budget_per_host=BUDGET, bloom_threshold=10,
+                   seen_state=state)
+    job.seed_from_cdx(cdx)
+    job.run(pages)
+    # force the cross-round state into existence
+    probe = job.seen_df().select("url_sha1")
+    assert job._filter_unseen(probe).count() == 0
+    st = job._bloom
+    assert st is not None
+
+    evict = job.articles_df().select("url").orderBy("url").limit(15)
+    assert job.evict_for_recrawl(evict, requeue=False) == 15
+    if state == "cuckoo":
+        assert job._bloom is st  # in-place fingerprint deletion
+    else:
+        assert job._bloom is None  # released; rebuilt on next use
+    # evicted keys now pass the membership filter; the rest stay caught
+    unseen = job._filter_unseen(probe)
+    from commoncrawl_spark.operators.seen_set import with_url_key
+
+    want = {r["url_sha1"]
+            for r in with_url_key(evict).select("url_sha1").collect()}
+    assert {r["url_sha1"] for r in unseen.collect()} == want
+    if job._bloom is not None:
+        job._bloom.release()
