@@ -123,6 +123,39 @@ def main() -> None:
          f"BroadcastExchange present: {'BroadcastExchange' in p} (expect False)"],
     ))
 
+    # 4a2. Cuckoo probe + in-place eviction: same cogroup shape, plus
+    # delta-sized blob edits (no history rescan) for add/remove
+    from commoncrawl_spark.operators.cuckoo import (
+        CuckooSeenSet,
+        build_cuckoo_table,
+        cuckoo_prefilter,
+    )
+
+    ctab = build_cuckoo_table(keyed.select("url_sha1"), n_buckets=8)
+    p = plan_of(cuckoo_prefilter(keyed, ctab, n_buckets=8))
+    cs = CuckooSeenSet(keyed.select("url_sha1"), n_buckets=8)
+    delta = keyed.select("url_sha1").limit(20)
+    edit_plan = plan_of(cs._edit_blobs(delta, "remove"))
+    cs.release()
+    sections.append((
+        "Seen-set cuckoo filter (A5): deletion without history rescan",
+        "The cuckoo twin probes through the identical bucket-cogroup (one "
+        "blob per task, nothing on the driver) and — unlike Bloom — edits "
+        "blobs IN PLACE: add/remove cogroup only the DELTA keys with the "
+        "blob table, so recrawl eviction at 10^10 keys moves delta-sized "
+        "data instead of refolding touched buckets' full key history.",
+        [f"probe FlatMapCoGroupsInPandas present: "
+         f"{'FlatMapCoGroupsInPandas' in p}",
+         f"probe BroadcastExchange present: {'BroadcastExchange' in p} "
+         f"(expect False)",
+         f"blob edit co-groups delta x blobs: "
+         f"{'FlatMapCoGroupsInPandas' in edit_plan}",
+         f"blob edit key side is the 20-row delta (GlobalLimit in plan): "
+         f"{'GlobalLimit' in edit_plan}",
+         f"blob side reads from cache, not a key rescan (InMemoryRelation): "
+         f"{'InMemoryTableScan' in edit_plan}"],
+    ))
+
     # 4b. Generational seen-set: verify fold never reshuffles history
     from commoncrawl_spark.operators.seen_set import BloomSeenSet
 
