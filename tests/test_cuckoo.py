@@ -233,3 +233,42 @@ def test_cuckoo_seen_set_auto_rebuild_on_load(spark, keyed):
     assert s._capacity > cap0
     assert {r["url_sha1"] for r in s.unseen(keyed).collect()} == set()
     s.release()
+
+
+# ---------------------------------------------------------------------------
+# property: random insert/remove workloads stay membership-exact
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),      # key-universe seed
+    st.integers(1, 300),            # n inserted
+    st.data(),
+)
+def test_cuckoo_core_membership_exact_under_workload(seed, n, data):
+    """For ANY insert set and ANY removal subset (at a table size small
+    enough to force kicks and spill): every still-present key probes
+    positive (no false negatives, the exactness invariant), and removed
+    keys only probe positive via genuine fingerprint collisions with
+    still-present keys (false positives allowed, bounded by design)."""
+    import hashlib
+
+    keys = pd.Series(
+        [hashlib.sha1(f"{seed}:{i}".encode()).hexdigest() for i in range(n)])
+    n_slots = 16  # tiny: collisions, kicks, and spill all exercised
+    table = np.zeros(n_slots * _ASSOC, dtype=np.uint16)
+    fp, i1 = _fp_index(keys, n_slots)
+    spill = np.asarray(_insert(table, fp, i1, n_slots), dtype=np.uint64)
+    assert _probe(table, n_slots, spill, keys).all()
+
+    k_remove = data.draw(st.integers(0, n))
+    removed, kept = keys[:k_remove], keys[k_remove:]
+    spill = _remove(table, n_slots, spill, removed)
+    if len(kept):
+        assert _probe(table, n_slots, spill, kept).all()
+    # slot accounting: occupied slots + spill entries == kept keys
+    assert (table != 0).sum() + spill.size == len(kept)
