@@ -178,3 +178,33 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_first_seen(stream: DataFrame, key_cols: list[str],
+                         ts_col: str | None = None,
+                         delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``dedup.dedup_first_seen`` (A3): emit only the
+    FIRST row per key across all micro-batches.
+
+    Without ``ts_col``: exact unbounded dedup — the state store keeps one
+    entry per key for the life of the query (checkpoint-durable; this is
+    the streaming seen-set analog: bytes per key, hash-partitioned by the
+    key like the batch generations). With ``ts_col``:
+    ``dropDuplicatesWithinWatermark`` — a key's state is dropped once the
+    watermark passes its event time + ``delay``, bounding state for feeds
+    whose duplicates arrive within a known lateness window (the CDX
+    re-publish shape; reference analog: main_merge_and_deduplicate.py's
+    batched merge, which equally assumes duplicates cluster in time).
+
+    Cross-batch semantics are strictly first-batch-wins via the state
+    store. WITHIN one micro-batch Spark keeps an arbitrary row per key
+    (no intra-batch arrival order exists); the batch twin's
+    deterministic orderBy tie-break applies only where a total arrival
+    order is defined — unordered live feeds have none.
+    """
+    if ts_col is None:
+        return stream.dropDuplicates(list(key_cols))
+    return (
+        stream.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )

@@ -235,3 +235,37 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got == want
     assert got[("u", 200_000_000)] == "u#1"   # new session after boundary
     assert got[("v", 90_000_000)] == "v#0"    # continued across boundary
+
+
+@pytest.mark.spark
+def test_streaming_first_seen_cross_batch_first_wins(spark, tmp_path):
+    """The streaming dedup twin: a key re-arriving in a LATER micro-batch
+    is suppressed by the state store — the first batch's row survives,
+    mirroring batch dedup_first_seen's keep-first semantics."""
+    from commoncrawl_spark.streaming.stateful import streaming_first_seen
+
+    landing = str(tmp_path / "landing_dedup")
+    os.makedirs(landing)
+    # batch1 re-publishes urls 10..19 with different digests
+    _write_jsonl(f"{landing}/b0.jsonl", [_cdx_row(i) for i in range(20)])
+    rows1 = [dict(_cdx_row(i), digest=f"LATE{i}") for i in range(10, 30)]
+    _write_jsonl(f"{landing}/b1.jsonl", rows1)
+
+    stream = stream_cdx_jsonl(spark, landing, max_files_per_trigger=1)
+    deduped = streaming_first_seen(stream, ["url"])
+    table = SnapshotTable(str(tmp_path / "first_seen"))
+    writer = stream_to_snapshot_table(
+        deduped, table_root=str(tmp_path / "first_seen"),
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["digest"]
+           for r in table.read(spark).select("url", "digest").collect()}
+    assert len(got) == 30  # 0..29, one row per url
+    # overlap keys kept the FIRST batch's digest (file source orders
+    # b0 before b1; max_files_per_trigger=1 makes them separate batches)
+    for i in range(10, 20):
+        assert got[f"https://example.test/p/{i}"] == f"D{i}"
+    for i in range(20, 30):
+        assert got[f"https://example.test/p/{i}"] == f"LATE{i}"
