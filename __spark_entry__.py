@@ -788,6 +788,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_links(pages).select("src_url", "href", "abs_url")
     q["link_discovery"] = link_discovery
 
+    def sitemap_discovery(spark, sf):
+        """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
+        directives in mixed case/whitespace plus a decoy) -> directive
+        extraction -> synthesized urlset/sitemapindex XML -> <loc>
+        extraction with the nested-index flag. The oracle rebuilds the
+        expected rows from first principles, so a directive mis-parse,
+        a missed/extra loc, or a wrong is_index flag breaks the hash."""
+        from commoncrawl_spark.operators.links import (
+            extract_sitemap_locs,
+            sitemap_urls_from_robots,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "source")
+        host = F.concat(F.col("source"), F.lit("-"),
+                        F.col("doc_id").cast("string"), F.lit(".sm.test"))
+        robots_txt = F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\nSitemap: https://"),
+            host, F.lit("/sitemap.xml\n  sitemap:\thttps://"),
+            host, F.lit("/news/index.xml\nBadSitemap: https://"),
+            host, F.lit("/no.xml\n"),
+        )
+        robots = d.select(host.alias("host"), robots_txt.alias("robots_txt"),
+                          "doc_id")
+        smu = sitemap_urls_from_robots(robots).join(
+            robots.select("host", "doc_id"), "host")
+        urlset = F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>https://'),
+            F.col("host"), F.lit("/p/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("</loc></url><url> <loc>\n  https://"),
+            F.col("host"), F.lit("/q/"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("\n </loc></url></urlset>"),
+        )
+        index = F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>https://'),
+            F.col("host"), F.lit("/maps/part-"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        )
+        xml = F.when(F.col("sitemap_url").endswith("/sitemap.xml"), urlset) \
+            .otherwise(index)
+        sm = smu.select("sitemap_url", F.encode(xml, "utf-8").alias("xml"))
+        return extract_sitemap_locs(sm).select("sitemap_url", "is_index", "loc")
+    q["sitemap_discovery"] = sitemap_discovery
+
     def task_fanout(spark, sf):
         """S7: index list -> one task per CDX page (create_tasks.py:85-91),
         with the processed-set resume anti-join (create_tasks.py:62-66).
@@ -1428,6 +1472,28 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint
         FROM documents
+    """
+
+    # sitemap_discovery: expected rows from first principles — two page
+    # locs per doc from the urlset, one nested loc from the sitemapindex
+    o["sitemap_discovery"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 source || '-' || CAST(doc_id AS VARCHAR) || '.sm.test' AS host
+          FROM documents)
+        SELECT 'https://' || host || '/sitemap.xml' AS sitemap_url,
+               FALSE AS is_index,
+               'https://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS loc
+        FROM d
+        UNION ALL
+        SELECT 'https://' || host || '/sitemap.xml', FALSE,
+               'https://' || host || '/q/' || CAST(doc_id % 3 AS VARCHAR)
+        FROM d
+        UNION ALL
+        SELECT 'https://' || host || '/news/index.xml', TRUE,
+               'https://' || host || '/maps/part-'
+                 || CAST(doc_id % 5 AS VARCHAR) || '.xml'
+        FROM d
     """
 
     o["link_discovery"] = """

@@ -134,3 +134,72 @@ def candidate_links(
         .groupBy("url_sha1")
         .agg(F.min("url").alias("url"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery: robots.txt "Sitemap:" directives -> sitemap XML locs
+# ---------------------------------------------------------------------------
+
+# RFC 9309 §2.3 / sitemaps.org: a non-group "Sitemap: <url>" record, any
+# case, anywhere in robots.txt. One URL per line.
+_SITEMAP_DIRECTIVE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*\r?$"
+# <loc> element text in urlset/sitemapindex documents (whitespace-trimmed)
+_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+
+
+def sitemap_urls_from_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt bodies -> (host, sitemap_url), one row per ``Sitemap:``
+    directive. Pure codegen (regexp_extract_all + explode), same shape as
+    href discovery: a corpus of millions of robots bodies parses in the
+    scan stage with no Python. Complements ``schedule.robots_rules_col``,
+    which extracts the ``*`` group's Disallow/Crawl-delay; sitemap
+    records live OUTSIDE groups per RFC 9309, so they parse separately."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(_SITEMAP_DIRECTIVE_RE), F.lit(1))
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url"))
+
+
+def extract_sitemap_locs(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Fetched sitemap documents -> (sitemap_url, is_index, loc).
+
+    ``is_index`` is true for <sitemapindex> documents, whose locs are
+    NESTED sitemap URLs (to be fetched and fed back through this same
+    operator); false for <urlset>, whose locs are page URLs for the
+    frontier. Binary-tolerant like ``extract_links``: cast-to-string
+    never throws on gzipped/broken payloads — the regex finds nothing."""
+    text = F.col(xml_col).cast("string")
+    is_index = text.rlike(r"(?is)<\s*sitemapindex[\s>]")
+    locs = F.regexp_extract_all(text, F.lit(_LOC_RE), F.lit(1))
+    return sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        is_index.alias("is_index"),
+        F.explode(locs).alias("loc"),
+    ).filter(F.col("loc") != "")
+
+
+def sitemap_candidates(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Page URLs from <urlset> sitemaps as canonical-key-deduped frontier
+    candidates (url_sha1, url) — the sitemap analog of
+    ``candidate_links``; membership filtering is the caller's."""
+    from .seen_set import with_url_key
+
+    locs = extract_sitemap_locs(sitemaps, xml_col, url_col)
+    pages = locs.filter(~F.col("is_index")).select(F.col("loc").alias("url"))
+    return (
+        with_url_key(pages)
+        .groupBy("url_sha1")
+        .agg(F.min("url").alias("url"))
+    )

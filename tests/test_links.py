@@ -209,3 +209,60 @@ def test_discovery_crawl_resume_with_bloom_state(spark, tmp_path):
     j2.run(pages, discover_links=True, max_rounds=10)
     assert j2._bloom is not None  # rebuilt lazily from the seen table
     assert state(ref) == state(j2)
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_sitemap_directive_parsing_edges(spark):
+    from commoncrawl_spark.operators.links import sitemap_urls_from_robots
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://h.test/a.xml\n"
+        "  SITEMAP:\thttps://h.test/b.xml  \n"      # case + whitespace
+        "sitemap : https://h.test/space-before-colon.xml\n"
+        "NotSitemap: https://h.test/decoy.xml\n"    # prefixed -> no match
+        "Sitemap:\n"                                 # empty -> no match
+    )
+    df = spark.createDataFrame([("h.test", body)], "host string, robots_txt string")
+    got = sorted(r["sitemap_url"]
+                 for r in sitemap_urls_from_robots(df).collect())
+    assert got == [
+        "https://h.test/a.xml",
+        "https://h.test/b.xml",
+        "https://h.test/space-before-colon.xml",
+    ]
+
+
+@pytest.mark.spark
+def test_sitemap_locs_urlset_vs_index_and_binary_noise(spark):
+    from commoncrawl_spark.operators.links import (
+        extract_sitemap_locs,
+        sitemap_candidates,
+    )
+
+    urlset = b"<urlset><url><loc> https://h.test/p/1 </loc></url></urlset>"
+    index = (b'<?xml version="1.0"?><sitemapindex>'
+             b"<sitemap><loc>https://h.test/nested.xml</loc></sitemap>"
+             b"</sitemapindex>")
+    noise = bytes(range(256))  # not UTF-8, not XML: must not throw
+    df = spark.createDataFrame(
+        [("https://h.test/s1.xml", urlset),
+         ("https://h.test/s2.xml", index),
+         ("https://h.test/gz.xml", noise)],
+        "sitemap_url string, xml binary")
+    rows = {(r["sitemap_url"], r["is_index"], r["loc"])
+            for r in extract_sitemap_locs(df).collect()}
+    assert rows == {
+        ("https://h.test/s1.xml", False, "https://h.test/p/1"),
+        ("https://h.test/s2.xml", True, "https://h.test/nested.xml"),
+    }
+    # only urlset locs become frontier candidates, keyed canonically
+    cands = sitemap_candidates(df)
+    got = [r["url"] for r in cands.collect()]
+    assert got == ["https://h.test/p/1"]
+    assert "url_sha1" in cands.columns
