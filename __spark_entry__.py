@@ -788,6 +788,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_links(pages).select("src_url", "href", "abs_url")
     q["link_discovery"] = link_discovery
 
+    def warc_segment_read(spark, sf):
+        """Real byte-level WARC framing end to end: documents become
+        response records, records become Common-Crawl-shaped segments
+        (one gzip member per record, deterministic bytes), and
+        read_warc_records splits them back. The oracle recomputes every
+        parsed field from the generating parameters — a framing bug
+        (wrong Content-Length math, member-boundary drift, header
+        mis-parse) breaks the hash."""
+        from commoncrawl_spark.sources.warc import (
+            make_warc_response,
+            make_warc_segment,
+            read_warc_records,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 50).cast("int").alias("seg"))
+
+        def build(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            recs = [
+                make_warc_response(f"https://w.test/{i}", t.encode("utf-8"))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            return pd.DataFrame({
+                "seg": [int(pdf["seg"].iloc[0])],
+                "segment": [make_warc_segment(recs)],
+            })
+
+        segs = d.groupBy("seg").applyInPandas(build, "seg int, segment binary")
+        recs = read_warc_records(segs, "segment")
+        body = F.regexp_replace(
+            F.col("payload").cast("string"), r"(?s)^.*?\r\n\r\n", "")
+        return recs.select(
+            F.col("target_uri").alias("url"),
+            "record_idx",
+            "content_length",
+            body.alias("body"),
+        )
+    q["warc_segment_read"] = warc_segment_read
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -1472,6 +1514,22 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint
         FROM documents
+    """
+
+    # warc_segment_read: every parsed field recomputed from the
+    # generating parameters (HTTP preamble length is a build-time
+    # constant of the record builder)
+    from commoncrawl_spark.sources.warc import _HTTP_OK
+
+    o["warc_segment_read"] = f"""
+        WITH d AS (SELECT doc_id, text, doc_id % 50 AS seg FROM documents)
+        SELECT 'https://w.test/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY doc_id) - 1
+                    AS INT) AS record_idx,
+               CAST({len(_HTTP_OK)} + octet_length(encode(text)) AS BIGINT)
+                 AS content_length,
+               text AS body
+        FROM d
     """
 
     # sitemap_discovery: expected rows from first principles — two page

@@ -1,0 +1,189 @@
+"""WARC segment-file source: split concatenated WARC records.
+
+Common Crawl ships ``.warc.gz`` segments as CONCATENATED GZIP MEMBERS,
+one record per member — a ranged GET returns one member, which is what
+the reference fetches (download_warc_segments.py:50-70) and what the
+extraction stage consumes one at a time (extract_from_warc.py:161-178,
+via ``warcio``). This module adds the whole-file shape the reference
+never needed: a binary column holding an entire segment (or any byte
+range spanning several records) splits into per-record rows
+executor-side.
+
+Framing follows ISO 28500: each record is a ``WARC/1.x`` header block
+terminated by CRLFCRLF, a payload of exactly ``Content-Length`` octets,
+then the CRLFCRLF record separator. Gzip segments are walked member by
+member with ``zlib`` (``unused_data`` marks each member boundary — no
+full-file decompress, memory stays one record at a time); plain
+segments are walked by Content-Length. Malformed tails become an error
+row (the F4 side-channel discipline), never an exception.
+
+Scale shape: splitting is ``mapInPandas`` over Arrow batches — one
+segment in, N record rows out, no shuffle; the fat payload column stays
+columnar. Record rows carry (segment offset, record index) so a row
+joins back to its source bytes — the same ``(filename, offset)``
+correlation the CDX index encodes (J3).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+WARC_RECORD_FIELDS = [
+    T.StructField("record_idx", T.IntegerType()),
+    T.StructField("record_offset", T.LongType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("error", T.StringType()),
+]
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # line 0 is "WARC/1.x"
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.strip().decode("ascii", "ignore").lower()] = (
+                v.strip().decode("utf-8", "ignore"))
+    return out
+
+
+def _records_from_raw(raw: bytes, base_offset: int,
+                      start_idx: int) -> Iterator[dict]:
+    """Walk uncompressed WARC bytes by Content-Length framing."""
+    pos, idx = 0, start_idx
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not raw.startswith(b"WARC/", pos):
+            yield {"record_idx": idx, "record_offset": base_offset + pos,
+                   "warc_type": None, "target_uri": None, "warc_date": None,
+                   "content_length": None, "payload": None,
+                   "error": "bad_magic"}
+            return
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            yield {"record_idx": idx, "record_offset": base_offset + pos,
+                   "warc_type": None, "target_uri": None, "warc_date": None,
+                   "content_length": None, "payload": None,
+                   "error": "truncated_header"}
+            return
+        hdrs = _parse_header_block(raw[pos:hdr_end])
+        try:
+            clen = int(hdrs.get("content-length", ""))
+        except ValueError:
+            clen = -1
+        body_start = hdr_end + 4
+        if clen < 0 or body_start + clen > n:
+            yield {"record_idx": idx, "record_offset": base_offset + pos,
+                   "warc_type": hdrs.get("warc-type"),
+                   "target_uri": hdrs.get("warc-target-uri"),
+                   "warc_date": hdrs.get("warc-date"),
+                   "content_length": None if clen < 0 else clen,
+                   "payload": None, "error": "truncated_payload"}
+            return
+        yield {
+            "record_idx": idx,
+            "record_offset": base_offset + pos,
+            "warc_type": hdrs.get("warc-type"),
+            "target_uri": hdrs.get("warc-target-uri"),
+            "warc_date": hdrs.get("warc-date"),
+            "content_length": clen,
+            "payload": raw[body_start:body_start + clen],
+            "error": None,
+        }
+        idx += 1
+        pos = body_start + clen
+
+
+def split_warc_records_py(blob: bytes) -> list[dict]:
+    """One segment's bytes -> record dicts. Pure function (the test
+    oracle and the mapInPandas kernel are the same code path)."""
+    if blob is None:
+        return []
+    if blob[:2] == b"\x1f\x8b":
+        out: list[dict] = []
+        offset = 0
+        while offset < len(blob):
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            try:
+                raw = d.decompress(blob[offset:])
+                raw += d.flush()
+            except zlib.error:
+                out.append({"record_idx": len(out), "record_offset": offset,
+                            "warc_type": None, "target_uri": None,
+                            "warc_date": None, "content_length": None,
+                            "payload": None, "error": "bad_gzip_member"})
+                return out
+            consumed = len(blob) - offset - len(d.unused_data)
+            out.extend(_records_from_raw(raw, offset, len(out)))
+            if consumed <= 0:
+                return out
+            offset += consumed
+        return out
+    return list(_records_from_raw(blob, 0, 0))
+
+
+def read_warc_records(segments: DataFrame,
+                      bin_col: str = "segment") -> DataFrame:
+    """(id cols..., segment: binary) -> one row per WARC record, keeping
+    every non-binary id column. Arrow-batched mapInPandas: no shuffle,
+    no driver involvement; malformed bytes become error rows."""
+    id_cols = [f.name for f in segments.schema.fields if f.name != bin_col]
+    schema = T.StructType(
+        [f for f in segments.schema.fields if f.name != bin_col]
+        + WARC_RECORD_FIELDS
+    )
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ids = {c: r[c] for c in id_cols}
+                for rec in split_warc_records_py(r[bin_col]):
+                    rows.append({**ids, **rec})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return segments.mapInPandas(split, schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic record/segment builders (tests, fixtures, oracles)
+# ---------------------------------------------------------------------------
+
+_HTTP_OK = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+
+
+def make_warc_response(url: str, html: bytes,
+                       date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One ISO 28500 response record (HTTP payload), byte-deterministic."""
+    http = _HTTP_OK + html
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii")
+    return hdr + http + b"\r\n\r\n"
+
+
+def make_warc_segment(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Concatenate records into a segment; ``gzip_members=True`` gives the
+    Common-Crawl shape (one gzip member per record, mtime pinned to 0 so
+    segment bytes are reproducible)."""
+    import gzip as _gzip
+
+    if gzip_members:
+        return b"".join(
+            _gzip.compress(r, compresslevel=6, mtime=0) for r in records)
+    return b"".join(records)
