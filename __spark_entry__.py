@@ -788,6 +788,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_links(pages).select("src_url", "href", "abs_url")
     q["link_discovery"] = link_discovery
 
+    def pii_redaction(spark, sf):
+        """Training-data PII scrub: deterministic emails/IPs/phones are
+        planted in every document, then redacted with typed placeholders
+        and counted. The oracle re-runs the identical pattern list
+        (generated from PII_PATTERNS, so Spark and SQL cannot drift)."""
+        from commoncrawl_spark.functions.text import (
+            pii_counts_col,
+            redact_pii_col,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        pii = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test from 10.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".77 call 555-123-4567 or +4930"),
+            (F.col("doc_id") % 1000 + 1000).cast("string"),
+        )
+        c = pii_counts_col(pii)
+        return d.select(
+            "doc_id",
+            redact_pii_col(pii).alias("redacted"),
+            c["n_email"].alias("n_email"),
+            c["n_ipv4"].alias("n_ipv4"),
+            c["n_phone"].alias("n_phone"),
+        )
+    q["pii_redaction"] = pii_redaction
+
     def warc_segment_read(spark, sf):
         """Real byte-level WARC framing end to end: documents become
         response records, records become Common-Crawl-shaped segments
@@ -1514,6 +1544,28 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint
         FROM documents
+    """
+
+    # pii_redaction: identical pattern list on both sides, generated
+    # from PII_PATTERNS (patterns are Java-regex/RE2-portable by design)
+    from commoncrawl_spark.functions.text import PII_PATTERNS
+
+    _pii_src = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.test from 10.2.' || "
+        "CAST(doc_id % 250 AS VARCHAR) || '.77 call 555-123-4567 or +4930' "
+        "|| CAST(doc_id % 1000 + 1000 AS VARCHAR)"
+    )
+    _redact = "s"
+    for _kind, _pat in PII_PATTERNS:
+        _redact = (f"regexp_replace({_redact}, '{_pat}', "
+                   f"'<PII:{_kind}>', 'g')")
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(s, '{_pat}')) AS INT) AS n_{_kind}"
+        for _kind, _pat in PII_PATTERNS)
+    o["pii_redaction"] = f"""
+        WITH p AS (SELECT doc_id, {_pii_src} AS s FROM documents)
+        SELECT doc_id, {_redact} AS redacted, {_pii_counts} FROM p
     """
 
     # warc_segment_read: every parsed field recomputed from the

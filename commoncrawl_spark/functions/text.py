@@ -175,3 +175,38 @@ def fingerprint_col(text: Column) -> Column:
     exact-dup key.)"""
     norm = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround. Order matters — emails are
+# replaced before the IPv4/phone passes can see their digit runs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b|\+[0-9]{7,15}"),
+]
+
+
+def redact_pii_col(text: Column, token: str = "<PII:{kind}>") -> Column:
+    """Replace emails, IPv4 addresses, and phone numbers with typed
+    placeholder tokens — the standard scrub before corpus release.
+    Three codegen regexp_replace passes, no Python; at 100 TB this runs
+    in the scan stage like every other text function here."""
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token.format(kind=kind))
+    return out
+
+
+def pii_counts_col(text: Column) -> Column:
+    """struct(n_email, n_ipv4, n_phone) — audit counts for filtering
+    documents whose PII density is too high to salvage by redaction."""
+    return F.struct(*[
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS
+    ])

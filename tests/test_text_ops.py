@@ -329,3 +329,32 @@ def test_dedup_segments_plan_no_python(spark):
     plan = (dedup_segments(df, seg_words=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_pii_redaction_edges(spark):
+    from commoncrawl_spark.functions.text import pii_counts_col, redact_pii_col
+
+    cases = [
+        # (input, expected redacted, (n_email, n_ipv4, n_phone))
+        ("mail a.b-c%d@x-y.co.uk now", "mail <PII:email> now", (1, 0, 0)),
+        ("ip 192.168.0.1 and 10.0.0.255.", "ip <PII:ipv4> and <PII:ipv4>.",
+         (0, 2, 0)),
+        ("call 555-123-4567 or +4915112345678",
+         "call <PII:phone> or <PII:phone>", (0, 0, 2)),
+        ("v1.2.3 is a version, not an ip", "v1.2.3 is a version, not an ip",
+         (0, 0, 0)),
+        ("clean text stays clean", "clean text stays clean", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], "t string")
+    c = pii_counts_col(F.col("t"))
+    got = df.select(
+        "t", redact_pii_col(F.col("t")).alias("r"),
+        c["n_email"].alias("e"), c["n_ipv4"].alias("i"),
+        c["n_phone"].alias("p"),
+    ).collect()
+    by_in = {r["t"]: r for r in got}
+    for s, want_r, (e, i, p) in cases:
+        r = by_in[s]
+        assert r["r"] == want_r, (s, r["r"])
+        assert (r["e"], r["i"], r["p"]) == (e, i, p), (s, r)
