@@ -515,14 +515,30 @@ class CrawlJob:
             ).persist()
             n_discovered = new_rows.count()
             remaining = remaining.unionByName(new_rows)
+        # one aggregate job per persisted frame instead of five count()
+        # jobs: at steady state a round is dominated by fixed per-job
+        # scheduling latency, so collapsing actions is the lever
+        fail = F.col("_fetch_error").isNotNull()
+        rc = result.agg(
+            F.count(F.when(~fail, 1)).alias("fetched"),
+            F.count(F.when(fail & (F.col("attempt") < self.max_retries), 1))
+            .alias("retried"),
+            F.count(F.when(fail & (F.col("attempt") >= self.max_retries), 1))
+            .alias("exhausted"),
+        ).first()
+        ec = extracted.agg(
+            F.count(F.when(F.col("article.error").isNull(), 1)).alias("ok"),
+            F.count(F.when(F.col("article.error").isNotNull(), 1))
+            .alias("failed"),
+        ).first()
         counters = {
             "round": rnd,
             "selected": n_selected,
-            "fetched": fetched.count(),
-            "extract_ok": ok.count(),
-            "extract_failed": extract_failed.count(),
-            "retried": retryable.count(),
-            "exhausted": exhausted.count(),
+            "fetched": int(rc["fetched"]),
+            "extract_ok": int(ec["ok"]),
+            "extract_failed": int(ec["failed"]),
+            "retried": int(rc["retried"]),
+            "exhausted": int(rc["exhausted"]),
             "discovered": n_discovered,
         }
         # frontier commit LAST: it is the resume authority. Crash before this
