@@ -1182,6 +1182,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_media(d)
     q["media_decode"] = media_decode  # deterministic fake decode: rows-only
 
+    # ---- corpus-statistics LM quality ----
+
+    def lm_quality(spark, sf):
+        """Unigram-LM document scoring: train token frequencies on the
+        corpus (one explode+count shuffle), score each document's mean
+        log-probability (explode + vocab join + per-doc agg). The
+        KenLM-perplexity pipeline stage, exactly expressible in
+        Catalyst; higher avg_logprob = more typical text."""
+        from commoncrawl_spark.operators.lm import unigram_logprob_scores
+
+        d = _read(spark, sf, "documents")
+        return unigram_logprob_scores(d)
+    q["lm_quality"] = lm_quality
+
+    # ---- adaptive recrawl scheduling ----
+
+    def recrawl_priority(spark, sf):
+        """Change-rate recrawl scheduling (Cho & Garcia-Molina 2003):
+        per URL, estimate the Poisson change rate from digest flips
+        across the capture history (lag + single-shuffle agg), then rank
+        by P(changed since last capture) as of a cutoff. The freshness
+        policy that decides which 10^8 of 10^10 known URLs to refetch
+        today."""
+        from commoncrawl_spark.operators.temporal import (
+            capture_change_stats,
+            recrawl_schedule,
+        )
+
+        ev = _read(spark, sf, "events")
+        caps = ev.select(
+            _EV_URL_SPARK().alias("url"),
+            "ts",
+            "event_id",
+            F.md5(F.floor(F.col("value") * 5).cast("string")).alias(
+                "digest"),
+        )
+        stats = capture_change_stats(
+            caps, key_col="url", ts_col="ts", digest_col="digest",
+            tiebreak_cols=("event_id",))
+        sched = recrawl_schedule(stats, "2024-02-01 00:00:00")
+        return sched.select(
+            "url", "n_captures", "n_changes", "change_rate_per_day",
+            "age_days", "p_changed")
+    q["recrawl_priority"] = recrawl_priority
+
+    # ---- host mirror detection ----
+
+    def mirror_overlap(spark, sf):
+        """Bharat-Broder mirror detection: distinct (host, fingerprint)
+        -> ubiquity-capped fingerprint self-join -> containment overlap
+        per host pair. Fingerprint = md5 of the leading 3-token shingle,
+        so cross-host boilerplate collisions actually occur in the
+        synthetic corpus; the >50-hosts cap bounds join fan-out at
+        web scale."""
+        from commoncrawl_spark.operators.mirrors import host_content_overlap
+
+        d = _read(spark, sf, "documents")
+        hf = d.select(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".org")).alias(
+                "host"),
+            F.md5(F.concat_ws(
+                " ", F.slice(tokens_col(F.col("text")), 1, 3))).alias(
+                "fingerprint"),
+        )
+        return host_content_overlap(hf, max_hosts_per_fp=50)
+    q["mirror_overlap"] = mirror_overlap
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -2037,6 +2104,98 @@ def oracle_sql() -> dict[str, str]:
           FROM probes p JOIN cells n ON p.cell = n.cell
           WHERE n.vec_id <> p.query_id)
         WHERE rank <= 5
+    """
+
+    # lm_quality: identical unigram MLE — cnt/total is one double
+    # division on both sides, avg(ln) rounded to the compare grain
+    o["lm_quality"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        counts AS (
+          SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        tot AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+        scored AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 round(avg(ln(CAST(c.cnt AS DOUBLE) / tot.total)), 6)
+                   AS avg_logprob
+          FROM toks t JOIN counts c USING (token), tot
+          GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               s.avg_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # recrawl_priority: lag/groupBy change stats + the bias-corrected
+    # Poisson rate; arithmetic written operand-for-operand like the
+    # Spark columns so the doubles agree bit-for-bit before rounding
+    o["recrawl_priority"] = f"""
+        WITH caps AS (
+          SELECT {_EV_URL_SQL} AS url, ts, event_id,
+                 md5(CAST(CAST(floor(value * 5) AS BIGINT) AS VARCHAR))
+                   AS digest
+          FROM events),
+        lagd AS (
+          SELECT url, ts, digest,
+                 lag(digest) OVER (PARTITION BY url
+                                   ORDER BY ts, event_id) AS prev,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY ts, event_id) AS rn
+          FROM caps),
+        st AS (
+          SELECT url, count(*) AS n_captures,
+                 CAST(sum(CASE WHEN rn > 1
+                               AND digest IS DISTINCT FROM prev
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 min(ts) AS first_ts, max(ts) AS last_ts
+          FROM lagd GROUP BY url),
+        rt AS (
+          SELECT url, n_captures, n_changes, last_ts,
+                 CASE WHEN n_captures > 1
+                       AND (CAST(epoch_us(last_ts) AS DOUBLE)
+                            - epoch_us(first_ts)) / 86400000000.0 > 0
+                 THEN round(
+                   -ln((CAST(n_captures - 1 AS DOUBLE) - n_changes + 0.5)
+                       / (CAST(n_captures - 1 AS DOUBLE) + 0.5))
+                   / (((CAST(epoch_us(last_ts) AS DOUBLE)
+                        - epoch_us(first_ts)) / 86400000000.0)
+                      / CAST(n_captures - 1 AS DOUBLE)), 6)
+                 END AS change_rate_per_day
+          FROM st)
+        SELECT url, n_captures, n_changes, change_rate_per_day,
+               round((CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                           AS DOUBLE) - epoch_us(last_ts))
+                     / 86400000000.0, 6) AS age_days,
+               round(1 - exp(-coalesce(change_rate_per_day, 0.1)
+                     * greatest((CAST(epoch_us(TIMESTAMP
+                                 '2024-02-01 00:00:00') AS DOUBLE)
+                                 - epoch_us(last_ts)) / 86400000000.0,
+                                0.0)), 6) AS p_changed
+        FROM rt
+    """
+
+    # mirror_overlap: distinct (host, fp) -> capped fp self-join ->
+    # containment; fp = md5 of the leading 3-token shingle
+    o["mirror_overlap"] = f"""
+        WITH hf AS (
+          SELECT DISTINCT 'www.' || source || '.org' AS host,
+                 md5(array_to_string(({toks_doc})[1:3], ' ')) AS fp
+          FROM documents),
+        tot AS (SELECT host, count(*) AS n FROM hf GROUP BY host),
+        rare AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 50),
+        hf2 AS (SELECT hf.* FROM hf SEMI JOIN rare USING (fp)),
+        pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+          FROM hf2 a JOIN hf2 b USING (fp)
+          WHERE a.host < b.host
+          GROUP BY 1, 2)
+        SELECT host_a, host_b, shared, ta.n AS n_a, tb.n AS n_b,
+               round(shared / CAST(least(ta.n, tb.n) AS DOUBLE), 6)
+                 AS overlap
+        FROM pairs
+        JOIN tot ta ON ta.host = pairs.host_a
+        JOIN tot tb ON tb.host = pairs.host_b
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in

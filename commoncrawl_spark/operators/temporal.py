@@ -162,6 +162,110 @@ def asof_join(
     )
 
 
+def capture_change_stats(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key change statistics from a capture history — the input to
+    adaptive recrawl scheduling (Cho & Garcia-Molina, "Estimating
+    Frequency of Change", TOIT 2003). For every key: how many captures,
+    how many of the consecutive-capture transitions changed the content
+    digest, over what time span.
+
+    Output: ``(key_col, n_captures, n_changes, first_ts, last_ts,
+    change_rate_per_day)`` where the rate is the bias-corrected Poisson
+    estimator  ``-ln((m - x + 0.5) / (m + 0.5)) / avg_interval_days``
+    (m = intervals, x = changed intervals) — finite even when every
+    interval changed, null when there is only one capture (no interval
+    evidence). Digest comparison is null-safe; equal-timestamp captures
+    are ordered by ``tiebreak_cols`` so the lag is deterministic.
+
+    Plan: one hash exchange on the key + per-partition sort (the lag),
+    then a groupBy on the SAME key — Spark reuses the window's
+    partitioning, so the whole operator is a single shuffle, no Python.
+    ``ts_col`` may be TIMESTAMP/TIMESTAMP_NTZ (microsecond-exact
+    intervals via timestamp_diff) or numeric (epoch seconds).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        ts_col, *[F.col(c) for c in tiebreak_cols])
+    prev = F.lag(F.col(digest_col)).over(w)
+    # row_number (not prev IS NOT NULL) marks the first capture — a null
+    # digest is a legitimate value and null -> value must count as change
+    rn = F.row_number().over(w)
+    changed = (
+        (rn > 1) & ~F.col(digest_col).eqNullSafe(prev)
+    ).cast("long")
+    stats = (
+        captures.select(
+            key_col, ts_col, changed.alias("_changed"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.sum("_changed").alias("n_changes"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    if isinstance(captures.schema[ts_col].dataType,
+                  (TimestampType, TimestampNTZType)):
+        span_days = (
+            F.timestamp_diff("MICROSECOND", F.col("first_ts"),
+                             F.col("last_ts")).cast("double")
+            / F.lit(86400.0 * 1e6)
+        )
+    else:
+        span_days = (
+            F.col("last_ts").cast("double") - F.col("first_ts").cast("double")
+        ) / F.lit(86400.0)
+    m = (F.col("n_captures") - 1).cast("double")
+    x = F.col("n_changes").cast("double")
+    avg_interval_days = span_days / m
+    rate = F.when(
+        (F.col("n_captures") > 1) & (span_days > 0),
+        F.round(
+            -F.log((m - x + 0.5) / (m + 0.5)) / avg_interval_days, 6),
+    )
+    return stats.withColumn("change_rate_per_day", rate)
+
+
+def recrawl_schedule(
+    stats: DataFrame,
+    as_of,
+    default_rate_per_day: float = 0.1,
+    ts_col: str = "last_ts",
+) -> DataFrame:
+    """Recrawl priority from change statistics: the probability each key
+    has changed since its last capture, ``p_changed = 1 - exp(-rate *
+    age_days)`` under the Poisson change model — the freshness-greedy
+    crawl order is descending ``p_changed``. Keys with no rate evidence
+    (single capture) assume ``default_rate_per_day``. Adds
+    ``age_days`` (rounded to 6, as-of ``as_of`` minus last capture) and
+    ``p_changed`` (rounded to 6). Pure column arithmetic — no shuffle
+    beyond what produced ``stats``."""
+    ts_type = stats.schema[ts_col].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        age = (
+            F.timestamp_diff("MICROSECOND", F.col(ts_col),
+                             F.lit(as_of).cast(ts_type))
+            .cast("double") / F.lit(86400.0 * 1e6)
+        )
+    else:
+        age = (F.lit(as_of).cast("double")
+               - F.col(ts_col).cast("double")) / F.lit(86400.0)
+    rate = F.coalesce(
+        F.col("change_rate_per_day"), F.lit(default_rate_per_day))
+    return (
+        stats.withColumn("age_days", F.round(age, 6))
+        .withColumn(
+            "p_changed",
+            F.round(1 - F.exp(-rate * F.greatest(age, F.lit(0.0))), 6),
+        )
+    )
+
+
 def snapshot_diff(
     captures: DataFrame,
     as_of_old,

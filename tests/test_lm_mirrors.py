@@ -1,0 +1,104 @@
+"""Unigram-LM scoring and host mirror detection: hand-computed
+semantics, smoothing, the ubiquity cap, and all-Catalyst plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.operators.lm import (
+    unigram_counts,
+    unigram_logprob_scores,
+)
+from commoncrawl_spark.operators.mirrors import (
+    host_content_overlap,
+    mirror_hosts,
+)
+
+
+@pytest.mark.spark
+def test_unigram_scores_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    # corpus counts: a=3, b=2, total=5
+    exp1 = (2 * math.log(3 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(3 / 5) + math.log(2 / 5)) / 2
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_logprob"] == round(exp1, 6)
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["avg_logprob"] == round(exp2, 6)
+    # empty document: present in the output, null score
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] is None
+
+
+@pytest.mark.spark
+def test_unigram_oov_smoothing(spark):
+    """External counts + Laplace alpha: an OOV token gets finite mass
+    (cnt + a) / (total + a * vocab) instead of -inf."""
+    train = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string")
+    counts = unigram_counts(train)  # a=3, b=1; total=4, vocab=2
+    score = spark.createDataFrame(
+        [(9, "a z")], "doc_id long, text string")
+    row = unigram_logprob_scores(score, counts=counts, alpha=1.0).first()
+    exp = (math.log((3 + 1) / (4 + 2)) + math.log((0 + 1) / (4 + 2))) / 2
+    assert row["avg_logprob"] == round(exp, 6)
+
+
+@pytest.mark.spark
+def test_unigram_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (unigram_logprob_scores(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast NL join
+
+
+@pytest.mark.spark
+def test_host_overlap_hand_computed(spark):
+    hf = spark.createDataFrame(
+        [("h1", "f1"), ("h1", "f2"), ("h1", "f3"),
+         ("h2", "f1"), ("h2", "f2"), ("h2", "f4"),
+         ("h3", "f9"),
+         ("h2", "f1")],  # duplicate (host, fp) row must not double-count
+        "host string, fingerprint string")
+    rows = {(r["host_a"], r["host_b"]): r
+            for r in host_content_overlap(hf).collect()}
+    assert set(rows) == {("h1", "h2")}
+    r = rows[("h1", "h2")]
+    assert (r["shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["overlap"] == round(2 / 3, 6)
+    m = mirror_hosts(hf, threshold=0.5).collect()
+    assert [(x["host_a"], x["host_b"]) for x in m] == [("h1", "h2")]
+
+
+@pytest.mark.spark
+def test_host_overlap_ubiquity_cap(spark):
+    """A fingerprint on more hosts than the cap is excluded from
+    ``shared`` (boilerplate is not mirror evidence) but still counts in
+    each host's page total."""
+    hf = spark.createDataFrame(
+        [("h1", "boiler"), ("h2", "boiler"), ("h3", "boiler"),
+         ("h1", "f1"), ("h2", "f1"),
+         ("h1", "f2"), ("h2", "f2"),
+         ("h1", "f3")],
+        "host string, fingerprint string")
+    rows = {(r["host_a"], r["host_b"]): r
+            for r in host_content_overlap(hf, max_hosts_per_fp=2).collect()}
+    r = rows[("h1", "h2")]
+    assert (r["shared"], r["n_a"], r["n_b"]) == (2, 4, 3)
+    assert r["overlap"] == round(2 / 3, 6)
+    assert ("h1", "h3") not in rows  # only the capped fp was shared
+
+
+@pytest.mark.spark
+def test_host_overlap_plan_is_jvm_only(spark):
+    hf = spark.createDataFrame(
+        [("h1", "f1"), ("h2", "f1")], "host string, fingerprint string")
+    plan = (host_content_overlap(hf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -164,3 +164,82 @@ def test_snapshot_diff_null_safe_compare(spark):
         caps, 2, 6, key_col="url", ts_col="ts",
         compare_cols=("status",)).collect()}
     assert got == {"a": "changed", "b": "unchanged"}
+
+
+@pytest.mark.spark
+def test_change_stats_hand_computed(spark):
+    """Three captures, one digest flip, numeric (epoch-seconds) ts:
+    the bias-corrected Poisson rate -ln((m-x+.5)/(m+.5))/avg_interval."""
+    import math
+
+    from commoncrawl_spark.operators.temporal import capture_change_stats
+
+    day = 86400
+    caps = spark.createDataFrame(
+        [("a", 0, "x"), ("a", day, "x"), ("a", 2 * day, "y"),
+         ("b", 0, "x")],
+        "url string, ts long, digest string")
+    got = {r["url"]: r for r in capture_change_stats(
+        caps, key_col="url", ts_col="ts").collect()}
+    a = got["a"]
+    assert (a["n_captures"], a["n_changes"]) == (3, 1)
+    assert a["change_rate_per_day"] == round(-math.log(1.5 / 2.5) / 1.0, 6)
+    # single capture: no interval evidence, rate is null
+    assert got["b"]["n_captures"] == 1
+    assert got["b"]["change_rate_per_day"] is None
+
+
+@pytest.mark.spark
+def test_change_stats_null_safe_digest(spark):
+    """null -> value counts as a change; null -> null does not."""
+    from commoncrawl_spark.operators.temporal import capture_change_stats
+
+    caps = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, "x"),
+         ("b", 1, None), ("b", 2, None)],
+        "url string, ts long, digest string")
+    got = {r["url"]: r["n_changes"] for r in capture_change_stats(
+        caps, key_col="url", ts_col="ts").collect()}
+    assert got == {"a": 1, "b": 0}
+
+
+@pytest.mark.spark
+def test_recrawl_schedule_priority(spark):
+    """p_changed = 1 - exp(-rate * age) under the Poisson model; keys
+    without rate evidence fall back to the default rate."""
+    import math
+
+    from commoncrawl_spark.operators.temporal import (
+        capture_change_stats,
+        recrawl_schedule,
+    )
+
+    day = 86400
+    caps = spark.createDataFrame(
+        [("a", 0, "x"), ("a", day, "x"), ("a", 2 * day, "y"),
+         ("b", 2 * day, "x")],
+        "url string, ts long, digest string")
+    stats = capture_change_stats(caps, key_col="url", ts_col="ts")
+    got = {r["url"]: r for r in recrawl_schedule(
+        stats, 4 * day, default_rate_per_day=0.25).collect()}
+    rate_a = round(-math.log(1.5 / 2.5), 6)
+    assert got["a"]["age_days"] == 2.0
+    assert got["a"]["p_changed"] == round(1 - math.exp(-rate_a * 2.0), 6)
+    # 'b' has one capture: default rate applies
+    assert got["b"]["p_changed"] == round(1 - math.exp(-0.25 * 2.0), 6)
+    # the hot page outranks the cold default
+    assert got["a"]["p_changed"] > got["b"]["p_changed"]
+
+
+@pytest.mark.spark
+def test_change_stats_single_shuffle_plan(spark):
+    """The lag window and the per-key aggregate share one hash
+    exchange — Spark must reuse the window's partitioning."""
+    from commoncrawl_spark.operators.temporal import capture_change_stats
+
+    caps = spark.createDataFrame(
+        [("a", 1, "x")], "url string, ts long, digest string")
+    plan = (capture_change_stats(caps, key_col="url", ts_col="ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
