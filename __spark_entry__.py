@@ -104,6 +104,35 @@ _SQL_SHINGLES = (
     "ELSE CAST([] AS VARCHAR[]) END))"
 )
 
+# messy-text fixture for text_normalize: typographic quotes/dashes,
+# ellipsis, NBSP, zero-width space, a control byte, newline runs and
+# trailing tabs — one exercise per NORMALIZE_PASSES entry. Python and
+# DuckDB literals spell the SAME string with ASCII-only escapes.
+_MESSY_JUNK = (
+    "\u2018q\u2019 \u201Cd\u201D \u2013 \u2026 "
+    "a\u00A0b\u200Bc\x07\n\n\n\n tail \t end "
+)
+# DuckDB e-strings escape control bytes with \xHH (only < 0x80 is
+# legal there); non-ASCII text stays literal UTF-8 in the SQL source.
+# Generated from the Python literal above -> the strings are equal.
+_MESSY_JUNK_SQL = "e'" + "".join(
+    "''" if c == "'" else
+    f"\\x{ord(c):02X}" if ord(c) < 0x20 or ord(c) == 0x7F else c
+    for c in _MESSY_JUNK) + "'"
+
+
+def _sql_normalize(expr: str) -> str:
+    """DuckDB twin of functions.text.normalize_text_col, generated from
+    the same NORMALIZE_PASSES table."""
+    from commoncrawl_spark.functions.text import NORMALIZE_PASSES
+
+    for pat, rep in NORMALIZE_PASSES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\n", "\\n")
+        expr = f"regexp_replace({expr}, '{p}', e'{r}', 'g')"
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
 # events -> synthetic CDX records (same construction on both sides)
 _EV_URL_SPARK = lambda: F.concat(  # noqa: E731
     F.lit("https://www.site-"), (F.col("user_id") % 40).cast("string"),
@@ -1182,6 +1211,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_media(d)
     q["media_decode"] = media_decode  # deterministic fake decode: rows-only
 
+    # ---- text normalization ----
+
+    def text_normalize(spark, sf):
+        """Pre-tokenization cleanup over a deterministically messied
+        rendering of each document (typographic quotes/dashes, NBSP,
+        zero-width chars, a control byte, newline runs — every
+        normalization pass exercised): strip/fold/collapse via the
+        codegen regexp_replace chain, no shuffle, no Python."""
+        from commoncrawl_spark.functions.text import normalize_text_col
+
+        d = _read(spark, sf, "documents")
+        mtext = F.concat(F.col("text"), F.lit(" "), F.lit(_MESSY_JUNK))
+        return d.select(
+            "doc_id",
+            F.length(mtext).alias("n_before"),
+            normalize_text_col(mtext).alias("norm"),
+        ).withColumn("n_after", F.length("norm"))
+    q["text_normalize"] = text_normalize
+
     # ---- corpus-statistics LM quality ----
 
     def lm_quality(spark, sf):
@@ -2104,6 +2152,18 @@ def oracle_sql() -> dict[str, str]:
           FROM probes p JOIN cells n ON p.cell = n.cell
           WHERE n.vec_id <> p.query_id)
         WHERE rank <= 5
+    """
+
+    # text_normalize: the same regexp_replace chain, generated from
+    # NORMALIZE_PASSES so both engines run byte-identical patterns
+    # (RE2 and Java regex agree on \x{...} classes — parity-tested)
+    o["text_normalize"] = f"""
+        SELECT doc_id,
+               length(mtext) AS n_before,
+               {_sql_normalize("mtext")} AS norm,
+               length({_sql_normalize("mtext")}) AS n_after
+        FROM (SELECT doc_id, text || ' ' || {_MESSY_JUNK_SQL} AS mtext
+              FROM documents)
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

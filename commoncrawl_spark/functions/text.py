@@ -210,3 +210,47 @@ def pii_counts_col(text: Column) -> Column:
         .alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS
     ])
+
+
+# ---------------------------------------------------------------------------
+# text normalization (pre-tokenization cleanup)
+# ---------------------------------------------------------------------------
+
+# Each pass is a codegen'd regexp_replace, chosen to behave identically
+# under Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# Order matters: typography folds before whitespace collapse, control
+# strip before trim. Full NFC normalization has no Catalyst builtin —
+# that pass is the documented pandas-UDF slot (same pattern as the
+# punycode path in functions/urls.py); everything below stays JVM-side.
+NORMALIZE_PASSES = [
+    # control characters except \t and \n (DEL included)
+    (r"[\x00-\x08\x0b-\x1f\x7f]", ""),
+    # zero-width space/joiners and the BOM
+    (r"[\x{200b}-\x{200d}\x{feff}]", ""),
+    # typographic single/double quotes -> ASCII
+    (r"[\x{2018}-\x{201b}]", "'"),
+    (r"[\x{201c}-\x{201f}]", "\""),
+    # en/em/horizontal-bar dashes -> hyphen; ellipsis -> dots
+    (r"[\x{2013}-\x{2015}]", "-"),
+    (r"\x{2026}", "..."),
+    # NBSP and narrow NBSP -> plain space
+    (r"[\x{00a0}\x{202f}]", " "),
+    # collapse runs of spaces/tabs; then 3+ newlines -> paragraph break
+    (r"[ \t]+", " "),
+    (r"\n{3,}", "\n\n"),
+    # strip spaces around newlines so trailing whitespace never survives
+    (r" ?\n ?", "\n"),
+]
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Pre-tokenization text cleanup (the CCNet/RefinedWeb normalization
+    stage): strip control and zero-width characters, fold typographic
+    quotes/dashes/ellipses to ASCII, convert NBSP to space, collapse
+    whitespace runs, and trim. A chain of codegen regexp_replace passes
+    — runs in the scan stage, no shuffle, no Python."""
+    out = text
+    for pat, rep in NORMALIZE_PASSES:
+        out = F.regexp_replace(out, pat, rep)
+    # trim() strips only spaces; edge newlines/tabs must go too
+    return F.regexp_replace(out, r"^\s+|\s+$", "")

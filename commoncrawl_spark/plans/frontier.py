@@ -292,6 +292,46 @@ class CrawlJob:
         evict.unpersist()
         return n
 
+    def evict_stale(
+        self,
+        captures: DataFrame,
+        as_of,
+        threshold: float = 0.5,
+        default_rate_per_day: float = 0.1,
+        requeue: bool = True,
+        key_col: str = "url",
+        ts_col: str = "ts",
+        digest_col: str = "digest",
+        tiebreak_cols=(),
+    ) -> int:
+        """Freshness-driven recrawl: the Cho-Garcia-Molina policy wired
+        to the eviction mechanism. From each URL's capture history
+        (``captures``: key, ts, content digest per fetch), estimate the
+        Poisson change rate (``capture_change_stats``), compute
+        P(changed since last capture) as of ``as_of``
+        (``recrawl_schedule``), and evict every URL whose ``p_changed >=
+        threshold`` via :meth:`evict_for_recrawl` — hot pages re-enter
+        the frontier, cold ones stay seen. Returns the evicted count.
+
+        The ``default_rate_per_day`` governs single-capture URLs (no
+        interval evidence): raise it to make never-revisited pages age
+        into recrawl faster. The whole policy is one shuffle over the
+        capture log (the change-stats window + agg) before the eviction
+        anti-joins — no Python, safe at full capture-log scale."""
+        from ..operators.temporal import (
+            capture_change_stats,
+            recrawl_schedule,
+        )
+
+        stats = capture_change_stats(
+            captures, key_col=key_col, ts_col=ts_col,
+            digest_col=digest_col, tiebreak_cols=tiebreak_cols)
+        sched = recrawl_schedule(
+            stats, as_of, default_rate_per_day=default_rate_per_day)
+        stale = sched.filter(F.col("p_changed") >= F.lit(threshold)).select(
+            F.col(key_col).alias("url"))
+        return self.evict_for_recrawl(stale, requeue=requeue)
+
     def _read_frontier(self) -> DataFrame:
         """Read the frontier snapshot, defaulting columns added since the
         checkpoint was written (schema evolution: a pre-backoff frontier

@@ -92,3 +92,33 @@ def test_evict_updates_filter_state(spark, tables, tmp_path_factory, state):
     assert {r["url_sha1"] for r in unseen.collect()} == want
     if job._bloom is not None:
         job._bloom.release()
+
+
+@pytest.mark.spark
+def test_evict_stale_freshness_policy(spark, tables, tmp_path_factory):
+    """evict_stale composes the change-rate policy with eviction: a URL
+    whose digest flips every capture is evicted and refetched; a URL
+    with a stable digest stays seen."""
+    pages, cdx = tables
+    job = CrawlJob(spark, str(tmp_path_factory.mktemp("recrawl_stale")),
+                   budget_per_host=BUDGET)
+    job.seed_from_cdx(cdx)
+    assert job.run(pages)
+    seen1 = job.seen_df().count()
+    hot, cold = [r["url"] for r in
+                 job.articles_df().select("url").orderBy("url").limit(2).collect()]
+
+    day = 86400
+    caps = spark.createDataFrame(
+        [(hot, 0 * day, "d0"), (hot, 1 * day, "d1"), (hot, 2 * day, "d2"),
+         (cold, 0 * day, "same"), (cold, 1 * day, "same"),
+         (cold, 2 * day, "same")],
+        "url string, ts long, digest string")
+    n = job.evict_stale(caps, as_of=4 * day, threshold=0.5)
+    assert n == 1
+    assert job.seen_df().count() == seen1 - 1
+
+    rounds = job.run(pages)
+    refetched = {r["url"] for r in job.articles_df()
+                 .groupBy("url").count().filter(F.col("count") > 1).collect()}
+    assert rounds and refetched == {hot}

@@ -358,3 +358,40 @@ def test_pii_redaction_edges(spark):
         r = by_in[s]
         assert r["r"] == want_r, (s, r["r"])
         assert (r["e"], r["i"], r["p"]) == (e, i, p), (s, r)
+
+
+@pytest.mark.spark
+def test_normalize_text_folds_and_collapses(spark):
+    """Every NORMALIZE_PASSES rule fires: control strip, zero-width
+    strip, quote/dash/ellipsis folding, NBSP, whitespace collapse,
+    newline-run squeeze, edge trim."""
+    from commoncrawl_spark.functions.text import normalize_text_col
+
+    messy = ("\u2018q\u2019 \u201Cd\u201D \u2013 \u2026 "
+             "a\u00A0b\u200Bc\x07  two\tspaces\n\n\n\n next \n")
+    df = spark.createDataFrame([(messy,)], "t string")
+    got = df.select(normalize_text_col(F.col("t")).alias("n")).first()["n"]
+    assert got == "'q' \"d\" - ... a bc two spaces\n\nnext"
+
+
+@pytest.mark.spark
+def test_normalize_text_idempotent(spark):
+    """Normalizing twice equals normalizing once (fixpoint) — required
+    for safe re-runs over partially-cleaned corpora."""
+    from commoncrawl_spark.functions.text import normalize_text_col
+
+    rows = [("a\u00A0b \u2013 c\n\n\n\nd  e\t",), ("plain text",), ("",)]
+    df = spark.createDataFrame(rows, "t string")
+    once = df.select(normalize_text_col(F.col("t")).alias("n"))
+    twice = once.select(normalize_text_col(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+@pytest.mark.spark
+def test_normalize_text_plan_is_scan_stage(spark):
+    from commoncrawl_spark.functions.text import normalize_text_col
+
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = (df.select(normalize_text_col(F.col("t")).alias("n"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
