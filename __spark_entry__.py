@@ -1244,6 +1244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob_scores(d)
     q["lm_quality"] = lm_quality
 
+    def lm_bigram(spark, sf):
+        """Conditional bigram scoring (one order up the KenLM ladder):
+        per-doc mean ln p(w2|w1) with p = c(w1,w2)/c(w1,.) from the
+        corpus bigram table. Token-key shuffles only; AQE broadcasts
+        the count tables at real vocabulary sizes."""
+        from commoncrawl_spark.operators.lm import bigram_logprob_scores
+
+        d = _read(spark, sf, "documents")
+        return bigram_logprob_scores(d)
+    q["lm_bigram"] = lm_bigram
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2183,6 +2194,35 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY t.doc_id)
         SELECT d.doc_id,
                coalesce(s.n_tokens, 0) AS n_tokens,
+               s.avg_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # lm_bigram: parallel unnests zip positionally in DuckDB, giving the
+    # same consecutive-pair stream; division/ln/avg mirror the columns
+    o["lm_bigram"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {toks_doc} AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(t[1:len(t) - 1]) AS w1,
+                 unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2),
+        counts AS (
+          SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+        ctx AS (
+          SELECT w1, CAST(sum(cnt) AS DOUBLE) AS c1 FROM counts
+          GROUP BY w1),
+        scored AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln(CAST(c.cnt AS DOUBLE) / x.c1)), 6)
+                   AS avg_logprob
+          FROM bg b
+          JOIN counts c USING (w1, w2)
+          JOIN ctx x USING (w1)
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
                s.avg_logprob
         FROM documents d LEFT JOIN scored s USING (doc_id)
     """

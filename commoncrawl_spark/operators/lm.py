@@ -95,3 +95,81 @@ def unigram_logprob_scores(
             F.col("avg_logprob"),
         )
     )
+
+
+def _bigrams_col(text):
+    """array<struct<w1,w2>> of consecutive token pairs (empty under two
+    tokens). Per-row array expression — no shuffle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train: corpus bigram frequencies ``(w1, w2, cnt)``. One explode +
+    one hash exchange on the pair (map-side partial count)."""
+    return (
+        df.select(F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conditional bigram scoring — one order up from the unigram MLE
+    toward the KenLM slot: per document, the mean ``ln p(w2 | w1)``
+    over its consecutive token pairs, with ``p(w2 | w1) = c(w1, w2) /
+    c(w1, ·)`` (the left-context total, derived from the bigram table
+    itself so the estimate is self-consistent). Output one row per
+    document: ``(id_col, n_bigrams, avg_logprob)``; documents under two
+    tokens score null.
+
+    Scale shape: counts shuffle carries (w1, w2, count) — tokens, never
+    text; the context table is a second tiny aggregate of the counts;
+    the scoring joins key on token columns and AQE broadcasts both
+    tables at real-language vocabulary sizes. Self-trained (default
+    counts) means every document bigram is in-table — no OOV path."""
+    if counts is None:
+        counts = bigram_counts(df, text_col)
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    bg = (
+        df.select(F.col(id_col),
+                  F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    scored = (
+        bg.join(counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double")
+                            / F.col("ctx").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("avg_logprob"),
+        )
+    )

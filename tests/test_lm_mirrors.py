@@ -102,3 +102,36 @@ def test_host_overlap_plan_is_jvm_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_bigram_scores_hand_computed(spark):
+    """p(w2|w1) = c(w1,w2)/c(w1,.) over the corpus; per-doc mean of the
+    logs; short docs (under two tokens) score null."""
+    from commoncrawl_spark.operators.lm import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b)
+    # c(a,b)=3, c(b,a)=1; c(a,.)=3, c(b,.)=1
+    exp1 = (2 * math.log(3 / 3) + math.log(1 / 1)) / 3   # = 0.0
+    exp2 = math.log(3 / 3)                               # = 0.0
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_logprob"] == round(exp1, 6)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["avg_logprob"] == round(exp2, 6)
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logprob"] is None
+
+
+@pytest.mark.spark
+def test_bigram_scores_discriminate(spark):
+    """A doc of common transitions outranks one of rare transitions."""
+    from commoncrawl_spark.operators.lm import bigram_logprob_scores
+
+    rows = [(i, "the cat sat") for i in range(9)] + [(9, "the dog ran")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in bigram_logprob_scores(df).collect()}
+    assert got[0] > got[9]
