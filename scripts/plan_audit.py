@@ -332,6 +332,76 @@ def main() -> None:
          f"{'Scan ExistingRDD' in full}"],
     ))
 
+    # change-rate recrawl stats: window + aggregate share one exchange
+    from commoncrawl_spark.operators.temporal import capture_change_stats
+
+    caps = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.col("doc_id") % 7).alias("ts"),
+        F.col("source").alias("digest"))
+    p = plan_of(capture_change_stats(caps, key_col="url", ts_col="ts"))
+    sections.append((
+        "Recrawl change stats: lag window + aggregate, one exchange",
+        "The per-URL digest-flip count needs a lag (window) AND a groupBy "
+        "on the same key; Spark must satisfy the aggregate from the "
+        "window's hash partitioning, so a 10^10-row capture log is "
+        "shuffled once, not twice.",
+        [f"Exchange count: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # LM scoring: token-key joins, totals without a driver collect
+    from commoncrawl_spark.operators.lm import unigram_logprob_scores
+
+    p = plan_of(unigram_logprob_scores(docs))
+    sections.append((
+        "Unigram-LM scoring: vocab joins, no Python, no cartesian",
+        "Training and scoring shuffle (token, count) pairs — never text; "
+        "corpus totals ride a 1-row broadcast nested-loop join instead "
+        "of a driver collect, keeping the plan lazy end to end.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False — totals join is BroadcastNestedLoopJoin)",
+         f"BroadcastNestedLoopJoin present: "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # mirror detection: capped fingerprint self-join
+    from commoncrawl_spark.operators.mirrors import host_content_overlap
+
+    hf = docs.select(
+        F.col("source").alias("host"),
+        F.md5(F.substring("text", 1, 16)).alias("fingerprint"))
+    p = plan_of(host_content_overlap(hf))
+    sections.append((
+        "Host mirror detection: equi-join on fingerprint, fan-out capped",
+        "The host-pair overlap is an equi self-join on the 32-byte "
+        "fingerprint (never all host pairs); the ubiquity pre-filter "
+        "bounds per-key fan-out to max_hosts_per_fp^2, which is what "
+        "makes the join safe when boilerplate fingerprints land on "
+        "millions of hosts.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # text normalization: scan-stage expression chain
+    from commoncrawl_spark.functions.text import normalize_text_col
+
+    p = plan_of(docs.select(
+        "doc_id", normalize_text_col(F.col("text")).alias("norm")))
+    sections.append((
+        "Text normalization: zero-exchange scan-stage expression",
+        "The regexp_replace chain is a single projected expression — it "
+        "runs inside whole-stage codegen in the scan stage, so corpus "
+        "cleanup is free of shuffles and Python at any scale.",
+        [f"Exchange count: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"whole-stage-codegen span ('*(1)' marker) present: "
+         f"{'*(1)' in p} (expect True)"],
+    ))
+
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALE.md — physical-plan audit (generated by "
