@@ -1286,6 +1286,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "age_days", "p_changed")
     q["recrawl_priority"] = recrawl_priority
 
+    # ---- per-host corpus rollup ----
+
+    def host_stats(spark, sf):
+        """Per-host corpus health table (what a crawl operator reads
+        daily): document count, language mix, mean quality and length.
+        One map-side-partial aggregate over scan-stage column
+        expressions — the 100 TB corpus reduces to one row per host."""
+        d = _read(spark, sf, "documents")
+        host = F.concat(F.lit("www."), F.col("source"), F.lit(".org"))
+        per_doc = d.select(
+            host.alias("host"),
+            language_id_col(F.col("text")).alias("lang"),
+            quality_score_col(F.col("text")).alias("q"),
+            token_count_col(F.col("text")).cast("double").alias("nt"),
+        )
+        langs = ["en", "de", "fr", "und"]
+        return per_doc.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum((F.col("lang") == l).cast("long")).alias(f"n_{l}")
+              for l in langs],
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.round(F.avg("nt"), 4).alias("mean_tokens"),
+        )
+    q["host_stats"] = host_stats
+
     # ---- host mirror detection ----
 
     def mirror_overlap(spark, sf):
@@ -2273,6 +2298,50 @@ def oracle_sql() -> dict[str, str]:
                                  - epoch_us(last_ts)) / 86400000000.0,
                                 0.0)), 6) AS p_changed
         FROM rt
+    """
+
+    # host_stats: per-doc language/quality/token expressions (identical
+    # to the language_id / quality_scores / token_counts oracles) then
+    # one GROUP BY host
+    o["host_stats"] = f"""
+        WITH t AS (
+          SELECT 'www.' || source || '.org' AS host, text,
+                 {toks_doc} AS toks
+          FROM documents),
+        feats AS (
+          SELECT host,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS nt,
+                 round(len(regexp_extract_all(text, '{PUNCT_RE}'))
+                       / greatest(length(text), 1), 4) AS punct_ratio,
+                 {stop_ratio} AS stopword_ratio,
+                 len(toks) AS n_tokens,
+                 {en} AS en_h, {de} AS de_h, {fr} AS fr_h
+          FROM t),
+        scored AS (
+          SELECT host, nt,
+                 round(0.4 * (CASE WHEN n_tokens >= 20 THEN 1.0
+                                   ELSE n_tokens / 20.0 END)
+                       + 0.4 * least(stopword_ratio * 2.5, 1.0)
+                       + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0), 4)
+                   AS q,
+                 CASE WHEN greatest(en_h, de_h, fr_h) = 0 THEN 'und'
+                      WHEN en_h = greatest(en_h, de_h, fr_h) THEN 'en'
+                      WHEN de_h = greatest(en_h, de_h, fr_h) THEN 'de'
+                      ELSE 'fr' END AS lang
+          FROM feats)
+        SELECT host, count(*) AS n_docs,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_de,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fr,
+               CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_und,
+               round(avg(q), 4) AS mean_quality,
+               round(avg(CAST(nt AS DOUBLE)), 4) AS mean_tokens
+        FROM scored GROUP BY host
     """
 
     # mirror_overlap: distinct (host, fp) -> capped fp self-join ->
