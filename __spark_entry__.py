@@ -1286,6 +1286,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "age_days", "p_changed")
     q["recrawl_priority"] = recrawl_priority
 
+    # ---- shard export assignment ----
+
+    def shard_assign(spark, sf):
+        """The export sink's deterministic shard rule (tables.py
+        write_shards) as an oracle-checked expression: shard =
+        int(md5(key)[0:8], 16) % n — stable across runs, partitionings,
+        and engines, so re-exports reproduce shard membership."""
+        d = _read(spark, sf, "documents")
+        shard = (
+            F.conv(F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 64
+        ).cast("int")
+        return d.select("doc_id", shard.alias("shard"))
+    q["shard_assign"] = shard_assign
+
     # ---- per-host corpus rollup ----
 
     def host_stats(spark, sf):
@@ -2298,6 +2314,14 @@ def oracle_sql() -> dict[str, str]:
                                  - epoch_us(last_ts)) / 86400000000.0,
                                 0.0)), 6) AS p_changed
         FROM rt
+    """
+
+    # shard_assign: the same md5-hex-prefix modulus
+    o["shard_assign"] = """
+        SELECT doc_id,
+               CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 64) AS INTEGER) AS shard
+        FROM documents
     """
 
     # host_stats: per-doc language/quality/token expressions (identical

@@ -175,6 +175,113 @@ class SnapshotTable:
         shutil.rmtree(self.root, ignore_errors=True)
 
 
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    size_cols: list[str] | None = None,
+    min_shards: int = 1,
+) -> dict[str, Any]:
+    """Export a curated corpus as size-bounded shards (the
+    WebDataset/tar-shard shape training loaders consume): estimate the
+    payload bytes per row from the fat columns, derive the shard count
+    from ``target_bytes``, assign every row a deterministic shard via
+    md5(key) — stable across runs, partitionings, and cluster sizes —
+    and write one directory per shard with a JSON manifest (row count +
+    byte estimate per shard, totals, and the assignment rule) for
+    loader-side integrity checks.
+
+    Scale shape: the byte estimate is one map-side-partial aggregate
+    (a single scalar to the driver — the only driver traffic); the
+    write is one hash exchange on the shard id; per-shard stats come
+    from a second slim aggregate (n_shards rows). md5 sharding means a
+    re-export after an upstream fix reproduces the same shard
+    membership, so downstream caches invalidate per-shard instead of
+    globally.
+
+    ``size_cols`` defaults to all string/binary columns. Returns the
+    manifest dict (also written to ``<out_dir>/manifest.json``).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if size_cols is None:
+        size_cols = [f.name for f in df.schema.fields
+                     if isinstance(f.dataType, (T.StringType, T.BinaryType))]
+    if not size_cols:
+        raise ValueError("no string/binary columns to size shards by")
+    row_bytes = sum(
+        (F.coalesce(F.length(F.col(c)), F.lit(0)) for c in size_cols),
+        F.lit(0),
+    ).cast("long")
+    sized = df.withColumn("_bytes", row_bytes)
+    total = sized.agg(F.sum("_bytes")).first()[0] or 0
+    n_shards = max(min_shards, -(-int(total) // int(target_bytes)))
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).cast("int")
+    assigned = sized.withColumn("_shard", shard)
+    (
+        assigned.repartition(n_shards, "_shard")
+        .write.mode("overwrite").partitionBy("_shard")
+        .parquet(os.path.join(out_dir, "data"))
+    )
+    stats = {
+        int(r["_shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
+        for r in assigned.groupBy("_shard").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("_bytes").alias("bytes")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "target_bytes": int(target_bytes),
+        "total_rows": sum(s["rows"] for s in stats.values()),
+        "total_bytes": int(total),
+        "key": key,
+        "assignment": "conv(md5(key)[0:8], 16, 10) % n_shards",
+        "size_cols": size_cols,
+        "shards": {str(k): stats[k] for k in sorted(stats)},
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def read_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a shard export back (all shards; filter ``_shard`` for one —
+    partition pruning keeps that read to the one directory)."""
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
+    """Loader-side integrity check: recount every shard on disk and
+    diff against the manifest (the tar-sink verify analog,
+    main_merge_and_deduplicate.py's post-write check). Returns
+    {ok, mismatches: {shard: {manifest_rows, actual_rows}}}."""
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    actual = {
+        str(int(r["_shard"])): int(r["rows"])
+        for r in read_shards(spark, out_dir)
+        .groupBy("_shard").agg(F.count(F.lit(1)).alias("rows")).collect()
+    }
+    mism = {}
+    for k, s in manifest["shards"].items():
+        if actual.get(k, 0) != s["rows"]:
+            mism[k] = {"manifest_rows": s["rows"],
+                       "actual_rows": actual.get(k, 0)}
+    for k in actual:
+        if k not in manifest["shards"]:
+            mism[k] = {"manifest_rows": 0, "actual_rows": actual[k]}
+    return {"ok": not mism, "mismatches": mism}
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
