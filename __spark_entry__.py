@@ -1286,6 +1286,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "age_days", "p_changed")
     q["recrawl_priority"] = recrawl_priority
 
+    # ---- benchmark decontamination ----
+
+    def benchmark_contamination(spark, sf):
+        """Eval-overlap audit: per document, how many distinct 3-gram
+        shingles also occur in the benchmark set (docs with doc_id %
+        37 == 0 standing in for an eval suite). The benchmark gram
+        table is slim md5 keys (AQE-broadcast); corpus grams semi-join
+        against it without shuffling."""
+        from commoncrawl_spark.operators.text_dedup import (
+            ngram_contamination,
+        )
+
+        d = _read(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        return ngram_contamination(d, bench, n=3)
+    q["benchmark_contamination"] = benchmark_contamination
+
     # ---- shard export assignment ----
 
     def shard_assign(spark, sf):
@@ -2314,6 +2331,20 @@ def oracle_sql() -> dict[str, str]:
                                  - epoch_us(last_ts)) / 86400000000.0,
                                 0.0)), 6) AS p_changed
         FROM rt
+    """
+
+    # benchmark_contamination: same distinct-3-gram streams; membership
+    # via IN (the slim benchmark fingerprint set)
+    o["benchmark_contamination"] = f"""
+        WITH sh AS (SELECT doc_id, {sh_doc} AS sh FROM documents),
+        bench AS (
+          SELECT DISTINCT md5(g) AS fp
+          FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0)),
+        grams AS (SELECT doc_id, unnest(sh) AS g FROM sh)
+        SELECT doc_id, count(*) AS n_hits
+        FROM grams
+        WHERE md5(g) IN (SELECT fp FROM bench)
+        GROUP BY doc_id
     """
 
     # shard_assign: the same md5-hex-prefix modulus

@@ -314,6 +314,61 @@ def simhash_near_duplicates(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM eval-overlap check):
+    count, per document, how many of its distinct word ``n``-grams also
+    appear in ``benchmark`` — a training corpus must drop (or at least
+    audit) documents overlapping the eval sets it will be scored on.
+    Returns ``(id_col, n_hits)`` for contaminated documents only
+    (``n_hits >= 1``); compose with ``drop_contaminated`` to scrub.
+
+    Scale shape: the benchmark gram set is distinct-md5'd — eval suites
+    are ~10^5-10^7 grams, a few hundred MB of 16-byte keys at worst —
+    so AQE broadcasts it and the corpus side never shuffles its grams;
+    the only exchange is the per-document hit re-aggregation. Gram
+    fingerprints are md5 (cross-engine oracle, as everywhere here).
+    """
+    bench = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text_col), n)).alias("g"))
+        .select(F.md5("g").alias("_fp"))
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("_fp"))
+    return (
+        grams.join(bench, "_fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def drop_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Scrub: remove every document with >= ``min_hits`` benchmark
+    n-gram overlaps. One slim anti-join on the id after the
+    contamination count."""
+    hits = ngram_contamination(df, benchmark, n, text_col, id_col,
+                               bench_text_col)
+    bad = hits.filter(F.col("n_hits") >= min_hits).select(id_col)
+    return df.join(bad, id_col, "left_anti")
+
+
 def dedup_segments(
     df: DataFrame,
     text_col: str = "text",

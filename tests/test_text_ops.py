@@ -395,3 +395,50 @@ def test_normalize_text_plan_is_scan_stage(spark):
     plan = (df.select(normalize_text_col(F.col("t")).alias("n"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_ngram_contamination_hand_computed(spark):
+    """Distinct-shingle hit counts against a benchmark; clean docs are
+    absent; drop_contaminated removes exactly the flagged ids."""
+    from commoncrawl_spark.operators.text_dedup import (
+        drop_contaminated,
+        ngram_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # shares "the quick brown"
+         (2, "totally unrelated words here"),
+         (3, "quick brown fox runs fast")],  # shares "quick brown fox"
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in ngram_contamination(docs, bench, n=3).collect()}
+    # doc1 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox sleeps}
+    assert got == {1: 2, 3: 1}
+    kept = {r["doc_id"]
+            for r in drop_contaminated(docs, bench, n=3).collect()}
+    assert kept == {2}
+    # min_hits=2: only the double-overlap doc is scrubbed
+    kept2 = {r["doc_id"] for r in
+             drop_contaminated(docs, bench, n=3, min_hits=2).collect()}
+    assert kept2 == {2, 3}
+
+
+@pytest.mark.spark
+def test_ngram_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark fingerprint side must broadcast: the corpus gram
+    stream joins without an exchange of its own rows."""
+    from commoncrawl_spark.operators.text_dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "a b c")], "doc_id long, text string")
+    out = ngram_contamination(docs, bench, n=3)
+    out.collect()  # finalize the AQE plan before inspecting it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
