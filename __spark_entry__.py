@@ -1286,6 +1286,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "age_days", "p_changed")
     q["recrawl_priority"] = recrawl_priority
 
+    # ---- training-window chunking ----
+
+    def doc_chunks(spark, sf):
+        """Fixed-token sliding windows (16 words, stride 8) over every
+        document — the pre-training window prep. Pure per-row array
+        expressions; one row per chunk with its ordinal and length."""
+        from commoncrawl_spark.operators.chunking import chunk_documents
+
+        d = _read(spark, sf, "documents")
+        return chunk_documents(d, chunk_tokens=16, stride=8)
+    q["doc_chunks"] = doc_chunks
+
     # ---- benchmark decontamination ----
 
     def benchmark_contamination(spark, sf):
@@ -2331,6 +2343,33 @@ def oracle_sql() -> dict[str, str]:
                                  - epoch_us(last_ts)) / 86400000000.0,
                                 0.0)), 6) AS p_changed
         FROM rt
+    """
+
+    # doc_chunks: same start arithmetic over the whitespace word list;
+    # DuckDB list slicing is 1-based inclusive like F.slice
+    o["doc_chunks"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents),
+        n AS (
+          SELECT doc_id, words, len(words) AS nw,
+                 1 + CAST(ceil(greatest(nw - 16, 0) / 8.0) AS INTEGER)
+                   AS n_windows
+          FROM w WHERE len(words) > 0),
+        ch AS (
+          SELECT doc_id,
+                 unnest(range(0, n_windows)) AS chunk_id,
+                 words, nw
+          FROM n)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               len(words[chunk_id * 8 + 1 : chunk_id * 8 + 16])
+                 AS n_tokens,
+               array_to_string(
+                 words[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ') AS chunk
+        FROM ch
+        WHERE len(words[chunk_id * 8 + 1 : chunk_id * 8 + 16]) >= 1
     """
 
     # benchmark_contamination: same distinct-3-gram streams; membership

@@ -316,6 +316,11 @@ def main() -> None:
             "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
             "simhash_neardup", "embedding_topk", "quality_scores",
             "curation_pipeline", "link_discovery",
+            # round-2 additions: LM scoring, decontamination, recrawl
+            # policy, mirrors, normalization rollups
+            "lm_quality", "lm_bigram", "benchmark_contamination",
+            "recrawl_priority", "mirror_overlap", "text_normalize",
+            "host_stats",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

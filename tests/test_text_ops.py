@@ -442,3 +442,53 @@ def test_ngram_contamination_plan_broadcasts_benchmark(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+@pytest.mark.spark
+def test_chunk_documents_windows(spark):
+    """Start arithmetic: full coverage, overlap by stride, short tail
+    kept, empty doc dropped, min_tokens filter."""
+    from commoncrawl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7"), (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=4, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+           for r in rows}
+    # doc1: 7 words -> windows at 1,3,5 (1 + ceil(3/2) = 3 windows)
+    assert got[(1, 0)] == (4, "w1 w2 w3 w4")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (3, "w5 w6 w7")       # short tail kept
+    assert got[(2, 0)] == (2, "a b")            # doc shorter than chunk
+    assert {k[0] for k in got} == {1, 2}        # empty doc: no rows
+    # min_tokens drops the short tail
+    rows2 = chunk_documents(df, chunk_tokens=4, stride=2,
+                            min_tokens=4).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in rows2} == {
+        (1, 0), (1, 1)}
+
+
+@pytest.mark.spark
+def test_chunk_documents_exact_tiling_no_overlap(spark):
+    """Default stride = chunk size: exact tiling, every word once."""
+    from commoncrawl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))],
+        "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_tokens=4).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+    assert " ".join(r["chunk"] for r in rows) == " ".join(
+        f"t{i}" for i in range(12))
+
+
+@pytest.mark.spark
+def test_chunk_documents_plan_no_shuffle(spark):
+    from commoncrawl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (chunk_documents(df, chunk_tokens=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
