@@ -144,14 +144,18 @@ def bigram_logprob_scores(
     the scoring joins key on token columns and AQE broadcasts both
     tables at real-language vocabulary sizes. Self-trained (default
     counts) means every document bigram is in-table — no OOV path."""
-    if counts is None:
-        counts = bigram_counts(df, text_col)
-    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     bg = (
         df.select(F.col(id_col),
                   F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
         .select(id_col, "bg.w1", "bg.w2")
     )
+    if counts is None:
+        # self-trained: derive counts from the SAME exploded frame and
+        # persist it — one tokenization pass instead of two (the
+        # explode+md5-free pair stream is slim: 2 tokens + an id per row)
+        bg = bg.persist()
+        counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     scored = (
         bg.join(counts, ["w1", "w2"])
         .join(ctx, "w1")
