@@ -64,14 +64,17 @@ def unigram_logprob_scores(
     ``counts``) get finite mass instead of dropping the document to
     -inf; with the default self-trained counts alpha=0 is exact.
     """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
     if counts is None:
-        counts = unigram_counts(df, text_col)
+        # self-trained: derive counts from the SAME exploded frame and
+        # persist it — one tokenization pass instead of two
+        toks = toks.persist()
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("_total"),
         F.count(F.lit(1)).alias("_vocab"),
-    )
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     p_num = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)
     p_den = F.col("_total").cast("double") + F.lit(alpha) * F.col("_vocab")
