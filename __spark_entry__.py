@@ -1315,6 +1315,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- end-to-end training export ----
+
+    def training_export_pipeline(spark, sf):
+        """The round-2 stages composed as one export job: unigram-LM
+        quality gate (keep avg_logprob >= -3.405, ~top 75%) ->
+        benchmark decontamination (3-gram overlap vs the doc_id % 37
+        eval stand-in) -> 16-token/stride-8 chunking -> deterministic
+        shard assignment on (doc_id, chunk_id). Everything before the
+        final projection is Catalyst; the only shuffles are the LM
+        count/score aggregates and the two slim id joins."""
+        from commoncrawl_spark.operators.chunking import chunk_documents
+        from commoncrawl_spark.operators.lm import unigram_logprob_scores
+        from commoncrawl_spark.operators.text_dedup import (
+            drop_contaminated,
+        )
+
+        d = _read(spark, sf, "documents")
+        keep = (unigram_logprob_scores(d)
+                .filter(F.col("avg_logprob") >= -3.405).select("doc_id"))
+        kept = d.join(keep, "doc_id", "left_semi")
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        clean = drop_contaminated(kept, bench, n=3)
+        chunks = chunk_documents(clean, chunk_tokens=16, stride=8)
+        shard = (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "#", F.col("doc_id").cast("string"),
+                F.col("chunk_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 16
+        ).cast("int")
+        return chunks.select("doc_id", "chunk_id", "n_tokens",
+                             shard.alias("shard"))
+    q["training_export_pipeline"] = training_export_pipeline
+
     # ---- shard export assignment ----
 
     def shard_assign(spark, sf):
@@ -2384,6 +2417,59 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # training_export_pipeline: the lm_quality, contamination, chunking
+    # and shard expressions composed as CTEs — each identical to its
+    # standalone oracle
+    o["training_export_pipeline"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        counts AS (
+          SELECT token, count(*) AS cnt FROM toksv GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+        scored AS (
+          SELECT t.doc_id,
+                 round(avg(ln(CAST(c.cnt AS DOUBLE) / tot.total)), 6)
+                   AS avg_logprob
+          FROM toksv t JOIN counts c USING (token), tot
+          GROUP BY t.doc_id),
+        keepers AS (
+          SELECT doc_id FROM scored WHERE avg_logprob >= -3.405),
+        shv AS (SELECT doc_id, {sh_doc} AS sh FROM documents),
+        benchg AS (
+          SELECT DISTINCT md5(g) AS fp
+          FROM (SELECT unnest(sh) AS g FROM shv WHERE doc_id % 37 = 0)),
+        contaminated AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest(sh) AS g FROM shv)
+          WHERE md5(g) IN (SELECT fp FROM benchg)),
+        clean AS (
+          SELECT d.doc_id, d.text FROM documents d
+          SEMI JOIN keepers USING (doc_id)
+          ANTI JOIN contaminated USING (doc_id)),
+        w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS words
+          FROM clean),
+        n AS (
+          SELECT doc_id, words, len(words) AS nw,
+                 1 + CAST(ceil(greatest(nw - 16, 0) / 8.0) AS INTEGER)
+                   AS n_windows
+          FROM w WHERE len(words) > 0),
+        ch AS (
+          SELECT doc_id, unnest(range(0, n_windows)) AS chunk_id, words
+          FROM n)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               len(words[chunk_id * 8 + 1 : chunk_id * 8 + 16])
+                 AS n_tokens,
+               CAST((('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '#'
+                     || CAST(chunk_id AS VARCHAR)), 1, 8))::BIGINT % 16)
+                    AS INTEGER) AS shard
+        FROM ch
+        WHERE len(words[chunk_id * 8 + 1 : chunk_id * 8 + 16]) >= 1
     """
 
     # shard_assign: the same md5-hex-prefix modulus
