@@ -1315,6 +1315,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- tf-idf keywords ----
+
+    def tfidf_terms(spark, sf):
+        """Per-document keyword extraction: top-3 terms by tf * ln(N/df)
+        (textbook tf-idf), deterministic ties. Two map-side-partial
+        aggregates + a 1-row broadcast + one window over the doc key."""
+        from commoncrawl_spark.operators.analytics import tfidf_top_terms
+
+        d = _read(spark, sf, "documents")
+        return tfidf_top_terms(d, k=3)
+    q["tfidf_terms"] = tfidf_terms
+
     # ---- end-to-end training export ----
 
     def training_export_pipeline(spark, sf):
@@ -2417,6 +2429,33 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # tfidf_terms: identical tf / df / N arithmetic; row_number ties by
+    # (score desc, token asc) on both sides
+    o["tfidf_terms"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toksv GROUP BY doc_id, token),
+        dfreq AS (
+          SELECT token, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM toksv)
+          GROUP BY token),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round(CAST(tf.tf AS DOUBLE)
+                       * ln(n.n_docs / CAST(d.df AS DOUBLE)), 6) AS score
+          FROM tf JOIN dfreq d USING (token), n),
+        ranked AS (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, token, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
     """
 
     # training_export_pipeline: the lm_quality, contamination, chunking

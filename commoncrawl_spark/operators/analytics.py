@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[^a-z0-9]+"
@@ -133,3 +133,48 @@ def sample_exact(df: DataFrame, n: int, seed: int = 42,
                               *[F.col(c).cast("string") for c in key_cols]))
         return df.orderBy(h, *[F.col(c) for c in key_cols]).limit(n)
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` terms with the highest
+    tf-idf, ``score = tf * ln(N / df)`` (raw term frequency, natural-log
+    idf, no smoothing — the textbook formula, exactly reproducible in
+    SQL). Output ``(id_col, token, score, rank)`` with rank 1..k,
+    deterministic ties by (score desc, token asc). Terms appearing in
+    every document score 0 and still rank (idf = 0) — callers wanting
+    stopword suppression should filter or raise k.
+
+    Scale shape: the (doc, token) tf aggregate and the token df
+    aggregate are both map-side-partial; N rides a 1-row broadcast; the
+    final top-k is one window over the doc key. Tokens, never text,
+    cross every exchange."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).persist()
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select(id_col, "token").distinct()
+             .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double")
+                        / F.col("df").cast("double")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "score", "rank")
+    )

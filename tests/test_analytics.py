@@ -3,6 +3,8 @@ the driver contract; here we pin the scale paths and edge cases."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -38,3 +40,32 @@ def test_describe_numeric_ignores_nulls(spark):
     assert row["p50"] in (1.0, 3.0)
     exact = describe_numeric(df, "v", exact=True).first()
     assert exact["p50"] == 2.0
+
+
+@pytest.mark.spark
+def test_tfidf_top_terms_hand_computed(spark):
+    """tf * ln(N/df): corpus-unique terms outrank ubiquitous ones;
+    ties break on token; everywhere-terms score exactly 0."""
+    from commoncrawl_spark.operators.analytics import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple shared"), (2, "banana shared"), (3, "shared")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["score"])
+           for r in rows}
+    # N=3; df: apple=1, banana=1, shared=3 (idf 0)
+    assert got[(1, 1)] == ("apple", round(2 * math.log(3.0), 6))
+    assert got[(1, 2)] == ("shared", 0.0)
+    assert got[(2, 1)] == ("banana", round(math.log(3.0), 6))
+    assert got[(3, 1)] == ("shared", 0.0)
+
+
+@pytest.mark.spark
+def test_tfidf_plan_is_jvm_only(spark):
+    from commoncrawl_spark.operators.analytics import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (tfidf_top_terms(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
