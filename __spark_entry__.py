@@ -1315,6 +1315,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- anchor-text aggregation ----
+
+    def anchor_texts(spark, sf):
+        """Synthetic pages whose anchors are known by construction ->
+        anchor_text_summary. The oracle derives the expected (target,
+        anchor) multiset from the same doc_id arithmetic, so any
+        mis-parse, mis-resolution, or tag-strip bug breaks the hash."""
+        from commoncrawl_spark.operators.links import anchor_text_summary
+
+        d = _read(spark, sf, "documents").select("doc_id", "source", "lang")
+        src = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".news.test/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit("/story"),
+        )
+        m50 = (F.col("doc_id") % 50).cast("string")
+        m7 = (F.col("doc_id") % 7).cast("string")
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext.test/p/'), m50,
+            F.lit('">page '), m50, F.lit("</a>"),
+            F.lit('<a href="https://ext.test/p/'), m50, F.lit('">'),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("click here"))
+            .otherwise(F.concat(F.lit("page "), m50)), F.lit("</a>"),
+            F.lit("<a href='/s/"), m7, F.lit("'>s<b>"), m7,
+            F.lit("</b></a></body></html>"),
+        )
+        pages = d.select(src.alias("url"),
+                         F.encode(html, "utf-8").alias("html"))
+        return anchor_text_summary(pages)
+    q["anchor_texts"] = anchor_texts
+
     # ---- tf-idf keywords ----
 
     def tfidf_terms(spark, sf):
@@ -2429,6 +2460,45 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # anchor_texts: expected (target, anchor) multiset from the same
+    # doc_id arithmetic the query used to build the pages
+    o["anchor_texts"] = """
+        WITH d AS (
+          SELECT doc_id, source, lang,
+                 CAST(doc_id % 50 AS VARCHAR) AS m50,
+                 CAST(doc_id % 7 AS VARCHAR) AS m7,
+                 doc_id % 2 AS m2
+          FROM documents),
+        pairs AS (
+          SELECT 'https://ext.test/p/' || m50 AS abs_url,
+                 'page ' || m50 AS anchor FROM d
+          UNION ALL
+          SELECT 'https://ext.test/p/' || m50,
+                 CASE WHEN m2 = 0 THEN 'click here'
+                      ELSE 'page ' || m50 END FROM d
+          UNION ALL
+          SELECT 'https://' || source || '.news.test/s/' || m7,
+                 's' || m7 FROM d),
+        counts AS (
+          SELECT abs_url, anchor, count(*) AS c
+          FROM pairs GROUP BY abs_url, anchor),
+        agg AS (
+          SELECT abs_url, CAST(sum(c) AS BIGINT) AS n_anchors,
+                 count(*) AS n_unique
+          FROM counts GROUP BY abs_url),
+        top AS (
+          SELECT abs_url, anchor AS top_anchor,
+                 CAST(c AS BIGINT) AS top_count
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY abs_url
+                  ORDER BY c DESC, anchor DESC) AS rn
+                FROM counts)
+          WHERE rn = 1)
+        SELECT a.abs_url, a.n_anchors, a.n_unique,
+               t.top_anchor, t.top_count
+        FROM agg a JOIN top t USING (abs_url)
     """
 
     # tfidf_terms: identical tf / df / N arithmetic; row_number ties by

@@ -137,6 +137,84 @@ def candidate_links(
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text aggregation: what the web calls each URL
+# ---------------------------------------------------------------------------
+
+# full <a ...href...>inner</a> elements, one per quoting style; group 1 =
+# href value, group 2 = inner markup (non-greedy to the nearest </a>).
+# Nested-<a> documents are malformed HTML; the regex takes the shortest
+# span, which is the browser-equivalent recovery.
+_ANCHOR_RE_DQ = r'(?is)<a\s[^>]*?href\s*=\s*"([^"<>]*)"[^>]*>(.*?)</a\s*>'
+_ANCHOR_RE_SQ = r"(?is)<a\s[^>]*?href\s*=\s*'([^'<>]*)'[^>]*>(.*?)</a\s*>"
+
+
+def _anchor_pairs(text: Column, pattern: str) -> Column:
+    """array<struct<href,anchor>> from one quoting-style pattern: the two
+    capture groups come from the SAME match set, so the positional zip is
+    exact."""
+    hrefs = F.regexp_extract_all(text, F.lit(pattern), F.lit(1))
+    inner = F.regexp_extract_all(text, F.lit(pattern), F.lit(2))
+    return F.zip_with(
+        hrefs, inner,
+        lambda h, t: F.struct(h.alias("href"), t.alias("anchor")))
+
+
+def extract_anchors(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """pages(url, html) -> (src_url, abs_url, anchor): the link-text
+    signal (what other pages call a URL — ranking/quality input the
+    href-only edge table drops). Inner markup is tag-stripped and
+    whitespace-collapsed; empty anchors and non-fetchable targets are
+    dropped. Same scan-stage codegen shape as ``extract_links``."""
+    text = F.col(html_col).cast("string")
+    pairs = F.concat(_anchor_pairs(text, _ANCHOR_RE_DQ),
+                     _anchor_pairs(text, _ANCHOR_RE_SQ))
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(pairs).alias("p")
+    ).select("src_url", "p.href", "p.anchor")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("anchor"), r"<[^>]*>", ""), r"\s+", " "))
+    return (
+        exploded.withColumn("anchor", clean)
+        .withColumn("abs_url", absolutize_col(F.col("href"), F.col("src_url")))
+        .filter(F.col("abs_url").isNotNull() & (F.col("anchor") != ""))
+        .select("src_url", "abs_url", "anchor")
+    )
+
+
+def anchor_text_summary(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-target anchor profile: ``(abs_url, n_anchors, n_unique,
+    top_anchor, top_count)`` with the most frequent anchor text (ties
+    to the lexicographically greatest — one struct-max, deterministic).
+    Two map-side-partial aggregates; shuffle rows are (url, short
+    anchor) pairs, never page bytes."""
+    anchors = extract_anchors(pages, html_col, url_col)
+    counts = anchors.groupBy("abs_url", "anchor").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("abs_url")
+        .agg(
+            F.sum("c").alias("n_anchors"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max(F.struct(F.col("c").alias("c"),
+                           F.col("anchor").alias("anchor"))).alias("_top"),
+        )
+        .select(
+            "abs_url", "n_anchors", "n_unique",
+            F.col("_top.anchor").alias("top_anchor"),
+            F.col("_top.c").alias("top_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sitemap discovery: robots.txt "Sitemap:" directives -> sitemap XML locs
 # ---------------------------------------------------------------------------
 

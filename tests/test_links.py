@@ -266,3 +266,41 @@ def test_sitemap_locs_urlset_vs_index_and_binary_noise(spark):
     got = [r["url"] for r in cands.collect()]
     assert got == ["https://h.test/p/1"]
     assert "url_sha1" in cands.columns
+
+
+@pytest.mark.spark
+def test_extract_anchors_semantics(spark):
+    """Both quote styles, inner-tag strip, whitespace collapse, empty
+    anchors and unfetchable targets dropped, relative resolution."""
+    from commoncrawl_spark.operators.links import extract_anchors
+
+    html = (
+        '<a href="https://x.test/a">Hello  <b>World</b></a>'
+        "<a href='/rel'> spaced   text </a>"
+        '<a href="https://x.test/e"></a>'
+        '<a href="mailto:a@b.c">mail</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://src.test/dir/page", bytearray(html, "utf-8"))],
+        "url string, html binary")
+    got = {(r["abs_url"], r["anchor"])
+           for r in extract_anchors(pages).collect()}
+    assert got == {("https://x.test/a", "Hello World"),
+                   ("https://src.test/rel", "spaced text")}
+
+
+@pytest.mark.spark
+def test_anchor_text_summary_top_and_counts(spark):
+    from commoncrawl_spark.operators.links import anchor_text_summary
+
+    html1 = ('<a href="https://t.test/p">good page</a>'
+             '<a href="https://t.test/p">good page</a>')
+    html2 = '<a href="https://t.test/p">click here</a>'
+    pages = spark.createDataFrame(
+        [("https://a.test/", bytearray(html1, "utf-8")),
+         ("https://b.test/", bytearray(html2, "utf-8"))],
+        "url string, html binary")
+    row = anchor_text_summary(pages).first()
+    assert row["abs_url"] == "https://t.test/p"
+    assert (row["n_anchors"], row["n_unique"]) == (3, 2)
+    assert (row["top_anchor"], row["top_count"]) == ("good page", 2)
