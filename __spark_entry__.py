@@ -1315,6 +1315,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- inverted-index retrieval + split assignment ----
+
+    def boolean_search(spark, sf):
+        """Conjunctive retrieval through the inverted index: build
+        (token, df, doc_ids) postings, prune to the query terms, count
+        membership. Same result as the index-free scan (pinned in
+        tests); the postings build is the one-time cost."""
+        from commoncrawl_spark.operators.index import (
+            build_postings,
+            search_postings,
+        )
+
+        d = _read(spark, sf, "documents")
+        return search_postings(build_postings(d),
+                               ["join", "hash", "scan"])
+    q["boolean_search"] = boolean_search
+
+    def split_assign(spark, sf):
+        """Deterministic train/val/test assignment: md5(doc_id) bucket
+        in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
+        split survives re-runs, repartitions, and engines."""
+        d = _read(spark, sf, "documents")
+        bucket = (
+            F.conv(F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        split = (
+            F.when(bucket < 90, F.lit("train"))
+            .when(bucket < 95, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return d.select("doc_id", split.alias("split"))
+    q["split_assign"] = split_assign
+
     # ---- anchor-text aggregation ----
 
     def anchor_texts(spark, sf):
@@ -2460,6 +2495,29 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # boolean_search: docs containing ALL query terms (count-equals
+    # over the distinct (doc, token) stream — posting semantics)
+    o["boolean_search"] = f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, token
+          FROM (SELECT doc_id, unnest({toks_doc}) AS token
+                FROM documents))
+        SELECT doc_id FROM dt
+        WHERE token IN ('join', 'hash', 'scan')
+        GROUP BY doc_id HAVING count(*) = 3
+    """
+
+    # split_assign: the shard_assign hash family at modulus 100
+    o["split_assign"] = """
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 AS b
+              FROM documents)
     """
 
     # anchor_texts: expected (target, anchor) multiset from the same

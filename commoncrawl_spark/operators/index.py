@@ -1,0 +1,93 @@
+"""Inverted index: token posting lists + conjunctive (AND) retrieval.
+
+A corpus engine needs both retrieval shapes:
+
+- ``conjunctive_search``: the index-free path — one scan with an AND of
+  ``array_contains`` predicates, whole-stage codegen, no shuffle. Right
+  when queries are rare or the corpus is already in memory.
+- ``build_postings`` / ``search_postings``: the indexed path — build
+  ``(token, df, doc_ids)`` once (one distinct + one groupBy, shuffle
+  rows are (token, id) pairs), persist it bucketed/sorted on token,
+  then each query is a token-pruned scan of a few posting rows plus a
+  tiny intersection. At web scale stopword postings are the hazard — a
+  term in 10^10 documents is a 80 GB list — so ``max_df`` drops terms
+  above a document-frequency ceiling at build time (searching a term
+  everyone matches filters nothing anyway; the cap is the same guard
+  mirrors/minhash use for ubiquitous keys).
+
+All md5-free: postings are exact structures, no hashing involved, so
+the DuckDB oracle is direct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analytics import tokens_col
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """``(token, df, doc_ids)`` with ``doc_ids`` sorted (deterministic).
+    One (id, token) distinct + one groupBy on the token; ``max_df``
+    drops ubiquitous terms at build time (see module docstring)."""
+    dt = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).distinct()
+    out = dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+    )
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out
+
+
+def search_postings(
+    postings: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents present in EVERY queried term's posting list, one
+    ``id_col`` row each (sorted ids make results deterministic). The
+    token filter prunes to ``len(terms)`` posting rows before anything
+    explodes; the intersection is a count-equals aggregate over the
+    short exploded lists."""
+    terms = list(dict.fromkeys(terms))  # dedupe, preserve order
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    hits = (
+        postings.filter(F.col("token").isin(terms))
+        .select(F.explode("doc_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == len(terms))
+        .select(id_col)
+    )
+    return hits
+
+
+def conjunctive_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index-free AND search: one codegen scan, no shuffle — every
+    predicate is an ``array_contains`` over the token array."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens_col(F.col(text_col))
+    cond = None
+    for t in terms:
+        c = F.array_contains(toks, t)
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond).select(id_col)

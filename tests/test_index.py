@@ -1,0 +1,59 @@
+"""Inverted index: postings build, conjunctive retrieval, the max_df
+ubiquity cap, and agreement between the indexed and scan paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_spark.operators.index import (
+    build_postings,
+    conjunctive_search,
+    search_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "spark join hash"), (2, "spark join"), (3, "hash only here"),
+         (4, "spark hash join extras")],
+        "doc_id long, text string").cache()
+
+
+@pytest.mark.spark
+def test_postings_structure(spark, corpus):
+    rows = {r["token"]: r for r in build_postings(corpus).collect()}
+    assert rows["spark"]["df"] == 3
+    assert rows["spark"]["doc_ids"] == [1, 2, 4]  # sorted
+    assert rows["only"]["doc_ids"] == [3]
+
+
+@pytest.mark.spark
+def test_search_paths_agree(spark, corpus):
+    post = build_postings(corpus)
+    a = {r["doc_id"]
+         for r in search_postings(post, ["spark", "join", "hash"]).collect()}
+    b = {r["doc_id"]
+         for r in conjunctive_search(
+             corpus, ["spark", "join", "hash"]).collect()}
+    assert a == b == {1, 4}
+    # duplicate query terms must not change semantics
+    c = {r["doc_id"]
+         for r in search_postings(post, ["spark", "spark", "join"]).collect()}
+    assert c == {1, 2, 4}
+
+
+@pytest.mark.spark
+def test_max_df_drops_ubiquitous_terms(spark, corpus):
+    post = build_postings(corpus, max_df=2)
+    toks = {r["token"] for r in post.collect()}
+    assert "spark" not in toks and "hash" not in toks  # df=3 each
+    assert "only" in toks
+
+
+@pytest.mark.spark
+def test_conjunctive_scan_has_no_shuffle(spark, corpus):
+    plan = (conjunctive_search(corpus, ["spark"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
