@@ -386,6 +386,44 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # tf-idf: one persisted token pass, window only at the end
+    from commoncrawl_spark.operators.analytics import tfidf_top_terms
+
+    p = plan_of(tfidf_top_terms(docs, k=3))
+    sections.append((
+        "tf-idf top terms: token-pair shuffles, one final window",
+        "tf and df aggregate map-side-partially over one persisted "
+        "(doc, token) explode; the document count rides a 1-row "
+        "broadcast; only the final top-k windows over the doc key.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window nodes: {p.count('Window [')} (expect 1: the top-k)"],
+    ))
+
+    # inverted index: token-pruned conjunctive retrieval
+    from commoncrawl_spark.operators.index import (
+        build_postings,
+        conjunctive_search,
+        search_postings,
+    )
+
+    p = plan_of(search_postings(build_postings(docs),
+                                ["join", "hash", "scan"]))
+    scan = plan_of(conjunctive_search(docs, ["join"]))
+    sections.append((
+        "Inverted index: pruned posting scan; index-free path shuffles "
+        "nothing",
+        "search_postings filters to the query terms BEFORE exploding "
+        "posting lists, so only len(terms) rows fan out; "
+        "conjunctive_search is a single codegen scan.",
+        [f"indexed path Python operators: {p.count('EvalPython')} "
+         f"(expect 0)",
+         f"indexed path CartesianProduct: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"scan path Exchange count: {scan.count('Exchange')} (expect 0)"],
+    ))
+
     # text normalization: scan-stage expression chain
     from commoncrawl_spark.functions.text import normalize_text_col
 

@@ -492,3 +492,34 @@ def test_chunk_documents_plan_no_shuffle(spark):
     plan = (chunk_documents(df, chunk_tokens=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_chunk_documents_arithmetic_exhaustive(spark):
+    """Every document length 0..40 against a Python reference of the
+    window rule, across tiling, overlap, and odd-stride combos."""
+    from commoncrawl_spark.operators.chunking import chunk_documents
+
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(41)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(n, chunk, stride):
+        if n == 0:
+            return []
+        n_windows = 1 + -(-max(0, n - chunk) // stride)
+        out = []
+        for i in range(n_windows):
+            words = [f"w{j}" for j in range(i * stride,
+                                            min(n, i * stride + chunk))]
+            out.append((i, len(words), " ".join(words)))
+        return out
+
+    for chunk, stride in [(4, 2), (5, 5), (7, 3), (16, 8)]:
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=chunk,
+                                 stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["n_tokens"], r["chunk"]))
+        for n in range(41):
+            expect = ref(n, chunk, stride)
+            assert sorted(got.get(n, [])) == expect, (n, chunk, stride)
