@@ -317,10 +317,12 @@ def main() -> None:
             "simhash_neardup", "embedding_topk", "quality_scores",
             "curation_pipeline", "link_discovery",
             # round-2 additions: LM scoring, decontamination, recrawl
-            # policy, mirrors, normalization rollups
+            # policy, mirrors, normalization rollups, chunk/export,
+            # retrieval, link-text
             "lm_quality", "lm_bigram", "benchmark_contamination",
             "recrawl_priority", "mirror_overlap", "text_normalize",
-            "host_stats",
+            "host_stats", "doc_chunks", "tfidf_terms", "anchor_texts",
+            "boolean_search", "training_export_pipeline",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

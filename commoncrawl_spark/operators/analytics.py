@@ -152,7 +152,10 @@ def tfidf_top_terms(
     Scale shape: the (doc, token) tf aggregate and the token df
     aggregate are both map-side-partial; N rides a 1-row broadcast; the
     final top-k is one window over the doc key. Tokens, never text,
-    cross every exchange."""
+    cross every exchange. The exploded token frame is persisted
+    (tf + df both read it; MEMORY_AND_DISK, LRU-evicted) — repeated
+    callers own cleanup via ``spark.catalog.clearCache()``, same
+    contract as text_dedup's cached intermediates."""
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     ).persist()

@@ -26,6 +26,13 @@ Scale shapes (no Python anywhere):
 Determinism: scores are rounded to 6 decimals (the cross-engine compare
 precision); the summation is a float add over per-token logs whose
 error is ~1e-13 relative, far below the rounding grain.
+
+Caching note: self-trained scoring persists the exploded token/pair
+frame (MEMORY_AND_DISK, LRU-evicted) because the train and score
+branches would otherwise tokenize the corpus twice. As with
+text_dedup's cached intermediates, a long-running session invoking
+these repeatedly owns cleanup (``spark.catalog.clearCache()``) — the
+library cannot unpersist before the caller's terminal action.
 """
 
 from __future__ import annotations
