@@ -304,3 +304,36 @@ def test_anchor_text_summary_top_and_counts(spark):
     assert row["abs_url"] == "https://t.test/p"
     assert (row["n_anchors"], row["n_unique"]) == (3, 2)
     assert (row["top_anchor"], row["top_count"]) == ("good page", 2)
+
+
+@pytest.mark.spark
+def test_anchor_extraction_adversarial_html(spark):
+    """Malformed quoting, nested tags, unclosed anchors, binary noise:
+    extraction never raises, every anchor is non-empty post-strip, and
+    every target is an absolutized fetchable URL."""
+    from commoncrawl_spark.operators.links import extract_anchors
+
+    cases = [
+        '<a href="it\'s-here">quote inside</a>',
+        "<a href='say \"hi\"'>other quote</a>",
+        '<a href="https://x.test/a"><b><i>deep</i></b></a>',
+        '<a href="https://x.test/b">unclosed',
+        '<a href="">empty href</a>',
+        '<a href="https://x.test/c">   </a>',
+        '<a href="javascript:alert(1)">js</a>',
+        "\x00\xff binary <a no-href>junk</a> \x01",
+        '<A HREF="HTTPS://UP.test/">case</A>',
+        '<a data-x=">" href="https://x.test/d">attr with gt</a>',
+    ]
+    pages = spark.createDataFrame(
+        [(f"https://src.test/{i}/", bytearray(h, "latin-1"))
+         for i, h in enumerate(cases)],
+        "url string, html binary")
+    rows = extract_anchors(pages).collect()   # must not raise
+    for r in rows:
+        assert r["anchor"].strip() != ""
+        assert r["abs_url"].lower().startswith(("http://", "https://"))
+    got = {(r["abs_url"], r["anchor"]) for r in rows}
+    assert ("https://x.test/a", "deep") in got
+    assert ("HTTPS://UP.test/", "case") in got
+    assert not any(u.startswith("javascript") for u, _ in got)
