@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-retries", type=int, default=3)
     ap.add_argument("--seed", action="store_true",
                     help="(re)seed the frontier from --cdx before running")
+    ap.add_argument("--export-shards", default=None, metavar="DIR",
+                    help="after the run, export the articles table as "
+                         "size-bounded training shards under DIR")
+    ap.add_argument("--shard-bytes", type=int, default=256 * 1024 * 1024,
+                    help="target bytes per shard for --export-shards")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -84,6 +89,20 @@ def main(argv: list[str] | None = None) -> int:
         "wall_s": round(sum(r["wall_s"] for r in rounds), 2),
         "articles_total": job.articles_df().count() if rounds else 0,
     }
+    if args.export_shards:
+        from commoncrawl_spark.tables import verify_shards, write_shards
+
+        manifest = write_shards(
+            job.articles_df(), args.export_shards, key="url",
+            target_bytes=args.shard_bytes)
+        check = verify_shards(spark, args.export_shards)
+        summary["export"] = {
+            "dir": args.export_shards,
+            "n_shards": manifest["n_shards"],
+            "rows": manifest["total_rows"],
+            "bytes": manifest["total_bytes"],
+            "verified": check["ok"],
+        }
     print(json.dumps(summary))
     return 0
 

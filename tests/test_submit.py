@@ -48,6 +48,8 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         "--budget", "50",
         "--max-rounds", "2",
         "--seed",
+        "--export-shards", str(tmp_path / "shards"),
+        "--shard-bytes", "20000",
     ]
     proc = subprocess.run(
         cmd, cwd=str(tmp_path), env=env,
@@ -58,5 +60,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # the extraction stage is a mapInPandas over executor workers — it
     # only succeeds if the zip shipped: extract_ok > 0 proves it
     assert summary["rounds"] >= 1
+    # the post-run shard export ran distributed under the same session
+    # and its on-disk recount matched the manifest
+    assert summary["export"]["verified"] is True
+    assert summary["export"]["n_shards"] >= 1
+    assert summary["export"]["rows"] == summary["articles_total"]
     assert summary["extract_ok"] > 0
     assert summary["articles_total"] == summary["extract_ok"]
