@@ -1315,6 +1315,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- entropy + compression quality signals ----
+
+    def char_entropy(spark, sf):
+        """Character-level Shannon entropy per document — the gibberish
+        and base64-blob detector. Pure higher-order array expressions,
+        no shuffle."""
+        from commoncrawl_spark.functions.text import char_entropy_col
+
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id",
+                        char_entropy_col(F.col("text")).alias("entropy"))
+    q["char_entropy"] = char_entropy
+
+    def compression_quality(spark, sf):
+        """zlib compression ratio per document (redundancy signal) —
+        the sanctioned bytes-level pandas UDF. No SQL oracle (DuckDB
+        has no DEFLATE); the exact-value oracle is the shared python
+        path pinned in tests/test_text_ops.py."""
+        from commoncrawl_spark.functions.text import compression_ratio_col
+
+        d = _read(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            compression_ratio_col(F.col("text")).alias("compression_ratio"),
+        )
+    q["compression_quality"] = compression_quality
+
     # ---- inverted-index retrieval + split assignment ----
 
     def boolean_search(spark, sf):
@@ -2495,6 +2522,24 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # char_entropy: same p*log2(p) fold over the distinct characters
+    o["char_entropy"] = """
+        SELECT doc_id,
+               CASE WHEN len(chars) > 0 THEN
+                 round(-list_reduce(
+                   list_transform(list_distinct(chars),
+                     c -> (CAST(len(list_filter(chars, x -> x = c))
+                                AS DOUBLE) / len(chars))
+                          * log2(CAST(len(list_filter(chars, x -> x = c))
+                                      AS DOUBLE) / len(chars))),
+                   (a, b) -> a + b), 6)
+               END AS entropy
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ''), x -> x <> '')
+                       AS chars
+              FROM documents)
     """
 
     # boolean_search: docs containing ALL query terms (count-equals

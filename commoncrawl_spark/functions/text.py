@@ -243,6 +243,61 @@ NORMALIZE_PASSES = [
 ]
 
 
+def char_entropy_col(text: Column) -> Column:
+    """Character-level Shannon entropy (bits/char) — the gibberish /
+    keyboard-mash / base64-blob detector: natural language sits ~3.5-4.5
+    bits, repeated junk near 0, random binary-as-text near log2(charset).
+    Pure higher-order array expressions (O(distinct_chars x len) per
+    row, fine at document sizes), no shuffle, exact DuckDB twin. Empty
+    text scores null."""
+    # split('') emits boundary empties in some engines: drop them so the
+    # char multiset (and the DuckDB twin) is exactly the text's chars
+    chars = F.filter(F.split(text, ""), lambda x: x != "")
+    n = F.size(chars)
+    uniq = F.array_distinct(chars)
+    terms = F.transform(
+        uniq,
+        lambda c: (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        ),
+    )
+    ent = -F.aggregate(
+        terms, F.lit(0.0), lambda acc, p: acc + p * F.log2(p))
+    return F.when(n > 0, F.round(ent, 6))
+
+
+def compression_ratio_series(texts):
+    """Pandas path: zlib-compressed size / raw utf-8 size per document —
+    the classic redundancy signal (heavily repeated boilerplate
+    compresses far below natural text). Shared by the Spark UDF and the
+    pytest oracle so both are the same bytes-level computation."""
+    import zlib
+
+    def one(t):
+        if t is None:
+            return None
+        raw = t.encode("utf-8")
+        if not raw:
+            return None
+        return round(len(zlib.compress(raw)) / len(raw), 6)
+
+    return texts.map(one)
+
+
+def compression_ratio_col(text: Column) -> Column:
+    """zlib compression ratio as an Arrow-batched pandas UDF — the
+    fourth sanctioned Python expression (bytes-level DEFLATE has no
+    Catalyst equivalent; see functions/udfs.py policy). Vectorized,
+    never per-row Python in the executor loop."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):  # pragma: no cover - executed on executors
+        return compression_ratio_series(s)
+
+    return _ratio(text)
+
+
 def normalize_text_col(text: Column) -> Column:
     """Pre-tokenization text cleanup (the CCNet/RefinedWeb normalization
     stage): strip control and zero-width characters, fold typographic

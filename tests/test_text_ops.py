@@ -523,3 +523,53 @@ def test_chunk_documents_arithmetic_exhaustive(spark):
         for n in range(41):
             expect = ref(n, chunk, stride)
             assert sorted(got.get(n, [])) == expect, (n, chunk, stride)
+
+
+@pytest.mark.spark
+def test_char_entropy_hand_computed(spark):
+    """aaaa -> 0 bits; ab -> 1 bit; abcd -> 2 bits; empty -> null."""
+    from commoncrawl_spark.functions.text import char_entropy_col
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", char_entropy_col(F.col("text")).alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] is None
+    # natural text sits between the degenerate extremes
+    nat = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    e = nat.select(char_entropy_col(F.col("text")).alias("e")).first()["e"]
+    assert 3.0 < e < 5.0
+
+
+@pytest.mark.spark
+def test_compression_ratio_matches_python_oracle(spark):
+    """The Spark UDF and the shared python path agree exactly; repeated
+    boilerplate compresses far below natural text."""
+    import pandas as pd
+
+    from commoncrawl_spark.functions.text import (
+        compression_ratio_col,
+        compression_ratio_series,
+    )
+
+    texts = ["spam " * 200,
+             "the quick brown fox jumps over the lazy dog " * 5,
+             "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id",
+        compression_ratio_col(F.col("text")).alias("c")).collect()}
+    want = list(compression_ratio_series(pd.Series(texts)))
+    for i, w in enumerate(want):
+        if pd.isna(w):
+            assert got[i] is None
+        else:
+            assert got[i] == w
+    assert got[0] < got[1]  # boilerplate << natural text
