@@ -1315,6 +1315,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- SURT keys ----
+
+    def surt_keys(spark, sf):
+        """SURT transform over the synthetic URL fixture (the Common
+        Crawl CDX sort key): host labels reversed/comma-joined, )
+        separator, lowercased path+query, fragment dropped. Sorting on
+        this clusters domains for prefix scans."""
+        from commoncrawl_spark.functions.urls import surt_col
+
+        d = _read(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".org/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?Ref=Feed"))
+            .otherwise(F.lit("#frag")),
+        )
+        return d.select("doc_id", surt_col(url).alias("surt"))
+    q["surt_keys"] = surt_keys
+
     # ---- entropy + compression quality signals ----
 
     def char_entropy(spark, sf):
@@ -2522,6 +2542,31 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # surt_keys: same reverse-join / separator / lowering steps
+    o["surt_keys"] = """
+        SELECT doc_id,
+               array_to_string(list_reverse(
+                 string_split(regexp_replace(regexp_replace(
+                   lower(netloc), '^www\\.', ''), ':[0-9]+$', ''), '.')),
+                 ',')
+               || ')' ||
+               regexp_replace(lower(pathq), '/+$', '') AS surt
+        FROM (
+          SELECT doc_id,
+                 regexp_extract(rest, '^([^/?#]*)', 1) AS netloc,
+                 regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq
+          FROM (
+            SELECT doc_id,
+                   regexp_replace(
+                     'https://www.' || source || '.org/Docs/'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0 THEN '/'
+                             WHEN doc_id % 3 = 1 THEN '?Ref=Feed'
+                             ELSE '#frag' END,
+                     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rest
+            FROM documents))
     """
 
     # char_entropy: same p*log2(p) fold over the distinct characters

@@ -72,6 +72,29 @@ def page_id_col(url: Column) -> Column:
     return F.md5(url)
 
 
+def surt_col(url: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the key format
+    of real Common Crawl CDX indexes and OpenWayback):
+    ``com,example)/path?query`` — host labels reversed and comma-joined,
+    lowercased, www. and port dropped, ``)`` separator, path+query
+    lowercased, fragment dropped, trailing slash trimmed.
+
+    The point at corpus scale is LOCALITY: a table sorted (or
+    range-partitioned) on the SURT clusters every URL of a registrable
+    domain — and all its subdomains — into one contiguous range, so
+    "everything under example.com" is a prefix scan with partition
+    pruning instead of a full-table host filter. Pure Catalyst: one
+    array_reverse over the split host labels."""
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    netloc = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    netloc = F.regexp_replace(netloc, r"^www\.", "")
+    netloc = F.regexp_replace(netloc, r":\d+$", "")
+    rev_host = F.array_join(F.reverse(F.split(netloc, r"\.")), ",")
+    pathq = F.lower(F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1))
+    pathq = F.regexp_replace(pathq, r"/+$", "")
+    return F.concat(rev_host, F.lit(")"), pathq)
+
+
 # --------------------------------------------------------------------------
 # Python / pandas path (oracle + punycode variant)
 # --------------------------------------------------------------------------

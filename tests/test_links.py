@@ -337,3 +337,31 @@ def test_anchor_extraction_adversarial_html(spark):
     assert ("https://x.test/a", "deep") in got
     assert ("HTTPS://UP.test/", "case") in got
     assert not any(u.startswith("javascript") for u, _ in got)
+
+
+@pytest.mark.spark
+def test_surt_col_semantics(spark):
+    """SURT: reversed comma-joined host, www/port dropped, lowercased
+    path+query kept, fragment dropped, trailing slash trimmed —
+    sorting clusters a domain with its subdomains."""
+    from commoncrawl_spark.functions.urls import surt_col
+
+    cases = [
+        ("https://www.Example.COM/Path/A?X=1#f", "com,example)/path/a?x=1"),
+        ("http://sub.example.com:8080/b/", "com,example,sub)/b"),
+        ("https://example.com", "com,example)"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", surt_col(F.col("url")).alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # locality: domain + subdomain sort adjacent, other TLD does not split them
+    urls = ["https://example.com/z", "https://a.example.org/x",
+            "https://sub.example.com/a", "https://example.net/y"]
+    d2 = spark.createDataFrame([(u,) for u in urls], "url string")
+    surts = sorted(r["s"] for r in d2.select(
+        surt_col(F.col("url")).alias("s")).collect())
+    com = [s for s in surts if s.startswith("com,example")]
+    assert surts.index(com[0]) + len(com) - 1 == surts.index(com[-1])
