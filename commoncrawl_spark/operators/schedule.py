@@ -55,15 +55,20 @@ def url_path_col(url):
 
 def robots_rules_col(txt):
     """Parse raw robots.txt text into ``struct(disallow_prefixes
-    array<string>, crawl_delay_s double)`` for the ``*`` user-agent —
-    entirely Catalyst (one ``aggregate`` fold over the lines), so a table
-    of millions of fetched robots bodies parses JVM-side with no Python.
+    array<string>, allow_prefixes array<string>, crawl_delay_s double)``
+    for the ``*`` user-agent — entirely Catalyst (one ``aggregate`` fold
+    over the lines), so a table of millions of fetched robots bodies
+    parses JVM-side with no Python.
 
     Semantics (the common-crawler simplification of RFC 9309): groups are
     runs of consecutive ``User-agent:`` lines followed by rules; a group
-    applies iff any of its agents is ``*``; ``Disallow:`` with an empty
-    value allows everything; the last ``Crawl-delay:`` in an applicable
+    applies iff any of its agents is ``*``; ``Disallow:``/``Allow:`` with
+    an empty value are no-ops; the last ``Crawl-delay:`` in an applicable
     group wins; ``#`` comments stripped; keys case-insensitive.
+    Allow/Disallow precedence (longest prefix wins, Allow on ties — RFC
+    9309 §2.4.2's least-restrictive rule) is decided at match time in
+    ``apply_robots``; ``*``/``$`` pattern metacharacters are not
+    interpreted (prefix semantics, the common simplification).
     """
     lines = F.transform(
         F.split(txt, r"\r?\n"),
@@ -73,6 +78,7 @@ def robots_rules_col(txt):
         F.lit(False).alias("active"),
         F.lit(False).alias("prev_ua"),
         F.array().cast("array<string>").alias("dis"),
+        F.array().cast("array<string>").alias("alw"),
         F.lit(None).cast("double").alias("delay"),
     )
 
@@ -81,6 +87,7 @@ def robots_rules_col(txt):
         val = F.trim(F.regexp_replace(l, r"^[A-Za-z\-]+\s*:", ""))
         is_ua = low.rlike(r"^user-agent\s*:")
         is_dis = low.rlike(r"^disallow\s*:")
+        is_alw = low.rlike(r"^allow\s*:")
         is_delay = low.rlike(r"^crawl-delay\s*:")
         is_star = is_ua & (val == "*")
         active = (
@@ -94,6 +101,9 @@ def robots_rules_col(txt):
             F.when(is_dis & acc["active"] & (val != ""),
                    F.array_append(acc["dis"], val))
             .otherwise(acc["dis"]).alias("dis"),
+            F.when(is_alw & acc["active"] & (val != ""),
+                   F.array_append(acc["alw"], val))
+            .otherwise(acc["alw"]).alias("alw"),
             F.when(is_delay & acc["active"],
                    F.coalesce(val.try_cast("double"), acc["delay"]))
             .otherwise(acc["delay"]).alias("delay"),
@@ -103,6 +113,7 @@ def robots_rules_col(txt):
         lines, init, step,
         lambda acc: F.struct(
             acc["dis"].alias("disallow_prefixes"),
+            acc["alw"].alias("allow_prefixes"),
             acc["delay"].alias("crawl_delay_s"),
         ),
     )
@@ -115,17 +126,19 @@ def parse_robots_txt(df: DataFrame, host_col_name: str = "host",
     return df.select(
         host_col_name,
         rules["disallow_prefixes"].alias("disallow_prefixes"),
+        rules["allow_prefixes"].alias("allow_prefixes"),
         rules["crawl_delay_s"].alias("crawl_delay_s"),
     )
 
 
-def parse_robots_py(text: str) -> tuple[list[str], float | None]:
+def parse_robots_py(text: str) -> tuple[list[str], list[str], float | None]:
     """Pure-Python oracle for robots_rules_col (same simplified RFC 9309
-    semantics), used by tests only."""
+    semantics), used by tests only. Returns (disallow, allow, delay)."""
     import re
 
     active = prev_ua = False
     dis: list[str] = []
+    alw: list[str] = []
     delay: float | None = None
     for raw in re.split(r"\r?\n", text):
         line = re.sub(r"#.*$", "", raw).strip()
@@ -139,6 +152,9 @@ def parse_robots_py(text: str) -> tuple[list[str], float | None]:
         if re.match(r"^disallow\s*:", low):
             if active and val:
                 dis.append(val)
+        elif re.match(r"^allow\s*:", low):
+            if active and val:
+                alw.append(val)
         elif re.match(r"^crawl-delay\s*:", low):
             if active:
                 try:
@@ -146,7 +162,7 @@ def parse_robots_py(text: str) -> tuple[list[str], float | None]:
                 except ValueError:
                     pass
         prev_ua = False
-    return dis, delay
+    return dis, alw, delay
 
 
 def fetch_robots_rules(hosts: DataFrame, transport,
@@ -183,18 +199,37 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
     so the default must be permissive). ``crawl_delay_s``, when present,
     is carried through for budget derivation (see select_polite_batch).
     """
-    cols = ["host", "disallow_prefixes"] + (
-        ["crawl_delay_s"] if "crawl_delay_s" in robots.columns else []
-    )
+    has_allow = "allow_prefixes" in robots.columns
+    cols = (["host", "disallow_prefixes"]
+            + (["allow_prefixes"] if has_allow else [])
+            + (["crawl_delay_s"] if "crawl_delay_s" in robots.columns else []))
     rules = F.broadcast(robots.select(*cols))
     df = frontier if "host" in frontier.columns else with_host(frontier, url_col)
     joined = df.join(rules, "host", "left")
     path = url_path_col(F.col(url_col))
-    disallowed = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.filter(~disallowed).drop("disallow_prefixes")
+
+    def longest_match(arr_col: str):
+        # length of the longest rule prefix matching the path (0 = none)
+        return F.aggregate(
+            F.coalesce(F.col(arr_col), F.array()),
+            F.lit(0),
+            lambda acc, p: F.greatest(
+                acc, F.when(path.startswith(p), F.length(p)).otherwise(0)),
+        )
+
+    if has_allow:
+        # RFC 9309 §2.4.2 longest-match precedence; equal lengths are
+        # least-restrictive, i.e. Allow wins the tie
+        blocked = longest_match("disallow_prefixes") > longest_match(
+            "allow_prefixes")
+        drop = ["disallow_prefixes", "allow_prefixes"]
+    else:
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        drop = ["disallow_prefixes"]
+    return joined.filter(~blocked).drop(*drop)
 
 
 def select_polite_batch(

@@ -31,6 +31,9 @@ CASES = [
     "User-agent: a\nDisallow: /x\n\nUser-agent: b\nDisallow: /y",
     # rules before any user-agent line are ignored
     "Disallow: /early\nUser-agent: *\nDisallow: /late",
+    # Allow collected for the star group only
+    "User-agent: *\nAllow: /public\nDisallow: /\n\n"
+    "User-agent: bot\nAllow: /bot-only",
     "",
 ]
 
@@ -41,7 +44,8 @@ def test_parse_robots_matches_oracle_on_cases(spark):
         [(f"h{i}.test", t) for i, t in enumerate(CASES)], "host string, robots_txt string"
     )
     got = {
-        r["host"]: (list(r["disallow_prefixes"] or []), r["crawl_delay_s"])
+        r["host"]: (list(r["disallow_prefixes"] or []),
+                    list(r["allow_prefixes"] or []), r["crawl_delay_s"])
         for r in parse_robots_txt(df).collect()
     }
     for i, t in enumerate(CASES):
@@ -63,7 +67,9 @@ def test_parse_robots_matches_oracle_fuzz(spark, lines):
     text = "\n".join(lines)
     df = spark.createDataFrame([("h.test", text)], "host string, robots_txt string")
     r = parse_robots_txt(df).first()
-    assert (list(r["disallow_prefixes"] or []), r["crawl_delay_s"]) == parse_robots_py(text)
+    assert (list(r["disallow_prefixes"] or []),
+            list(r["allow_prefixes"] or []),
+            r["crawl_delay_s"]) == parse_robots_py(text)
 
 
 @pytest.mark.spark
@@ -122,3 +128,22 @@ def test_fetch_robots_rules_through_transport(spark, tmp_path):
     )
     kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
     assert kept == {"https://a.test/ok", "https://c.test/anything"}
+
+
+@pytest.mark.spark
+def test_allow_longest_match_precedence(spark):
+    """RFC 9309 longest-match: Disallow:/ + Allow:/public admits
+    /public/* only; a deeper Disallow re-blocks under an Allow; equal
+    lengths are least-restrictive (Allow wins)."""
+    robots_raw = spark.createDataFrame(
+        [("h.test",
+          "User-agent: *\nDisallow: /\nAllow: /public\n"
+          "Disallow: /public/private\nAllow: /dup\nDisallow: /dup")],
+        "host string, robots_txt string")
+    rules = parse_robots_txt(robots_raw)
+    urls = ["https://h.test/", "https://h.test/x",
+            "https://h.test/public/a", "https://h.test/public/private/b",
+            "https://h.test/dup/z"]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"https://h.test/public/a", "https://h.test/dup/z"}
