@@ -1315,6 +1315,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- sitemap entry metadata ----
+
+    def sitemap_entries(spark, sf):
+        """<urlset> entries with scheduling metadata (lastmod /
+        changefreq / priority — the publisher-declared freshness prior
+        for recrawl), over synthetic sitemaps whose fields are known by
+        construction; missing children must come back null and
+        changefreq case-folded."""
+        from commoncrawl_spark.operators.links import (
+            changefreq_rate_col,
+            extract_sitemap_entries,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "source")
+        freqs = F.array(*[F.lit(x) for x in (
+            "always", "HOURLY", "daily", "Weekly", "monthly", "yearly",
+            "never")])
+        freq = freqs[(F.col("doc_id") % 7).cast("int")]
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc> https://'),
+            F.col("source"), F.lit(".org/p/"),
+            F.col("doc_id").cast("string"), F.lit(" </loc>"),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                F.lit("<lastmod>2024-01-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("</lastmod>"))).otherwise(F.lit("")),
+            F.lit("<changefreq>"), freq, F.lit("</changefreq>"),
+            F.when(F.col("doc_id") % 3 != 0, F.concat(
+                F.lit("<priority>0."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("</priority>"))).otherwise(F.lit("")),
+            F.lit("</url><url><loc>https://"), F.col("source"),
+            F.lit(".org/q/"), F.col("doc_id").cast("string"),
+            F.lit("</loc></url></urlset>"),
+        )
+        sitemaps = d.select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".org/sitemap/"), F.col("doc_id").cast("string"),
+                     F.lit(".xml")).alias("sitemap_url"),
+            F.encode(xml, "utf-8").alias("xml"),
+        )
+        out = extract_sitemap_entries(sitemaps)
+        return out.select(
+            "sitemap_url", "loc", "lastmod", "changefreq", "priority",
+            F.round(changefreq_rate_col(F.col("changefreq")), 6).alias(
+                "prior_rate_per_day"),
+        )
+    q["sitemap_entries"] = sitemap_entries
+
     # ---- SURT keys ----
 
     def surt_keys(spark, sf):
@@ -2542,6 +2591,47 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # sitemap_entries: expected rows from the construction arithmetic
+    # (two blocks per doc; evens carry lastmod, non-multiples-of-3 carry
+    # priority; changefreq case-folds; the q/ block is all-null)
+    o["sitemap_entries"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 'https://' || source || '.org/sitemap/'
+                 || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url,
+                 list_value('always', 'hourly', 'daily', 'weekly',
+                            'monthly', 'yearly', 'never')
+                   [CAST(doc_id % 7 AS INTEGER) + 1] AS freq
+          FROM documents),
+        p AS (
+          SELECT sitemap_url,
+                 'https://' || source || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS loc,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                 END AS lastmod,
+                 freq AS changefreq,
+                 CASE WHEN doc_id % 3 <> 0 THEN
+                   CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE)
+                 END AS priority,
+                 round(CASE freq
+                   WHEN 'always' THEN 24.0 WHEN 'hourly' THEN 24.0
+                   WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 1.0/7
+                   WHEN 'monthly' THEN 1.0/30 WHEN 'yearly' THEN 1.0/365
+                   WHEN 'never' THEN 0.0 END, 6) AS prior_rate_per_day
+          FROM d),
+        qq AS (
+          SELECT sitemap_url,
+                 'https://' || source || '.org/q/'
+                 || CAST(doc_id AS VARCHAR) AS loc,
+                 CAST(NULL AS VARCHAR) AS lastmod,
+                 CAST(NULL AS VARCHAR) AS changefreq,
+                 CAST(NULL AS DOUBLE) AS priority,
+                 CAST(NULL AS DOUBLE) AS prior_rate_per_day
+          FROM d)
+        SELECT * FROM p UNION ALL SELECT * FROM qq
     """
 
     # surt_keys: same reverse-join / separator / lowering steps

@@ -264,6 +264,61 @@ def extract_sitemap_locs(
     ).filter(F.col("loc") != "")
 
 
+_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+
+
+def extract_sitemap_entries(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """<urlset> entries WITH their scheduling metadata: one row per
+    ``<url>`` block — ``(sitemap_url, loc, lastmod, changefreq,
+    priority)``, missing children null. This is the publisher-declared
+    freshness signal that seeds adaptive recrawl (sitemaps.org:
+    changefreq in {always,hourly,daily,weekly,monthly,yearly,never},
+    priority in [0,1]) before any capture history exists —
+    ``temporal.capture_change_stats`` then replaces the hint with
+    observed rates. Same scan-stage codegen shape as the loc-only
+    extractor; ``extract_sitemap_locs`` remains the slim path when only
+    frontier candidates are needed."""
+    text = F.col(xml_col).cast("string")
+    blocks = F.regexp_extract_all(text, F.lit(_URL_BLOCK_RE), F.lit(1))
+    ex = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"), F.explode(blocks).alias("_b"))
+
+    def child(tag: str) -> Column:
+        v = F.trim(F.regexp_extract(
+            F.col("_b"), rf"(?is)<{tag}>\s*([^<]*?)\s*</{tag}>", 1))
+        return F.when(v != "", v)
+
+    return ex.select(
+        "sitemap_url",
+        child("loc").alias("loc"),
+        child("lastmod").alias("lastmod"),
+        F.lower(child("changefreq")).alias("changefreq"),
+        child("priority").try_cast("double").alias("priority"),
+    ).filter(F.col("loc").isNotNull())
+
+
+#: sitemaps.org changefreq -> a prior change rate per day, the seed for
+#: recrawl_schedule's default before capture evidence accumulates
+CHANGEFREQ_RATE_PER_DAY = {
+    "always": 24.0, "hourly": 24.0, "daily": 1.0, "weekly": 1.0 / 7,
+    "monthly": 1.0 / 30, "yearly": 1.0 / 365, "never": 0.0,
+}
+
+
+def changefreq_rate_col(changefreq: Column) -> Column:
+    """Map a sitemap changefreq string to a prior change_rate_per_day
+    (null for unknown values — callers fall back to their default)."""
+    m = F.create_map(*[
+        x for k, v in CHANGEFREQ_RATE_PER_DAY.items()
+        for x in (F.lit(k), F.lit(v))
+    ])
+    return m[F.lower(changefreq)]
+
+
 def sitemap_candidates(
     sitemaps: DataFrame,
     xml_col: str = "xml",

@@ -365,3 +365,37 @@ def test_surt_col_semantics(spark):
         surt_col(F.col("url")).alias("s")).collect())
     com = [s for s in surts if s.startswith("com,example")]
     assert surts.index(com[0]) + len(com) - 1 == surts.index(com[-1])
+
+
+@pytest.mark.spark
+def test_sitemap_entries_metadata(spark):
+    """Per-<url> metadata extraction: whitespace-trimmed loc, missing
+    children null, changefreq case-folded, priority typed, loc-less
+    blocks dropped; changefreq maps to a prior rate."""
+    from commoncrawl_spark.operators.links import (
+        changefreq_rate_col,
+        extract_sitemap_entries,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://h.test/a </loc><lastmod>2024-02-03</lastmod>"
+        "<changefreq>WEEKLY</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://h.test/b</loc></url>"
+        "<url><changefreq>daily</changefreq></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        [("https://h.test/sitemap.xml", bytearray(xml, "utf-8"))],
+        "sitemap_url string, xml binary")
+    out = extract_sitemap_entries(sm).withColumn(
+        "rate", changefreq_rate_col(F.col("changefreq")))
+    got = {r["loc"]: r for r in out.collect()}
+    assert set(got) == {"https://h.test/a", "https://h.test/b"}
+    a = got["https://h.test/a"]
+    assert (a["lastmod"], a["changefreq"], a["priority"]) == (
+        "2024-02-03", "weekly", 0.8)
+    assert a["rate"] == 1 / 7
+    b = got["https://h.test/b"]
+    assert (b["lastmod"], b["changefreq"], b["priority"], b["rate"]) == (
+        None, None, None, None)
