@@ -208,27 +208,36 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
     joined = df.join(rules, "host", "left")
     path = url_path_col(F.col(url_col))
 
+    def rule_matches(p):
+        """RFC 9309 rule match: plain rules are path prefixes (fast
+        startswith); rules carrying '*' (any-sequence) or a trailing
+        '$' (end anchor) compile to a per-row regex — escape regex
+        specials, strip the anchor, widen the wildcard."""
+        anchored = p.endswith("$")
+        body = F.when(anchored, F.regexp_replace(p, r"\$$", "")).otherwise(p)
+        esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+        wild = F.regexp_replace(esc, r"\*", ".*")
+        rx = F.concat(F.lit("^"), wild,
+                      F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+        return F.when(p.rlike(r"[*]|\$$"), F.regexp_like(path, rx)) \
+            .otherwise(path.startswith(p))
+
     def longest_match(arr_col: str):
-        # length of the longest rule prefix matching the path (0 = none)
+        # length of the longest matching rule (0 = none); RFC 9309
+        # measures specificity in rule octets
         return F.aggregate(
             F.coalesce(F.col(arr_col), F.array()),
             F.lit(0),
             lambda acc, p: F.greatest(
-                acc, F.when(path.startswith(p), F.length(p)).otherwise(0)),
+                acc, F.when(rule_matches(p), F.length(p)).otherwise(0)),
         )
 
-    if has_allow:
-        # RFC 9309 §2.4.2 longest-match precedence; equal lengths are
-        # least-restrictive, i.e. Allow wins the tie
-        blocked = longest_match("disallow_prefixes") > longest_match(
-            "allow_prefixes")
-        drop = ["disallow_prefixes", "allow_prefixes"]
-    else:
-        blocked = F.exists(
-            F.coalesce(F.col("disallow_prefixes"), F.array()),
-            lambda p: path.startswith(p),
-        )
-        drop = ["disallow_prefixes"]
+    # RFC 9309 §2.4.2 longest-match precedence; equal lengths are
+    # least-restrictive, i.e. Allow wins the tie. Without an allow
+    # column the allow side is the constant 0 (pure disallow gating).
+    la = longest_match("allow_prefixes") if has_allow else F.lit(0)
+    blocked = longest_match("disallow_prefixes") > la
+    drop = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
     return joined.filter(~blocked).drop(*drop)
 
 

@@ -147,3 +147,33 @@ def test_allow_longest_match_precedence(spark):
     frontier = spark.createDataFrame([(u,) for u in urls], "url string")
     kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
     assert kept == {"https://h.test/public/a", "https://h.test/dup/z"}
+
+
+@pytest.mark.spark
+def test_wildcard_and_anchor_rules(spark):
+    """RFC 9309 pattern metacharacters: '*' matches any sequence, a
+    trailing '$' anchors the end; regex specials in rules are literal;
+    Allow wildcards participate in longest-match precedence."""
+    robots_raw = spark.createDataFrame(
+        [("h.test",
+          "User-agent: *\n"
+          "Disallow: /*.pdf$\n"
+          "Disallow: /tmp*trash\n"
+          "Disallow: /a+b\n"           # '+' is literal, not regex
+          "Disallow: /docs/\n"
+          "Allow: /docs/*/public\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_txt(robots_raw)
+    urls = {
+        "https://h.test/x/report.pdf": False,      # *.pdf$ blocks
+        "https://h.test/x/report.pdf.html": True,  # anchor: not an end match
+        "https://h.test/tmp123trash/z": False,     # mid-wildcard blocks
+        "https://h.test/a+b/c": False,             # literal '+' blocks
+        "https://h.test/aab/c": True,              # would match only as regex
+        "https://h.test/docs/x": False,            # plain prefix blocks
+        "https://h.test/docs/x/public/y": True,    # longer Allow wildcard wins
+    }
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
+    for u, want_kept in urls.items():
+        assert (u in kept) == want_kept, u
