@@ -1315,6 +1315,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    # ---- per-language quality buckets (CCNet head/middle/tail) ----
+
+    def quality_buckets(spark, sf):
+        """CCNet's per-language head/middle/tail split: ntile(3) of the
+        quality score within each language, deterministic ties. The
+        keep-the-head gate that follows LM scoring in that pipeline."""
+        from commoncrawl_spark.operators.analytics import (
+            percentile_buckets,
+        )
+
+        d = _read(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "lang",
+            quality_score_col(F.col("text")).alias("quality"))
+        return percentile_buckets(scored, "quality", by="lang")
+    q["quality_buckets"] = quality_buckets
+
     # ---- sitemap entry metadata ----
 
     def sitemap_entries(spark, sf):
@@ -2591,6 +2608,32 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # quality_buckets: the quality expression is quality_scores' oracle;
+    # ntile ties broken identically
+    o["quality_buckets"] = f"""
+        WITH t AS (SELECT doc_id, lang, text, {toks_doc} AS toks
+                   FROM documents),
+        feats AS (
+          SELECT doc_id, lang, len(toks) AS n_tokens,
+                 round(len(regexp_extract_all(text, '{PUNCT_RE}'))
+                       / greatest(length(text), 1), 4) AS punct_ratio,
+                 {stop_ratio} AS stopword_ratio
+          FROM t),
+        scored AS (
+          SELECT doc_id, lang,
+                 round(0.4 * (CASE WHEN n_tokens >= 20 THEN 1.0
+                                   ELSE n_tokens / 20.0 END)
+                       + 0.4 * least(stopword_ratio * 2.5, 1.0)
+                       + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0), 4)
+                   AS quality
+          FROM feats)
+        SELECT doc_id, lang, quality,
+               CAST(ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY quality ASC, doc_id ASC)
+                    AS INTEGER) AS bucket
+        FROM scored
     """
 
     # sitemap_entries: expected rows from the construction arithmetic

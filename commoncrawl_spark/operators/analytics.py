@@ -135,6 +135,28 @@ def sample_exact(df: DataFrame, n: int, seed: int = 42,
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def percentile_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Rank-quantile bucket per row (CCNet's head/middle/tail split when
+    ``n_buckets=3`` grouped by language): ``ntile(n)`` over the score
+    within each ``by`` group, ties broken by ``id_col`` so the cut is
+    deterministic. Bucket 1 = lowest scores. One window (hash exchange
+    on the group key + per-partition sort) — the same single-shuffle
+    shape as any ranked assignment; at 10^10 rows a hot group serializes
+    into one partition's sort like any global ranking, which is why the
+    group key should be language/host, never a constant."""
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc())
+    return df.withColumn(out_col, F.ntile(n_buckets).over(w))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -69,3 +69,31 @@ def test_tfidf_plan_is_jvm_only(spark):
     plan = (tfidf_top_terms(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_percentile_buckets_semantics(spark):
+    """ntile semantics per group with deterministic ties: 6 rows in 3
+    buckets -> 2 per bucket, lowest scores in bucket 1; groups are
+    independent."""
+    from commoncrawl_spark.operators.analytics import percentile_buckets
+
+    rows = [(i, "en", float(i)) for i in range(6)] + [
+        (10, "de", 5.0), (11, "de", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+    got = {r["doc_id"]: r["bucket"] for r in percentile_buckets(
+        df, "q", by="lang").collect()}
+    assert [got[i] for i in range(6)] == [1, 1, 2, 2, 3, 3]
+    assert got[11] < got[10]  # de group bucketed independently
+
+
+@pytest.mark.spark
+def test_percentile_buckets_single_shuffle_plan(spark):
+    from commoncrawl_spark.operators.analytics import percentile_buckets
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.5)], "doc_id long, lang string, q double")
+    plan = (percentile_buckets(df, "q", by="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
