@@ -2685,11 +2685,13 @@ def oracle_sql() -> dict[str, str]:
                    lower(netloc), '^www\\.', ''), ':[0-9]+$', ''), '.')),
                  ',')
                || ')' ||
-               regexp_replace(lower(pathq), '/+$', '') AS surt
+               regexp_replace(lower(path), '/+$', '')
+               || lower(query) AS surt
         FROM (
           SELECT doc_id,
                  regexp_extract(rest, '^([^/?#]*)', 1) AS netloc,
-                 regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq
+                 regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(rest, '^[^#?]*(\\?[^#]*)', 1) AS query
           FROM (
             SELECT doc_id,
                    regexp_replace(

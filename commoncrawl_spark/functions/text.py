@@ -235,11 +235,13 @@ NORMALIZE_PASSES = [
     (r"\x{2026}", "..."),
     # NBSP and narrow NBSP -> plain space
     (r"[\x{00a0}\x{202f}]", " "),
-    # collapse runs of spaces/tabs; then 3+ newlines -> paragraph break
+    # collapse runs of spaces/tabs; strip spaces around newlines BEFORE
+    # squeezing newline runs — otherwise a blank line containing a space
+    # ("\n \n") hides the run from the squeeze and the result is not a
+    # fixpoint; then 3+ newlines -> paragraph break
     (r"[ \t]+", " "),
-    (r"\n{3,}", "\n\n"),
-    # strip spaces around newlines so trailing whitespace never survives
     (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
 ]
 
 

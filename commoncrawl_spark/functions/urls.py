@@ -90,9 +90,13 @@ def surt_col(url: Column) -> Column:
     netloc = F.regexp_replace(netloc, r"^www\.", "")
     netloc = F.regexp_replace(netloc, r":\d+$", "")
     rev_host = F.array_join(F.reverse(F.split(netloc, r"\.")), ",")
-    pathq = F.lower(F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1))
-    pathq = F.regexp_replace(pathq, r"/+$", "")
-    return F.concat(rev_host, F.lit(")"), pathq)
+    # trailing-slash trim applies to the PATH only — a slash ending a
+    # query value (?next=/home/) is data and must survive
+    path = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)),
+        r"/+$", "")
+    query = F.lower(F.regexp_extract(rest, r"^[^#?]*(\?[^#]*)", 1))
+    return F.concat(rev_host, F.lit(")"), path, query)
 
 
 # --------------------------------------------------------------------------

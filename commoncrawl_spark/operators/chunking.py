@@ -46,6 +46,12 @@ def chunk_documents(
         stride = chunk_tokens
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # windows would skip words, silently dropping training data —
+        # the docstring's every-word-covered guarantee needs overlap<=0
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
+            "leave words uncovered")
     words = _words_col(F.col(text_col))
     n = F.size(words)
     n_windows = (

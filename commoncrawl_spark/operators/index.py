@@ -55,20 +55,28 @@ def search_postings(
     terms: Sequence[str],
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Documents present in EVERY queried term's posting list, one
-    ``id_col`` row each (sorted ids make results deterministic). The
-    token filter prunes to ``len(terms)`` posting rows before anything
-    explodes; the intersection is a count-equals aggregate over the
-    short exploded lists."""
+    """Documents present in EVERY queried term's posting list that
+    EXISTS in the index, one ``id_col`` row each. Terms absent from the
+    postings — dropped by ``max_df`` at build time — are ignored, which
+    keeps this path consistent with ``conjunctive_search``'s "a term
+    everyone matches filters nothing" rationale (a query of ONLY
+    dropped terms returns empty: there is no list to scan). The token
+    filter prunes to at most ``len(terms)`` posting rows before
+    anything explodes; the intersection is a count-equals aggregate
+    against the number of posting rows actually found (a 1-row
+    broadcast, no driver action)."""
     terms = list(dict.fromkeys(terms))  # dedupe, preserve order
     if not terms:
         raise ValueError("terms must be non-empty")
+    pruned = postings.filter(F.col("token").isin(terms))
+    present = pruned.agg(
+        F.count_distinct(F.col("token")).alias("_k"))
     hits = (
-        postings.filter(F.col("token").isin(terms))
-        .select(F.explode("doc_ids").alias(id_col))
+        pruned.select(F.explode("doc_ids").alias(id_col))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") == len(terms))
+        .crossJoin(F.broadcast(present))
+        .filter((F.col("_n") == F.col("_k")) & (F.col("_k") > 0))
         .select(id_col)
     )
     return hits

@@ -146,6 +146,7 @@ def candidate_links(
 # span, which is the browser-equivalent recovery.
 _ANCHOR_RE_DQ = r'(?is)<a\s[^>]*?href\s*=\s*"([^"<>]*)"[^>]*>(.*?)</a\s*>'
 _ANCHOR_RE_SQ = r"(?is)<a\s[^>]*?href\s*=\s*'([^'<>]*)'[^>]*>(.*?)</a\s*>"
+_ANCHOR_RE_UQ = r"(?is)<a\s[^>]*?href\s*=\s*([^\s\"'<>=`]+)[^>]*>(.*?)</a\s*>"
 
 
 def _anchor_pairs(text: Column, pattern: str) -> Column:
@@ -170,8 +171,12 @@ def extract_anchors(
     whitespace-collapsed; empty anchors and non-fetchable targets are
     dropped. Same scan-stage codegen shape as ``extract_links``."""
     text = F.col(html_col).cast("string")
+    # the three quoting styles are mutually exclusive at the first
+    # value character (quote chars are excluded from the unquoted
+    # class), so no anchor is extracted twice
     pairs = F.concat(_anchor_pairs(text, _ANCHOR_RE_DQ),
-                     _anchor_pairs(text, _ANCHOR_RE_SQ))
+                     _anchor_pairs(text, _ANCHOR_RE_SQ),
+                     _anchor_pairs(text, _ANCHOR_RE_UQ))
     exploded = pages.select(
         F.col(url_col).alias("src_url"), F.explode(pairs).alias("p")
     ).select("src_url", "p.href", "p.anchor")

@@ -68,8 +68,12 @@ def unigram_logprob_scores(
 
     ``alpha`` > 0 applies Laplace smoothing ``(cnt + alpha) /
     (total + alpha * vocab)`` so out-of-vocabulary tokens (external
-    ``counts``) get finite mass instead of dropping the document to
-    -inf; with the default self-trained counts alpha=0 is exact.
+    ``counts``) get finite mass; with the default self-trained counts
+    alpha=0 is exact (no token can be OOV). Scoring against EXTERNAL
+    counts with alpha=0 yields a NULL score for any document containing
+    an OOV token — log(0) has no finite value, and silently averaging
+    only the in-vocabulary tokens would rank gibberish HIGH; pick
+    alpha > 0 to score such documents finitely instead.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
@@ -85,13 +89,21 @@ def unigram_logprob_scores(
     )
     p_num = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)
     p_den = F.col("_total").cast("double") + F.lit(alpha) * F.col("_vocab")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(p_num / p_den)), 6).alias("_avg"),
+        F.sum(F.col("cnt").isNull().cast("long")).alias("_n_oov"),
+    ]
     scored = (
         toks.join(counts, "token", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(p_num / p_den)), 6).alias("avg_logprob"),
+        .agg(*agg_cols)
+        .withColumn(
+            "avg_logprob",
+            F.when((F.lit(float(alpha)) == 0.0) & (F.col("_n_oov") > 0),
+                   F.lit(None).cast("double"))
+            .otherwise(F.col("_avg")),
         )
     )
     # empty documents fall out of the explode; restore them with nulls so
@@ -153,7 +165,11 @@ def bigram_logprob_scores(
     text; the context table is a second tiny aggregate of the counts;
     the scoring joins key on token columns and AQE broadcasts both
     tables at real-language vocabulary sizes. Self-trained (default
-    counts) means every document bigram is in-table — no OOV path."""
+    counts) means every document bigram is in-table — no OOV path.
+    Against EXTERNAL counts, a document containing any out-of-table
+    bigram scores NULL (there is no smoothing on this path, and
+    averaging only the in-table pairs would rank unseen text high);
+    n_bigrams always counts the document's actual pairs."""
     bg = (
         df.select(F.col(id_col),
                   F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
@@ -166,16 +182,20 @@ def bigram_logprob_scores(
         bg = bg.persist()
         counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
     scored = (
-        bg.join(counts, ["w1", "w2"])
-        .join(ctx, "w1")
+        bg.join(counts, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double")
-                            / F.col("ctx").cast("double"))), 6
-            ).alias("avg_logprob"),
+            F.round(F.avg(lp), 6).alias("_avg"),
+            F.sum(F.col("cnt").isNull().cast("long")).alias("_n_oov"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.when(F.col("_n_oov") > 0, F.lit(None).cast("double"))
+            .otherwise(F.col("_avg")),
         )
     )
     return (

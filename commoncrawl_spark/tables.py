@@ -211,26 +211,38 @@ def write_shards(
                      if isinstance(f.dataType, (T.StringType, T.BinaryType))]
     if not size_cols:
         raise ValueError("no string/binary columns to size shards by")
-    row_bytes = sum(
-        (F.coalesce(F.length(F.col(c)), F.lit(0)) for c in size_cols),
-        F.lit(0),
-    ).cast("long")
-    sized = df.withColumn("_bytes", row_bytes)
+
+    def row_bytes():
+        return sum(
+            (F.coalesce(F.length(F.col(c)), F.lit(0)) for c in size_cols),
+            F.lit(0),
+        ).cast("long")
+
+    # persisted: the byte-estimate aggregate and the write would
+    # otherwise run the (possibly expensive) upstream plan twice
+    sized = df.withColumn("_bytes", row_bytes()).persist()
     total = sized.agg(F.sum("_bytes")).first()[0] or 0
     n_shards = max(min_shards, -(-int(total) // int(target_bytes)))
     shard = (
         F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
         .cast("long") % n_shards
     ).cast("int")
-    assigned = sized.withColumn("_shard", shard)
+    # _bytes is an internal estimator — loaders get the caller's columns
+    # plus the shard id, nothing else
     (
-        assigned.repartition(n_shards, "_shard")
+        sized.withColumn("_shard", shard).drop("_bytes")
+        .repartition(n_shards, "_shard")
         .write.mode("overwrite").partitionBy("_shard")
         .parquet(os.path.join(out_dir, "data"))
     )
+    sized.unpersist()
+    # stats recount WHAT WAS WRITTEN (not a recompute of the input plan),
+    # so the manifest always agrees with the data on disk
+    back = read_shards(df.sparkSession, out_dir)
     stats = {
         int(r["_shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
-        for r in assigned.groupBy("_shard").agg(
+        for r in back.withColumn("_bytes", row_bytes())
+        .groupBy("_shard").agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("_bytes").alias("bytes")).collect()
     }
@@ -238,7 +250,7 @@ def write_shards(
         "n_shards": n_shards,
         "target_bytes": int(target_bytes),
         "total_rows": sum(s["rows"] for s in stats.values()),
-        "total_bytes": int(total),
+        "total_bytes": sum(s["bytes"] for s in stats.values()),
         "key": key,
         "assignment": "conv(md5(key)[0:8], 16, 10) % n_shards",
         "size_cols": size_cols,

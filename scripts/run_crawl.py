@@ -92,17 +92,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_shards:
         from commoncrawl_spark.tables import verify_shards, write_shards
 
-        manifest = write_shards(
-            job.articles_df(), args.export_shards, key="url",
-            target_bytes=args.shard_bytes)
-        check = verify_shards(spark, args.export_shards)
-        summary["export"] = {
-            "dir": args.export_shards,
-            "n_shards": manifest["n_shards"],
-            "rows": manifest["total_rows"],
-            "bytes": manifest["total_bytes"],
-            "verified": check["ok"],
-        }
+        if job.articles.exists():
+            manifest = write_shards(
+                job.articles_df(), args.export_shards, key="url",
+                target_bytes=args.shard_bytes)
+            check = verify_shards(spark, args.export_shards)
+            summary["export"] = {
+                "dir": args.export_shards,
+                "n_shards": manifest["n_shards"],
+                "rows": manifest["total_rows"],
+                "bytes": manifest["total_bytes"],
+                "verified": check["ok"],
+            }
+        else:
+            # zero rounds on a fresh checkpoint: nothing to export is a
+            # reportable outcome, not a crash
+            summary["export"] = {"dir": args.export_shards,
+                                 "skipped": "no articles table"}
     print(json.dumps(summary))
     return 0
 

@@ -57,3 +57,15 @@ def test_conjunctive_scan_has_no_shuffle(spark, corpus):
     plan = (conjunctive_search(corpus, ["spark"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_search_ignores_terms_dropped_by_max_df(spark, corpus):
+    """A query term that max_df removed from the index must not empty
+    the result — ubiquitous terms filter nothing; a query of ONLY
+    dropped terms returns empty."""
+    post = build_postings(corpus, max_df=2)  # drops spark/join/hash (df=3)
+    got = {r["doc_id"]
+           for r in search_postings(post, ["spark", "only"]).collect()}
+    assert got == {3}  # == search for 'only' alone
+    assert search_postings(post, ["spark", "hash"]).count() == 0

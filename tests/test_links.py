@@ -279,6 +279,7 @@ def test_extract_anchors_semantics(spark):
         "<a href='/rel'> spaced   text </a>"
         '<a href="https://x.test/e"></a>'
         '<a href="mailto:a@b.c">mail</a>'
+        "<a href=/promo>Big Sale</a>"
     )
     pages = spark.createDataFrame(
         [("https://src.test/dir/page", bytearray(html, "utf-8"))],
@@ -286,7 +287,8 @@ def test_extract_anchors_semantics(spark):
     got = {(r["abs_url"], r["anchor"])
            for r in extract_anchors(pages).collect()}
     assert got == {("https://x.test/a", "Hello World"),
-                   ("https://src.test/rel", "spaced text")}
+                   ("https://src.test/rel", "spaced text"),
+                   ("https://src.test/promo", "Big Sale")}
 
 
 @pytest.mark.spark
@@ -350,6 +352,8 @@ def test_surt_col_semantics(spark):
         ("https://www.Example.COM/Path/A?X=1#f", "com,example)/path/a?x=1"),
         ("http://sub.example.com:8080/b/", "com,example,sub)/b"),
         ("https://example.com", "com,example)"),
+        # a slash ending a QUERY value is data, only the path is trimmed
+        ("https://example.com/p/?next=/home/", "com,example)/p?next=/home/"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")

@@ -135,3 +135,42 @@ def test_bigram_scores_discriminate(spark):
     got = {r["doc_id"]: r["avg_logprob"]
            for r in bigram_logprob_scores(df).collect()}
     assert got[0] > got[9]
+
+
+@pytest.mark.spark
+def test_unigram_external_counts_oov_unsmoothed_is_null(spark):
+    """External counts + alpha=0: a document containing any OOV token
+    scores null (averaging only in-vocab tokens would rank gibberish
+    high); in-vocab documents score normally."""
+    from commoncrawl_spark.operators.lm import (
+        unigram_counts,
+        unigram_logprob_scores,
+    )
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    counts = unigram_counts(train)
+    score = spark.createDataFrame(
+        [(8, "a b"), (9, "a zz")], "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_scores(
+        score, counts=counts).collect()}
+    assert got[8] is not None
+    assert got[9] is None
+
+
+@pytest.mark.spark
+def test_bigram_external_counts_oov_is_null(spark):
+    from commoncrawl_spark.operators.lm import (
+        bigram_counts,
+        bigram_logprob_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string")
+    counts = bigram_counts(train)
+    score = spark.createDataFrame(
+        [(8, "a b"), (9, "a b z")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(
+        score, counts=counts).collect()}
+    assert got[8]["avg_logprob"] is not None
+    assert got[9]["avg_logprob"] is None
+    assert got[9]["n_bigrams"] == 2  # actual pairs still counted

@@ -380,7 +380,8 @@ def test_normalize_text_idempotent(spark):
     for safe re-runs over partially-cleaned corpora."""
     from commoncrawl_spark.functions.text import normalize_text_col
 
-    rows = [("a\u00A0b \u2013 c\n\n\n\nd  e\t",), ("plain text",), ("",)]
+    rows = [("a\u00A0b \u2013 c\n\n\n\nd  e\t",), ("plain text",), ("",),
+            ("para1\n \n \n \npara2",)]  # blank lines containing spaces
     df = spark.createDataFrame(rows, "t string")
     once = df.select(normalize_text_col(F.col("t")).alias("n"))
     twice = once.select(normalize_text_col(F.col("n")).alias("n"))
@@ -573,3 +574,23 @@ def test_compression_ratio_matches_python_oracle(spark):
         else:
             assert got[i] == w
     assert got[0] < got[1]  # boilerplate << natural text
+
+
+@pytest.mark.spark
+def test_normalize_squeezes_spaced_blank_lines(spark):
+    """Blank lines containing spaces must still collapse to one
+    paragraph break (pass-order regression test)."""
+    from commoncrawl_spark.functions.text import normalize_text_col
+
+    df = spark.createDataFrame([("para1\n \n \n \npara2",)], "t string")
+    got = df.select(normalize_text_col(F.col("t")).alias("n")).first()["n"]
+    assert got == "para1\n\npara2"
+
+
+@pytest.mark.spark
+def test_chunk_documents_rejects_gapping_stride(spark):
+    from commoncrawl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(df, chunk_tokens=4, stride=8)
