@@ -424,6 +424,46 @@ def main() -> None:
          f"scan path Exchange count: {scan.count('Exchange')} (expect 0)"],
     ))
 
+    # quality buckets: one window exchange on the group key
+    from commoncrawl_spark.operators.analytics import percentile_buckets
+
+    p = plan_of(percentile_buckets(
+        docs.select("doc_id", "lang", F.col("n_chars").alias("q")),
+        "q", by="lang"))
+    sections.append((
+        "Quality buckets (CCNet head/middle/tail): one group exchange",
+        "ntile within each language is a single window — one hash "
+        "exchange on the group key plus a per-partition sort; the "
+        "group key must be a real partition (language/host), never a "
+        "constant, or the sort serializes.",
+        [f"Exchange count: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window nodes: {p.count('Window [')} (expect 1)"],
+    ))
+
+    # anchor extraction: scan-stage regex, aggregation on slim pairs
+    from commoncrawl_spark.operators.links import anchor_text_summary
+
+    anch_pages = docs.select(
+        F.concat(F.lit("https://h.test/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit('<a href="/x">'), F.col("source"),
+                          F.lit("</a>")), "utf-8").alias("html"))
+    p = plan_of(anchor_text_summary(anch_pages))
+    sections.append((
+        "Anchor-text aggregation: page bytes never shuffle",
+        "Extraction is codegen regex in the scan stage; the exchanges "
+        "carry (url, short anchor) pairs and their counts — the html "
+        "column is dropped before the first shuffle.",
+        [f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"'html' appears in a shuffle exchange: "
+         f"{'html' in ''.join(l for l in p.splitlines() if 'Exchange' in l)}"
+         f" (expect False)"],
+    ))
+
     # text normalization: scan-stage expression chain
     from commoncrawl_spark.functions.text import normalize_text_col
 
