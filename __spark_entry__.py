@@ -1211,6 +1211,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_media(d)
     q["media_decode"] = media_decode  # deterministic fake decode: rows-only
 
+    def media_resize(spark, sf):
+        """Resize plumbing over the binary media column (deterministic
+        byte resample standing in for the PIL slot; rows-only like the
+        other honest-stub media ops — exact bytes pinned in
+        tests/test_text_ops.py)."""
+        from commoncrawl_spark.operators.multimodal import resize_media
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("media")
+        )
+        return resize_media(d, width=16, height=4)
+    q["media_resize"] = media_resize  # rows-only (binary transform)
+
     # ---- text normalization ----
 
     def text_normalize(spark, sf):

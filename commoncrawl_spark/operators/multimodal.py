@@ -142,6 +142,49 @@ def sample_frames(df: DataFrame, every_n: int = 4, bin_col: str = "media",
     return df.select(id_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 bin_col: str = "media",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: one output row per input with the payload
+    re-rendered at (width, height) — here a deterministic byte resample
+    (stride-sampled to width*height bytes, zero-padded when the source
+    is smaller), which IS the real operator's shape: the deploy-time
+    drop-in replaces the inner loop with PIL's ``Image.resize`` on the
+    decoded pixels and re-encodes. Batch geometry, Arrow transfer,
+    output schema, and partitioning are identical either way — resizing
+    never shuffles."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    target = width * height
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = payload or b""
+                if len(payload) >= target:
+                    step = len(payload) / target
+                    resized = bytes(
+                        payload[int(i * step)] for i in range(target))
+                else:
+                    resized = payload + b"\x00" * (target - len(payload))
+                out.append((doc_id, width, height, resized))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "media"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def embed_media_udf(payloads: pd.Series) -> pd.Series:
     """Deterministic FAKE embedding (16-dim, md5-seeded) — the Arrow batch

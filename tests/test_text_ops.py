@@ -594,3 +594,26 @@ def test_chunk_documents_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="uncovered"):
         chunk_documents(df, chunk_tokens=4, stride=8)
+
+
+@pytest.mark.spark
+def test_resize_media_exact_bytes(spark):
+    """Deterministic byte resample: stride-sampled down to w*h bytes,
+    zero-padded up; geometry columns correct; no shuffle."""
+    from commoncrawl_spark.operators.multimodal import resize_media
+
+    big = bytes(range(100))
+    small = b"ab"
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(small))],
+        "doc_id long, media binary")
+    out = resize_media(df, width=4, height=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    target = 8
+    step = len(big) / target
+    assert bytes(got[1]["media"]) == bytes(
+        big[int(i * step)] for i in range(target))
+    assert bytes(got[2]["media"]) == small + b"\x00" * 6
+    assert (got[1]["width"], got[1]["height"]) == (4, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
