@@ -1568,6 +1568,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", shard.alias("shard"))
     q["shard_assign"] = shard_assign
 
+    # ---- dataset-card report ----
+
+    def corpus_report(spark, sf):
+        """The dataset-card numbers a corpus release publishes, as ONE
+        single-row aggregate: document/token/char totals, exact-dup
+        count (fingerprint groups), language mix, mean quality. One
+        pass + one count-distinct — every expression shared with its
+        standalone query."""
+        d = _read(spark, sf, "documents")
+        per_doc = d.select(
+            fingerprint_col(F.col("text")).alias("fp"),
+            language_id_col(F.col("text")).alias("lang"),
+            quality_score_col(F.col("text")).alias("q"),
+            token_count_col(F.col("text")).cast("long").alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        return per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.sum((F.col("lang") == "und").cast("long")).alias("n_und"),
+        )
+    q["corpus_report"] = corpus_report
+
     # ---- per-host corpus rollup ----
 
     def host_stats(spark, sf):
@@ -2883,6 +2910,46 @@ def oracle_sql() -> dict[str, str]:
                CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      ::BIGINT % 64) AS INTEGER) AS shard
         FROM documents
+    """
+
+    # corpus_report: the same per-doc expressions, one global aggregate
+    o["corpus_report"] = f"""
+        WITH t AS (SELECT doc_id, text, {toks_doc} AS toks
+                   FROM documents),
+        feats AS (
+          SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                         'g'))) AS fp,
+                 len(toks) AS n_tokens,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS nt,
+                 length(text) AS nc,
+                 round(len(regexp_extract_all(text, '{PUNCT_RE}'))
+                       / greatest(length(text), 1), 4) AS punct_ratio,
+                 {stop_ratio} AS stopword_ratio,
+                 {en} AS en_h, {de} AS de_h, {fr} AS fr_h
+          FROM t),
+        scored AS (
+          SELECT fp, nt, nc,
+                 round(0.4 * (CASE WHEN n_tokens >= 20 THEN 1.0
+                                   ELSE n_tokens / 20.0 END)
+                       + 0.4 * least(stopword_ratio * 2.5, 1.0)
+                       + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0), 4)
+                   AS q,
+                 CASE WHEN greatest(en_h, de_h, fr_h) = 0 THEN 'und'
+                      WHEN en_h = greatest(en_h, de_h, fr_h) THEN 'en'
+                      WHEN de_h = greatest(en_h, de_h, fr_h) THEN 'de'
+                      ELSE 'fr' END AS lang
+          FROM feats)
+        SELECT count(*) AS n_docs,
+               count(DISTINCT fp) AS n_unique_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(nc) AS BIGINT) AS total_chars,
+               round(avg(q), 4) AS mean_quality,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_und
+        FROM scored
     """
 
     # host_stats: per-doc language/quality/token expressions (identical
