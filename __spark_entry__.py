@@ -1595,6 +1595,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_report"] = corpus_report
 
+    def bigram_topk(spark, sf):
+        """Corpus-wide top-20 bigrams (the collocation table every
+        dataset card shows) from the LM module's pair counts — one pair
+        shuffle, deterministic ties."""
+        from commoncrawl_spark.operators.lm import bigram_counts
+
+        d = _read(spark, sf, "documents")
+        return (bigram_counts(d)
+                .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+                .limit(20))
+    q["bigram_topk"] = bigram_topk
+
+    def length_histogram(spark, sf):
+        """Log2-bucketed document-length histogram (tokens): the
+        dataset-card length distribution. bucket = floor(log2(n)) with
+        empty docs in bucket -1; one map-side-partial groupBy."""
+        d = _read(spark, sf, "documents")
+        nt = token_count_col(F.col("text"))
+        bucket = F.when(nt <= 0, F.lit(-1)).otherwise(
+            F.floor(F.log2(nt.cast("double"))).cast("int"))
+        return (d.select(bucket.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    q["length_histogram"] = length_histogram
+
     # ---- per-host corpus rollup ----
 
     def host_stats(spark, sf):
@@ -2910,6 +2935,32 @@ def oracle_sql() -> dict[str, str]:
                CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      ::BIGINT % 64) AS INTEGER) AS shard
         FROM documents
+    """
+
+    # bigram_topk: same zipped pair stream as lm_bigram's oracle
+    o["bigram_topk"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {toks_doc} AS t FROM documents),
+        bg AS (
+          SELECT unnest(t[1:len(t) - 1]) AS w1,
+                 unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2)
+        SELECT w1, w2, count(*) AS cnt
+        FROM bg GROUP BY w1, w2
+        ORDER BY cnt DESC, w1 ASC, w2 ASC
+        LIMIT 20
+    """
+
+    # length_histogram: identical bucket arithmetic
+    o["length_histogram"] = """
+        SELECT bucket, count(*) AS n_docs FROM (
+          SELECT CASE WHEN nt <= 0 THEN -1
+                      ELSE CAST(floor(log2(CAST(nt AS DOUBLE))) AS INTEGER)
+                 END AS bucket
+          FROM (SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS nt
+                FROM documents))
+        GROUP BY bucket
     """
 
     # corpus_report: the same per-doc expressions, one global aggregate
