@@ -1507,6 +1507,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return anchor_text_summary(pages)
     q["anchor_texts"] = anchor_texts
 
+    def link_locality_stats(spark, sf):
+        """Intra vs cross-host linking per source host over pages whose
+        edges are known by construction: every doc links out to
+        ext.test and internally to /s/...; even docs add one extra
+        internal relative link."""
+        from commoncrawl_spark.operators.links import link_locality
+
+        d = _read(spark, sf, "documents").select("doc_id", "source", "lang")
+        src = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".news.test/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit("/story"),
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext.test/p/'),
+            (F.col("doc_id") % 50).cast("string"), F.lit('">x</a>'),
+            F.lit("<a href='/s/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("'>y</a>"),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                F.lit('<a href="rel/'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('.html">z</a>'))).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        pages = d.select(src.alias("url"),
+                         F.encode(html, "utf-8").alias("html"))
+        return link_locality(pages)
+    q["link_locality_stats"] = link_locality_stats
+
     # ---- tf-idf keywords ----
 
     def tfidf_terms(spark, sf):
@@ -2808,6 +2837,25 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        ::BIGINT % 100 AS b
               FROM documents)
+    """
+
+    # link_locality_stats: per doc the construction yields 1 external
+    # (ext.test) + 1 internal (/s/) + (doc_id even ? 1 internal : 0)
+    o["link_locality_stats"] = """
+        WITH d AS (
+          SELECT source || '.news.test' AS host,
+                 2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS edges,
+                 1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS internal
+          FROM documents)
+        SELECT host,
+               CAST(sum(edges) AS BIGINT) AS n_edges,
+               CAST(sum(internal) AS BIGINT) AS n_internal,
+               CAST(sum(edges) - sum(internal) AS BIGINT) AS n_external,
+               round(CAST(sum(internal) AS DOUBLE)
+                     / CAST(sum(edges) AS DOUBLE), 6) AS internal_ratio
+        FROM d GROUP BY host
     """
 
     # anchor_texts: expected (target, anchor) multiset from the same

@@ -136,6 +136,40 @@ def candidate_links(
     )
 
 
+def link_locality(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per source host: how much of its discovered linking stays on-site
+    — ``(host, n_edges, n_internal, n_external, internal_ratio)``. Link
+    farms and boilerplate-heavy sites skew external; walled gardens
+    skew internal — a crawl-budget allocation signal (an almost fully
+    internal host saturates quickly; heavy external linkers feed the
+    frontier). Edges come from ``extract_links`` (scan-stage regex);
+    the aggregate shuffles (host, flag) pairs only."""
+    from ..functions.urls import host_col
+
+    edges = extract_links(pages, html_col, url_col)
+    internal = (
+        host_col(F.col("abs_url")) == host_col(F.col("src_url"))
+    ).cast("long")
+    return (
+        edges.select(host_col(F.col("src_url")).alias("host"),
+                     internal.alias("_i"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_edges"),
+             F.sum("_i").alias("n_internal"))
+        .select(
+            "host", "n_edges", "n_internal",
+            (F.col("n_edges") - F.col("n_internal")).alias("n_external"),
+            F.round(F.col("n_internal")
+                    / F.col("n_edges").cast("double"), 6)
+            .alias("internal_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Anchor-text aggregation: what the web calls each URL
 # ---------------------------------------------------------------------------

@@ -403,3 +403,18 @@ def test_sitemap_entries_metadata(spark):
     b = got["https://h.test/b"]
     assert (b["lastmod"], b["changefreq"], b["priority"], b["rate"]) == (
         None, None, None, None)
+
+
+@pytest.mark.spark
+def test_link_locality_hand_computed(spark):
+    from commoncrawl_spark.operators.links import link_locality
+
+    html = ('<a href="https://other.test/x">o</a>'
+            '<a href="/here">i</a><a href="rel/a">i2</a>')
+    pages = spark.createDataFrame(
+        [("https://h.test/d/page", bytearray(html, "utf-8"))],
+        "url string, html binary")
+    r = link_locality(pages).first()
+    assert (r["host"], r["n_edges"], r["n_internal"], r["n_external"]) == (
+        "h.test", 3, 2, 1)
+    assert r["internal_ratio"] == round(2 / 3, 6)
