@@ -1458,6 +1458,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                ["join", "hash", "scan"])
     q["boolean_search"] = boolean_search
 
+    def phrase_search_q(spark, sf):
+        """Exact consecutive-phrase retrieval ('slow hash batch') via
+        positional base-offset intersection — one posexplode filtered
+        to the phrase terms, two aggregates, no self-join."""
+        from commoncrawl_spark.operators.index import phrase_search
+
+        d = _read(spark, sf, "documents")
+        return phrase_search(d, ["slow", "hash", "batch"])
+    q["phrase_search"] = phrase_search_q
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -2826,6 +2836,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM dt
         WHERE token IN ('join', 'hash', 'scan')
         GROUP BY doc_id HAVING count(*) = 3
+    """
+
+    # phrase_search: consecutive-window scan — equivalent to the
+    # base-offset intersection by construction
+    o["phrase_search"] = f"""
+        WITH t AS (SELECT doc_id, {toks_doc} AS toks FROM documents),
+        w AS (
+          SELECT doc_id,
+                 len(list_filter(range(1, len(toks) - 1),
+                     i -> toks[i] = 'slow' AND toks[i + 1] = 'hash'
+                          AND toks[i + 2] = 'batch')) AS n_matches
+          FROM t WHERE len(toks) >= 3)
+        SELECT doc_id, CAST(n_matches AS INTEGER) AS n_matches
+        FROM w WHERE n_matches > 0
     """
 
     # split_assign: the shard_assign hash family at modulus 100

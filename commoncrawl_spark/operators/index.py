@@ -82,6 +82,62 @@ def search_postings(
     return hits
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval: documents containing the tokens of
+    ``phrase`` CONSECUTIVELY, with the match count —
+    ``(id_col, n_matches)``. The classic positional-postings trick: a
+    phrase term at offset i occurring at position p contributes base
+    position p - i; the phrase occurs wherever every slot shares a
+    base, so the answer is one set-intersection fold per document —
+    no self-joins, no window.
+
+    Scale shape: one posexplode (slim (id, pos, token) rows) filtered
+    to the phrase's tokens BEFORE the shuffle — the aggregate only sees
+    rows for the queried terms; repeated terms in the phrase are
+    handled per slot, not per token. Plan: filter -> one groupBy(id,
+    slot) -> one groupBy(id), all map-side-partial until the fold."""
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    slots = F.array(*[
+        F.struct(F.lit(t).alias("t"), F.lit(i).alias("i"))
+        for i, t in enumerate(phrase)
+    ])
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+    )
+    hits = (
+        toks.select(id_col, "pos", "token", F.explode(slots).alias("s"))
+        .filter(F.col("token") == F.col("s.t"))
+        .select(id_col, F.col("s.i").alias("slot"),
+                (F.col("pos") - F.col("s.i")).alias("base"))
+    )
+    per_slot = hits.groupBy(id_col, "slot").agg(
+        F.collect_set("base").alias("bases"))
+    # collect the slot arrays ONCE (a second collect_list would not be
+    # guaranteed the same ordering), then fold the intersection
+    collected = per_slot.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.collect_list("bases").alias("_all"),
+    )
+    common = F.aggregate(
+        F.slice(F.col("_all"), 2, len(phrase)),
+        F.element_at(F.col("_all"), 1),
+        lambda acc, a: F.array_intersect(acc, a),
+    )
+    return (
+        collected.filter(F.col("_k") == len(phrase))
+        .select(F.col(id_col), F.size(common).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def conjunctive_search(
     df: DataFrame,
     terms: Sequence[str],

@@ -69,3 +69,35 @@ def test_search_ignores_terms_dropped_by_max_df(spark, corpus):
            for r in search_postings(post, ["spark", "only"]).collect()}
     assert got == {3}  # == search for 'only' alone
     assert search_postings(post, ["spark", "hash"]).count() == 0
+
+
+@pytest.mark.spark
+def test_phrase_search_semantics(spark):
+    """Consecutive-only matching, multiple occurrences counted,
+    repeated phrase terms handled per slot, scrambled order rejected."""
+    from commoncrawl_spark.operators.index import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a quick fox and a quick fox again"),
+         (2, "quick a fox"),               # right words, wrong order
+         (3, "a quick brown fox"),         # gap breaks the phrase
+         (4, "the the end")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, ["a", "quick", "fox"]).collect()}
+    assert got == {1: 2}
+    # repeated term in the phrase: slots are independent
+    got2 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(df, ["the", "the"]).collect()}
+    assert got2 == {4: 1}
+
+
+@pytest.mark.spark
+def test_phrase_search_plan_no_selfjoin(spark):
+    from commoncrawl_spark.operators.index import phrase_search
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = (phrase_search(df, ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
