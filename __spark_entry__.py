@@ -1652,8 +1652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         empty docs in bucket -1; one map-side-partial groupBy."""
         d = _read(spark, sf, "documents")
         nt = token_count_col(F.col("text"))
-        bucket = F.when(nt <= 0, F.lit(-1)).otherwise(
-            F.floor(F.log2(nt.cast("double"))).cast("int"))
+        # explicit null guard: size(null) is -1 only by engine default
+        # (legacy sizeOfNull); null text must bucket as NULL like the
+        # oracle's len(NULL), not masquerade as an empty doc
+        bucket = (
+            F.when(F.col("text").isNull(), F.lit(None).cast("int"))
+            .when(nt <= 0, F.lit(-1))
+            .otherwise(F.floor(F.log2(nt.cast("double"))).cast("int"))
+        )
         return (d.select(bucket.alias("bucket"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -113,7 +113,11 @@ def phrase_search(
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
     )
     hits = (
-        toks.select(id_col, "pos", "token", F.explode(slots).alias("s"))
+        # isin prefilter BEFORE the slot fan-out: the corpus token
+        # stream is multiplied by len(phrase) only for matching tokens,
+        # not for the ~all tokens the equality filter would discard
+        toks.filter(F.col("token").isin(list(set(phrase))))
+        .select(id_col, "pos", "token", F.explode(slots).alias("s"))
         .filter(F.col("token") == F.col("s.t"))
         .select(id_col, F.col("s.i").alias("slot"),
                 (F.col("pos") - F.col("s.i")).alias("base"))

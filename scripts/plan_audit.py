@@ -451,17 +451,28 @@ def main() -> None:
         F.encode(F.concat(F.lit('<a href="/x">'), F.col("source"),
                           F.lit("</a>")), "utf-8").alias("html"))
     p = plan_of(anchor_text_summary(anch_pages))
+    # simple-mode Exchange lines show only partitioning expressions, so
+    # column claims need formatted mode: each (N) Exchange block lists
+    # its Input [..] schema — that is where a leaked html column shows
+    pf = plan_of(anchor_text_summary(anch_pages), "formatted")
+    exch_blocks = [
+        b for b in pf.split("\n\n") if b.lstrip().startswith("(")
+        and "Exchange" in b.splitlines()[0]
+    ]
+    html_in_exchange = any("html" in b for b in exch_blocks)
     sections.append((
         "Anchor-text aggregation: page bytes never shuffle",
         "Extraction is codegen regex in the scan stage; the exchanges "
         "carry (url, short anchor) pairs and their counts — the html "
-        "column is dropped before the first shuffle.",
+        "column is dropped before the first shuffle (checked against "
+        "the formatted plan's per-Exchange Input schemas; the simple "
+        "plan never prints carried columns).",
         [f"Python operators: {p.count('EvalPython')} (expect 0)",
          f"CartesianProduct present: {'CartesianProduct' in p} "
          f"(expect False)",
-         f"'html' appears in a shuffle exchange: "
-         f"{'html' in ''.join(l for l in p.splitlines() if 'Exchange' in l)}"
-         f" (expect False)"],
+         f"Exchange blocks inspected: {len(exch_blocks)} (expect >= 1)",
+         f"'html' in any Exchange input schema: {html_in_exchange} "
+         f"(expect False)"],
     ))
 
     # text normalization: scan-stage expression chain
