@@ -1607,6 +1607,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", shard.alias("shard"))
     q["shard_assign"] = shard_assign
 
+    # ---- mixed-language detection ----
+
+    def language_mix(spark, sf):
+        """Per-line language composition over a deterministic
+        multi-line rendering (stopword-bearing German lines on doc_id %
+        3, French on % 5 — code-switched pages both ways): line count,
+        distinct languages, dominant language, mixed flag. The CCNet
+        drop rule for code-switched documents."""
+        from commoncrawl_spark.functions.text import line_language_mix
+
+        d = _read(spark, sf, "documents")
+        l_en = F.lit("the and of to in that")
+        l2 = F.when(F.col("doc_id") % 3 == 0,
+                    F.lit("der und die das ist von")).otherwise(l_en)
+        l3 = F.when(F.col("doc_id") % 5 == 0,
+                    F.lit("le la les et de des")).otherwise(
+                        F.lit("plain tail line"))
+        mtext = F.concat_ws("\n", F.col("text"), l_en, l2, l3)
+        m = line_language_mix(mtext)
+        return d.select(
+            "doc_id",
+            m["n_lines"].alias("n_lines"),
+            m["n_langs"].alias("n_langs"),
+            m["dominant_lang"].alias("dominant_lang"),
+            m["mixed"].alias("mixed"),
+        )
+    q["language_mix"] = language_mix
+
     # ---- dataset-card report ----
 
     def corpus_report(spark, sf):
@@ -3039,6 +3067,63 @@ def oracle_sql() -> dict[str, str]:
                                        x -> x <> '')) AS nt
                 FROM documents))
         GROUP BY bucket
+    """
+
+    # language_mix: the per-line language CASE inlined into a DuckDB
+    # list_transform lambda (no locals in lambdas, so hits repeat)
+    _toks_l = _SQL_TOKS.format(t="l")
+    _en_l = _sql_stop_hits(_toks_l, "en")
+    _de_l = _sql_stop_hits(_toks_l, "de")
+    _fr_l = _sql_stop_hits(_toks_l, "fr")
+    _lang_l = f"""CASE
+        WHEN greatest({_en_l}, {_de_l}, {_fr_l}) = 0 THEN 'und'
+        WHEN {_en_l} = greatest({_en_l}, {_de_l}, {_fr_l}) THEN 'en'
+        WHEN {_de_l} = greatest({_en_l}, {_de_l}, {_fr_l}) THEN 'de'
+        ELSE 'fr' END"""
+    o["language_mix"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+            concat_ws(chr(10), text,
+              'the and of to in that',
+              CASE WHEN doc_id % 3 = 0 THEN 'der und die das ist von'
+                   ELSE 'the and of to in that' END,
+              CASE WHEN doc_id % 5 = 0 THEN 'le la les et de des'
+                   ELSE 'plain tail line' END) AS mtext
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(list_transform(string_split(mtext, chr(10)),
+                                              x -> trim(x)),
+                               x -> x <> ''),
+                   l -> {_lang_l}) AS preds
+          FROM m),
+        c AS (
+          SELECT doc_id, len(preds) AS n_lines,
+                 len(list_filter(preds, x -> x = 'en')) AS en_c,
+                 len(list_filter(preds, x -> x = 'de')) AS de_c,
+                 len(list_filter(preds, x -> x = 'fr')) AS fr_c,
+                 len(list_filter(preds, x -> x = 'und')) AS und_c
+          FROM p)
+        SELECT doc_id, n_lines,
+               CAST((CASE WHEN en_c > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN de_c > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fr_c > 0 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_langs,
+               CASE WHEN n_lines = 0 THEN NULL
+                    WHEN en_c = greatest(en_c, de_c, fr_c, und_c)
+                         AND en_c > 0 THEN 'en'
+                    WHEN de_c = greatest(en_c, de_c, fr_c, und_c)
+                         AND de_c > 0 THEN 'de'
+                    WHEN fr_c = greatest(en_c, de_c, fr_c, und_c)
+                         AND fr_c > 0 THEN 'fr'
+                    ELSE 'und' END AS dominant_lang,
+               CASE WHEN n_lines = 0 THEN NULL
+                    ELSE (CASE WHEN en_c > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN de_c > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN fr_c > 0 THEN 1 ELSE 0 END) >= 2
+               END AS mixed
+        FROM c
     """
 
     # corpus_report: the same per-doc expressions, one global aggregate

@@ -51,6 +51,43 @@ def language_id_col(text: Column) -> Column:
     return expr
 
 
+def line_language_mix(text: Column) -> dict[str, Column]:
+    """Per-line language composition — the mixed-language detector
+    (CCNet-family pipelines drop or split code-switched pages; a
+    document whose lines predict different languages is exactly that
+    case). Returns ``n_lines`` (non-blank), ``n_langs`` (distinct
+    non-'und' line predictions), ``dominant_lang`` (most frequent line
+    language incl. 'und', ties in en > de > fr > und order), and
+    ``mixed`` (n_langs >= 2). language_id_col composed inside a
+    ``transform`` lambda — still one scan-stage expression, no shuffle,
+    no Python, exact DuckDB twin."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    preds = F.transform(lines, lambda l: language_id_col(l))
+    counts = {
+        lang: F.size(F.filter(preds, lambda p: p == F.lit(lang)))
+        for lang in ("en", "de", "fr", "und")
+    }
+    best = F.greatest(*counts.values())
+    dominant = F.lit("und")
+    for lang in ("fr", "de", "en"):  # earlier langs win ties: apply last
+        dominant = F.when(
+            (counts[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(dominant)
+    n_langs = sum(
+        ((counts[lang] > 0).cast("int") for lang in ("en", "de", "fr")),
+        F.lit(0),
+    )
+    return {
+        "n_lines": F.size(lines),
+        "n_langs": n_langs,
+        "dominant_lang": F.when(F.size(lines) > 0, dominant),
+        "mixed": F.when(F.size(lines) > 0, n_langs >= 2),
+    }
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))

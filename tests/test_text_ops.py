@@ -617,3 +617,28 @@ def test_resize_media_exact_bytes(spark):
     assert (got[1]["width"], got[1]["height"]) == (4, 2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_line_language_mix_semantics(spark):
+    """Mixed-language detection: monolingual, code-switched, und-only,
+    and empty documents; dominant ties break en > de > fr."""
+    from commoncrawl_spark.functions.text import line_language_mix
+
+    docs = [
+        (1, "the and of to\nthe is was for"),              # en only
+        (2, "the and of to\nder und die das\nle la les"),  # 3-way mix
+        (3, "xyzzy qwerty\nplugh"),                          # und lines
+        (4, ""),                                               # empty
+        (5, "the and of\nder und die"),                      # en/de tie
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    m = line_language_mix(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", m["n_lines"].alias("nl"), m["n_langs"].alias("k"),
+        m["dominant_lang"].alias("dom"), m["mixed"].alias("mx")).collect()}
+    assert (got[1]["k"], got[1]["dom"], got[1]["mx"]) == (1, "en", False)
+    assert (got[2]["k"], got[2]["mx"]) == (3, True)
+    assert (got[3]["k"], got[3]["dom"], got[3]["mx"]) == (0, "und", False)
+    assert got[4]["nl"] == 0 and got[4]["dom"] is None and got[4]["mx"] is None
+    assert (got[5]["dom"], got[5]["mx"]) == ("en", True)  # tie -> en
