@@ -323,6 +323,8 @@ def main() -> None:
             "recrawl_priority", "mirror_overlap", "text_normalize",
             "host_stats", "doc_chunks", "tfidf_terms", "anchor_texts",
             "boolean_search", "training_export_pipeline",
+            "char_entropy", "corpus_report", "quality_buckets",
+            "phrase_search", "language_mix",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
