@@ -1468,6 +1468,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_search(d, ["slow", "hash", "batch"])
     q["phrase_search"] = phrase_search_q
 
+    def bm25_topk(spark, sf):
+        """Okapi BM25 ranked retrieval for ['join','hash','scan'],
+        top-15 — the standard lexical ranker over the same postings
+        machinery; per-doc accumulation folds in token order so the
+        float sum is engine-identical."""
+        from commoncrawl_spark.operators.index import bm25_search
+
+        d = _read(spark, sf, "documents")
+        return bm25_search(d, ["join", "hash", "scan"], top_k=15)
+    q["bm25_topk"] = bm25_topk
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -2884,6 +2895,49 @@ def oracle_sql() -> dict[str, str]:
           FROM t WHERE len(toks) >= 3)
         SELECT doc_id, CAST(n_matches AS INTEGER) AS n_matches
         FROM w WHERE n_matches > 0
+    """
+
+    # bm25_topk: identical BM25 arithmetic (constants written as the
+    # python-evaluated doubles); the per-doc sum folds in token order
+    # on both sides, and list_reduce's first-element start equals
+    # Spark's 0.0 + x (exact under IEEE)
+    o["bm25_topk"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'hash', 'scan')),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM qt GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY token),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
     """
 
     # split_assign: the shard_assign hash family at modulus 100

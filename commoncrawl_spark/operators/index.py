@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analytics import tokens_col
@@ -139,6 +139,82 @@ def phrase_search(
         collected.filter(F.col("_k") == len(phrase))
         .select(F.col(id_col), F.size(common).alias("n_matches"))
         .filter(F.col("n_matches") > 0)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked (disjunctive) retrieval with Okapi BM25 — the standard
+    lexical ranking function: per matching term,
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, summed per document;
+    returns the ``top_k`` as ``(id_col, score, rank)``.
+
+    Determinism: the per-document sum folds over the term scores in
+    token order (sorted collect + an explicit fold) so the float
+    accumulation order is identical in any engine — a plain SUM leaves
+    the order to the aggregator. Ranks tie-break on the id.
+
+    Scale shape: one persisted (id, token) explode feeds document
+    lengths, tf (query terms only) and df; N/avgdl ride a 1-row
+    broadcast. Only (id, token, count) rows shuffle; the final top-k is
+    a single global sort of per-document scores — bounded by the number
+    of documents matching ANY query term, not the corpus."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).persist()
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    globals_ = doclen.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    qt = toks.filter(F.col("token").isin(terms))
+    tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = (qt.select(id_col, "token").distinct()
+             .groupBy("token").agg(F.count(F.lit(1)).alias("_df")))
+    idf = F.log(
+        1.0 + (F.col("_n").cast("double") - F.col("_df") + 0.5)
+        / (F.col("_df").cast("double") + 0.5))
+    term_score = idf * (
+        F.col("_tf").cast("double") * (k1 + 1.0)
+        / (F.col("_tf").cast("double")
+           + k1 * (1.0 - b + b * F.col("_dl").cast("double")
+                   / F.col("_avgdl")))
+    )
+    per_term = (
+        tf.join(dfreq, "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .select(F.col(id_col), F.col("token"), term_score.alias("_s"))
+    )
+    # deterministic accumulation: fold in token order, not SUM order
+    folded = (
+        per_term.groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("token", "_s"))).alias("_ts"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("_ts"), F.lit(0.0),
+                    lambda acc, x: acc + x["_s"]),
+                6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
     )
 
 

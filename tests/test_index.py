@@ -101,3 +101,32 @@ def test_phrase_search_plan_no_selfjoin(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+@pytest.mark.spark
+def test_bm25_ranking_semantics(spark):
+    """BM25: matching more query terms and higher tf outranks; length
+    normalization penalizes padded docs; hand-checked against the
+    formula."""
+    import math
+
+    from commoncrawl_spark.operators.index import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "spark spark join"),      # tf(spark)=2 + join
+         (2, "spark other words here"),
+         (3, "spark " + "pad " * 40),  # long doc: normalized down
+         (4, "nothing relevant")],
+        "doc_id long, text string")
+    rows = bm25_search(df, ["spark", "join"], top_k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert 4 not in ranks                 # no matching term, no row
+    assert ranks[1] == 1                  # both terms, highest tf
+    assert scores[2] > scores[3]          # same tf, shorter doc wins
+    # hand-check doc 2's single-term score: N and avgdl cover ALL
+    # documents (including non-matching doc 4), df('spark') = 3
+    n, dl, avgdl = 4.0, 4.0, (3 + 4 + 41 + 2) / 4
+    idf = math.log(1.0 + (n - 3 + 0.5) / (3 + 0.5))
+    expect = idf * (1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    assert scores[2] == round(expect, 6)
