@@ -2905,14 +2905,16 @@ def oracle_sql() -> dict[str, str]:
         WITH toksv AS (
           SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
         g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
         qt AS (SELECT doc_id, token FROM toksv
                WHERE token IN ('join', 'hash', 'scan')),
         tf AS (SELECT doc_id, token, count(*) AS tf
                FROM qt GROUP BY doc_id, token),
-        dfq AS (SELECT token, count(DISTINCT doc_id) AS df
-                FROM qt GROUP BY token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
         per AS (
           SELECT tf.doc_id, tf.token,
                  ln(1.0 + (g.n - dfq.df + 0.5)

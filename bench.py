@@ -324,7 +324,7 @@ def main() -> None:
             "host_stats", "doc_chunks", "tfidf_terms", "anchor_texts",
             "boolean_search", "training_export_pipeline",
             "char_entropy", "corpus_report", "quality_buckets",
-            "phrase_search", "language_mix",
+            "phrase_search", "language_mix", "bm25_topk",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -38,17 +38,25 @@ def _stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(vocab, t)))
 
 
+def _argmax_label(scores: list[tuple[str, Column]],
+                  default: str = "und") -> Column:
+    """Label of the max score; ties break in list order (earlier wins);
+    ``default`` when every score is 0. Shared by language_id_col and
+    line_language_mix so the tie semantics cannot drift."""
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    for lang, s in reversed(scores):  # earlier labels win ties: apply last
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def language_id_col(text: Column) -> Column:
     """Predicted language = argmax over per-language stopword hit counts;
     'und' (undetermined) when no language scores a single hit. Ties break
     in en > de > fr order (deterministic)."""
     toks = tokens_col(text)
-    scores = [(lang, _stopword_hits(toks, lang)) for lang in ("en", "de", "fr")]
-    best = F.greatest(*[s for _, s in scores])
-    expr = F.lit("und")
-    for lang, s in reversed(scores):  # earlier langs win ties: apply last
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    return _argmax_label(
+        [(lang, _stopword_hits(toks, lang)) for lang in ("en", "de", "fr")])
 
 
 def line_language_mix(text: Column) -> dict[str, Column]:
@@ -70,12 +78,10 @@ def line_language_mix(text: Column) -> dict[str, Column]:
         lang: F.size(F.filter(preds, lambda p: p == F.lit(lang)))
         for lang in ("en", "de", "fr", "und")
     }
-    best = F.greatest(*counts.values())
-    dominant = F.lit("und")
-    for lang in ("fr", "de", "en"):  # earlier langs win ties: apply last
-        dominant = F.when(
-            (counts[lang] == best) & (best > 0), F.lit(lang)
-        ).otherwise(dominant)
+    # und participates in the argmax (an all-und doc is dominant-und)
+    # but loses every tie to a real language — hence last in the order
+    dominant = _argmax_label(
+        [(lang, counts[lang]) for lang in ("en", "de", "fr", "und")])
     n_langs = sum(
         ((counts[lang] > 0).cast("int") for lang in ("en", "de", "fr")),
         F.lit(0),

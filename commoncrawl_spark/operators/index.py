@@ -163,10 +163,15 @@ def bm25_search(
     the order to the aggregator. Ranks tie-break on the id.
 
     Scale shape: one persisted (id, token) explode feeds document
-    lengths, tf (query terms only) and df; N/avgdl ride a 1-row
-    broadcast. Only (id, token, count) rows shuffle; the final top-k is
-    a single global sort of per-document scores — bounded by the number
-    of documents matching ANY query term, not the corpus."""
+    lengths and query-term tf; df per term falls out of tf for free
+    (tf already has one row per (doc, term)); N/avgdl ride a 1-row
+    broadcast and count EVERY input document — zero-token docs included
+    (they shape idf and avgdl in true Okapi BM25). Only (id, token,
+    count) rows shuffle; the final top-k is a single global sort of
+    per-document scores — bounded by the number of documents matching
+    ANY query term, not the corpus. The persisted token frame follows
+    the module convention of lm/tfidf: MEMORY_AND_DISK, LRU-evicted,
+    repeated callers own cleanup via ``spark.catalog.clearCache()``."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -174,14 +179,21 @@ def bm25_search(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     ).persist()
     doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    globals_ = doclen.agg(
+    # left join back to ALL ids: empty/null-text docs have dl = 0 and
+    # must still count toward N and avgdl (true corpus-size BM25)
+    doclen_full = (
+        df.select(id_col).join(doclen, id_col, "left")
+        .select(F.coalesce(F.col("_dl"), F.lit(0)).alias("_dl"))
+    )
+    globals_ = doclen_full.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
     )
     qt = toks.filter(F.col("token").isin(terms))
     tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = (qt.select(id_col, "token").distinct()
-             .groupBy("token").agg(F.count(F.lit(1)).alias("_df")))
+    # tf has exactly one row per (doc, term): df is a tiny re-aggregate,
+    # not a second distinct pass over the corpus token frame
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         1.0 + (F.col("_n").cast("double") - F.col("_df") + 0.5)
         / (F.col("_df").cast("double") + 0.5))
