@@ -424,6 +424,24 @@ def main() -> None:
          f"scan path Exchange count: {scan.count('Exchange')} (expect 0)"],
     ))
 
+    # BM25: df derives from tf, not a second corpus-token distinct
+    from commoncrawl_spark.operators.index import bm25_search
+
+    p = plan_of(bm25_search(docs, ["join", "hash", "scan"], top_k=10))
+    sections.append((
+        "BM25 ranking: one token pass, df from tf, no corpus distinct",
+        "Document lengths and query-term tf read the one persisted "
+        "token explode; per-term df re-aggregates tf's (doc, term) "
+        "rows, so no distinct ever runs over the corpus token stream; "
+        "N/avgdl ride a 1-row broadcast incl. zero-token docs.",
+        [f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"HashAggregate w/ distinct keys over tokens: "
+         f"{'distinct' in p.lower()} (expect False — no corpus-stream "
+         f"distinct)"],
+    ))
+
     # quality buckets: one window exchange on the group key
     from commoncrawl_spark.operators.analytics import percentile_buckets
 
