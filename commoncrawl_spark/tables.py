@@ -263,6 +263,119 @@ def write_shards(
     return manifest
 
 
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    text_col: str = "text",
+    target_bytes: int = 256 * 1024 * 1024,
+    min_shards: int = 1,
+) -> dict[str, Any]:
+    """The WebDataset TAR variant of :func:`write_shards` (reference
+    analog: the tar sink + verify, main_merge_and_deduplicate.py):
+    one ``shard-NNNNN.tar`` per shard whose members are
+    ``<md5(key)>.txt`` files with the utf-8 text. Tars are
+    BYTE-DETERMINISTIC — members sorted by name, mtime/uid/gid zeroed —
+    so a re-export of identical data produces identical archives
+    (loader caches can hash-check them). Assignment is the same
+    ``md5(key) % n_shards`` rule as the parquet export.
+
+    Scale shape: one byte-estimate aggregate, one exchange on the
+    shard id (``repartition(n, _shard)`` — each task holds whole
+    shards), then each executor streams its shard's members into the
+    tar via foreachPartition; nothing but the manifest touches the
+    driver. ``out_dir`` must be shared storage in a real cluster."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(out_dir, "tars")
+    os.makedirs(data_dir, exist_ok=True)
+    sized = df.select(
+        F.md5(F.col(key).cast("string")).alias("_name"),
+        F.col(text_col).cast("string").alias("_text"),
+    ).withColumn(
+        "_bytes", F.coalesce(F.length(F.col("_text")), F.lit(0)).cast("long")
+    ).persist()
+    total = sized.agg(F.sum("_bytes")).first()[0] or 0
+    n_shards = max(min_shards, -(-int(total) // int(target_bytes)))
+    shard = (
+        F.conv(F.substring(F.col("_name"), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).cast("int")
+    assigned = sized.withColumn("_shard", shard)
+
+    def write_partition(rows):
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["_shard"], []).append(
+                (r["_name"], r["_text"] or ""))
+        for sh, members in by_shard.items():
+            path = os.path.join(data_dir, f"shard-{sh:05d}.tar")
+            tmp = path + ".tmp"
+            with tarfile.open(tmp, "w") as tf:
+                for name, text in sorted(members):
+                    payload = text.encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{name}.txt")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(payload))
+            os.replace(tmp, path)
+
+    assigned.repartition(n_shards, "_shard").foreachPartition(
+        write_partition)
+    stats = {
+        int(r["_shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
+        for r in assigned.groupBy("_shard").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("_bytes").alias("bytes")).collect()
+    }
+    sized.unpersist()
+    manifest = {
+        "n_shards": n_shards,
+        "target_bytes": int(target_bytes),
+        "total_rows": sum(s["rows"] for s in stats.values()),
+        "total_bytes": int(total),
+        "key": key,
+        "member": "md5(key).txt, utf-8 text, mtime/uid/gid zeroed",
+        "assignment": "conv(md5(key)[0:8], 16, 10) % n_shards",
+        "shards": {str(k): stats[k] for k in sorted(stats)},
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def verify_tar_shards(out_dir: str) -> dict[str, Any]:
+    """Recount every tar's members against the manifest (the tar-sink
+    verify step). Driver-side file walk — tars are loader artifacts,
+    not Spark tables."""
+    import glob
+    import tarfile
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    actual: dict[str, int] = {}
+    for path in glob.glob(os.path.join(out_dir, "tars", "shard-*.tar")):
+        sh = str(int(os.path.basename(path)[6:11]))
+        with tarfile.open(path) as tf:
+            actual[sh] = len(tf.getmembers())
+    mism = {}
+    for k, s in manifest["shards"].items():
+        if actual.get(k, 0) != s["rows"]:
+            mism[k] = {"manifest_rows": s["rows"],
+                       "actual_rows": actual.get(k, 0)}
+    for k in actual:
+        if k not in manifest["shards"]:
+            mism[k] = {"manifest_rows": 0, "actual_rows": actual[k]}
+    return {"ok": not mism, "mismatches": mism}
+
+
 def read_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read a shard export back (all shards; filter ``_shard`` for one —
     partition pruning keeps that read to the one directory)."""

@@ -76,3 +76,50 @@ def test_verify_shards_detects_loss(spark, corpus, tmp_path_factory):
     shutil.rmtree(victim)
     rep = verify_shards(spark, out)
     assert not rep["ok"] and rep["mismatches"]
+
+
+@pytest.mark.spark
+def test_tar_shards_roundtrip_and_determinism(spark, corpus, tmp_path_factory):
+    import glob
+    import hashlib
+    import tarfile
+
+    from commoncrawl_spark.tables import verify_tar_shards, write_tar_shards
+
+    o1 = str(tmp_path_factory.mktemp("tar1"))
+    o2 = str(tmp_path_factory.mktemp("tar2"))
+    m = write_tar_shards(corpus, o1, key="doc_id", target_bytes=10_000)
+    assert m["total_rows"] == 400
+    assert verify_tar_shards(o1)["ok"]
+    # members round-trip: every doc's text comes back byte-identical
+    texts = {}
+    for path in glob.glob(os.path.join(o1, "tars", "shard-*.tar")):
+        with tarfile.open(path) as tf:
+            for mem in tf.getmembers():
+                texts[mem.name] = tf.extractfile(mem).read().decode()
+    want = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert len(texts) == 400
+    assert sorted(texts.values()) == sorted(want.values())
+    # byte-deterministic: a re-export (different partitioning) produces
+    # IDENTICAL archives
+    write_tar_shards(corpus.repartition(13), o2, key="doc_id",
+                     target_bytes=10_000)
+    h1 = {os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+          for p in glob.glob(os.path.join(o1, "tars", "*.tar"))}
+    h2 = {os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+          for p in glob.glob(os.path.join(o2, "tars", "*.tar"))}
+    assert h1 == h2
+
+
+@pytest.mark.spark
+def test_verify_tar_shards_detects_loss(spark, corpus, tmp_path_factory):
+    import glob
+
+    from commoncrawl_spark.tables import verify_tar_shards, write_tar_shards
+
+    out = str(tmp_path_factory.mktemp("tarloss"))
+    write_tar_shards(corpus, out, key="doc_id", target_bytes=10_000)
+    victim = sorted(glob.glob(os.path.join(out, "tars", "*.tar")))[0]
+    os.remove(victim)
+    rep = verify_tar_shards(out)
+    assert not rep["ok"] and rep["mismatches"]
