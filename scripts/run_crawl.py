@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--export-shards", default=None, metavar="DIR",
                     help="after the run, export the articles table as "
                          "size-bounded training shards under DIR")
+    ap.add_argument("--export-tars", default=None, metavar="DIR",
+                    help="after the run, export the article texts as "
+                         "byte-deterministic WebDataset tar shards")
     ap.add_argument("--shard-bytes", type=int, default=256 * 1024 * 1024,
                     help="target bytes per shard for --export-shards")
     args = ap.parse_args(argv)
@@ -109,6 +112,26 @@ def main(argv: list[str] | None = None) -> int:
             # reportable outcome, not a crash
             summary["export"] = {"dir": args.export_shards,
                                  "skipped": "no articles table"}
+    if args.export_tars:
+        from commoncrawl_spark.tables import (
+            verify_tar_shards,
+            write_tar_shards,
+        )
+
+        if job.articles.exists():
+            manifest = write_tar_shards(
+                job.articles_df(), args.export_tars, key="url",
+                target_bytes=args.shard_bytes)
+            check = verify_tar_shards(args.export_tars)
+            summary["export_tars"] = {
+                "dir": args.export_tars,
+                "n_shards": manifest["n_shards"],
+                "rows": manifest["total_rows"],
+                "verified": check["ok"],
+            }
+        else:
+            summary["export_tars"] = {"dir": args.export_tars,
+                                      "skipped": "no articles table"}
     print(json.dumps(summary))
     return 0
 

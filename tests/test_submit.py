@@ -49,6 +49,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         "--max-rounds", "2",
         "--seed",
         "--export-shards", str(tmp_path / "shards"),
+        "--export-tars", str(tmp_path / "tars"),
         "--shard-bytes", "20000",
     ]
     proc = subprocess.run(
@@ -65,5 +66,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert summary["export"]["verified"] is True
     assert summary["export"]["n_shards"] >= 1
     assert summary["export"]["rows"] == summary["articles_total"]
+    assert summary["export_tars"]["verified"] is True
+    assert summary["export_tars"]["rows"] == summary["articles_total"]
     assert summary["extract_ok"] > 0
     assert summary["articles_total"] == summary["extract_ok"]
