@@ -288,6 +288,35 @@ NORMALIZE_PASSES = [
 ]
 
 
+def nfc_normalize_series(texts):
+    """Unicode NFC on a pandas Series (None-safe) — the engine-neutral
+    core of :func:`nfc_normalize_col`, importable for tests. Matches
+    DuckDB's ``nfc_normalize()`` (both implement Unicode NFC)."""
+    import unicodedata
+
+    return texts.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization (canonical composition: ``e`` +
+    combining acute -> ``é``) — the pass CCNet-style pipelines apply
+    BEFORE tokenization so combining-mark spellings dedupe/tokenize
+    identically to their composed twins. NFC has no Catalyst builtin,
+    so this is the fifth sanctioned Arrow-batched pandas-UDF expression
+    (policy: functions/udfs.py); stdlib ``unicodedata``, vectorized,
+    never per-row Python in the executor loop. Compose it with
+    :func:`normalize_text_col` (NFC first — canonical composition can
+    produce characters the regexp passes then fold)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover - executed on executors
+        return nfc_normalize_series(s)
+
+    return _nfc(text)
+
+
 def char_entropy_col(text: Column) -> Column:
     """Character-level Shannon entropy (bits/char) — the gibberish /
     keyboard-mash / base64-blob detector: natural language sits ~3.5-4.5

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .analytics import tokens_col
@@ -104,14 +104,23 @@ def phrase_search(
     phrase = list(phrase)
     if not phrase:
         raise ValueError("phrase must be non-empty")
-    slots = F.array(*[
-        F.struct(F.lit(t).alias("t"), F.lit(i).alias("i"))
-        for i, t in enumerate(phrase)
-    ])
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
     )
+    return _phrase_match(toks, phrase, id_col)
+
+
+def _phrase_match(
+    toks: DataFrame, phrase: Sequence[str], id_col: str
+) -> DataFrame:
+    """Shared base-offset intersection over a ``(id, pos, token)``
+    stream — the tail of :func:`phrase_search`, also fed by
+    :func:`phrase_search_indexed` from persisted positional postings."""
+    slots = F.array(*[
+        F.struct(F.lit(t).alias("t"), F.lit(i).alias("i"))
+        for i, t in enumerate(phrase)
+    ])
     hits = (
         # isin prefilter BEFORE the slot fan-out: the corpus token
         # stream is multiplied by len(phrase) only for matching tokens,
@@ -167,9 +176,10 @@ def bm25_search(
     (tf already has one row per (doc, term)); N/avgdl ride a 1-row
     broadcast and count EVERY input document — zero-token docs included
     (they shape idf and avgdl in true Okapi BM25). Only (id, token,
-    count) rows shuffle; the final top-k is a single global sort of
-    per-document scores — bounded by the number of documents matching
-    ANY query term, not the corpus. The persisted token frame follows
+    count) rows shuffle; the final top-k is a parallel partial top-k
+    (per-partition k-row heaps, k rows per partition cross the
+    exchange) — never a global sort, never a partition-less window.
+    The persisted token frame follows
     the module convention of lm/tfidf: MEMORY_AND_DISK, LRU-evicted,
     repeated callers own cleanup via ``spark.catalog.clearCache()``."""
     terms = list(dict.fromkeys(terms))
@@ -191,6 +201,23 @@ def bm25_search(
     )
     qt = toks.filter(F.col("token").isin(terms))
     tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    return _bm25_rank(tf, doclen, globals_, k1, b, top_k, id_col)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    doclen: DataFrame,
+    globals_: DataFrame,
+    k1: float,
+    b: float,
+    top_k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``tf`` is ``(id, token, _tf)`` already
+    restricted to the query terms, ``doclen`` is ``(id, _dl)``,
+    ``globals_`` a 1-row ``(_n, _avgdl)`` frame. Fed by both the
+    scan path (:func:`bm25_search`) and the persisted-index path
+    (:func:`bm25_search_indexed`)."""
     # tf has exactly one row per (doc, term): df is a tiny re-aggregate,
     # not a second distinct pass over the corpus token frame
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
@@ -223,10 +250,40 @@ def bm25_search(
                 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # top-k via orderBy().limit(): each task keeps a k-row heap and only
+    # k rows per partition cross the exchange (TakeOrderedAndProject /
+    # LocalLimit-then-GlobalLimit). A partition-less row_number window
+    # here would funnel EVERY matching document through one task —
+    # corpus-scale for a common term. Ranks are then derived WITHOUT a
+    # window at all: the <= top_k survivors fold into one bounded array
+    # (k elements, not corpus rows) and posexplode restores (rank, row),
+    # so no plan in this module ever contains a partition-less Window.
+    return _rank_bounded(
+        folded.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k),
+        id_col,
+    )
+
+
+def _rank_bounded(topk: DataFrame, id_col: str) -> DataFrame:
+    """(id, score) -> (id, score, rank) for an already-LIMIT-bounded
+    frame, ordered by (score desc, id asc), window-free: one global
+    collect_list over <= k rows (bounded by the upstream limit, never
+    by the corpus) + array_sort + posexplode."""
+    row = F.struct(
+        (-F.col("score")).alias("_ns"),
+        F.col(id_col).alias("_id"),
+        F.col("score").alias("_sc"),
+    )
     return (
-        folded.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        topk.select(row.alias("_r"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(F.posexplode("_rs").alias("_pos", "_r"))
+        .select(
+            F.col("_r._id").alias(id_col),
+            F.col("_r._sc").alias("score"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
     )
 
 
@@ -247,3 +304,131 @@ def conjunctive_search(
         c = F.array_contains(toks, t)
         cond = c if cond is None else (cond & c)
     return df.filter(cond).select(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Index-once / search-many: builders whose output is meant to be PERSISTED
+# (parquet/Iceberg, ideally bucketed+sorted on token via
+# ``tables.write_bucketed``) and search functions that consume the persisted
+# tables WITHOUT ever re-reading or re-tokenizing the corpus. At 100 TB you
+# tokenize once; every query after that is a token-pruned scan of slim
+# posting rows — the predicate on ``token`` pushes into the parquet scan,
+# so a 3-term query reads 3 tokens' worth of postings, not the index.
+# ---------------------------------------------------------------------------
+
+
+def build_tf_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term-frequency index ``(token, id, tf)`` — the BM25-ready
+    sibling of :func:`build_postings` (which keeps only membership).
+    One explode + one groupBy; ``max_df`` drops ubiquitous terms at
+    build time with the same rationale as ``build_postings``."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        tf = (
+            tf.join(dfreq.filter(F.col("_df") <= max_df), "token")
+            .drop("_df")
+        )
+    return tf.select("token", id_col, "tf")
+
+
+def build_doclen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-length table ``(id, dl)`` for EVERY input document —
+    zero-token and null-text docs included with ``dl = 0`` (they shape
+    N and avgdl in true Okapi BM25). Pure scan-stage expression, no
+    shuffle: ``dl = size(tokens)`` is the same token count the explode
+    in :func:`build_tf_index` produces, without the explode."""
+    dl = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0)
+    )
+    return df.select(F.col(id_col), dl.alias("dl"))
+
+
+def build_positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings ``(token, id, positions)`` with positions
+    sorted — what :func:`phrase_search_indexed` consumes. One
+    posexplode + one groupBy on (token, id); position lists are the
+    per-(token, doc) occurrence offsets, so total index size equals the
+    token stream, stored grouped."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def bm25_search_indexed(
+    tf_index: DataFrame,
+    doclen: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a PREBUILT index: identical math and results to
+    :func:`bm25_search` (same deterministic token-order fold, same
+    window-free bounded top-k), but the corpus is never touched —
+    ``tf_index`` is :func:`build_tf_index` output and ``doclen`` is
+    :func:`build_doclen` output, read back from storage. The
+    ``token IN (...)`` filter pushes into the index scan, so the query
+    reads only the queried terms' rows plus the slim doclen table."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    dl = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = tf_index.filter(F.col("token").isin(terms)).select(
+        F.col(id_col), F.col("token"), F.col("tf").alias("_tf")
+    )
+    return _bm25_rank(tf, dl, globals_, k1, b, top_k, id_col)
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase retrieval over PREBUILT positional postings
+    (:func:`build_positional_postings` output) — identical results to
+    :func:`phrase_search` without re-tokenizing the corpus. The token
+    filter prunes the postings scan to the phrase's terms BEFORE the
+    positions explode."""
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = (
+        postings.filter(F.col("token").isin(list(set(phrase))))
+        .select(
+            F.col(id_col),
+            F.explode("positions").alias("pos"),
+            F.col("token"),
+        )
+    )
+    return _phrase_match(toks, phrase, id_col)

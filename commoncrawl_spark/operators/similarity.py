@@ -200,34 +200,55 @@ def kmeans_centroids(
 
     Init is the K corpus vectors with smallest ``md5(id)`` — a
     deterministic pseudo-random sample independent of partitioning.
-    Centroid values are floating-point means, so exact bits may vary
-    across partitionings (sum order); assignments are what matters and
-    tests pin quality, not bits. Returns ``(id_col: cell 0..K-1,
-    vec_col)`` — feed straight into ``ivf_topk(centroids=...)``."""
-    from pyspark.sql import Window
 
+    DETERMINISTIC BY CONSTRUCTION (bit-stable across partitionings and
+    engines, so the DuckDB oracle can replay the training): the update
+    quantizes each component to 1e-6 (``round(val * 1e6)`` as a long),
+    sums the INTEGERS — integer addition is associative, so the
+    partition-dependent order float SUM/AVG would leak through is
+    irrelevant — and divides back in double, rounded to the contract's
+    6-decimal grain. Assignment already orders by the 6dp-rounded
+    cosine with cell-id tie-break. The 1e-6 quantization error is far
+    below cluster-geometry scale (quality pinned in tests). Returns
+    ``(id_col: cell 0..K-1, vec_col)`` — feed straight into
+    ``ivf_topk(centroids=...)``."""
     # init selection is sort+limit, NOT a global window: orderBy().limit(k)
     # compiles to TakeOrderedAndProject (partial top-k map-side, only K
     # rows cross the exchange), where a no-partition row_number window
-    # would funnel the whole corpus through one task. The window below
-    # runs over the already-reduced K rows only.
+    # would funnel the whole corpus through one task. Cell ids 0..K-1
+    # come from folding the K survivors into ONE bounded array and
+    # posexploding — no window anywhere (plan-audit invariant).
     topk = (
         vectors.select(id_col, vec_col)
         .withColumn("_o", F.md5(F.col(id_col).cast("string")))
         .orderBy("_o", id_col)
         .limit(k)
     )
-    w = Window.orderBy("_o", F.col(id_col))
     cents = (
-        topk.withColumn("_r", F.row_number().over(w))
-        .select((F.col("_r") - 1).alias(id_col), F.col(vec_col))
+        topk.select(F.struct(
+            F.col("_o"), F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v")).alias("_r"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(F.posexplode("_rs").alias("_pos", "_r"))
+        .select(F.col("_pos").alias(id_col), F.col("_r._v").alias(vec_col))
         .localCheckpoint()
     )
+    sval = F.round(F.col("val").cast("double") * 1000000.0).cast("long")
     for _ in range(n_iters):
         assigned = ivf_assign(vectors, cents, id_col, vec_col)
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cell", "pos").agg(
+                F.sum(sval).alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .select(
+                "cell", "pos",
+                F.round(
+                    F.col("_s").cast("double") / F.col("_c").cast("double")
+                    / 1000000.0, 6).alias("m"),
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
             .select(F.col("cell").alias(id_col),

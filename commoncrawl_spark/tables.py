@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from typing import Any
@@ -213,8 +214,12 @@ def write_shards(
         raise ValueError("no string/binary columns to size shards by")
 
     def row_bytes():
+        # octet_length, not length: length counts CHARACTERS, which
+        # undercounts non-ASCII payload up to 4x — shards must be sized
+        # by real encoded bytes so target_bytes means what it says
         return sum(
-            (F.coalesce(F.length(F.col(c)), F.lit(0)) for c in size_cols),
+            (F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+             for c in size_cols),
             F.lit(0),
         ).cast("long")
 
@@ -296,7 +301,10 @@ def write_tar_shards(
         F.md5(F.col(key).cast("string")).alias("_name"),
         F.col(text_col).cast("string").alias("_text"),
     ).withColumn(
-        "_bytes", F.coalesce(F.length(F.col("_text")), F.lit(0)).cast("long")
+        # octet_length: tar members hold utf-8 BYTES, so the shard-count
+        # estimate and the manifest must count bytes, not characters
+        "_bytes",
+        F.coalesce(F.octet_length(F.col("_text")), F.lit(0)).cast("long"),
     ).persist()
     total = sized.agg(F.sum("_bytes")).first()[0] or 0
     n_shards = max(min_shards, -(-int(total) // int(target_bytes)))
@@ -307,13 +315,21 @@ def write_tar_shards(
     assigned = sized.withColumn("_shard", shard)
 
     def write_partition(rows):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(r["_shard"], []).append(
                 (r["_name"], r["_text"] or ""))
         for sh, members in by_shard.items():
             path = os.path.join(data_dir, f"shard-{sh:05d}.tar")
-            tmp = path + ".tmp"
+            # per-attempt tmp name: a retried/speculative attempt for
+            # the same shard must not interleave bytes into one tmp
+            # file on shared storage; archives are byte-deterministic,
+            # so whichever attempt's os.replace lands last is identical
+            tmp = f"{path}.{attempt}.tmp"
             with tarfile.open(tmp, "w") as tf:
                 for name, text in sorted(members):
                     payload = text.encode("utf-8")
@@ -362,7 +378,12 @@ def verify_tar_shards(out_dir: str) -> dict[str, Any]:
         manifest = json.load(fh)
     actual: dict[str, int] = {}
     for path in glob.glob(os.path.join(out_dir, "tars", "shard-*.tar")):
-        sh = str(int(os.path.basename(path)[6:11]))
+        # regex, not a fixed-width slice: shard ids beyond 99999 format
+        # to more than five digits and a [6:11] slice would misparse
+        m = re.fullmatch(r"shard-(\d+)\.tar", os.path.basename(path))
+        if m is None:
+            continue
+        sh = str(int(m.group(1)))
         with tarfile.open(path) as tf:
             actual[sh] = len(tf.getmembers())
     mism = {}

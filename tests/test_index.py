@@ -130,3 +130,123 @@ def test_bm25_ranking_semantics(spark):
     idf = math.log(1.0 + (n - 3 + 0.5) / (3 + 0.5))
     expect = idf * (1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
     assert scores[2] == round(expect, 6)
+
+
+@pytest.mark.spark
+def test_bm25_plan_has_no_window(spark, corpus):
+    """VERDICT r02 #1: bm25's ranking must never contain a Window node
+    (the old partition-less row_number funneled every matching doc
+    through one task). Top-k is orderBy+limit; ranks come from a
+    bounded array fold."""
+    from commoncrawl_spark.operators.index import bm25_search
+
+    out = bm25_search(corpus, ["spark", "hash"], top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # top-k is a real limit, not a filter on a global rank
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan
+
+
+@pytest.mark.spark
+def test_bm25_rank_values(spark, corpus):
+    from commoncrawl_spark.operators.index import bm25_search
+
+    rows = bm25_search(corpus, ["only"], top_k=5).collect()
+    assert [r["rank"] for r in rows] == [1]
+    assert rows[0]["doc_id"] == 3 and rows[0]["score"] > 0
+
+
+@pytest.mark.spark
+def test_bm25_indexed_matches_scan_path(spark, corpus, tmp_path):
+    from commoncrawl_spark.operators.index import (
+        bm25_search,
+        bm25_search_indexed,
+        build_doclen,
+        build_tf_index,
+    )
+
+    build_tf_index(corpus).write.parquet(str(tmp_path / "tf"))
+    build_doclen(corpus).write.parquet(str(tmp_path / "dl"))
+    tf = spark.read.parquet(str(tmp_path / "tf"))
+    dl = spark.read.parquet(str(tmp_path / "dl"))
+    terms = ["spark", "join", "hash"]
+    a = sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_search_indexed(tf, dl, terms, top_k=4).collect())
+    b = sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_search(corpus, terms, top_k=4).collect())
+    assert a == b and len(a) == 4
+
+
+@pytest.mark.spark
+def test_bm25_indexed_plan_reads_index_not_corpus(spark, corpus, tmp_path):
+    """Index-once/search-many: the search plan consumes ONLY the
+    persisted index tables — no corpus scan, no re-tokenization, and
+    the token predicate pushes into the index's parquet scan."""
+    from commoncrawl_spark.operators.index import (
+        bm25_search_indexed,
+        build_doclen,
+        build_tf_index,
+    )
+
+    build_tf_index(corpus).write.parquet(str(tmp_path / "tf"))
+    build_doclen(corpus).write.parquet(str(tmp_path / "dl"))
+    tf = spark.read.parquet(str(tmp_path / "tf"))
+    dl = spark.read.parquet(str(tmp_path / "dl"))
+    out = bm25_search_indexed(tf, dl, ["spark", "join"], top_k=3)
+    out.collect()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus frame is a LocalTableScan in this test; the index is
+    # parquet — a search that re-derived postings would show the former
+    assert "LocalTableScan" not in plan
+    # no tokenization in the query path (the regexp splitter lives in
+    # the build, which already ran)
+    assert "split" not in plan.lower()
+    # token IN (...) reaches the parquet scan as a pushed filter
+    assert "PushedFilters: [In(token" in plan.replace("\n", " ")
+    assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_phrase_indexed_matches_scan_path(spark, tmp_path):
+    from commoncrawl_spark.operators.index import (
+        build_positional_postings,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "slow hash batch now"), (2, "slow hash slow hash batch"),
+         (3, "hash batch slow"), (4, "slow hash batch slow hash batch")],
+        "doc_id long, text string")
+    build_positional_postings(df).write.parquet(str(tmp_path / "pos"))
+    pos = spark.read.parquet(str(tmp_path / "pos"))
+    phrase = ["slow", "hash", "batch"]
+    a = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search_indexed(pos, phrase).collect())
+    b = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search(df, phrase).collect())
+    assert a == b == [(1, 1), (2, 1), (4, 2)]
+
+
+@pytest.mark.spark
+def test_build_doclen_counts_zero_token_docs(spark):
+    from commoncrawl_spark.operators.index import build_doclen
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["dl"] for r in build_doclen(df).collect()}
+    assert rows == {1: 2, 2: 0, 3: 0}
+
+
+@pytest.mark.spark
+def test_build_tf_index_max_df(spark, corpus):
+    from commoncrawl_spark.operators.index import build_tf_index
+
+    toks = {r["token"] for r in build_tf_index(corpus, max_df=2).collect()}
+    assert "spark" not in toks and "hash" not in toks  # df=3 each
+    assert "only" in toks

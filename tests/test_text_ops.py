@@ -642,3 +642,47 @@ def test_line_language_mix_semantics(spark):
     assert (got[3]["k"], got[3]["dom"], got[3]["mx"]) == (0, "und", False)
     assert got[4]["nl"] == 0 and got[4]["dom"] is None and got[4]["mx"] is None
     assert (got[5]["dom"], got[5]["mx"]) == ("en", True)  # tie -> en
+
+
+@pytest.mark.spark
+def test_kmeans_centroids_deterministic_across_partitionings(spark, sf_dir):
+    """r03: training is deterministic BY CONSTRUCTION (quantized
+    integer-sum means, rounded-cosine assignment) — identical centroid
+    values regardless of input partitioning, which is what lets the
+    DuckDB oracle replay the training."""
+    from commoncrawl_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def train(df):
+        return sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in kmeans_centroids(df, k=8, n_iters=2).collect())
+
+    a = train(emb.repartition(3))
+    b = train(emb.repartition(13))
+    assert a == b
+
+
+@pytest.mark.spark
+def test_nfc_normalize_col(spark):
+    """Combining marks compose, singletons map (ANGSTROM SIGN -> A-ring,
+    OHM SIGN -> Omega), composed text is a fixpoint, None passes
+    through. Parity with DuckDB's nfc_normalize is exercised by the
+    nfc_normalize contract query."""
+    import unicodedata
+
+    from commoncrawl_spark.functions.text import nfc_normalize_col
+
+    decomposed = "éclair å Å Ω"
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert composed == "éclair å Å Ω"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None), (4, "plain ascii")],
+        "i long, t string")
+    rows = {r["i"]: r["n"] for r in df.select(
+        "i", nfc_normalize_col(F.col("t")).alias("n")).collect()}
+    assert rows[1] == composed
+    assert rows[2] == composed  # already-NFC input is a fixpoint
+    assert rows[3] is None
+    assert rows[4] == "plain ascii"
