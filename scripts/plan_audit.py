@@ -29,8 +29,41 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "SCALE.md")
 
 
-def plan_of(df, mode: str = "simple") -> str:
-    return plan_string(df, mode)
+_AUDITED: list[tuple[str, str]] = []  # (label, plan) for the final sweep
+
+
+def plan_of(df, mode: str = "simple", label: str = "") -> str:
+    p = plan_string(df, mode)
+    _AUDITED.append((label or f"plan-{len(_AUDITED) + 1}", p))
+    return p
+
+
+def _window_partition_groups(line: str) -> int:
+    """Top-level [...] groups on a simple-mode Window line: 2 means
+    [functions], [order] — NO partition spec; 3 means partitioned."""
+    s = line[line.index("Window ") + len("Window "):]
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """Window operator lines with no partitionBy — the class of
+    scale-killer VERDICT r02 found in bm25_search: every input row
+    funnels through ONE task for the sort. Expect none anywhere."""
+    bad = []
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow \[", ln) and \
+                _window_partition_groups(ln) < 3:
+            bad.append(ln.strip()[:110])
+    return bad
 
 
 def grab(plan: str, *patterns: str, context: int = 0) -> list[str]:
@@ -439,7 +472,44 @@ def main() -> None:
          f"(expect False)",
          f"HashAggregate w/ distinct keys over tokens: "
          f"{'distinct' in p.lower()} (expect False — no corpus-stream "
-         f"distinct)"],
+         f"distinct)",
+         f"Window nodes: {p.count('Window [')} (expect 0 — top-k is "
+         f"orderBy+limit, ranks from a bounded array fold; the r02 "
+         f"partition-less row_number is gone)",
+         f"TakeOrderedAndProject present: "
+         f"{'TakeOrderedAndProject' in p} (expect True)"],
+    ))
+
+    # BM25 over the persisted index: no corpus re-scan per query
+    from commoncrawl_spark.operators.index import (
+        bm25_search_indexed,
+        build_doclen,
+        build_tf_index,
+    )
+
+    idx_dir = tempfile.mkdtemp()
+    build_tf_index(docs).write.parquet(f"{idx_dir}/tf")
+    build_doclen(docs).write.parquet(f"{idx_dir}/dl")
+    pi = bm25_search_indexed(
+        spark.read.parquet(f"{idx_dir}/tf"),
+        spark.read.parquet(f"{idx_dir}/dl"),
+        ["join", "hash", "scan"], top_k=10)
+    pi.collect()
+    p = plan_of(pi)
+    pf = plan_of(pi, "formatted")
+    sections.append((
+        "BM25 over the persisted index: token-pruned scan, no re-tokenize",
+        "Index-once/search-many: the query plan consumes only the "
+        "prebuilt (token, doc, tf) + doclen parquet tables — the token "
+        "IN predicate pushes into the index scan, so a 3-term query "
+        "reads 3 tokens' postings, never the corpus, and no tokenizer "
+        "runs at query time.",
+        [f"token IN (...) pushed to parquet: "
+         f"{'In(token' in pf} (expect True)",
+         f"tokenizer in the query plan: "
+         f"{'split' in p.lower()} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window nodes: {p.count('Window [')} (expect 0)"],
     ))
 
     # quality buckets: one window exchange on the group key
@@ -507,6 +577,26 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)",
          f"whole-stage-codegen span ('*(1)' marker) present: "
          f"{'*(1)' in p} (expect True)"],
+    ))
+
+    # partition-less Window sweep over EVERY plan rendered above —
+    # the r02 bm25 scale-killer class, asserted globally so no future
+    # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
+    offenders: list[str] = []
+    for label, plan in _AUDITED:
+        for ln in partitionless_windows(plan):
+            offenders.append(f"{label}: {ln}")
+    sections.append((
+        "Partition-less Window sweep (every audited plan)",
+        "A Window with no partitionBy funnels its ENTIRE input through "
+        "one task for the sort — corpus-scale for a common key (the "
+        "class VERDICT r02 caught in bm25_search). Every plan rendered "
+        "for this report is parsed for Window operators whose spec has "
+        "no partition expressions; bounded rank derivations use "
+        "orderBy+limit plus an array fold instead.",
+        [f"plans audited: {len(_AUDITED)}",
+         f"partition-less Window operators found: {len(offenders)} "
+         f"(expect 0)"] + offenders,
     ))
 
     with open(OUT, "w") as fh:
