@@ -174,16 +174,18 @@ def tfidf_top_terms(
     Scale shape: the (doc, token) tf aggregate and the token df
     aggregate are both map-side-partial; N rides a 1-row broadcast; the
     final top-k is one window over the doc key. Tokens, never text,
-    cross every exchange. The exploded token frame is persisted
-    (tf + df both read it; MEMORY_AND_DISK, LRU-evicted) — repeated
-    callers own cleanup via ``spark.catalog.clearCache()``, same
-    contract as text_dedup's cached intermediates."""
+    cross every exchange. Document frequency derives FROM the tf table
+    (tf has exactly one row per (doc, token), so counting tf rows per
+    token IS the distinct-doc count) — fully stateless: no persist, no
+    caller-owned cleanup (the r02 footgun), no distinct pass over the
+    corpus token stream. The df branch re-evaluates the tf subtree
+    (one extra scan-stage tokenize pass) — preferred at 100 TB over
+    caching a corpus-token-scale frame into LRU churn."""
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
-    ).persist()
+    )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (toks.select(id_col, "token").distinct()
-             .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
         tf.join(dfreq, "token")

@@ -171,36 +171,34 @@ def bm25_search(
     accumulation order is identical in any engine — a plain SUM leaves
     the order to the aggregator. Ranks tie-break on the id.
 
-    Scale shape: one persisted (id, token) explode feeds document
-    lengths and query-term tf; df per term falls out of tf for free
-    (tf already has one row per (doc, term)); N/avgdl ride a 1-row
-    broadcast and count EVERY input document — zero-token docs included
-    (they shape idf and avgdl in true Okapi BM25). Only (id, token,
-    count) rows shuffle; the final top-k is a parallel partial top-k
-    (per-partition k-row heaps, k rows per partition cross the
-    exchange) — never a global sort, never a partition-less window.
-    The persisted token frame follows
-    the module convention of lm/tfidf: MEMORY_AND_DISK, LRU-evicted,
-    repeated callers own cleanup via ``spark.catalog.clearCache()``."""
+    Scale shape: document length is a SCAN-STAGE expression —
+    ``size(tokens)`` per row, no explode, no shuffle, nulls/empties
+    count as 0 so every document shapes N and avgdl (true corpus-size
+    Okapi BM25). Query-term tf is the only explode, filtered to the
+    query terms BEFORE its shuffle; df per term falls out of tf for
+    free (tf already has one row per (doc, term)). Nothing is persisted
+    or checkpointed — the corpus token stream is never materialized,
+    so the operator is stateless (no cache lifecycle, r03). The final
+    top-k is a parallel partial top-k (per-partition k-row heaps, k
+    rows per partition cross the exchange) — never a global sort,
+    never a partition-less window."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
-    ).persist()
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    # left join back to ALL ids: empty/null-text docs have dl = 0 and
-    # must still count toward N and avgdl (true corpus-size BM25)
-    doclen_full = (
-        df.select(id_col).join(doclen, id_col, "left")
-        .select(F.coalesce(F.col("_dl"), F.lit(0)).alias("_dl"))
-    )
-    globals_ = doclen_full.agg(
+    dl = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0))
+    doclen = df.select(F.col(id_col), dl.alias("_dl"))
+    globals_ = doclen.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
     )
-    qt = toks.filter(F.col("token").isin(terms))
-    tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    )
     return _bm25_rank(tf, doclen, globals_, k1, b, top_k, id_col)
 
 

@@ -27,12 +27,17 @@ Determinism: scores are rounded to 6 decimals (the cross-engine compare
 precision); the summation is a float add over per-token logs whose
 error is ~1e-13 relative, far below the rounding grain.
 
-Caching note: self-trained scoring persists the exploded token/pair
-frame (MEMORY_AND_DISK, LRU-evicted) because the train and score
-branches would otherwise tokenize the corpus twice. As with
-text_dedup's cached intermediates, a long-running session invoking
-these repeatedly owns cleanup (``spark.catalog.clearCache()``) — the
-library cannot unpersist before the caller's terminal action.
+Caching note (r03): NOTHING here persists or checkpoints — the
+operators are stateless, with no cache lifecycle and no
+``clearCache()`` contract for long-running sessions (the r02 footgun).
+Both scorers aggregate into a per-document term-frequency table;
+self-training derives the corpus counts FROM that table (sum of
+per-doc counts), and scoring reconstructs the occurrence stream from
+it (``array_repeat`` by the per-doc count). Train + score still means
+the tf subtree evaluates twice (Spark plans DataFrame reuse as two
+subtrees) — a deliberate trade: two scan-stage tokenize passes, which
+parallelize perfectly, instead of caching a corpus-token-scale frame
+into LRU churn at 100 TB.
 """
 
 from __future__ import annotations
@@ -75,30 +80,44 @@ def unigram_logprob_scores(
     only the in-vocabulary tokens would rank gibberish HIGH; pick
     alpha > 0 to score such documents finitely instead.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    # one tokenization pass: per-doc term frequencies are the shared
+    # intermediate — corpus counts derive FROM them (sum), and the
+    # occurrence stream for the per-doc mean reconstructs via
+    # array_repeat, so no second explode and no persist (module note)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tfd"))
     )
     if counts is None:
-        # self-trained: derive counts from the SAME exploded frame and
-        # persist it — one tokenization pass instead of two
-        toks = toks.persist()
-        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        counts = tf.groupBy("token").agg(F.sum("_tfd").alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("_total"),
         F.count(F.lit(1)).alias("_vocab"),
     )
     p_num = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)
     p_den = F.col("_total").cast("double") + F.lit(alpha) * F.col("_vocab")
-    agg_cols = [
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(F.log(p_num / p_den)), 6).alias("_avg"),
-        F.sum(F.col("cnt").isNull().cast("long")).alias("_n_oov"),
-    ]
-    scored = (
-        toks.join(counts, "token", "left")
+    occ = (
+        tf.join(counts, "token", "left")
         .crossJoin(F.broadcast(totals))
-        .groupBy(id_col)
-        .agg(*agg_cols)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_repeat(
+                F.struct(
+                    F.log(p_num / p_den).alias("_lp"),
+                    F.col("cnt").isNull().alias("_oov"),
+                ),
+                F.col("_tfd").cast("int"))).alias("_o"),
+        )
+    )
+    scored = (
+        occ.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_o._lp"), 6).alias("_avg"),
+            F.sum(F.col("_o._oov").cast("long")).alias("_n_oov"),
+        )
         .withColumn(
             "avg_logprob",
             F.when((F.lit(float(alpha)) == 0.0) & (F.col("_n_oov") > 0),
@@ -170,27 +189,38 @@ def bigram_logprob_scores(
     bigram scores NULL (there is no smoothing on this path, and
     averaging only the in-table pairs would rank unseen text high);
     n_bigrams always counts the document's actual pairs."""
-    bg = (
+    # same single-pass shape as the unigram scorer: per-doc pair
+    # frequencies are the shared intermediate (train = sum over them,
+    # score = array_repeat reconstruction) — no persist (module note)
+    tfb = (
         df.select(F.col(id_col),
                   F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
         .select(id_col, "bg.w1", "bg.w2")
+        .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
     )
     if counts is None:
-        # self-trained: derive counts from the SAME exploded frame and
-        # persist it — one tokenization pass instead of two (the
-        # explode+md5-free pair stream is slim: 2 tokens + an id per row)
-        bg = bg.persist()
-        counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+        counts = tfb.groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
-    scored = (
-        bg.join(counts, ["w1", "w2"], "left")
+    occ = (
+        tfb.join(counts, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
-        .groupBy(id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_repeat(
+                F.struct(
+                    lp.alias("_lp"),
+                    F.col("cnt").isNull().alias("_oov"),
+                ),
+                F.col("_tfd").cast("int"))).alias("_o"),
+        )
+    )
+    scored = (
+        occ.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(lp), 6).alias("_avg"),
-            F.sum(F.col("cnt").isNull().cast("long")).alias("_n_oov"),
+            F.round(F.avg("_o._lp"), 6).alias("_avg"),
+            F.sum(F.col("_o._oov").cast("long")).alias("_n_oov"),
         )
         .withColumn(
             "avg_logprob",

@@ -17,13 +17,18 @@ Scale shapes:
   random hyperplanes for the same reason (see similarity.py for the
   ANN variant).
 
-Caching note: the self-joining operators persist their slim intermediate
-(signatures / shingles / buckets) because both join branches would
-otherwise recompute the md5 folds. The cache is MEMORY_AND_DISK with LRU
-eviction; a long-running session invoking these repeatedly owns cleanup
-(``spark.catalog.clearCache()``, or ``unpersist()`` through the returned
-plan's cached ancestor) — the library cannot unpersist before the caller
-has run its terminal action on the lazily returned frame.
+Caching note (r03 — the library now OWNS the lifecycle): the
+self-joining operators cache their slim intermediate (signatures /
+shingles / buckets) because both join branches would otherwise recompute
+the md5 folds. By default (``materialize=True``) each such operator
+eagerly materializes its SLIM output via ``localCheckpoint`` and
+unpersists the fat intermediate before returning — after the call, the
+only executor storage is the bounded checkpointed result, which Spark's
+ContextCleaner frees when the frame is garbage-collected. No
+``clearCache()`` contract for callers; a long-running ``CrawlJob`` can
+invoke these in a loop without accumulating blocks. Pass
+``materialize=False`` to get the fully lazy plan (persist + caller-owned
+cleanup) — used by plan tests/audits, which need the un-truncated plan.
 """
 
 from __future__ import annotations
@@ -140,22 +145,33 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from LSH bucket collisions — the
-    self-join runs on (band, bucket), so only genuine collisions meet."""
-    # persisted for the same reason as simhash_near_duplicates: a broadcast
+    self-join runs on (band, bucket), so only genuine collisions meet.
+
+    Lifecycle (module docstring): with ``materialize`` the slim pair set
+    is checkpointed eagerly and the cached bucket frame is unpersisted
+    before returning — no storage outlives the call beyond the bounded
+    result."""
+    # cached for the same reason as simhash_near_duplicates: a broadcast
     # self-join recomputes the minhash fold (md5 per shingle x num_hashes)
     # on both branches; the cached frame is (id, band, 32-char bucket).
     bk = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands,
                              shingle_n).persist()
     a = bk.select(F.col(id_col).alias("a"), "band", "bucket")
     b = bk.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    if not materialize:
+        return pairs
+    out = pairs.localCheckpoint(eager=True)
+    bk.unpersist()
+    return out
 
 
 def drop_near_duplicates(
@@ -166,6 +182,7 @@ def drop_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup — what a pipeline user actually
     calls: LSH candidate pairs -> exact Jaccard verification -> drop the
@@ -184,10 +201,12 @@ def drop_near_duplicates(
     anti-join key is the slim id column.
     """
     pairs = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        materialize=materialize,
     )
     confirmed = jaccard_pairs(
-        df, pairs, text_col, id_col, shingle_n, threshold=threshold
+        df, pairs, text_col, id_col, shingle_n, threshold=threshold,
+        materialize=materialize,
     )
     losers = confirmed.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -204,16 +223,31 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over distinct
     shingle sets. Feed LSH candidates here to confirm near-dups; never run
-    it all-pairs at scale."""
-    # persisted: joined twice (a-side and b-side); without the cache the
+    it all-pairs at scale.
+
+    Scale shape (r03): documents are semi-joined to the candidate ids
+    FIRST, so shingling touches only pair members — never the full
+    corpus; the shingle frame is therefore bounded by the candidate set.
+    With ``materialize`` the scored pairs checkpoint eagerly and the
+    shingle cache is released before returning (module docstring)."""
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    # cached: joined twice (a-side and b-side); without the cache the
     # shingle arrays are tokenized twice. Spills to disk if the shingle
     # sets outgrow memory — and this op is candidates-only by contract.
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    sh = (
+        df.join(ids, id_col, "semi")
+        .select(F.col(id_col),
+                shingles_col(F.col(text_col), shingle_n).alias("sh"))
+        .persist()
+    )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -227,7 +261,12 @@ def jaccard_pairs(
         )
         .select("a", "b", "jaccard")
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    j = j.filter(F.col("jaccard") >= threshold)
+    if not materialize:
+        return j
+    out = j.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -273,14 +312,18 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     blocks: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by the
     pigeonhole block trick: split the signature into ``blocks`` chunks; any
     pair within distance max_hamming < blocks agrees exactly on >=1 chunk,
-    so the self-join key is (block_idx, chunk_value) — never all-pairs."""
+    so the self-join key is (block_idx, chunk_value) — never all-pairs.
+
+    With ``materialize`` the pair set checkpoints eagerly and the
+    signature cache is released before returning (module docstring)."""
     assert max_hamming < blocks
     width = bits // blocks
-    # persisted: the pigeonhole self-join otherwise recomputes the
+    # cached: the pigeonhole self-join otherwise recomputes the
     # md5-per-token signature fold on BOTH join branches (no exchange to
     # reuse under a broadcast join — measured 2x the query's CPU). The
     # cached frame is just (id, int64) — 16 bytes/row, MEMORY_AND_DISK.
@@ -305,13 +348,18 @@ def simhash_near_duplicates(
         F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "block", "chunk"
     )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    return (
+    out = (
         a.join(b, ["block", "chunk"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.bit_count(xor).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not materialize:
+        return out
+    cp = out.localCheckpoint(eager=True)
+    sims.unpersist()
+    return cp
 
 
 def ngram_contamination(

@@ -424,14 +424,24 @@ def main() -> None:
 
     p = plan_of(tfidf_top_terms(docs, k=3))
     sections.append((
-        "tf-idf top terms: token-pair shuffles, one final window",
-        "tf and df aggregate map-side-partially over one persisted "
-        "(doc, token) explode; the document count rides a 1-row "
-        "broadcast; only the final top-k windows over the doc key.",
+        "tf-idf top terms: stateless, df FROM tf, no corpus cache",
+        "Document frequency derives from the tf table (one row per "
+        "(doc, token) — counting tf rows per token IS the distinct-doc "
+        "count), so the plan is fully stateless: no persisted token "
+        "frame for callers to clearCache (the r02 footgun). The trade "
+        "is a second scan+tokenize pass for the df branch — scan-stage "
+        "CPU that parallelizes perfectly, preferred at 100 TB over "
+        "caching a corpus-token-scale frame into LRU churn. N rides a "
+        "1-row broadcast; only the final top-k windows over the doc "
+        "key.",
         [f"CartesianProduct present: {'CartesianProduct' in p} "
          f"(expect False)",
          f"Python operators: {p.count('EvalPython')} (expect 0)",
-         f"Window nodes: {p.count('Window [')} (expect 1: the top-k)"],
+         f"Window nodes: {p.count('Window [')} (expect 1: the top-k)",
+         f"InMemoryTableScan (persisted frame) present: "
+         f"{'InMemoryTableScan' in p} (expect False — stateless)",
+         f"tokenize passes: {p.count('Generate explode')} (expect 2: "
+         f"tf + df branches — documented stateless trade-off)"],
     ))
 
     # inverted index: token-pruned conjunctive retrieval

@@ -167,7 +167,11 @@ def test_near_dedup_pipeline_never_cross_joins(spark, docs):
     at corpus scale."""
     from commoncrawl_spark.operators.text_dedup import drop_near_duplicates
 
-    plan = plan_of(drop_near_duplicates(docs.select("doc_id", "text")),
+    # materialize=False: the default eagerly checkpoints the slim pair
+    # stages, which truncates the plan to RDD scans — the lazy variant
+    # exposes the joins this test pins
+    plan = plan_of(drop_near_duplicates(docs.select("doc_id", "text"),
+                                        materialize=False),
                    mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

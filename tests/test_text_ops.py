@@ -686,3 +686,42 @@ def test_nfc_normalize_col(spark):
     assert rows[2] == composed  # already-NFC input is a fixpoint
     assert rows[3] is None
     assert rows[4] == "plain ascii"
+
+
+@pytest.mark.spark
+def test_near_dedup_tfidf_own_cache_lifecycle(spark):
+    """VERDICT r02 #7: no caller-owned clearCache contract. tfidf holds
+    NO storage at all (df derives from tf; single token pass); the
+    near-dedup composition eagerly checkpoints only its slim pair
+    stages and unpersists the fat intermediates before returning — and
+    checkpoint blocks drain via ContextCleaner once the result is
+    garbage-collected, unlike a leaked persist() which the CacheManager
+    pins forever."""
+    import gc
+    import time
+
+    from commoncrawl_spark.operators.analytics import tfidf_top_terms
+    from commoncrawl_spark.operators.text_dedup import drop_near_duplicates
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored():
+        return len(jsc.getRDDStorageInfo())
+
+    base = n_stored()
+    rows = [(i, f"common shared prefix text number {i % 7} tail {i}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = drop_near_duplicates(docs)
+    out.count()
+    out2 = tfidf_top_terms(docs, k=2)
+    out2.count()
+    # nothing persist()ed may remain; the slim checkpoints drain on GC
+    del out, out2
+    deadline = time.time() + 30
+    while time.time() < deadline and n_stored() > base:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_stored() <= base
