@@ -795,6 +795,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           gap_seconds=21600)
     q["sessionization"] = sessionization
 
+    def stream_sessionize(spark, sf):
+        """The STREAMING stateful twin as a real stream — the driver row
+        for the Structured Streaming surface (batch parity is also
+        pytest-pinned): events split into two event-time-ordered
+        micro-batch files, fed through readStream + maxFilesPerTrigger=1
+        + applyInPandasWithState (per-key (ordinal, last_ts) state
+        crossing the batch boundary via the state store) + availableNow
+        + a memory sink. Session ids equal the batch operator's, so the
+        batch SQL is the oracle."""
+        import os
+        import tempfile
+        import uuid
+
+        from commoncrawl_spark.streaming.stateful import (
+            streaming_sessionize,
+        )
+
+        # parquet ts is TIMESTAMP_NTZ: micros via timestamp_diff from the
+        # naive epoch — timezone-free, exactly DuckDB's epoch_us(ts)
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ev = _read(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("key"),
+            F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
+            .alias("ts_micros"),
+        )
+        d = tempfile.mkdtemp(prefix="ccs_stream_sess_")
+        src = os.path.join(d, "src")
+        lo, hi = ev.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+        mid = (int(lo) + int(hi)) // 2
+        # batch 0 = first half of event time, batch 1 = second half:
+        # per key, everything in batch 0 precedes batch 1 — the ordered
+        # arrival the state contract requires. Explicit mtimes pin the
+        # file-source processing order (it sorts by modification time).
+        for i, part in enumerate([
+            ev.filter(F.col("ts_micros") <= mid),
+            ev.filter(F.col("ts_micros") > mid),
+        ]):
+            bdir = os.path.join(src, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema("key string, ts_micros long")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        out = streaming_sessionize(stream, gap_seconds=21600)
+        name = f"ccs_sessions_{uuid.uuid4().hex[:8]}"
+        (out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(300))
+        return spark.table(name).select("key", "ts_micros", "session_id")
+    q["stream_sessionize"] = stream_sessionize
+
     def capture_diff(spark, sf):
         """Incremental-recrawl planning: diff the capture log between two
         cutoffs — per URL compare latest-as-of(T_old) vs latest-as-of(
@@ -1922,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize",
         "bm25_indexed",
         "phrase_indexed",
+        "stream_sessionize",
         "ann_ivf_kmeans_topk",  # r03: oracle added (was rows-only)
         # round-2 surface, locally green but never driver-attested
         "bm25_topk",
@@ -2093,6 +2152,36 @@ def oracle_sql() -> dict[str, str]:
     # sessionization: identical lag + running-sum composition; epoch_us on
     # both sides so a fractional-second gap straddling the 6h threshold
     # cuts the same way (Spark unix_micros == DuckDB epoch_us)
+    # stream_sessionize: the streaming twin reproduces the BATCH
+    # assignment exactly (state crosses micro-batches), so the oracle is
+    # the batch lag+running-sum sessionization over the same projection
+    o["stream_sessionize"] = """
+        WITH ev AS (
+          SELECT CAST(user_id AS VARCHAR) AS key,
+                 epoch_us(ts) AS ts_micros
+          FROM events),
+        lagged AS (
+          SELECT key, ts_micros,
+                 lag(ts_micros) OVER (PARTITION BY key ORDER BY ts_micros)
+                   AS prev_ts
+          FROM ev),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN prev_ts IS NULL
+                        OR ts_micros - prev_ts > 21600000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM lagged),
+        numbered AS (
+          SELECT *,
+                 SUM(is_new) OVER (PARTITION BY key ORDER BY ts_micros
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS ord
+          FROM flagged)
+        SELECT key, ts_micros,
+               key || '#' || CAST(ord AS VARCHAR) AS session_id
+        FROM numbered
+    """
+
     o["sessionization"] = """
         WITH lagged AS (
           SELECT event_id, user_id, ts,
