@@ -1840,7 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         3, French on % 5 — code-switched pages both ways): line count,
         distinct languages, dominant language, mixed flag. The CCNet
         drop rule for code-switched documents."""
-        from commoncrawl_spark.functions.text import line_language_mix
+        from commoncrawl_spark.functions.text import language_mix_stats
 
         d = _read(spark, sf, "documents")
         l_en = F.lit("the and of to in that")
@@ -1850,14 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit("le la les et de des")).otherwise(
                         F.lit("plain tail line"))
         mtext = F.concat_ws("\n", F.col("text"), l_en, l2, l3)
-        m = line_language_mix(mtext)
-        return d.select(
-            "doc_id",
-            m["n_lines"].alias("n_lines"),
-            m["n_langs"].alias("n_langs"),
-            m["dominant_lang"].alias("dominant_lang"),
-            m["mixed"].alias("mixed"),
-        )
+        return language_mix_stats(d, mtext, keep_cols=["doc_id"])
     q["language_mix"] = language_mix
 
     # ---- dataset-card report ----

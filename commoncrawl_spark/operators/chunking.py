@@ -52,7 +52,12 @@ def chunk_documents(
         raise ValueError(
             f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
             "leave words uncovered")
-    words = _words_col(F.col(text_col))
+    # the word split is bound to a real column so the window lambda
+    # reads an attribute — an expression referenced inside a
+    # higher-order-function lambda is re-evaluated per element (codegen
+    # does not hoist it), which here would re-split the document once
+    # per window (measured 4x slower at 64-token windows)
+    words = F.col("_words")
     n = F.size(words)
     n_windows = (
         F.lit(1)
@@ -67,7 +72,8 @@ def chunk_documents(
         ),
     ).otherwise(F.array().cast("array<array<string>>"))
     out = (
-        df.select(F.col(id_col), chunks.alias("_chunks"))
+        df.select(F.col(id_col), _words_col(F.col(text_col)).alias("_words"))
+        .select(id_col, chunks.alias("_chunks"))
         .select(id_col, F.posexplode("_chunks").alias("chunk_id", "_w"))
         .select(
             id_col,

@@ -140,17 +140,24 @@ def unigram_logprob_scores(
 
 def _bigrams_col(text):
     """array<struct<w1,w2>> of consecutive token pairs (empty under two
-    tokens). Per-row array expression — no shuffle."""
+    tokens). Per-row array expression — no shuffle.
+
+    Shape note: zip_with over the array and its shifted self, NOT
+    ``transform(sequence(1, n-1), i -> element_at(toks, i))`` — a
+    non-lambda-bound subexpression inside a higher-order-function lambda
+    is re-evaluated PER ELEMENT (codegen does not hoist it), so the
+    element_at form re-runs the regex tokenizer n times per row =
+    O(n^2) per document (measured 28x slower at ~700 tokens/doc). The
+    two slices evaluate the tokenizer a constant number of times."""
     toks = tokens_col(text)
     n = F.size(toks)
+    k = F.greatest(n - 1, F.lit(0))
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, k),
+            F.slice(toks, 2, k),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 

@@ -41,16 +41,28 @@ from ..operators.analytics import tokens_col
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, sorted (deterministic)."""
+    """Distinct word n-gram shingles, sorted (deterministic).
+
+    Shape note: ``arrays_zip`` over ``n`` shifted slices, NOT
+    ``transform(sequence(1, k), i -> slice(toks, i, n))`` — a
+    non-lambda-bound subexpression inside a higher-order-function lambda
+    is re-evaluated PER ELEMENT (codegen does not hoist it), so the
+    slice form re-runs the regex tokenizer once per shingle = O(n^2)
+    per document (measured 20x slower at ~700 tokens/doc). The zipped
+    slices evaluate the tokenizer ``n``+1 times total; the lambda
+    touches only its bound struct."""
     toks = tokens_col(text)
     k = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.greatest(k, F.lit(0))).alias(f"w{i}")
+          for i in range(n)])
     grams = F.when(
         k > 0,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]),
         ),
-    ).otherwise(F.array())
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -447,7 +459,12 @@ def dedup_segments(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    words = F.split(F.col(text_col), " ")
+    # the split is bound to a real column so the window lambda below
+    # reads an attribute — an expression referenced inside a
+    # higher-order-function lambda is re-evaluated per element (the
+    # shingles_col shape note), which here would re-split the document
+    # once per segment
+    words = F.col("_words")
     n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     segments = F.when(
         n_seg > 0,
@@ -459,7 +476,9 @@ def dedup_segments(
     ).otherwise(F.array().cast("array<string>"))
 
     seg = (
-        df.select(F.col(id_col), segments.alias("_segs"))
+        df.select(F.col(id_col),
+                  F.split(F.col(text_col), " ").alias("_words"))
+        .select(id_col, segments.alias("_segs"))
         .select(id_col, F.posexplode("_segs").alias("pos", "segment"))
         .withColumn("_fp", F.md5(F.col("segment")))
     )
@@ -488,6 +507,9 @@ def dedup_segments(
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_words"),
+    ).select(
         F.col(id_col),
         F.when(n_seg > 0, n_seg).otherwise(F.lit(0)).alias("n_segments"))
     return (
