@@ -1407,6 +1407,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("n_chars", F.length("norm"))
     q["nfc_normalize"] = nfc_normalize_q
 
+    # ---- within-document line dedup ----
+
+    def line_dedup(spark, sf):
+        """Within-document repeated-line trim (RefinedWeb-style
+        boilerplate removal): each document gets deterministic repeated
+        lines (its own text twice more + a unique tail), the operator
+        keeps first occurrences in order — pure per-row array
+        expressions, zero shuffle."""
+        from commoncrawl_spark.operators.text_dedup import (
+            dedup_lines_within_doc,
+        )
+
+        d = _read(spark, sf, "documents")
+        mtext = F.concat_ws(
+            "\n", F.col("text"), F.col("text"),
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+            F.col("text"))
+        return dedup_lines_within_doc(
+            d.select("doc_id", mtext.alias("text")))
+    q["line_dedup"] = line_dedup
+
+    # ---- incremental near-dedup against a persisted signature index ----
+
+    def near_dedup_incremental(spark, sf):
+        """Dedup a NEW crawl segment against the persisted minhash
+        signature index of history — history text is never touched
+        (signature-estimated Jaccard >= 0.5 is the verification).
+        History = doc_id % 3 != 0; the segment = the % 3 == 0 docs plus
+        exact re-posts of some history docs under fresh ids. The index
+        round-trips through parquet, like a real between-crawls
+        snapshot."""
+        import tempfile
+
+        from commoncrawl_spark.operators.text_dedup import (
+            build_minhash_index,
+            near_duplicates_against_index,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        hist = d.filter(F.col("doc_id") % 3 != 0)
+        new = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+            hist.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        idx_dir = tempfile.mkdtemp(prefix="ccs_mh_idx_")
+        build_minhash_index(hist).write.mode("overwrite").parquet(idx_dir)
+        return near_duplicates_against_index(
+            new, spark.read.parquet(idx_dir), threshold=0.5)
+    q["near_dedup_incremental"] = near_dedup_incremental
+
+    # ---- incremental index maintenance ----
+
+    def bm25_merged(spark, sf):
+        """BM25 over an INCREMENTALLY MERGED index: history's tf/doclen
+        tables are built and persisted once, a new segment (fresh docs
+        plus re-crawls of some history docs with changed text) is
+        indexed separately, and merge folds it in with
+        new-wins-per-document semantics — the historical corpus is
+        never re-tokenized, and the merged index ranks identically to a
+        from-scratch rebuild over the merged corpus (which is what the
+        oracle computes)."""
+        import tempfile
+
+        from commoncrawl_spark.operators.index import (
+            bm25_search_indexed,
+            build_doclen,
+            build_tf_index,
+            merge_doclen,
+            merge_tf_index,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        hist = d.filter(F.col("doc_id") % 3 != 0)
+        new = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+            hist.filter(F.col("doc_id") % 10 == 1).select(
+                "doc_id",
+                F.concat_ws(" ", F.col("text"),
+                            F.lit("updated join scan revision"))
+                .alias("text")))
+        idx_dir = tempfile.mkdtemp(prefix="ccs_bm25_merge_")
+        build_tf_index(hist).write.mode("overwrite").parquet(
+            f"{idx_dir}/tf")
+        build_doclen(hist).write.mode("overwrite").parquet(
+            f"{idx_dir}/doclen")
+        mtf = merge_tf_index(
+            spark.read.parquet(f"{idx_dir}/tf"), build_tf_index(new))
+        mdl = merge_doclen(
+            spark.read.parquet(f"{idx_dir}/doclen"), build_doclen(new))
+        return bm25_search_indexed(
+            mtf, mdl, ["join", "hash", "scan"], top_k=15)
+    q["bm25_merged"] = bm25_merged
+
     # ---- corpus-statistics LM quality ----
 
     def lm_quality(spark, sf):
@@ -1970,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as their permanent record and follow after.
     _front = [
         # new in round 3
+        "line_dedup",
+        "near_dedup_incremental",
+        "bm25_merged",
         "nfc_normalize",
         "bm25_indexed",
         "phrase_indexed",
@@ -2596,6 +2690,122 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, text FROM documents)),
         sigs AS (SELECT doc_id, {_sql_minhash_sigs()} FROM base)
         {band_rows}
+    """
+
+    # line_dedup: the same deterministic repeated-line synthesis, then
+    # first-occurrence filtering with DuckDB's 1-based indexed lambda
+    # (matches Spark's array_position == i + 1 over 0-based i)
+    o["line_dedup"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 string_split(
+                   text || chr(10) || text || chr(10)
+                        || 'tail ' || CAST(doc_id AS VARCHAR)
+                        || chr(10) || text,
+                   chr(10)) AS l
+          FROM documents),
+        u AS (SELECT doc_id, len(l) AS n_lines,
+                     list_filter(l, (x, i) -> list_position(l, x) = i) AS uq
+              FROM m)
+        SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+               CAST(len(uq) AS INTEGER) AS n_unique,
+               array_to_string(uq, chr(10)) AS text
+        FROM u
+    """
+
+    # near_dedup_incremental: the sig/band machinery computed
+    # independently for the history and segment slices, candidates from
+    # cross-slice band collisions, signature-component agreement / 16
+    # as the Jaccard estimate
+    def _band_rows_from(cte: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5({sep.join(f's{b * 4 + j}' for j in range(4))}) AS bucket "
+            f"FROM {cte}"
+            for b in range(BANDS)
+        )
+
+    _sig_eq = " + ".join(
+        f"CAST(ns.s{j} = hs.s{j} AS INT)" for j in range(NUM_HASHES))
+    o["near_dedup_incremental"] = f"""
+        WITH hist AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        newseg AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+        hbase AS (SELECT doc_id, {sh_doc} AS sh FROM hist),
+        nbase AS (SELECT doc_id, {sh_doc} AS sh FROM newseg),
+        hsigs AS (SELECT doc_id, {_sql_minhash_sigs()} FROM hbase),
+        nsigs AS (SELECT doc_id, {_sql_minhash_sigs()} FROM nbase),
+        hbk AS ({_band_rows_from("hsigs")}),
+        nbk AS ({_band_rows_from("nsigs")}),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS matched_id
+          FROM nbk n JOIN hbk h ON n.band = h.band AND n.bucket = h.bucket
+          WHERE n.doc_id <> h.doc_id),
+        est AS (
+          SELECT c.new_id, c.matched_id,
+                 round(CAST({_sig_eq} AS DOUBLE) / {NUM_HASHES}, 6)
+                   AS est_jaccard
+          FROM cand c
+          JOIN nsigs ns ON ns.doc_id = c.new_id
+          JOIN hsigs hs ON hs.doc_id = c.matched_id)
+        SELECT new_id, matched_id, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
+
+    # bm25_merged: the oracle ranks a from-scratch rebuild over the
+    # MERGED corpus (history minus re-crawled + segment) — exactly what
+    # new-wins-per-document index merging must equal
+    o["bm25_merged"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 1
+          UNION ALL
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, text || ' updated join scan revision' AS text
+          FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
+        toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM corpus),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM corpus d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'hash', 'scan')),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM qt GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
     """
 
     # near_dedup_pipeline: same sig/band machinery over the twins corpus,

@@ -408,6 +408,95 @@ def bm25_search_indexed(
     return _bm25_rank(tf, dl, globals_, k1, b, top_k, id_col)
 
 
+def _merge_replacing(
+    old: DataFrame,
+    new: DataFrame,
+    new_ids: DataFrame,
+    id_col: str,
+    broadcast_new_ids: bool = True,
+) -> DataFrame:
+    """Union ``old`` and ``new`` index rows with NEW-WINS-PER-DOCUMENT
+    semantics: every old row belonging to a document present in the new
+    segment is dropped first (a re-crawled page replaces ALL its former
+    index rows — its token set changed), then the new rows are appended.
+
+    Scale shape: the anti-join key is the slim id set of the NEW segment
+    — a daily crawl increment is orders of magnitude smaller than the
+    historical index, so with ``broadcast_new_ids`` (the contract
+    default) the old index is filtered map-side with no shuffle and its
+    on-disk partitioning survives untouched. Disable only for a
+    backfill-sized "increment", where AQE should pick the strategy."""
+    hint = F.broadcast if broadcast_new_ids else (lambda d: d)
+    kept = old.join(hint(new_ids.select(id_col).distinct()),
+                    id_col, "left_anti")
+    return kept.unionByName(new)
+
+
+def merge_tf_index(
+    old_tf: DataFrame,
+    new_tf: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    broadcast_new_ids: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of the :func:`build_tf_index` table —
+    the index-once/search-many story needs index-once/MERGE-many too: at
+    10^10 documents you index the new crawl segment (its own small
+    :func:`build_tf_index` pass) and fold it into the persisted index;
+    re-tokenizing the historical corpus is never an option.
+
+    Semantics: new wins per document (see :func:`_merge_replacing`) —
+    documents only in ``old_tf`` keep their rows, documents in
+    ``new_tf`` contribute exactly their new rows, so the result equals
+    ``build_tf_index`` over (history minus re-crawled) + new segment.
+
+    ``max_df`` re-applies the ubiquitous-term ceiling on the MERGED
+    document frequency (a term under the cap in both halves can exceed
+    it merged). Pass it only if both inputs were built UNCAPPED:
+    rows a capped build already dropped cannot be recovered here — cap
+    at merge/query time for incrementally-maintained indexes (the
+    build_tf_index docstring's guard belongs to the one-shot path)."""
+    new_ids = new_tf.select(id_col)
+    out = _merge_replacing(old_tf, new_tf, new_ids, id_col,
+                           broadcast_new_ids)
+    if max_df is not None:
+        dfreq = out.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        out = (
+            out.join(dfreq.filter(F.col("_df") <= max_df), "token")
+            .drop("_df")
+        )
+    return out.select("token", id_col, "tf")
+
+
+def merge_doclen(
+    old_dl: DataFrame,
+    new_dl: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_new_ids: bool = True,
+) -> DataFrame:
+    """Incremental merge of the :func:`build_doclen` table — new wins
+    per document. The doclen table is one slim row per document, so this
+    is the cheap half of an index merge; it must stay in lockstep with
+    :func:`merge_tf_index` (N and avgdl come from here)."""
+    return _merge_replacing(
+        old_dl, new_dl, new_dl.select(id_col), id_col, broadcast_new_ids
+    ).select(id_col, "dl")
+
+
+def merge_positional_postings(
+    old_p: DataFrame,
+    new_p: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_new_ids: bool = True,
+) -> DataFrame:
+    """Incremental merge of :func:`build_positional_postings` — new wins
+    per document, same shape as :func:`merge_tf_index` (the position
+    lists ride along unchanged; nothing is re-tokenized)."""
+    return _merge_replacing(
+        old_p, new_p, new_p.select(id_col), id_col, broadcast_new_ids
+    ).select("token", id_col, "positions")
+
+
 def phrase_search_indexed(
     postings: DataFrame,
     phrase: Sequence[str],

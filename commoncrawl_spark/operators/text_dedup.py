@@ -282,6 +282,209 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# within-document line dedup
+# ---------------------------------------------------------------------------
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop repeated lines WITHIN each document, keeping the first
+    occurrence in order — the boilerplate/repetition trim
+    (nav menus, cookie banners, copy-pasted paragraphs) that
+    RefinedWeb-style pipelines apply before corpus-level dedup; the
+    corpus-level sibling is :func:`dedup_segments`. Returns
+    ``(id_col, n_lines, n_unique, text)`` with ``text`` reassembled
+    from the survivors.
+
+    Scale shape: entirely per-row array expressions — ZERO shuffle,
+    which is the right trade even though first-occurrence filtering is
+    O(lines^2) comparisons per document: lines-per-doc is bounded
+    (10^3-ish) while the alternative — posexplode + groupBy min(pos) +
+    re-assemble — shuffles the corpus's entire line stream. The line
+    array is bound to a real column first so the filter lambda reads an
+    attribute (an expression referenced inside a higher-order-function
+    lambda is re-evaluated per element — the :func:`shingles_col` shape
+    note — which would re-split the document once per line)."""
+    lines = F.col("_lines")
+    uniq = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    return (
+        df.select(F.col(id_col),
+                  F.split(F.col(text_col), sep).alias("_lines"))
+        .select(
+            F.col(id_col),
+            F.size(lines).alias("n_lines"),
+            uniq.alias("_uniq"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            F.size("_uniq").alias("n_unique"),
+            F.concat_ws(sep, "_uniq").alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable signature index ``(id, sig: array<string>)`` — the
+    near-dedup sibling of ``index.build_tf_index``: at 10^10 documents
+    you minhash the historical corpus ONCE, persist ~0.5 KB/doc of
+    signatures, and every later crawl segment dedups against the
+    signatures without ever touching historical text (the expensive
+    shingle fold runs only over the new segment). One corpus pass, pure
+    scan-stage expressions, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n)
+        .alias("sig"),
+    )
+
+
+def merge_minhash_index(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_new_ids: bool = True,
+) -> DataFrame:
+    """Fold a new segment's signatures into the persisted index — new
+    wins per document (a re-crawled page's text changed, so its old
+    signature is stale). Same slim-id anti-join shape as
+    ``index.merge_tf_index``: with ``broadcast_new_ids`` (the contract
+    default — an increment is orders of magnitude smaller than history)
+    the old index filters map-side and keeps its storage partitioning."""
+    from .index import _merge_replacing
+
+    return _merge_replacing(
+        old, new, new.select(id_col), id_col, broadcast_new_ids
+    ).select(id_col, "sig")
+
+
+def _sig_band_buckets(sig: Column, num_hashes: int, bands: int) -> Column:
+    """array<struct<band,bucket>> derived from a STORED signature —
+    md5 over each band's slice, the same bucket key
+    :func:`minhash_lsh_buckets` computes from raw text (cheap: 4 md5
+    calls over 16 short strings; the shingle fold is what the index
+    amortizes away)."""
+    r = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * r + 1, r)))
+            .alias("bucket"),
+        ),
+    )
+
+
+def near_duplicates_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_segment: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW crawl segment against the
+    persisted signature index: ``(new_id, matched_id, est_jaccard)``
+    for every historical document sharing an LSH band with a new
+    document and agreeing on >= ``threshold`` of the minhash
+    components (the unbiased single-permutation Jaccard estimate —
+    history text is gone, so the estimate IS the verification; the
+    threshold plays the role exact-Jaccard confirmation plays in
+    :func:`drop_near_duplicates`). Self-matches (same id on both
+    sides — a re-crawl of a page the index already holds) are
+    excluded: replacing your own prior version is not duplication.
+
+    Scale shape: the expensive shingle fold runs ONLY over the new
+    segment (cached slim: id + 0.5 KB sig). With ``broadcast_segment``
+    (the contract default — an increment is orders of magnitude smaller
+    than history) the segment's band buckets broadcast, so the
+    PERSISTED INDEX IS NEVER SHUFFLED: its scan derives (band, bucket)
+    per row (4 md5 calls over the stored 16-element signature — the
+    fold the index amortizes away), probes the broadcast map-side, and
+    only (new_id, matched_id, est_jaccard) survivor rows — estimate
+    computed and thresholded BEFORE the pair-dedup exchange — ever
+    cross a shuffle. Candidates come only from band collisions, never
+    all-pairs. Disable ``broadcast_segment`` for a backfill-sized
+    segment; AQE then picks the join strategy. With ``materialize`` the
+    bounded match set is checkpointed eagerly and the cache released
+    (module lifecycle)."""
+    new_sigs = build_minhash_index(
+        new_df, text_col, id_col, num_hashes, shingle_n
+    ).persist()
+    nb = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("_sig_new"),
+        F.explode(_sig_band_buckets(F.col("sig"), num_hashes, bands))
+        .alias("_bb"),
+    ).select("new_id", "_sig_new", "_bb.band", "_bb.bucket")
+    hint = F.broadcast if broadcast_segment else (lambda d: d)
+    ib = index.select(
+        F.col(id_col).alias("matched_id"), F.col("sig").alias("_sig_old"),
+        F.explode(_sig_band_buckets(F.col("sig"), num_hashes, bands))
+        .alias("_bb"),
+    ).select("matched_id", "_sig_old", "_bb.band", "_bb.bucket")
+    est = (
+        F.size(F.filter(
+            F.zip_with("_sig_new", "_sig_old", lambda a, b: a == b),
+            lambda x: x,
+        )) / F.lit(num_hashes)
+    )
+    out = (
+        ib.join(hint(nb), ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("matched_id"))
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "matched_id", "est_jaccard")
+        .distinct()
+    )
+    if not materialize:
+        return out
+    ck = out.localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    return ck
+
+
+def drop_near_duplicates_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The composed incremental-dedup step a crawl pipeline calls per
+    segment: drop every new document matching history (per
+    :func:`near_duplicates_against_index`), keep the rest. Follow with
+    :func:`merge_minhash_index` over ``build_minhash_index`` of the
+    SURVIVORS to roll the index forward."""
+    matches = near_duplicates_against_index(
+        new_df, index, threshold, text_col, id_col,
+        num_hashes, bands, shingle_n,
+    )
+    losers = matches.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -589,6 +589,72 @@ def main() -> None:
          f"{'*(1)' in p} (expect True)"],
     ))
 
+    # incremental near-dedup: the persisted index is never shuffled
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_duplicates_against_index,
+    )
+
+    mh_dir = tempfile.mkdtemp()
+    build_minhash_index(docs.limit(400)).write.parquet(f"{mh_dir}/sig")
+    seg = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    nd = near_duplicates_against_index(
+        seg, spark.read.parquet(f"{mh_dir}/sig"), threshold=0.5,
+        materialize=False)
+    nd.collect()
+    p = plan_of(nd)
+    pf = plan_of(nd, "formatted")
+    idx_exchanged = any(
+        "sig" in b
+        for b in pf.split("\n\n")
+        if b.lstrip().startswith("(") and "Exchange" in b.splitlines()[0]
+        and "BroadcastExchange" not in b.splitlines()[0]
+    )
+    sections.append((
+        "Incremental near-dedup: history index probes map-side",
+        "The new segment's band buckets broadcast (an increment is "
+        "orders of magnitude smaller than history), so the 10^10-doc "
+        "signature index streams through its scan, derives buckets per "
+        "row, and probes the broadcast — no shuffle of the index, ever; "
+        "the Jaccard estimate is computed and thresholded before the "
+        "only exchange (the slim match-row distinct).",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"signature column in any shuffle Exchange input: "
+         f"{idx_exchanged} (expect False — only slim match rows cross)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # incremental index merge: old index filtered map-side, never shuffled
+    from commoncrawl_spark.operators.index import merge_tf_index
+
+    build_tf_index(seg).write.parquet(f"{mh_dir}/seg_tf")
+    mg = merge_tf_index(spark.read.parquet(f"{idx_dir}/tf"),
+                        spark.read.parquet(f"{mh_dir}/seg_tf"))
+    # no collect: the executed AdaptiveSparkPlan prints Final + Initial
+    # sections and would double-count the one exchange
+    p = plan_of(mg)
+    sections.append((
+        "Incremental index merge: new-wins anti-join broadcasts the "
+        "slim segment ids",
+        "merge_tf_index folds a persisted segment index into the "
+        "persisted historical index by dropping re-crawled documents' "
+        "old rows through a broadcast anti-join on the segment's id "
+        "set — the historical index is filtered in its scan stage, "
+        "keeps its storage partitioning, and the corpus is never "
+        "re-tokenized (both inputs are parquet index tables, the "
+        "deployment shape).",
+        [f"BroadcastHashJoin LeftAnti present: "
+         f"{'BroadcastHashJoin' in p and 'LeftAnti' in p} (expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"hash exchanges: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1 — the segment-id distinct under the broadcast "
+         f"build; the old-index side has none)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

@@ -250,3 +250,105 @@ def test_build_tf_index_max_df(spark, corpus):
     toks = {r["token"] for r in build_tf_index(corpus, max_df=2).collect()}
     assert "spark" not in toks and "hash" not in toks  # df=3 each
     assert "only" in toks
+
+
+# ---------------------------------------------------------------------------
+# incremental index merge
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def segments(spark):
+    """History + a new segment that re-crawls doc 2 with CHANGED text
+    and adds doc 5."""
+    hist = spark.createDataFrame(
+        [(1, "spark join hash"), (2, "spark join"), (3, "hash only here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "entirely rewritten page"), (5, "spark hash fresh")],
+        "doc_id long, text string")
+    merged_corpus = spark.createDataFrame(
+        [(1, "spark join hash"), (3, "hash only here"),
+         (2, "entirely rewritten page"), (5, "spark hash fresh")],
+        "doc_id long, text string")
+    return hist, new, merged_corpus
+
+
+@pytest.mark.spark
+def test_merge_tf_index_equals_rebuild(spark, segments):
+    from commoncrawl_spark.operators.index import build_tf_index, merge_tf_index
+
+    hist, new, full = segments
+    merged = merge_tf_index(build_tf_index(hist), build_tf_index(new))
+    rebuilt = build_tf_index(full)
+    key = lambda r: (r["token"], r["doc_id"], r["tf"])
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, rebuilt.collect()))
+
+
+@pytest.mark.spark
+def test_merge_replaces_recrawled_doc_rows(spark, segments):
+    from commoncrawl_spark.operators.index import build_tf_index, merge_tf_index
+
+    hist, new, _ = segments
+    merged = merge_tf_index(build_tf_index(hist), build_tf_index(new))
+    doc2 = {r["token"] for r in merged.filter(F.col("doc_id") == 2).collect()}
+    # old tokens of doc 2 are GONE, only the re-crawl's remain
+    assert doc2 == {"entirely", "rewritten", "page"}
+
+
+@pytest.mark.spark
+def test_merge_doclen_and_bm25_agree_with_rebuild(spark, segments):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_indexed, build_doclen, build_tf_index,
+        merge_doclen, merge_tf_index)
+
+    hist, new, full = segments
+    mtf = merge_tf_index(build_tf_index(hist), build_tf_index(new))
+    mdl = merge_doclen(build_doclen(hist), build_doclen(new))
+    a = [(r["doc_id"], r["score"], r["rank"]) for r in
+         bm25_search_indexed(mtf, mdl, ["spark", "hash"], top_k=10).collect()]
+    b = [(r["doc_id"], r["score"], r["rank"]) for r in
+         bm25_search_indexed(build_tf_index(full), build_doclen(full),
+                             ["spark", "hash"], top_k=10).collect()]
+    assert a == b and len(a) == 3
+
+
+@pytest.mark.spark
+def test_merge_tf_index_max_df_recheck(spark, segments):
+    from commoncrawl_spark.operators.index import build_tf_index, merge_tf_index
+
+    hist, new, full = segments
+    # 'spark' df: hist 2 (docs 1,2) -> merged 2 (docs 1,5); 'hash' df 3
+    merged = merge_tf_index(build_tf_index(hist), build_tf_index(new),
+                            max_df=2)
+    toks = {r["token"] for r in merged.collect()}
+    assert "spark" in toks and "hash" not in toks
+
+
+@pytest.mark.spark
+def test_merge_positional_postings_phrase_parity(spark, segments):
+    from commoncrawl_spark.operators.index import (
+        build_positional_postings, merge_positional_postings,
+        phrase_search, phrase_search_indexed)
+
+    hist, new, full = segments
+    merged = merge_positional_postings(
+        build_positional_postings(hist), build_positional_postings(new))
+    a = sorted((r["doc_id"], r["n_matches"]) for r in
+               phrase_search_indexed(merged, ["spark", "hash"]).collect())
+    b = sorted((r["doc_id"], r["n_matches"]) for r in
+               phrase_search(full, ["spark", "hash"]).collect())
+    assert a == b == [(5, 1)]
+
+
+@pytest.mark.spark
+def test_merge_broadcasts_segment_ids(spark, segments):
+    from commoncrawl_spark.operators.index import build_tf_index, merge_tf_index
+
+    hist, new, _ = segments
+    merged = merge_tf_index(build_tf_index(hist), build_tf_index(new))
+    merged.collect()
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the anti-join against the slim new-id set must be a broadcast
+    # (the historical index is never shuffled for the merge)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -725,3 +725,171 @@ def test_near_dedup_tfidf_own_cache_lifecycle(spark):
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     assert n_stored() <= base
+
+
+# ---------------------------------------------------------------------------
+# within-document line dedup
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_dedup_lines_within_doc_keeps_first_in_order(spark):
+    from commoncrawl_spark.operators.text_dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [(1, "nav menu\nreal content\nnav menu\nmore text\nreal content"),
+         (2, "only line"),
+         (3, "a\na\na")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    assert rows[1]["text"] == "nav menu\nreal content\nmore text"
+    assert (rows[1]["n_lines"], rows[1]["n_unique"]) == (5, 3)
+    assert rows[2]["text"] == "only line"
+    assert rows[3]["text"] == "a" and rows[3]["n_unique"] == 1
+
+
+@pytest.mark.spark
+def test_dedup_lines_within_doc_no_shuffle(spark):
+    from commoncrawl_spark.operators.text_dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame([(1, "x\ny\nx")], "doc_id long, text string")
+    out = dedup_lines_within_doc(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row expressions
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_incremental_near_dedup_matches_and_drops(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, drop_near_duplicates_incremental,
+        near_duplicates_against_index)
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "completely different historical text about spark plans")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again today"),
+         (11, "fresh unrelated document about politeness scheduling")],
+        "doc_id long, text string")
+    idx = build_minhash_index(hist)
+    m = near_duplicates_against_index(new, idx, threshold=0.5)
+    got = [(r["new_id"], r["matched_id"], r["est_jaccard"])
+           for r in m.collect()]
+    assert got == [(10, 1, 1.0)]  # exact copy -> every component agrees
+    surv = drop_near_duplicates_incremental(new, idx, threshold=0.5)
+    assert [r["doc_id"] for r in surv.collect()] == [11]
+
+
+@pytest.mark.spark
+def test_incremental_near_dedup_excludes_self_recrawl(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, near_duplicates_against_index)
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    # re-crawl of doc 1 under the SAME id: not a duplicate, a refresh
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    m = near_duplicates_against_index(
+        new, build_minhash_index(hist), threshold=0.0)
+    assert m.count() == 0
+
+
+@pytest.mark.spark
+def test_incremental_estimate_tracks_true_jaccard(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, near_duplicates_against_index)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    # half the tail words changed -> high-but-not-1.0 overlap
+    new = spark.createDataFrame(
+        [(9, base.rsplit(" ", 4)[0] + " phi chi psi omega")],
+        "doc_id long, text string")
+    m = near_duplicates_against_index(
+        new, build_minhash_index(hist), threshold=0.0)
+    rows = m.collect()
+    assert len(rows) == 1
+    assert 0.0 < rows[0]["est_jaccard"] < 1.0
+
+
+@pytest.mark.spark
+def test_incremental_near_dedup_never_shuffles_index(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, near_duplicates_against_index)
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} with shared filler words")
+         for i in range(20)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "history document number 3 with shared filler words")],
+        "doc_id long, text string")
+    m = near_duplicates_against_index(
+        new, build_minhash_index(hist), threshold=0.5, materialize=False)
+    m.collect()
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    # segment side broadcasts; the index side must reach the join with
+    # no Exchange between its scan and the BroadcastHashJoin
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.spark
+def test_merge_minhash_index_new_wins(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, merge_minhash_index)
+
+    old = spark.createDataFrame(
+        [(1, "old text one"), (2, "old text two")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "recrawled different page"), (3, "brand new page")],
+        "doc_id long, text string")
+    merged = merge_minhash_index(
+        build_minhash_index(old), build_minhash_index(new))
+    sigs = {r["doc_id"]: r["sig"] for r in merged.collect()}
+    fresh = {r["doc_id"]: r["sig"]
+             for r in build_minhash_index(new).collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[2] == fresh[2]  # the re-crawl's signature, not the stale one
+
+
+@pytest.mark.spark
+def test_incremental_near_dedup_releases_cache(spark):
+    """Same lifecycle contract as drop_near_duplicates: the sig cache is
+    unpersisted before returning; the slim checkpointed match set drains
+    via ContextCleaner once the result is garbage-collected."""
+    import gc
+    import time
+
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index, near_duplicates_against_index)
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored():
+        return len(jsc.getRDDStorageInfo())
+
+    base = n_stored()
+    hist = spark.createDataFrame(
+        [(1, "some history words here")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "some history words here")], "doc_id long, text string")
+    out = near_duplicates_against_index(
+        new, build_minhash_index(hist), threshold=0.5)
+    out.collect()
+    del out
+    deadline = time.time() + 30
+    while time.time() < deadline and n_stored() > base:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_stored() <= base
