@@ -325,6 +325,10 @@ def main() -> None:
             "boolean_search", "training_export_pipeline",
             "char_entropy", "corpus_report", "quality_buckets",
             "phrase_search", "language_mix", "bm25_topk",
+            # round-3 additions: within-doc line trim, incremental
+            # near-dedup against the persisted signature index,
+            # merged-index BM25
+            "line_dedup", "near_dedup_incremental", "bm25_merged",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -449,6 +449,9 @@ def merge_tf_index(
     documents only in ``old_tf`` keep their rows, documents in
     ``new_tf`` contribute exactly their new rows, so the result equals
     ``build_tf_index`` over (history minus re-crawled) + new segment.
+    (Reference analog: ``main_merge_and_deduplicate.py:42-53`` folds
+    each new batch into carried state instead of recomputing from all
+    batches; here the carried state is the index itself.)
 
     ``max_df`` re-applies the ubiquitous-term ceiling on the MERGED
     document frequency (a term under the cap in both halves can exceed

@@ -64,6 +64,7 @@ def unigram_logprob_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.0,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Score: per document, the mean natural-log unigram probability of
     its tokens under ``counts`` (default: self-trained on ``df`` — the
@@ -84,56 +85,69 @@ def unigram_logprob_scores(
     # intermediate — corpus counts derive FROM them (sum), and the
     # occurrence stream for the per-doc mean reconstructs via
     # array_repeat, so no second explode and no persist (module note)
+    # explode_outer keeps empty/null-text documents as one null-token
+    # sentinel row, so they flow through the per-doc aggregate and the
+    # output is one-row-per-input-document WITHOUT a corpus-scale
+    # restore join back onto df (the join was a doc_id SortMergeJoin —
+    # an extra shuffle of both sides and a second scan of df)
     tf = (
         df.select(
             F.col(id_col),
-            F.explode(tokens_col(F.col(text_col))).alias("token"))
+            F.explode_outer(tokens_col(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tfd"))
     )
     if counts is None:
-        counts = tf.groupBy("token").agg(F.sum("_tfd").alias("cnt"))
+        counts = (
+            tf.where(F.col("token").isNotNull())
+            .groupBy("token").agg(F.sum("_tfd").alias("cnt"))
+        )
     totals = counts.agg(
         F.sum("cnt").alias("_total"),
         F.count(F.lit(1)).alias("_vocab"),
     )
+    if broadcast_counts:
+        # explicit: AQE's runtime SMJ->BHJ conversion happens only
+        # after BOTH join children's shuffle stages materialize, so the
+        # corpus-scale tf stream would still write token-keyed shuffle
+        # files (stopword-skewed) before the plan improves; vocabulary
+        # is Heaps-law bounded (token types, not instances), so the
+        # hint holds far past this corpus — disable for pathological
+        # vocabularies and let AQE decide
+        counts = F.broadcast(counts)
     p_num = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)
     p_den = F.col("_total").cast("double") + F.lit(alpha) * F.col("_vocab")
+    # the null-token sentinel repeats 0 times -> explode_outer emits a
+    # single null struct, which count("_o")/avg skip, so empty docs
+    # score (0, null) with no restore join
     occ = (
         tf.join(counts, "token", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
-            F.explode(F.array_repeat(
+            F.explode_outer(F.array_repeat(
                 F.struct(
                     F.log(p_num / p_den).alias("_lp"),
                     F.col("cnt").isNull().alias("_oov"),
                 ),
-                F.col("_tfd").cast("int"))).alias("_o"),
+                F.when(F.col("token").isNull(), F.lit(0))
+                .otherwise(F.col("_tfd").cast("int")))).alias("_o"),
         )
     )
-    scored = (
+    return (
         occ.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_o").alias("n_tokens"),
             F.round(F.avg("_o._lp"), 6).alias("_avg"),
-            F.sum(F.col("_o._oov").cast("long")).alias("_n_oov"),
+            F.coalesce(
+                F.sum(F.col("_o._oov").cast("long")), F.lit(0)
+            ).alias("_n_oov"),
         )
-        .withColumn(
-            "avg_logprob",
-            F.when((F.lit(float(alpha)) == 0.0) & (F.col("_n_oov") > 0),
-                   F.lit(None).cast("double"))
-            .otherwise(F.col("_avg")),
-        )
-    )
-    # empty documents fall out of the explode; restore them with nulls so
-    # the output stays one-row-per-input-document (join key is the id)
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.col("avg_logprob"),
+            F.col("n_tokens"),
+            F.when((F.lit(float(alpha)) == 0.0) & (F.col("_n_oov") > 0),
+                   F.lit(None).cast("double"))
+            .otherwise(F.col("_avg")).alias("avg_logprob"),
         )
     )
 
@@ -178,6 +192,7 @@ def bigram_logprob_scores(
     counts: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Conditional bigram scoring — one order up from the unigram MLE
     toward the KenLM slot: per document, the mean ``ln p(w2 | w1)``
@@ -189,8 +204,9 @@ def bigram_logprob_scores(
 
     Scale shape: counts shuffle carries (w1, w2, count) — tokens, never
     text; the context table is a second tiny aggregate of the counts;
-    the scoring joins key on token columns and AQE broadcasts both
-    tables at real-language vocabulary sizes. Self-trained (default
+    the scoring joins broadcast both type-bounded model tables
+    explicitly (``broadcast_counts``), so the per-doc pair stream is
+    never shuffled on pair keys. Self-trained (default
     counts) means every document bigram is in-table — no OOV path.
     Against EXTERNAL counts, a document containing any out-of-table
     bigram scores NULL (there is no smoothing on this path, and
@@ -199,48 +215,55 @@ def bigram_logprob_scores(
     # same single-pass shape as the unigram scorer: per-doc pair
     # frequencies are the shared intermediate (train = sum over them,
     # score = array_repeat reconstruction) — no persist (module note)
+    # explode_outer keeps under-two-token documents as one null-pair
+    # sentinel row (same no-restore-join shape as the unigram scorer)
     tfb = (
         df.select(F.col(id_col),
-                  F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
+                  F.explode_outer(_bigrams_col(F.col(text_col))).alias("bg"))
         .select(id_col, "bg.w1", "bg.w2")
         .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
     )
     if counts is None:
-        counts = tfb.groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
+        counts = (
+            tfb.where(F.col("w1").isNotNull())
+            .groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
+        )
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    if broadcast_counts:
+        # explicit broadcast of the type-bounded model tables — same
+        # rationale as unigram_logprob_scores: without the hint the
+        # corpus-scale per-doc pair stream writes (w1, w2)-keyed
+        # shuffle files before AQE converts the join
+        counts = F.broadcast(counts)
+        ctx = F.broadcast(ctx)
     lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
     occ = (
         tfb.join(counts, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .select(
             F.col(id_col),
-            F.explode(F.array_repeat(
+            F.explode_outer(F.array_repeat(
                 F.struct(
                     lp.alias("_lp"),
                     F.col("cnt").isNull().alias("_oov"),
                 ),
-                F.col("_tfd").cast("int"))).alias("_o"),
-        )
-    )
-    scored = (
-        occ.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("_o._lp"), 6).alias("_avg"),
-            F.sum(F.col("_o._oov").cast("long")).alias("_n_oov"),
-        )
-        .withColumn(
-            "avg_logprob",
-            F.when(F.col("_n_oov") > 0, F.lit(None).cast("double"))
-            .otherwise(F.col("_avg")),
+                F.when(F.col("w1").isNull(), F.lit(0))
+                .otherwise(F.col("_tfd").cast("int")))).alias("_o"),
         )
     )
     return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
+        occ.groupBy(id_col)
+        .agg(
+            F.count("_o").alias("n_bigrams"),
+            F.round(F.avg("_o._lp"), 6).alias("_avg"),
+            F.coalesce(
+                F.sum(F.col("_o._oov").cast("long")), F.lit(0)
+            ).alias("_n_oov"),
+        )
         .select(
             id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.col("avg_logprob"),
+            F.col("n_bigrams"),
+            F.when(F.col("_n_oov") > 0, F.lit(None).cast("double"))
+            .otherwise(F.col("_avg")).alias("avg_logprob"),
         )
     )

@@ -345,7 +345,12 @@ def build_minhash_index(
     signatures, and every later crawl segment dedups against the
     signatures without ever touching historical text (the expensive
     shingle fold runs only over the new segment). One corpus pass, pure
-    scan-stage expressions, no shuffle."""
+    scan-stage expressions, no shuffle.
+
+    Reference analog: ``main_merge_and_deduplicate.py:42-53`` dedups
+    each new batch against an ``existing_map`` carried between runs —
+    this family is that incremental shape with NEAR-dup semantics and
+    the carried state shrunk from full records to signatures."""
     return df.select(
         F.col(id_col),
         minhash_signature(F.col(text_col), num_hashes, shingle_n)

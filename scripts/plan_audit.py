@@ -397,6 +397,11 @@ def main() -> None:
          f"(expect False — totals join is BroadcastNestedLoopJoin)",
          f"BroadcastNestedLoopJoin present: "
          f"{'BroadcastNestedLoopJoin' in p} (expect True)",
+         f"vocab join is an explicit BroadcastHashJoin (the per-doc tf "
+         f"stream never shuffles on the token — AQE's late SMJ->BHJ "
+         f"conversion would still write the fat side's shuffle files): "
+         f"{'BroadcastHashJoin' in p} (expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
@@ -436,6 +441,10 @@ def main() -> None:
         "key.",
         [f"CartesianProduct present: {'CartesianProduct' in p} "
          f"(expect False)",
+         f"df join is an explicit BroadcastHashJoin (tf never shuffles "
+         f"on the token key, where stopword skew lives): "
+         f"{'BroadcastHashJoin' in p} (expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
          f"Python operators: {p.count('EvalPython')} (expect 0)",
          f"Window nodes: {p.count('Window [')} (expect 1: the top-k)",
          f"InMemoryTableScan (persisted frame) present: "

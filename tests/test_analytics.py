@@ -97,3 +97,20 @@ def test_percentile_buckets_single_shuffle_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_tfidf_df_join_broadcasts_vocab(spark):
+    """The corpus-scale tf stream must never shuffle on the token key:
+    the vocab-sized df table broadcasts explicitly (AQE's late SMJ->BHJ
+    conversion would still write tf's token-keyed shuffle files)."""
+    from commoncrawl_spark.operators.analytics import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma token{i}") for i in range(30)],
+        "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -174,3 +174,24 @@ def test_bigram_external_counts_oov_is_null(spark):
     assert got[8]["avg_logprob"] is not None
     assert got[9]["avg_logprob"] is None
     assert got[9]["n_bigrams"] == 2  # actual pairs still counted
+
+
+@pytest.mark.spark
+def test_lm_scoring_joins_broadcast_model_tables(spark):
+    """Both LM scorers join the type-bounded model tables as explicit
+    broadcasts — the per-doc tf/pair stream never shuffles on token or
+    pair keys (where stopword/common-pair skew lives)."""
+    from commoncrawl_spark.operators.lm import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"the quick fox number {i} jumps") for i in range(20)],
+        "doc_id long, text string")
+    for fn in (unigram_logprob_scores, bigram_logprob_scores):
+        out = fn(df)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
