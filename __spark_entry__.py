@@ -1523,6 +1523,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_logprob_scores(d)
     q["lm_bigram"] = lm_bigram
 
+    def stupid_backoff(spark, sf):
+        """Stupid Backoff scoring (Brants et al. 2007): train the
+        bigram + unigram tables on the even-doc_id half, score the
+        WHOLE corpus — unseen bigrams back off to alpha * unigram
+        frequency instead of scoring NULL, the cross-segment
+        (train-on-trusted, score-the-crawl) shape. Docs containing a
+        token outside even the unigram table are true-OOV -> NULL."""
+        from commoncrawl_spark.operators.lm import (
+            bigram_counts,
+            stupid_backoff_scores,
+            unigram_counts,
+        )
+
+        d = _read(spark, sf, "documents")
+        train = d.where(F.col("doc_id") % 2 == 0)
+        return stupid_backoff_scores(
+            d, counts=bigram_counts(train),
+            unigrams=unigram_counts(train))
+    q["stupid_backoff"] = stupid_backoff
+
+    def dsir_weights(spark, sf):
+        """DSIR-shaped importance weights (Xie et al. 2023): unigram-LM
+        log-ratio between a target corpus (the lang='de' slice) and the
+        raw pool (all documents), Laplace-smoothed over the joint
+        vocabulary. Higher avg_logratio = more target-like; the
+        data-selection signal pretraining pipelines resample by."""
+        from commoncrawl_spark.operators.selection import (
+            dsir_logratio_scores,
+        )
+
+        d = _read(spark, sf, "documents")
+        return dsir_logratio_scores(d, d.where(F.col("lang") == "de"))
+    q["dsir_weights"] = dsir_weights
+
+    def token_budget_sample(spark, sf):
+        """Mixture sampling to per-language token budgets (the
+        Pile/Dolma mixing step): md5-deterministic per-doc Bernoulli
+        keep with frac = min(1, budget / group_tokens); languages
+        without a budget row drop. keep_frac doubles as the importance
+        weight for reweighting aggregates back to the full corpus."""
+        from commoncrawl_spark.operators.selection import (
+            sample_token_budget,
+        )
+
+        d = _read(spark, sf, "documents")
+        budgets = spark.createDataFrame(
+            [("en", 2000), ("de", 100000), ("fr", 500)],
+            "lang string, budget_tokens long")
+        return sample_token_budget(d, budgets).withColumn(
+            "n_tokens", F.col("n_tokens").cast("long"))
+    q["token_budget_sample"] = token_budget_sample
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2100,6 +2152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode",
         "media_resize",
         "compression_quality",
+        "stupid_backoff",
+        "dsir_weights",
+        "token_budget_sample",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3180,6 +3235,120 @@ def oracle_sql() -> dict[str, str]:
                coalesce(s.n_bigrams, 0) AS n_bigrams,
                s.avg_logprob
         FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # stupid_backoff: train tables on the even-doc_id half; per pair
+    # cnt/ctx when seen else 0.4 * ucnt / N; docs with a token outside
+    # the unigram table are NULL (arithmetic operand-for-operand like
+    # the Spark columns)
+    o["stupid_backoff"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {toks_doc} AS t FROM documents),
+        uni AS (
+          SELECT token, count(*) AS ucnt FROM (
+            SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0)
+          GROUP BY token),
+        tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS n FROM uni),
+        counts AS (
+          SELECT w1, w2, count(*) AS cnt FROM (
+            SELECT unnest(t[1:len(t) - 1]) AS w1,
+                   unnest(t[2:len(t)]) AS w2
+            FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2)
+          GROUP BY w1, w2),
+        ctx AS (
+          SELECT w1, CAST(sum(cnt) AS DOUBLE) AS c1 FROM counts
+          GROUP BY w1),
+        bg AS (
+          SELECT doc_id,
+                 unnest(t[1:len(t) - 1]) AS w1,
+                 unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2),
+        scored AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln(CASE
+                   WHEN c.cnt IS NOT NULL
+                     THEN CAST(c.cnt AS DOUBLE) / x.c1
+                   ELSE 0.4 * CAST(u.ucnt AS DOUBLE) / tot.n
+                 END)), 6) AS _avg,
+                 sum(CASE WHEN c.cnt IS NULL AND u.ucnt IS NULL
+                     THEN 1 ELSE 0 END) AS _oov
+          FROM bg b
+          LEFT JOIN counts c USING (w1, w2)
+          LEFT JOIN ctx x USING (w1)
+          LEFT JOIN uni u ON b.w2 = u.token, tot
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               CASE WHEN s._oov > 0 THEN NULL ELSE s._avg END
+                 AS avg_logscore
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # dsir_weights: Laplace-smoothed unigram log-ratio, target =
+    # lang='de' slice, pool = all documents; joint vocab via full
+    # outer join; per-doc mean weighted by term frequency
+    o["dsir_weights"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        tgt AS (
+          SELECT token, count(*) AS ct FROM (
+            SELECT unnest({toks_doc}) AS token FROM documents
+            WHERE lang = 'de') GROUP BY token),
+        bkg AS (
+          SELECT token, count(*) AS cb FROM toks GROUP BY token),
+        vocab AS (
+          SELECT coalesce(t.token, b.token) AS token,
+                 coalesce(t.ct, 0) AS ct,
+                 coalesce(b.cb, 0) AS cb
+          FROM tgt t FULL JOIN bkg b ON t.token = b.token),
+        tot AS (
+          SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                 CAST(sum(cb) AS DOUBLE) AS nb,
+                 count(*) AS v
+          FROM vocab),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tfq FROM toks
+          GROUP BY doc_id, token),
+        scored AS (
+          SELECT f.doc_id,
+                 CAST(sum(f.tfq) AS BIGINT) AS n_tokens,
+                 round(sum(CAST(f.tfq AS DOUBLE) * ln(
+                   ((CAST(w.ct AS DOUBLE) + 1.0) / (tot.nt + 1.0 * tot.v))
+                   / ((CAST(w.cb AS DOUBLE) + 1.0) / (tot.nb + 1.0 * tot.v))
+                 )) / sum(f.tfq), 6) AS avg_logratio
+          FROM tf f JOIN vocab w USING (token), tot
+          GROUP BY f.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               s.avg_logratio
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # token_budget_sample: whitespace token totals per lang, keep_frac
+    # = least(1, budget/total), md5-uniform per-doc keep — the same
+    # '0x'||md5-prefix bucket family as split_assign/shard_assign
+    o["token_budget_sample"] = """
+        WITH wn AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+          FROM documents),
+        gt AS (
+          SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS group_tokens
+          FROM wn GROUP BY lang),
+        b(lang, budget_tokens) AS (
+          VALUES ('en', 2000), ('de', 100000), ('fr', 500)),
+        fr AS (
+          SELECT g.lang,
+                 least(1.0, CAST(b.budget_tokens AS DOUBLE)
+                            / g.group_tokens) AS keep_frac
+          FROM gt g JOIN b USING (lang))
+        SELECT w.doc_id, w.lang, w.n_tokens, f.keep_frac
+        FROM wn w JOIN fr f USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < f.keep_frac
     """
 
     # recrawl_priority: lag/groupBy change stats + the bias-corrected

@@ -329,6 +329,8 @@ def main() -> None:
             # near-dedup against the persisted signature index,
             # merged-index BM25
             "line_dedup", "near_dedup_incremental", "bm25_merged",
+            # round-3 additions: backoff LM, DSIR selection, mixing
+            "stupid_backoff", "dsir_weights", "token_budget_sample",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

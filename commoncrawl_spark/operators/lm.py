@@ -267,3 +267,103 @@ def bigram_logprob_scores(
             .otherwise(F.col("_avg")).alias("avg_logprob"),
         )
     )
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    unigrams: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): per consecutive pair,
+    ``S(w2|w1) = c(w1,w2) / c(w1,.)`` when the bigram is in-table, else
+    back off to ``alpha * c(w2) / N`` (corpus unigram frequency, the
+    paper's alpha = 0.4). Output one row per document: ``(id_col,
+    n_bigrams, avg_logscore)`` — the mean ``ln S`` over the document's
+    pairs (S is a score, not a normalized probability — the paper's
+    point is that at web scale backoff weights need no normalization).
+
+    This is the operator that closes ``bigram_logprob_scores``'s
+    external-counts gap: a model trained on segment A scores segment B
+    FINITELY on unseen bigrams instead of NULL — the cross-segment
+    quality-scoring shape (train on trusted corpus, score the crawl)
+    that CCNet runs with KenLM. A document scores NULL only when some
+    token is outside even the UNIGRAM table (true OOV); n_bigrams
+    always counts the document's actual pairs.
+
+    ``counts`` / ``unigrams`` default to self-training on ``df``
+    (then no pair can be OOV and the result equals
+    ``bigram_logprob_scores``). Pass both together when scoring against
+    an external model (``bigram_counts(train)`` / ``unigram_counts
+    (train)``).
+
+    Scale shape: identical to ``bigram_logprob_scores`` — the corpus
+    pair stream aggregates per (doc, pair) once, the three model
+    tables (bigram, left-context, unigram+total) are type-bounded and
+    broadcast explicitly, so nothing corpus-scale shuffles on a token
+    key. Empty / single-token documents survive as explode_outer
+    sentinel rows (no restore join).
+    """
+    tfb = (
+        df.select(F.col(id_col),
+                  F.explode_outer(_bigrams_col(F.col(text_col))).alias("bg"))
+        .select(id_col, "bg.w1", "bg.w2")
+        .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
+    )
+    if counts is None:
+        counts = (
+            tfb.where(F.col("w1").isNotNull())
+            .groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
+        )
+    if unigrams is None:
+        unigrams = unigram_counts(df, text_col=text_col)
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    uni = unigrams.select(F.col("token").alias("w2"),
+                          F.col("cnt").alias("_ucnt"))
+    totals = uni.agg(F.sum("_ucnt").alias("_n"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+        ctx = F.broadcast(ctx)
+        uni = F.broadcast(uni)
+    seen = F.col("cnt").isNotNull()
+    score = F.when(
+        seen, F.col("cnt").cast("double") / F.col("ctx").cast("double")
+    ).otherwise(
+        F.lit(float(alpha)) * F.col("_ucnt").cast("double")
+        / F.col("_n").cast("double")
+    )
+    occ = (
+        tfb.join(counts, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_repeat(
+                F.struct(
+                    F.log(score).alias("_lp"),
+                    (~seen & F.col("_ucnt").isNull()).alias("_oov"),
+                ),
+                F.when(F.col("w1").isNull(), F.lit(0))
+                .otherwise(F.col("_tfd").cast("int")))).alias("_o"),
+        )
+    )
+    return (
+        occ.groupBy(id_col)
+        .agg(
+            F.count("_o").alias("n_bigrams"),
+            F.round(F.avg("_o._lp"), 6).alias("_avg"),
+            F.coalesce(
+                F.sum(F.col("_o._oov").cast("long")), F.lit(0)
+            ).alias("_n_oov"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams"),
+            F.when(F.col("_n_oov") > 0, F.lit(None).cast("double"))
+            .otherwise(F.col("_avg")).alias("avg_logscore"),
+        )
+    )

@@ -1,0 +1,175 @@
+"""Training-data selection and mixing: importance-weighted domain
+selection (DSIR-shaped) and deterministic token-budget sampling.
+
+The reference's notebooks stop at keyword gates (read_jsonl.ipynb cell
+2); the pretraining pipelines this engine targets select data with
+corpus-statistics importance weights (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling" — hashed-n-gram
+unigram-LM log-ratio between a target corpus and the raw pool) and then
+mix sources to per-domain token budgets (the Pile / Dolma mixture
+recipes publish exactly such budgets).
+
+Scale shapes (no Python anywhere):
+
+- ``dsir_logratio_scores``: both model tables are vocabularies (token
+  TYPES — Heaps-law bounded), merged with one full-outer join and
+  broadcast; the raw pool streams through one tokenize + per-(doc,
+  token) aggregate and one per-doc aggregate. Nothing corpus-scale
+  shuffles on a token key.
+- ``sample_token_budget``: per-group token totals are one map-side
+  partial aggregate (groups ~ sources/languages, i.e. tiny); keep
+  fractions broadcast back onto the scan; membership is a pure
+  per-row hash predicate — the sample is reproducible across re-runs,
+  repartitions, executors, and engines (same md5-bucket family as
+  ``split_train_val_test`` / shard assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analytics import tokens_col
+from .lm import unigram_counts
+from ..functions.text import token_count_col
+
+_U32 = 4294967296.0  # 2^32: md5-prefix bucket -> uniform [0, 1)
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document importance weight for target-domain selection: the
+    mean over the document's tokens of ``ln(p_target(w) / p_raw(w))``,
+    where both are Laplace-smoothed unigram LMs — ``p(w) = (c(w) +
+    alpha) / (N + alpha * V)`` with ``V`` the JOINT vocabulary (union
+    of both corpora's token types), so every token has finite mass on
+    both sides and no document scores NULL for vocabulary reasons.
+
+    Output one row per input document: ``(id_col, n_tokens,
+    avg_logratio)`` — higher = more target-like; DSIR resamples the
+    pool with probability proportional to the exponentiated weight,
+    which preserves target-distribution coverage where a hard
+    classifier threshold collapses it. Empty documents score
+    ``(0, NULL)``.
+
+    The sum runs over per-(doc, token) term frequencies (``sum(tf *
+    lr) / sum(tf)``), not a re-exploded occurrence stream — the
+    log-ratio is constant per token type, so weighting by tf is exact
+    and skips the array_repeat reconstruction the LM scorers need for
+    their occurrence means.
+    """
+    ct = unigram_counts(target, text_col=text_col).withColumnRenamed(
+        "cnt", "_ct")
+    cb = unigram_counts(df, text_col=text_col).withColumnRenamed(
+        "cnt", "_cb")
+    # one vocab-sized full-outer merge; totals + joint-vocab size ride
+    # along as a 1-row broadcast (no driver collect, plan stays lazy)
+    vocab = ct.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+        F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
+    )
+    totals = vocab.agg(
+        F.sum("_ct").alias("_nt"),
+        F.sum("_cb").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    p_t = (F.col("_ct").cast("double") + a) \
+        / (F.col("_nt").cast("double") + a * F.col("_v"))
+    p_b = (F.col("_cb").cast("double") + a) \
+        / (F.col("_nb").cast("double") + a * F.col("_v"))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    real = F.col("token").isNotNull()
+    scored = (
+        tf.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.when(real, F.col("_tf")).otherwise(F.lit(0)).alias("_n"),
+            F.when(real, F.col("_tf").cast("double") * F.log(p_t / p_b))
+            .otherwise(F.lit(0.0)).alias("_lr"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("n_tokens"), F.sum("_lr").alias("_sum"))
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("_sum") / F.col("n_tokens"), 6))
+        .otherwise(F.lit(None).cast("double")).alias("avg_logratio"),
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture sampling: downsample each group (source /
+    language / domain) so its EXPECTED token count meets its budget —
+    the Pile/Dolma-style mixing step that turns "we have 40T tokens of
+    web and 0.3T of books" into a training mix.
+
+    ``budgets`` is a tiny DataFrame ``(group_col, budget_tokens)``;
+    groups absent from it are dropped (budget 0). Each group keeps a
+    document iff its md5-uniform draw falls under ``keep_frac =
+    min(1, budget_tokens / group_tokens)`` — membership is a pure
+    function of (id, salt), so the sample is identical across re-runs,
+    partitionings, and engines; ``salt`` re-draws without re-ordering.
+    Sampling is per-document (documents are exchangeable within a
+    group), so the realized token count concentrates on the budget at
+    corpus scale rather than matching it exactly — cutting documents
+    to hit budgets exactly would bias against long documents.
+
+    Output: the kept rows as ``(id_col, group_col, n_tokens,
+    keep_frac)`` — ``keep_frac`` doubles as the importance weight
+    (1/keep_frac reweights aggregates back to the full corpus).
+
+    Scale shape: one map-side-partial aggregate to per-group token
+    totals (group cardinality ~ tens), fractions broadcast onto the
+    scan, then a per-row hash filter — the text column never shuffles
+    and the filter runs in the scan stage.
+    """
+    with_n = df.select(
+        F.col(id_col), F.col(group_col),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    group_tokens = with_n.groupBy(group_col).agg(
+        F.sum("n_tokens").alias("_group_tokens"))
+    frac = (
+        group_tokens.join(budgets, group_col)
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.col("budget_tokens").cast("double")
+                / F.col("_group_tokens").cast("double"),
+            ).alias("keep_frac"),
+        )
+    )
+    u01 = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 8), 16, 10)
+        .cast("long").cast("double") / F.lit(_U32)
+    )
+    return (
+        with_n.join(F.broadcast(frac), group_col)
+        .where(u01 < F.col("keep_frac"))
+        .select(id_col, group_col, "n_tokens", "keep_frac")
+    )

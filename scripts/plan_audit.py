@@ -405,6 +405,77 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # Stupid Backoff: three broadcast model tables, no pair-key shuffle
+    from commoncrawl_spark.operators.lm import stupid_backoff_scores
+
+    p = plan_of(stupid_backoff_scores(docs))
+    sections.append((
+        "Stupid Backoff scoring: three broadcast model tables, no "
+        "pair-key shuffle",
+        "Backoff adds a unigram table and a corpus-total to the bigram "
+        "scorer's joins — all three model tables are type-bounded "
+        "(Heaps law) and broadcast explicitly, so the corpus-scale "
+        "per-(doc, pair) stream still shuffles only on its own "
+        "aggregation keys, never on token/pair keys where common-pair "
+        "skew lives.",
+        [f"explicit BroadcastHashJoins: {p.count('BroadcastHashJoin')} "
+         f"(expect >= 3: bigram, context, unigram tables)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False — the total rides a BroadcastNestedLoopJoin)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # DSIR importance weights: vocab merge broadcast onto one token pass
+    from commoncrawl_spark.operators.selection import (
+        dsir_logratio_scores,
+        sample_token_budget,
+    )
+
+    p = plan_of(dsir_logratio_scores(docs, docs.where(F.col("lang") == "de")))
+    sections.append((
+        "DSIR importance weights: vocab-sized merge broadcast onto one "
+        "token pass",
+        "Both unigram LMs are vocabularies (token TYPES, Heaps-law "
+        "bounded) merged with one full-outer join and broadcast onto "
+        "the pool's single tokenize + per-(doc, token) aggregate; the "
+        "per-doc mean weights by tf instead of re-exploding an "
+        "occurrence stream, so the pool's text is read once and never "
+        "shuffled.",
+        [f"vocab join onto the pool stream is an explicit "
+         f"BroadcastHashJoin: {'BroadcastHashJoin' in p} (expect True)",
+         f"SortMergeJoin count: {p.count('SortMergeJoin')} (expect 2: "
+         f"both are the vocab-vs-vocab FULL-OUTER merge — full outer "
+         f"cannot broadcast-hash, both sides are vocab-sized so the "
+         f"exchange moves token types not the corpus, and the merge "
+         f"evaluates as two subtrees: the broadcast model table and "
+         f"its 1-row totals aggregate)",
+         f"every SortMergeJoin is the FullOuter merge: "
+         f"{p.count('FullOuter') == p.count('SortMergeJoin')} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # token-budget mixture sampling: broadcast fractions, scan-stage keep
+    budgets = spark.createDataFrame(
+        [("en", 2000), ("de", 100000)], "lang string, budget_tokens long")
+    p = plan_of(sample_token_budget(docs, budgets))
+    sections.append((
+        "Token-budget mixture sampling: broadcast fractions, per-row "
+        "hash keep",
+        "Per-group token totals are one map-side-partial aggregate over "
+        "group cardinality ~ tens; keep fractions broadcast back onto "
+        "the scan and membership is a pure md5-of-id predicate — the "
+        "text column never shuffles, and the sample is identical across "
+        "re-runs, partitionings, and engines.",
+        [f"fraction join is a BroadcastHashJoin: "
+         f"{'BroadcastHashJoin' in p} (expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"Exchange count: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1: the tiny per-group total agg)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # mirror detection: capped fingerprint self-join
     from commoncrawl_spark.operators.mirrors import host_content_overlap
 

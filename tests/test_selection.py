@@ -1,0 +1,136 @@
+"""Stupid Backoff scoring + DSIR importance weights + token-budget
+mixture sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.mark.spark
+def test_stupid_backoff_self_trained_equals_bigram_mle(spark):
+    from commoncrawl_spark.operators.lm import (
+        bigram_logprob_scores,
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c a"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    mle = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    sb = {r["doc_id"]: r for r in stupid_backoff_scores(df).collect()}
+    for k in mle:
+        assert sb[k]["n_bigrams"] == mle[k]["n_bigrams"]
+        assert sb[k]["avg_logscore"] == mle[k]["avg_logprob"], k
+    assert sb[3]["n_bigrams"] == 0 and sb[3]["avg_logscore"] is None
+    assert sb[4]["n_bigrams"] == 0 and sb[4]["avg_logscore"] is None
+
+
+@pytest.mark.spark
+def test_stupid_backoff_external_counts_backs_off(spark):
+    from commoncrawl_spark.operators.lm import (
+        bigram_counts,
+        stupid_backoff_scores,
+        unigram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string")
+    bc, uc = bigram_counts(train), unigram_counts(train)
+    score = spark.createDataFrame(
+        # "b a" seen (2x); "b c" UNSEEN but both tokens known -> backoff;
+        # "b z" has a true-OOV token -> NULL
+        [(8, "b a"), (9, "b c"), (10, "b z")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in stupid_backoff_scores(
+        score, counts=bc, unigrams=uc).collect()}
+    # train tokens: a=3, b=2, c=1, N=6; pairs: (a,b)=2,(b,a)=2,(a,c)=1
+    assert got[8]["avg_logscore"] == round(math.log(2 / 2), 6)
+    assert got[9]["avg_logscore"] == round(math.log(0.4 * 1 / 6), 6)
+    assert got[10]["avg_logscore"] is None
+    assert got[10]["n_bigrams"] == 1
+
+
+@pytest.mark.spark
+def test_stupid_backoff_plan_broadcasts_model_tables(spark):
+    from commoncrawl_spark.operators.lm import stupid_backoff_scores
+
+    df = spark.createDataFrame(
+        [(i, f"the quick fox number {i} jumps") for i in range(20)],
+        "doc_id long, text string")
+    out = stupid_backoff_scores(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_dsir_logratio_orders_target_like_docs_first(spark):
+    from commoncrawl_spark.operators.selection import dsir_logratio_scores
+
+    target = spark.createDataFrame(
+        [(i, "physics energy quantum field theory") for i in range(5)],
+        "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(1, "quantum field energy"),        # target-like
+         (2, "buy cheap pills now casino"),  # not
+         (3, "")],                           # empty
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_logratio_scores(pool, target).collect()}
+    assert got[1]["avg_logratio"] > got[2]["avg_logratio"]
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logratio"] is None
+    assert got[1]["n_tokens"] == 3
+
+
+@pytest.mark.spark
+def test_dsir_matches_hand_computation(spark):
+    from commoncrawl_spark.operators.selection import dsir_logratio_scores
+
+    target = spark.createDataFrame(
+        [(1, "a a b")], "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(1, "a c")], "doc_id long, text string")
+    got = dsir_logratio_scores(pool, target).collect()[0]
+    # joint vocab {a, b, c} V=3; target: a=2,b=1,Nt=3; pool: a=1,c=1,Nb=2
+    # alpha=1: p_t(a)=(2+1)/(3+3)=0.5  p_b(a)=(1+1)/(2+3)=0.4
+    #          p_t(c)=(0+1)/6          p_b(c)=(1+1)/5
+    want = (math.log(0.5 / 0.4) + math.log((1 / 6) / (2 / 5))) / 2
+    assert got["avg_logratio"] == round(want, 6)
+
+
+@pytest.mark.spark
+def test_sample_token_budget_deterministic_and_budget_shaped(spark):
+    from commoncrawl_spark.operators.selection import sample_token_budget
+
+    rows = [(i, "en" if i % 4 else "de", "tok " * 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budgets = spark.createDataFrame(
+        [("en", 5000), ("fr", 999)], "lang string, budget_tokens long")
+    got = sample_token_budget(df, budgets, group_col="lang")
+    rows1 = sorted(r["doc_id"] for r in got.collect())
+    rows2 = sorted(r["doc_id"] for r in got.collect())
+    assert rows1 == rows2 and rows1  # deterministic, non-empty
+    by_lang = {r["lang"] for r in got.collect()}
+    assert by_lang == {"en"}  # de has no budget row; fr has no docs
+    # en: 300 docs x 50 tokens = 15000 -> keep_frac = 1/3; expect ~100
+    kept_tokens = sum(r["n_tokens"] for r in got.collect())
+    assert 3000 < kept_tokens < 7500
+    fracs = {r["keep_frac"] for r in got.collect()}
+    assert fracs == {5000 / 15000}
+
+
+@pytest.mark.spark
+def test_sample_token_budget_keeps_all_under_budget(spark):
+    from commoncrawl_spark.operators.selection import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(10)],
+        "doc_id long, lang string, text string")
+    budgets = spark.createDataFrame(
+        [("en", 10_000)], "lang string, budget_tokens long")
+    got = sample_token_budget(df, budgets).collect()
+    assert len(got) == 10
+    assert all(r["keep_frac"] == 1.0 for r in got)
