@@ -1575,6 +1575,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tokens", F.col("n_tokens").cast("long"))
     q["token_budget_sample"] = token_budget_sample
 
+    def duplicate_spans(spark, sf):
+        """Exact-substring duplication stats (Lee et al. 2021): per
+        doc, the token mass covered by 20-token windows appearing >= 2
+        times anywhere in the corpus — the ExactSubstr dedup signal.
+        Window fingerprints are 32-byte md5 (text never shuffles);
+        corpus counts are map-side-partial so boilerplate windows
+        collapse before the exchange."""
+        from commoncrawl_spark.operators.text_dedup import (
+            duplicate_span_stats,
+        )
+
+        d = _read(spark, sf, "documents")
+        return duplicate_span_stats(d, k=20)
+    q["duplicate_spans"] = duplicate_spans
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2155,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff",
         "dsir_weights",
         "token_budget_sample",
+        "duplicate_spans",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3349,6 +3365,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
                                       1, 8))::BIGINT AS DOUBLE)
               / 4294967296.0 < f.keep_frac
+    """
+
+    # duplicate_spans: 1-based window positions on both sides; the
+    # interval-union fold is the same least(k, gap) sum over sorted
+    # positions; md5 over the space-joined window text
+    o["duplicate_spans"] = f"""
+        WITH base AS (
+          SELECT doc_id, {toks_doc} AS t,
+                 len({toks_doc}) AS n_tokens
+          FROM documents),
+        h AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos:pos + 19], ' ')) AS gram
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, len(t) - 20 + 2)) AS pos
+                FROM base WHERE len(t) >= 20)),
+        c AS (SELECT gram FROM h GROUP BY gram HAVING count(*) >= 2),
+        s AS (
+          SELECT doc_id, count(*) AS n_dup_grams,
+                 list_sort(list(pos)) AS ps
+          FROM h JOIN c USING (gram) GROUP BY doc_id),
+        u AS (
+          SELECT doc_id, n_dup_grams,
+                 CAST(coalesce(list_sum(list_transform(
+                   range(1, len(ps)),
+                   i -> least(20, ps[i + 1] - ps[i]))), 0) AS BIGINT)
+                 + 20 AS dup_tokens
+          FROM s)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(u.n_dup_grams, 0) AS n_dup_grams,
+               coalesce(u.dup_tokens, 0) AS dup_tokens,
+               CASE WHEN b.n_tokens > 0
+                 THEN round(CAST(coalesce(u.dup_tokens, 0) AS DOUBLE)
+                            / b.n_tokens, 6)
+                 ELSE 0.0 END AS dup_fraction
+        FROM base b LEFT JOIN u USING (doc_id)
     """
 
     # recrawl_priority: lag/groupBy change stats + the bias-corrected

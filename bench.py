@@ -329,8 +329,10 @@ def main() -> None:
             # near-dedup against the persisted signature index,
             # merged-index BM25
             "line_dedup", "near_dedup_incremental", "bm25_merged",
-            # round-3 additions: backoff LM, DSIR selection, mixing
+            # round-3 additions: backoff LM, DSIR selection, mixing,
+            # exact-substring duplication stats
             "stupid_backoff", "dsir_weights", "token_budget_sample",
+            "duplicate_spans",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -729,3 +729,101 @@ def dedup_segments(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how much of it is covered by ``k``-token windows
+    that appear at least ``min_count`` times ANYWHERE in the corpus
+    (including within the same document — the paper's suffix-array
+    match is position-blind). Output one row per input document:
+    ``(id_col, n_tokens, n_dup_grams, dup_tokens, dup_fraction)``
+    where ``dup_tokens`` is the size of the UNION of the duplicated
+    windows' ``[pos, pos+k)`` intervals — the token mass the paper's
+    ExactSubstr pass would cut. Filter ``dup_fraction`` (or subtract
+    ``dup_tokens`` from token budgets) instead of re-implementing the
+    destructive cut: the stats are the decision signal.
+
+    Scale shape (the suffix array re-expressed as two slim shuffles):
+    the window fingerprints are 32-byte md5 of the window text — the
+    per-position stream carries (id, pos, 32B), never text; the corpus
+    count is a map-side-partial groupBy on the fingerprint, so a
+    boilerplate window repeated 10^8 times collapses to one partial
+    row per map partition BEFORE the exchange (a window-function count
+    would funnel those 10^8 rows through one task — this is why it is
+    an agg + join, not ``count().over(partitionBy(gram))``); the join
+    back is an equi-join AQE can both broadcast (few duplicated grams)
+    and skew-split (boilerplate grams). Interval-union arithmetic is a
+    per-doc array fold over sorted positions, bounded by document
+    length. The final restore join is slim-on-slim (ints keyed by the
+    unique doc id).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens"))
+    n = F.col("n_tokens")
+    # one row per window position; _toks is a bound column, so the
+    # tokenizer runs once per row, not once per lambda element
+    grams = (
+        base.where(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("_toks"), p, k))).alias("gram"),
+                ))).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.gram")
+    )
+    gcnt = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(gcnt, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sort_array(F.collect_list("pos")).alias("_ps"),
+        )
+    )
+    m = F.size("_ps")
+    gaps = F.zip_with(
+        F.slice("_ps", 1, F.greatest(m - 1, F.lit(0))),
+        F.slice("_ps", 2, F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.least(F.lit(k), b - a),
+    )
+    union_size = (
+        F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(k)
+    )
+    spans = per_doc.select(
+        id_col,
+        F.col("n_dup_grams"),
+        union_size.cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.when(
+                n > 0,
+                F.round(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    .cast("double") / n, 6),
+            ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+        )
+    )

@@ -476,6 +476,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # exact-substring duplication: partial-agg count, skew-safe join
+    from commoncrawl_spark.operators.text_dedup import duplicate_span_stats
+
+    p = plan_of(duplicate_span_stats(docs, k=20))
+    sections.append((
+        "Exact-substring duplication stats: map-side-partial gram "
+        "count, no window count",
+        "The Lee et al. ExactSubstr signal shuffles (id, pos, 32-byte "
+        "md5) window fingerprints — never text. The corpus count is a "
+        "groupBy whose map-side partial collapses a boilerplate window "
+        "repeated 10^8 times to one row per map partition BEFORE the "
+        "exchange; the join back is an equi-join AQE can broadcast or "
+        "skew-split. A count().over(partitionBy(gram)) would instead "
+        "funnel every copy of a hot gram through one task — that shape "
+        "is pinned absent.",
+        [f"partial_count present (map-side partial kept): "
+         f"{'partial_count' in p} (expect True)",
+         f"Window nodes: {p.count('Window [')} (expect 0 — no "
+         f"window-function count)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # mirror detection: capped fingerprint self-join
     from commoncrawl_spark.operators.mirrors import host_content_overlap
 

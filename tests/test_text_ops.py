@@ -893,3 +893,56 @@ def test_incremental_near_dedup_releases_cache(spark):
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     assert n_stored() <= base
+
+
+@pytest.mark.spark
+def test_duplicate_span_stats_hand_computed(spark):
+    from commoncrawl_spark.operators.text_dedup import duplicate_span_stats
+
+    # k=3: doc 1 and doc 2 share "a b c d" -> windows (a b c), (b c d)
+    # at positions 1, 2 in both docs; doc 3 is unique; doc 4 too short
+    df = spark.createDataFrame(
+        [(1, "a b c d x y z"), (2, "q a b c d"), (3, "u v w r s t"),
+         (4, "p q")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicate_span_stats(df, k=3).collect()}
+    assert got[1]["n_dup_grams"] == 2
+    # union of [1,4) and [2,5) = [1,5) -> 4 tokens
+    assert got[1]["dup_tokens"] == 4
+    assert got[1]["dup_fraction"] == round(4 / 7, 6)
+    assert got[2]["n_dup_grams"] == 2 and got[2]["dup_tokens"] == 4
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_fraction"] == 0.0
+    assert got[4]["n_tokens"] == 2 and got[4]["dup_tokens"] == 0
+
+
+@pytest.mark.spark
+def test_duplicate_span_stats_counts_within_doc_repeats(spark):
+    from commoncrawl_spark.operators.text_dedup import duplicate_span_stats
+
+    # the window "a b c" appears twice WITHIN one doc -> duplicated
+    # (Lee et al.'s suffix-array match is position-blind)
+    df = spark.createDataFrame(
+        [(1, "a b c z z z a b c")], "doc_id long, text string")
+    got = duplicate_span_stats(df, k=3).collect()[0]
+    assert got["n_dup_grams"] == 2
+    # union of [1,4) and [7,10) -> 6 tokens, no overlap
+    assert got["dup_tokens"] == 6
+    assert got["dup_fraction"] == round(6 / 9, 6)
+
+
+@pytest.mark.spark
+def test_duplicate_span_stats_plan_is_jvm_only(spark):
+    from commoncrawl_spark.operators.text_dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(i, "w x y z " * 8) for i in range(30)],
+        "doc_id long, text string")
+    out = duplicate_span_stats(df, k=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the gram count must keep its map-side partial (boilerplate skew
+    # collapses before the exchange) — no window-function count
+    assert "Window" not in plan
