@@ -1255,6 +1255,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_clusters(verified, d)
     q["dedup_clusters"] = dedup_clusters_q
 
+    def cluster_reps(spark, sf):
+        """Representative election on top of the transitive clusters:
+        keep the LONGEST member per near-dup cluster (ties -> smallest
+        doc_id) — the FineWeb keep rule, replacing min-id with a
+        quality argmax. The doubled corpus makes the winner the
+        perturbed (+' zz', one token longer) twin, so the query
+        genuinely exercises a non-min-id representative."""
+        from commoncrawl_spark.operators.graph import (
+            cluster_representatives,
+            dedup_clusters,
+        )
+        from commoncrawl_spark.operators.text_dedup import (
+            jaccard_pairs,
+            minhash_candidate_pairs,
+        )
+
+        d = _docs2_spark(spark, sf)
+        cand = minhash_candidate_pairs(d, num_hashes=NUM_HASHES, bands=BANDS)
+        verified = jaccard_pairs(d, cand, threshold=0.8).select("a", "b")
+        clusters = dedup_clusters(verified, d)
+        scores = d.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("score"))
+        return cluster_representatives(clusters, scores)
+    q["cluster_reps"] = cluster_reps
+
     def host_pagerank(spark, sf):
         """Crawl-priority PageRank over a deterministic host-link graph
         (two synthetic out-edges per document, 97 hosts). Fixed 3
@@ -2171,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights",
         "token_budget_sample",
         "duplicate_spans",
+        "cluster_reps",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2961,6 +2988,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
         FROM {_DOCS2_SQL} d LEFT JOIN lab l ON l.id = d.doc_id
     """
+
+    # cluster_reps: the same cluster derivation, then argmax(score,
+    # -doc_id) per cluster with score = token count (FineWeb keep rule)
+    o["cluster_reps"] = o["dedup_clusters"].rstrip().rstrip(
+    ).replace(
+        "lab AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
+        "        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster\n"
+        f"        FROM {_DOCS2_SQL} d LEFT JOIN lab l ON l.id = d.doc_id",
+        "lab AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),\n"
+        "        assign AS (\n"
+        "          SELECT d.doc_id,\n"
+        "                 COALESCE(l.cluster, d.doc_id) AS cluster,\n"
+        f"                 CAST(len({_SQL_TOKS.format(t='d.text')}) AS"
+        " BIGINT) AS score\n"
+        f"          FROM {_DOCS2_SQL} d LEFT JOIN lab l ON l.id ="
+        " d.doc_id)\n"
+        "        SELECT cluster, doc_id AS rep_doc_id, n_members,\n"
+        "               score AS rep_score\n"
+        "        FROM (SELECT *,\n"
+        "                     count(*) OVER (PARTITION BY cluster)\n"
+        "                       AS n_members,\n"
+        "                     row_number() OVER (PARTITION BY cluster\n"
+        "                       ORDER BY score DESC, doc_id ASC) AS rn\n"
+        "              FROM assign)\n"
+        "        WHERE rn = 1",
+    )
 
     # cdx_harvest: the oracle skips the JSONL byte round-trip (JSON parse
     # is the identity on these records) and replays the same fold over the

@@ -211,3 +211,41 @@ def dedup_clusters(
             F.coalesce("cluster", F.col(id_col)).alias("cluster"),
         )
     )
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Representative election per duplicate cluster: keep the member
+    with the HIGHEST score (ties broken by smallest id). The min-id
+    keep rule (``cluster == id``) discards quality information; real
+    curation pipelines keep the best member — FineWeb keeps the
+    longest document, CCNet the best-perplexity one — so this takes an
+    arbitrary per-document score table and elects ``argmax(score,
+    -id)`` per cluster. Output one row per cluster: ``(cluster_col,
+    rep_<id_col>, n_members, rep_score)``; the keep set is the
+    ``rep_<id_col>`` column, and ``n_members`` sizes each collapsed
+    group for shrinkage accounting.
+
+    Scale shape: one slim equi-join on the unique doc id (clusters x
+    scores both carry two narrow columns) and ONE map-side-partial
+    aggregate on the cluster key — ``max_by`` over a (score, -id)
+    struct folds per partition before the exchange, so a pathological
+    million-member boilerplate cluster contributes one partial row per
+    map partition, where a row_number window would funnel every member
+    through a single task.
+    """
+    joined = clusters.join(scores, id_col)
+    order_key = F.struct(
+        F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_t"))
+    return (
+        joined.groupBy(cluster_col)
+        .agg(
+            F.max_by(F.col(id_col), order_key).alias(f"rep_{id_col}"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.col(score_col)).alias("rep_score"),
+        )
+    )

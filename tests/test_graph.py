@@ -171,3 +171,39 @@ def test_pagerank_feeds_polite_batch_priority(spark):
     # hub.test has 2 in-edges -> highest rank; check it survived with
     # its lexicographically-first url (deterministic tiebreak)
     assert rows["hub.test"]["url"] == "https://hub.test/p0"
+
+
+@pytest.mark.spark
+def test_cluster_representatives_elects_best_scored(spark):
+    from commoncrawl_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster long")
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (9, 4), (10, 4)],
+        "doc_id long, score long")
+    got = {r["cluster"]: r for r in
+           cluster_representatives(clusters, scores).collect()}
+    assert got[1]["rep_doc_id"] == 2      # top score, tie -> smaller id
+    assert got[1]["n_members"] == 3 and got[1]["rep_score"] == 50
+    assert got[7]["rep_doc_id"] == 7 and got[7]["n_members"] == 1
+    assert got[9]["rep_doc_id"] == 9      # tie -> smaller id
+
+
+@pytest.mark.spark
+def test_cluster_representatives_plan_keeps_partial_agg(spark):
+    from commoncrawl_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "doc_id long, cluster long")
+    scores = spark.createDataFrame(
+        [(i, i * 7 % 13) for i in range(100)], "doc_id long, score long")
+    out = cluster_representatives(clusters, scores)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # max_by folds map-side — a million-member boilerplate cluster must
+    # not funnel through one task the way a row_number window would
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+    assert "EvalPython" not in plan
