@@ -1616,6 +1616,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(d, k=20)
     q["duplicate_spans"] = duplicate_spans
 
+    def selection_pipeline(spark, sf):
+        """The round-3 selection family composed as one curation job:
+        DSIR gate (keep target-like docs, avg_logratio >= 0) ->
+        exact-substring duplication gate (dup_fraction <= 0.5,
+        computed on the gated subset) -> token-budget mixture
+        sampling. Stage order matters and is identical in the oracle;
+        every stage is Catalyst — the only shuffles are the two model
+        aggregates, the span-gram count, and three slim id semi-joins."""
+        from commoncrawl_spark.operators.selection import (
+            dsir_logratio_scores,
+            sample_token_budget,
+        )
+        from commoncrawl_spark.operators.text_dedup import (
+            duplicate_span_stats,
+        )
+
+        d = _read(spark, sf, "documents")
+        w = dsir_logratio_scores(d, d.where(F.col("lang") == "de"))
+        keep1 = w.where(F.col("avg_logratio") >= 0.0).select("doc_id")
+        d1 = d.join(keep1, "doc_id", "left_semi")
+        s = duplicate_span_stats(d1, k=20)
+        keep2 = s.where(F.col("dup_fraction") <= 0.5).select("doc_id")
+        d2 = d1.join(keep2, "doc_id", "left_semi")
+        budgets = spark.createDataFrame(
+            [("en", 1500), ("de", 100000), ("zh", 400)],
+            "lang string, budget_tokens long")
+        return sample_token_budget(d2, budgets).withColumn(
+            "n_tokens", F.col("n_tokens").cast("long"))
+    q["selection_pipeline"] = selection_pipeline
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2198,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample",
         "duplicate_spans",
         "cluster_reps",
+        "selection_pipeline",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3455,6 +3486,99 @@ def oracle_sql() -> dict[str, str]:
                             / b.n_tokens, 6)
                  ELSE 0.0 END AS dup_fraction
         FROM base b LEFT JOIN u USING (doc_id)
+    """
+
+    # selection_pipeline: the dsir_weights / duplicate_spans /
+    # token_budget_sample oracles chained with the same stage order and
+    # thresholds; each stage's arithmetic is identical to its
+    # standalone oracle, applied to the previous stage's survivors
+    o["selection_pipeline"] = f"""
+        WITH toks0 AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        tgt AS (
+          SELECT token, count(*) AS ct FROM (
+            SELECT unnest({toks_doc}) AS token FROM documents
+            WHERE lang = 'de') GROUP BY token),
+        bkg AS (
+          SELECT token, count(*) AS cb FROM toks0 GROUP BY token),
+        vocab AS (
+          SELECT coalesce(t.token, b.token) AS token,
+                 coalesce(t.ct, 0) AS ct,
+                 coalesce(b.cb, 0) AS cb
+          FROM tgt t FULL JOIN bkg b ON t.token = b.token),
+        tot AS (
+          SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                 CAST(sum(cb) AS DOUBLE) AS nb,
+                 count(*) AS v
+          FROM vocab),
+        tf0 AS (
+          SELECT doc_id, token, count(*) AS tfq FROM toks0
+          GROUP BY doc_id, token),
+        dsir AS (
+          SELECT f.doc_id,
+                 round(sum(CAST(f.tfq AS DOUBLE) * ln(
+                   ((CAST(w.ct AS DOUBLE) + 1.0) / (tot.nt + 1.0 * tot.v))
+                   / ((CAST(w.cb AS DOUBLE) + 1.0) / (tot.nb + 1.0 * tot.v))
+                 )) / sum(f.tfq), 6) AS avg_logratio
+          FROM tf0 f JOIN vocab w USING (token), tot
+          GROUP BY f.doc_id),
+        d1 AS (
+          SELECT d.* FROM documents d
+          JOIN dsir s USING (doc_id)
+          WHERE s.avg_logratio >= 0.0),
+        span_base AS (
+          SELECT doc_id, {toks_doc} AS t,
+                 len({toks_doc}) AS n_tokens
+          FROM d1),
+        h AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos:pos + 19], ' ')) AS gram
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, len(t) - 20 + 2)) AS pos
+                FROM span_base WHERE len(t) >= 20)),
+        c AS (SELECT gram FROM h GROUP BY gram HAVING count(*) >= 2),
+        sp AS (
+          SELECT doc_id, list_sort(list(pos)) AS ps
+          FROM h JOIN c USING (gram) GROUP BY doc_id),
+        u AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(
+                   range(1, len(ps)),
+                   i -> least(20, ps[i + 1] - ps[i]))), 0) AS BIGINT)
+                 + 20 AS dup_tokens
+          FROM sp),
+        stats AS (
+          SELECT b.doc_id,
+                 CASE WHEN b.n_tokens > 0
+                   THEN round(CAST(coalesce(u.dup_tokens, 0) AS DOUBLE)
+                              / b.n_tokens, 6)
+                   ELSE 0.0 END AS dup_fraction
+          FROM span_base b LEFT JOIN u USING (doc_id)),
+        d2 AS (
+          SELECT d1.* FROM d1
+          JOIN stats USING (doc_id)
+          WHERE stats.dup_fraction <= 0.5),
+        wn AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+          FROM d2),
+        gt AS (
+          SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS group_tokens
+          FROM wn GROUP BY lang),
+        b(lang, budget_tokens) AS (
+          VALUES ('en', 1500), ('de', 100000), ('zh', 400)),
+        fr AS (
+          SELECT g.lang,
+                 least(1.0, CAST(b.budget_tokens AS DOUBLE)
+                            / g.group_tokens) AS keep_frac
+          FROM gt g JOIN b USING (lang))
+        SELECT w.doc_id, w.lang, w.n_tokens, f.keep_frac
+        FROM wn w JOIN fr f USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < f.keep_frac
     """
 
     # recrawl_priority: lag/groupBy change stats + the bias-corrected

@@ -332,7 +332,7 @@ def main() -> None:
             # round-3 additions: backoff LM, DSIR selection, mixing,
             # exact-substring duplication stats
             "stupid_backoff", "dsir_weights", "token_budget_sample",
-            "duplicate_spans",
+            "duplicate_spans", "selection_pipeline",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
