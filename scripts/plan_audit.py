@@ -500,6 +500,64 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # cluster representative election: map-side-partial max_by, no window
+    from commoncrawl_spark.operators.graph import cluster_representatives
+
+    clusters_in = docs.select(
+        "doc_id", (F.col("doc_id") % 50).alias("cluster"))
+    scores_in = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"))
+    p = plan_of(cluster_representatives(clusters_in, scores_in))
+    sections.append((
+        "Cluster representative election: partial max_by fold, no window",
+        "The keep-best-member rule (FineWeb keeps longest, CCNet best "
+        "perplexity) is argmax(score, -id) per duplicate cluster — ONE "
+        "map-side-partial max_by on the cluster key, so a pathological "
+        "million-member boilerplate cluster contributes one partial row "
+        "per map partition before the exchange. A row_number window on "
+        "the cluster key would instead sort every member of the hot "
+        "cluster in one task; that shape is pinned absent.",
+        [f"partial_max_by present (map-side fold kept): "
+         f"{'partial_max_by' in p} (expect True)",
+         f"Window nodes: {p.count('Window [')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)"],
+    ))
+
+    # composed selection pipeline: diamond subtrees dedup at runtime
+    import __spark_entry__ as _entry
+
+    sel = _entry.queries()["selection_pipeline"](spark, SF)
+    p = plan_of(sel, label="selection_pipeline (static)")
+    sel.collect()
+    pf = sel._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "Composed selection pipeline: exchange reuse dedups the "
+        "diamond, no Python, no window",
+        "The curation composition (DSIR gate -> ExactSubstr gate -> "
+        "token-budget sampling) references each stage's survivors from "
+        "several downstream branches, so the STATIC plan textually "
+        "duplicates the DSIR/gram subtrees. That duplication is "
+        "compile-time only: Spark's exchange reuse collapses "
+        "canonically-identical shuffle subtrees at runtime, so each "
+        "model aggregate and gram count materializes ONCE (evidence "
+        "below is the executed AQE-final plan at sf0.01 — reused stage "
+        "count > 0, and unique materialized shuffle stages stay near "
+        "the sum of the standalone operators' stages). The alternative "
+        "— persisting the corpus-scale gated text between stages — "
+        "would push documents into executor storage; only slim "
+        "id/model exchanges are ever re-read.",
+        [f"executed ReusedExchange nodes: {pf.count('ReusedExchange')} "
+         f"(expect > 0 — the diamond dedups at runtime)",
+         f"materialized shuffle stages: "
+         f"{pf.count('ShuffleQueryStage')}",
+         f"Python operators (executed plan): "
+         f"{pf.count('EvalPython')} (expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in pf} "
+         f"(expect False)"],
+    ))
+
     # mirror detection: capped fingerprint self-join
     from commoncrawl_spark.operators.mirrors import host_content_overlap
 
