@@ -1646,6 +1646,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tokens", F.col("n_tokens").cast("long"))
     q["selection_pipeline"] = selection_pipeline
 
+    def winnow_fps(spark, sf):
+        """Winnowing fingerprint summary (Schleimer, Wilkerson & Aiken
+        2003 — MOSS): per doc, the count/min/max/sum of the distinct
+        window-min k-gram hashes. Fingerprinting is pure per-row array
+        arithmetic (zero shuffle); only this slim summary aggregates."""
+        from commoncrawl_spark.operators.text_dedup import (
+            winnow_fingerprints,
+        )
+
+        d = _read(spark, sf, "documents")
+        fps = winnow_fingerprints(d, k=4, w=8)
+        return fps.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+            F.sum("fp").alias("fp_sum"),
+        )
+    q["winnow_fps"] = winnow_fps
+
+    def winnow_pairs(spark, sf):
+        """MOSS match report: document pairs sharing >= 2 winnowing
+        fingerprints, with containment overlap. Rare-fingerprint equi
+        self-join (ubiquity cap 50) — never all-pairs, never text."""
+        from commoncrawl_spark.operators.text_dedup import (
+            winnow_overlap_pairs,
+        )
+
+        d = _read(spark, sf, "documents")
+        return winnow_overlap_pairs(
+            d, k=4, w=8, max_docs_per_fp=50, min_shared=2)
+    q["winnow_pairs"] = winnow_pairs
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2229,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans",
         "cluster_reps",
         "selection_pipeline",
+        "winnow_fps",
+        "winnow_pairs",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3486,6 +3520,53 @@ def oracle_sql() -> dict[str, str]:
                             / b.n_tokens, 6)
                  ELSE 0.0 END AS dup_fraction
         FROM base b LEFT JOIN u USING (doc_id)
+    """
+
+    # winnowing (Schleimer et al. 2003): k=4 token grams hashed via the
+    # md5-prefix idiom, w=8 window minima, distinct per doc; DuckDB's
+    # 1-based inclusive list slices match F.slice, range() is
+    # end-exclusive, and both engines clip slices at the array end
+    _winnow_cte = f"""
+        base AS (
+          SELECT doc_id, {toks_doc} AS t, len({toks_doc}) AS n
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(range(1, n - 4 + 2),
+                   p -> ('0x' || substring(md5(array_to_string(
+                          t[p:p + 3], ' ')), 1, 8))::BIGINT) AS hs
+          FROM base WHERE n >= 4),
+        fpx AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 8 + 1, 1) + 1),
+                   i -> list_min(hs[i:i + 7])))) AS fp
+          FROM h)"""
+
+    o["winnow_fps"] = f"""
+        WITH {_winnow_cte}
+        SELECT doc_id, count(*) AS n_fps, min(fp) AS fp_min,
+               max(fp) AS fp_max, CAST(sum(fp) AS BIGINT) AS fp_sum
+        FROM fpx GROUP BY doc_id
+    """
+
+    o["winnow_pairs"] = f"""
+        WITH {_winnow_cte},
+        tot AS (SELECT doc_id, count(*) AS n FROM fpx GROUP BY doc_id),
+        rare AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 50),
+        hf2 AS (SELECT fpx.* FROM fpx SEMI JOIN rare USING (fp)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS shared
+          FROM hf2 a JOIN hf2 b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared, ta.n AS n_a, tb.n AS n_b,
+               round(shared / CAST(least(ta.n, tb.n) AS DOUBLE), 6)
+                 AS overlap
+        FROM pairs
+        JOIN tot ta ON ta.doc_id = pairs.doc_a
+        JOIN tot tb ON tb.doc_id = pairs.doc_b
+        WHERE shared >= 2
     """
 
     # selection_pipeline: the dsir_weights / duplicate_spans /

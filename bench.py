@@ -333,6 +333,8 @@ def main() -> None:
             # exact-substring duplication stats
             "stupid_backoff", "dsir_weights", "token_budget_sample",
             "duplicate_spans", "selection_pipeline",
+            # round-3 additions: MOSS winnowing match report
+            "winnow_pairs",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

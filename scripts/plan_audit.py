@@ -500,6 +500,35 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # winnowing: per-row fingerprinting, capped pair join
+    from commoncrawl_spark.operators.text_dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    p = plan_of(winnow_fingerprints(docs))
+    p2 = plan_of(winnow_overlap_pairs(docs))
+    sections.append((
+        "Winnowing fingerprints: zero-shuffle derivation, capped "
+        "match join",
+        "MOSS local fingerprinting (window-min k-gram hashes) is pure "
+        "per-row array arithmetic over bound columns — the corpus text "
+        "never shuffles; only the slim (id, 8-byte fp) stream leaves "
+        "the scan stage. The match report reuses the mirror-detection "
+        "join: rare-fingerprint equi self-join with the ubiquity cap "
+        "bounding per-key fan-out (a boilerplate nav-bar fingerprint "
+        "on 10^6 docs is excluded from `shared`, not exploded into "
+        "10^12 pairs).",
+        [f"fingerprint derivation Exchange count: "
+         f"{p.count('Exchange')} (expect 0 — per-row only)",
+         f"fingerprint derivation Python operators: "
+         f"{p.count('EvalPython')} (expect 0)",
+         f"pair join CartesianProduct present: "
+         f"{'CartesianProduct' in p2} (expect False)",
+         f"pair join Python operators: {p2.count('EvalPython')} "
+         f"(expect 0)"],
+    ))
+
     # cluster representative election: map-side-partial max_by, no window
     from commoncrawl_spark.operators.graph import cluster_representatives
 

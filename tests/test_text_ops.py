@@ -946,3 +946,88 @@ def test_duplicate_span_stats_plan_is_jvm_only(spark):
     # the gram count must keep its map-side partial (boilerplate skew
     # collapses before the exchange) — no window-function count
     assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_winnow_fingerprints_hand_computed(spark):
+    from commoncrawl_spark.operators.text_dedup import winnow_fingerprints
+    import hashlib
+
+    # k=2, w=2: hand-compute the md5-prefix hashes and window minima
+    text = "a b c d e"
+    toks = text.split()
+    k, w = 2, 3
+    hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+              .hexdigest()[:8], 16) for i in range(len(toks) - k + 1)]
+    want = sorted({min(hs[i:i + w])
+                   for i in range(max(len(hs) - w + 1, 1))})
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(r["fp"] for r in winnow_fingerprints(df, k=k, w=w).collect())
+    assert got == want
+
+
+@pytest.mark.spark
+def test_winnow_guarantee_and_short_doc(spark):
+    from commoncrawl_spark.operators.text_dedup import winnow_fingerprints
+
+    # the winnowing guarantee: a shared token run of length w+k-1
+    # (= 11 for k=4, w=8) yields at least one shared fingerprint,
+    # wherever it sits in each document
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + run + " zz ww"), (2, run + " qq rr ss tt uu")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=8).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert len(a & b) >= 1
+
+    # short doc: fewer than w gram hashes -> ONE window over all of
+    # them, so any doc with >= k tokens still gets exactly >= 1 fp
+    short = spark.createDataFrame(
+        [(3, "p q r s t")], "doc_id long, text string")  # 2 grams < w
+    got = winnow_fingerprints(short, k=4, w=8).collect()
+    assert len(got) == 1
+
+
+@pytest.mark.spark
+def test_winnow_fingerprints_plan_no_shuffle_no_python(spark):
+    from commoncrawl_spark.operators.text_dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 4)
+         for i in range(20)],
+        "doc_id long, text string")
+    out = winnow_fingerprints(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # fingerprinting is per-row array arithmetic: nothing shuffles,
+    # nothing drops to Python
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_winnow_overlap_pairs_cap_and_min_shared(spark):
+    from commoncrawl_spark.operators.text_dedup import winnow_overlap_pairs
+
+    body = "one two three four five six seven eight nine ten " \
+           "eleven twelve thirteen fourteen fifteen sixteen"
+    trip = spark.createDataFrame(
+        [(1, body), (2, body), (3, body)], "doc_id long, text string")
+    # every fp is on 3 docs > cap=2 -> excluded from shared -> no pairs
+    assert winnow_overlap_pairs(trip, max_docs_per_fp=2).count() == 0
+    # cap=3 admits them: all three pairs, full containment
+    got = winnow_overlap_pairs(trip, max_docs_per_fp=3).collect()
+    assert len(got) == 3
+    assert all(r["overlap"] == 1.0 and r["shared"] == r["n_a"]
+               for r in got)
+
+    # min_shared floor: the guarantee pair from above shares exactly 1
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + run + " zz ww"), (2, run + " qq rr ss tt uu")],
+        "doc_id long, text string")
+    assert winnow_overlap_pairs(df, min_shared=2).count() == 0
+    one = winnow_overlap_pairs(df, min_shared=1).collect()
+    assert len(one) == 1 and one[0]["shared"] == 1
