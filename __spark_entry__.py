@@ -1678,6 +1678,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, k=4, w=8, max_docs_per_fp=50, min_shared=2)
     q["winnow_pairs"] = winnow_pairs
 
+    def _nb_split(spark, sf):
+        """Shared setup for the NB classifier queries: label = (lang ==
+        'de'), 80/20 train/test via the repo's md5-bucket family (the
+        same doc never migrates between splits across runs/engines)."""
+        d = _read(spark, sf, "documents")
+        bucket = (
+            F.conv(F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5
+        )
+        lab = d.select(
+            "doc_id", "text", (F.col("lang") == "de").alias("label"),
+            bucket.alias("_b"))
+        return lab.where(F.col("_b") < 4), lab.where(F.col("_b") == 4)
+
+    def nb_classifier_scores(spark, sf):
+        """Supervised model-based quality filtering (the GPT-3 /
+        LLaMA / FineWeb-Edu stage): multinomial Naive Bayes trained on
+        the 80% split (label: lang='de'), scoring the held-out 20% —
+        per-doc posterior log-odds + hard prediction."""
+        from commoncrawl_spark.operators.classify import (
+            nb_classify,
+            nb_train,
+        )
+
+        train, test = _nb_split(spark, sf)
+        model, priors = nb_train(train)
+        return nb_classify(test, model, priors)
+    q["nb_classifier_scores"] = nb_classifier_scores
+
+    def nb_classifier_eval(spark, sf):
+        """Held-out confusion table for the NB quality classifier:
+        one row per (label, pred) cell with count and mean posterior
+        log-odds — precision/recall/F1 are ratios of these cells."""
+        from commoncrawl_spark.operators.classify import (
+            nb_classify,
+            nb_evaluate,
+            nb_train,
+        )
+
+        train, test = _nb_split(spark, sf)
+        model, priors = nb_train(train)
+        scored = nb_classify(test, model, priors)
+        return nb_evaluate(scored, test.select("doc_id", "label"))
+    q["nb_classifier_eval"] = nb_classifier_eval
+
     # ---- adaptive recrawl scheduling ----
 
     def recrawl_priority(spark, sf):
@@ -2263,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selection_pipeline",
         "winnow_fps",
         "winnow_pairs",
+        "nb_classifier_scores",
+        "nb_classifier_eval",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3567,6 +3615,75 @@ def oracle_sql() -> dict[str, str]:
         JOIN tot ta ON ta.doc_id = pairs.doc_a
         JOIN tot tb ON tb.doc_id = pairs.doc_b
         WHERE shared >= 2
+    """
+
+    # NB classifier: same Laplace arithmetic as the dsir oracle, plus
+    # class priors, the md5 80/20 split, and OOV-dropped scoring
+    _nb_cte = f"""
+        lab AS (
+          SELECT doc_id, text, (lang = 'de') AS label,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 5 AS b
+          FROM documents),
+        tr AS (SELECT * FROM lab WHERE b < 4),
+        te AS (SELECT * FROM lab WHERE b = 4),
+        cp AS (
+          SELECT token, count(*) AS cpn FROM (
+            SELECT unnest({toks_doc}) AS token FROM tr WHERE label)
+          GROUP BY token),
+        cn AS (
+          SELECT token, count(*) AS cnn FROM (
+            SELECT unnest({toks_doc}) AS token FROM tr WHERE NOT label)
+          GROUP BY token),
+        vocab AS (
+          SELECT coalesce(cp.token, cn.token) AS token,
+                 coalesce(cpn, 0) AS cpn, coalesce(cnn, 0) AS cnn
+          FROM cp FULL JOIN cn ON cp.token = cn.token),
+        tot AS (
+          SELECT CAST(sum(cpn) AS DOUBLE) AS np,
+                 CAST(sum(cnn) AS DOUBLE) AS nn,
+                 count(*) AS v
+          FROM vocab),
+        model AS (
+          SELECT token,
+                 ln(((CAST(cpn AS DOUBLE) + 1.0) / (tot.np + 1.0 * tot.v))
+                    / ((CAST(cnn AS DOUBLE) + 1.0)
+                       / (tot.nn + 1.0 * tot.v))) AS log_odds
+          FROM vocab, tot),
+        pri AS (
+          SELECT ln((CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS DOUBLE) + 1.0)
+                    / (CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END)
+                            AS DOUBLE) + 1.0)) AS lp
+          FROM tr),
+        tfq AS (
+          SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest({toks_doc}) AS token FROM te)
+          GROUP BY doc_id, token),
+        sums AS (
+          SELECT t.doc_id,
+                 CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+                 sum(t.tf * coalesce(m.log_odds, 0.0)) AS lo
+          FROM tfq t LEFT JOIN model m USING (token)
+          GROUP BY t.doc_id),
+        sc AS (
+          SELECT te.doc_id,
+                 coalesce(s.n_tokens, 0) AS n_tokens,
+                 round(pri.lp + coalesce(s.lo, 0.0), 6) AS score,
+                 (pri.lp + coalesce(s.lo, 0.0)) > 0 AS pred
+          FROM te LEFT JOIN sums s USING (doc_id), pri)"""
+
+    o["nb_classifier_scores"] = f"""
+        WITH {_nb_cte}
+        SELECT doc_id, n_tokens, score, pred FROM sc
+    """
+
+    o["nb_classifier_eval"] = f"""
+        WITH {_nb_cte}
+        SELECT te.label, sc.pred, count(*) AS n,
+               round(avg(sc.score), 6) AS avg_score
+        FROM sc JOIN te USING (doc_id)
+        GROUP BY te.label, sc.pred
     """
 
     # selection_pipeline: the dsir_weights / duplicate_spans /

@@ -333,8 +333,9 @@ def main() -> None:
             # exact-substring duplication stats
             "stupid_backoff", "dsir_weights", "token_budget_sample",
             "duplicate_spans", "selection_pipeline",
-            # round-3 additions: MOSS winnowing match report
-            "winnow_pairs",
+            # round-3 additions: MOSS winnowing match report, NB
+            # quality classifier (train + held-out scoring)
+            "winnow_pairs", "nb_classifier_scores",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -529,6 +529,35 @@ def main() -> None:
          f"(expect 0)"],
     ))
 
+    # NB classifier: broadcast model onto one corpus tf pass
+    from commoncrawl_spark.operators.classify import nb_classify, nb_train
+
+    lab = docs.select(
+        "doc_id", "text", (F.col("lang") == "de").alias("label"))
+    model_t, priors_t = nb_train(lab)
+    p = plan_of(nb_classify(docs, model_t, priors_t))
+    sections.append((
+        "NB quality classifier: vocab-sized model broadcast, corpus "
+        "never shuffles on the token key",
+        "Training aggregates token TYPES (Heaps-law bounded) and merges "
+        "the two class vocabularies with one full-outer join — the only "
+        "sanctioned token-key SortMergeJoin, because full outer cannot "
+        "broadcast-hash and both sides are vocab-sized. Scoring streams "
+        "the corpus through ONE tokenize + per-(doc, token) aggregate; "
+        "the model joins via explicit F.broadcast so the tf stream "
+        "never shuffles on the token key (where stopword skew lives); "
+        "the per-doc fold is a map-side-partial sum on the unique doc "
+        "id. OOV tokens are dropped scan-side (fit-vocabulary "
+        "semantics) — no second corpus pass.",
+        [f"model join is an explicit BroadcastHashJoin: "
+         f"{'BroadcastHashJoin' in p} (expect True)",
+         f"every SortMergeJoin is the vocab FullOuter merge: "
+         f"{p.count('FullOuter') == p.count('SortMergeJoin')} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window nodes: {p.count('Window [')} (expect 0)"],
+    ))
+
     # cluster representative election: map-side-partial max_by, no window
     from commoncrawl_spark.operators.graph import cluster_representatives
 
