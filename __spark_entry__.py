@@ -853,6 +853,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table(name).select("key", "ts_micros", "session_id")
     q["stream_sessionize"] = stream_sessionize
 
+    def stream_dedup(spark, sf):
+        """The streaming seen-set as a real stream — exact dedup via
+        the keyed state store (streaming_first_seen, the A3/A5 twin):
+        batch 0 is the corpus, batch 1 REPLAYS the entire corpus, so
+        every batch-1 row is a cross-batch duplicate: a stateless
+        implementation would emit 2x rows, the state store emits each
+        fingerprint exactly once. Output columns are functions of the
+        text alone (fp, n_chars), so whichever duplicate row survives
+        the result is deterministic and the batch DISTINCT is the
+        oracle."""
+        import os
+        import tempfile
+        import uuid
+
+        from commoncrawl_spark.streaming.stateful import (
+            streaming_first_seen,
+        )
+
+        d0 = _read(spark, sf, "documents").select(
+            F.md5(F.col("text")).alias("fp"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        d = tempfile.mkdtemp(prefix="ccs_stream_dedup_")
+        src = os.path.join(d, "src")
+        for i, part in enumerate([d0, d0]):
+            bdir = os.path.join(src, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema("fp string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        out = streaming_first_seen(stream, ["fp"])
+        name = f"ccs_dedup_{uuid.uuid4().hex[:8]}"
+        (out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(300))
+        return spark.table(name).select("fp", "n_chars")
+    q["stream_dedup"] = stream_dedup
+
     def capture_diff(spark, sf):
         """Incremental-recrawl planning: diff the capture log between two
         cutoffs — per URL compare latest-as-of(T_old) vs latest-as-of(
@@ -2311,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs",
         "nb_classifier_scores",
         "nb_classifier_eval",
+        "stream_dedup",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2478,6 +2525,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, ts_micros,
                key || '#' || CAST(ord AS VARCHAR) AS session_id
         FROM numbered
+    """
+
+    # stream_dedup: the state-store dedup's survivors are one row per
+    # distinct fingerprint; output columns are functions of the text,
+    # so batch DISTINCT reproduces the streaming result exactly
+    o["stream_dedup"] = """
+        SELECT DISTINCT md5(text) AS fp, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
     """
 
     o["sessionization"] = """
