@@ -643,6 +643,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top_k(_read(spark, sf, "events"), "user_id", k=10)
     q["top_users"] = top_users
 
+    def key_skew(spark, sf):
+        """Join-key skew diagnostic: the 20 heaviest event user_ids
+        with row counts and share of total — the measurement behind
+        salting / AQE-skew / broadcast decisions. TakeOrderedAndProject
+        top-k; rank derives window-free from the bounded survivors."""
+        from commoncrawl_spark.operators.analytics import (
+            key_skew_profile,
+        )
+
+        return key_skew_profile(
+            _read(spark, sf, "events"), "user_id", top_k=20)
+    q["key_skew"] = key_skew
+
     def value_percentiles(spark, sf):
         # exact=True: this query IS the oracle comparison; the default
         # (and the _approx twin below) is the bounded-memory sketch path
@@ -2358,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_scores",
         "nb_classifier_eval",
         "stream_dedup",
+        "key_skew",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2620,6 +2634,19 @@ def oracle_sql() -> dict[str, str]:
     o["top_users"] = """
         SELECT user_id, COUNT(*) AS cnt FROM events
         GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+    """
+
+    o["key_skew"] = """
+        WITH c AS (
+          SELECT user_id AS key, count(*) AS cnt FROM events
+          GROUP BY user_id),
+        t AS (SELECT count(*) AS total FROM events),
+        top AS (SELECT key, cnt FROM c
+                ORDER BY cnt DESC, key ASC LIMIT 20)
+        SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+               key, cnt,
+               round(cnt / CAST(t.total AS DOUBLE), 6) AS share
+        FROM top, t
     """
 
     o["value_percentiles"] = """

@@ -220,3 +220,59 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "score", "rank")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the ``top_k`` heaviest
+    keys with their row counts and share of the total — the number an
+    operator reads BEFORE choosing salting, AQE skew-join thresholds,
+    or a broadcast strategy (this repo's salted politeness top-k and
+    skew_report.json were sized from exactly this measurement).
+
+    Output ``top_k`` rows: ``(rank, key, cnt, share)`` — ``share``
+    rounded to 6, ties broken by key ascending so the profile is
+    deterministic across engines.
+
+    Scale shape: one map-side-partial count per key, then
+    ``orderBy().limit(top_k)`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition partial top-k; only ``top_k``
+    rows cross the exchange — the bm25 lesson, never a partition-less
+    row_number over the full key set). Ranks derive window-free from
+    the <= top_k survivors via the bounded array fold (the
+    ``_rank_bounded`` pattern from the index module), and the total
+    rides a 1-row broadcast.
+    """
+    key = F.col(key_col)
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    row = F.struct(
+        (-F.col("cnt")).alias("_nc"),
+        F.col("key").alias("_k"),
+        F.col("cnt").alias("_c"),
+    )
+    ranked = (
+        top.select(row.alias("_r"))
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(F.posexplode("_rs").alias("_pos", "_r"))
+        .select(
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("_r._k").alias("key"),
+            F.col("_r._c").alias("cnt"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank", "key", "cnt",
+            F.round(F.col("cnt") / F.col("_total").cast("double"), 6)
+            .alias("share"),
+        )
+    )

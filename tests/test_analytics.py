@@ -114,3 +114,33 @@ def test_tfidf_df_join_broadcasts_vocab(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_key_skew_profile_values_and_order(spark):
+    from commoncrawl_spark.operators.analytics import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in
+         ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1],
+        "k string")
+    got = key_skew_profile(df, "k", top_k=3).collect()
+    assert [(r["rank"], r["key"], r["cnt"]) for r in got] == [
+        (1, "a", 5), (2, "b", 3), (3, "c", 3)]  # tie b<c by key
+    assert got[0]["share"] == round(5 / 12, 6)
+
+
+@pytest.mark.spark
+def test_key_skew_profile_plan_bounded_topk(spark):
+    from commoncrawl_spark.operators.analytics import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(400)], "k long")
+    out = key_skew_profile(df, "k", top_k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # per-partition partial top-k, never a partition-less window over
+    # the full key set; rank comes from the bounded array fold
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
