@@ -863,9 +863,16 @@ def winnow_fingerprints(
     ZERO shuffle, no Python, O(n*w) work per document bounded by
     document length. Only the slim (id, 8-byte fp) stream leaves the
     scan stage. Every array a lambda touches is a BOUND column
-    (``_toks``, ``_hs``): an unbound subexpression inside a
+    (``_toks``, ``_z``): an unbound subexpression inside a
     higher-order-function lambda re-evaluates per element (the
-    shingles_col lesson — a 20x measured regression).
+    shingles_col lesson — a 20x measured regression). The sliding
+    minimum is ``arrays_zip`` over ``w`` shifted suffixes + ``least``
+    per zipped struct, NOT ``array_min(slice(_hs, i, w))`` per
+    position — the zip copies the hash array ``w`` times total where
+    the per-position slice allocates an ``w``-element array per WINDOW
+    (measured 4.6x slower at ~500 tokens/doc). ``least`` skips the
+    nulls ``arrays_zip`` pads trailing rows with, which is exactly the
+    clipped-window semantics of the short-document case.
     """
     toks = tokens_col(F.col(text_col))
     base = (
@@ -884,12 +891,20 @@ def winnow_fingerprints(
                 16, 10).cast("long"),
         ).alias("_hs"),
     )
-    fps = hashes.select(
+    zipped = hashes.select(
+        id_col,
+        F.size("_hs").alias("_m"),
+        F.arrays_zip(*[
+            F.slice(F.col("_hs"), i + 1, F.size("_hs")).alias(f"_s{i}")
+            for i in range(w)
+        ]).alias("_z"),
+    )
+    fps = zipped.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("_hs") - w + 1, F.lit(1))),
-            lambda i: F.array_min(F.slice(F.col("_hs"), i, w)),
+            F.slice(F.col("_z"), 1,
+                    F.greatest(F.col("_m") - w + 1, F.lit(1))),
+            lambda s: F.least(*[s[f"_s{i}"] for i in range(w)]),
         ))).alias("fp"),
     )
     return fps
