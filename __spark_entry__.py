@@ -1419,6 +1419,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=5, n_probe=4, centroids=cents)
     q["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
 
+    def semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): cluster-scoped embedding
+        # near-dedup; keep the group member FARTHEST from its centroid.
+        # Deterministic first-16 centroids (same convention as
+        # ann_ivf_topk) so the oracle replays the cell assignment;
+        # kmeans_centroids drops in for trained cells.
+        from commoncrawl_spark.operators.similarity import semantic_dedup
+
+        e = _read(spark, sf, "embeddings")
+        return semantic_dedup(e, n_centroids=16, threshold=0.3)
+    q["semdedup"] = semdedup
+
     # ---- multimodal plumbing ----
 
     def media_meta(spark, sf):
@@ -3426,6 +3438,47 @@ def oracle_sql() -> dict[str, str]:
     # training (3 unrolled Lloyd iterations) + the trained-IVF probe
     o["ann_ivf_kmeans_topk"] = _sql_kmeans_ivf(
         k=16, n_iters=3, n_probe=4, topn=5, n_q=10)
+
+    # semdedup: replay the cell assignment (same CTE as ann_ivf_topk),
+    # the within-cell pair threshold, the connected duplicate groups
+    # (recursive CTE, as dedup_clusters), and the farthest-from-centroid
+    # election (min cent_cos, ties smallest id)
+    o["semdedup"] = f"""
+        WITH RECURSIVE c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
+        cells AS (
+          SELECT vec_id, v, cell, cent_cos FROM (
+            SELECT c.vec_id, c.v, cents.cell,
+                   {_sql_cosine("c.v", "cents.cv")} AS cent_cos,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC, cents.cell
+                   ) AS rn
+            FROM c CROSS JOIN cents)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine("a.v", "b.v")} >= 0.3),
+        e AS (SELECT a AS id, b AS nb FROM pairs
+              UNION SELECT b, a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT id, id FROM (SELECT DISTINCT id FROM e)
+          UNION
+          SELECT e.id, r.lbl FROM e JOIN reach r ON r.id = e.nb),
+        lab AS (SELECT id, MIN(lbl) AS sem_cluster FROM reach GROUP BY id),
+        ranked AS (
+          SELECT cl.vec_id, cl.cell, cl.cent_cos, l.sem_cluster,
+                 row_number() OVER (
+                   PARTITION BY l.sem_cluster
+                   ORDER BY cl.cent_cos ASC, cl.vec_id ASC) AS rn
+          FROM cells cl LEFT JOIN lab l ON l.id = cl.vec_id)
+        SELECT vec_id, cell, cent_cos, sem_cluster,
+               (sem_cluster IS NULL OR rn = 1) AS keep
+        FROM ranked
+    """
 
     # text_normalize: the same regexp_replace chain, generated from
     # NORMALIZE_PASSES so both engines run byte-identical patterns

@@ -359,3 +359,77 @@ def near_duplicate_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embedding-space near-dedup
+    scoped to k-means cells. Documents whose embeddings are cosine-close
+    are semantic duplicates even when no n-gram matches (translations,
+    templated rewrites, syndicated paraphrases) — the gap MinHash/SimHash
+    cannot see. The paper's recipe: cluster the corpus, compare pairs only
+    WITHIN a cluster, and from each connected duplicate group keep the
+    member with the LOWEST cosine to its cluster centroid (the least
+    prototypical example carries the most marginal information; dropping
+    prototypical copies is what made their web-scale runs data-efficient).
+
+    Returns one verdict row per vector: ``(id_col, cell, cent_cos,
+    sem_cluster, keep)`` — ``sem_cluster`` is the duplicate group's
+    min-id label (NULL when the vector has no near-duplicate), ``keep``
+    marks the elected representative (and every un-duplicated vector).
+    Ties on ``cent_cos`` elect the smallest id.
+
+    Scale shape: centroid assignment is the broadcast ``ivf_assign``
+    (the corpus never shuffles whole); candidate pairs come from
+    ``near_duplicate_pairs(block_col="cell")`` — an equi self-join on the
+    cell key, never all-pairs; duplicate groups are the pointer-doubling
+    ``connected_components`` over slim (a, b) id pairs; election is
+    ``cluster_representatives``'s map-side ``max_by`` (no window). The
+    verdict restore is two slim id joins. Default centroids are the
+    first ``n_centroids`` vectors (deterministic, what the cross-engine
+    oracle replays); pass ``centroids=kmeans_centroids(vectors, ...)``
+    for trained cells — mechanics identical.
+    """
+    from commoncrawl_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    if centroids is None:
+        centroids = vectors.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    cents = F.broadcast(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv"))
+    )
+    with_cos = assigned.join(cents, "cell").select(
+        id_col, vec_col, "cell",
+        F.round(cosine_col(F.col(vec_col), F.col("_cv")), 6).alias("cent_cos"),
+    )
+    pairs = near_duplicate_pairs(
+        with_cos, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="cell",
+    )
+    cc = connected_components(pairs.select("a", "b")).withColumnRenamed(
+        "id", id_col).withColumnRenamed("cluster", "sem_cluster")
+    reps = cluster_representatives(
+        cc,
+        with_cos.select(id_col, (-F.col("cent_cos")).alias("score")),
+        id_col=id_col, cluster_col="sem_cluster", score_col="score",
+    ).select(F.col("sem_cluster"), F.col(f"rep_{id_col}").alias("_rep"))
+    return (
+        with_cos.select(id_col, "cell", "cent_cos")
+        .join(cc, id_col, "left")
+        .join(reps, "sem_cluster", "left")
+        .select(
+            id_col, "cell", "cent_cos", "sem_cluster",
+            (F.col("sem_cluster").isNull()
+             | (F.col("_rep") == F.col(id_col))).alias("keep"),
+        )
+    )

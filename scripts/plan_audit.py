@@ -875,6 +875,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # SemDeDup: cell-blocked pair join, no cartesian, map-side election
+    from commoncrawl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sd = semantic_dedup(emb, n_centroids=16, threshold=0.3)
+    p = plan_of(sd)
+    sections.append((
+        "SemDeDup: within-cell pairs only, never all-pairs",
+        "semantic_dedup compares embeddings only inside a k-means cell: "
+        "the candidate join is an equi self-join on the cell key (AQE "
+        "can skew-split a hot cell), centroid assignment is a broadcast "
+        "nested-loop against the tiny centroid table (the deliberate "
+        "K-way cross — the corpus never shuffles whole), duplicate-group "
+        "election is the map-side max_by from cluster_representatives. "
+        "A CartesianProduct anywhere would be the quadratic path the "
+        "paper's clustering exists to avoid.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"BroadcastNestedLoopJoin present: "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True — the tiny "
+         f"broadcast centroid cross)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

@@ -1031,3 +1031,57 @@ def test_winnow_overlap_pairs_cap_and_min_shared(spark):
     assert winnow_overlap_pairs(df, min_shared=2).count() == 0
     one = winnow_overlap_pairs(df, min_shared=1).collect()
     assert len(one) == 1 and one[0]["shared"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped embedding near-dedup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_elects_farthest_from_centroid(spark):
+    from commoncrawl_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal cells (centroids = ids 0 and 1). Cell 0 holds a
+    # near-duplicate pair {10, 11}: 11 sits exactly on the centroid
+    # (prototypical), 10 is tilted away — SemDeDup must keep 10 (the
+    # farthest), NOT the min id by accident: make the min id the
+    # prototypical one in a second group {20, 21} to prove the rule.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # centroid A
+        (1, [0.0, 1.0, 0.0]),       # centroid B
+        (10, [0.9, 0.1, 0.3]),      # dup pair in cell 0, tilted
+        (11, [1.0, 0.0, 0.0]),      # dup pair in cell 0, on-centroid
+        (20, [0.0, 1.0, 0.0]),      # dup pair in cell 1, on-centroid (min id!)
+        (21, [0.1, 0.9, 0.3]),      # dup pair in cell 1, tilted
+        (30, [0.0, 0.1, -1.0]),     # no near-duplicate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=2, threshold=0.9)
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 7
+    # group in cell 0: {0, 10, 11} are mutually >= 0.9 cosine; 10 is the
+    # farthest from centroid 0 -> only 10 keeps
+    assert got[10]["keep"] and not got[11]["keep"] and not got[0]["keep"]
+    # group in cell 1: 21 (tilted) keeps although 20 < 21 — non-min-id
+    assert got[21]["keep"] and not got[20]["keep"] and not got[1]["keep"]
+    assert got[10]["sem_cluster"] == 0 and got[21]["sem_cluster"] == 1
+    # the undup'd vector keeps with a NULL group
+    assert got[30]["keep"] and got[30]["sem_cluster"] is None
+    # cent_cos is the rounded cosine to the assigned cell's centroid
+    assert got[11]["cent_cos"] == 1.0 and got[11]["cell"] == 0
+    assert got[30]["cell"] in (0, 1)
+
+
+def test_semantic_dedup_pairs_join_is_cell_blocked(spark):
+    from commoncrawl_spark.operators.similarity import semantic_dedup
+
+    # 500-row input with block_col: must not trip the unblocked guard
+    # (which counts and refuses > max_unblocked_rows=100_000 only when
+    # blockless) and must not plan a cartesian product anywhere.
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=4, threshold=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert out.count() == 500
