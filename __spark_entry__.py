@@ -765,6 +765,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["gopher_quality"] = gopher_quality
 
+    def gopher_repetition(spark, sf):
+        # Gopher's n-gram repetition filters (Rae et al. 2021 Table A1):
+        # top-{2,3,4}-gram character mass + duplicated-{5..10}-gram
+        # word-mass union, with the published removal thresholds
+        from commoncrawl_spark.operators.text_dedup import (
+            gopher_ngram_stats,
+        )
+
+        d = _read(spark, sf, "documents")
+        return gopher_ngram_stats(d)
+    q["gopher_repetition"] = gopher_repetition
+
     def asof_capture(spark, sf):
         """Backward-inclusive as-of join: each click event gains the
         latest prior-or-equal view by the same user — the 'which capture
@@ -2790,6 +2802,79 @@ def oracle_sql() -> dict[str, str]:
            AND dup_line_frac < 0.3
            AND dup_line_char_frac < 0.3) AS keep
         FROM feats
+    """
+
+    # gopher_repetition: the same tagged n-gram stream, per-(doc, n, gram)
+    # count, argmax char product, and sorted-position union fold as the
+    # Spark operator — one UNION ALL arm per n (thresholds from
+    # GOPHER_TOP_NGRAM_MAX / GOPHER_DUP_NGRAM_MAX, shared constants)
+    from commoncrawl_spark.operators.text_dedup import (
+        GOPHER_DUP_NGRAM_MAX as _G_DUP,
+        GOPHER_TOP_NGRAM_MAX as _G_TOP,
+    )
+
+    _g_arms = "\n          UNION ALL\n".join(
+        f"""          SELECT doc_id, {n} AS n, pos,
+                 md5(array_to_string(ws[pos:pos + {n - 1}], ' ')) AS gram,
+                 list_sum(list_transform(ws[pos:pos + {n - 1}],
+                                         w -> length(w))) AS gchars
+          FROM (SELECT doc_id, ws, unnest(range(1, nw - {n} + 2)) AS pos
+                FROM b2 WHERE nw >= {n})"""
+        for n in sorted(set(_G_TOP) | set(_G_DUP)))
+    _g_pivot = ",\n                 ".join(
+        [f"max(CASE WHEN n = {n} THEN top_mass END) AS t{n}"
+         for n in _G_TOP]
+        + [f"max(CASE WHEN n = {n} THEN dup_words END) AS d{n}"
+           for n in _G_DUP])
+    _g_fracs = ",\n               ".join(
+        [f"round(coalesce(w.t{n}, 0) / greatest(b.wchars, 1), 6)"
+         f" AS top{n}_char_frac" for n in _G_TOP]
+        + [f"round(coalesce(w.d{n}, 0) / greatest(b.nw, 1), 6)"
+           f" AS dup{n}_word_frac" for n in _G_DUP])
+    _g_keep = "\n           AND ".join(
+        [f"top{n}_char_frac <= {t}" for n, t in _G_TOP.items()]
+        + [f"dup{n}_word_frac <= {t}" for n, t in _G_DUP.items()])
+    o["gopher_repetition"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w != '') AS ws
+          FROM documents),
+        b2 AS (
+          SELECT doc_id, ws, len(ws) AS nw,
+                 coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                   AS wchars
+          FROM base),
+        g AS (
+{_g_arms}),
+        c AS (
+          SELECT doc_id, n, gram, count(*) AS cnt, min(gchars) AS gchars,
+                 list_sort(list(pos)) AS ps
+          FROM g GROUP BY doc_id, n, gram),
+        p AS (
+          SELECT doc_id, n,
+                 max(CASE WHEN cnt >= 2 THEN cnt * gchars END) AS top_mass,
+                 list_sort(flatten(list(ps) FILTER (WHERE cnt >= 2))) AS dps
+          FROM c GROUP BY doc_id, n),
+        u AS (
+          SELECT doc_id, n, top_mass,
+                 CASE WHEN len(dps) > 0 THEN
+                   CAST(coalesce(list_sum(list_transform(
+                     range(1, len(dps)),
+                     i -> least(n, dps[i + 1] - dps[i]))), 0) AS BIGINT) + n
+                 ELSE 0 END AS dup_words
+          FROM p),
+        w AS (
+          SELECT doc_id,
+                 {_g_pivot}
+          FROM u GROUP BY doc_id),
+        fr AS (
+          SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
+               {_g_fracs}
+          FROM b2 b LEFT JOIN w ON w.doc_id = b.doc_id)
+        SELECT *,
+          ({_g_keep}) AS repetition_keep
+        FROM fr
     """
 
     o["doc_fingerprint"] = """

@@ -949,3 +949,156 @@ def winnow_overlap_pairs(
             "shared", "n_a", "n_b", "overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals (within-document)
+# ---------------------------------------------------------------------------
+
+# Published thresholds from Rae et al. 2021 (Gopher), Table A1: a
+# document is removed when the fraction of characters in the most
+# common {2,3,4}-gram exceeds {0.20, 0.18, 0.16}, or the fraction of
+# content inside duplicated {5..10}-grams exceeds {0.15 .. 0.10}.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_ngram_stats(
+    df: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    top_max: dict[int, float] | None = None,
+    dup_max: dict[int, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's within-document n-gram repetition filters (Rae et al.
+    2021, Table A1) — the other half of ``repetition_signals``'s line
+    rules: machine-generated and templated pages repeat short word
+    n-grams at rates natural prose never reaches.
+
+    Two signal families, exact semantics:
+
+    - ``top{n}_char_frac`` (n in ``top_ns``): character mass of the most
+      frequent word n-gram — occurrences x the gram's word characters —
+      over the document's total word characters. Overlapping occurrences
+      count independently (the published rule), so a degenerate
+      ``a a a a`` page can exceed 1.0; it is removed either way. Only
+      grams occurring >= 2 times qualify (a "most common" gram with one
+      occurrence is an arbitrary tie among ALL grams and would trip the
+      thresholds on every short document — a deliberate divergence from
+      implementations that count singletons; repetition requires
+      repeats).
+    - ``dup{n}_word_frac`` (n in ``dup_ns``): fraction of the document's
+      WORDS covered by the union of all n-gram occurrences that appear
+      at least twice in the document — the same interval-union fold as
+      ``duplicate_span_stats``, word-mass rather than character-mass
+      (equal-weight words; the thresholds transfer because the two
+      masses differ only by word-length weighting).
+
+    ``repetition_keep`` ANDs every signal against its threshold
+    (defaults = the published constants above). Words are raw
+    whitespace tokens (surface form, as in ``repetition_signals``);
+    grams are 32-byte md5 keys so the shuffle never carries text.
+
+    Scale shape: ONE explode produces the tagged (id, n, pos, gram,
+    gram_chars) stream for every n (~ sum_n (L-n+1) rows per L-word
+    doc); per-(doc, n, gram) counting is a map-side-partial aggregate;
+    the per-(doc, n) reduction (argmax product + flattened sorted
+    positions + union fold) is a second partial aggregate; the wide
+    row is a conditional-aggregate pivot on the unique doc id; one slim
+    restore join brings back docs with no grams. Every fraction is a
+    ratio of integers, so both engines compute bit-identical doubles
+    and the keep comparisons cannot drift.
+    """
+    top_max = dict(GOPHER_TOP_NGRAM_MAX if top_max is None else top_max)
+    dup_max = dict(GOPHER_DUP_NGRAM_MAX if dup_max is None else dup_max)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("_ws")).select(
+        id_col, "_ws",
+        F.size("_ws").alias("n_words"),
+        F.aggregate("_ws", F.lit(0), lambda a, w: a + F.length(w))
+        .alias("_wchars"),
+    )
+
+    def gram_structs(n: int) -> Column:
+        return F.when(
+            F.col("n_words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words") - n + 1),
+                lambda p: F.struct(
+                    F.lit(n).alias("n"),
+                    p.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), p, n)))
+                    .alias("gram"),
+                    F.aggregate(
+                        F.slice(F.col("_ws"), p, n), F.lit(0),
+                        lambda a, w: a + F.length(w)).alias("gchars"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,pos:int,gram:string,gchars:int>>"))
+
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.concat(*[gram_structs(n) for n in all_ns])).alias("_g"),
+    ).select(id_col, "_g.n", "_g.pos", "_g.gram", "_g.gchars")
+
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("gchars").alias("_gchars"),
+        F.sort_array(F.collect_list("pos")).alias("_ps"),
+    )
+    dps = F.array_sort(F.flatten(F.collect_list(
+        F.when(F.col("_cnt") >= 2, F.col("_ps")))))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max(F.when(F.col("_cnt") >= 2, F.col("_cnt") * F.col("_gchars")))
+        .alias("_top_mass"),
+        dps.alias("_dps"),
+    )
+    m = F.size("_dps")
+    gaps = F.zip_with(
+        F.slice("_dps", 1, F.greatest(m - 1, F.lit(0))),
+        F.slice("_dps", 2, F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.least(F.col("n"), b - a),
+    )
+    per_n = per_n.select(
+        id_col, "n", "_top_mass",
+        F.when(m > 0, F.aggregate(gaps, F.lit(0), lambda a, x: a + x)
+               + F.col("n")).otherwise(F.lit(0)).alias("_dup_words"),
+    )
+
+    wide = per_n.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("n") == n, F.col("_top_mass")))
+          .alias(f"_top{n}") for n in top_ns],
+        *[F.max(F.when(F.col("n") == n, F.col("_dup_words")))
+          .alias(f"_dup{n}") for n in dup_ns],
+    )
+
+    top_cols = [
+        F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0))
+                / F.greatest(F.col("_wchars"), F.lit(1)), 6)
+        .alias(f"top{n}_char_frac")
+        for n in top_ns
+    ]
+    dup_cols = [
+        F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)), 6)
+        .alias(f"dup{n}_word_frac")
+        for n in dup_ns
+    ]
+    out = (
+        base.select(id_col, "n_words", "_wchars")
+        .join(wide, id_col, "left")
+        .select(F.col(id_col), F.col("n_words").cast("long").alias("n_words"),
+                *top_cols, *dup_cols)
+    )
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (F.col(f"top{n}_char_frac") <= F.lit(top_max[n]))
+    for n in dup_ns:
+        keep = keep & (F.col(f"dup{n}_word_frac") <= F.lit(dup_max[n]))
+    return out.withColumn("repetition_keep", keep)

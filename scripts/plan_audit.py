@@ -875,6 +875,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # Gopher n-gram repetition: tagged stream, partial aggs, no Window
+    from commoncrawl_spark.operators.text_dedup import gopher_ngram_stats
+
+    p = plan_of(gopher_ngram_stats(docs))
+    sections.append((
+        "Gopher n-gram repetition: one tagged explode, partial "
+        "aggregates, no Window",
+        "All nine n values ride ONE exploded (id, n, pos, md5, chars) "
+        "stream — slim rows, never text; per-(doc, n, gram) counting "
+        "and the per-(doc, n) argmax/union reduction are map-side "
+        "partial aggregates (a boilerplate gram collapses per "
+        "partition before the exchange); the wide row is a "
+        "conditional-aggregate pivot on the unique doc id. No Window, "
+        "no Python.",
+        [f"hash exchanges: {p.count('Exchange hashpartitioning')} "
+         f"(expect 3 — gram count, per-n reduction, doc pivot; the "
+         f"restore join rides the pivot's partitioning)",
+         f"partial aggregates: "
+         f"{len(re.findall(r'HashAggregate.*partial', p)) + len(re.findall(r'ObjectHashAggregate.*partial', p)) + len(re.findall(r'SortAggregate.*partial', p))} > 0: "
+         f"{bool(len(re.findall(r'(HashAggregate|ObjectHashAggregate|SortAggregate)', p)))}",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # SemDeDup: cell-blocked pair join, no cartesian, map-side election
     from commoncrawl_spark.operators.similarity import semantic_dedup
 

@@ -1085,3 +1085,65 @@ def test_semantic_dedup_pairs_join_is_cell_blocked(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert out.count() == 500
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals
+# ---------------------------------------------------------------------------
+
+def test_gopher_ngram_stats_hand_values(spark):
+    from commoncrawl_spark.operators.text_dedup import gopher_ngram_stats
+
+    # doc 1: an 11-word doc repeating a 5-gram at positions 1 and 7.
+    # union of [1,5] and [7,11] covers 10 of 11 words; the top bigram by
+    # char mass is "three four" (2 occurrences x 9 chars = 18 of 39).
+    # doc 2: degenerate "aa aa aa aa aa" — top 2-gram mass 4x4=16 over 10
+    # chars exceeds 1.0 (overlaps count independently, published rule).
+    # doc 3: a single word — no grams, all-zero signals, keeps.
+    rows = [
+        (1, "one two three four five x one two three four five"),
+        (2, "aa aa aa aa aa"),
+        (3, "hello"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_ngram_stats(df).collect()}
+    d1 = got[1]
+    assert d1["n_words"] == 11
+    assert d1["dup5_word_frac"] == round(10 / 11, 6)
+    assert d1["dup6_word_frac"] == 0.0          # both 6-grams distinct
+    assert d1["top2_char_frac"] == round(18 / 39, 6)
+    assert d1["repetition_keep"] is False
+    d2 = got[2]
+    assert d2["top2_char_frac"] == 1.6          # 4 x 4 chars / 10 chars
+    assert d2["repetition_keep"] is False
+    d3 = got[3]
+    assert d3["n_words"] == 1
+    assert d3["top2_char_frac"] == 0.0 and d3["dup10_word_frac"] == 0.0
+    assert d3["repetition_keep"] is True
+
+
+def test_gopher_ngram_stats_clean_text_keeps(spark):
+    from commoncrawl_spark.operators.text_dedup import gopher_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog while many "
+             "other animals watch quietly from the distant green hills")],
+        "doc_id long, text string")
+    row = gopher_ngram_stats(df).collect()[0]
+    assert row["repetition_keep"] is True
+    assert row["dup5_word_frac"] == 0.0
+
+
+def test_gopher_ngram_stats_plan_is_jvm_only(spark):
+    from commoncrawl_spark.operators.text_dedup import gopher_ngram_stats
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * 30) for i in range(50)], "doc_id long, text string")
+    out = gopher_ngram_stats(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # no Window anywhere: ranking is max/argmax aggregation
+    assert "Window" not in plan
