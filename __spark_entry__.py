@@ -318,6 +318,61 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
+def _sql_bpe_chain(n_merges: int) -> str:
+    """Unrolled BPE training as CTEs (the _sql_kmeans_ivf pattern): one
+    (pair count, argmax, merge fold) triple per iteration. The merge
+    fold is DuckDB's list_reduce over singleton-wrapped symbols — the
+    accumulator list grows/fuses exactly like the Spark fold in
+    operators/bpe.py (LTR greedy; a just-fused symbol never
+    re-triggers because left || right != left)."""
+    toks = _SQL_TOKS.format(t="text")
+    parts = [f"""hist AS (
+          SELECT x AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({toks}) AS x FROM documents)
+          GROUP BY x),
+        w0 AS (
+          SELECT word, freq,
+                 list_append(list_transform(range(1, length(word) + 1),
+                                            i -> word[i]), '</w>') AS syms
+          FROM hist)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+          SELECT pr.s1 AS s1, pr.s2 AS s2, CAST(sum(freq) AS BIGINT) AS pf
+          FROM (SELECT freq,
+                       unnest(list_transform(range(1, len(syms)),
+                         i -> struct_pack(s1 := syms[i],
+                                          s2 := syms[i + 1]))) AS pr
+                FROM w{k - 1} WHERE len(syms) > 1)
+          GROUP BY 1, 2),
+        b{k} AS (SELECT s1, s2, pf FROM p{k}
+                 ORDER BY pf DESC, s1 ASC, s2 ASC LIMIT 1),
+        w{k} AS (
+          SELECT word, freq,
+                 list_reduce(list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE
+                     WHEN len(acc) > 0 AND acc[-1] = b.s1 AND x[1] = b.s2
+                     THEN list_append(acc[1:len(acc) - 1], b.s1 || b.s2)
+                     ELSE list_append(acc, x[1]) END) AS syms
+          FROM w{k - 1} CROSS JOIN b{k} b)""")
+    return ",\n        ".join(parts)
+
+
+def _sql_bpe_encode_expr(n_merges: int, word_var: str = "wv") -> str:
+    """BPE-encode one word (lambda var ``word_var``) with the merges
+    learned by the b1..bN CTEs of _sql_bpe_chain — one nested
+    list_reduce per merge, unique lambda names per level; requires the
+    caller to CROSS JOIN b{k} AS m{k} for every k."""
+    enc = (f"list_append(list_transform(range(1, length({word_var}) + 1), "
+           f"ci -> {word_var}[ci]), '</w>')")
+    for k in range(1, n_merges + 1):
+        enc = f"""list_reduce(list_transform({enc}, s{k} -> [s{k}]),
+        (a{k}, x{k}) -> CASE
+          WHEN len(a{k}) > 0 AND a{k}[-1] = m{k}.s1 AND x{k}[1] = m{k}.s2
+          THEN list_append(a{k}[1:len(a{k}) - 1], m{k}.s1 || m{k}.s2)
+          ELSE list_append(a{k}, x{k}[1]) END)"""
+    return enc
+
+
 def _sql_kmeans_ivf(k: int, n_iters: int, n_probe: int,
                     topn: int, n_q: int) -> str:
     """DuckDB replay of kmeans_centroids + ivf_topk. Trainable because
@@ -711,6 +766,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
         )
     q["token_counts"] = token_counts
+
+    def bpe_merges(spark, sf):
+        # distributed BPE vocabulary training (Sennrich et al. 2016)
+        # over the word histogram: the corpus is tokenized ONCE; each
+        # merge iteration runs on the vocab-sized table. Deterministic
+        # tie-breaks (freq desc, left asc, right asc) — the oracle
+        # replays training via unrolled CTEs (_sql_bpe_chain).
+        from commoncrawl_spark.operators.bpe import bpe_train, merges_table
+
+        d = _read(spark, sf, "documents")
+        return merges_table(spark, bpe_train(d, n_merges=6))
+    q["bpe_merges"] = bpe_merges
+
+    def bpe_tokens(spark, sf):
+        # train-then-encode: the learned merges applied per word as a
+        # Catalyst fold chain (bpe_encode_col; the pandas-UDF twin
+        # bpe_encode_udf is for production vocab sizes)
+        from commoncrawl_spark.operators.bpe import bpe_encode_col, bpe_train
+
+        d = _read(spark, sf, "documents")
+        merges = bpe_train(d, n_merges=6)
+        # bind the fold chain to a real column so size/concat_ws do not
+        # each re-evaluate the 6-merge encode
+        t = d.select(
+            "doc_id", bpe_encode_col(F.col("text"), merges).alias("_toks"))
+        return t.select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_bpe"),
+            F.concat_ws(" ", "_toks").alias("bpe_text"),
+        )
+    q["bpe_tokens"] = bpe_tokens
 
     def quality_scores(spark, sf):
         d = _read(spark, sf, "documents")
@@ -2727,6 +2813,35 @@ def oracle_sql() -> dict[str, str]:
                  AS ws_tokens,
                len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
         FROM documents
+    """
+
+    # bpe_merges / bpe_tokens: training replayed via unrolled CTEs
+    # (one pair-count + argmax + merge-fold triple per iteration);
+    # encoding nests one list_reduce per learned merge
+    _bpe_n = 6
+    o["bpe_merges"] = f"""
+        WITH {_sql_bpe_chain(_bpe_n)}
+        SELECT * FROM (
+          {" UNION ALL ".join(
+              f'SELECT {k} AS "rank", s1 AS "left", s2 AS "right",'
+              f' pf AS pair_freq FROM b{k}'
+              for k in range(1, _bpe_n + 1))}
+        )
+    """
+    _bpe_toks_d = _SQL_TOKS.format(t="d.text")
+    _bpe_enc = _sql_bpe_encode_expr(_bpe_n)
+    o["bpe_tokens"] = f"""
+        WITH {_sql_bpe_chain(_bpe_n)},
+        enc AS (
+          SELECT d.doc_id,
+                 flatten(list_transform({_bpe_toks_d},
+                                        wv -> {_bpe_enc})) AS toks
+          FROM documents d
+          {" ".join(f"CROSS JOIN b{k} m{k}"
+                    for k in range(1, _bpe_n + 1))})
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+               array_to_string(toks, ' ') AS bpe_text
+        FROM enc
     """
 
     stop_ratio = (

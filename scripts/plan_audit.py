@@ -875,6 +875,51 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # BPE: histogram-sized training, scan-stage encoding
+    from commoncrawl_spark.operators.bpe import (
+        _char_symbols,
+        bpe_encode_col,
+        word_histogram,
+    )
+    from pyspark.sql import functions as _F
+
+    wh = word_histogram(docs).select(
+        "word", "freq", _char_symbols(_F.col("word")).alias("syms"))
+    _m = _F.size("syms")
+    _pairs = _F.zip_with(
+        _F.slice("syms", 1, _F.greatest(_m - 1, _F.lit(0))),
+        _F.slice("syms", 2, _F.greatest(_m - 1, _F.lit(0))),
+        lambda a, b: _F.struct(a.alias("left"), b.alias("right")))
+    top = (wh.select("freq", _F.explode(_pairs).alias("p"))
+           .groupBy("p.left", "p.right")
+           .agg(_F.sum("freq").alias("pair_freq"))
+           .orderBy(_F.desc("pair_freq"), _F.asc("left"), _F.asc("right"))
+           .limit(1))
+    p = plan_of(top, label="bpe-train-iteration")
+    enc_plan = plan_of(
+        docs.select("doc_id", bpe_encode_col(
+            _F.col("text"),
+            [("e", "r", 1), ("t", "h", 1), ("th", "e", 1)]).alias("t")),
+        label="bpe-encode")
+    sections.append((
+        "BPE training iteration + encode: histogram-sized work, "
+        "scan-stage application",
+        "The corpus is tokenized ONCE into a (word, freq) histogram; "
+        "every merge iteration is a map-side-partial pair count over "
+        "that vocab-sized table plus a 1-row TakeOrderedAndProject "
+        "argmax — the only driver data is the winning pair. Encoding "
+        "with a small merge table is a pure Catalyst fold chain: zero "
+        "exchanges, zero Python (production vocab sizes switch to the "
+        "Arrow-batched bpe_encode_udf).",
+        [f"train argmax TakeOrderedAndProject present: "
+         f"{'TakeOrderedAndProject' in p} (expect True)",
+         f"train iteration Window operators: {p.count('Window')} "
+         f"(expect 0)",
+         f"encode exchanges: {enc_plan.count('Exchange')} (expect 0)",
+         f"encode Python operators: {enc_plan.count('EvalPython')} "
+         f"(expect 0)"],
+    ))
+
     # Gopher n-gram repetition: tagged stream, partial aggs, no Window
     from commoncrawl_spark.operators.text_dedup import gopher_ngram_stats
 
