@@ -555,6 +555,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["url_canonicalize"] = url_canonicalize
 
+    def url_feature_signals(spark, sf):
+        """URL structure signals for frontier prioritization (FineWeb-
+        style URL heuristics): depth, params, homepage flag, digit
+        ratio — over a synthesized URL mix exercising every shape
+        (homepage / deep+digits / parameterized / trailing slash)."""
+        from commoncrawl_spark.functions.urls import url_features
+
+        d = _read(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+            .when(F.col("doc_id") % 4 == 1, F.concat(
+                F.lit("/a/b/c/page"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(
+                F.lit("/item?id="), F.col("doc_id").cast("string"),
+                F.lit("&ref=feed&x=1")))
+            .otherwise(F.concat(
+                F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("/"))),
+        )
+        f = url_features(url)
+        return d.select("doc_id", *[v.alias(k) for k, v in f.items()])
+    q["url_features"] = url_feature_signals
+
     def best_capture_dedup(spark, sf):
         cdx = _events_cdx(spark, sf)
         w = best_capture_per_url(cdx, arrival_cols=("event_id",))
@@ -862,6 +886,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return gopher_ngram_stats(d)
     q["gopher_repetition"] = gopher_repetition
+
+    def filtering_pipeline(spark, sf):
+        """The heuristic+model FILTER family composed in curation order
+        (the complement of selection_pipeline's selection family):
+        Gopher line rules (word bounds tuned to corpus units) ->
+        Gopher n-gram repetition gate -> NB model gate (trained on
+        the full corpus's 80% md5 split, label lang='en' — the
+        CCNet-style keep-target-language stage; keep
+        classifier-positive survivors) -> exact dedup (min-id per
+        fingerprint). Zero Python anywhere — the NB model rides a
+        broadcast join, the gates are scan-stage expressions plus the
+        repetition family's three slim exchanges."""
+        from commoncrawl_spark.functions.text import gopher_keep_col
+        from commoncrawl_spark.operators.classify import (
+            nb_classify,
+            nb_train,
+        )
+        from commoncrawl_spark.operators.text_dedup import (
+            drop_exact_duplicates,
+            gopher_ngram_stats,
+        )
+
+        d = _read(spark, sf, "documents")
+        a = d.where(gopher_keep_col(F.col("text"), min_words=30))
+        repk = (
+            gopher_ngram_stats(a)
+            .where(F.col("repetition_keep")).select("doc_id"))
+        b = a.join(repk, "doc_id", "left_semi")
+        bucket = (
+            F.conv(F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5
+        )
+        train = d.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label"),
+        ).where(bucket < 4)
+        model, priors = nb_train(train)
+        scored = nb_classify(
+            b.select("doc_id", "text"), model, priors)
+        c = (
+            b.join(scored.where(F.col("pred"))
+                   .select("doc_id", "score"), "doc_id")
+        )
+        kept = drop_exact_duplicates(c)
+        return kept.select("doc_id", "lang", F.col("score"))
+    q["filtering_pipeline"] = filtering_pipeline
 
     def asof_capture(spark, sf):
         """Backward-inclusive as-of join: each click event gains the
@@ -2507,6 +2577,41 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
     """
 
+    o["url_features"] = r"""
+        WITH b AS (
+          SELECT doc_id,
+                 'https://www.' || source || '.org'
+                 || CASE WHEN doc_id % 4 = 0 THEN ''
+                         WHEN doc_id % 4 = 1
+                           THEN '/a/b/c/page' || CAST(doc_id AS VARCHAR)
+                         WHEN doc_id % 4 = 2
+                           THEN '/item?id=' || CAST(doc_id AS VARCHAR)
+                                || '&ref=feed&x=1'
+                         ELSE '/p' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                    END AS url
+          FROM documents),
+        g AS (
+          SELECT doc_id, url,
+                 regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(rest, '^[^#?]*\?([^#]*)', 1) AS query
+          FROM (SELECT doc_id, url,
+                       regexp_replace(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.\-]*://', '') AS rest
+                FROM b))
+        SELECT doc_id,
+          len(list_filter(string_split(path, '/'), s -> s != ''))
+            AS path_depth,
+          length(path) AS path_len,
+          CASE WHEN query = '' THEN 0
+               ELSE len(string_split(query, '&')) END AS n_params,
+          (len(list_filter(string_split(path, '/'), s -> s != '')) = 0
+           AND query = '') AS is_homepage,
+          round(length(regexp_replace(path, '[^0-9]', '', 'g'))
+                / greatest(length(path), 1), 4) AS digit_ratio,
+          length(url) AS url_len
+        FROM g
+    """
+
     o["best_capture_dedup"] = f"""
         WITH cdx AS ({_EV_CDX_SQL}),
         g AS (
@@ -2949,12 +3054,16 @@ def oracle_sql() -> dict[str, str]:
     _g_keep = "\n           AND ".join(
         [f"top{n}_char_frac <= {t}" for n, t in _G_TOP.items()]
         + [f"dup{n}_word_frac <= {t}" for n, t in _G_DUP.items()])
-    o["gopher_repetition"] = f"""
-        WITH base AS (
+
+    def _grep_chain(src: str) -> str:
+        """The gopher-repetition CTE chain over table ``src``; the
+        final CTE ``fr`` carries one row per doc with the fraction
+        columns (compose ``_g_keep`` on top)."""
+        return f"""base AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(text, '\\s+'),
                              w -> w != '') AS ws
-          FROM documents),
+          FROM {src}),
         b2 AS (
           SELECT doc_id, ws, len(ws) AS nw,
                  coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
@@ -2986,7 +3095,10 @@ def oracle_sql() -> dict[str, str]:
         fr AS (
           SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
                {_g_fracs}
-          FROM b2 b LEFT JOIN w ON w.doc_id = b.doc_id)
+          FROM b2 b LEFT JOIN w ON w.doc_id = b.doc_id)"""
+
+    o["gopher_repetition"] = f"""
+        WITH {_grep_chain("documents")}
         SELECT *,
           ({_g_keep}) AS repetition_keep
         FROM fr
@@ -3954,9 +4066,31 @@ def oracle_sql() -> dict[str, str]:
 
     # NB classifier: same Laplace arithmetic as the dsir oracle, plus
     # class priors, the md5 80/20 split, and OOV-dropped scoring
-    _nb_cte = f"""
+    # model CTEs (trained on the full documents table's 80% bucket) and
+    # a source-parameterized scoring tail, so composed pipelines can
+    # score any gated subset with the SAME model arithmetic
+    def _nb_score_cte(src: str) -> str:
+        return f"""tfq AS (
+          SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest({toks_doc}) AS token FROM {src})
+          GROUP BY doc_id, token),
+        sums AS (
+          SELECT t.doc_id,
+                 CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+                 sum(t.tf * coalesce(m.log_odds, 0.0)) AS lo
+          FROM tfq t LEFT JOIN model m USING (token)
+          GROUP BY t.doc_id),
+        sc AS (
+          SELECT {src}.doc_id,
+                 coalesce(s.n_tokens, 0) AS n_tokens,
+                 round(pri.lp + coalesce(s.lo, 0.0), 6) AS score,
+                 (pri.lp + coalesce(s.lo, 0.0)) > 0 AS pred
+          FROM {src} LEFT JOIN sums s USING (doc_id), pri)"""
+
+    def _nb_model(label: str) -> str:
+        return f"""
         lab AS (
-          SELECT doc_id, text, (lang = 'de') AS label,
+          SELECT doc_id, text, ({label}) AS label,
                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    ::BIGINT % 5 AS b
           FROM documents),
@@ -3990,23 +4124,9 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) + 1.0)
                     / (CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END)
                             AS DOUBLE) + 1.0)) AS lp
-          FROM tr),
-        tfq AS (
-          SELECT doc_id, token, count(*) AS tf FROM (
-            SELECT doc_id, unnest({toks_doc}) AS token FROM te)
-          GROUP BY doc_id, token),
-        sums AS (
-          SELECT t.doc_id,
-                 CAST(sum(t.tf) AS BIGINT) AS n_tokens,
-                 sum(t.tf * coalesce(m.log_odds, 0.0)) AS lo
-          FROM tfq t LEFT JOIN model m USING (token)
-          GROUP BY t.doc_id),
-        sc AS (
-          SELECT te.doc_id,
-                 coalesce(s.n_tokens, 0) AS n_tokens,
-                 round(pri.lp + coalesce(s.lo, 0.0), 6) AS score,
-                 (pri.lp + coalesce(s.lo, 0.0)) > 0 AS pred
-          FROM te LEFT JOIN sums s USING (doc_id), pri)"""
+          FROM tr)"""
+
+    _nb_cte = _nb_model("lang = 'de'") + ",\n        " + _nb_score_cte("te")
 
     o["nb_classifier_scores"] = f"""
         WITH {_nb_cte}
@@ -4019,6 +4139,64 @@ def oracle_sql() -> dict[str, str]:
                round(avg(sc.score), 6) AS avg_score
         FROM sc JOIN te USING (doc_id)
         GROUP BY te.label, sc.pred
+    """
+
+    # filtering_pipeline: Gopher line rules (min_words=30) -> n-gram
+    # repetition gate (the _grep_chain CTEs over the gate-A survivors)
+    # -> NB model gate (model trained on the FULL corpus's 80% bucket,
+    # scoring the survivors via the parameterized tail) -> exact dedup
+    # (min-id per normalized fingerprint). Every gate's arithmetic is
+    # byte-identical to its standalone oracle.
+    o["filtering_pipeline"] = f"""
+        WITH ga AS (
+          SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+              list_filter(list_transform(string_split(text, chr(10)),
+                                         l -> trim(l)), l -> l != '') AS lines,
+              list_filter(regexp_split_to_array(text, '\\s+'),
+                          w -> w != '') AS words
+            FROM documents)
+          WHERE len(words) BETWEEN 30 AND 100000
+            AND round(coalesce(list_sum(list_transform(words,
+                  w -> length(w))), 0) / greatest(len(words), 1), 4)
+                BETWEEN 3 AND 10
+            AND round((len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))
+                / greatest(len(words), 1), 4) < 0.1
+            AND round(len(list_filter(lines,
+                  l -> regexp_matches(l, '^[-*•]')))
+                / greatest(len(lines), 1), 4) < 0.9
+            AND round(len(list_filter(lines,
+                  l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                / greatest(len(lines), 1), 4) < 0.3
+            AND round(len(list_filter(words,
+                  w -> regexp_matches(w, '[A-Za-z]')))
+                / greatest(len(words), 1), 4) > 0.8
+            AND round(1.0 - len(list_distinct(lines))
+                / greatest(len(lines), 1), 4) < 0.3
+            AND round(1.0 - coalesce(list_sum(list_transform(
+                  list_distinct(lines), l -> length(l))), 0)
+                / greatest(coalesce(list_sum(list_transform(lines,
+                  l -> length(l))), 0), 1), 4) < 0.3),
+        {_grep_chain("ga")},
+        gb AS (
+          SELECT ga.doc_id, ga.text, ga.lang
+          FROM ga JOIN fr USING (doc_id)
+          WHERE {_g_keep}),
+        {_nb_model("lang = 'en'")},
+        {_nb_score_cte("gb")},
+        gc AS (
+          SELECT gb.doc_id, gb.lang, gb.text, sc.score
+          FROM gb JOIN sc USING (doc_id)
+          WHERE sc.pred),
+        fp AS (
+          SELECT doc_id, lang, score,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                         'g'))) AS f
+          FROM gc),
+        keepers AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+        SELECT fp.doc_id, fp.lang, fp.score
+        FROM fp JOIN keepers USING (f, doc_id)
     """
 
     # selection_pipeline: the dsir_weights / duplicate_spans /

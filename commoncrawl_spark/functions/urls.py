@@ -99,6 +99,39 @@ def surt_col(url: Column) -> Column:
     return F.concat(rev_host, F.lit(")"), path, query)
 
 
+def url_features(url: Column) -> dict[str, Column]:
+    """URL structure signals for frontier prioritization and URL-level
+    quality filtering (the FineWeb-style URL heuristics): crawl
+    schedulers prefer shallow, parameter-free, human-readable URLs;
+    deep paths, long query strings, and digit-heavy segments correlate
+    with calendars, session ids, faceted-search explosions, and
+    pagination traps. All pure Catalyst regex/array expressions over
+    the same scheme/netloc split as :func:`canonicalize_url_col` —
+    scan-stage, no shuffle, exact DuckDB twins (RE2-safe patterns).
+
+    Signals: ``path_depth`` (non-empty path segments), ``path_len``
+    (path characters), ``n_params`` (&-separated query parameters),
+    ``is_homepage`` (empty path, no query), ``digit_ratio`` (digits /
+    path characters, 4dp), ``url_len``.
+    """
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(rest, r"^[^#?]*\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    path_digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    return {
+        "path_depth": F.size(segs),
+        "path_len": F.length(path),
+        "n_params": F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&"))),
+        "is_homepage": (F.size(segs) == 0) & (query == ""),
+        "digit_ratio": F.round(
+            path_digits
+            / F.greatest(F.length(path), F.lit(1)).cast("double"), 4),
+        "url_len": F.length(url),
+    }
+
+
 # --------------------------------------------------------------------------
 # Python / pandas path (oracle + punycode variant)
 # --------------------------------------------------------------------------

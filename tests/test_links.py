@@ -418,3 +418,31 @@ def test_link_locality_hand_computed(spark):
     assert (r["host"], r["n_edges"], r["n_internal"], r["n_external"]) == (
         "h.test", 3, 2, 1)
     assert r["internal_ratio"] == round(2 / 3, 6)
+
+
+def test_url_features_hand_cases(spark):
+    from commoncrawl_spark.functions.urls import url_features
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://example.com"),                       # homepage
+        (2, "https://example.com/?utm=1"),                # params, no path segs
+        (3, "http://a.org/x/y/z123/?id=7&b=2#frag"),      # deep + digits + frag
+        (4, "example.com/plain/path"),                    # schemeless
+        (5, "https://h.io:8080/a1b2"),                    # port in netloc
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    f = url_features(F.col("url"))
+    got = {r["id"]: r.asDict()
+           for r in df.select("id", *[v.alias(k)
+                                      for k, v in f.items()]).collect()}
+    assert got[1]["is_homepage"] and got[1]["path_depth"] == 0
+    assert got[2]["n_params"] == 1 and not got[2]["is_homepage"]
+    g3 = got[3]
+    # path '/x/y/z123/' -> 3 segments, 10 chars, 3 digits; query stops
+    # at the fragment
+    assert g3["path_depth"] == 3 and g3["n_params"] == 2
+    assert g3["path_len"] == 10 and g3["digit_ratio"] == 0.3
+    assert got[4]["path_depth"] == 2 and not got[4]["is_homepage"]
+    # the port belongs to the netloc, not the path
+    assert got[5]["path_depth"] == 1 and got[5]["path_len"] == 5
