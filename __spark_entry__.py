@@ -1840,6 +1840,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tokens", F.col("n_tokens").cast("long"))
     q["token_budget_sample"] = token_budget_sample
 
+    def temperature_mix(spark, sf):
+        """Temperature-based mixing (mT5's share^alpha rule) composed
+        with the deterministic budget sampler: budgets derive FROM the
+        corpus (alpha=0.5 flattening, 30k-token total) instead of
+        being hand-picked."""
+        from commoncrawl_spark.operators.selection import (
+            sample_token_budget,
+            temperature_budgets,
+        )
+
+        d = _read(spark, sf, "documents")
+        budgets = temperature_budgets(d, alpha=0.5, total_budget=30_000)
+        return sample_token_budget(d, budgets).withColumn(
+            "n_tokens", F.col("n_tokens").cast("long"))
+    q["temperature_mix"] = temperature_mix
+
     def duplicate_spans(spark, sf):
         """Exact-substring duplication stats (Lee et al. 2021): per
         doc, the token mass covered by 20-token windows appearing >= 2
@@ -3973,6 +3989,38 @@ def oracle_sql() -> dict[str, str]:
                  least(1.0, CAST(b.budget_tokens AS DOUBLE)
                             / g.group_tokens) AS keep_frac
           FROM gt g JOIN b USING (lang))
+        SELECT w.doc_id, w.lang, w.n_tokens, f.keep_frac
+        FROM wn w JOIN fr f USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < f.keep_frac
+    """
+
+    o["temperature_mix"] = """
+        WITH wn AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+          FROM documents),
+        gt AS (
+          SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS group_tokens
+          FROM wn GROUP BY lang),
+        pw AS (
+          SELECT lang, group_tokens,
+                 round(pow(group_tokens, 0.5), 6) AS mass
+          FROM gt),
+        tt AS (SELECT sum(mass) AS total_mass FROM pw),
+        b AS (
+          SELECT lang, group_tokens,
+                 CAST(floor(30000 * mass / total_mass) AS BIGINT)
+                   AS budget_tokens
+          FROM pw, tt),
+        fr AS (
+          SELECT lang,
+                 least(1.0, CAST(budget_tokens AS DOUBLE)
+                            / group_tokens) AS keep_frac
+          FROM b)
         SELECT w.doc_id, w.lang, w.n_tokens, f.keep_frac
         FROM wn w JOIN fr f USING (lang)
         WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),

@@ -336,6 +336,11 @@ def main() -> None:
             # round-3 additions: MOSS winnowing match report, NB
             # quality classifier (train + held-out scoring)
             "winnow_pairs", "nb_classifier_scores",
+            # late round-3 additions: SemDeDup, Gopher n-gram
+            # repetition, BPE vocabulary training, the composed
+            # heuristic+model filtering pipeline
+            "semdedup", "gopher_repetition", "bpe_merges",
+            "filtering_pipeline",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

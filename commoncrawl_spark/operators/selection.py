@@ -173,3 +173,48 @@ def sample_token_budget(
         .where(u01 < F.col("keep_frac"))
         .select(id_col, group_col, "n_tokens", "keep_frac")
     )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    alpha: float = 0.5,
+    total_budget: int = 1_000_000,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture budgets (the mT5 / XLM-R sampling
+    rule, Xue et al. 2021): allocate a total token budget across
+    groups proportionally to ``share^alpha`` — ``alpha=1`` keeps the
+    corpus proportions, ``alpha -> 0`` flattens toward uniform, the
+    published sweet spots (0.3-0.7) boost low-resource languages
+    without drowning the head. The output ``(group_col,
+    budget_tokens)`` table plugs directly into
+    :func:`sample_token_budget`, which turns budgets into a
+    deterministic per-document keep rule.
+
+    Scale shape: ONE map-side-partial aggregate to per-group token
+    totals (group cardinality ~ tens), the powered masses summed on a
+    1-row broadcast, one row out per group. The powered mass is
+    rounded to 6dp before normalization so both engines (and any
+    libm's last-ulp ``pow`` difference) compute the same shares.
+    """
+    group_tokens = (
+        df.select(F.col(group_col),
+                  token_count_col(F.col(text_col)).alias("_n"))
+        .groupBy(group_col).agg(F.sum("_n").alias("_group_tokens"))
+    )
+    powered = group_tokens.select(
+        group_col,
+        F.round(F.pow(F.col("_group_tokens").cast("double"),
+                      F.lit(float(alpha))), 6).alias("_mass"),
+    )
+    total = powered.agg(F.sum("_mass").alias("_total_mass"))
+    return (
+        powered.join(F.broadcast(total))
+        .select(
+            group_col,
+            F.floor(F.lit(int(total_budget)) * F.col("_mass")
+                    / F.col("_total_mass")).cast("long")
+            .alias("budget_tokens"),
+        )
+    )

@@ -134,3 +134,24 @@ def test_sample_token_budget_keeps_all_under_budget(spark):
     got = sample_token_budget(df, budgets).collect()
     assert len(got) == 10
     assert all(r["keep_frac"] == 1.0 for r in got)
+
+
+def test_temperature_budgets_flatten(spark):
+    from commoncrawl_spark.operators.selection import temperature_budgets
+
+    # two groups with a 100:1 token imbalance
+    rows = [(i, "en", "w " * 100) for i in range(10)] + [(100, "mi", "w ")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # alpha=1: proportional shares (1000 vs 1 tokens -> ~999:1 budgets)
+    b1 = {r["lang"]: r["budget_tokens"]
+          for r in temperature_budgets(
+              df, alpha=1.0, total_budget=10_000).collect()}
+    assert b1["en"] + b1["mi"] <= 10_000
+    assert b1["en"] / max(b1["mi"], 1) > 500
+    # alpha=0.25: strongly flattened — the minority share rises from
+    # ~0.1% to (1/1000)^0.25 ~ 15% of the head's mass
+    b2 = {r["lang"]: r["budget_tokens"]
+          for r in temperature_budgets(
+              df, alpha=0.25, total_budget=10_000).collect()}
+    assert b2["mi"] > 10 * b1["mi"]
+    assert b2["en"] > b2["mi"]          # still ordered by size
