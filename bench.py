@@ -340,7 +340,7 @@ def main() -> None:
             # repetition, BPE vocabulary training, the composed
             # heuristic+model filtering pipeline
             "semdedup", "gopher_repetition", "bpe_merges",
-            "filtering_pipeline",
+            "filtering_pipeline", "temperature_mix",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
