@@ -1259,6 +1259,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["warc_segment_read"] = warc_segment_read
 
+    def warc_cdx(spark, sf):
+        """CDX index generation from WARC segments (the indexing side
+        of the Common Crawl pipeline — the inverse of the harvest
+        path): the same deterministic segments as warc_segment_read,
+        re-indexed to (surt, timestamp, url, digest, record_idx,
+        payload_length). The oracle recomputes every field from the
+        generating parameters (the byte offsets/lengths — gzip member
+        sizes no SQL engine can reproduce — are pinned by the
+        slice-and-gunzip round-trip test in test_warc.py)."""
+        from commoncrawl_spark.sources.warc import (
+            make_warc_response,
+            make_warc_segment,
+            read_warc_records,
+            warc_cdx_index,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 50).cast("int").alias("seg"))
+
+        def build(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            recs = [
+                make_warc_response(f"https://w.test/{i}", t.encode("utf-8"))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            return pd.DataFrame({
+                "seg": [int(pdf["seg"].iloc[0])],
+                "segment": [make_warc_segment(recs)],
+            })
+
+        segs = d.groupBy("seg").applyInPandas(build, "seg int, segment binary")
+        cdx = warc_cdx_index(read_warc_records(segs, "segment"), segs)
+        return cdx.select(
+            "surt", "cdx_ts", "url", "digest", "record_idx",
+            "payload_length")
+    q["warc_cdx"] = warc_cdx
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -3162,6 +3201,25 @@ def oracle_sql() -> dict[str, str]:
                CAST({len(_HTTP_OK)} + octet_length(encode(text)) AS BIGINT)
                  AS content_length,
                text AS body
+        FROM d
+    """
+
+    # warc_cdx: every index field recomputed from the generating
+    # parameters; the digest hashes the identical bytes on both engines
+    # (DuckDB sha256(VARCHAR) hashes the UTF-8 encoding = Spark's
+    # sha2 over the binary payload)
+    _http_ok_sql = ("e'" + _HTTP_OK.decode("ascii")
+                    .replace("\r", "\\r").replace("\n", "\\n") + "'")
+    o["warc_cdx"] = f"""
+        WITH d AS (SELECT doc_id, text, doc_id % 50 AS seg FROM documents)
+        SELECT 'test,w)/' || CAST(doc_id AS VARCHAR) AS surt,
+               '20240101000000' AS cdx_ts,
+               'https://w.test/' || CAST(doc_id AS VARCHAR) AS url,
+               sha256({_http_ok_sql} || text) AS digest,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY doc_id) - 1
+                    AS INT) AS record_idx,
+               CAST({len(_HTTP_OK)} + octet_length(encode(text)) AS BIGINT)
+                 AS payload_length
         FROM d
     """
 
