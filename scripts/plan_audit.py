@@ -968,6 +968,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # composed filtering pipeline: broadcast model, no cartesian,
+    # no Window anywhere in the four chained gates
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "entry_audit", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    _entry = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_entry)
+    fp = _entry.queries()["filtering_pipeline"](spark, SF)
+    p = plan_of(fp)
+    sections.append((
+        "Composed filtering pipeline: four gates, all Catalyst",
+        "Gopher line rules (scan-stage expressions) -> n-gram "
+        "repetition gate (the three slim exchanges audited above) -> "
+        "NB model gate (the vocab-sized model broadcast onto the "
+        "survivors' tf stream) -> exact dedup (min-id fingerprint "
+        "anti-join). Chaining must not introduce what no stage has: "
+        "a cartesian, a partition-less window, or Python.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True — the NB model + keep-set joins)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
