@@ -467,3 +467,35 @@ def write_bucketed(
         .saveAsTable(table_name)
     )
     return spark.table(table_name)
+
+
+def write_cdx_index(
+    cdx: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    surt: str = "surt",
+    ts: str = "cdx_ts",
+) -> None:
+    """cc-index-style CDX layout: RANGE-partitioned and sorted by
+    ``(surt, cdx_ts)``. The SURT key's whole purpose (functions/urls.py)
+    is realized here: because subdomain labels reverse into a prefix,
+    every registrable domain — with all its subdomains and paths — is
+    one contiguous run landing in one (at a boundary, two) shard files,
+    each file's parquet footer carrying tight min/max stats on the sort
+    key. "Everything under example.com" then reads as a
+    pushed StringStartsWith/range predicate + file- and row-group-level
+    skipping, instead of a full-index filter — the access pattern a
+    cc-index server serves per-prefix.
+
+    Range boundaries come from Spark's sampling RangePartitioner (data-
+    dependent, not contractual); the CONTRACT — host-prefix locality +
+    pushdown — is pinned in tests/test_warc.py. Shard count is a table
+    property: fix it per index size, never per cluster size.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        cdx.repartitionByRange(n_shards, F.col(surt), F.col(ts))
+        .sortWithinPartitions(surt, ts)
+        .write.mode("overwrite").parquet(path)
+    )

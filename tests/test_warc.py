@@ -142,3 +142,41 @@ def test_warc_cdx_offsets_slice_and_gunzip_roundtrip(spark):
     surts = sorted(r["surt"] for r in cdx)
     assert surts[0].startswith("org,ex)/a/") and surts[-1].startswith(
         "org,ex)/b/")
+
+
+def test_write_cdx_index_prefix_locality_and_pushdown(spark, tmp_path):
+    """The SURT layout contract: range-partitioning on (surt, cdx_ts)
+    puts each host's rows in at most two files (contiguous run, one
+    boundary crossing), and a host-prefix query reaches the parquet
+    scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import write_cdx_index
+
+    rows = []
+    for h in range(8):
+        for p in range(40):
+            rows.append((f"com,host{h})/p/{p:03d}", "20240101000000",
+                         f"https://host{h}.com/p/{p:03d}", f"d{h}-{p}"))
+    cdx = spark.createDataFrame(
+        rows, "surt string, cdx_ts string, url string, digest string")
+    out = str(tmp_path / "cdx_index")
+    write_cdx_index(cdx, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    per_host_files = (
+        back.select("surt", F.input_file_name().alias("f"))
+        .withColumn("host", F.regexp_extract("surt", r"^([^)]*)\)", 1))
+        .groupBy("host").agg(F.countDistinct("f").alias("nf"))
+        .collect()
+    )
+    assert all(r["nf"] <= 2 for r in per_host_files)
+    # and the index actually split across shards
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files >= 3
+
+    q = back.filter(F.col("surt").startswith("com,host3)"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StringStartsWith" in plan
+    assert q.count() == 40
