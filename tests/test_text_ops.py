@@ -1147,3 +1147,64 @@ def test_gopher_ngram_stats_plan_is_jvm_only(spark):
     assert "CartesianProduct" not in plan
     # no Window anywhere: ranking is max/argmax aggregation
     assert "Window" not in plan
+
+
+def test_gopher_ngram_stats_matches_python_reference(spark):
+    """Randomized docs (seeded) against a straightforward pure-Python
+    reference of the exact published semantics — pins the tagged
+    explode, the argmax-over-repeated-grams, and the interval-union
+    fold in one sweep."""
+    import random
+
+    from commoncrawl_spark.operators.text_dedup import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+        gopher_ngram_stats,
+    )
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "bb", "c", "dddd", "ee", "fff", "gg", "hh"]
+    docs = []
+    for i in range(30):
+        n = rng.randint(0, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_ngram_stats(df).collect()}
+
+    def ref(words):
+        wchars = sum(len(w) for w in words)
+        out = {"n_words": len(words)}
+        for fam, ns in (("top", GOPHER_TOP_NGRAM_MAX),
+                        ("dup", GOPHER_DUP_NGRAM_MAX)):
+            for n in ns:
+                grams: dict[tuple, list] = {}
+                for p in range(len(words) - n + 1):
+                    grams.setdefault(tuple(words[p:p + n]), []).append(p)
+                if fam == "top":
+                    mass = max(
+                        (len(ps) * sum(len(w) for w in g)
+                         for g, ps in grams.items() if len(ps) >= 2),
+                        default=0)
+                    out[f"top{n}_char_frac"] = round(
+                        mass / max(wchars, 1), 6)
+                else:
+                    covered = set()
+                    for g, ps in grams.items():
+                        if len(ps) >= 2:
+                            for p in ps:
+                                covered.update(range(p, p + n))
+                    out[f"dup{n}_word_frac"] = round(
+                        len(covered) / max(len(words), 1), 6)
+        keep = all(
+            out[f"top{n}_char_frac"] <= t
+            for n, t in GOPHER_TOP_NGRAM_MAX.items()) and all(
+            out[f"dup{n}_word_frac"] <= t
+            for n, t in GOPHER_DUP_NGRAM_MAX.items())
+        out["repetition_keep"] = keep
+        return out
+
+    for i, text in docs:
+        want = ref(text.split())
+        have = {k: got[i][k] for k in want}
+        assert have == want, f"doc {i}: {have} != {want}"
