@@ -1626,6 +1626,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=5, n_probe=4, centroids=cents)
     q["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
 
+    def ann_recall(spark, sf):
+        """Measured ANN accuracy: recall@5 of the IVF path against the
+        exact brute-force top-k, per query — the number that justifies
+        (or vetoes) the n_probe/K tradeoff before a 10^10-vector
+        deployment. Both sides are the existing oracle-checked
+        operators; the measurement is one slim (query, neighbor)
+        semi-join + a per-query aggregate."""
+        from commoncrawl_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        qs_ = e.filter(F.col("vec_id") < 10)
+        exact = cosine_topk(e, qs_, k=5).select("query_id", "neighbor_id")
+        approx = ivf_topk(e, qs_, k=5, n_centroids=16, n_probe=4).select(
+            "query_id", "neighbor_id")
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            qs_.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6)
+                .alias("recall_at_5"),
+            )
+        )
+    q["ann_recall"] = ann_recall
+
     def semdedup(spark, sf):
         # SemDeDup (Abbas et al. 2023): cluster-scoped embedding
         # near-dedup; keep the group member FARTHEST from its centroid.
@@ -3824,6 +3858,60 @@ def oracle_sql() -> dict[str, str]:
     # training (3 unrolled Lloyd iterations) + the trained-IVF probe
     o["ann_ivf_kmeans_topk"] = _sql_kmeans_ivf(
         k=16, n_iters=3, n_probe=4, topn=5, n_q=10)
+
+    # ann_recall: the exact and IVF oracle bodies as CTEs, overlap
+    # counted per query
+    o["ann_recall"] = f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id)
+                     AS rank
+            FROM c q, c n WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+          WHERE rank <= 5),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
+        cells AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT c.vec_id, c.v, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC, cents.cell
+                   ) AS rn
+            FROM c CROSS JOIN cents)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT c.vec_id, c.v, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC, cents.cell
+                   ) AS rn
+            FROM c CROSS JOIN cents WHERE c.vec_id < 10)
+          WHERE rn <= 4),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY {_sql_cosine("p.qv", "n.v")} DESC, n.vec_id)
+                     AS rank
+            FROM probes p JOIN cells n ON p.cell = n.cell
+            WHERE n.vec_id <> p.query_id)
+          WHERE rank <= 5),
+        h AS (
+          SELECT a.query_id, count(*) AS n_hits
+          FROM approx a JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY a.query_id)
+        SELECT q.vec_id AS query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+        FROM (SELECT vec_id FROM c WHERE vec_id < 10) q
+        LEFT JOIN h ON h.query_id = q.vec_id
+    """
 
     # semdedup: replay the cell assignment (same CTE as ann_ivf_topk),
     # the within-cell pair threshold, the connected duplicate groups

@@ -1208,3 +1208,37 @@ def test_gopher_ngram_stats_matches_python_reference(spark):
         want = ref(text.split())
         have = {k: got[i][k] for k in want}
         assert have == want, f"doc {i}: {have} != {want}"
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    """kmeans_centroids drops into semantic_dedup unchanged — the
+    mechanics (assignment, blocked pairs, election) are centroid-
+    agnostic; every vector gets exactly one verdict row and groups
+    still elect exactly one keeper."""
+    import numpy as np
+
+    from commoncrawl_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 8)
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        # a near-copy of each: tiny perturbation -> high cosine
+        rows.append((100 + i, [float(x * 1.001 + 0.0005) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, k=4, n_iters=2)
+    out = semantic_dedup(df, centroids=cents, threshold=0.999)
+    rows_out = out.collect()
+    assert len(rows_out) == 40
+    grouped = [r for r in rows_out if r["sem_cluster"] is not None]
+    by_cluster: dict[int, list] = {}
+    for r in grouped:
+        by_cluster.setdefault(r["sem_cluster"], []).append(r)
+    assert by_cluster  # the near-copies do pair up
+    for cl, members in by_cluster.items():
+        assert sum(1 for m in members if m["keep"]) == 1
