@@ -579,6 +579,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", *[v.alias(k) for k, v in f.items()])
     q["url_features"] = url_feature_signals
 
+    def host_traps(spark, sf):
+        """Crawler-trap detection over a synthesized URL mix: one
+        generated-URL-space host (trap.test — every doc contributes a
+        distinct calendar/session URL collapsing to ONE template) plus
+        the source hosts (lettered paths: template count tracks URL
+        count). The trap host must surface with trap_score near 1."""
+        from commoncrawl_spark.operators.links import host_trap_stats
+
+        d = _read(spark, sf, "documents")
+        did = F.col("doc_id")
+        trap = d.select(F.concat(
+            F.lit("https://trap.test/cal/"), did.cast("string"),
+            F.lit("?session="), (did * 7).cast("string"),
+            F.lit("&page="), (did % 9).cast("string")).alias("url"))
+        normal = d.select(F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".org/page-"),
+            F.lit("abcdefg").substr(
+                (did % 7 + 1).cast("int"), F.lit(1))).alias("url"))
+        return host_trap_stats(trap.unionByName(normal), min_urls=5)
+    q["host_traps"] = host_traps
+
     def best_capture_dedup(spark, sf):
         cdx = _events_cdx(spark, sf)
         w = best_capture_per_url(cdx, arrival_cols=("event_id",))
@@ -2699,6 +2720,51 @@ def oracle_sql() -> dict[str, str]:
                 / greatest(length(path), 1), 4) AS digit_ratio,
           length(url) AS url_len
         FROM g
+    """
+
+    o["host_traps"] = r"""
+        WITH u AS (
+          SELECT 'https://trap.test/cal/' || CAST(doc_id AS VARCHAR)
+                 || '?session=' || CAST(doc_id * 7 AS VARCHAR)
+                 || '&page=' || CAST(doc_id % 9 AS VARCHAR) AS url
+          FROM documents
+          UNION ALL
+          SELECT 'https://' || source || '.org/page-'
+                 || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+          FROM documents),
+        r AS (
+          SELECT url,
+                 regexp_replace(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\-]*://', '') AS rest
+          FROM u),
+        t AS (
+          SELECT DISTINCT
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+              '^www\.', ''), ':\d+$', '') AS host,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+              '^www\.', ''), ':\d+$', '')
+            || regexp_replace(
+                 regexp_extract(rest, '^[^/?#]*([^?#]*)', 1),
+                 '[0-9]+', 'D', 'g')
+            || regexp_replace(
+                 regexp_extract(rest, '^[^#?]*(\?[^#]*)', 1),
+                 '=[^&#]*', '=V', 'g') AS tmpl,
+            md5(url) AS uu
+          FROM r),
+        per AS (
+          SELECT host, tmpl, count(*) AS c FROM t GROUP BY host, tmpl),
+        agg AS (
+          SELECT host, CAST(sum(c) AS BIGINT) AS n_urls,
+                 count(*) AS n_templates
+          FROM per GROUP BY host)
+        SELECT host, n_urls, n_templates,
+               round(CAST(n_urls AS DOUBLE) / n_templates, 4)
+                 AS urls_per_template,
+               round(1.0 - CAST(n_templates AS DOUBLE) / n_urls, 4)
+                 AS trap_score
+        FROM agg WHERE n_urls >= 5
     """
 
     o["best_capture_dedup"] = f"""

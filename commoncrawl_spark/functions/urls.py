@@ -185,3 +185,22 @@ def canonicalize_urls_series(urls: pd.Series, punycode: bool = True) -> pd.Serie
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized canonical URL with punycode host normalization."""
     return canonicalize_urls_series(urls, punycode=True)
+
+
+def url_template_col(url: Column) -> Column:
+    """Collapse a URL to its structural template: digit runs in the
+    path become ``D``, every query VALUE becomes ``V`` (keys are
+    structure, values are data). Calendars, session ids, pagination,
+    and faceted-search explosions generate unbounded distinct URLs
+    from a handful of templates — the crawler-trap signature
+    ``host_trap_stats`` aggregates. Scan-stage regex, RE2-safe."""
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    netloc = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    netloc = F.regexp_replace(
+        F.regexp_replace(netloc, r"^www\.", ""), r":\d+$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1),
+        r"[0-9]+", "D")
+    query = F.regexp_extract(rest, r"^[^#?]*(\?[^#]*)", 1)
+    query = F.regexp_replace(query, r"=[^&#]*", "=V")
+    return F.concat(netloc, path, query)

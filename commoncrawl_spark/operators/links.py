@@ -375,3 +375,50 @@ def sitemap_candidates(
         .groupBy("url_sha1")
         .agg(F.min("url").alias("url"))
     )
+
+
+def host_trap_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 5,
+) -> DataFrame:
+    """Crawler-trap detection: hosts whose URL space is generated —
+    calendars, session ids, pagination, faceted search — produce
+    unbounded DISTINCT URLs from a handful of structural TEMPLATES
+    (``url_template_col``: digit runs -> D, query values -> V). A
+    benign host's template count grows with its URL count; a trap's
+    stays flat. Output one row per host with ``n_urls`` (distinct),
+    ``n_templates``, ``urls_per_template``, and ``trap_score = 1 -
+    templates/urls`` — the frontier signal for capping a host's crawl
+    budget before it swallows the scheduler (hosts under ``min_urls``
+    are unscorable noise and dropped).
+
+    Scale shape: the URL never shuffles whole — the distinct runs on
+    (host, template, md5(url)); both aggregates are map-side-partial
+    on slim keys; no window, no Python.
+    """
+    from ..functions.urls import host_col, url_template_col
+
+    per = (
+        df.select(
+            host_col(F.col(url_col)).alias("host"),
+            url_template_col(F.col(url_col)).alias("_t"),
+            F.md5(F.col(url_col)).alias("_u"),
+        )
+        .distinct()
+        .groupBy("host", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n_urls = F.col("n_urls").cast("double")
+    n_tmpl = F.col("n_templates").cast("double")
+    return (
+        per.groupBy("host").agg(
+            F.sum("_c").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_templates"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+        .select(
+            "host", "n_urls", "n_templates",
+            F.round(n_urls / n_tmpl, 4).alias("urls_per_template"),
+            F.round(F.lit(1.0) - n_tmpl / n_urls, 4).alias("trap_score"),
+        )
+    )

@@ -446,3 +446,26 @@ def test_url_features_hand_cases(spark):
     assert got[4]["path_depth"] == 2 and not got[4]["is_homepage"]
     # the port belongs to the netloc, not the path
     assert got[5]["path_depth"] == 1 and got[5]["path_len"] == 5
+
+
+def test_host_trap_stats_separates_generated_url_spaces(spark):
+    from commoncrawl_spark.operators.links import host_trap_stats
+
+    urls = (
+        # trap: 50 distinct calendar URLs, one template
+        [(f"https://trap.ex/cal/2024/{m:02d}/{d:02d}?sid={m * d}",)
+         for m in range(1, 6) for d in range(1, 11)]
+        # benign: 8 lettered articles, 8 templates
+        + [(f"https://news.ex/articles/{w}",)
+           for w in "abcdefgh"]
+        # below min_urls -> dropped
+        + [("https://tiny.ex/a",), ("https://tiny.ex/b",)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    got = {r["host"]: r.asDict() for r in host_trap_stats(df).collect()}
+    assert set(got) == {"trap.ex", "news.ex"}
+    assert got["trap.ex"]["n_urls"] == 50
+    assert got["trap.ex"]["n_templates"] == 1
+    assert got["trap.ex"]["trap_score"] == 0.98
+    assert got["news.ex"]["trap_score"] == 0.0
+    assert got["news.ex"]["urls_per_template"] == 1.0
