@@ -2609,6 +2609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round — go FIRST so the next driver run attests them; the
     # queries already attested in CORRECTNESS_r01/r02 keep those files
     # as their permanent record and follow after.
+    # ROUND-4 NOTE: the driver attests only the FIRST 50 entries. The
+    # list below is round 3's attestation set — do not reorder it
+    # before the round-3 driver run. NEXT round, front-load the 10
+    # late-r3 queries that sit after position 50 (semdedup,
+    # gopher_repetition, bpe_merges, bpe_tokens, filtering_pipeline,
+    # url_features, temperature_mix, warc_cdx, ann_recall, host_traps);
+    # everything in the current list will then have CORRECTNESS_r03 as
+    # its permanent record.
     _front = [
         # new in round 3
         "line_dedup",

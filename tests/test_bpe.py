@@ -131,3 +131,53 @@ def test_merges_table_shape(spark):
     rows = t.collect()
     assert [r["rank"] for r in rows] == [1, 2]
     assert rows[0]["left"] == "a" and rows[1]["pair_freq"] == 3
+
+
+def test_distributed_trainer_deep_loop_and_min_freq(spark):
+    """32 merges on a larger corpus — the loop's localCheckpoint
+    lineage truncation and the argmax tie-breaks hold far past the
+    oracle-sized 6; min_freq prunes the histogram identically on both
+    sides."""
+    import re
+
+    from commoncrawl_spark.operators.analytics import TOKEN_RE
+
+    texts = [
+        " ".join(f"w{(i * j) % 23}x{(i + j) % 7}" for j in range(30))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(TOKEN_RE, t.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+
+    got = bpe_train(df, n_merges=32, min_freq=2)
+    pruned = {w: f for w, f in freqs.items() if f >= 2}
+    want = bpe_train_reference(pruned, 32)
+    assert got == want
+    assert len(got) == 32
+
+
+def test_bpe_encode_fuzz_vs_reference(spark):
+    """Seeded random merge tables + random words: the Catalyst fold
+    chain equals the pure-Python encoder everywhere, including
+    identical-symbol runs and merges built from earlier merges."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "abc"
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+             for _ in range(60)]
+    merges = [("a", "a", 9), ("a", "b", 8), ("aa", "b", 7),
+              ("b", "c", 6), ("aab", END, 5), ("c", "c", 4)]
+    pairs = [(a, b) for a, b, _ in merges]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    out = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", bpe_encode_col(F.col("text"), merges).alias("toks")
+    ).collect()}
+    for i, w in enumerate(words):
+        assert out[i] == bpe_encode_word(w, pairs), (w, out[i])
