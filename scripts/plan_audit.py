@@ -968,6 +968,35 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # URL analytics: scan-stage features, slim-key trap aggregation
+    from commoncrawl_spark.functions.urls import url_features
+    from commoncrawl_spark.operators.links import host_trap_stats
+
+    uf_url = _F.concat(_F.lit("https://h"), (_F.col("doc_id") % 9)
+                       .cast("string"), _F.lit(".test/p/"),
+                       _F.col("doc_id").cast("string"))
+    urls_df = docs.select(uf_url.alias("url"))
+    feats = url_features(_F.col("url"))
+    p = plan_of(urls_df.select(
+        "url", *[v.alias(k) for k, v in feats.items()]),
+        label="url-features")
+    p2 = plan_of(host_trap_stats(urls_df), label="host-traps")
+    sections.append((
+        "URL analytics: features in the scan stage, traps on slim keys",
+        "url_features is pure per-row regex/array expressions — zero "
+        "exchanges, the frontier can compute it while reading the "
+        "candidate table. host_trap_stats never shuffles the URL "
+        "string whole: the distinct and both aggregates run on (host, "
+        "template, md5) keys, map-side-partial first.",
+        [f"url_features exchanges: {p.count('Exchange')} (expect 0)",
+         f"url_features Python operators: {p.count('EvalPython')} "
+         f"(expect 0)",
+         f"host_trap_stats partial aggregate present: "
+         f"{'partial' in p2 or 'HashAggregate' in p2} (expect True)",
+         f"host_trap_stats Window operators: {p2.count('Window')} "
+         f"(expect 0)"],
+    ))
+
     # composed filtering pipeline: broadcast model, no cartesian,
     # no Window anywhere in the four chained gates
     import importlib.util as _ilu
