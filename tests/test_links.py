@@ -469,3 +469,46 @@ def test_host_trap_stats_separates_generated_url_spaces(spark):
     assert got["trap.ex"]["trap_score"] == 0.98
     assert got["news.ex"]["trap_score"] == 0.0
     assert got["news.ex"]["urls_per_template"] == 1.0
+
+
+def test_url_features_fuzz_vs_urlsplit(spark):
+    """Seeded random schemed URLs against a urllib.urlsplit-based
+    oracle — pins the regex netloc/path/query split across ports,
+    digit segments, empty paths, fragments, and query shapes."""
+    import random
+    from urllib.parse import urlsplit
+
+    from commoncrawl_spark.functions.urls import url_features
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(["ex.org", "a.b.ex.org", "x1.io"])
+        port = rng.choice(["", ":8080", ":443"])
+        segs = [rng.choice(["p", "2024", "item9", "a-b", "07"])
+                for _ in range(rng.randint(0, 4))]
+        path = "".join("/" + s for s in segs) + rng.choice(["", "/"])
+        q = rng.choice(["", "", "?a=1", "?a=1&bb=cc2", "?x=&y=9&z=0"])
+        frag = rng.choice(["", "#sec?not=query"])
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id long, url string")
+    f = url_features(F.col("url"))
+    got = {r["id"]: r.asDict() for r in df.select(
+        "id", *[v.alias(k) for k, v in f.items()]).collect()}
+    for i, u in enumerate(urls):
+        sp = urlsplit(u)
+        depth = len([s for s in sp.path.split("/") if s])
+        digits = sum(c.isdigit() for c in sp.path)
+        want = {
+            "path_depth": depth,
+            "path_len": len(sp.path),
+            "n_params": 0 if sp.query == "" else len(sp.query.split("&")),
+            "is_homepage": depth == 0 and sp.query == "",
+            "digit_ratio": round(digits / max(len(sp.path), 1), 4),
+            "url_len": len(u),
+        }
+        have = {k: got[i][k] for k in want}
+        assert have == want, (u, have, want)
