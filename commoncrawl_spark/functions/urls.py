@@ -193,11 +193,12 @@ def url_template_col(url: Column) -> Column:
     structure, values are data). Calendars, session ids, pagination,
     and faceted-search explosions generate unbounded distinct URLs
     from a handful of templates — the crawler-trap signature
-    ``host_trap_stats`` aggregates. Scan-stage regex, RE2-safe."""
+    ``host_trap_stats`` aggregates. Scan-stage regex, RE2-safe. The
+    template's host prefix IS :func:`host_col` — the trap aggregation
+    groups on the same key, and any future host normalization change
+    moves both together."""
     rest = F.regexp_replace(url, _SCHEME_RE, "")
-    netloc = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
-    netloc = F.regexp_replace(
-        F.regexp_replace(netloc, r"^www\.", ""), r":\d+$", "")
+    netloc = host_col(url)
     path = F.regexp_replace(
         F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1),
         r"[0-9]+", "D")

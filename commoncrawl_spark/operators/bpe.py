@@ -137,6 +137,28 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def pair_count_top(words: DataFrame) -> DataFrame:
+    """One training iteration's pair count + argmax over a ``(word,
+    freq, syms)`` histogram frame: zip-shift pair structs, map-side-
+    partial weighted count, ``orderBy().limit(1)``
+    (TakeOrderedAndProject — one row, never a global Window). Factored
+    out of :func:`bpe_train` so the plan audit and the tests exercise
+    the exact DataFrame the trainer runs."""
+    m = F.size("syms")
+    pair_structs = F.zip_with(
+        F.slice("syms", 1, F.greatest(m - 1, F.lit(0))),
+        F.slice("syms", 2, F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        words.select(F.col("freq"), F.explode(pair_structs).alias("p"))
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
+        .limit(1)
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 32,
@@ -160,30 +182,23 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    m = F.size("syms")
-    pair_structs = F.zip_with(
-        F.slice("syms", 1, F.greatest(m - 1, F.lit(0))),
-        F.slice("syms", 2, F.greatest(m - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-    )
     for _ in range(n_merges):
-        top = (
-            words.select(F.col("freq"), F.explode(pair_structs).alias("p"))
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("freq").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
+        top = pair_count_top(words).collect()
         if not top:
             break
         left, right, freq = top[0]["left"], top[0]["right"], \
             top[0]["pair_freq"]
         merges.append((left, right, int(freq)))
+        prev = words
         words = words.select(
             "word", "freq",
             _merge_fold(F.col("syms"), left, right).alias("syms"),
         ).localCheckpoint()
+        # the superseded checkpoint is dead the moment the new one
+        # materializes — at 10^7 histogram rows x 10^3 merges, leaking
+        # one cached copy per iteration is an executor-storage OOM
+        # (same discipline as graph.connected_components)
+        prev.unpersist()
     words.unpersist()
     return merges
 

@@ -148,11 +148,15 @@ def lsh_topk(
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               with_score: bool = False) -> DataFrame:
     """IVF cell assignment: each vector joins its max-cosine centroid
     (ties -> smallest centroid id). The centroid table is tiny and
     broadcast; assignment is a map-side cross product — linear in
-    |corpus| x K, no shuffle of the corpus."""
+    |corpus| x K, no shuffle of the corpus. ``with_score`` also
+    returns the winning cosine as ``cent_cos`` (NULL for zero-norm
+    vectors) — it already rides the argmax struct, so consumers like
+    semantic_dedup never recompute it."""
     cents = F.broadcast(
         centroids.select(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv")
@@ -170,15 +174,16 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     # ties to the smallest cell id; null cosines (zero-norm vectors)
     # coalesce below any real score, matching the window's NULLS LAST.
     best = F.max_by(
-        F.struct(F.col(vec_col).alias("v"), F.col("cell").alias("c")),
+        F.struct(F.col(vec_col).alias("v"), F.col("cell").alias("c"),
+                 F.col("_cos").alias("s")),
         F.struct(F.coalesce(F.col("_cos"), F.lit(float("-inf"))).alias("s"),
                  (-F.col("cell")).alias("t")),
     ).alias("_best")
-    return (
-        scored.groupBy(id_col).agg(best)
-        .select(id_col, F.col("_best.v").alias(vec_col),
-                F.col("_best.c").alias("cell"))
-    )
+    out_cols = [id_col, F.col("_best.v").alias(vec_col),
+                F.col("_best.c").alias("cell")]
+    if with_score:
+        out_cols.append(F.col("_best.s").alias("cent_cos"))
+    return scored.groupBy(id_col).agg(best).select(*out_cols)
 
 
 def kmeans_centroids(
@@ -404,13 +409,13 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = vectors.filter(F.col(id_col) < n_centroids)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    cents = F.broadcast(
-        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv"))
-    )
-    with_cos = assigned.join(cents, "cell").select(
+    # the winning cosine rides ivf_assign's argmax struct — no second
+    # centroid join, no recomputed dot products
+    with_cos = ivf_assign(
+        vectors, centroids, id_col, vec_col, with_score=True
+    ).select(
         id_col, vec_col, "cell",
-        F.round(cosine_col(F.col(vec_col), F.col("_cv")), 6).alias("cent_cos"),
+        F.round(F.col("cent_cos"), 6).alias("cent_cos"),
     )
     pairs = near_duplicate_pairs(
         with_cos, threshold=threshold, id_col=id_col, vec_col=vec_col,

@@ -227,7 +227,12 @@ def warc_cdx_index(
     sizes = segments.select(
         *seg_cols, F.octet_length(F.col(bin_col)).alias("_seg_bytes"))
     w = Window.partitionBy(*seg_cols).orderBy("record_offset")
-    recs = records.where(
+    # member lengths derive from the gap to the NEXT record of ANY type
+    # — filtering to responses first would fold an interleaved
+    # request/metadata record's bytes into the preceding response's
+    # length and break the slice contract; filter AFTER the lead
+    recs = records.withColumn(
+        "_next_off", F.lead("record_offset").over(w)).where(
         F.col("error").isNull() & (F.col("warc_type") == "response"))
     return (
         recs.join(sizes, list(seg_cols))
@@ -239,8 +244,7 @@ def warc_cdx_index(
             F.col("target_uri").alias("url"),
             F.sha2(F.col("payload"), 256).alias("digest"),
             F.col("record_offset").alias("offset"),
-            (F.coalesce(
-                F.lead("record_offset").over(w), F.col("_seg_bytes"))
+            (F.coalesce(F.col("_next_off"), F.col("_seg_bytes"))
              - F.col("record_offset")).alias("length"),
             "record_idx",
             F.col("content_length").alias("payload_length"),

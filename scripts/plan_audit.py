@@ -879,23 +879,14 @@ def main() -> None:
     from commoncrawl_spark.operators.bpe import (
         _char_symbols,
         bpe_encode_col,
+        pair_count_top,
         word_histogram,
     )
     from pyspark.sql import functions as _F
 
     wh = word_histogram(docs).select(
         "word", "freq", _char_symbols(_F.col("word")).alias("syms"))
-    _m = _F.size("syms")
-    _pairs = _F.zip_with(
-        _F.slice("syms", 1, _F.greatest(_m - 1, _F.lit(0))),
-        _F.slice("syms", 2, _F.greatest(_m - 1, _F.lit(0))),
-        lambda a, b: _F.struct(a.alias("left"), b.alias("right")))
-    top = (wh.select("freq", _F.explode(_pairs).alias("p"))
-           .groupBy("p.left", "p.right")
-           .agg(_F.sum("freq").alias("pair_freq"))
-           .orderBy(_F.desc("pair_freq"), _F.asc("left"), _F.asc("right"))
-           .limit(1))
-    p = plan_of(top, label="bpe-train-iteration")
+    p = plan_of(pair_count_top(wh), label="bpe-train-iteration")
     enc_plan = plan_of(
         docs.select("doc_id", bpe_encode_col(
             _F.col("text"),
@@ -937,9 +928,9 @@ def main() -> None:
         [f"hash exchanges: {p.count('Exchange hashpartitioning')} "
          f"(expect 3 — gram count, per-n reduction, doc pivot; the "
          f"restore join rides the pivot's partitioning)",
-         f"partial aggregates: "
-         f"{len(re.findall(r'HashAggregate.*partial', p)) + len(re.findall(r'ObjectHashAggregate.*partial', p)) + len(re.findall(r'SortAggregate.*partial', p))} > 0: "
-         f"{bool(len(re.findall(r'(HashAggregate|ObjectHashAggregate|SortAggregate)', p)))}",
+         f"map-side partial aggregate functions: "
+         f"{len(re.findall(r'partial_', p))} (expect > 0 — a final-only "
+         f"aggregate would ship every gram row through the exchange)",
          f"Window operators: {p.count('Window')} (expect 0)",
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
@@ -991,8 +982,8 @@ def main() -> None:
         [f"url_features exchanges: {p.count('Exchange')} (expect 0)",
          f"url_features Python operators: {p.count('EvalPython')} "
          f"(expect 0)",
-         f"host_trap_stats partial aggregate present: "
-         f"{'partial' in p2 or 'HashAggregate' in p2} (expect True)",
+         f"host_trap_stats map-side partial aggregate present: "
+         f"{'partial_' in p2} (expect True)",
          f"host_trap_stats Window operators: {p2.count('Window')} "
          f"(expect 0)"],
     ))

@@ -120,8 +120,14 @@ def run_leg(cores: int) -> dict:
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
            os.path.abspath(__file__), "--leg", str(cores)]
     for attempt in (0, 1):
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                             timeout=3600)
+        try:
+            out = subprocess.run(cmd, env=env, capture_output=True,
+                                 text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            # a wedged leg is a failed attempt, not a benchmark abort
+            print(f"leg cores={cores} attempt {attempt} timed out",
+                  file=sys.stderr)
+            continue
         if out.returncode == 0 and out.stdout.strip():
             return json.loads(out.stdout.strip().splitlines()[-1])
         print(f"leg cores={cores} attempt {attempt} failed "

@@ -100,26 +100,18 @@ def test_encode_paths_agree(spark):
 
 def test_trainer_argmax_is_take_ordered(spark):
     # the per-iteration argmax must be orderBy+limit
-    # (TakeOrderedAndProject), never a global Window
-    from commoncrawl_spark.operators.bpe import word_histogram, \
-        _char_symbols
+    # (TakeOrderedAndProject), never a global Window — asserted on the
+    # REAL per-iteration frame the trainer runs (pair_count_top)
+    from commoncrawl_spark.operators.bpe import (
+        _char_symbols,
+        pair_count_top,
+        word_histogram,
+    )
 
     df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
     words = word_histogram(df).select(
         "word", "freq", _char_symbols(F.col("word")).alias("syms"))
-    m = F.size("syms")
-    pair_structs = F.zip_with(
-        F.slice("syms", 1, F.greatest(m - 1, F.lit(0))),
-        F.slice("syms", 2, F.greatest(m - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-    )
-    top = (
-        words.select(F.col("freq"), F.explode(pair_structs).alias("p"))
-        .groupBy("p.left", "p.right")
-        .agg(F.sum("freq").alias("pair_freq"))
-        .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
-        .limit(1)
-    )
+    top = pair_count_top(words)
     top.collect()
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan

@@ -180,3 +180,45 @@ def test_write_cdx_index_prefix_locality_and_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "StringStartsWith" in plan
     assert q.count() == 40
+
+
+def test_warc_cdx_lengths_stop_at_interleaved_non_response_records(spark):
+    """Real WARCs interleave request/metadata records between
+    responses; a response's CDX length must stop at the NEXT record of
+    ANY type, not silently absorb the interleaved record's bytes."""
+    import gzip
+
+    from commoncrawl_spark.sources.warc import (
+        make_warc_response,
+        make_warc_segment,
+        read_warc_records,
+        split_warc_records_py,
+        warc_cdx_index,
+    )
+
+    def make_request(url):
+        body = b"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+        hdr = (f"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: {url}"
+               f"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "
+               f"{len(body)}\r\n\r\n").encode("ascii")
+        return hdr + body + b"\r\n\r\n"
+
+    recs = [
+        make_warc_response("https://m.test/1", b"first body"),
+        make_request("https://m.test/1"),
+        make_warc_response("https://m.test/2", b"second body"),
+    ]
+    blob = make_warc_segment(recs)
+    segs = spark.createDataFrame([(0, blob)], "seg int, segment binary")
+    cdx = sorted(
+        warc_cdx_index(read_warc_records(segs, "segment"), segs).collect(),
+        key=lambda r: r["offset"])
+    assert len(cdx) == 2  # only the responses are indexed
+    # first response's slice must end BEFORE the request record
+    assert cdx[0]["offset"] == 0
+    assert cdx[0]["length"] == len(gzip.compress(recs[0], 6, mtime=0))
+    for r in cdx:
+        member = blob[r["offset"]:r["offset"] + r["length"]]
+        parsed = split_warc_records_py(gzip.decompress(member))
+        assert len(parsed) == 1 and parsed[0]["warc_type"] == "response"
+        assert parsed[0]["target_uri"] == r["url"]
