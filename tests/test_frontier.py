@@ -249,3 +249,60 @@ def test_robots_gating(spark, tables, tmp_path_factory):
     # gated URLs remain unfetched in the frontier (never silently dropped)
     left = job.frontier.read(spark)
     assert left.filter(F.col("url").rlike("/sport/")).count() > 0
+
+
+@pytest.mark.spark
+def test_mid_round_crash_between_commits_replays_idempotently(
+        spark, tables, full_run, tmp_path_factory):
+    """_append_once's replay-skip path, exercised at the crash point it
+    exists for: the process dies AFTER some of a round's table commits
+    but BEFORE the frontier commit (the resume authority, committed
+    last). Rolling the later tables back to their pre-round snapshot
+    simulates that crash; the resumed job must replay the round,
+    re-commit exactly the missing tables (skipping the committed ones),
+    and converge to the uninterrupted run's state."""
+    import os
+
+    from commoncrawl_spark.tables import SnapshotTable
+
+    pages, cdx, _ = tables
+    ref_job, _, _ = full_run
+    d = str(tmp_path_factory.mktemp("crawl_crash"))
+    job1 = CrawlJob(spark, d, budget_per_host=BUDGET)
+    job1.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    job1.run(pages, max_rounds=1)  # round 0 commits all tables
+
+    def rollback(name):
+        t = SnapshotTable(os.path.join(d, name))
+        cur = t.snapshot()
+        assert cur is not None, name
+        latest = os.path.join(d, name, "_snapshots", "LATEST")
+        if cur["parent"] is None:
+            os.remove(latest)  # round 0 was the first commit ever
+        else:
+            with open(latest, "w") as fh:
+                fh.write(str(cur["parent"]))
+
+    # crash point: articles/failures/trace landed, then the process died
+    # — metrics/lineage/seen/frontier never committed round 0
+    for name in ("metrics", "lineage", "seen", "frontier"):
+        rollback(name)
+
+    job2 = CrawlJob(spark, d, budget_per_host=BUDGET)  # fresh process
+    job2.run(pages)
+
+    for name, a, b in [
+        ("seen", ref_job.seen_df(), job2.seen_df()),
+        ("articles", ref_job.articles_df().select("url", "text"),
+         job2.articles_df().select("url", "text")),
+        ("trace", ref_job.trace_df(), job2.trace_df()),
+    ]:
+        ra = {tuple(r) for r in a.collect()}
+        rb = {tuple(r) for r in b.collect()}
+        assert ra == rb, f"{name} diverged after mid-round crash replay"
+    # the replay did NOT double-commit the already-landed tables: one
+    # round-0 commit each
+    arts = SnapshotTable(os.path.join(d, "articles"))
+    r0 = [s for s in arts.snapshots()
+          if s["metadata"].get("round") == 0]
+    assert len(r0) == 1
