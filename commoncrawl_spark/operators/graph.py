@@ -239,12 +239,17 @@ def cluster_representatives(
     through a single task.
     """
     joined = clusters.join(scores, id_col)
+    # argmax(score) with ties to the SMALLEST id via min_by over
+    # (-score, id): the id is never negated, so string ids (URLs, sha1
+    # hex — the normal web-corpus case) order lexicographically instead
+    # of crashing in an implicit numeric cast; only the score (numeric
+    # by contract) is inverted
     order_key = F.struct(
-        F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_t"))
+        (-F.col(score_col)).alias("_s"), F.col(id_col).alias("_t"))
     return (
         joined.groupBy(cluster_col)
         .agg(
-            F.max_by(F.col(id_col), order_key).alias(f"rep_{id_col}"),
+            F.min_by(F.col(id_col), order_key).alias(f"rep_{id_col}"),
             F.count(F.lit(1)).alias("n_members"),
             F.max(F.col(score_col)).alias("rep_score"),
         )

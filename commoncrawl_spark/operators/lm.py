@@ -307,6 +307,16 @@ def stupid_backoff_scores(
     key. Empty / single-token documents survive as explode_outer
     sentinel rows (no restore join).
     """
+    if (counts is None) != (unigrams is None):
+        # half a model silently self-trains the other half on the
+        # corpus being SCORED: every token becomes in-vocabulary (no
+        # true-OOV NULL ever fires) and unseen bigrams back off to the
+        # scored corpus's frequencies instead of the trusted model's —
+        # plausible-looking but wrong scores, so refuse loudly
+        raise ValueError(
+            "stupid_backoff_scores: pass counts and unigrams TOGETHER "
+            "(both from the same training corpus) or neither "
+            "(self-train); got exactly one")
     tfb = (
         df.select(F.col(id_col),
                   F.explode_outer(_bigrams_col(F.col(text_col))).alias("bg"))

@@ -307,13 +307,19 @@ def dedup_lines_within_doc(
     array is bound to a real column first so the filter lambda reads an
     attribute (an expression referenced inside a higher-order-function
     lambda is re-evaluated per element — the :func:`shingles_col` shape
-    note — which would re-split the document once per line)."""
+    note — which would re-split the document once per line).
+
+    ``sep`` is a LITERAL separator: the split quotes it (Java regex
+    \\Q...\\E) so it agrees with the literal ``concat_ws`` reassembly —
+    a metachar separator like ``"."`` (sentence trim) would otherwise
+    split on every character and reassemble garbage."""
     lines = F.col("_lines")
     uniq = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + 1)
     return (
         df.select(F.col(id_col),
-                  F.split(F.col(text_col), sep).alias("_lines"))
+                  F.split(F.col(text_col),
+                          "\\Q" + sep + "\\E").alias("_lines"))
         .select(
             F.col(id_col),
             F.size(lines).alias("n_lines"),
@@ -431,6 +437,18 @@ def near_duplicates_against_index(
     segment; AQE then picks the join strategy. With ``materialize`` the
     bounded match set is checkpointed eagerly and the cache released
     (module lifecycle)."""
+    # the index's signature width is a TABLE property fixed at build
+    # time; probing a 32-hash index with 16-hash segment signatures
+    # makes buckets silently never collide (100% recall loss, no
+    # error) and corrupts the estimate denominator — refuse loudly.
+    # One 1-row scan of the persisted index (index-once/search-many:
+    # negligible next to the probe)
+    probe = index.select(F.size("sig").alias("_n")).first()
+    if probe is not None and probe["_n"] != num_hashes:
+        raise ValueError(
+            f"near_duplicates_against_index: index signatures have "
+            f"{probe['_n']} components but num_hashes={num_hashes} — "
+            f"pass the num_hashes the index was BUILT with")
     new_sigs = build_minhash_index(
         new_df, text_col, id_col, num_hashes, shingle_n
     ).persist()
@@ -475,15 +493,21 @@ def drop_near_duplicates_incremental(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    broadcast_segment: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """The composed incremental-dedup step a crawl pipeline calls per
     segment: drop every new document matching history (per
     :func:`near_duplicates_against_index`), keep the rest. Follow with
     :func:`merge_minhash_index` over ``build_minhash_index`` of the
-    SURVIVORS to roll the index forward."""
+    SURVIVORS to roll the index forward. ``broadcast_segment`` /
+    ``materialize`` plumb through to the probe — disable the broadcast
+    for a backfill-sized segment (the callee's own guidance has to be
+    reachable from the API pipelines actually call)."""
     matches = near_duplicates_against_index(
         new_df, index, threshold, text_col, id_col,
         num_hashes, bands, shingle_n,
+        broadcast_segment=broadcast_segment, materialize=materialize,
     )
     losers = matches.select(F.col("new_id").alias(id_col)).distinct()
     return new_df.join(losers, id_col, "left_anti")

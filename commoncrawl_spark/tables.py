@@ -343,6 +343,17 @@ def write_tar_shards(
 
     assigned.repartition(n_shards, "_shard").foreachPartition(
         write_partition)
+    # killed/failed attempts leave their per-attempt tmp files behind
+    # (nothing ever reuses an attempt id, so they would accumulate
+    # forever); the job is complete here — every task finished — so the
+    # driver can sweep stale partials race-free
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(data_dir, "*.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     stats = {
         int(r["_shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
         for r in assigned.groupBy("_shard").agg(

@@ -207,3 +207,23 @@ def test_cluster_representatives_plan_keeps_partial_agg(spark):
     assert "Window" not in plan
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_cluster_representatives_string_ids(spark):
+    """String doc ids (URLs, sha1 hex — the normal web-corpus key) must
+    elect correctly: argmax(score), ties to the lexicographically
+    smallest id — no numeric cast of the id anywhere."""
+    from commoncrawl_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [("urlA", "c1"), ("urlB", "c1"), ("urlC", "c1"), ("urlZ", "c2")],
+        "doc_id string, cluster string")
+    scores = spark.createDataFrame(
+        [("urlA", 5.0), ("urlB", 5.0), ("urlC", 1.0), ("urlZ", 2.0)],
+        "doc_id string, score double")
+    got = {r["cluster"]: r.asDict()
+           for r in cluster_representatives(clusters, scores).collect()}
+    # tie on 5.0 between urlA and urlB -> smallest id wins
+    assert got["c1"]["rep_doc_id"] == "urlA"
+    assert got["c1"]["n_members"] == 3 and got["c1"]["rep_score"] == 5.0
+    assert got["c2"]["rep_doc_id"] == "urlZ"

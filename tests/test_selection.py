@@ -155,3 +155,16 @@ def test_temperature_budgets_flatten(spark):
               df, alpha=0.25, total_budget=10_000).collect()}
     assert b2["mi"] > 10 * b1["mi"]
     assert b2["en"] > b2["mi"]          # still ordered by size
+
+
+def test_stupid_backoff_rejects_half_a_model(spark):
+    import pytest
+
+    from commoncrawl_spark.operators.lm import (
+        bigram_counts,
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="TOGETHER"):
+        stupid_backoff_scores(df, counts=bigram_counts(df))

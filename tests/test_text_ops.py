@@ -1242,3 +1242,31 @@ def test_semantic_dedup_accepts_trained_centroids(spark):
     assert by_cluster  # the near-copies do pair up
     for cl, members in by_cluster.items():
         assert sum(1 for m in members if m["keep"]) == 1
+
+
+def test_index_probe_rejects_mismatched_num_hashes(spark):
+    import pytest
+
+    from commoncrawl_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_duplicates_against_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    idx = build_minhash_index(df, num_hashes=32)
+    with pytest.raises(ValueError, match="BUILT with"):
+        near_duplicates_against_index(df, idx, num_hashes=16)
+
+
+def test_dedup_lines_literal_metachar_separator(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "keep this.keep this.and that")], "doc_id long, text string")
+    row = dedup_lines_within_doc(df, sep=".").collect()[0]
+    assert row["n_lines"] == 3 and row["n_unique"] == 2
+    assert row["text"] == "keep this.and that"
