@@ -558,7 +558,7 @@ def main() -> None:
          f"Window nodes: {p.count('Window [')} (expect 0)"],
     ))
 
-    # cluster representative election: map-side-partial max_by, no window
+    # cluster representative election: map-side-partial min_by, no window
     from commoncrawl_spark.operators.graph import cluster_representatives
 
     clusters_in = docs.select(
@@ -567,10 +567,11 @@ def main() -> None:
         "doc_id", F.col("n_chars").cast("double").alias("score"))
     p = plan_of(cluster_representatives(clusters_in, scores_in))
     sections.append((
-        "Cluster representative election: partial max_by fold, no window",
+        "Cluster representative election: partial min_by fold, no window",
         "The keep-best-member rule (FineWeb keeps longest, CCNet best "
         "perplexity) is argmax(score, -id) per duplicate cluster — ONE "
-        "map-side-partial max_by on the cluster key, so a pathological "
+        "map-side-partial min_by over (-score, id) on the cluster key\n        "
+        "(argmax score, ties to smallest id, string-id safe), so a pathological "
         "million-member boilerplate cluster contributes one partial row "
         "per map partition before the exchange. A row_number window on "
         "the cluster key would instead sort every member of the hot "
@@ -948,7 +949,7 @@ def main() -> None:
         "can skew-split a hot cell), centroid assignment is a broadcast "
         "nested-loop against the tiny centroid table (the deliberate "
         "K-way cross — the corpus never shuffles whole), duplicate-group "
-        "election is the map-side max_by from cluster_representatives. "
+        "election is the map-side min_by from cluster_representatives. "
         "A CartesianProduct anywhere would be the quadratic path the "
         "paper's clustering exists to avoid.",
         [f"CartesianProduct present: {'CartesianProduct' in p} "

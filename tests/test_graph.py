@@ -202,10 +202,11 @@ def test_cluster_representatives_plan_keeps_partial_agg(spark):
     out = cluster_representatives(clusters, scores)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # max_by folds map-side — a million-member boilerplate cluster must
-    # not funnel through one task the way a row_number window would
+    # the argmax folds map-side (min_by over (-score, id) since the
+    # string-id fix) — a million-member boilerplate cluster must not
+    # funnel through one task the way a row_number window would
     assert "Window" not in plan
-    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
     assert "EvalPython" not in plan
 
 
