@@ -311,8 +311,16 @@ class BloomSeenSet:
         anti-join), and only the DELTA keys are shuffled — they become a
         new generation; the existing history stays where it sits."""
         new_keys = new_keys.select(self.key)
-        touched = self._bucket(new_keys).select("bucket").distinct()
         self._gens.append(self._new_generation(new_keys))
+        # touched buckets derive from the CHECKPOINTED generation, not
+        # the raw new_keys plan: the raw lineage can be nondeterministic
+        # (live transport) or evicted-and-recomputed, and a key set that
+        # differs between this evaluation and the generation's stored
+        # one would skip rebuilding a bucket whose blob then lacks a
+        # stored key — a Bloom false negative, the one error class the
+        # exactness contract forbids (the cuckoo twin already reads its
+        # checkpointed delta)
+        touched = self._bucket(self._gens[-1]).select("bucket").distinct()
         if len(self._gens) > self.max_generations:
             self._compact()
         rebuilt = build_bloom_table(

@@ -159,7 +159,14 @@ class CrawlJob:
             rank_map = F.create_map(
                 *[x for i, c in enumerate(crawl_order) for x in (F.lit(c), F.lit(i))]
             )
-            ranked = best.withColumn("crawl_rank", rank_map[F.col("crawl")].cast("int"))
+            # crawls ABSENT from crawl_order rank LAST (len(order)), not
+            # NULL: Spark's ascending sort puts NULLs FIRST, which would
+            # silently schedule unlisted crawls ahead of every crawl the
+            # caller explicitly prioritized
+            ranked = best.withColumn(
+                "crawl_rank",
+                F.coalesce(rank_map[F.col("crawl")],
+                           F.lit(len(crawl_order))).cast("int"))
         else:
             from pyspark.sql import Window
 
@@ -250,6 +257,11 @@ class CrawlJob:
         """
         keyed = urls if "url_sha1" in urls.columns else with_url_key(urls)
         cols = ["url_sha1"] + (["url"] if "url" in keyed.columns else [])
+        if requeue and "url" not in keyed.columns:
+            # validate BEFORE mutating: raising after the seen-table
+            # overwrite would leave the keys evicted but never requeued
+            # — gone from seen AND from the frontier
+            raise ValueError("requeue=True needs a url column")
         seen_df = self.seen.read_or_empty(self.spark, SEEN_SCHEMA)
         evict = (
             keyed.select(*cols).dropDuplicates(["url_sha1"])
@@ -274,8 +286,6 @@ class CrawlJob:
                 self._bloom.release()
                 self._bloom = None  # rebuilt from the table on next use
         if requeue:
-            if "url" not in evict.columns:
-                raise ValueError("requeue=True needs a url column")
             rnd = self.next_round()
             frontier = self._read_frontier()
             next_rank = (frontier.agg(F.max("crawl_rank")).first()[0] or 0) + 1
@@ -415,8 +425,11 @@ class CrawlJob:
             )
             if nxt is None:
                 return {}  # drained, or only permanently-gated rows remain
-            # fast-forward the round clock to the earliest eligibility
-            self.frontier.overwrite(frontier, {"round": int(nxt)})
+            # fast-forward the round clock to the earliest eligibility —
+            # metadata-only: the frontier data is byte-identical, so a
+            # retag re-references the committed files instead of
+            # rewriting a potentially 10^9-row table per idle round
+            self.frontier.retag({"round": int(nxt)})
             return {
                 "round": rnd, "selected": 0, "fetched": 0, "extract_ok": 0,
                 "extract_failed": 0, "retried": 0, "exhausted": 0,
@@ -504,9 +517,18 @@ class CrawlJob:
         new_seen = done_keys.distinct()
         if self._append_once(self.seen, new_seen, rnd):
             # extend the cross-round Bloom state only when the table
-            # actually advanced (a replay-skip means the blobs have
-            # these keys already, via the build-time table read)
+            # actually advanced
             self._note_seen_keys(new_seen)
+        elif self._bloom is not None:
+            # replay of a round whose seen commit landed: the crash may
+            # have hit BETWEEN that commit and the in-memory state
+            # update, in which case the blobs lack this round's keys —
+            # a false-negative window the exactness contract forbids.
+            # Drop the state; the next unseen() rebuilds it from the
+            # committed table (which includes the keys). Replays are
+            # crash recovery, so the rebuild cost is fine.
+            self._bloom.release()
+            self._bloom = None
 
         # reference pacing mapped to rounds: failing on attempt a defers
         # re-eligibility by min(2*2^a, cap) rounds (2*2^attempt seconds at

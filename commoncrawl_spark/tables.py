@@ -111,6 +111,35 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
         return self._commit(df, "overwrite", metadata)
 
+    def retag(self, metadata: dict[str, Any] | None = None) -> int:
+        """Metadata-only commit: a new snapshot REFERENCING the current
+        snapshot's data files unchanged — no Spark job, no bytes
+        rewritten. The crawl loop's round-clock fast-forward uses this:
+        rewriting a 10^9-row frontier just to bump a counter in
+        metadata would be a full read-and-write per idle round."""
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise FileNotFoundError(
+                f"table {self.root} has no snapshot to retag")
+        prev = self.snapshot(parent)
+        new_id = parent + 1
+        manifest = {
+            "id": new_id,
+            "parent": parent,
+            "operation": "retag",
+            "files": list(prev["files"]),
+            "metadata": metadata or {},
+        }
+        tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"v{new_id}.json"))
+        tmp_ptr = os.path.join(self._snap_dir, ".LATEST.tmp")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(new_id))
+        os.replace(tmp_ptr, os.path.join(self._snap_dir, "LATEST"))
+        return new_id
+
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
@@ -141,8 +170,12 @@ class SnapshotTable:
         table. The LATEST pointer is untouched — expiration never
         changes what ``read()`` returns.
         """
+        # keep_last < 1 would expire the CURRENT manifest while LATEST
+        # still points at it — read()/append() would then crash, which
+        # the docstring explicitly rules out; the floor is 1
+        keep_last = max(1, keep_last)
         chain = self.snapshots()
-        expired = chain[:-keep_last] if keep_last > 0 else chain
+        expired = chain[:-keep_last]
         for snap in expired:
             try:
                 os.remove(os.path.join(self._snap_dir, f"v{snap['id']}.json"))
@@ -297,6 +330,18 @@ def write_tar_shards(
 
     data_dir = os.path.join(out_dir, "tars")
     os.makedirs(data_dir, exist_ok=True)
+    # the export is a full overwrite (as the parquet variant's
+    # mode("overwrite") is): shards from a previous export with a
+    # LARGER shard count would otherwise survive past the new range and
+    # confuse loaders globbing the directory
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(data_dir, "shard-*.tar")) \
+            + _glob.glob(os.path.join(data_dir, "*.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     sized = df.select(
         F.md5(F.col(key).cast("string")).alias("_name"),
         F.col(text_col).cast("string").alias("_text"),
@@ -378,6 +423,20 @@ def write_tar_shards(
     return manifest
 
 
+def _diff_counts(manifest_shards: dict, actual: dict) -> dict[str, Any]:
+    """Manifest-vs-actual row-count diff shared by both verifiers —
+    one semantics, two sinks."""
+    mism = {}
+    for k, s in manifest_shards.items():
+        if actual.get(k, 0) != s["rows"]:
+            mism[k] = {"manifest_rows": s["rows"],
+                       "actual_rows": actual.get(k, 0)}
+    for k in actual:
+        if k not in manifest_shards:
+            mism[k] = {"manifest_rows": 0, "actual_rows": actual[k]}
+    return {"ok": not mism, "mismatches": mism}
+
+
 def verify_tar_shards(out_dir: str) -> dict[str, Any]:
     """Recount every tar's members against the manifest (the tar-sink
     verify step). Driver-side file walk — tars are loader artifacts,
@@ -397,15 +456,7 @@ def verify_tar_shards(out_dir: str) -> dict[str, Any]:
         sh = str(int(m.group(1)))
         with tarfile.open(path) as tf:
             actual[sh] = len(tf.getmembers())
-    mism = {}
-    for k, s in manifest["shards"].items():
-        if actual.get(k, 0) != s["rows"]:
-            mism[k] = {"manifest_rows": s["rows"],
-                       "actual_rows": actual.get(k, 0)}
-    for k in actual:
-        if k not in manifest["shards"]:
-            mism[k] = {"manifest_rows": 0, "actual_rows": actual[k]}
-    return {"ok": not mism, "mismatches": mism}
+    return _diff_counts(manifest["shards"], actual)
 
 
 def read_shards(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -428,15 +479,7 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
         for r in read_shards(spark, out_dir)
         .groupBy("_shard").agg(F.count(F.lit(1)).alias("rows")).collect()
     }
-    mism = {}
-    for k, s in manifest["shards"].items():
-        if actual.get(k, 0) != s["rows"]:
-            mism[k] = {"manifest_rows": s["rows"],
-                       "actual_rows": actual.get(k, 0)}
-    for k in actual:
-        if k not in manifest["shards"]:
-            mism[k] = {"manifest_rows": 0, "actual_rows": actual[k]}
-    return {"ok": not mism, "mismatches": mism}
+    return _diff_counts(manifest["shards"], actual)
 
 
 def write_bucketed(
@@ -445,7 +488,6 @@ def write_bucketed(
     n_buckets: int,
     key: str = "url",
     sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
 ) -> DataFrame:
     """Store a table BUCKETED (and per-bucket sorted) on ``key`` — the
     Iceberg ``bucket(key)`` layout via the Spark catalog.
@@ -473,7 +515,10 @@ def write_bucketed(
         df.repartition(n_buckets, key)
         .write.bucketBy(n_buckets, key)
         .sortBy(*(sort_cols or [key]))
-        .mode(mode)
+        # always a full rebuild: the function DROPs + rmtree's the prior
+        # table above, so accepting a mode parameter would be dishonest
+        # ("append" could never accumulate)
+        .mode("overwrite")
         .format("parquet")
         .saveAsTable(table_name)
     )

@@ -306,3 +306,45 @@ def test_mid_round_crash_between_commits_replays_idempotently(
     r0 = [s for s in arts.snapshots()
           if s["metadata"].get("round") == 0]
     assert len(r0) == 1
+
+
+@pytest.mark.spark
+def test_unlisted_crawls_rank_last_not_first(spark, tables,
+                                             tmp_path_factory):
+    """A crawl absent from crawl_order must sort AFTER every listed
+    crawl (NULL rank would sort FIRST under Spark's ascending order,
+    silently preempting the caller's explicit priority)."""
+    pages, cdx, _ = tables
+    d = str(tmp_path_factory.mktemp("crawl_rank"))
+    job = CrawlJob(spark, d, budget_per_host=BUDGET)
+    # list only the SECOND crawl: its rows rank 0; every other crawl's
+    # rows get rank len(order)=1 — never NULL (the frontier drops the
+    # crawl column, so assert on the rank distribution)
+    job.seed_from_cdx(cdx, crawl_order=[CRAWLS[1]])
+    fr = job._read_frontier()
+    assert fr.filter(F.col("crawl_rank").isNull()).count() == 0
+    ranks = {r["crawl_rank"] for r in
+             fr.select("crawl_rank").distinct().collect()}
+    assert ranks == {0, 1}
+    # the listed crawl is the minority of the fixture's captures
+    assert fr.filter(F.col("crawl_rank") == 1).count() > 0
+
+
+@pytest.mark.spark
+def test_evict_validates_before_mutating_seen(spark, tables, full_run,
+                                              tmp_path_factory):
+    """requeue=True with a url-less frame must raise BEFORE the seen
+    table is touched — raising after would strand the keys: evicted
+    from seen yet never requeued."""
+    pages, cdx, _ = tables
+    d = str(tmp_path_factory.mktemp("crawl_evict_guard"))
+    job = CrawlJob(spark, d, budget_per_host=BUDGET)
+    job.seed_from_cdx(cdx, crawl_order=CRAWLS)
+    job.run(pages, max_rounds=1)
+    before = {r["url_sha1"] for r in job.seen_df().collect()}
+    assert before
+    keyed = job.seen_df().select("url_sha1").limit(5)
+    with pytest.raises(ValueError, match="url column"):
+        job.evict_for_recrawl(keyed, requeue=True)
+    after = {r["url_sha1"] for r in job.seen_df().collect()}
+    assert after == before  # nothing was evicted

@@ -92,3 +92,54 @@ def test_read_or_empty(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "missing"))
     df = t.read_or_empty(spark, "id long")
     assert df.count() == 0 and df.columns == ["id"]
+
+
+def test_expire_snapshots_never_expires_the_live_manifest(spark, tmp_path):
+    from commoncrawl_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "x long")
+    t.append(df)
+    t.append(df)
+    # keep_last=0 floors to 1: the current manifest must survive
+    expired = t.expire_snapshots(keep_last=0)
+    assert t.current_snapshot_id() not in expired
+    assert t.read(spark).count() == 2  # read() still works
+
+
+def test_retag_bumps_metadata_without_rewriting_data(spark, tmp_path):
+    import os
+
+    from commoncrawl_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "x long"),
+                {"round": 3})
+    files_before = set(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    sid = t.retag({"round": 9})
+    assert t.snapshot()["metadata"]["round"] == 9
+    assert t.snapshot()["files"] == t.snapshot(sid - 1)["files"]
+    # no new data directory was written
+    assert set(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) \
+        == files_before
+    assert {r["x"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_tar_reexport_sweeps_stale_shards(spark, tmp_path):
+    import glob
+    import os
+
+    from commoncrawl_spark.tables import verify_tar_shards, write_tar_shards
+
+    big = spark.createDataFrame(
+        [(i, "x" * 400) for i in range(200)], "k long, text string")
+    small = spark.createDataFrame(
+        [(i, "x" * 400) for i in range(20)], "k long, text string")
+    out = str(tmp_path / "tars")
+    m1 = write_tar_shards(big, out, key="k", target_bytes=8_000)
+    m2 = write_tar_shards(small, out, key="k", target_bytes=8_000)
+    assert m2["n_shards"] < m1["n_shards"]
+    on_disk = glob.glob(os.path.join(out, "tars", "shard-*.tar"))
+    # no stale shards from the larger first export survive
+    assert len(on_disk) == m2["n_shards"]
+    assert verify_tar_shards(out)["ok"]
