@@ -1591,6 +1591,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("node", F.round("rank", 6).alias("pr"))
     q["host_pagerank"] = host_pagerank
 
+    def hits_scores(spark, sf):
+        """HITS hubs/authorities over the same skewed synthetic host
+        graph as host_pagerank — the frontier's second link-graph
+        priority signal (fetch high-auth hosts first, expand links from
+        high-hub hosts first). Fixed 3 iterations, L1 normalization, so
+        the DuckDB oracle can unroll the exact recurrence as CTEs."""
+        from commoncrawl_spark.operators.graph import hits
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        r = hits(edges, iters=3)
+        return r.select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+    q["hits_scores"] = hits_scores
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -3657,6 +3681,46 @@ def oracle_sql() -> dict[str, str]:
         r2 AS ({_pr_iter.format(prev="r1")}),
         r3 AS ({_pr_iter.format(prev="r2")})
         SELECT node, ROUND(pr, 6) AS pr FROM r3
+    """
+
+    # hits_scores: the engine's fixed-iteration HITS recurrence unrolled
+    # as CTEs — auth' = L1-normalized sum of incoming hubs, hub' =
+    # L1-normalized sum of the NEW outgoing auths (classic in-place
+    # order), hub0 = 1. Same edge graph as host_pagerank.
+    _hits_ctes = []
+    _prev_hub = "s0"
+    for _i in (1, 2, 3):
+        _hits_ctes.append(
+            f"a{_i}m AS (SELECT e.dst AS node, SUM(s.hub) AS a "
+            f"FROM e JOIN {_prev_hub} s ON s.node = e.src GROUP BY e.dst)")
+        _hits_ctes.append(
+            f"a{_i} AS (SELECT n.node, COALESCE(m.a, 0)"
+            f" / (SELECT SUM(a) FROM a{_i}m) AS auth "
+            f"FROM nodes n LEFT JOIN a{_i}m m USING (node))")
+        _hits_ctes.append(
+            f"h{_i}m AS (SELECT e.src AS node, SUM(a.auth) AS h "
+            f"FROM e JOIN a{_i} a ON a.node = e.dst GROUP BY e.src)")
+        _hits_ctes.append(
+            f"h{_i} AS (SELECT n.node, COALESCE(m.h, 0)"
+            f" / (SELECT SUM(h) FROM h{_i}m) AS hub "
+            f"FROM nodes n LEFT JOIN h{_i}m m USING (node))")
+        _prev_hub = f"h{_i}"
+    _hits_chain = ",\n        ".join(_hits_ctes)
+    o["hits_scores"] = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+        {_hits_chain}
+        SELECT n.node, ROUND(h3.hub, 6) AS hub, ROUND(a3.auth, 6) AS auth
+        FROM nodes n
+        JOIN h3 ON h3.node = n.node
+        JOIN a3 ON a3.node = n.node
     """
 
     # dedup_clusters: same verified-pair machinery, then transitive

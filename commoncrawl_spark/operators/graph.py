@@ -186,6 +186,108 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a slim ``(src, dst)``
+    edge table — the second classic crawl-priority signal next to
+    :func:`pagerank`: ``auth`` ranks pages the graph points AT (fetch
+    these), ``hub`` ranks pages that point at good pages (expand links
+    FROM these first). A frontier that orders link expansion by hub
+    score discovers high-authority pages sooner than BFS.
+
+    Semantics (chosen so a SQL oracle can unroll the exact recurrence):
+    ``hub0 = auth0 = 1.0`` for every node in ``src ∪ dst``; each
+    iteration updates ``auth'(n) = Σ_{(s,n)∈E} hub(s)`` then
+    ``hub'(n) = Σ_{(n,d)∈E} auth'(d)`` (the classic in-place order:
+    hubs see the NEW authorities), each followed by **L1
+    normalization** (divide by the score sum). Classic HITS normalizes
+    in L2; L1 is used here because it preserves the ranking and the
+    fixpoint direction while keeping every intermediate a plain
+    sum-and-divide a DuckDB CTE chain reproduces bit-for-bit at 6dp.
+    Fixed ``iters`` (no convergence test) keeps the result stable
+    across runs and oracle-checkable.
+
+    Scale shape (10^10 edges, 1000 executors):
+    - per-iteration state is ``(node, hub, auth)`` — three slim columns,
+      never page content;
+    - one iteration = two equi-joins of scores onto the edge list plus
+      two sum-aggregations, all map-side partial; no windows, no
+      driver-side data;
+    - the edge list is hash-partitioned ONCE per join side (by ``src``
+      for the auth step, by ``dst`` for the hub step) and persisted, so
+      every iteration moves only the slim score frame;
+    - the L1 totals are 1-row aggregates broadcast back via crossJoin
+      (the ``lm.py`` totals pattern) — never ``collect``;
+    - ``localCheckpoint`` per iteration truncates lineage (same
+      discipline as :func:`pagerank`).
+
+    Returns ``(node, hub, auth)``, one row per distinct node.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    by_src = e.repartition("src").persist()
+    by_dst = e.repartition("dst").persist()
+    by_src.count()  # materialize both layouts once, before the loop
+    by_dst.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_tot"))
+        return (
+            df.crossJoin(F.broadcast(total))
+            .withColumn(col, F.col(col) / F.col("_tot"))
+            .drop("_tot")
+        )
+
+    for _ in range(iters):
+        # auth'(n) = sum of hub over in-edges, then L1-normalize
+        auth_mass = (
+            by_src.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _l1(
+            nodes.join(auth_mass, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        ).localCheckpoint(eager=True)
+        # hub'(n) = sum of the NEW auth over out-edges, then normalize
+        hub_mass = (
+            by_dst.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _l1(
+            nodes.join(hub_mass, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        scores = (
+            hub.join(auth, "node")
+            .select("node", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+    by_src.unpersist()
+    by_dst.unpersist()
+    return scores
+
+
 def dedup_clusters(
     pairs: DataFrame,
     corpus: DataFrame,

@@ -365,6 +365,47 @@ def main() -> None:
          f"{'Scan ExistingRDD' in full}"],
     ))
 
+    # HITS: one iteration = two equi-joins + two sum-aggregates over
+    # (node, score); L1 totals ride 1-row broadcasts, never a collect
+    from commoncrawl_spark.operators.graph import hits
+
+    e = pr_edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    by_src = e.repartition("src").localCheckpoint(eager=True)
+    h_nodes = (e.select(F.col("src").alias("node"))
+               .unionByName(e.select(F.col("dst").alias("node"))).distinct()
+               .localCheckpoint(eager=True))
+    h_scores = h_nodes.select("node", F.lit(1.0).alias("hub"))
+    auth_mass = (by_src.join(
+        h_scores.select(F.col("node").alias("src"), "hub"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("hub").alias("auth")))
+    auth_raw = (h_nodes.join(auth_mass, "node", "left")
+                .select("node",
+                        F.coalesce("auth", F.lit(0.0)).alias("auth")))
+    p = plan_of(
+        auth_raw.crossJoin(
+            F.broadcast(auth_raw.agg(F.sum("auth").alias("_tot"))))
+        .withColumn("auth", F.col("auth") / F.col("_tot")).drop("_tot"))
+    full = plan_of(hits(pr_edges, iters=2))
+    sections.append((
+        "HITS hubs/authorities: slim score state, broadcast L1 totals",
+        "Each half-iteration moves only (node, score) pairs through one "
+        "equi-join and one map-side-partial sum; the L1 normalizer is a "
+        "1-row aggregate broadcast back via nested-loop join (the lm.py "
+        "totals pattern), never a driver collect; localCheckpoint keeps "
+        "the per-iteration plan constant-depth.",
+        [f"auth-step CartesianProduct: {'CartesianProduct' in p} "
+         f"(expect False — the total rides a BroadcastNestedLoopJoin)",
+         f"auth-step BroadcastNestedLoopJoin present: "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True)",
+         f"auth-step Python operators: {p.count('EvalPython')} (expect 0)",
+         f"auth-step HashAggregate: {p.count('HashAggregate')} "
+         f"(expect >= 2: partial + final sum)",
+         f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in full}"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

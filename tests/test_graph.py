@@ -173,6 +173,65 @@ def test_pagerank_feeds_polite_batch_priority(spark):
     assert rows["hub.test"]["url"] == "https://hub.test/p0"
 
 
+def _hits_py(edges, iters=3):
+    """Pure-Python oracle: the operator's exact recurrence — auth' =
+    L1-normalized sum of incoming hubs, hub' = L1-normalized sum of the
+    NEW outgoing auths."""
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        mass = defaultdict(float)
+        for s, t in edges:
+            mass[t] += hub[s]
+        tot = sum(mass.values())
+        auth = {n: mass[n] / tot for n in nodes}
+        hmass = defaultdict(float)
+        for s, t in edges:
+            hmass[s] += auth[t]
+        tot = sum(hmass.values())
+        hub = {n: hmass[n] / tot for n in nodes}
+    return hub, auth
+
+
+@pytest.mark.spark
+def test_hits_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.graph import hits
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(df, iters=3).collect()}
+    want_hub, want_auth = _hits_py(edges, iters=3)
+    assert set(got) == set(want_hub)
+    for n in want_hub:
+        assert abs(got[n][0] - want_hub[n]) < 1e-9, n
+        assert abs(got[n][1] - want_auth[n]) < 1e-9, n
+
+
+@pytest.mark.spark
+def test_hits_hub_vs_authority_separation(spark):
+    """A pure hub (points at everything, nothing points at it) must get
+    auth 0 and the top hub score; a pure authority the reverse."""
+    from commoncrawl_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [("hub", "star"), ("hub", "minor"), ("other", "star")],
+        "src string, dst string")
+    got = {r["node"]: r for r in hits(df, iters=4).collect()}
+    assert got["hub"]["auth"] == 0.0
+    assert got["star"]["hub"] == 0.0
+    assert got["hub"]["hub"] > got["other"]["hub"]
+    assert got["star"]["auth"] > got["minor"]["auth"]
+    # L1 invariant: each score family sums to 1
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 1e-9
+
+
 @pytest.mark.spark
 def test_cluster_representatives_elects_best_scored(spark):
     from commoncrawl_spark.operators.graph import cluster_representatives
