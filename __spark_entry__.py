@@ -796,6 +796,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["deterministic_sample"] = deterministic_sample
 
+    def stratified_sample_q(spark, sf):
+        """Per-stratum deterministic sample under sqrt allocation: the
+        language strata are skewed (en ~3.4x fr at sf0.01), so
+        proportional sampling would crowd out the tail and equal
+        sampling would over-represent it; sqrt quotas split the
+        difference. The pick inside each stratum is the quota-many
+        smallest md5(seed||doc_id) — a pure function of the data."""
+        from commoncrawl_spark.operators.analytics import (
+            sqrt_allocation, stratified_sample)
+
+        d = _read(spark, sf, "documents").select("doc_id", "lang")
+        quotas = sqrt_allocation(d, "lang", total_n=100)
+        return stratified_sample(
+            d, "lang", quotas, key_cols=("doc_id",), seed=42)
+    q["stratified_sample"] = stratified_sample_q
+
     # ---- text analysis ----
 
     def language_id(spark, sf):
@@ -3081,6 +3097,30 @@ def oracle_sql() -> dict[str, str]:
     o["deterministic_sample"] = """
         SELECT doc_id FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+    """
+
+    # stratified_sample: sqrt-allocation quotas (share rounded 6dp
+    # before the floor — the engine's libm-parity convention), then the
+    # quota-many smallest md5('42' || 0x1f || doc_id) per language
+    o["stratified_sample"] = """
+        WITH sizes AS (
+          SELECT lang, COUNT(*) AS sz FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(sqrt(sz)) AS s FROM sizes),
+        quota AS (
+          SELECT lang,
+                 GREATEST(1, CAST(FLOOR(ROUND(
+                   100.0 * sqrt(sz) / t.s, 6)) AS BIGINT)) AS q
+          FROM sizes, tot t),
+        ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('42' || chr(31) || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+          FROM documents)
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN quota USING (lang)
+        WHERE r.rk <= quota.q
     """
 
     en = _sql_stop_hits("toks", "en")

@@ -135,6 +135,91 @@ def sample_exact(df: DataFrame, n: int, seed: int = 42,
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def sqrt_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Per-stratum sample quotas by square-root allocation — the
+    standard compromise between proportional (hot hosts dominate the
+    sample) and equal (tiny hosts over-represented): stratum *i* gets
+    ``max(1, floor(total_n * sqrt(size_i) / Σ_j sqrt(size_j)))`` rows.
+    Used to size a per-host training-data sample or a per-host crawl
+    QA audit so that a 10^7-page host does not crowd out the long tail.
+
+    The share is rounded to 6dp before the floor so the quota is a pure
+    function of the sizes across engines (libm sqrt parity — the same
+    convention as ``temperature_mix``'s pow). Floor + the 1-row floor
+    means the quotas sum to ≤ ``total_n`` + (#strata) rather than
+    exactly ``total_n`` — exact largest-remainder apportionment would
+    need a global remainder ranking (one more tiny shuffle) for no
+    practical gain.
+
+    Scale shape: one map-side-partial count per stratum (the only
+    corpus-scale pass), then the sqrt total rides a 1-row broadcast
+    crossJoin back onto the slim (stratum, size) frame — no driver
+    collect, no window.
+    """
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_size"))
+    tot = sizes.agg(F.sum(F.sqrt("_size")).alias("_sum_sqrt"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            F.col("_size").alias("stratum_size"),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.round(
+                    F.lit(float(total_n)) * F.sqrt("_size")
+                    / F.col("_sum_sqrt"), 6)).cast("long"),
+            ).alias("quota"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quota,
+    key_cols: Sequence[str] = (),
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sample: within every stratum keep the
+    ``quota`` rows with the smallest ``md5(seed || key)`` — a pure
+    function of the data (same pick across partitionings, cluster
+    sizes, and reruns, the ``sample_exact`` guarantee lifted to
+    strata). ``quota`` is an int (same cap everywhere) or a
+    ``(stratum_col, quota)`` DataFrame, e.g. :func:`sqrt_allocation`'s
+    output, for size-aware sampling of skewed host distributions.
+
+    Scale shape: the rank is a window partitioned by the STRATUM key —
+    one hash exchange + per-partition sort, the canonical per-group
+    top-k shape. The stratum key is a real key (host, language), never
+    a constant, so no single task sees the whole corpus; a pathological
+    hot stratum serializes only its own rows, which is inherent to
+    per-stratum ranking. Quota frames are slim (two columns, one row
+    per stratum) and broadcast onto the ranked stream.
+    """
+    keys = list(key_cols) if key_cols else [stratum_col]
+    h = F.md5(F.concat_ws(
+        "\x1f", F.lit(str(seed)),
+        *[F.col(c).cast("string") for c in keys]))
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in keys])
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    if isinstance(quota, int):
+        out = ranked.filter(F.col("_rk") <= quota)
+    else:
+        out = (
+            ranked.join(
+                F.broadcast(quota.select(stratum_col, "quota")),
+                stratum_col)
+            .filter(F.col("_rk") <= F.col("quota"))
+            .drop("quota")
+        )
+    return out.drop("_rk")
+
+
 def percentile_buckets(
     df: DataFrame,
     score_col: str,

@@ -802,6 +802,34 @@ def main() -> None:
          f"Window nodes: {p.count('Window [')} (expect 1)"],
     ))
 
+    # stratified sample: quota frame broadcast onto a stratum-keyed rank
+    from commoncrawl_spark.operators.analytics import (
+        sqrt_allocation, stratified_sample)
+
+    strat = docs.select("doc_id", "lang")
+    p = plan_of(stratified_sample(
+        strat, "lang", sqrt_allocation(strat, "lang", 100),
+        key_cols=("doc_id",)))
+    sections.append((
+        "Stratified sample (sqrt allocation): stratum-keyed rank, "
+        "broadcast quotas",
+        "The per-stratum hash rank is a window partitioned by the REAL "
+        "stratum key (host/language) — one hash exchange plus "
+        "per-partition sort, the canonical per-group top-k; the quota "
+        "frame (one slim row per stratum, built from a map-side-partial "
+        "count and a 1-row broadcast sqrt total) broadcasts onto the "
+        "ranked stream so no second corpus shuffle happens.",
+        [f"quota join is a BroadcastHashJoin: "
+         f"{'BroadcastHashJoin' in p} (expect True)",
+         f"Exchange hashpartitioning count: "
+         f"{p.count('Exchange hashpartitioning')} "
+         f"(expect 3 pre-AQE: stratum rank + the stratum-sizes subtree "
+         f"printed twice — crossJoin left and the sqrt-total input are "
+         f"the same aggregate, deduped at runtime by exchange reuse)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window nodes: {p.count('Window [')} (expect 1, partitioned)"],
+    ))
+
     # anchor extraction: scan-stage regex, aggregation on slim pairs
     from commoncrawl_spark.operators.links import anchor_text_summary
 

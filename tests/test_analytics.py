@@ -144,3 +144,67 @@ def test_key_skew_profile_plan_bounded_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_sqrt_allocation_quotas(spark):
+    from commoncrawl_spark.operators.analytics import sqrt_allocation
+
+    # strata 100 / 25 / 1 rows: sqrt weights 10 / 5 / 1
+    df = spark.createDataFrame(
+        [("big",)] * 100 + [("mid",)] * 25 + [("tiny",)],
+        "host string")
+    got = {r["host"]: r for r in
+           sqrt_allocation(df, "host", total_n=32).collect()}
+    assert got["big"]["stratum_size"] == 100
+    assert got["big"]["quota"] == 20      # 32*10/16
+    assert got["mid"]["quota"] == 10      # 32*5/16
+    assert got["tiny"]["quota"] == 2      # 32*1/16
+    # proportional would give big 25.4; equal would give tiny 10.7 —
+    # sqrt sits between and still floors to >= 1 for any stratum
+
+
+@pytest.mark.spark
+def test_stratified_sample_deterministic_and_capped(spark):
+    import hashlib
+
+    from commoncrawl_spark.operators.analytics import stratified_sample
+
+    rows = [(i, "h%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = stratified_sample(
+        df, "host", 4, key_cols=("doc_id",), seed=7).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_host.values())
+    # the pick is the hash-smallest ids — pure function of the data
+    for h, ids in by_host.items():
+        member = [i for i, hh in rows if hh == h]
+        key = lambda i: hashlib.md5(("7\x1f%d" % i).encode()).hexdigest()
+        assert sorted(ids) == sorted(sorted(member, key=key)[:4])
+    # repartitioned input picks the identical sample
+    again = stratified_sample(
+        df.repartition(13), "host", 4, key_cols=("doc_id",), seed=7
+    ).collect()
+    assert {(r["doc_id"], r["host"]) for r in again} == \
+        {(r["doc_id"], r["host"]) for r in got}
+
+
+@pytest.mark.spark
+def test_stratified_sample_quota_frame_join_broadcasts(spark):
+    from commoncrawl_spark.operators.analytics import (
+        sqrt_allocation, stratified_sample)
+
+    df = spark.createDataFrame(
+        [(i, "h%d" % (i % 5)) for i in range(200)],
+        "doc_id long, host string")
+    out = stratified_sample(
+        df, "host", sqrt_allocation(df, "host", 40),
+        key_cols=("doc_id",))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-stratum rank partitions by the REAL stratum key (one hash
+    # exchange), and the slim quota frame broadcasts onto it
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
