@@ -1335,6 +1335,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "payload_length")
     q["warc_cdx"] = warc_cdx
 
+    def cdx_zipnum(spark, sf):
+        """ZipNum cluster.idx derivation — the cc-index secondary index:
+        the sorted (surt, ts) CDX stream cut into 16-line blocks, one
+        summary row per block (start key, shard = block//4, count).
+        Global rank is computed with NO window at all (range partition +
+        monotonically_increasing_id + broadcast offset fix-up), so the
+        oracle's ROW_NUMBER() is the semantic spec, not the plan."""
+        from commoncrawl_spark.tables import zipnum_cluster_idx
+
+        d = _read(spark, sf, "documents")
+        cdx = d.select(
+            F.concat(F.lit("org,"), F.col("source"), F.lit(")/p"),
+                     F.col("doc_id").cast("string")).alias("surt"),
+            (F.lit(20200000000000) + F.col("doc_id"))
+            .cast("string").alias("cdx_ts"),
+        )
+        return zipnum_cluster_idx(cdx, lines_per_block=16,
+                                  blocks_per_shard=4)
+    q["cdx_zipnum"] = cdx_zipnum
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -3393,6 +3413,28 @@ def oracle_sql() -> dict[str, str]:
                CAST({len(_HTTP_OK)} + octet_length(encode(text)) AS BIGINT)
                  AS payload_length
         FROM d
+    """
+
+    # cdx_zipnum: the global sorted rank the engine derives without a
+    # window, written here as the plain ROW_NUMBER spec; DuckDB // is
+    # integer division
+    o["cdx_zipnum"] = """
+        WITH cdx AS (
+          SELECT concat('org,', source, ')/p', CAST(doc_id AS VARCHAR))
+                   AS surt,
+                 CAST(20200000000000 + doc_id AS VARCHAR) AS cdx_ts
+          FROM documents),
+        ranked AS (
+          SELECT surt, cdx_ts,
+                 ROW_NUMBER() OVER (ORDER BY surt, cdx_ts) - 1 AS rk
+          FROM cdx)
+        SELECT CAST(rk // 16 AS BIGINT) AS block_seq,
+               CAST((rk // 16) // 4 AS BIGINT) AS shard,
+               arg_min(surt, rk) AS start_surt,
+               arg_min(cdx_ts, rk) AS start_cdx_ts,
+               COUNT(*) AS n_lines
+        FROM ranked
+        GROUP BY rk // 16
     """
 
     # sitemap_discovery: expected rows from first principles — two page

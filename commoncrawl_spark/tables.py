@@ -555,3 +555,95 @@ def write_cdx_index(
         .sortWithinPartitions(surt, ts)
         .write.mode("overwrite").parquet(path)
     )
+
+
+def zipnum_cluster_idx(
+    cdx: DataFrame,
+    lines_per_block: int = 3000,
+    blocks_per_shard: int = 300,
+    surt: str = "surt",
+    ts: str = "cdx_ts",
+) -> DataFrame:
+    """ZipNum-style secondary index over a CDX table — the artifact the
+    real Common Crawl index serves queries through (cc-index's
+    ``cluster.idx``): the sorted CDX stream is cut into fixed-size
+    blocks of ``lines_per_block`` records, and the secondary index
+    keeps ONE row per block — the block's first ``(surt, ts)`` key, its
+    sequence number, its shard (``block_seq // blocks_per_shard``, the
+    file the block lives in), and its line count. A lookup
+    binary-searches these ~n/3000 slim rows to find the one or two
+    candidate blocks for a URL prefix instead of scanning the index —
+    at 10^10 captures the cluster idx is ~3M rows, broadcastable to
+    every executor that needs index routing.
+
+    Scale shape — global rank with NO window at all:
+    - one ``repartitionByRange`` on the full sort key puts the stream
+      in globally consistent order (partition *i*'s keys all sort
+      before partition *i+1*'s — the same contract
+      :func:`write_cdx_index` relies on), then a per-partition sort;
+    - ``monotonically_increasing_id`` after that sort encodes
+      ``(partition << 33) + local_row`` — the zipWithIndex trick as a
+      pure column expression, zero extra shuffle, zero Python;
+    - per-partition row counts (a tiny map-side-partial aggregate) turn
+      local offsets into global ranks via a broadcast theta-join over
+      the #partitions-row counts frame — never a partition-less window,
+      never a driver loop;
+    - blocks then aggregate on the block key: rows of one block are
+      contiguous in one (at a boundary, two) partitions, so the final
+      exchange moves one partial row per (partition, block).
+
+    Determinism: outputs expose only sort-key VALUES (block starts) and
+    counts, so the result is a pure function of the key multiset — ties
+    and range-boundary sampling cannot change it.
+
+    Returns ``(block_seq, shard, start_<surt>, start_<ts>, n_lines)``
+    sorted semantics (not physically sorted; order with ``orderBy`` at
+    the consumer).
+    """
+    from pyspark.sql import functions as F
+
+    if lines_per_block < 1 or blocks_per_shard < 1:
+        raise ValueError("lines_per_block and blocks_per_shard must be >= 1")
+    rows = (
+        cdx.select(surt, ts)
+        .repartitionByRange(F.col(surt), F.col(ts))
+        .sortWithinPartitions(surt, ts)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_loc", F.col("_mid").bitwiseAND((1 << 33) - 1))
+        # the frame is consumed twice (partition counts + the rank join)
+        # and _mid is nondeterministic: checkpoint so both consumers see
+        # ONE materialization (lazy — first action triggers it), the
+        # same discipline as BloomSeenSet's generation checkpoint
+        .localCheckpoint(eager=False)
+    )
+    counts = rows.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    prior = counts.select(F.col("_pid").alias("_p2"),
+                          F.col("_cnt").alias("_c2"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    ranked = (
+        rows.join(F.broadcast(offsets), "_pid")
+        .withColumn("_grank", F.col("_off") + F.col("_loc"))
+        .withColumn(
+            "_block",
+            F.floor(F.col("_grank") / F.lit(lines_per_block)).cast("long"))
+    )
+    return (
+        ranked.groupBy(F.col("_block").alias("block_seq"))
+        .agg(
+            F.min(F.struct(surt, ts)).alias("_start"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "block_seq",
+            F.floor(F.col("block_seq") / F.lit(blocks_per_shard))
+            .cast("long").alias("shard"),
+            F.col(f"_start.{surt}").alias(f"start_{surt}"),
+            F.col(f"_start.{ts}").alias(f"start_{ts}"),
+            "n_lines",
+        )
+    )

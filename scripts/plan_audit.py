@@ -802,6 +802,46 @@ def main() -> None:
          f"Window nodes: {p.count('Window [')} (expect 1)"],
     ))
 
+    # zipnum cluster idx: global rank without any window
+    from commoncrawl_spark.tables import zipnum_cluster_idx
+
+    zcdx = docs.select(
+        F.concat(F.lit("org,"), F.col("source"), F.lit(")/p"),
+                 F.col("doc_id").cast("string")).alias("surt"),
+        (F.lit(20200000000000) + F.col("doc_id"))
+        .cast("string").alias("cdx_ts"))
+    zdf = zipnum_cluster_idx(zcdx, lines_per_block=16, blocks_per_shard=4)
+    zdf.collect()  # localCheckpoint inside needs an action for the
+    # executed plan to show the final (post-checkpoint) shape
+    p = zdf._jdf.queryExecution().executedPlan().toString()
+    _AUDITED.append(("zipnum cluster idx (executed)", p))
+    # the checkpoint truncates lineage, so the range exchange that
+    # establishes global order is audited on the pre-checkpoint stage
+    pre = plan_of(
+        zcdx.repartitionByRange(F.col("surt"), F.col("cdx_ts"))
+        .sortWithinPartitions("surt", "cdx_ts")
+        .withColumn("_mid", F.monotonically_increasing_id()),
+        label="zipnum rank stage (pre-checkpoint)")
+    sections.append((
+        "ZipNum cluster idx: global rank with no window at all",
+        "The cc-index secondary index needs a GLOBAL sorted rank — the "
+        "one thing a partition-less window would serialize. Instead: "
+        "repartitionByRange puts partitions in globally consistent key "
+        "order, monotonically_increasing_id yields (partition, local "
+        "row) as pure columns after the per-partition sort, and a "
+        "broadcast theta-join over the tiny per-partition counts frame "
+        "turns local offsets into global ranks; blocks aggregate "
+        "map-side-partial on the block key.",
+        [f"Window nodes: {p.count('Window [')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"offset fix-up joins broadcast: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"rank stage range exchange present: "
+         f"{'rangepartitioning' in pre} "
+         f"(expect True — the global-order contract; hidden from the "
+         f"executed plan by the checkpoint's RDD scan)"],
+    ))
+
     # stratified sample: quota frame broadcast onto a stratum-keyed rank
     from commoncrawl_spark.operators.analytics import (
         sqrt_allocation, stratified_sample)

@@ -222,3 +222,67 @@ def test_warc_cdx_lengths_stop_at_interleaved_non_response_records(spark):
         parsed = split_warc_records_py(gzip.decompress(member))
         assert len(parsed) == 1 and parsed[0]["warc_type"] == "response"
         assert parsed[0]["target_uri"] == r["url"]
+
+
+@pytest.mark.spark
+def test_zipnum_cluster_idx_matches_python_blocking(spark):
+    """Block starts/counts/shards equal a plain sorted-list blocking —
+    including a non-full final block — regardless of input partitioning."""
+    from commoncrawl_spark.tables import zipnum_cluster_idx
+
+    rows = [("com,%c)/p%02d" % (97 + i % 5, i), "2020%010d" % (i * 7))
+            for i in range(103)]
+    df = spark.createDataFrame(rows, "surt string, cdx_ts string")
+    got = sorted(
+        ((r["block_seq"], r["shard"], r["start_surt"],
+          r["start_cdx_ts"], r["n_lines"])
+         for r in zipnum_cluster_idx(
+             df.repartition(7), lines_per_block=10,
+             blocks_per_shard=3).collect()))
+    want = []
+    srt = sorted(rows)
+    for b in range(0, len(srt), 10):
+        blk = srt[b:b + 10]
+        want.append((b // 10, (b // 10) // 3, blk[0][0], blk[0][1],
+                     len(blk)))
+    assert got == want
+    # 103 rows -> 11 blocks, last block has 3 lines
+    assert got[-1][4] == 3
+
+
+@pytest.mark.spark
+def test_zipnum_cluster_idx_routes_prefix_lookups(spark):
+    """The binary-search contract: every key belongs to the LAST block
+    whose start <= key — verify each key's routed block really holds it."""
+    from commoncrawl_spark.tables import zipnum_cluster_idx
+
+    rows = [("org,site)/%03d" % i, "20200101") for i in range(60)]
+    df = spark.createDataFrame(rows, "surt string, cdx_ts string")
+    idx = sorted(
+        (r["start_surt"], r["block_seq"])
+        for r in zipnum_cluster_idx(df, lines_per_block=8).collect())
+    srt = sorted(r[0] for r in rows)
+    for pos, key in enumerate(srt):
+        routed = max(b for s, b in idx if s <= key)
+        assert routed == pos // 8
+
+    # and the idx is tiny relative to the stream: ceil(60/8) rows
+    assert len(idx) == 8
+
+
+@pytest.mark.spark
+def test_zipnum_cluster_idx_plan_has_no_window(spark):
+    """The global rank must come from the zipWithIndex shape (range
+    exchange + id + broadcast offsets), never a partition-less window
+    and never Python."""
+    from commoncrawl_spark.tables import zipnum_cluster_idx
+
+    df = spark.range(500).selectExpr(
+        "concat('org,h', CAST(id % 9 AS STRING), ')/p', CAST(id AS STRING)) AS surt",
+        "CAST(20200000000000 + id AS STRING) AS cdx_ts")
+    out = zipnum_cluster_idx(df, lines_per_block=32)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets fix-up joins broadcast
