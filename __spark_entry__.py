@@ -720,6 +720,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("host", "host_rank", "event_id")
     q["politeness_delay_schedule"] = politeness_delay_schedule
 
+    def crawl_budget_q(spark, sf):
+        """Per-host round quotas: global budget 300 split by expected
+        value (mean quality x sum p_changed), clamped by the robots
+        crawl-delay ceiling (1800 s round / delay) and pending count —
+        the budget_col feeding select_polite_batch. Delays cycle
+        0/15/30/45 s by source index so every clamp path is exercised
+        (0 -> uncapped NULL, 45 -> cap 40 below some shares)."""
+        from commoncrawl_spark.operators.schedule import crawl_budget
+
+        d = _read(spark, sf, "documents")
+        host = F.concat(F.col("source"), F.lit(".test"))
+        frontier = d.select(
+            host.alias("host"),
+            ((F.col("doc_id") % 11) / F.lit(10.0)).alias("p_changed"),
+            ((F.col("doc_id") % 7) / F.lit(7.0)).alias("q"),
+        )
+        robots = d.select(
+            host.alias("host"),
+            (F.regexp_extract("source", r"(\d+)", 1).cast("int")
+             % 4 * 15).cast("double").alias("crawl_delay_s"),
+        ).distinct()
+        return crawl_budget(
+            frontier, total_budget=300, round_seconds=1800.0,
+            robots=robots, quality_col="q")
+    q["crawl_budget"] = crawl_budget_q
+
     # ---- analytics (SURVEY.md §2.3 A7-A11, F5) ----
 
     def word_topk(spark, sf):
@@ -3056,6 +3082,47 @@ def oracle_sql() -> dict[str, str]:
                      AS budget
             FROM events))
         WHERE host_rank <= lim
+    """
+
+    # crawl_budget: value-weighted budget split, robots-delay ceiling,
+    # 6dp-rounded shares pre-floor (the cross-engine float convention)
+    o["crawl_budget"] = """
+        WITH f AS (
+          SELECT source || '.test' AS host,
+                 (doc_id % 11) / CAST(10.0 AS DOUBLE) AS p,
+                 (doc_id % 7) / CAST(7.0 AS DOUBLE) AS q
+          FROM documents),
+        per AS (
+          SELECT host, COUNT(*) AS n_pending, SUM(p) AS ec, AVG(q) AS hq
+          FROM f GROUP BY host),
+        rob AS (
+          SELECT DISTINCT source || '.test' AS host,
+                 CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                      % 4 * 15 AS DOUBLE) AS delay
+          FROM documents),
+        w AS (
+          SELECT per.*, rob.delay,
+                 ROUND(GREATEST(hq, 0) * GREATEST(ec, 0), 6) AS wt
+          FROM per LEFT JOIN rob USING (host)),
+        tot AS (SELECT SUM(wt) AS t FROM w)
+        SELECT host, n_pending,
+               ROUND(ec, 6) AS expected_changed,
+               ROUND(hq, 6) AS host_quality,
+               CASE WHEN delay > 0
+                    THEN CAST(FLOOR(1800.0 / delay) AS BIGINT) END
+                 AS politeness_cap,
+               LEAST(
+                 n_pending,
+                 COALESCE(CASE WHEN delay > 0
+                               THEN CAST(FLOOR(1800.0 / delay) AS BIGINT)
+                          END, n_pending),
+                 GREATEST(
+                   CASE WHEN t.t > 0
+                        THEN CAST(FLOOR(ROUND(300.0 * wt / t.t, 6))
+                                  AS BIGINT)
+                        ELSE 0 END,
+                   0)) AS quota
+        FROM w, tot t
     """
 
     o["word_topk"] = f"""

@@ -241,6 +241,104 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
     return joined.filter(~blocked).drop(*drop)
 
 
+def crawl_budget(
+    frontier: DataFrame,
+    total_budget: int,
+    round_seconds: float = 3600.0,
+    robots: DataFrame | None = None,
+    p_col: str = "p_changed",
+    quality_col: str | None = None,
+    host_col: str = "host",
+    min_per_host: int = 0,
+) -> DataFrame:
+    """Per-host fetch quotas for one crawl round: split a global
+    ``total_budget`` across hosts in proportion to expected VALUE, then
+    clamp to what each host permits and holds. The value weight is
+    ``mean(quality) * Σ p_changed`` — the expected number of
+    changed-and-worth-having pages (:func:`temporal.recrawl_schedule`'s
+    ``p_changed`` summed over the host's pending URLs, optionally
+    scaled by a host quality prior); the clamps are the politeness
+    ceiling ``floor(round_seconds / crawl_delay_s)`` (robots
+    crawl-delay — a host allowing one fetch per 30 s can absorb at most
+    120 fetches in an hour round no matter its weight) and the pending
+    count. The result's ``quota`` column is exactly what
+    :func:`select_polite_batch` takes as ``budget_col``, closing the
+    loop: budget -> polite top-k -> fetch.
+
+    Shares are rounded to 6dp before the floor (the engine's
+    cross-engine float convention), so quotas are a pure function of
+    the inputs. Floor + clamps means Σ quota ≤ total_budget + #hosts ·
+    ``min_per_host`` — largest-remainder exactness is not worth a
+    second shuffle.
+
+    Scale shape (10^9 pending URLs, 10^7 hosts):
+    - ONE map-side-partial aggregate on the host key is the only
+      corpus-scale pass;
+    - the robots frame (one slim row per host) joins the per-host
+      frame host-to-host; the weight total rides a 1-row broadcast
+      crossJoin (the ``lm.py`` totals pattern) — no driver collect, no
+      window anywhere.
+
+    Returns ``(host_col, n_pending, expected_changed, host_quality,
+    politeness_cap, quota)``.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    qual = (F.avg(F.col(quality_col)) if quality_col is not None
+            else F.lit(1.0))
+    per_host = (
+        frontier.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pending"),
+            F.sum(F.col(p_col)).alias("expected_changed"),
+            qual.alias("host_quality"),
+        )
+    )
+    if robots is not None:
+        delay = robots.select(
+            host_col,
+            F.col("crawl_delay_s").cast("double").alias("_delay"))
+        per_host = per_host.join(F.broadcast(delay), host_col, "left")
+        cap = F.when(
+            F.col("_delay") > 0,
+            F.floor(F.lit(float(round_seconds)) / F.col("_delay"))
+            .cast("long"),
+        ).otherwise(F.lit(None).cast("long"))
+    else:
+        cap = F.lit(None).cast("long")
+    per_host = per_host.withColumn("politeness_cap", cap)
+    if robots is not None:
+        per_host = per_host.drop("_delay")
+    weight = F.round(
+        F.greatest(F.col("host_quality"), F.lit(0.0))
+        * F.greatest(F.col("expected_changed"), F.lit(0.0)), 6)
+    per_host = per_host.withColumn("_w", weight)
+    tot = per_host.agg(F.sum("_w").alias("_tot"))
+    share = F.when(
+        F.col("_tot") > 0,
+        F.floor(F.round(
+            F.lit(float(total_budget)) * F.col("_w") / F.col("_tot"), 6))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("n_pending"),
+                F.coalesce(F.col("politeness_cap"), F.col("n_pending")),
+                F.greatest(share, F.lit(int(min_per_host)).cast("long")),
+            ),
+        )
+        .select(
+            host_col, "n_pending",
+            F.round("expected_changed", 6).alias("expected_changed"),
+            F.round("host_quality", 6).alias("host_quality"),
+            "politeness_cap", "quota",
+        )
+    )
+
+
 def select_polite_batch(
     frontier: DataFrame,
     budget_per_host: int,

@@ -802,6 +802,37 @@ def main() -> None:
          f"Window nodes: {p.count('Window [')} (expect 1)"],
     ))
 
+    # crawl budget: one host aggregate, broadcast robots + 1-row total
+    from commoncrawl_spark.operators.schedule import crawl_budget
+
+    cb_frontier = docs.select(
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        ((F.col("doc_id") % 11) / F.lit(10.0)).alias("p_changed"),
+        ((F.col("doc_id") % 7) / F.lit(7.0)).alias("q"))
+    cb_robots = docs.select(
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        (F.regexp_extract("source", r"(\d+)", 1).cast("int")
+         % 4 * 15).cast("double").alias("crawl_delay_s")).distinct()
+    p = plan_of(crawl_budget(cb_frontier, 300, robots=cb_robots,
+                             quality_col="q"))
+    sections.append((
+        "Crawl budget: one host aggregate, broadcast clamps",
+        "The only corpus-scale pass is ONE map-side-partial aggregate "
+        "on the host key (10^9 pending URLs fold to 10^7 host rows "
+        "before any join); the robots delay frame joins broadcast and "
+        "the value-weight total rides a 1-row broadcast nested-loop "
+        "join — no window, no Python, no driver collect.",
+        [f"Window nodes: {p.count('Window [')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"robots join broadcasts: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"weight total is a BroadcastNestedLoopJoin: "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True)",
+         f"HashAggregate operators: {p.count('HashAggregate')} "
+         f"(expect >= 2: partial + final host agg)"],
+    ))
+
     # zipnum cluster idx: global rank without any window
     from commoncrawl_spark.tables import zipnum_cluster_idx
 

@@ -243,3 +243,79 @@ def test_change_stats_single_shuffle_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.spark
+def test_crawl_budget_clamps_and_shares(spark):
+    """Value-weighted split with every clamp path: a high-value host
+    capped by politeness, a tiny host capped by pending count, a
+    zero-weight host getting 0, an uncapped (no-delay) host."""
+    from commoncrawl_spark.operators.schedule import crawl_budget
+
+    rows = (
+        [("big.test", 1.0, 1.0)] * 80        # weight 80, share-bound
+        + [("slow.test", 1.0, 1.0)] * 80     # weight 80, delay-capped
+        + [("tiny.test", 30.0, 1.0)] * 2     # weight 60, pending-capped
+        + [("junk.test", 0.0, 0.0)] * 50     # weight 0
+    )
+    frontier = spark.createDataFrame(
+        rows, "host string, p_changed double, q double")
+    robots = spark.createDataFrame(
+        [("slow.test", 60.0), ("tiny.test", 1.0), ("junk.test", 0.0)],
+        "host string, crawl_delay_s double")
+    got = {r["host"]: r for r in crawl_budget(
+        frontier, total_budget=100, round_seconds=600.0,
+        robots=robots, quality_col="q").collect()}
+    # weights: big 80, slow 80, tiny 60, junk 0 -> total 220
+    assert got["big.test"]["politeness_cap"] is None
+    assert got["big.test"]["quota"] == int(100 * 80 / 220)  # 36, share
+    assert got["slow.test"]["politeness_cap"] == 10         # 600/60
+    assert got["slow.test"]["quota"] == 10                  # delay clamp
+    assert got["tiny.test"]["quota"] == 2   # share 27, pending clamp 2
+    assert got["junk.test"]["politeness_cap"] is None       # delay 0 = none
+    assert got["junk.test"]["quota"] == 0
+    assert got["big.test"]["n_pending"] == 80
+
+
+@pytest.mark.spark
+def test_crawl_budget_feeds_polite_batch(spark):
+    """Composition: quotas become select_polite_batch's budget_col —
+    each host fetches exactly min(quota, pending) URLs."""
+    from commoncrawl_spark.operators.schedule import (
+        crawl_budget, select_polite_batch)
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 3}.test/p{i}", f"h{i % 3}.test",
+          f"k{i:03d}", 1.0) for i in range(30)],
+        "url string, host string, url_sha1 string, p_changed double")
+    quotas = crawl_budget(frontier, total_budget=9)
+    batch = select_polite_batch(
+        frontier.join(quotas.select("host", "quota"), "host"),
+        budget_per_host=100, priority_cols=("url",),
+        budget_col="quota")
+    per_host = {r["host"]: r["cnt"] for r in
+                batch.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_host == {"h0.test": 3, "h1.test": 3, "h2.test": 3}
+
+
+@pytest.mark.spark
+def test_crawl_budget_plan_shape(spark):
+    """One host-key aggregate, broadcast robots join, 1-row broadcast
+    total — no window, no Python, no sort-merge join."""
+    from commoncrawl_spark.operators.schedule import crawl_budget
+
+    frontier = spark.createDataFrame(
+        [(f"h{i % 5}.test", 0.5, 0.5) for i in range(100)],
+        "host string, p_changed double, q double")
+    robots = spark.createDataFrame(
+        [(f"h{i}.test", 15.0) for i in range(5)],
+        "host string, crawl_delay_s double")
+    out = crawl_budget(frontier, 50, robots=robots, quality_col="q")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # robots join
+    assert "BroadcastNestedLoopJoin" in plan    # 1-row weight total
