@@ -1143,6 +1143,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table(name).select("fp", "n_chars")
     q["stream_dedup"] = stream_dedup
 
+    def stream_window_stats(spark, sf):
+        """Watermarked tumbling-window aggregation as a REAL stream
+        (windowed_fetch_stats, the per-round metrics twin): batch 0 =
+        event-time first half, batch 1 = second half, batch 2 REPLAYS
+        the earliest fifth — every replayed row is >22000 s older than
+        the post-batch-0 watermark (max(ts)-7200), so Structured
+        Streaming must DROP it pre-aggregation; append mode then emits
+        exactly the windows closed by the final watermark. The oracle
+        encodes both rules (drop + close), so the hash proves watermark
+        semantics: a stateless engine (replays double-counted) or one
+        that emits open windows hash-mismatches."""
+        import os
+        import tempfile
+        import uuid
+
+        from commoncrawl_spark.streaming.pipeline import (
+            windowed_fetch_stats,
+        )
+
+        ev = _read(spark, sf, "events").select(
+            F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"))
+            .alias("host"),
+            ((F.col("event_id") * 37) % 100000).alias("ts_sec"),
+            F.when(F.col("event_type") == "click", F.lit("200"))
+            .otherwise(F.lit("404")).alias("status"),
+        )
+        d = tempfile.mkdtemp(prefix="ccs_stream_win_")
+        src = os.path.join(d, "src")
+        for i, part in enumerate([
+            ev.filter(F.col("ts_sec") < 50000),
+            ev.filter(F.col("ts_sec") >= 50000),
+            ev.filter(F.col("ts_sec") < 20000),  # late replay
+        ]):
+            bdir = os.path.join(src, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream
+            .schema("host string, ts_sec long, status string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+            .withColumn("event_ts", F.timestamp_seconds(F.col("ts_sec")))
+        )
+        out = windowed_fetch_stats(
+            stream, ts_col="event_ts", window="1 hour",
+            watermark="2 hours")
+        name = f"ccs_win_{uuid.uuid4().hex[:8]}"
+        (out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(300))
+        return spark.table(name).select(
+            F.unix_timestamp("window_start").alias("window_start_s"),
+            F.unix_timestamp("window_end").alias("window_end_s"),
+            "host", "n_fetched", "n_ok",
+        )
+    q["stream_window_stats"] = stream_window_stats
+
     def capture_diff(spark, sf):
         """Incremental-recrawl planning: diff the capture log between two
         cutoffs — per URL compare latest-as-of(T_old) vs latest-as-of(
@@ -3011,6 +3073,35 @@ def oracle_sql() -> dict[str, str]:
     o["stream_dedup"] = """
         SELECT DISTINCT md5(text) AS fp, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents
+    """
+
+    # stream_window_stats: the two watermark rules written out — rows
+    # below the post-batch-0 watermark are DROPPED pre-aggregation (the
+    # replayed earliest-fifth, >22000 s late), and append mode emits
+    # exactly the windows whose end <= final watermark (max kept ts -
+    # 7200). A stateless or watermark-less engine hash-mismatches.
+    o["stream_window_stats"] = """
+        WITH ev AS (
+          SELECT 'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+                 (event_id * 37) % 100000 AS ts_sec,
+                 CASE WHEN event_type = 'click'
+                      THEN '200' ELSE '404' END AS status
+          FROM events),
+        kept AS (
+          SELECT * FROM ev WHERE ts_sec < 50000
+          UNION ALL
+          SELECT * FROM ev WHERE ts_sec >= 50000),
+        fwm AS (SELECT MAX(ts_sec) - 7200 AS wm FROM kept)
+        SELECT CAST((ts_sec // 3600) * 3600 AS BIGINT) AS window_start_s,
+               CAST((ts_sec // 3600) * 3600 + 3600 AS BIGINT)
+                 AS window_end_s,
+               host,
+               COUNT(*) AS n_fetched,
+               CAST(SUM(CASE WHEN status = '200' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ok
+        FROM kept, fwm
+        WHERE (ts_sec // 3600) * 3600 + 3600 <= fwm.wm
+        GROUP BY 1, 2, 3
     """
 
     o["sessionization"] = """

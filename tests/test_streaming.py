@@ -269,3 +269,51 @@ def test_streaming_first_seen_cross_batch_first_wins(spark, tmp_path):
         assert got[f"https://example.test/p/{i}"] == f"D{i}"
     for i in range(20, 30):
         assert got[f"https://example.test/p/{i}"] == f"LATE{i}"
+
+
+@pytest.mark.spark
+def test_windowed_fetch_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark as a two-batch stream: batch 1 replays a
+    row 3 h older than the post-batch-0 watermark — it must be DROPPED
+    (a stateless engine would double-count window 00:00); and only
+    windows closed by the final watermark are emitted (the 04:xx
+    window stays open in state)."""
+    mk = lambda rows: [(f"2024-01-01 {h:02d}:{m:02d}:00", "h.test", "200")
+                      for h, m in rows]
+    b0 = mk([(0, 5), (0, 10), (1, 30), (3, 59)])   # wm after b0: 01:59
+    b1 = mk([(4, 30), (4, 40)])
+    # the late replay needs its OWN batch: the watermark computed from
+    # batch N's event times takes effect one batch later, so a late row
+    # packed into batch 1 would still be merged (its window is in state
+    # and the filter wm is not yet advanced) — same staging as the
+    # stream_window_stats driver query
+    b2 = mk([(0, 20)])                             # 00:20 << wm: drop
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([b0, b1, b2]):
+        df = (spark.createDataFrame(
+            rows, "event_ts string, host string, status string")
+            .withColumn("event_ts", F.to_timestamp("event_ts")))
+        bdir = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.parquet(bdir)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream
+        .schema("event_ts timestamp, host string, status string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src))
+    agg = windowed_fetch_stats(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("wm_drop")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = {r["window_start"].hour: r["n_fetched"]
+           for r in spark.sql("select * from wm_drop").collect()}
+    # final wm = 04:40 - 2h = 02:40: windows 00 and 01 are closed and
+    # emitted, 03 and 04 stay open; the replayed 00:20 row did NOT
+    # bump window 00 from 2 to 3
+    assert got == {0: 2, 1: 1}
