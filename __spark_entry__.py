@@ -1443,6 +1443,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   blocks_per_shard=4)
     q["cdx_zipnum"] = cdx_zipnum
 
+    def wet_export(spark, sf):
+        """WET conversion-record export, proven by round trip: documents
+        -> byte-deterministic *.warc.wet segments (sorted-by-url gzip
+        members per shard) -> read BACK through the real WARC reader.
+        Every output field crosses the byte framing (headers, lengths,
+        payload), so the oracle recomputing them from first principles
+        pins the whole serialize->parse loop; the payload digest proves
+        the text survived byte-identically."""
+        from commoncrawl_spark.sources.warc import (
+            read_warc_records,
+            wet_segments,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.concat(F.lit("https://w.test/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+        )
+        segs = wet_segments(d)
+        recs = read_warc_records(segs, "segment")
+        return recs.select(
+            "shard", "record_idx",
+            F.col("target_uri").alias("url"),
+            "warc_type", "content_length",
+            F.sha2(F.col("payload"), 256).alias("digest"),
+        )
+    q["wet_export"] = wet_export
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -3593,6 +3622,25 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_lines
         FROM ranked
         GROUP BY rk // 16
+    """
+
+    # wet_export: every field recomputed from the generating parameters;
+    # record_idx is the URL sort rank within the shard (the builder's
+    # sorted-by-url contract); sha256(VARCHAR) hashes UTF-8 = Spark's
+    # sha2 over the parsed payload bytes
+    o["wet_export"] = """
+        WITH d AS (
+          SELECT doc_id, text, CAST(doc_id % 8 AS INT) AS shard,
+                 'https://w.test/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents)
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY url) - 1
+                    AS INT) AS record_idx,
+               url,
+               'conversion' AS warc_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+               sha256(text) AS digest
+        FROM d
     """
 
     # sitemap_discovery: expected rows from first principles — two page

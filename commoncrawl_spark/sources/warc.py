@@ -189,6 +189,71 @@ def make_warc_segment(records: list[bytes], gzip_members: bool = True) -> bytes:
     return b"".join(records)
 
 
+def make_wet_record(url: str, text: str,
+                    date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One WET conversion record (extracted plain text), byte-
+    deterministic — the artifact Common Crawl publishes alongside WARC
+    (its *.warc.wet.gz files; the reference's extracted text, re-framed
+    as ISO 28500 ``conversion`` records). The block digest is sha256
+    hex, matching this engine's digest convention
+    (:func:`warc_cdx_index`); real CC uses sha1-base32 — one header
+    constant away, kept sha256 so every digest in the repo is
+    cross-checkable by the same oracle function."""
+    import hashlib
+
+    payload = (text or "").encode("utf-8")
+    digest = hashlib.sha256(payload).hexdigest()
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nWARC-Block-Digest: sha256:{digest}\r\n"
+        f"Content-Type: text/plain\r\nContent-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("ascii")
+    return hdr + payload + b"\r\n\r\n"
+
+
+def wet_segments(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    shard_col: str = "shard",
+    date: str = "2024-01-01T00:00:00Z",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WET export: one byte-deterministic ``*.warc.wet`` segment per
+    shard — records sorted by URL within the shard (a pure function of
+    the data, so re-exports are byte-identical), one gzip member per
+    record in the CC shape, re-readable by :func:`read_warc_records`
+    (the round trip the ``wet_export`` query drives).
+
+    Scale shape: ONE hash exchange on the shard key (applyInPandas),
+    then pure per-group Python building bytes that never return to the
+    driver — the same shape as the WARC fixture builder and the tar
+    export. Shard count is a table property (fix per corpus size);
+    each group must fit an Arrow batch, which is exactly the existing
+    shard-sizing contract (`tables.write_shards`).
+
+    Returns ``(shard_col, segment: binary)``.
+    """
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col)
+        recs = [
+            make_wet_record(u, t, date=date)
+            for u, t in zip(pdf[url_col], pdf[text_col])
+        ]
+        return pd.DataFrame({
+            shard_col: [pdf[shard_col].iloc[0]],
+            "segment": [make_warc_segment(recs, gzip_members=gzip_members)],
+        })
+
+    shard_type = pages.schema[shard_col].dataType.simpleString()
+    return (
+        pages.select(shard_col, url_col, text_col)
+        .groupBy(shard_col)
+        .applyInPandas(build, f"{shard_col} {shard_type}, segment binary")
+    )
+
+
 def warc_cdx_index(
     records: DataFrame,
     segments: DataFrame,
