@@ -2788,12 +2788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as their permanent record and follow after.
     # ROUND-4 NOTE: the driver attests only the FIRST 50 entries. The
     # list below is round 3's attestation set — do not reorder it
-    # before the round-3 driver run. NEXT round, front-load the 10
+    # before the round-3 driver run. NEXT round, front-load the 16
     # late-r3 queries that sit after position 50 (semdedup,
     # gopher_repetition, bpe_merges, bpe_tokens, filtering_pipeline,
-    # url_features, temperature_mix, warc_cdx, ann_recall, host_traps);
-    # everything in the current list will then have CORRECTNESS_r03 as
-    # its permanent record.
+    # url_features, temperature_mix, warc_cdx, ann_recall, host_traps,
+    # hits_scores, stratified_sample, cdx_zipnum, crawl_budget,
+    # stream_window_stats, wet_export); everything in the current list
+    # will then have CORRECTNESS_r03 as its permanent record.
     _front = [
         # new in round 3
         "line_dedup",
