@@ -192,6 +192,12 @@ def stratified_sample(
     ``(stratum_col, quota)`` DataFrame, e.g. :func:`sqrt_allocation`'s
     output, for size-aware sampling of skewed host distributions.
 
+    ``key_cols`` must identify rows within a stratum (doc id, url):
+    hashing the stratum value alone would make every sort key in a
+    window identical and the pick an artifact of partition order —
+    exactly the nondeterminism this function exists to rule out — so
+    an empty ``key_cols`` is rejected.
+
     Scale shape: the rank is a window partitioned by the STRATUM key —
     one hash exchange + per-partition sort, the canonical per-group
     top-k shape. The stratum key is a real key (host, language), never
@@ -200,7 +206,12 @@ def stratified_sample(
     per-stratum ranking. Quota frames are slim (two columns, one row
     per stratum) and broadcast onto the ranked stream.
     """
-    keys = list(key_cols) if key_cols else [stratum_col]
+    if not key_cols:
+        raise ValueError(
+            "stratified_sample needs key_cols that identify rows within "
+            "a stratum (e.g. a doc id or url); without them the pick "
+            "would depend on partition order, not the data")
+    keys = list(key_cols)
     h = F.md5(F.concat_ws(
         "\x1f", F.lit(str(seed)),
         *[F.col(c).cast("string") for c in keys]))

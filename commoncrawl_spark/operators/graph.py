@@ -227,10 +227,14 @@ def hits(
 
     Returns ``(node, hub, auth)``, one row per distinct node.
     """
+    # checkpoint the deduped edge list FIRST: the two join layouts, the
+    # two materializing counts, and the node derivation below would
+    # otherwise each recompute the corpus-scale distinct() shuffle
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     by_src = e.repartition("src").persist()
     by_dst = e.repartition("dst").persist()

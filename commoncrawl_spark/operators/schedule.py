@@ -295,9 +295,15 @@ def crawl_budget(
         )
     )
     if robots is not None:
-        delay = robots.select(
-            host_col,
-            F.col("crawl_delay_s").cast("double").alias("_delay"))
+        # one row per host, most-restrictive delay wins: a multi-row
+        # robots frame (per-user-agent rows, an un-deduped log) would
+        # otherwise fan out per_host through the join, double-count its
+        # weight in the total, and emit duplicate quota rows
+        delay = (
+            robots.groupBy(host_col)
+            .agg(F.max(F.col("crawl_delay_s").cast("double"))
+                 .alias("_delay"))
+        )
         per_host = per_host.join(F.broadcast(delay), host_col, "left")
         cap = F.when(
             F.col("_delay") > 0,

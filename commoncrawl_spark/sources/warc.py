@@ -236,7 +236,10 @@ def wet_segments(
     Returns ``(shard_col, segment: binary)``.
     """
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(url_col)
+        # sort by (url, text), not url alone: duplicate captures of one
+        # URL would otherwise keep the shuffle's arrival order and break
+        # the byte-identical re-export contract
+        pdf = pdf.sort_values([url_col, text_col])
         recs = [
             make_wet_record(u, t, date=date)
             for u, t in zip(pdf[url_col], pdf[text_col])

@@ -208,3 +208,15 @@ def test_stratified_sample_quota_frame_join_broadcasts(spark):
     # exchange), and the slim quota frame broadcasts onto it
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_stratified_sample_rejects_missing_key_cols(spark):
+    """Without row-identifying key_cols the hash is constant per
+    stratum and the pick would be partition-order-dependent — the
+    operator must refuse rather than silently sample nondeterministically."""
+    from commoncrawl_spark.operators.analytics import stratified_sample
+
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    with pytest.raises(ValueError, match="key_cols"):
+        stratified_sample(df, "host", 1)

@@ -319,3 +319,27 @@ def test_crawl_budget_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan          # robots join
     assert "BroadcastNestedLoopJoin" in plan    # 1-row weight total
+
+
+@pytest.mark.spark
+def test_crawl_budget_multi_row_robots_does_not_fan_out(spark):
+    """A per-user-agent robots log (several rows per host) must not
+    duplicate quota rows or double-count the host's weight in the
+    total: the most-restrictive (max) delay wins."""
+    from commoncrawl_spark.operators.schedule import crawl_budget
+
+    frontier = spark.createDataFrame(
+        [("a.test", 1.0)] * 10 + [("b.test", 1.0)] * 10,
+        "host string, p_changed double")
+    robots = spark.createDataFrame(
+        [("a.test", 10.0), ("a.test", 60.0), ("a.test", 30.0)],
+        "host string, crawl_delay_s double")
+    got = crawl_budget(frontier, 10, round_seconds=600.0,
+                       robots=robots).collect()
+    assert len(got) == 2  # one row per host, no join fan-out
+    by = {r["host"]: r for r in got}
+    assert by["a.test"]["politeness_cap"] == 10   # 600/60: max delay wins
+    # equal weights -> 5 each; a.test's tripled rows must not have
+    # shrunk b.test's share
+    assert by["b.test"]["quota"] == 5
+    assert by["a.test"]["quota"] == 5

@@ -326,3 +326,18 @@ def test_wet_segments_roundtrip_byte_identical(spark):
                 sorted((x for x in recs if x["shard"] == sh),
                        key=lambda x: x["record_idx"])]
         assert uris == sorted(uris)
+
+
+@pytest.mark.spark
+def test_wet_segments_duplicate_urls_still_byte_deterministic(spark):
+    """Duplicate captures of one URL (normal in recrawl corpora) must
+    not make segment bytes depend on shuffle arrival order — the
+    builder tiebreaks the in-shard sort by text."""
+    from commoncrawl_spark.sources.warc import wet_segments
+
+    rows = [("https://d.test/a", f"version-{i}", 0) for i in range(6)]
+    rows += [("https://d.test/b", "only", 0)]
+    df = spark.createDataFrame(rows, "url string, text string, shard int")
+    b1 = bytes(wet_segments(df).collect()[0]["segment"])
+    b2 = bytes(wet_segments(df.repartition(7)).collect()[0]["segment"])
+    assert b1 == b2
