@@ -1768,6 +1768,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["hits_scores"] = hits_scores
 
+    def trustrank_hosts(spark, sf):
+        """TrustRank (Gyöngyi et al. VLDB'04) over the same skewed
+        synthetic host graph as host_pagerank, teleport restricted to
+        the vetted seed hosts {0,10,...,90}: the spam-demotion frontier
+        signal — hosts near trusted seeds keep score, link farms decay.
+        Fixed 3 iterations so the DuckDB oracle unrolls the exact
+        recurrence as CTEs."""
+        from commoncrawl_spark.operators.graph import trustrank
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        seeds = (
+            d.select((F.col("doc_id") % 97).alias("node"))
+            .filter(F.col("node") % 10 == 0)
+        )
+        r = trustrank(edges, seeds, iters=3, damping=0.85)
+        return r.select("node", F.round("trust", 6).alias("trust"))
+    q["trustrank_hosts"] = trustrank_hosts
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -3970,6 +3995,44 @@ def oracle_sql() -> dict[str, str]:
         r2 AS ({_pr_iter.format(prev="r1")}),
         r3 AS ({_pr_iter.format(prev="r2")})
         SELECT node, ROUND(pr, 6) AS pr FROM r3
+    """
+
+    # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias
+    # = 1/|S| on seeds else 0, t0 = bias, t' = 0.15*bias + 0.85*mass;
+    # dangling mass leaks exactly as in host_pagerank
+    _tr_iter = """
+        SELECT n.node, n.bias,
+               0.15 * n.bias + 0.85 * COALESCE(m.mass, 0) AS tr
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.tr / deg.deg) AS mass
+          FROM e JOIN deg USING (src) JOIN {prev} r ON r.node = e.src
+          GROUP BY e.dst) m USING (node)
+    """
+    o["trustrank_hosts"] = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        s AS (
+          SELECT DISTINCT doc_id % 97 AS node FROM documents
+          WHERE (doc_id % 97) % 10 = 0),
+        ns AS (SELECT COUNT(*) AS n FROM s),
+        nodes AS (
+          SELECT u.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS bias
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e
+                UNION SELECT node FROM s) u
+          LEFT JOIN s ON s.node = u.node),
+        t0 AS (SELECT node, bias, bias AS tr FROM nodes),
+        t1 AS ({_tr_iter.format(prev="t0")}),
+        t2 AS ({_tr_iter.format(prev="t1")}),
+        t3 AS ({_tr_iter.format(prev="t2")})
+        SELECT node, ROUND(tr, 6) AS trust FROM t3
     """
 
     # hits_scores: the engine's fixed-iteration HITS recurrence unrolled

@@ -406,6 +406,45 @@ def main() -> None:
          f"{'Scan ExistingRDD' in full}"],
     ))
 
+    # TrustRank: the pagerank loop with a seed-biased teleport — the
+    # bias column rides the checkpointed node frame, the seed count is
+    # a 1-row broadcast, and each iteration is the same slim join+sum
+    from commoncrawl_spark.operators.graph import trustrank
+
+    tr_seeds = docs.select((F.col("doc_id") % 97).alias("node")).filter(
+        F.col("node") % 10 == 0)
+    tr_full = plan_of(trustrank(pr_edges, tr_seeds, iters=2),
+                      label="trustrank")
+    tr_s = tr_seeds.filter(F.col("node").isNotNull()).distinct()
+    tr_bias = plan_of(
+        nodes.crossJoin(
+            F.broadcast(tr_s.agg(F.count("*").alias("_ns"))))
+        .join(F.broadcast(tr_s.withColumn("_seed", F.lit(1))),
+              "node", "left")
+        .select("node",
+                F.when(F.col("_seed").isNotNull(), 1.0 / F.col("_ns"))
+                .otherwise(F.lit(0.0)).alias("bias")),
+        label="trustrank bias derivation")
+    sections.append((
+        "TrustRank: seed-biased teleport, broadcast seed set",
+        "The spam-demotion twin of the PageRank section: identical "
+        "per-iteration shape (slim (node, trust) state, one equi-join, "
+        "one map-side-partial sum, constant-depth via localCheckpoint); "
+        "the only additions are a 1-row seed-count broadcast and a "
+        "broadcast left join stamping the bias column onto the node "
+        "frame ONCE before the loop — hand-vetted seed lists are "
+        "corpus-tiny by contract.",
+        [f"bias derivation BroadcastHashJoin: "
+         f"{'BroadcastHashJoin' in tr_bias} (expect True — seed stamp)",
+         f"bias derivation CartesianProduct: "
+         f"{'CartesianProduct' in tr_bias} (expect False — the count "
+         f"rides a BroadcastNestedLoopJoin)",
+         f"bias derivation Python operators: "
+         f"{tr_bias.count('EvalPython')} (expect 0)",
+         f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in tr_full}"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

@@ -287,3 +287,70 @@ def test_cluster_representatives_string_ids(spark):
     assert got["c1"]["rep_doc_id"] == "urlA"
     assert got["c1"]["n_members"] == 3 and got["c1"]["rep_score"] == 5.0
     assert got["c2"]["rep_doc_id"] == "urlZ"
+
+
+def _trustrank_py(edges, seeds, iters=3, d=0.85):
+    """Pure-Python oracle: seed-biased teleport, dangling mass leaks."""
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    out_deg = defaultdict(int)
+    for s, _ in edges:
+        out_deg[s] += 1
+    seeds = sorted(set(seeds))
+    nodes = sorted({n for e in edges for n in e} | set(seeds))
+    bias = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    trust = dict(bias)
+    for _ in range(iters):
+        mass = defaultdict(float)
+        for s, t in edges:
+            mass[t] += trust[s] / out_deg[s]
+        trust = {n: (1 - d) * bias[n] + d * mass[n] for n in nodes}
+    return trust
+
+
+@pytest.mark.spark
+def test_trustrank_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.graph import trustrank
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    seeds = [0, 5, 10]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["trust"]
+           for r in trustrank(df, sdf, iters=4).collect()}
+    want = _trustrank_py(edges, seeds, iters=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+@pytest.mark.spark
+def test_trustrank_demotes_unreachable_farm(spark):
+    """Two dense 3-cliques; only clique A holds the seed. The B 'link
+    farm' cites itself just as hard but is unreachable from trust —
+    every B node must score below every A node."""
+    from commoncrawl_spark.operators.graph import trustrank
+
+    clique_a = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    clique_b = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a != b]
+    df = spark.createDataFrame(clique_a + clique_b, "src long, dst long")
+    sdf = spark.createDataFrame([(1,)], "node long")
+    t = {r["node"]: r["trust"]
+         for r in trustrank(df, sdf, iters=6).collect()}
+    assert min(t[1], t[2], t[3]) > max(t[7], t[8], t[9])
+    assert max(t[7], t[8], t[9]) == 0.0
+
+
+@pytest.mark.spark
+def test_trustrank_offgraph_seed_keeps_bias(spark):
+    """A seed host nobody links yet still holds its teleport share."""
+    from commoncrawl_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(99,)], "node long")
+    t = {r["node"]: r["trust"]
+         for r in trustrank(df, sdf, iters=3).collect()}
+    assert t[99] == pytest.approx(0.15)  # (1-d)*bias, no in-edges
+    assert set(t) == {1, 2, 99}
