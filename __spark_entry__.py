@@ -2152,6 +2152,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tokens", F.col("n_tokens").cast("long"))
     q["temperature_mix"] = temperature_mix
 
+    def sequence_pack(spark, sf):
+        """GPT-style sequence packing: concatenate per-shard token
+        streams (1 EOD separator between docs) and slice into 256-token
+        training sequences — one row per (doc x sequence it touches)
+        with the exact token span and its position in the sequence.
+        Deterministic integer arithmetic end-to-end, so the oracle
+        replays the running sum + interval intersection exactly."""
+        from commoncrawl_spark.operators.chunking import pack_sequences
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", "text",
+            (F.col("doc_id") % 8).cast("int").alias("shard"))
+        return pack_sequences(d, seq_tokens=256)
+    q["sequence_pack"] = sequence_pack
+
     def duplicate_spans(spark, sf):
         """Exact-substring duplication stats (Lee et al. 2021): per
         doc, the token mass covered by 20-token windows appearing >= 2
@@ -4662,6 +4677,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
                                       1, 8))::BIGINT AS DOUBLE)
               / 4294967296.0 < f.keep_frac
+    """
+
+    # sequence_pack: the packing arithmetic replayed exactly — per-shard
+    # running sum of (tokens + 1 EOD) in doc_id order, then each doc
+    # explodes over the 256-token sequences its global span intersects;
+    # all-integer, so the hash comparison is exact
+    o["sequence_pack"] = """
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                 CAST(len(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS BIGINT) AS n
+          FROM documents),
+        o AS (
+          SELECT doc_id, shard, n,
+                 CAST(COALESCE(SUM(n + 1) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+          FROM d WHERE n > 0)
+        SELECT shard,
+               g.seq_id,
+               doc_id,
+               GREATEST(off, g.seq_id * 256) - off AS doc_start,
+               LEAST(off + n, (g.seq_id + 1) * 256)
+                 - GREATEST(off, g.seq_id * 256) AS n_tokens,
+               GREATEST(off, g.seq_id * 256) - g.seq_id * 256 AS seq_pos
+        FROM o
+        CROSS JOIN UNNEST(generate_series(off // 256, (off + n - 1) // 256))
+          AS g(seq_id)
     """
 
     # duplicate_spans: 1-based window positions on both sides; the

@@ -1195,6 +1195,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # sequence packing: one PARTITIONED window (per-shard running sum)
+    # + a per-row explode over the handful of sequences a doc touches
+    from commoncrawl_spark.operators.chunking import pack_sequences
+
+    pk = plan_of(
+        pack_sequences(
+            docs.select("doc_id", "text",
+                        (F.col("doc_id") % 8).cast("int").alias("shard")),
+            seq_tokens=256),
+        label="sequence packing")
+    sections.append((
+        "Sequence packing: one partitioned window, integer arithmetic",
+        "The per-shard running token sum is a Window PARTITIONED by the "
+        "shard key (loader-sized groups by the write_shards contract — "
+        "parallel across millions of shards, never the banned global "
+        "sort); the sequence fan-out is a per-row explode of the 1-3 "
+        "sequences a document intersects; offsets use integer div so "
+        "packing stays exact past 2^53 stream tokens.",
+        [f"Window operators: {pk.count('Window')} (expect 1, partitioned)",
+         f"partition-less Windows: {len(partitionless_windows(pk))} "
+         f"(expect 0)",
+         f"Exchange count: {pk.count('Exchange')} "
+         f"(expect 1: the shard hash partition)",
+         f"Python operators: {pk.count('EvalPython')} (expect 0)",
+         f"Generate (explode) present: {'Generate' in pk} (expect True)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

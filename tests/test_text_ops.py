@@ -1270,3 +1270,75 @@ def test_dedup_lines_literal_metachar_separator(spark):
     row = dedup_lines_within_doc(df, sep=".").collect()[0]
     assert row["n_lines"] == 3 and row["n_unique"] == 2
     assert row["text"] == "keep this.and that"
+
+
+@pytest.mark.spark
+def test_pack_sequences_python_oracle(spark):
+    """Packing arithmetic vs a pure-Python replay: random doc lengths,
+    every (doc x sequence) span matches, and each sequence's mapped
+    spans tile [0, seq_tokens) minus the separator slots."""
+    import random as _random
+
+    from commoncrawl_spark.operators.chunking import pack_sequences
+
+    rng = _random.Random(3)
+    docs = [(i, " ".join("w%d" % j for j in range(rng.randrange(0, 40))),
+             i % 3) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, shard int")
+    got = {(r["shard"], r["seq_id"], r["doc_id"]):
+           (r["doc_start"], r["n_tokens"], r["seq_pos"])
+           for r in pack_sequences(df, seq_tokens=16).collect()}
+
+    want = {}
+    for shard in range(3):
+        off = 0
+        for i, text, s in docs:
+            if s != shard:
+                continue
+            n = len(text.split())
+            if n == 0:
+                continue
+            for seq in range(off // 16, (off + n - 1) // 16 + 1):
+                g0, g1 = max(off, seq * 16), min(off + n, (seq + 1) * 16)
+                want[(shard, seq, i)] = (g0 - off, g1 - g0, g0 - seq * 16)
+            off += n + 1
+    assert got == want
+
+
+@pytest.mark.spark
+def test_pack_sequences_long_doc_spans_sequences(spark):
+    from commoncrawl_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 40), 0)], "doc_id long, text string, shard int")
+    rows = sorted(
+        pack_sequences(df, seq_tokens=16).collect(),
+        key=lambda r: r["seq_id"])
+    assert [(r["seq_id"], r["doc_start"], r["n_tokens"], r["seq_pos"])
+            for r in rows] == [(0, 0, 16, 0), (1, 16, 16, 0), (2, 32, 8, 0)]
+
+
+@pytest.mark.spark
+def test_pack_sequences_short_docs_share_sequence(spark):
+    """Two short docs pack into one sequence with the EOD gap between."""
+    from commoncrawl_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 0), (2, "d e", 0)], "doc_id long, text string, shard int")
+    rows = {r["doc_id"]: r for r in pack_sequences(df, seq_tokens=16).collect()}
+    assert rows[1]["seq_id"] == 0 and rows[1]["seq_pos"] == 0
+    # doc 2 starts after doc 1's 3 tokens + 1 separator
+    assert rows[2]["seq_id"] == 0 and rows[2]["seq_pos"] == 4
+
+
+@pytest.mark.spark
+def test_pack_sequences_drops_empty_docs_and_validates(spark):
+    from commoncrawl_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "   ", 0), (2, "x", 0)], "doc_id long, text string, shard int")
+    rows = pack_sequences(df, seq_tokens=8).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert rows[0]["seq_pos"] == 0  # the empty doc shifted nothing
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_tokens=0)
