@@ -1472,6 +1472,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["wet_export"] = wet_export
 
+    def wat_export(spark, sf):
+        """WAT metadata-record export — the third Common Crawl artifact
+        next to warc_cdx and wet_export, closing the WARC/WAT/WET trio:
+        synthesized pages -> REAL link extraction (the three-regex
+        extract_links pass) + title extraction -> canonical envelope
+        JSON (pinned concat serialization, not a JSON library) ->
+        byte-deterministic *.warc.wat segments -> read BACK through the
+        WARC reader. The oracle rebuilds the JSON bytes from the
+        generating templates, so the digest pins link extraction,
+        absolutization, JSON framing, WARC framing, and the parse —
+        end to end."""
+        from commoncrawl_spark.operators.links import extract_links
+        from commoncrawl_spark.sources.warc import (
+            read_warc_records,
+            wat_payload_col,
+            wat_segments,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        pages = d.select(
+            F.concat(F.lit("https://w"),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".test/a/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit('</title></head><body><a href="https://x'),
+                ((F.col("doc_id") + 1) % 5).cast("string"),
+                F.lit(".test/p/"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit('">x</a><a href="/q/'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('">y</a></body></html>'),
+            ).cast("binary").alias("html"),
+        )
+        links = (
+            extract_links(pages, "html", "url")
+            .groupBy(F.col("src_url").alias("url"))
+            .agg(F.sort_array(F.collect_list("abs_url")).alias("links"))
+        )
+        payloads = (
+            pages.withColumn(
+                "title",
+                F.regexp_extract(F.col("html").cast("string"),
+                                 "<title>([^<]*)</title>", 1))
+            .join(links, "url")
+            .select(
+                "url", "shard",
+                wat_payload_col(
+                    F.col("url"), F.col("title"), F.col("links")
+                ).alias("payload"),
+            )
+        )
+        recs = read_warc_records(wat_segments(payloads), "segment")
+        return recs.select(
+            "shard", "record_idx",
+            F.col("target_uri").alias("url"),
+            "warc_type", "content_length",
+            F.get_json_object(
+                F.col("payload").cast("string"),
+                "$['Envelope']['Payload-Metadata']"
+                "['HTTP-Response-Metadata']['HTML-Metadata']"
+                "['Head']['Title']").alias("title"),
+            F.sha2(F.col("payload"), 256).alias("digest"),
+        )
+    q["wat_export"] = wat_export
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -3682,6 +3751,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                sha256(text) AS digest
         FROM d
+    """
+
+    # wat_export: the envelope JSON rebuilt byte-for-byte from the
+    # generating templates (links in sort_array order — the internal
+    # https://w... target always precedes the external https://x...);
+    # record_idx is the URL sort rank within the shard; sha256(VARCHAR)
+    # hashes UTF-8 = Spark's sha2 over the parsed payload bytes
+    o["wat_export"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(doc_id % 8 AS INT) AS shard,
+                 'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.test/a/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                 'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.test/q/'
+                   || CAST(doc_id % 7 AS VARCHAR) AS l_int,
+                 'https://x' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                   || '.test/p/' || CAST(doc_id % 11 AS VARCHAR) AS l_ext
+          FROM documents),
+        p AS (
+          SELECT shard, url, title,
+                 '{"Envelope":{"WARC-Header-Metadata":'
+                 || '{"WARC-Target-URI":"' || url
+                 || '"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+                 || '{"HTML-Metadata":{"Head":{"Title":"' || title
+                 || '"},"Links":[{"path":"A@/href","url":"' || l_int
+                 || '"},{"path":"A@/href","url":"' || l_ext
+                 || '"}]}}}}}' AS payload
+          FROM d)
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY url) - 1
+                    AS INT) AS record_idx,
+               url,
+               'metadata' AS warc_type,
+               CAST(octet_length(encode(payload)) AS BIGINT)
+                 AS content_length,
+               title,
+               sha256(payload) AS digest
+        FROM p
     """
 
     # sitemap_discovery: expected rows from first principles — two page

@@ -257,6 +257,106 @@ def wet_segments(
     )
 
 
+def make_wat_record(url: str, payload_json: str,
+                    date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One WAT metadata record — the third artifact of the Common Crawl
+    trio (``*.warc.wat.gz``): per-response envelope JSON (links, page
+    head metadata) re-framed as an ISO 28500 ``metadata`` record. Block
+    digest is sha256 hex, this engine's repo-wide digest convention
+    (see :func:`make_wet_record` for the sha1-base32 divergence note).
+    """
+    import hashlib
+
+    payload = (payload_json or "").encode("utf-8")
+    digest = hashlib.sha256(payload).hexdigest()
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nWARC-Block-Digest: sha256:{digest}\r\n"
+        f"Content-Type: application/json\r\nContent-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("ascii")
+    return hdr + payload + b"\r\n\r\n"
+
+
+def wat_payload_col(url, title, links):
+    """The WAT envelope JSON as ONE Catalyst concat expression —
+    ``{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":...},
+    "Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":
+    {"Head":{"Title":...},"Links":[{"path":"A@/href","url":...}...]}}}}}``
+    (the real WAT key skeleton, pruned to the fields this engine
+    extracts). Built by string concat, NOT ``to_json``, for two
+    reasons: the bytes are part of the artifact contract (a re-export
+    must hash identically, so the serialization must be pinned, not
+    library-dependent), and an external SQL engine can replay the same
+    concat bit-for-bit. Caller contract: ``url``/``title``/``links``
+    values must be JSON-string-safe (no quotes, backslashes, or control
+    chars) — true for canonicalized URLs; run a JSON-escape pass on
+    titles from wild HTML before calling (the ``wat_export`` query's
+    titles are template-generated).
+
+    ``links`` is an ``array<string>`` column of absolutized targets
+    (sorted by the caller for determinism); each becomes an
+    ``A@/href`` link object, the WAT path tag for anchor hrefs.
+    """
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        url,
+        F.lit('"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+              '{"HTML-Metadata":{"Head":{"Title":"'),
+        title,
+        F.lit('"},"Links":['),
+        F.array_join(
+            F.transform(
+                links,
+                lambda u: F.concat(
+                    F.lit('{"path":"A@/href","url":"'), u, F.lit('"}')),
+            ),
+            ",",
+        ),
+        F.lit(']}}}}}'),
+    )
+
+
+def wat_segments(
+    pages: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    shard_col: str = "shard",
+    date: str = "2024-01-01T00:00:00Z",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WAT export: one byte-deterministic ``*.warc.wat`` segment per
+    shard — metadata records sorted by URL within the shard, one gzip
+    member per record, re-readable by :func:`read_warc_records` (the
+    round trip the ``wat_export`` query drives). Same scale shape as
+    :func:`wet_segments`: ONE hash exchange on the shard key, per-group
+    Python building bytes that never visit the driver.
+
+    Returns ``(shard_col, segment: binary)``.
+    """
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (url, payload) sort, not url alone — same duplicate-capture
+        # determinism argument as wet_segments
+        pdf = pdf.sort_values([url_col, payload_col])
+        recs = [
+            make_wat_record(u, p, date=date)
+            for u, p in zip(pdf[url_col], pdf[payload_col])
+        ]
+        return pd.DataFrame({
+            shard_col: [pdf[shard_col].iloc[0]],
+            "segment": [make_warc_segment(recs, gzip_members=gzip_members)],
+        })
+
+    shard_type = pages.schema[shard_col].dataType.simpleString()
+    return (
+        pages.select(shard_col, url_col, payload_col)
+        .groupBy(shard_col)
+        .applyInPandas(build, f"{shard_col} {shard_type}, segment binary")
+    )
+
+
 def warc_cdx_index(
     records: DataFrame,
     segments: DataFrame,

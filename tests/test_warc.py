@@ -341,3 +341,63 @@ def test_wet_segments_duplicate_urls_still_byte_deterministic(spark):
     b1 = bytes(wet_segments(df).collect()[0]["segment"])
     b2 = bytes(wet_segments(df.repartition(7)).collect()[0]["segment"])
     assert b1 == b2
+
+
+def test_make_wat_record_bytes_deterministic():
+    from commoncrawl_spark.sources.warc import make_wat_record
+
+    pj = '{"Envelope":{"k":"vé"}}'
+    r1 = make_wat_record("https://a.test/x", pj)
+    assert r1 == make_wat_record("https://a.test/x", pj)
+    # Content-Length counts UTF-8 BYTES of the JSON payload
+    assert f"Content-Length: {len(pj.encode())}\r\n".encode() in r1
+    assert b"WARC-Type: metadata\r\n" in r1
+    assert b"Content-Type: application/json\r\n" in r1
+    assert r1.endswith(pj.encode() + b"\r\n\r\n")
+
+
+@pytest.mark.spark
+def test_wat_segments_roundtrip_and_json_parses(spark):
+    """Export -> re-read: payload is the exact envelope JSON (parseable
+    by a real JSON parser, links in caller order), segments are
+    byte-identical across exports, records url-sorted per shard."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.sources.warc import (
+        read_warc_records, wat_payload_col, wat_segments)
+
+    rows = [(f"https://s.test/{i}",
+             f"Title {i}",
+             [f"https://a.test/{i}", f"https://b.test/{i % 3}"],
+             i % 2)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "url string, title string, links array<string>, shard int")
+    p = df.select(
+        "url", "shard",
+        wat_payload_col(F.col("url"), F.col("title"),
+                        F.col("links")).alias("payload"))
+    segs1 = {r["shard"]: bytes(r["segment"])
+             for r in wat_segments(p).collect()}
+    segs2 = {r["shard"]: bytes(r["segment"])
+             for r in wat_segments(p.repartition(5)).collect()}
+    assert segs1 == segs2
+    recs = read_warc_records(wat_segments(p), "segment").collect()
+    assert all(r["error"] is None for r in recs)
+    assert all(r["warc_type"] == "metadata" for r in recs)
+    by_uri = {}
+    for r in recs:
+        env = json.loads(bytes(r["payload"]).decode())["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r["target_uri"]
+        html = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        by_uri[r["target_uri"]] = (
+            html["Head"]["Title"], [x["url"] for x in html["Links"]])
+        assert all(x["path"] == "A@/href" for x in html["Links"])
+    assert by_uri == {u: (t, ls) for u, t, ls, _ in rows}
+    for sh in (0, 1):
+        uris = [r["target_uri"] for r in
+                sorted((x for x in recs if x["shard"] == sh),
+                       key=lambda x: x["record_idx"])]
+        assert uris == sorted(uris)
