@@ -1541,6 +1541,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["wat_export"] = wat_export
 
+    def redirect_resolution(spark, sf):
+        """3xx redirect-chain resolution by pointer doubling: a chain
+        family (u/N -> u/N-1 down to the previous multiple of 50, so
+        lengths 1..49 against a 16-hop budget) plus 2-cycles hung on
+        multiples of 100 (u/N <-> w/N), which also turn the chains
+        that END there into rho-shaped traps. The oracle walks the
+        same edges with a recursive CTE, so the doubling arithmetic,
+        the hop clamp, and the loop flag are all pinned exactly."""
+        from commoncrawl_spark.operators.links import resolve_redirects
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        u = lambda c: F.concat(F.lit("https://r.test/u/"),  # noqa: E731
+                               c.cast("string"))
+        w = lambda c: F.concat(F.lit("https://r.test/w/"),  # noqa: E731
+                               c.cast("string"))
+        chain = d.filter(F.col("doc_id") % 50 != 0).select(
+            u(F.col("doc_id")).alias("url"),
+            u(F.col("doc_id") - 1).alias("location"))
+        cyc_ids = d.filter(F.col("doc_id") % 100 == 0)
+        cyc = cyc_ids.select(
+            u(F.col("doc_id")).alias("url"),
+            w(F.col("doc_id")).alias("location"),
+        ).unionByName(cyc_ids.select(
+            w(F.col("doc_id")).alias("url"),
+            u(F.col("doc_id")).alias("location"),
+        ))
+        return resolve_redirects(
+            chain.unionByName(cyc), max_hops=16)
+    q["redirect_resolution"] = redirect_resolution
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -4156,6 +4186,44 @@ def oracle_sql() -> dict[str, str]:
         t2 AS ({_tr_iter.format(prev="t1")}),
         t3 AS ({_tr_iter.format(prev="t2")})
         SELECT node, ROUND(tr, 6) AS trust FROM t3
+    """
+
+    # redirect_resolution: the chain walked step-by-step with a
+    # recursive CTE bounded at 16 hops; the furthest row per url is the
+    # verdict — terminal cur = resolved with the exact hop count,
+    # still-redirecting cur (too long, or a loop) = unresolved NULLs
+    o["redirect_resolution"] = """
+        WITH RECURSIVE e AS (
+          SELECT 'https://r.test/u/' || CAST(doc_id AS VARCHAR) AS url,
+                 'https://r.test/u/' || CAST(doc_id - 1 AS VARCHAR) AS loc
+          FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT 'https://r.test/u/' || CAST(doc_id AS VARCHAR),
+                 'https://r.test/w/' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 100 = 0
+          UNION ALL
+          SELECT 'https://r.test/w/' || CAST(doc_id AS VARCHAR),
+                 'https://r.test/u/' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 100 = 0),
+        r AS (SELECT url, MIN(loc) AS cur FROM e GROUP BY url),
+        chain AS (
+          SELECT url, cur, CAST(1 AS BIGINT) AS hops FROM r
+          UNION ALL
+          SELECT c.url, r2.cur, c.hops + 1
+          FROM chain c JOIN r r2 ON r2.url = c.cur
+          WHERE c.hops < 16),
+        fin AS (
+          SELECT url, arg_max(cur, hops) AS cur, MAX(hops) AS hops
+          FROM chain GROUP BY url),
+        v AS (
+          SELECT f.url, f.cur, f.hops,
+                 (s.url IS NULL) AS resolved
+          FROM fin f LEFT JOIN r s ON s.url = f.cur)
+        SELECT url,
+               CASE WHEN resolved THEN cur END AS final_url,
+               CASE WHEN resolved THEN hops END AS n_hops,
+               resolved
+        FROM v
     """
 
     # hits_scores: the engine's fixed-iteration HITS recurrence unrolled

@@ -1222,6 +1222,52 @@ def main() -> None:
          f"Generate (explode) present: {'Generate' in pk} (expect True)"],
     ))
 
+    # redirect resolution: pointer doubling — ceil(log2(max_hops))
+    # self-joins of a three-column mapping, never max_hops sequential
+    from commoncrawl_spark.operators.links import resolve_redirects
+
+    rr_edges = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 211).cast("string"))
+        .alias("location"))
+    rr_m = (rr_edges.groupBy("url")
+            .agg(F.min("location").alias("cur"))
+            .localCheckpoint(eager=True)
+            .withColumn("hops", F.lit(1).cast("long")))
+    rr_m2 = rr_m.select(F.col("url").alias("_mu"),
+                        F.col("cur").alias("_mc"),
+                        F.col("hops").alias("_mh"))
+    rr_round = plan_of(
+        rr_m.join(rr_m2, rr_m.cur == rr_m2._mu, "left")
+        .select("url", F.coalesce("_mc", "cur").alias("cur"),
+                F.when(F.col("_mu").isNotNull(),
+                       F.col("hops") + F.col("_mh"))
+                .otherwise(F.col("hops")).alias("hops")),
+        label="redirect resolution doubling round")
+    rr_full = plan_of(resolve_redirects(rr_edges, max_hops=16),
+                      label="redirect resolution")
+    sections.append((
+        "Redirect resolution: pointer doubling on the redirect function",
+        "Each round composes the hop mapping with itself (M'(u) = "
+        "M(M(u)), hop counts adding), so a 16-hop budget costs 4 "
+        "equi-joins of a slim (url, cur, hops) frame instead of 16 "
+        "sequential joins; terminals simply miss the left join and "
+        "carry forward; localCheckpoint per round keeps the plan "
+        "constant-depth. Loops and over-budget chains fall out of the "
+        "final resolved clamp — no cycle detection pass is needed.",
+        [f"doubling round CartesianProduct: "
+         f"{'CartesianProduct' in rr_round} (expect False)",
+         f"doubling round SortMergeJoin/ShuffledHashJoin on the url "
+         f"key: "
+         f"{('SortMergeJoin' in rr_round) or ('ShuffledHashJoin' in rr_round)} "
+         f"(expect True — corpus-scale x corpus-scale, broadcast "
+         f"would not survive 10^9 edges)",
+         f"doubling round Python operators: {rr_round.count('EvalPython')} "
+         f"(expect 0)",
+         f"final plan Window operators: {rr_full.count('Window')} "
+         f"(expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

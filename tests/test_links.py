@@ -512,3 +512,67 @@ def test_url_features_fuzz_vs_urlsplit(spark):
         }
         have = {k: got[i][k] for k in want}
         assert have == want, (u, have, want)
+
+
+def _resolve_py(edges, max_hops):
+    """Pure-Python oracle: min-location conflict rule, step-by-step walk."""
+    r = {}
+    for s, d in edges:
+        r[s] = min(r[s], d) if s in r else d
+    out = {}
+    for s in r:
+        cur, hops = r[s], 1
+        while cur in r and hops < max_hops:
+            cur, hops = r[cur], hops + 1
+        if cur not in r and hops <= max_hops:
+            out[s] = (cur, hops, True)
+        else:
+            out[s] = (None, None, False)
+    return out
+
+
+@pytest.mark.spark
+def test_resolve_redirects_random_graph_matches_walk(spark):
+    import random as _random
+
+    from commoncrawl_spark.operators.links import resolve_redirects
+
+    rng = _random.Random(5)
+    # random functional graph over 60 nodes: chains, merges, and cycles
+    edges = [(f"u{i}", f"u{rng.randrange(60)}") for i in range(45)]
+    df = spark.createDataFrame(edges, "url string, location string")
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(df, max_hops=8).collect()}
+    assert got == _resolve_py(edges, 8)
+
+
+@pytest.mark.spark
+def test_resolve_redirects_loop_and_budget(spark):
+    from commoncrawl_spark.operators.links import resolve_redirects
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain
+             ("x", "y"), ("y", "x"),               # 2-cycle
+             ("p", "x")]                           # rho: tail into cycle
+    df = spark.createDataFrame(edges, "url string, location string")
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(df, max_hops=2).collect()}
+    assert got["b"] == ("d", 2, True)
+    assert got["a"] == (None, None, False)   # 3 hops > budget 2
+    assert got["x"] == (None, None, False)   # loop
+    assert got["p"] == (None, None, False)   # rho trap
+    # budget 3 admits the full chain
+    got3 = {r["url"]: r["resolved"]
+            for r in resolve_redirects(df, max_hops=3).collect()}
+    assert got3["a"] is True and got3["x"] is False
+
+
+@pytest.mark.spark
+def test_resolve_redirects_conflicting_captures_take_min(spark):
+    from commoncrawl_spark.operators.links import resolve_redirects
+
+    df = spark.createDataFrame(
+        [("s", "t2"), ("s", "t1")], "url string, location string")
+    rows = resolve_redirects(df, max_hops=4).collect()
+    assert len(rows) == 1 and rows[0]["final_url"] == "t1"
+    with pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=0)
