@@ -2266,6 +2266,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(d, seq_tokens=256)
     q["sequence_pack"] = sequence_pack
 
+    def weighted_sample(spark, sf):
+        """Efraimidis-Spirakis weighted sampling without replacement:
+        exactly 100 docs with inclusion probability proportional to
+        token count — the resampling step importance-weighted data
+        selection runs (plug DSIR weights in for target-likeness
+        resampling). Key = ln(md5-uniform)/weight rounded 6dp, top-k
+        via orderBy+limit (TakeOrderedAndProject, never a window)."""
+        from commoncrawl_spark.functions.text import token_count_col
+        from commoncrawl_spark.operators.selection import (
+            weighted_sample_k,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+        return weighted_sample_k(d, k=100, weight_col="n_tokens")
+    q["weighted_sample"] = weighted_sample
+
     def duplicate_spans(spark, sf):
         """Exact-substring duplication stats (Lee et al. 2021): per
         doc, the token mass covered by 20-token windows appearing >= 2
@@ -4186,6 +4204,28 @@ def oracle_sql() -> dict[str, str]:
         t2 AS ({_tr_iter.format(prev="t1")}),
         t3 AS ({_tr_iter.format(prev="t2")})
         SELECT node, ROUND(tr, 6) AS trust FROM t3
+    """
+
+    # weighted_sample: the E-S key replayed exactly — same md5-uniform
+    # (+0.5 so ln never sees 0), same ln/weight division, same 6dp
+    # rounding, ties broken by doc_id in both engines
+    o["weighted_sample"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, n_tokens,
+                 round(ln(
+                   (CAST(('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS DOUBLE) + 0.5) / 4294967296.0)
+                   / CAST(n_tokens AS DOUBLE), 6) AS es_key
+          FROM d WHERE n_tokens > 0)
+        SELECT doc_id, n_tokens, es_key
+        FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
     """
 
     # redirect_resolution: the chain walked step-by-step with a

@@ -218,3 +218,56 @@ def temperature_budgets(
             .alias("budget_tokens"),
         )
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows —
+    Efraimidis & Spirakis (IPL 2006): draw ``u ~ U(0,1)`` per row, keep
+    the ``k`` largest ``u^(1/w)``. Each row's inclusion probability is
+    proportional to its weight, sequentially without replacement — the
+    RESAMPLING step data-selection pipelines run on importance weights
+    (feed ``exp(avg_logratio)`` from :func:`dsir_logratio_scores`, or
+    token counts to sample documents proportional to their token
+    mass). Unlike :func:`sample_token_budget` (Bernoulli, expected-size
+    per group) this returns an EXACT sample size with per-row
+    probabilities ∝ weight.
+
+    Deterministic: ``u`` is the md5-uniform of ``(id, salt)`` (the
+    repo's ``sample_exact`` reproducibility guarantee), and the key is
+    compared as ``ln(u)/w`` — the monotone log form, division instead
+    of ``pow`` — rounded to 6dp with ties broken by id, so re-runs,
+    partitionings, and engines select the same rows. Rows with
+    ``weight <= 0`` or NULL are excluded (zero mass cannot be drawn).
+
+    Scale shape (10^10 rows, 1000 executors): the key is a scan-stage
+    expression and the selection is ``orderBy(desc(key), id).limit(k)``
+    — TakeOrderedAndProject, each task keeps a k-row heap and the
+    driver merges partials; NO window, NO global sort, NO shuffle of
+    the full corpus (the class the r02 bm25 fix established).
+
+    Returns the selected rows as ``(id_col, weight_col, es_key)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u01 = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 8), 16, 10)
+        .cast("long").cast("double") + 0.5
+    ) / F.lit(_U32)
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(F.log(u01) / w, 6).alias("es_key"),
+        )
+    )
+    return keyed.orderBy(F.desc("es_key"), F.col(id_col)).limit(k)

@@ -168,3 +168,62 @@ def test_stupid_backoff_rejects_half_a_model(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="TOGETHER"):
         stupid_backoff_scores(df, counts=bigram_counts(df))
+
+
+@pytest.mark.spark
+def test_weighted_sample_k_exact_size_and_determinism(spark):
+    from commoncrawl_spark.operators.selection import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "doc_id long, w long")
+    s1 = [r["doc_id"] for r in weighted_sample_k(df, 50, "w").collect()]
+    s2 = [r["doc_id"]
+          for r in weighted_sample_k(df.repartition(13), 50, "w").collect()]
+    assert len(s1) == 50 and s1 == s2  # exact k, partition-independent
+    # a different salt re-draws
+    s3 = [r["doc_id"] for r in weighted_sample_k(df, 50, "w",
+                                                 salt="v2").collect()]
+    assert set(s3) != set(s1)
+
+
+@pytest.mark.spark
+def test_weighted_sample_k_respects_weights(spark):
+    """Heavy rows must be sampled far more often: with weights 100 vs 1
+    over many salts, heavy ids dominate the selection."""
+    from commoncrawl_spark.operators.selection import weighted_sample_k
+
+    rows = [(i, 100) for i in range(20)] + [(i, 1) for i in range(20, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy = 0
+    for salt in ("a", "b", "c", "d"):
+        got = weighted_sample_k(df, 20, "w", salt=salt).collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 20)
+    # 20 heavy ids carry 2000/2180 of the mass; by 4x20 draws nearly all
+    # selections should be heavy (binomial tail makes < 48 astronomical)
+    assert heavy >= 48
+
+
+@pytest.mark.spark
+def test_weighted_sample_k_excludes_nonpositive_and_validates(spark):
+    from commoncrawl_spark.operators.selection import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, None), (4, 5)], "doc_id long, w long")
+    got = weighted_sample_k(df, 10, "w").collect()
+    assert [r["doc_id"] for r in got] == [4]
+    with pytest.raises(ValueError):
+        weighted_sample_k(df, 0, "w")
+
+
+@pytest.mark.spark
+def test_weighted_sample_k_plan_is_take_ordered(spark):
+    """The selection must be TakeOrderedAndProject (parallel partial
+    top-k), never a partition-less window or a global sort."""
+    from commoncrawl_spark.operators.selection import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_id long, w long")
+    out = weighted_sample_k(df, 5, "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
