@@ -1571,6 +1571,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chain.unionByName(cyc), max_hops=16)
     q["redirect_resolution"] = redirect_resolution
 
+    def page_directives_q(spark, sf):
+        """In-HTML crawl directives over synthesized pages cycling
+        through the real cases: meta robots noindex,nofollow / index,
+        follow / absent (by doc_id%3), rel=canonical present half the
+        time (relative href, absolutized), and a nofollow anchor every
+        4th page. The oracle recomputes every flag from the generating
+        templates, so the attribute-order-tolerant regexes, the token
+        boundary match, and the absolutization are all pinned."""
+        from commoncrawl_spark.operators.links import page_directives
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        meta = (
+            F.when(F.col("doc_id") % 3 == 0,
+                   '<meta name="robots" content="noindex, nofollow">')
+            .when(F.col("doc_id") % 3 == 1,
+                  '<meta content="index, follow" name="robots">')
+            .otherwise("")
+        )
+        canon = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="/c/'),
+                     (F.col("doc_id") % 13).cast("string"),
+                     F.lit('">')),
+        ).otherwise("")
+        a2 = F.when(
+            F.col("doc_id") % 4 == 0,
+            '<a rel="nofollow" href="/l/2">b</a>',
+        ).otherwise('<a href="/l/2">b</a>')
+        pages = d.select(
+            F.concat(F.lit("https://pd"),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".test/a/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.lit("<html><head>"), meta, canon,
+                     F.lit('</head><body><a href="/l/1">a</a>'), a2,
+                     F.lit("</body></html>")).cast("binary").alias("html"),
+        )
+        return page_directives(pages)
+    q["page_directives"] = page_directives_q
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -4204,6 +4244,25 @@ def oracle_sql() -> dict[str, str]:
         t2 AS ({_tr_iter.format(prev="t1")}),
         t3 AS ({_tr_iter.format(prev="t2")})
         SELECT node, ROUND(tr, 6) AS trust FROM t3
+    """
+
+    # page_directives: every flag recomputed from the generating
+    # templates — doc_id%3 drives the meta-robots case, %2 the
+    # canonical link (absolutized root-relative), %4 the nofollow
+    # anchor; n_links is always the two template anchors
+    o["page_directives"] = """
+        SELECT 'https://pd' || CAST(doc_id % 5 AS VARCHAR) || '.test/a/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               (doc_id % 3 = 0) AS noindex,
+               (doc_id % 3 = 0) AS nofollow,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'https://pd' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.test/c/' || CAST(doc_id % 13 AS VARCHAR)
+               END AS canonical_url,
+               2 AS n_links,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                 AS n_nofollow_links
+        FROM documents
     """
 
     # weighted_sample: the E-S key replayed exactly — same md5-uniform

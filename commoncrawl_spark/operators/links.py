@@ -512,3 +512,71 @@ def resolve_redirects(
         F.when(F.col("resolved"), F.col("hops")).alias("n_hops"),
         "resolved",
     )
+
+
+_META_ROBOTS_NC = (
+    r'(?i)<meta\s[^>]*?name\s*=\s*["\']robots["\'][^>]*?'
+    r'content\s*=\s*["\']([^"\']*)["\']')
+_META_ROBOTS_CN = (
+    r'(?i)<meta\s[^>]*?content\s*=\s*["\']([^"\']*)["\'][^>]*?'
+    r'name\s*=\s*["\']robots["\']')
+_CANONICAL_RH = (
+    r'(?i)<link\s[^>]*?rel\s*=\s*["\']canonical["\'][^>]*?'
+    r'href\s*=\s*["\']([^"\']*)["\']')
+_CANONICAL_HR = (
+    r'(?i)<link\s[^>]*?href\s*=\s*["\']([^"\']*)["\'][^>]*?'
+    r'rel\s*=\s*["\']canonical["\']')
+_A_TAG_RE = r"(?i)<a(\s[^>]*)?>"
+_NOFOLLOW_RE = r'(?i)rel\s*=\s*["\'][^"\']*nofollow'
+
+
+def page_directives(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page crawl directives — the in-HTML signals a polite crawler
+    must honor alongside robots.txt (RFC 9309 covers only the fetch;
+    these govern what may be INDEXED and FOLLOWED once fetched):
+
+    - ``noindex`` / ``nofollow`` from ``<meta name="robots">`` (either
+      attribute order) — a noindex page is fetched but excluded from
+      the corpus; a nofollow page contributes no frontier candidates;
+    - ``canonical_url`` from ``<link rel="canonical">`` (either
+      attribute order), absolutized against the page URL — the
+      publisher-declared dedup key: grouping captures by
+      ``coalesce(canonical_url, url)`` collapses print/mobile/tracking
+      variants the way redirect chains collapse 3xx aliases
+      (:func:`resolve_redirects` is the fetch-side twin);
+    - ``n_links`` / ``n_nofollow_links`` — total anchor tags vs
+      anchors carrying ``rel=nofollow``, so link extraction can weight
+      or drop per-anchor endorsements (the PageRank-sculpting signal).
+
+    All Catalyst regex/aggregate expressions in the scan stage — no
+    Python, no shuffle; composes into the same pass as
+    :func:`extract_links`.
+
+    Returns ``(url_col, noindex, nofollow, canonical_url, n_links,
+    n_nofollow_links)``, one row per page.
+    """
+    text = F.col(html_col).cast("string")
+    robots = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(text, _META_ROBOTS_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(text, _META_ROBOTS_CN, 1), F.lit("")),
+        F.lit(""),
+    ))
+    canonical = F.coalesce(
+        F.nullif(F.regexp_extract(text, _CANONICAL_RH, 1), F.lit("")),
+        F.nullif(F.regexp_extract(text, _CANONICAL_HR, 1), F.lit("")),
+    )
+    a_tags = F.regexp_extract_all(text, F.lit(_A_TAG_RE), F.lit(0))
+    n_nofollow = F.size(
+        F.filter(a_tags, lambda t: t.rlike(_NOFOLLOW_RE)))
+    return pages.select(
+        F.col(url_col),
+        robots.rlike(r"(^|[\s,])noindex([\s,]|$)").alias("noindex"),
+        robots.rlike(r"(^|[\s,])nofollow([\s,]|$)").alias("nofollow"),
+        absolutize_col(canonical, F.col(url_col)).alias("canonical_url"),
+        F.size(a_tags).alias("n_links"),
+        n_nofollow.alias("n_nofollow_links"),
+    )

@@ -576,3 +576,61 @@ def test_resolve_redirects_conflicting_captures_take_min(spark):
     assert len(rows) == 1 and rows[0]["final_url"] == "t1"
     with pytest.raises(ValueError):
         resolve_redirects(df, max_hops=0)
+
+
+@pytest.mark.spark
+def test_page_directives_variants(spark):
+    from commoncrawl_spark.operators.links import page_directives
+
+    rows = [
+        # attribute orders, casing, single quotes
+        ("u1", "<meta name='robots' content='NOINDEX'>"
+               "<link rel='canonical' href='https://c.test/x'>"
+               "<a href='/a'>1</a>"),
+        ("u2", '<META content="nofollow" name="Robots">'
+               '<link href="/c" rel="canonical">'
+               '<a rel="NoFollow" href="/a">1</a><a href="/b">2</a>'),
+        # token boundary: 'nofollowme' is NOT a nofollow directive
+        ("u3", '<meta name="robots" content="nofollowme,index">'),
+        ("u4", "<a href='/x'>plain</a>"),
+    ]
+    df = spark.createDataFrame(
+        [(f"https://h.test/{u}", h.encode()) for u, h in rows],
+        "url string, html binary")
+    got = {r["url"].rsplit("/", 1)[1]: r
+           for r in page_directives(df).collect()}
+    assert got["u1"]["noindex"] and not got["u1"]["nofollow"]
+    assert got["u1"]["canonical_url"] == "https://c.test/x"
+    assert not got["u2"]["noindex"] and got["u2"]["nofollow"]
+    assert got["u2"]["canonical_url"] == "https://h.test/c"
+    assert (got["u2"]["n_links"], got["u2"]["n_nofollow_links"]) == (2, 1)
+    assert not got["u3"]["noindex"] and not got["u3"]["nofollow"]
+    assert got["u3"]["canonical_url"] is None
+    assert got["u4"]["n_links"] == 1 and got["u4"]["n_nofollow_links"] == 0
+
+
+@pytest.mark.spark
+def test_page_directives_canonical_grouping_composes(spark):
+    """The publisher-declared dedup: group captures by
+    coalesce(canonical, url) — print/mobile variants collapse."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.operators.links import page_directives
+
+    variants = [
+        ("https://h.test/story", ""),
+        ("https://h.test/story?print=1",
+         '<link rel="canonical" href="/story">'),
+        ("https://h.test/amp/story",
+         '<link rel="canonical" href="https://h.test/story">'),
+        ("https://h.test/other", ""),
+    ]
+    df = spark.createDataFrame(
+        [(u, f"<html><head>{h}</head></html>".encode())
+         for u, h in variants], "url string, html binary")
+    groups = (
+        page_directives(df)
+        .groupBy(F.coalesce("canonical_url", "url").alias("key"))
+        .count().collect())
+    got = {r["key"]: r["count"] for r in groups}
+    assert got == {"https://h.test/story": 3, "https://h.test/other": 1}
