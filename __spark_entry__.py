@@ -1611,6 +1611,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return page_directives(pages)
     q["page_directives"] = page_directives_q
 
+    def mime_sniff(spark, sf):
+        """Magic-byte MIME detection over payloads cycling through the
+        ASCII-representable signatures (PDF, GIF, doctype-HTML,
+        bare-tag HTML with leading whitespace and mixed case, JSON,
+        XML declaration, plain text); the binary signatures (gzip,
+        PNG, JPEG, zip) are pinned byte-for-byte in pytest where real
+        non-ASCII bytes can be constructed."""
+        from commoncrawl_spark.functions.extract import sniff_mime_col
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        payload = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit("%PDF-1.4 obj"))
+            .when(F.col("doc_id") % 7 == 1, F.lit("GIF89a;frame"))
+            .when(F.col("doc_id") % 7 == 2,
+                  F.lit("<!DOCTYPE html><html></html>"))
+            .when(F.col("doc_id") % 7 == 3, F.lit('  <Html lang="en">'))
+            .when(F.col("doc_id") % 7 == 4, F.lit('{"k": 1}'))
+            .when(F.col("doc_id") % 7 == 5,
+                  F.lit('<?xml version="1.0"?><a/>'))
+            .otherwise(
+                F.concat(F.lit("plain words "),
+                         F.col("doc_id").cast("string")))
+        ).cast("binary")
+        return d.select(
+            "doc_id", sniff_mime_col(payload).alias("mime"))
+    q["mime_sniff"] = mime_sniff
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -4262,6 +4289,22 @@ def oracle_sql() -> dict[str, str]:
                2 AS n_links,
                CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
                  AS n_nofollow_links
+        FROM documents
+    """
+
+    # mime_sniff: the expected type per template case — the oracle is
+    # the generating map, so any sniffer branch misfire mismatches
+    o["mime_sniff"] = """
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'application/pdf'
+                 WHEN 1 THEN 'image/gif'
+                 WHEN 2 THEN 'text/html'
+                 WHEN 3 THEN 'text/html'
+                 WHEN 4 THEN 'application/json'
+                 WHEN 5 THEN 'application/xml'
+                 ELSE 'text/plain'
+               END AS mime
         FROM documents
     """
 

@@ -403,3 +403,43 @@ def extract_from_warc_bytes(warc_bytes: Optional[bytes]) -> dict[str, Any]:
             "keyword_tags": None,
             "error": f"{type(exc).__name__}: {exc}",
         }
+
+
+def sniff_mime_col(payload):
+    """Content-type detection from leading MAGIC BYTES — the
+    ``content_mime_detected`` field cc-index serves next to the
+    server-declared Content-Type (servers lie: text/html labels on
+    PDFs and gzip are routine in real crawls, and the extraction
+    router must dispatch on the BYTES). Binary signatures are matched
+    on the hex of the first 8 octets (PDF, gzip, zip, PNG, JPEG, GIF,
+    RIFF); text types on a whitespace-tolerant, case-insensitive
+    prefix of the decoded string (HTML doctype/tag, XML declaration,
+    JSON value); anything else falls back to ``text/plain`` when the
+    256-byte head is NUL-free, ``application/octet-stream`` otherwise.
+
+    Pure Catalyst expressions (hex/substring/rlike chain) — runs in
+    the scan stage over the fat payload column with no Python and no
+    shuffle, so MIME routing composes into the same pass as the
+    header split (C4) and charset sniff (C5).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.hex(F.substring(payload, 1, 8))
+    s = payload.cast("string")
+    head = F.substring(s, 1, 64)
+    return (
+        F.when(h.startswith("255044462D"), "application/pdf")      # %PDF-
+        .when(h.startswith("1F8B"), "application/gzip")
+        .when(h.startswith("504B0304"), "application/zip")
+        .when(h.startswith("89504E470D0A1A0A"), "image/png")
+        .when(h.startswith("FFD8FF"), "image/jpeg")
+        .when(h.startswith("474946383761"), "image/gif")           # GIF87a
+        .when(h.startswith("474946383961"), "image/gif")           # GIF89a
+        .when(h.startswith("52494646"), "audio/x-riff")            # RIFF
+        .when(head.rlike(r"(?i)^\s*<(!doctype\s+html|html)"), "text/html")
+        .when(head.rlike(r"^\s*<\?xml"), "application/xml")
+        .when(head.rlike(r'^\s*[\[{]'), "application/json")
+        .when(F.substring(s, 1, 256).contains("\x00"),
+              "application/octet-stream")
+        .otherwise("text/plain")
+    )

@@ -139,3 +139,62 @@ def test_spark_udf_matches_module_oracle_rowwise(spark, fixture_dir):
         oracle = extract_from_warc_bytes(html_by_url[r["url"]])
         got = r["article"].asDict(recursive=True)
         assert got == oracle, f"struct mismatch for {r['url']}"
+
+
+@pytest.mark.spark
+def test_sniff_mime_binary_magics(spark):
+    """Real non-ASCII signatures byte-for-byte: gzip, PNG, JPEG, zip,
+    GIF87a, RIFF; NUL-bearing unknown bytes fall to octet-stream and
+    NUL-free unknown text to text/plain."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.functions.extract import sniff_mime_col
+
+    payloads = {
+        "gz": _gzip.compress(b"x", mtime=0),
+        "png": b"\x89PNG\r\n\x1a\nrest",
+        "jpg": b"\xff\xd8\xff\xe0\x00\x10JFIF",
+        "zip": b"PK\x03\x04....",
+        "gif87": b"GIF87a....",
+        "riff": b"RIFFxxxxWAVE",
+        "nul": b"\x00\x01\x02binary-ish",
+        "plain": b"just some words",
+        "json_ws": b"   [1, 2]",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "k string, payload binary")
+    got = {r["k"]: r["mime"]
+           for r in df.select(
+               "k",
+               sniff_mime_col(F.col("payload")).alias("mime")).collect()}
+    assert got == {
+        "gz": "application/gzip",
+        "png": "image/png",
+        "jpg": "image/jpeg",
+        "zip": "application/zip",
+        "gif87": "image/gif",
+        "riff": "audio/x-riff",
+        "nul": "application/octet-stream",
+        "plain": "text/plain",
+        "json_ws": "application/json",
+    }
+
+
+@pytest.mark.spark
+def test_sniff_mime_lying_content_type(spark):
+    """The real-crawl case the sniffer exists for: bytes win over any
+    server-declared label — a 'text/html' response that is actually
+    gzip routes to gzip."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.functions.extract import sniff_mime_col
+
+    df = spark.createDataFrame(
+        [("text/html", _gzip.compress(b"<html></html>", mtime=0))],
+        "declared string, payload binary")
+    row = df.select(sniff_mime_col(F.col("payload")).alias("m")).collect()[0]
+    assert row["m"] == "application/gzip"
