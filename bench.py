@@ -341,6 +341,13 @@ def main() -> None:
             # heuristic+model filtering pipeline
             "semdedup", "gopher_repetition", "bpe_merges",
             "filtering_pipeline", "temperature_mix",
+            # this-session round-3 additions: spam-demotion TrustRank,
+            # training-sequence packing, WAT export, redirect-chain
+            # resolution, E-S weighted resampling, in-HTML directives,
+            # magic-byte MIME routing
+            "trustrank_hosts", "sequence_pack", "wat_export",
+            "redirect_resolution", "weighted_sample",
+            "page_directives", "mime_sniff",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
