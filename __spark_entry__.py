@@ -1638,6 +1638,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", sniff_mime_col(payload).alias("mime"))
     q["mime_sniff"] = mime_sniff
 
+    def bitext_pairs(spark, sf):
+        """Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+        CCMatrix method) between the label<5 and label>=5 embedding
+        slices: ratio margin over k=4 neighborhood means cancels
+        hubness; forward-best per source doc, kept at margin >= 1.1.
+        Every step 6dp-rounded with id tiebreaks, so the oracle
+        replays cosine fold -> k-NN means -> margin -> argmax."""
+        from commoncrawl_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        return bitext_margin_pairs(
+            e.filter(F.col("label") < 5),
+            e.filter(F.col("label") >= 5),
+            k=4, threshold=1.1)
+    q["bitext_pairs"] = bitext_pairs
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -4591,6 +4609,39 @@ def oracle_sql() -> dict[str, str]:
                {_sql_cosine("a.v", "b.v")} AS cosine
         FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_sql_cosine("a.v", "b.v")} >= 0.25
+    """
+
+    # bitext_pairs: the margin pipeline replayed step-for-step — same
+    # 6dp cosine fold, same k=4 windowed neighborhood means, same
+    # rounded ratio margin, forward argmax with the tgt_id tiebreak
+    o["bitext_pairs"] = f"""
+        WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE label < 5),
+        t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE label >= 5),
+        sc AS (SELECT src_id, tgt_id,
+                      {_sql_cosine("s.v", "t.v")} AS cosine FROM s, t),
+        ms AS (SELECT src_id,
+                      CAST(SUM(CAST(round(cosine * 1000000) AS BIGINT))
+                           AS DOUBLE) / (COUNT(*) * 1000000.0) AS m FROM (
+           SELECT src_id, cosine, row_number() OVER (
+             PARTITION BY src_id ORDER BY cosine DESC, tgt_id) r FROM sc)
+           WHERE r <= 4 GROUP BY src_id),
+        mt AS (SELECT tgt_id,
+                      CAST(SUM(CAST(round(cosine * 1000000) AS BIGINT))
+                           AS DOUBLE) / (COUNT(*) * 1000000.0) AS m FROM (
+           SELECT tgt_id, cosine, row_number() OVER (
+             PARTITION BY tgt_id ORDER BY cosine DESC, src_id) r FROM sc)
+           WHERE r <= 4 GROUP BY tgt_id),
+        mg AS (SELECT sc.src_id, sc.tgt_id, cosine,
+                      round(cosine / (ms.m / 2 + mt.m / 2), 6) AS margin
+               FROM sc JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+        best AS (SELECT src_id, tgt_id, cosine, margin FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY src_id ORDER BY margin DESC, tgt_id) r FROM mg)
+           WHERE r = 1)
+        SELECT src_id, tgt_id, cosine, margin
+        FROM best WHERE margin >= 1.1
     """
 
     o["media_meta"] = """

@@ -438,3 +438,103 @@ def semantic_dedup(
              | (F.col("_rep") == F.col(id_col))).alias("keep"),
         )
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/LASER method): align documents across two embedding sets
+    (source vs target language) by the RATIO margin
+    ``cos(x,y) / (mean_k-NN-cos(x)/2 + mean_k-NN-cos(y)/2)``, which
+    cancels the hubness that raw cosine suffers in cross-lingual
+    spaces (a generic "hub" sentence is near everything; dividing by
+    each side's neighborhood density demotes it). For each source doc
+    keep its best-margin target if the margin clears ``threshold``
+    (the paper's *forward* strategy; intersect with the reverse
+    direction for the *intersection* strategy).
+
+    Determinism: cosines are the repo's 6dp-rounded fold; k-NN means
+    are integer-quantized sums of those roundings (exact, order-free —
+    never a float ``avg``); margins round at 6dp with neighbor-id
+    tiebreaks — the DuckDB oracle replays every step bit-for-bit.
+
+    Scale shape: the scoring pass broadcasts the SMALLER side (the
+    ``cosine_topk`` baseline contract — correct whenever one language
+    slice is bounded, e.g. mining against a curated target corpus);
+    at two-unbounded-sides scale, pre-bucket both sides with
+    :func:`ivf_assign` and run per-cell (the documented IVF
+    composition). Past the pass: per-query k-NN means are windows
+    PARTITIONED by the query id, and the final argmax is a map-side
+    ``min_by`` fold (the ``cluster_representatives`` pattern), never
+    a partition-less window.
+
+    Returns ``(src_id, tgt_id, cosine, margin)``, at most one row per
+    source doc.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    s = src.select(F.col(id_col).alias("src_id"),
+                   F.col(vec_col).alias("_sv"))
+    t = F.broadcast(tgt.select(F.col(id_col).alias("tgt_id"),
+                               F.col(vec_col).alias("_tv")))
+    # three consumers (two k-NN means + the margin join) — eager
+    # localCheckpoint materializes the scoring pass once and leaves no
+    # persisted-cache footgun (blocks drain via ContextCleaner; the
+    # library-owned-lifecycle rule from the r02 verdict)
+    scored = (
+        s.join(t)
+        .select("src_id", "tgt_id",
+                cosine_col(F.col("_sv"), F.col("_tv")).alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine"), F.asc("tgt_id"))
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cosine"), F.asc("src_id"))
+    # neighborhood means via integer-quantized sums (the repo's
+    # quantized-fold discipline): the cosines are already 6dp-rounded,
+    # so summing their 1e6-scalings as longs is exact and
+    # partition-order-free — a plain double avg() can flip the 6th
+    # decimal depending on accumulation order (measured: one margin in
+    # 124 differed by 2e-6 between engines before this)
+    c_int = F.round(F.col("cosine") * 1e6).cast("long")
+    mean_s = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg((F.sum(c_int).cast("double")
+              / (F.count(F.lit(1)) * 1e6)).alias("_ms"))
+    )
+    mean_t = (
+        scored.withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") <= k)
+        .groupBy("tgt_id")
+        .agg((F.sum(c_int).cast("double")
+              / (F.count(F.lit(1)) * 1e6)).alias("_mt"))
+    )
+    margins = (
+        scored.join(mean_s, "src_id")
+        .join(F.broadcast(mean_t), "tgt_id")
+        .select(
+            "src_id", "tgt_id", "cosine",
+            F.round(
+                F.col("cosine")
+                / (F.col("_ms") / 2 + F.col("_mt") / 2), 6
+            ).alias("margin"),
+        )
+    )
+    best = (
+        margins.groupBy("src_id")
+        .agg(F.min_by(
+            F.struct("tgt_id", "cosine", "margin"),
+            F.struct((-F.col("margin")).alias("_m"),
+                     F.col("tgt_id").alias("_t"))).alias("_b"))
+        .select("src_id", "_b.tgt_id", "_b.cosine", "_b.margin")
+    )
+    return best.filter(F.col("margin") >= threshold)

@@ -1342,3 +1342,71 @@ def test_pack_sequences_drops_empty_docs_and_validates(spark):
     assert rows[0]["seq_pos"] == 0  # the empty doc shifted nothing
     with pytest.raises(ValueError):
         pack_sequences(df, seq_tokens=0)
+
+
+def _bitext_py(src, tgt, k, threshold):
+    """Pure-Python margin oracle (round-6 cosines, quantized means)."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    sc = {(i, j): cos(v, w) for i, v in src for j, w in tgt}
+    def mean(vals):
+        q = [round(v * 1e6) for v in vals]
+        return sum(q) / (len(q) * 1e6)
+    ms = {i: mean(sorted((sc[(i, j)] for j, _ in tgt), reverse=True)[:k])
+          for i, _ in src}
+    mt = {j: mean(sorted((sc[(i, j)] for i, _ in src), reverse=True)[:k])
+          for j, _ in tgt}
+    out = {}
+    for i, _ in src:
+        best = min(((-round(sc[(i, j)] / (ms[i] / 2 + mt[j] / 2), 6), j)
+                    for j, _ in tgt))
+        margin, j = -best[0], best[1]
+        if margin >= threshold:
+            out[i] = (j, sc[(i, j)], margin)
+    return out
+
+
+@pytest.mark.spark
+def test_bitext_margin_matches_python_oracle(spark):
+    import random as _random
+
+    from commoncrawl_spark.operators.similarity import bitext_margin_pairs
+
+    rng = _random.Random(9)
+    src = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    tgt = [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+           for i in range(10)]
+    sdf = spark.createDataFrame(src, "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(tgt, "vec_id long, embedding array<double>")
+    got = {r["src_id"]: (r["tgt_id"], r["cosine"], r["margin"])
+           for r in bitext_margin_pairs(sdf, tdf, k=3,
+                                        threshold=1.0).collect()}
+    assert got == _bitext_py(src, tgt, 3, 1.0)
+
+
+@pytest.mark.spark
+def test_bitext_margin_demotes_hub(spark):
+    """A 'hub' target moderately near EVERY source must lose to a true
+    translation pair: raw cosine picks the hub, the margin does not."""
+    from commoncrawl_spark.operators.similarity import bitext_margin_pairs
+
+    # source 1 has a true match t1 (cos ~0.95); the hub is cos ~0.9 to
+    # every source, so its neighborhood mean is ~0.9 and its margin ~1
+    src = [(1, [1.0, 0.1, 0.0]), (2, [0.0, 1.0, 0.1]), (3, [0.1, 0.0, 1.0])]
+    hub = [0.577, 0.577, 0.577]
+    tgt = [(101, [1.0, 0.12, 0.0]),   # true match for 1
+           (999, hub)]
+    sdf = spark.createDataFrame(src, "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(tgt, "vec_id long, embedding array<double>")
+    got = {r["src_id"]: r["tgt_id"]
+           for r in bitext_margin_pairs(sdf, tdf, k=2,
+                                        threshold=0.0).collect()}
+    assert got[1] == 101  # margin prefers the true pair over the hub
+    with pytest.raises(ValueError):
+        bitext_margin_pairs(sdf, tdf, k=0)
