@@ -1656,6 +1656,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=4, threshold=1.1)
     q["bitext_pairs"] = bitext_pairs
 
+    def alias_collapse(spark, sf):
+        """The composed URL-identity pipeline: odd doc urls 301 to
+        their even twin (resolve_redirects), even pages declare a
+        rel=canonical (page_directives), and capture identity =
+        coalesce(canonical-of-final, final) — so a capture of the odd
+        alias, the even variant, and any other url sharing the
+        canonical all collapse to ONE corpus identity (the fetch-side
+        and publisher-side alias machinery chained, which is how real
+        pipelines dedup print/AMP/redirect variants before any text
+        hashing runs). Output: one row per identity with alias count
+        and the min alias url."""
+        from commoncrawl_spark.operators.links import (
+            page_directives,
+            resolve_redirects,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        u = lambda c: F.concat(F.lit("https://ac.test/a/"),  # noqa: E731
+                               c.cast("string"))
+        even = d.filter(F.col("doc_id") % 2 == 0)
+        odd = d.filter(F.col("doc_id") % 2 == 1)
+        pages = even.select(
+            u(F.col("doc_id")).alias("url"),
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="/c/'),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit('"></head></html>'),
+            ).cast("binary").alias("html"),
+        )
+        redirects = odd.select(
+            u(F.col("doc_id")).alias("url"),
+            u(F.col("doc_id") - 1).alias("location"))
+        resolved = resolve_redirects(redirects, max_hops=4)
+        finals = (
+            odd.select(u(F.col("doc_id")).alias("url"))
+            .join(resolved.select("url", "final_url"), "url", "left")
+            .select("url", F.coalesce("final_url", "url").alias("final"))
+            .unionByName(
+                even.select(u(F.col("doc_id")).alias("url"),
+                            u(F.col("doc_id")).alias("final")))
+        )
+        canon = page_directives(pages).select(
+            F.col("url").alias("final"), "canonical_url")
+        return (
+            finals.join(canon, "final", "left")
+            .select(
+                "url",
+                F.coalesce("canonical_url", "final").alias("identity"))
+            .groupBy("identity")
+            .agg(F.count(F.lit(1)).alias("n_aliases"),
+                 F.min("url").alias("first_url"))
+        )
+    q["alias_collapse"] = alias_collapse
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -4642,6 +4696,20 @@ def oracle_sql() -> dict[str, str]:
            WHERE r = 1)
         SELECT src_id, tgt_id, cosine, margin
         FROM best WHERE margin >= 1.1
+    """
+
+    # alias_collapse: every url's identity from first principles — an
+    # odd id resolves to its even twin, and the even page's canonical
+    # is /c/(even_id % 13); so identity = /c/((id - id%2) % 13)
+    o["alias_collapse"] = """
+        WITH al AS (
+          SELECT 'https://ac.test/a/' || CAST(doc_id AS VARCHAR) AS url,
+                 'https://ac.test/c/'
+                   || CAST((doc_id - doc_id % 2) % 13 AS VARCHAR)
+                   AS identity
+          FROM documents)
+        SELECT identity, COUNT(*) AS n_aliases, MIN(url) AS first_url
+        FROM al GROUP BY identity
     """
 
     o["media_meta"] = """
