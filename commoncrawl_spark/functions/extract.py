@@ -411,8 +411,9 @@ def sniff_mime_col(payload):
     server-declared Content-Type (servers lie: text/html labels on
     PDFs and gzip are routine in real crawls, and the extraction
     router must dispatch on the BYTES). Binary signatures are matched
-    on the hex of the first 8 octets (PDF, gzip, zip, PNG, JPEG, GIF,
-    RIFF); text types on a whitespace-tolerant, case-insensitive
+    on the hex of the first 8 octets (PDF, gzip, zip, PNG, JPEG, GIF;
+    RIFF containers route by the format tag at offset 9-12 — WebP vs
+    WAV vs AVI); text types on a whitespace-tolerant, case-insensitive
     prefix of the decoded string (HTML doctype/tag, XML declaration,
     JSON value); anything else falls back to ``text/plain`` when the
     256-byte head is NUL-free, ``application/octet-stream`` otherwise.
@@ -435,7 +436,16 @@ def sniff_mime_col(payload):
         .when(h.startswith("FFD8FF"), "image/jpeg")
         .when(h.startswith("474946383761"), "image/gif")           # GIF87a
         .when(h.startswith("474946383961"), "image/gif")           # GIF89a
-        .when(h.startswith("52494646"), "audio/x-riff")            # RIFF
+        # RIFF is a CONTAINER: the format tag at offset 9-12 decides
+        # (WebP images are ubiquitous web bytes — audio would misroute)
+        .when(h.startswith("52494646"),
+              F.when(F.hex(F.substring(payload, 9, 4)) == "57454250",
+                     "image/webp")                                 # WEBP
+              .when(F.hex(F.substring(payload, 9, 4)) == "57415645",
+                    "audio/x-wav")                                 # WAVE
+              .when(F.hex(F.substring(payload, 9, 4)) == "41564920",
+                    "video/x-msvideo")                             # AVI
+              .otherwise("application/x-riff"))
         .when(head.rlike(r"(?i)^\s*<(!doctype\s+html|html)"), "text/html")
         .when(head.rlike(r"^\s*<\?xml"), "application/xml")
         .when(head.rlike(r'^\s*[\[{]'), "application/json")

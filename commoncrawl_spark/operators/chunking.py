@@ -133,9 +133,13 @@ def pack_sequences(
         raise ValueError("eod_tokens must be >= 0")
     from pyspark.sql import Window
 
+    # second sort key: duplicate ids within a shard (repeat captures)
+    # would otherwise keep shuffle arrival order and make every later
+    # offset run-dependent — the wet_segments duplicate-url argument;
+    # equal (id, n) twins are interchangeable (identical spans)
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(id_col)
+        .orderBy(id_col, "_n")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     sized = (

@@ -514,18 +514,30 @@ def resolve_redirects(
     )
 
 
-_META_ROBOTS_NC = (
-    r'(?i)<meta\s[^>]*?name\s*=\s*["\']robots["\'][^>]*?'
-    r'content\s*=\s*["\']([^"\']*)["\']')
-_META_ROBOTS_CN = (
-    r'(?i)<meta\s[^>]*?content\s*=\s*["\']([^"\']*)["\'][^>]*?'
-    r'name\s*=\s*["\']robots["\']')
-_CANONICAL_RH = (
-    r'(?i)<link\s[^>]*?rel\s*=\s*["\']canonical["\'][^>]*?'
-    r'href\s*=\s*["\']([^"\']*)["\']')
-_CANONICAL_HR = (
-    r'(?i)<link\s[^>]*?href\s*=\s*["\']([^"\']*)["\'][^>]*?'
-    r'rel\s*=\s*["\']canonical["\']')
+# one pattern per quoting style (the _HREF_RE discipline above: a
+# shared ["'] class would let a closing quote pair with the WRONG
+# opening quote and truncate values containing the other quote char,
+# e.g. href="it's-here") x one per attribute order
+_META_ROBOTS_RES = [
+    r'(?i)<meta\s[^>]*?name\s*=\s*["\']?robots["\']?[^>]*?'
+    r'content\s*=\s*"([^"]*)"',
+    r"(?i)<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?"
+    r"content\s*=\s*'([^']*)'",
+    r'(?i)<meta\s[^>]*?content\s*=\s*"([^"]*)"[^>]*?'
+    r'name\s*=\s*["\']?robots["\']?',
+    r"(?i)<meta\s[^>]*?content\s*=\s*'([^']*)'[^>]*?"
+    r"name\s*=\s*[\"']?robots[\"']?",
+]
+_CANONICAL_RES = [
+    r'(?i)<link\s[^>]*?rel\s*=\s*["\']?canonical["\']?[^>]*?'
+    r'href\s*=\s*"([^"]*)"',
+    r"(?i)<link\s[^>]*?rel\s*=\s*[\"']?canonical[\"']?[^>]*?"
+    r"href\s*=\s*'([^']*)'",
+    r'(?i)<link\s[^>]*?href\s*=\s*"([^"]*)"[^>]*?'
+    r'rel\s*=\s*["\']?canonical["\']?',
+    r"(?i)<link\s[^>]*?href\s*=\s*'([^']*)'[^>]*?"
+    r"rel\s*=\s*[\"']?canonical[\"']?",
+]
 _A_TAG_RE = r"(?i)<a(\s[^>]*)?>"
 _NOFOLLOW_RE = r'(?i)rel\s*=\s*["\'][^"\']*nofollow'
 
@@ -560,22 +572,29 @@ def page_directives(
     n_nofollow_links)``, one row per page.
     """
     text = F.col(html_col).cast("string")
-    robots = F.lower(F.coalesce(
-        F.nullif(F.regexp_extract(text, _META_ROBOTS_NC, 1), F.lit("")),
-        F.nullif(F.regexp_extract(text, _META_ROBOTS_CN, 1), F.lit("")),
-        F.lit(""),
-    ))
-    canonical = F.coalesce(
-        F.nullif(F.regexp_extract(text, _CANONICAL_RH, 1), F.lit("")),
-        F.nullif(F.regexp_extract(text, _CANONICAL_HR, 1), F.lit("")),
-    )
+    # ALL robots meta tags, not just the first — multiple tags are
+    # legal and ADDITIVE (a second tag's nofollow must still gate link
+    # expansion), so every directive flag tests every extracted content
+    robots_all = F.concat(*[
+        F.regexp_extract_all(text, F.lit(p), F.lit(1))
+        for p in _META_ROBOTS_RES
+    ])
+
+    def _has_directive(word: str):
+        pat = rf"(?i)(^|[\s,]){word}([\s,]|$)"
+        return F.exists(robots_all, lambda c: c.rlike(pat))
+
+    canonical = F.coalesce(*[
+        F.nullif(F.regexp_extract(text, p, 1), F.lit(""))
+        for p in _CANONICAL_RES
+    ])
     a_tags = F.regexp_extract_all(text, F.lit(_A_TAG_RE), F.lit(0))
     n_nofollow = F.size(
         F.filter(a_tags, lambda t: t.rlike(_NOFOLLOW_RE)))
     return pages.select(
         F.col(url_col),
-        robots.rlike(r"(^|[\s,])noindex([\s,]|$)").alias("noindex"),
-        robots.rlike(r"(^|[\s,])nofollow([\s,]|$)").alias("nofollow"),
+        _has_directive("noindex").alias("noindex"),
+        _has_directive("nofollow").alias("nofollow"),
         absolutize_col(canonical, F.col(url_col)).alias("canonical_url"),
         F.size(a_tags).alias("n_links"),
         n_nofollow.alias("n_nofollow_links"),

@@ -36,6 +36,21 @@ from ..functions.text import token_count_col
 _U32 = 4294967296.0  # 2^32: md5-prefix bucket -> uniform [0, 1)
 
 
+def _md5_u32(id_col: str, salt: str):
+    """First 8 md5 hex chars of ``(id, salt)`` as a double in
+    [0, 2^32) — the engine-reproducible uniform draw every sampler in
+    this module derives from (divide by ``_U32`` for [0,1); add 0.5
+    first to keep ``ln`` off exact zero). One definition so the
+    cross-engine hash-width/salt convention cannot silently diverge
+    between operators (each DuckDB oracle replays this expression)."""
+    return (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 8), 16, 10)
+        .cast("long").cast("double")
+    )
+
+
 def dsir_logratio_scores(
     df: DataFrame,
     target: DataFrame,
@@ -162,12 +177,7 @@ def sample_token_budget(
             ).alias("keep_frac"),
         )
     )
-    u01 = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-            1, 8), 16, 10)
-        .cast("long").cast("double") / F.lit(_U32)
-    )
+    u01 = _md5_u32(id_col, salt) / F.lit(_U32)
     return (
         with_n.join(F.broadcast(frac), group_col)
         .where(u01 < F.col("keep_frac"))
@@ -255,12 +265,7 @@ def weighted_sample_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    u01 = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-            1, 8), 16, 10)
-        .cast("long").cast("double") + 0.5
-    ) / F.lit(_U32)
+    u01 = (_md5_u32(id_col, salt) + 0.5) / F.lit(_U32)
     w = F.col(weight_col).cast("double")
     keyed = (
         df.where(F.col(weight_col).isNotNull() & (w > 0))

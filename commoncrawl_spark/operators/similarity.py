@@ -483,16 +483,16 @@ def bitext_margin_pairs(
                    F.col(vec_col).alias("_sv"))
     t = F.broadcast(tgt.select(F.col(id_col).alias("tgt_id"),
                                F.col(vec_col).alias("_tv")))
-    # three consumers (two k-NN means + the margin join) — eager
-    # localCheckpoint materializes the scoring pass once and leaves no
-    # persisted-cache footgun (blocks drain via ContextCleaner; the
-    # library-owned-lifecycle rule from the r02 verdict)
-    scored = (
-        s.join(t)
-        .select("src_id", "tgt_id",
-                cosine_col(F.col("_sv"), F.col("_tv")).alias("cosine"))
-        .localCheckpoint(eager=True)
-    )
+    # deliberately NOT persisted/checkpointed: scored is the widest
+    # possible intermediate (|S| x |T|) but also the CHEAPEST to
+    # recompute — a scan-stage broadcast nested loop with no shuffle —
+    # so the three consumers (two k-NN means + the margin join) each
+    # re-derive it for free, where materializing ~|S|*|T| rows to
+    # executor storage would fill local disks at the operator's own
+    # documented regime (10^9 src x bounded tgt)
+    scored = s.join(t).select(
+        "src_id", "tgt_id",
+        cosine_col(F.col("_sv"), F.col("_tv")).alias("cosine"))
     ws = Window.partitionBy("src_id").orderBy(
         F.desc("cosine"), F.asc("tgt_id"))
     wt = Window.partitionBy("tgt_id").orderBy(

@@ -235,14 +235,32 @@ def wet_segments(
 
     Returns ``(shard_col, segment: binary)``.
     """
+    return _record_segments(
+        pages, make_wet_record, url_col, text_col, shard_col,
+        date=date, gzip_members=gzip_members)
+
+
+def _record_segments(
+    pages: DataFrame,
+    record_fn,
+    url_col: str,
+    value_col: str,
+    shard_col: str,
+    date: str,
+    gzip_members: bool,
+) -> DataFrame:
+    """Shared WET/WAT segment builder: one hash exchange on the shard
+    key, per-group Python framing bytes that never visit the driver.
+    ``record_fn(url, value, date=...) -> bytes`` is the per-record
+    framer (:func:`make_wet_record` / :func:`make_wat_record`)."""
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by (url, text), not url alone: duplicate captures of one
+        # sort by (url, value), not url alone: duplicate captures of one
         # URL would otherwise keep the shuffle's arrival order and break
         # the byte-identical re-export contract
-        pdf = pdf.sort_values([url_col, text_col])
+        pdf = pdf.sort_values([url_col, value_col])
         recs = [
-            make_wet_record(u, t, date=date)
-            for u, t in zip(pdf[url_col], pdf[text_col])
+            record_fn(u, v, date=date)
+            for u, v in zip(pdf[url_col], pdf[value_col])
         ]
         return pd.DataFrame({
             shard_col: [pdf[shard_col].iloc[0]],
@@ -251,7 +269,7 @@ def wet_segments(
 
     shard_type = pages.schema[shard_col].dataType.simpleString()
     return (
-        pages.select(shard_col, url_col, text_col)
+        pages.select(shard_col, url_col, value_col)
         .groupBy(shard_col)
         .applyInPandas(build, f"{shard_col} {shard_type}, segment binary")
     )
@@ -336,25 +354,9 @@ def wat_segments(
 
     Returns ``(shard_col, segment: binary)``.
     """
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        # (url, payload) sort, not url alone — same duplicate-capture
-        # determinism argument as wet_segments
-        pdf = pdf.sort_values([url_col, payload_col])
-        recs = [
-            make_wat_record(u, p, date=date)
-            for u, p in zip(pdf[url_col], pdf[payload_col])
-        ]
-        return pd.DataFrame({
-            shard_col: [pdf[shard_col].iloc[0]],
-            "segment": [make_warc_segment(recs, gzip_members=gzip_members)],
-        })
-
-    shard_type = pages.schema[shard_col].dataType.simpleString()
-    return (
-        pages.select(shard_col, url_col, payload_col)
-        .groupBy(shard_col)
-        .applyInPandas(build, f"{shard_col} {shard_type}, segment binary")
-    )
+    return _record_segments(
+        pages, make_wat_record, url_col, payload_col, shard_col,
+        date=date, gzip_members=gzip_members)
 
 
 def warc_cdx_index(

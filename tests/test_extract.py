@@ -158,7 +158,10 @@ def test_sniff_mime_binary_magics(spark):
         "jpg": b"\xff\xd8\xff\xe0\x00\x10JFIF",
         "zip": b"PK\x03\x04....",
         "gif87": b"GIF87a....",
-        "riff": b"RIFFxxxxWAVE",
+        "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        "wav": b"RIFFxxxxWAVE",
+        "avi": b"RIFFxxxxAVI LIST",
+        "riff_other": b"RIFFxxxxACON",
         "nul": b"\x00\x01\x02binary-ish",
         "plain": b"just some words",
         "json_ws": b"   [1, 2]",
@@ -175,7 +178,10 @@ def test_sniff_mime_binary_magics(spark):
         "jpg": "image/jpeg",
         "zip": "application/zip",
         "gif87": "image/gif",
-        "riff": "audio/x-riff",
+        "webp": "image/webp",
+        "wav": "audio/x-wav",
+        "avi": "video/x-msvideo",
+        "riff_other": "application/x-riff",
         "nul": "application/octet-stream",
         "plain": "text/plain",
         "json_ws": "application/json",

@@ -593,6 +593,12 @@ def test_page_directives_variants(spark):
         # token boundary: 'nofollowme' is NOT a nofollow directive
         ("u3", '<meta name="robots" content="nofollowme,index">'),
         ("u4", "<a href='/x'>plain</a>"),
+        # the other quote char inside a double-quoted value must not
+        # truncate (the _HREF_RE quote-pairing discipline)
+        ("u5", '<link rel="canonical" href="https://c.test/it\'s-here">'),
+        # multiple robots meta tags are ADDITIVE
+        ("u6", '<meta name="robots" content="noindex">'
+               '<meta name="robots" content="nofollow">'),
     ]
     df = spark.createDataFrame(
         [(f"https://h.test/{u}", h.encode()) for u, h in rows],
@@ -607,6 +613,8 @@ def test_page_directives_variants(spark):
     assert not got["u3"]["noindex"] and not got["u3"]["nofollow"]
     assert got["u3"]["canonical_url"] is None
     assert got["u4"]["n_links"] == 1 and got["u4"]["n_nofollow_links"] == 0
+    assert got["u5"]["canonical_url"] == "https://c.test/it's-here"
+    assert got["u6"]["noindex"] and got["u6"]["nofollow"]
 
 
 @pytest.mark.spark
