@@ -1710,6 +1710,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["alias_collapse"] = alias_collapse
 
+    def host_boilerplate(spark, sf):
+        """Per-host template removal (the statistical analog of the
+        reference's per-site selector lists): 2-word segments appearing
+        on >= 3 docs AND >= 10% of a host's docs are boilerplate; strip
+        them and rebuild each document. Segmentation is per-row, the
+        frequency agg shuffles only (host, md5, id) triples, and the
+        removal is a broadcast anti-join on the slim boilerplate set."""
+        from commoncrawl_spark.operators.text_dedup import (
+            strip_host_boilerplate,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "source", "text")
+        return strip_host_boilerplate(
+            d, host_col="source", seg_words=2, min_docs=3, min_frac=0.1)
+    q["host_boilerplate"] = host_boilerplate
+
     def sitemap_discovery(spark, sf):
         """Synthetic robots.txt bodies (per-doc hosts, two Sitemap
         directives in mixed case/whitespace plus a decoy) -> directive
@@ -3345,6 +3361,58 @@ def oracle_sql() -> dict[str, str]:
     # Spark's slice), keep-first via row_number over the fingerprint
     # ordered by (doc_id, pos) — the same total order as Spark's
     # min(struct(id, pos))
+    # host_boilerplate: identical 2-word segmentation; the boilerplate
+    # gate replayed as a HAVING over (source, segment) distinct-doc
+    # counts joined to per-source doc totals; rebuild = string_agg
+    # ordered by pos over the non-boilerplate segments. min_frac (0.1)
+    # is the same double literal on both engines, so the >= cut is
+    # bit-identical.
+    o["host_boilerplate"] = """
+        WITH words AS (
+          SELECT doc_id, source, string_split(text, ' ') AS w
+          FROM documents
+        ),
+        segbase AS (
+          SELECT doc_id, source,
+                 CAST(ceil(len(w) / 2.0) AS INT) AS n_segments, w
+          FROM words
+        ),
+        numbered AS (
+          SELECT doc_id, source, w, unnest(range(n_segments)) AS i
+          FROM segbase
+        ),
+        segs AS (
+          SELECT doc_id, source, CAST(i AS INT) AS pos,
+                 array_to_string(w[i*2+1 : i*2+2], ' ') AS segment
+          FROM numbered
+        ),
+        host_totals AS (
+          SELECT source, count(DISTINCT doc_id) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        boiler AS (
+          SELECT s.source, md5(s.segment) AS fp
+          FROM segs s JOIN host_totals h ON s.source = h.source
+          GROUP BY s.source, md5(s.segment), h.n_docs
+          HAVING count(DISTINCT s.doc_id) >= 3
+             AND count(DISTINCT s.doc_id) >= 0.1 * h.n_docs
+        ),
+        kept AS (
+          SELECT s.* FROM segs s
+          WHERE NOT EXISTS (
+            SELECT 1 FROM boiler b
+            WHERE b.source = s.source AND b.fp = md5(s.segment))
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(segment, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.source, coalesce(r.text, '') AS text,
+               b.n_segments, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM segbase b LEFT JOIN rebuilt r USING (doc_id)
+    """
+
     o["segment_dedup"] = (
         f"WITH {_sql_segment_ctes('documents')} SELECT * FROM segfinal")
 

@@ -754,6 +754,165 @@ def dedup_segments(
         )
     )
 
+def host_boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    seg_words: int = 2,
+    min_docs: int = 3,
+    min_frac: float = 0.1,
+) -> DataFrame:
+    """Per-host boilerplate detection: a segment is boilerplate on a
+    host when it appears on >= ``min_docs`` of that host's documents AND
+    on >= ``min_frac`` of them (both gates — the fraction alone would
+    flag everything on a two-page host, the count alone would miss
+    site-wide nav bars on giant hosts). This is the template-removal
+    pass web pipelines run BEFORE corpus-level dedup: nav bars, cookie
+    banners, and footers repeat across one site but differ across sites,
+    so corpus-global frequency never catches them (reference analog: the
+    per-site selector lists in extract_from_warc.py:58-156 exist to cut
+    exactly this chrome at extraction time; this operator recovers the
+    same effect statistically when no selector list exists).
+
+    Returns one row per boilerplate fingerprint:
+    ``(host_col, segment, doc_freq, n_docs)`` where ``doc_freq`` counts
+    DISTINCT documents containing the segment (a within-doc repeat
+    counts once — repetition is a different signal, see
+    gopher_ngram_stats).
+
+    Scale shape: segmentation is a per-row array expression (no
+    shuffle); the frequency agg shuffles only (host, 32-byte md5, id)
+    triples — never segment text (the representative segment rides the
+    partial-agg ``first`` slot); per-host doc totals are one tiny
+    groupBy(host) joined back on the host key. At 10^10 pages the
+    shuffled bytes are O(corpus segments x ~50 B), and every aggregate
+    is map-side-partial-friendly.
+    """
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    seg = _exploded_segments(df, text_col, id_col, seg_words,
+                             keep_cols=(host_col,))
+    # distinct (host, fp, id) first (partial-agg dedupe), then count:
+    # countDistinct would plan the same two-stage shape, but the
+    # explicit form lets the segment text ride a min() alongside
+    per_doc = seg.groupBy(host_col, "_fp").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.min("segment").alias("segment"),
+    )
+    host_totals = df.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        per_doc.join(F.broadcast(host_totals), host_col)
+        .filter((F.col("doc_freq") >= F.lit(min_docs))
+                & (F.col("doc_freq") >= F.lit(min_frac) * F.col("n_docs")))
+        .select(host_col, "segment", "doc_freq", "n_docs")
+    )
+
+
+def strip_host_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    seg_words: int = 2,
+    min_docs: int = 3,
+    min_frac: float = 0.1,
+) -> DataFrame:
+    """Remove per-host boilerplate segments (see
+    :func:`host_boilerplate_stats` for the gate) and rebuild each
+    document from its surviving segments in original order. Returns one
+    row per input document:
+    ``(id_col, host_col, text, n_segments, n_kept)`` — a document whose
+    every segment was boilerplate keeps an empty string (same contract
+    as :func:`dedup_segments`).
+
+    Scale shape: the boilerplate set is per-host template lines — tiny
+    relative to the corpus (a host has bounded chrome regardless of page
+    count) — so the removal is a broadcast LEFT ANTI join on
+    (host, fingerprint); reassembly is one groupBy on the document id.
+    One segment-key exchange + one id exchange total, zero Python.
+    """
+    boiler = host_boilerplate_stats(
+        df, text_col, id_col, host_col, seg_words, min_docs, min_frac,
+    ).withColumn("_fp", F.md5(F.col("segment"))).select(host_col, "_fp")
+    seg = _exploded_segments(df, text_col, id_col, seg_words,
+                             keep_cols=(host_col,))
+    kept = seg.join(F.broadcast(boiler), [host_col, "_fp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = _segment_totals(df, text_col, id_col, seg_words,
+                             keep_cols=(host_col,))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            host_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def _exploded_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """One row per ``seg_words``-word segment:
+    ``(id_col, *keep_cols, pos, segment, _fp)``. Same segmentation as
+    :func:`dedup_segments` (consecutive word windows, last one ragged).
+    Per-row array expressions only — no shuffle, no Python."""
+    words = F.col("_words")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segments = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * seg_words + 1, seg_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                  F.split(F.col(text_col), " ").alias("_words"))
+        .select(id_col, *keep_cols, segments.alias("_segs"))
+        .select(id_col, *keep_cols,
+                F.posexplode("_segs").alias("pos", "segment"))
+        .withColumn("_fp", F.md5(F.col("segment")))
+    )
+
+
+def _segment_totals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-document segment count ``(id_col, *keep_cols, n_segments)``
+    — the left side of the rebuild join, so empty documents survive."""
+    words = F.col("_words")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.split(F.col(text_col), " ").alias("_words"),
+    ).select(
+        F.col(id_col), *keep_cols,
+        F.when(n_seg > 0, n_seg).otherwise(F.lit(0)).alias("n_segments"))
+
+
 def duplicate_span_stats(
     df: DataFrame,
     k: int = 20,

@@ -1139,6 +1139,32 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # host boilerplate: slim-key frequency agg, broadcast anti-join
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_host_boilerplate,
+    )
+
+    hb = strip_host_boilerplate(
+        docs.select("doc_id", "source", "text"), host_col="source",
+        seg_words=2, min_docs=3, min_frac=0.1)
+    p = plan_of(hb, label="host-boilerplate")
+    sections.append((
+        "Host boilerplate strip: template lines leave via broadcast anti-join",
+        "Per-host template detection aggregates (host, md5, id) triples "
+        "— segment text rides a min() slot, never the frequency "
+        "exchange; the per-host doc totals broadcast; and the removal "
+        "is a broadcast LEFT ANTI on the boilerplate fingerprints (a "
+        "host's chrome is bounded no matter how many pages it has, so "
+        "the anti side stays broadcast-sized at 10^10 pages). Rebuild "
+        "is one exchange on the doc id.",
+        [f"boilerplate anti-join broadcast: "
+         f"{'BroadcastHashJoin' in p and 'LeftAnti' in p} (expect True)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

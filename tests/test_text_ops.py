@@ -332,6 +332,75 @@ def test_dedup_segments_plan_no_python(spark):
 
 
 @pytest.mark.spark
+def test_host_boilerplate_stats_both_gates(spark):
+    from commoncrawl_spark.operators.text_dedup import host_boilerplate_stats
+
+    # host A: 4 docs, 'nav bar' on 3 of them (>=3 docs, 75% >= 50%);
+    # 'rare bit' on 2 (fails min_docs); host B: 2 docs sharing 'nav bar'
+    # — fails min_docs even though it's 100% of the host
+    df = spark.createDataFrame(
+        [(1, "A", "nav bar body one"), (2, "A", "nav bar body two"),
+         (3, "A", "nav bar rare bit"), (4, "A", "rare bit body four"),
+         (5, "B", "nav bar body five"), (6, "B", "nav bar body six")],
+        "doc_id long, host string, text string")
+    got = {(r["host"], r["segment"]): (r["doc_freq"], r["n_docs"])
+           for r in host_boilerplate_stats(
+               df, seg_words=2, min_docs=3, min_frac=0.5).collect()}
+    assert got == {("A", "nav bar"): (3, 4)}
+
+
+@pytest.mark.spark
+def test_host_boilerplate_within_doc_repeat_counts_once(spark):
+    from commoncrawl_spark.operators.text_dedup import host_boilerplate_stats
+
+    # 'x y' appears twice in doc 1 but only in doc 1 — doc_freq is 1,
+    # never boilerplate regardless of the repeat
+    df = spark.createDataFrame(
+        [(1, "A", "x y x y"), (2, "A", "p q r s"), (3, "A", "t u v w")],
+        "doc_id long, host string, text string")
+    assert host_boilerplate_stats(
+        df, seg_words=2, min_docs=2, min_frac=0.5).count() == 0
+
+
+@pytest.mark.spark
+def test_strip_host_boilerplate_rebuild(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_host_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "nav bar body one"), (2, "A", "nav bar body two"),
+         (3, "A", "nav bar nav bar"),
+         # host B shares the same segment text but is under min_docs —
+         # per-host scoping must leave it untouched
+         (4, "B", "nav bar body four")],
+        "doc_id long, host string, text string")
+    got = {r["doc_id"]: (r["text"], r["n_segments"], r["n_kept"])
+           for r in strip_host_boilerplate(
+               df, seg_words=2, min_docs=3, min_frac=0.5).collect()}
+    assert got[1] == ("body one", 2, 1)
+    assert got[2] == ("body two", 2, 1)
+    assert got[3] == ("", 2, 0)            # all-boilerplate -> empty
+    assert got[4] == ("nav bar body four", 2, 2)  # host B untouched
+
+
+@pytest.mark.spark
+def test_strip_host_boilerplate_plan_shape(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_host_boilerplate,
+    )
+
+    df = spark.createDataFrame([(1, "A", "a b c d")],
+                               "doc_id long, host string, text string")
+    out = strip_host_boilerplate(df, seg_words=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the boilerplate anti-join must be broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+@pytest.mark.spark
 def test_pii_redaction_edges(spark):
     from commoncrawl_spark.functions.text import pii_counts_col, redact_pii_col
 
