@@ -2184,6 +2184,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resize_media(d, width=16, height=4)
     q["media_resize"] = media_resize  # rows-only (binary transform)
 
+    def media_ahash_neardup(spark, sf):
+        """Perceptual-hash image dedup over the binary media column:
+        aHash (stride-sample 32 bytes, threshold vs the sample mean —
+        the deterministic stand-in for decode+downscale, math identical
+        to the PIL drop-in) then Hamming <= 3 pairs via the pigeonhole
+        block self-join shared with simhash. Payload bytes never
+        shuffle — only (id, int64) signatures."""
+        from commoncrawl_spark.operators.multimodal import (
+            media_near_duplicates,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("media")
+        )
+        return media_near_duplicates(
+            d, max_hamming=3, bits=32, blocks=4)
+    q["media_ahash_neardup"] = media_ahash_neardup
+
     # ---- text normalization ----
 
     def text_normalize(spark, sf):
@@ -4800,6 +4818,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 + {_md5_byte(2)} % 32 AS INTEGER) AS n_frames,
                round(({_md5_byte(3)} % 300) / 10.0, 1) AS duration_s
         FROM documents
+    """
+
+    # media_ahash_neardup: identical aHash math — stride-sample 32 bytes
+    # via hex-pair extraction (DuckDB hex() is uppercase like Spark's,
+    # '0x'||pair cast replays conv(,16,10)), strict-greater-than-mean
+    # threshold as exact integer compare (x*32 > sum), then brute-force
+    # all-pairs Hamming (the pigeonhole join is an optimization, not a
+    # semantic — at sf0.01's 500 docs the n^2 oracle is fine)
+    o["media_ahash_neardup"] = """
+        WITH m AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+          WHERE octet_length(encode(text)) > 0
+        ),
+        vals AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32), i ->
+                   ('0x' || substring(hx, CAST((i*n)//32 AS INT)*2 + 1, 2))
+                   ::BIGINT) AS v
+          FROM m
+        ),
+        bits AS (
+          SELECT doc_id,
+                 list_transform(v, x ->
+                   CASE WHEN x*32 > list_sum(v) THEN 1 ELSE 0 END) AS b
+          FROM vals
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN x.b[i] <> y.b[i] THEN 1 ELSE 0 END)) AS INT)
+                   AS hamming
+          FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+        )
+        SELECT a, b, hamming FROM pairs WHERE hamming <= 3
     """
 
     # LSH ANN: hyperplanes are md5-derived, embedded as double literals

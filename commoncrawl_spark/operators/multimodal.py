@@ -197,3 +197,75 @@ def embed_media_udf(payloads: pd.Series) -> pd.Series:
         return (v / np.linalg.norm(v)).tolist()
 
     return payloads.map(emb)
+
+
+def ahash_col(bin_col: Column, bits: int = 32) -> Column:
+    """Average-hash (aHash) perceptual fingerprint of a binary payload,
+    as a non-negative int64 (``bits`` <= 63): stride-sample ``bits``
+    bytes across the payload (the deterministic stand-in for
+    decode-to-grayscale + downscale — same resampling rule as
+    :func:`resize_media`), then bit i = 1 iff sample i is strictly above
+    the sample mean. In deployment the byte buffer is the decoded pixel
+    plane from the PIL/pyav drop-in; the thresholding math — the actual
+    aHash algorithm — is unchanged.
+
+    Pure Catalyst: hex() once, then array expressions over a
+    sequence(0, bits-1) — per-row, no shuffle, no Python. The mean
+    compare is exact integer math (sample*bits > sum), no float
+    division. Empty payloads hash to NULL (no bits, no signal).
+
+    Why aHash and not the media embedding: hash-based image dedup is the
+    cheap first pass (64 bits/image, Hamming-ball lookup) that web-scale
+    multimodal pipelines run before any encoder; pair it with
+    hamming_near_duplicate_pairs for the pigeonhole join."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    hexs = F.hex(bin_col)
+    n = F.octet_length(bin_col)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    vals = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                hexs, (F.floor(i * n / F.lit(bits)) * 2 + 1).cast("int"), 2
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    total = F.aggregate(vals, F.lit(0).cast("long"), lambda a, b: a + b)
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    terms = F.zip_with(
+        vals, weights,
+        lambda v, w: F.when(v * F.lit(bits) > total, w)
+        .otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda a, b: a + b)
+    return F.when(n > 0, sig).otherwise(F.lit(None).cast("long"))
+
+
+def media_near_duplicates(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs ``(a, b, hamming)``:
+    aHash each payload (:func:`ahash_col`), then the pigeonhole
+    Hamming-block self-join shared with simhash
+    (text_dedup.hamming_near_duplicate_pairs) — the join key is
+    (block_idx, chunk_value), never all-pairs, and only (id, int64)
+    rows shuffle; payload bytes never leave the scan stage."""
+    from commoncrawl_spark.operators.text_dedup import (
+        hamming_near_duplicate_pairs,
+    )
+
+    sigs = df.select(
+        F.col(id_col), ahash_col(F.col(bin_col), bits).alias("ahash")
+    )
+    return hamming_near_duplicate_pairs(
+        sigs, sig_col="ahash", id_col=id_col, max_hamming=max_hamming,
+        bits=bits, blocks=blocks, materialize=materialize,
+    )

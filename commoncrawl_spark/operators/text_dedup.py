@@ -565,33 +565,64 @@ def simhash_near_duplicates(
 
     With ``materialize`` the pair set checkpoints eagerly and the
     signature cache is released before returning (module docstring)."""
-    assert max_hamming < blocks
-    width = bits // blocks
-    # cached: the pigeonhole self-join otherwise recomputes the
-    # md5-per-token signature fold on BOTH join branches (no exchange to
-    # reuse under a broadcast join — measured 2x the query's CPU). The
-    # cached frame is just (id, int64) — 16 bytes/row, MEMORY_AND_DISK.
     sims = df.select(
         F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash")
-    ).persist()
+    )
+    return hamming_near_duplicate_pairs(
+        sims, sig_col="simhash", id_col=id_col, max_hamming=max_hamming,
+        bits=bits, blocks=blocks, materialize=materialize,
+    )
+
+
+def hamming_near_duplicate_pairs(
+    sigs: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    blocks: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Pairs ``(a, b, hamming)`` with Hamming distance <= ``max_hamming``
+    between integer bit-signatures (simhash, aHash, any <= 63-bit
+    fingerprint), via the pigeonhole block self-join — the signature
+    splits into ``blocks`` chunks and any pair within distance
+    ``max_hamming < blocks`` agrees exactly on >= 1 chunk, so the join
+    key is (block_idx, chunk_value), never all-pairs. Null signatures
+    (e.g. empty payloads) are dropped — no bits, no neighbors.
+
+    Scale shape: the only exchange is the (block, chunk) equi-join on
+    (id, int64) rows; candidate volume is bounded by chunk-collision
+    counts, not n^2. Generic base under :func:`simhash_near_duplicates`
+    and the multimodal aHash near-dup."""
+    assert max_hamming < blocks
+    width = bits // blocks
+    # cached: the pigeonhole self-join otherwise recomputes the signature
+    # expression (md5-per-token fold / hex byte-sample) on BOTH join
+    # branches (no exchange to reuse under a broadcast join — measured 2x
+    # the query's CPU). The cached frame is just (id, int64) — 16
+    # bytes/row, MEMORY_AND_DISK.
+    sims = sigs.select(
+        F.col(id_col), F.col(sig_col).alias("_sig")
+    ).filter(F.col("_sig").isNotNull()).persist()
     chunked = sims.select(
         id_col,
-        "simhash",
+        "_sig",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), i * width)
+                F.shiftright(F.col("_sig"), i * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 for i in range(blocks)
             ])
         ).alias("block", "chunk"),
     )
     a = chunked.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "block", "chunk"
+        F.col(id_col).alias("a"), F.col("_sig").alias("sig_a"), "block", "chunk"
     )
     b = chunked.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "block", "chunk"
+        F.col(id_col).alias("b"), F.col("_sig").alias("sig_b"), "block", "chunk"
     )
-    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     out = (
         a.join(b, ["block", "chunk"])
         .filter(F.col("a") < F.col("b"))

@@ -1165,6 +1165,27 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # media aHash near-dup: signature-only shuffle, pigeonhole join
+    from commoncrawl_spark.operators.multimodal import media_near_duplicates
+
+    ma = media_near_duplicates(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("media")),
+        max_hamming=3, bits=32, blocks=4, materialize=False)
+    p = plan_of(ma, label="media-ahash-neardup")
+    sections.append((
+        "Media aHash near-dup: payload bytes stay in the scan stage",
+        "aHash is one hex() plus array expressions per row; only "
+        "(id, int64) signatures reach the pigeonhole (block, chunk) "
+        "self-join shared with simhash, so candidate volume is bounded "
+        "by chunk collisions, never all-pairs, and the fat binary "
+        "column never shuffles.",
+        [f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"all-pairs joins: "
+         f"{p.count('CartesianProduct') + p.count('BroadcastNestedLoopJoin')}"
+         f" (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

@@ -1479,3 +1479,61 @@ def test_bitext_margin_demotes_hub(spark):
     assert got[1] == 101  # margin prefers the true pair over the hub
     with pytest.raises(ValueError):
         bitext_margin_pairs(sdf, tdf, k=0)
+
+
+@pytest.mark.spark
+def test_ahash_known_value_and_null(spark):
+    from commoncrawl_spark.operators.multimodal import ahash_col
+    from pyspark.sql import functions as F
+
+    # bytes 00 FF at bits=4: samples [0,0,255,255], sum 510,
+    # v*4 > 510 -> [0,0,1,1] -> 4 + 8 = 12; empty/null payloads -> NULL
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xff")), (2, bytearray(b"")), (3, None)],
+        "id long, m binary")
+    got = {r["id"]: r["h"]
+           for r in df.select("id", ahash_col(F.col("m"), 4).alias("h"))
+                      .collect()}
+    assert got == {1: 12, 2: None, 3: None}
+
+
+@pytest.mark.spark
+def test_ahash_rejects_bad_bits(spark):
+    from commoncrawl_spark.operators.multimodal import ahash_col
+    from pyspark.sql import functions as F
+
+    for bad in (0, 64):
+        with pytest.raises(ValueError):
+            ahash_col(F.col("m"), bad)
+
+
+@pytest.mark.spark
+def test_media_neardup_pairs(spark):
+    from commoncrawl_spark.operators.multimodal import media_near_duplicates
+
+    ramp = bytes(range(64))
+    tweaked = bytes([1]) + bytes(range(1, 64))   # one byte changed
+    inverted = bytes(reversed(range(64)))         # bit-inverted hash
+    df = spark.createDataFrame(
+        [(1, bytearray(ramp)), (2, bytearray(tweaked)),
+         (3, bytearray(inverted))],
+        "doc_id long, media binary")
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in media_near_duplicates(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in k for k in pairs)   # inverted ramp is far
+
+
+@pytest.mark.spark
+def test_media_neardup_plan_no_python_no_allpairs(spark):
+    from commoncrawl_spark.operators.multimodal import media_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"abcdeg"))],
+        "doc_id long, media binary")
+    out = media_near_duplicates(df, materialize=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
