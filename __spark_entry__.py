@@ -2202,6 +2202,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, max_hamming=3, bits=32, blocks=4)
     q["media_ahash_neardup"] = media_ahash_neardup
 
+    def hll_host_cardinality(spark, sf):
+        """Per-host distinct-URL cardinality via mergeable HLL sketches
+        (Spark 4 DataSketches): the corpus splits into two deterministic
+        'snapshots' (doc_id parity), each builds per-source sketches
+        independently, and the merged sketches answer the union distinct
+        count WITHOUT rescanning either half — the history-free shape a
+        10^10-URL crawl needs (count_distinct over the raw union
+        re-shuffles the corpus per question; sketch merge shuffles
+        4 KiB/key). At test scale the sketch is in its exact coupon
+        regime so distinct_est == exact count deterministically (module
+        docstring); the estimation regime's ~1.6% RSE is pinned at 200k
+        distinct in tests/test_sketches.py."""
+        from commoncrawl_spark.operators.sketches import (
+            build_sketches, estimate_cardinality, merge_sketches,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "source")
+        a = build_sketches(
+            d.filter(F.col("doc_id") % 2 == 0), ["source"], "doc_id")
+        b = build_sketches(
+            d.filter(F.col("doc_id") % 2 == 1), ["source"], "doc_id")
+        m = merge_sketches(a, b, key_cols=["source"])
+        return estimate_cardinality(m, ["source"])
+    q["hll_host_cardinality"] = hll_host_cardinality
+
     # ---- text normalization ----
 
     def text_normalize(spark, sf):
@@ -4854,6 +4879,18 @@ def oracle_sql() -> dict[str, str]:
           FROM bits x JOIN bits y ON x.doc_id < y.doc_id
         )
         SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+    # hll_host_cardinality: at sf0.01 every per-source cardinality sits
+    # in the HLL sketch's exact (coupon) regime, so the estimate equals
+    # count(DISTINCT) exactly and deterministically — the oracle states
+    # the semantic (distinct count), not the sketch internals; the
+    # estimation-regime tolerance is pinned in tests/test_sketches.py
+    o["hll_host_cardinality"] = """
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_est,
+               count(*) AS n_rows
+        FROM documents GROUP BY source
     """
 
     # LSH ANN: hyperplanes are md5-derived, embedded as double literals

@@ -1186,6 +1186,33 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # HLL sketches: history-free distinct counts, blob-only merge shuffle
+    from commoncrawl_spark.operators.sketches import (
+        build_sketches, estimate_cardinality, merge_sketches,
+    )
+
+    ka = build_sketches(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source"),
+        ["source"], "doc_id")
+    kb = build_sketches(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source"),
+        ["source"], "doc_id")
+    hc = estimate_cardinality(
+        merge_sketches(ka, kb, key_cols=["source"]), ["source"])
+    p = plan_of(hc, label="hll-cardinality")
+    sections.append((
+        "HLL cardinality sketches: distinct counts without rescanning history",
+        "Each snapshot sketches map-side (partial_hll_sketch_agg) and "
+        "ships only (key, ~4 KiB blob) rows through its exchange; the "
+        "cross-snapshot merge shuffles blobs, never raw values — the "
+        "10^10-URL distinct-count question costs O(hosts), not "
+        "O(corpus), once snapshots persist their sketch tables.",
+        [f"map-side partial sketching: {'partial_hll_sketch_agg' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats
