@@ -1219,6 +1219,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             compare_cols=("status", "length"), tiebreak_cols=("event_id",))
     q["capture_diff"] = capture_diff
 
+    def warc_revisit(spark, sf):
+        """Digest-based WARC revisit classification (the Common Crawl
+        storage saver: unchanged recrawls become pointer records, not
+        stored bytes): captures before the cutoff are the prior
+        snapshot's stored originals; each current capture is a
+        'response' (first time this (url, digest) is seen) or a
+        'revisit' referring to the original's timestamp — prior match
+        wins, else the batch-earliest (ts, event_id) capture is the
+        original. One min(struct) fold + two equi-joins on the
+        (url, digest) key; no windows, no Python."""
+        from commoncrawl_spark.operators.temporal import revisit_records
+
+        cut = "20240103000000"
+        cdx = _events_cdx(spark, sf).withColumn(
+            "digest",
+            F.md5(F.concat(
+                F.col("url"), F.lit(":"),
+                (F.col("event_id") % 3).cast("string"))))
+        prior = (
+            cdx.filter(F.col("timestamp") < cut)
+            .groupBy("url", "digest")
+            .agg(F.min("timestamp").alias("timestamp"))
+        )
+        cur = cdx.filter(F.col("timestamp") >= cut)
+        return revisit_records(
+            cur, prior, tiebreak_cols=("event_id",)
+        ).select("event_id", "url", "timestamp", "digest",
+                 "record_type", "refers_to_ts")
+    q["warc_revisit"] = warc_revisit
+
     def blocklist_filter(spark, sf):
         """UT1-style domain blocklist over the capture log: hosts explode
         into dot-suffixes and a broadcast equi semi-join finds blocked
@@ -3351,6 +3381,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM elig)
         SELECT url, event_id, status, mime_detected, length, "timestamp"
         FROM rnk WHERE rn = 1
+    """
+
+    # warc_revisit: the same digest synthesis (DuckDB md5(VARCHAR) hashes
+    # UTF-8 = Spark md5 of the concat), prior originals = min ts per
+    # (url, digest) before the cutoff; the batch original is rn=1 over
+    # (ts, event_id) — the same total order as Spark's min(struct); its
+    # refers_to is the partition-min timestamp
+    o["warc_revisit"] = f"""
+        WITH base AS ({_EV_CDX_SQL}),
+        cdx AS (
+          SELECT *, md5(url || ':' || CAST(event_id % 3 AS VARCHAR))
+                 AS digest
+          FROM base),
+        pri AS (
+          SELECT url, digest, min("timestamp") AS pts
+          FROM cdx WHERE "timestamp" < '20240103000000'
+          GROUP BY url, digest),
+        cur AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY url, digest
+                   ORDER BY "timestamp", event_id) AS rn,
+                 min("timestamp") OVER (PARTITION BY url, digest) AS fts
+          FROM cdx WHERE "timestamp" >= '20240103000000')
+        SELECT c.event_id, c.url, c."timestamp", c.digest,
+               CASE WHEN p.pts IS NOT NULL THEN 'revisit'
+                    WHEN c.rn = 1 THEN 'response'
+                    ELSE 'revisit' END AS record_type,
+               CASE WHEN p.pts IS NOT NULL THEN p.pts
+                    WHEN c.rn = 1 THEN NULL
+                    ELSE c.fts END AS refers_to_ts
+        FROM cur c LEFT JOIN pri p USING (url, digest)
     """
 
     # capture_diff: latest-as-of at each cutoff via row_number (same total

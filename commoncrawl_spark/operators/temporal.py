@@ -315,3 +315,75 @@ def snapshot_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def revisit_records(
+    captures: DataFrame,
+    prior: DataFrame | None = None,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    ts_col: str = "timestamp",
+    tiebreak_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Digest-based capture dedup in the Common Crawl / Heritrix WARC
+    shape: a capture whose payload digest was already stored becomes a
+    ``revisit`` record pointing at the original instead of storing the
+    bytes again — at web scale most recrawled pages are unchanged, so
+    this is the single biggest storage saver a crawl archive has.
+
+    Classification per capture:
+    - its (url, digest) exists in ``prior`` (originals stored by earlier
+      snapshots) -> ``revisit`` referring to the prior original's
+      timestamp — even the batch-earliest capture, the bytes are
+      already archived;
+    - else the lexicographically earliest (ts, *tiebreaks) capture of
+      each (url, digest) group is the ``response`` (new original) and
+      every later same-digest capture is a ``revisit`` referring to it;
+    - a changed digest is simply a new group -> new ``response``.
+
+    ``prior`` needs columns (url, digest, ts) — e.g. the output of this
+    function filtered to responses, or ``latest_as_of`` folds per
+    (url, digest). Returns ``captures`` plus ``record_type`` and
+    ``refers_to_ts`` (NULL on responses).
+
+    Scale shape: one map-side-partial min(struct) aggregate plus two
+    equi-joins, all on the same (url, digest) key — co-partitioned under
+    AQE, no windows, no Python. The revisit pointer is carried as a
+    timestamp, not bytes; payloads for revisits never move at all.
+    """
+    key = [url_col, digest_col]
+    tb = list(tiebreak_cols)
+    orig_struct = F.min(F.struct(ts_col, *tb)).alias("_orig")
+    batch_orig = captures.groupBy(*key).agg(orig_struct).select(
+        *key,
+        F.col(f"_orig.{ts_col}").alias("_first_ts"),
+        *[F.col(f"_orig.{c}").alias(f"_first_{c}") for c in tb],
+    )
+    out = captures.join(batch_orig, key)
+    if prior is not None:
+        p = prior.select(
+            F.col(url_col), F.col(digest_col),
+            F.col(ts_col).alias("_prior_ts"),
+        ).groupBy(*key).agg(F.min("_prior_ts").alias("_prior_ts"))
+        out = out.join(p, key, "left")
+    else:
+        ts_type = captures.schema[ts_col].dataType
+        out = out.withColumn("_prior_ts", F.lit(None).cast(ts_type))
+    is_first = (F.col(ts_col) == F.col("_first_ts"))
+    for c in tb:
+        is_first = is_first & (F.col(c) == F.col(f"_first_{c}"))
+    rec_type = (
+        F.when(F.col("_prior_ts").isNotNull(), F.lit("revisit"))
+        .when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+    )
+    refers = (
+        F.when(F.col("_prior_ts").isNotNull(), F.col("_prior_ts"))
+        .when(is_first, F.lit(None).cast(captures.schema[ts_col].dataType))
+        .otherwise(F.col("_first_ts"))
+    )
+    return out.select(
+        *captures.columns,
+        rec_type.alias("record_type"),
+        refers.alias("refers_to_ts"),
+    )

@@ -1213,6 +1213,32 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # WARC revisit: digest-keyed fold + joins, payloads never move
+    from commoncrawl_spark.operators.temporal import revisit_records
+
+    rv_cdx = docs.select(
+        F.col("doc_id").alias("event_id"),
+        F.col("source").alias("url"),
+        F.md5(F.col("text")).alias("digest"),
+        F.col("doc_id").cast("string").alias("timestamp"))
+    rv = revisit_records(
+        rv_cdx.filter(F.col("doc_id") % 2 == 0),
+        rv_cdx.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("url", "digest").agg(F.min("timestamp").alias("timestamp")))
+    p = plan_of(rv, label="warc-revisit")
+    sections.append((
+        "WARC revisit classification: pointers instead of stored bytes",
+        "Every operation keys on (url, digest): one map-side-partial "
+        "min(struct) fold elects each group's original, then two "
+        "equi-joins (batch originals, prior originals) attach the "
+        "refers-to pointer. Revisit payloads are never shuffled or "
+        "stored — the pointer is a timestamp, which is the whole point "
+        "of the record type at archive scale.",
+        [f"map-side partial fold: {'partial_min' in p} (expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

@@ -343,3 +343,57 @@ def test_crawl_budget_multi_row_robots_does_not_fan_out(spark):
     # shrunk b.test's share
     assert by["b.test"]["quota"] == 5
     assert by["a.test"]["quota"] == 5
+
+
+@pytest.mark.spark
+def test_revisit_records_classification(spark):
+    from commoncrawl_spark.operators.temporal import revisit_records
+
+    cur = spark.createDataFrame(
+        [
+            (1, "u1", "d1", "20240103000000"),  # prior has (u1,d1) -> revisit
+            (2, "u1", "d2", "20240104000000"),  # new digest -> response
+            (3, "u1", "d2", "20240105000000"),  # repeat in batch -> revisit->2
+            (4, "u2", "d9", "20240104000000"),  # unseen url -> response
+        ],
+        "event_id long, url string, digest string, timestamp string")
+    prior = spark.createDataFrame(
+        [("u1", "d1", "20240101000000")],
+        "url string, digest string, timestamp string")
+    got = {r["event_id"]: (r["record_type"], r["refers_to_ts"])
+           for r in revisit_records(cur, prior).collect()}
+    assert got == {
+        1: ("revisit", "20240101000000"),
+        2: ("response", None),
+        3: ("revisit", "20240104000000"),
+        4: ("response", None),
+    }
+
+
+@pytest.mark.spark
+def test_revisit_records_no_prior_and_tiebreak(spark):
+    from commoncrawl_spark.operators.temporal import revisit_records
+
+    # equal timestamps: the lower event_id is the original
+    cur = spark.createDataFrame(
+        [(5, "u", "d", "20240104000000"), (4, "u", "d", "20240104000000")],
+        "event_id long, url string, digest string, timestamp string")
+    got = {r["event_id"]: (r["record_type"], r["refers_to_ts"])
+           for r in revisit_records(cur, None).collect()}
+    assert got == {4: ("response", None),
+                   5: ("revisit", "20240104000000")}
+
+
+@pytest.mark.spark
+def test_revisit_records_plan_no_window_no_python(spark):
+    from commoncrawl_spark.operators.temporal import revisit_records
+
+    cur = spark.createDataFrame(
+        [(1, "u", "d", "t1")],
+        "event_id long, url string, digest string, timestamp string")
+    out = revisit_records(cur, None)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan      # map-side partial original fold
