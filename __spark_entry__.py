@@ -2411,6 +2411,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_logprob_scores(d)
     q["lm_bigram"] = lm_bigram
 
+    def lm_kneser_ney(spark, sf):
+        """Interpolated Kneser-Ney bigram scoring (the KenLM smoothing):
+        absolute-discounted pair probability backed off to the
+        continuation probability N1+(.,w2)/T — self-trained on the
+        corpus, mean ln P_KN per document. Same single token-pair
+        shuffle as the other LM scorers; the four model tables are
+        type-bounded broadcasts."""
+        from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return kneser_ney_scores(d, discount=0.75)
+    q["lm_kneser_ney"] = lm_kneser_ney
+
     def stupid_backoff(spark, sf):
         """Stupid Backoff scoring (Brants et al. 2007): train the
         bigram + unigram tables on the even-doc_id half, score the
@@ -5183,6 +5196,45 @@ def oracle_sql() -> dict[str, str]:
           FROM bg b
           JOIN counts c USING (w1, w2)
           JOIN ctx x USING (w1)
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               s.avg_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # lm_kneser_ney: the exact interpolated-KN arithmetic replayed
+    # operand-for-operand (discount 0.75 as the same double literal);
+    # n_follow/n_precede/T are row counts over the distinct-pair table
+    o["lm_kneser_ney"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {toks_doc} AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(t[1:len(t) - 1]) AS w1,
+                 unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2),
+        counts AS (
+          SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+        ctx AS (
+          SELECT w1, CAST(sum(cnt) AS DOUBLE) AS c1,
+                 CAST(count(*) AS DOUBLE) AS n_follow
+          FROM counts GROUP BY w1),
+        cont AS (
+          SELECT w2, CAST(count(*) AS DOUBLE) AS n_precede
+          FROM counts GROUP BY w2),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS types FROM counts),
+        scored AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln(
+                   greatest(CAST(c.cnt AS DOUBLE) - 0.75, 0.0) / x.c1
+                   + (0.75 * x.n_follow / x.c1)
+                     * (k.n_precede / tt.types))), 6) AS avg_logprob
+          FROM bg b
+          JOIN counts c USING (w1, w2)
+          JOIN ctx x USING (w1)
+          JOIN cont k USING (w2)
+          CROSS JOIN tt
           GROUP BY b.doc_id)
         SELECT d.doc_id,
                coalesce(s.n_bigrams, 0) AS n_bigrams,

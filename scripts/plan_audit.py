@@ -1239,6 +1239,27 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # Kneser-Ney LM: one token-pair shuffle, broadcast model tables
+    from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+    kn = kneser_ney_scores(docs.select("doc_id", "text"))
+    p = plan_of(kn, label="kneser-ney")
+    sections.append((
+        "Kneser-Ney scoring: model tables broadcast, text never shuffles",
+        "Identical shape to the other LM scorers: the per-doc pair "
+        "frequency table is the only corpus-size exchange (slim token "
+        "keys, map-side partial); counts/context/continuation tables "
+        "and the 1-row type total are type-bounded broadcasts, so the "
+        "KN arithmetic runs inside the scan-side stage and the final "
+        "exchange is the per-document re-aggregation.",
+        [f"model tables broadcast: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

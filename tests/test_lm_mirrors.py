@@ -195,3 +195,90 @@ def test_lm_scoring_joins_broadcast_model_tables(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "SortMergeJoin" not in plan, fn.__name__
+
+
+@pytest.mark.spark
+def test_kneser_ney_hand_computed(spark):
+    import math
+
+    from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+    # corpus "a b a c": pairs (a,b),(b,a),(a,c) each once
+    # ctx a: c1=2, N1+(a,.)=2; ctx b: c1=1, N1+=1
+    # cont: N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1; T=3; d=0.75
+    # P(b|a) = 0.25/2 + (0.75*2/2)*(1/3) = 0.375
+    # P(a|b) = 0.25/1 + (0.75*1/1)*(1/3) = 0.5
+    # P(c|a) = 0.375
+    df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    r = kneser_ney_scores(df).first()
+    want = round(
+        (math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3, 6)
+    assert r["n_bigrams"] == 3
+    assert r["avg_logprob"] == pytest.approx(want, abs=1e-6)
+
+
+@pytest.mark.spark
+def test_kneser_ney_normalizes(spark):
+    # interpolated KN must sum to exactly 1 over the continuation-type
+    # vocabulary for every context w1: the discounted mass is
+    # 1 - d*N1+(w1,.)/c1 and the redistributed mass is d*N1+(w1,.)/c1
+    from commoncrawl_spark.operators.lm import kneser_ney_scores  # noqa: F401
+
+    corpus = "the cat sat on the mat the cat ran".split()
+    pairs = list(zip(corpus, corpus[1:]))
+    from collections import Counter
+    cnt = Counter(pairs)
+    c1 = Counter(p[0] for p in pairs)
+    n_follow = Counter(p[0] for p in cnt)
+    n_precede = Counter(p[1] for p in cnt)
+    T = len(cnt)
+    d = 0.75
+    w2_types = set(n_precede)
+    for w1 in c1:
+        total = sum(
+            max(cnt.get((w1, w2), 0) - d, 0) / c1[w1]
+            + (d * n_follow[w1] / c1[w1]) * (n_precede[w2] / T)
+            for w2 in w2_types)
+        assert abs(total - 1.0) < 1e-12
+
+
+@pytest.mark.spark
+def test_kneser_ney_short_doc_and_external_oov(spark):
+    from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "x y z")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in kneser_ney_scores(df).collect()}
+    assert got[1] == (0, None)
+    assert got[2][0] == 2 and got[2][1] is not None
+    # external counts missing (x,y): doc 2 nulls, n_bigrams still real
+    ext = spark.createDataFrame(
+        [("y", "z", 3)], "w1 string, w2 string, cnt long")
+    got2 = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in kneser_ney_scores(df, counts=ext).collect()}
+    assert got2[2] == (2, None)
+
+
+@pytest.mark.spark
+def test_kneser_ney_rejects_bad_discount(spark):
+    from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0.0, 1.0, -0.5):
+        with pytest.raises(ValueError):
+            kneser_ney_scores(df, discount=bad)
+
+
+@pytest.mark.spark
+def test_kneser_ney_plan_shape(spark):
+    from commoncrawl_spark.operators.lm import kneser_ney_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    out = kneser_ney_scores(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan   # model tables broadcast
