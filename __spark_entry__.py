@@ -2077,6 +2077,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("node", F.round("trust", 6).alias("trust"))
     q["trustrank_hosts"] = trustrank_hosts
 
+    def spam_mass_hosts(spark, sf):
+        """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
+        skewed host graph: the PageRank fraction NOT endorsed by the
+        trusted-seed walk — (pr/Σpr − tr/Σtr)/(pr/Σpr), candidates at
+        rounded mass >= 0.5. Two fixed-iteration walks over one slim
+        edge table + two 1-row broadcast totals; pure composition of
+        the pagerank/trustrank operators."""
+        from commoncrawl_spark.operators.graph import spam_mass
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        seeds = (
+            d.select((F.col("doc_id") % 97).alias("node"))
+            .filter(F.col("node") % 10 == 0)
+        )
+        return spam_mass(edges, seeds, iters=3, damping=0.85,
+                         threshold=0.5)
+    q["spam_mass_hosts"] = spam_mass_hosts
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -4528,6 +4553,51 @@ def oracle_sql() -> dict[str, str]:
         t2 AS ({_tr_iter.format(prev="t1")}),
         t3 AS ({_tr_iter.format(prev="t2")})
         SELECT node, ROUND(tr, 6) AS trust FROM t3
+    """
+
+    # spam_mass_hosts: both unrolled recurrences composed in one WITH
+    # (the trust iteration rewritten against tnodes to avoid the name
+    # clash), then the exact normalized-difference arithmetic; the
+    # candidate boolean thresholds the ROUNDED mass like the operator
+    _tr_iter_t = _tr_iter.replace("FROM nodes n", "FROM tnodes n")
+    o["spam_mass_hosts"] = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+        r1 AS ({_pr_iter.format(prev="r0")}),
+        r2 AS ({_pr_iter.format(prev="r1")}),
+        r3 AS ({_pr_iter.format(prev="r2")}),
+        s AS (
+          SELECT DISTINCT doc_id % 97 AS node FROM documents
+          WHERE (doc_id % 97) % 10 = 0),
+        ns AS (SELECT COUNT(*) AS n FROM s),
+        tnodes AS (
+          SELECT u.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS bias
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e
+                UNION SELECT node FROM s) u
+          LEFT JOIN s ON s.node = u.node),
+        t0 AS (SELECT node, bias, bias AS tr FROM tnodes),
+        t1 AS ({_tr_iter_t.format(prev="t0")}),
+        t2 AS ({_tr_iter_t.format(prev="t1")}),
+        t3 AS ({_tr_iter_t.format(prev="t2")}),
+        sums AS (
+          SELECT (SELECT SUM(pr) FROM r3) AS ps,
+                 (SELECT SUM(tr) FROM t3) AS ts)
+        SELECT p.node, ROUND(p.pr, 6) AS pr, ROUND(t.tr, 6) AS trust,
+               ROUND((p.pr / ps - t.tr / ts) / (p.pr / ps), 6)
+                 AS spam_mass,
+               ROUND((p.pr / ps - t.tr / ts) / (p.pr / ps), 6) >= 0.5
+                 AS is_candidate
+        FROM r3 p JOIN t3 t USING (node) CROSS JOIN sums
     """
 
     # page_directives: every flag recomputed from the generating

@@ -451,3 +451,57 @@ def cluster_representatives(
             F.max(F.col(score_col)).alias("rep_score"),
         )
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 3,
+    damping: float = 0.85,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a node's PageRank that does NOT flow from trusted
+    seeds. With ``pn = pr / Σpr`` (uniform-teleport PageRank,
+    normalized) and ``tn = tr / Σtr`` (TrustRank, normalized),
+
+        spam_mass = (pn - tn) / pn
+
+    — near 1 for hosts whose whole rank comes from untrusted linkage
+    (link farms: high pr, zero trust), near 0 (or negative) for hosts
+    the seed neighborhood endorses more than the raw graph does.
+    Returns ``(node, pr, trust, spam_mass, is_candidate)`` where
+    ``is_candidate = round(spam_mass, 6) >= threshold`` — thresholding
+    the ROUNDED value so the boolean is bit-stable cross-engine. Only
+    nodes ranked by both walks are returned (inner join on the node
+    key; seeds outside the edge graph have no pr to decompose).
+
+    Scale shape: two fixed-iteration walks over the same slim edge
+    table (each iteration one exchange on the node key, map-side
+    partial), two 1-row broadcast totals, one node-key join — nothing
+    wider than the rank vectors themselves. Composition only: all the
+    iteration machinery is :func:`pagerank` / :func:`trustrank`."""
+    pr = pagerank(edges, src_col, dst_col, iters, damping)
+    tr = trustrank(edges, seeds, src_col, dst_col, seed_col,
+                   iters, damping)
+    pr_sum = pr.agg(F.sum("rank").alias("_ps"))
+    tr_sum = tr.agg(F.sum("trust").alias("_ts"))
+    pn = F.col("rank") / F.col("_ps")
+    tn = F.col("trust") / F.col("_ts")
+    sm = F.round((pn - tn) / pn, 6)
+    return (
+        pr.join(tr, "node")
+        .crossJoin(F.broadcast(pr_sum))
+        .crossJoin(F.broadcast(tr_sum))
+        .select(
+            "node",
+            F.round("rank", 6).alias("pr"),
+            F.round("trust", 6).alias("trust"),
+            sm.alias("spam_mass"),
+            (sm >= F.lit(threshold)).alias("is_candidate"),
+        )
+    )

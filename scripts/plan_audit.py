@@ -1260,6 +1260,30 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # spam mass: two rank walks + broadcast totals, node-key join
+    from commoncrawl_spark.operators.graph import spam_mass
+
+    sm_edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"))
+    sm_seeds = docs.select((F.col("doc_id") % 97).alias("node")).filter(
+        F.col("node") % 10 == 0)
+    sm = spam_mass(sm_edges, sm_seeds)
+    p = plan_of(sm, label="spam-mass")
+    sections.append((
+        "Spam mass: rank vectors only, never the corpus",
+        "Pure composition: the PageRank and TrustRank fixed-iteration "
+        "walks each exchange only the (node, double) rank vector per "
+        "iteration (map-side partial sums over the slim edge table); "
+        "normalization totals are 1-row broadcasts and the final join "
+        "is on the node key. Nothing scales with document count — only "
+        "with the host graph.",
+        [f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

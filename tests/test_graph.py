@@ -354,3 +354,33 @@ def test_trustrank_offgraph_seed_keeps_bias(spark):
          for r in trustrank(df, sdf, iters=3).collect()}
     assert t[99] == pytest.approx(0.15)  # (1-d)*bias, no in-edges
     assert set(t) == {1, 2, 99}
+
+
+@pytest.mark.spark
+def test_spam_mass_flags_link_farm(spark):
+    from commoncrawl_spark.operators.graph import spam_mass
+
+    # trusted seed 1 -> 2; link farm 10 <-> 11 unreachable from seeds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r for r in spam_mass(edges, seeds).collect()}
+    # the farm keeps PageRank but gets zero trust: full spam mass
+    assert got[10]["spam_mass"] == 1.0 and got[10]["is_candidate"]
+    assert got[11]["spam_mass"] == 1.0 and got[11]["is_candidate"]
+    # the trusted pair is endorsed at least as hard by the seeded walk
+    assert got[1]["spam_mass"] < 0.5 and not got[1]["is_candidate"]
+    assert got[2]["spam_mass"] < 0.5 and not got[2]["is_candidate"]
+
+
+@pytest.mark.spark
+def test_spam_mass_plan_no_python_no_window(spark):
+    from commoncrawl_spark.operators.graph import spam_mass
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = spam_mass(edges, seeds)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
