@@ -2140,6 +2140,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=5, n_centroids=16, n_probe=4)
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def hard_negatives(spark, sf):
+        """Hard-negative mining for contrastive training: per anchor,
+        the top-5 LSH-bucket neighbors inside the cosine band
+        [0.1, 0.35) — informative negatives below the near-dup band
+        (the synthetic embeddings are near-orthogonal, so the band sits
+        low; the operator's defaults target real encoder geometry).
+        Same bucket equi-join as ann_lsh_topk, band filter on the
+        6dp-rounded cosine, anchor-partitioned rank window."""
+        from commoncrawl_spark.operators.similarity import (
+            hard_negative_pairs,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        return hard_negative_pairs(
+            e, e.filter(F.col("vec_id") < 10), dim=64,
+            lo=0.1, hi=0.35, k=5, n_planes=6)
+    q["hard_negatives"] = hard_negatives
+
     def ann_ivf_kmeans_topk(spark, sf):
         # trained-centroid IVF variant. Fully oracle-checked since r03:
         # kmeans_centroids is deterministic by construction (quantized
@@ -5064,6 +5082,27 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id) AS rank
           FROM c q JOIN c n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
           WHERE q.vec_id < 10)
+        WHERE rank <= 5
+    """
+
+    # hard_negatives: the LSH bucket join replayed with the band filter
+    # on the same 6dp-rounded cosine, rank over the band survivors only
+    o["hard_negatives"] = f"""
+        WITH c AS (
+          SELECT vec_id, v, {sig_terms} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+        band AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 {_sql_cosine("q.v", "n.v")} AS cosine
+          FROM c q JOIN c n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10
+            AND {_sql_cosine("q.v", "n.v")} >= 0.1
+            AND {_sql_cosine("q.v", "n.v")} < 0.35)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM band)
         WHERE rank <= 5
     """
 

@@ -348,6 +348,12 @@ def main() -> None:
             "trustrank_hosts", "sequence_pack", "wat_export",
             "redirect_resolution", "weighted_sample",
             "page_directives", "mime_sniff",
+            # this-session round-3 additions: per-host template strip,
+            # perceptual-hash media dedup, mergeable HLL cardinality,
+            # WARC revisit classification, Kneser-Ney LM, spam mass
+            "host_boilerplate", "media_ahash_neardup",
+            "hll_host_cardinality", "warc_revisit", "lm_kneser_ney",
+            "spam_mass_hosts", "hard_negatives",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -124,6 +124,25 @@ def lsh_topk(
     cost ~ |corpus| / 2^n_planes per query. The join key is the bucket —
     a shuffle of (id, bucket, vec) once, then equi-join instead of the
     brute-force cross product."""
+    scored = _lsh_scored(corpus, queries, dim, n_planes, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _lsh_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Bucket-join scoring shared by :func:`lsh_topk` and
+    :func:`hard_negative_pairs`: one (id, bucket, vec) projection per
+    side, broadcast queries, equi-join on the bucket, rounded cosine."""
     sig = lambda df, idn, vn: df.select(  # noqa: E731
         F.col(id_col).alias(idn),
         F.col(vec_col).alias(vn),
@@ -131,7 +150,7 @@ def lsh_topk(
     )
     c = sig(corpus, "neighbor_id", "_cv")
     q = F.broadcast(sig(queries, "query_id", "_qv"))
-    scored = (
+    return (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -140,9 +159,42 @@ def lsh_topk(
             cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    lo: float = 0.3,
+    hi: float = 0.9,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the ``k`` most-similar neighbors inside the cosine band
+    ``lo <= cos < hi`` — similar enough to be informative negatives,
+    below the near-duplicate band that would make them false negatives
+    (the standard recipe for dense-retriever and CLIP-style training
+    sets). Ranked hardest-first. Returns
+    ``(query_id, neighbor_id, cosine, rank)``.
+
+    Scale shape: identical to :func:`lsh_topk` — candidates come from
+    the LSH bucket equi-join (never all-pairs; the band filter runs on
+    bucket candidates only), and the per-anchor rank window is
+    PARTITIONED by the anchor key, so no task ever sorts more than one
+    anchor's candidate list. Band edges compare against the 6dp-rounded
+    cosine, so the cut is bit-stable cross-engine."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    scored = _lsh_scored(corpus, queries, dim, n_planes, id_col, vec_col)
+    band = scored.filter(
+        (F.col("cosine") >= F.lit(lo)) & (F.col("cosine") < F.lit(hi)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        band.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

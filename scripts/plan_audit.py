@@ -1284,6 +1284,27 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # hard negatives: bucket-join candidates, anchor-partitioned rank
+    from commoncrawl_spark.operators.similarity import hard_negative_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hn = hard_negative_pairs(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64,
+        lo=0.1, hi=0.35, k=5, n_planes=6)
+    p = plan_of(hn, label="hard-negatives")
+    sections.append((
+        "Hard-negative mining: banded candidates, per-anchor windows only",
+        "Candidates come from the LSH bucket equi-join (the broadcast "
+        "query side), the cosine band filters bucket candidates before "
+        "ranking, and the rank window is PARTITIONED by the anchor key "
+        "— no task sorts more than one anchor's list; the corpus is "
+        "never crossed with itself.",
+        [f"all-pairs joins: "
+         f"{p.count('CartesianProduct') + p.count('BroadcastNestedLoopJoin')}"
+         f" (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

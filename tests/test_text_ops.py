@@ -1537,3 +1537,41 @@ def test_media_neardup_plan_no_python_no_allpairs(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.spark
+def test_hard_negatives_band_and_rank(spark, vectors):
+    from commoncrawl_spark.operators.similarity import (
+        hard_negative_pairs, lsh_topk,
+    )
+
+    df, rows = vectors
+    q = df.filter("vec_id < 5")
+    # the full band reproduces lsh_topk with an unbounded k
+    allpairs = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                for r in lsh_topk(df, q, dim=16, k=10**6,
+                                  n_planes=4).collect()}
+    got = hard_negative_pairs(df, q, dim=16, lo=-0.2, hi=0.2, k=3,
+                              n_planes=4).collect()
+    assert got
+    by_anchor = {}
+    for r in got:
+        assert -0.2 <= r["cosine"] < 0.2          # band respected
+        assert allpairs[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        by_anchor.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cosine"]))
+    for ranks in by_anchor.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        cs = [c for _, c in ranks]
+        assert cs == sorted(cs, reverse=True)      # hardest first
+        assert len(ranks) <= 3
+
+
+@pytest.mark.spark
+def test_hard_negatives_rejects_bad_band(spark, vectors):
+    from commoncrawl_spark.operators.similarity import hard_negative_pairs
+
+    df, _ = vectors
+    with pytest.raises(ValueError):
+        hard_negative_pairs(df, df, dim=16, lo=0.5, hi=0.5)
