@@ -2583,6 +2583,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(d, k=20)
     q["duplicate_spans"] = duplicate_spans
 
+    def exactsubstr_strip(spark, sf):
+        """The DESTRUCTIVE ExactSubstr pass (Lee et al. 2021): cut every
+        token covered by a 20-token window appearing >= 2 times anywhere
+        in the corpus and rebuild each doc from its surviving tokens —
+        duplicate_spans is the measurement, this is the removal. Slim
+        (id, pos, md5) stream + map-side-partial gram counts; the
+        coverage expansion is a per-row zip-shift sliding OR."""
+        from commoncrawl_spark.operators.text_dedup import (
+            strip_duplicate_spans,
+        )
+
+        d = _read(spark, sf, "documents")
+        return strip_duplicate_spans(d, k=20, min_count=2)
+    q["exactsubstr_strip"] = exactsubstr_strip
+
     def selection_pipeline(spark, sf):
         """The round-3 selection family composed as one curation job:
         DSIR gate (keep target-like docs, avg_logratio >= 0) ->
@@ -5562,6 +5577,44 @@ def oracle_sql() -> dict[str, str]:
                             / b.n_tokens, 6)
                  ELSE 0.0 END AS dup_fraction
         FROM base b LEFT JOIN u USING (doc_id)
+    """
+
+    # exactsubstr_strip: the duplicate_spans gram CTEs, then token i is
+    # cut iff a duplicated window STARTS in [i-19, i] (NOT EXISTS
+    # replays the zip-shift sliding OR), rebuild = string_agg over the
+    # survivors in position order
+    o["exactsubstr_strip"] = f"""
+        WITH base AS (
+          SELECT doc_id, {toks_doc} AS t,
+                 len({toks_doc}) AS n
+          FROM documents),
+        h AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos:pos + 19], ' ')) AS gram
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, len(t) - 20 + 2)) AS pos
+                FROM base WHERE len(t) >= 20)),
+        c AS (SELECT gram FROM h GROUP BY gram HAVING count(*) >= 2),
+        st AS (SELECT doc_id, pos FROM h JOIN c USING (gram)),
+        tk AS (
+          SELECT doc_id, unnest(range(1, n + 1)) AS i
+          FROM base WHERE n > 0),
+        kept AS (
+          SELECT tk.doc_id, tk.i FROM tk
+          WHERE NOT EXISTS (
+            SELECT 1 FROM st
+            WHERE st.doc_id = tk.doc_id
+              AND st.pos BETWEEN tk.i - 19 AND tk.i)),
+        rebuilt AS (
+          SELECT k.doc_id,
+                 string_agg(b.t[k.i], ' ' ORDER BY k.i) AS text,
+                 count(*) AS n_kept
+          FROM kept k JOIN base b USING (doc_id)
+          GROUP BY k.doc_id)
+        SELECT b.doc_id, coalesce(r.text, '') AS text,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
     """
 
     # winnowing (Schleimer et al. 2003): k=4 token grams hashed via the

@@ -1316,3 +1316,105 @@ def gopher_ngram_stats(
     for n in dup_ns:
         keep = keep & (F.col(f"dup{n}_word_frac") <= F.lit(dup_max[n]))
     return out.withColumn("repetition_keep", keep)
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DESTRUCTIVE ExactSubstr pass (Lee et al. 2021): cut every
+    token covered by a ``k``-token window that appears >= ``min_count``
+    times anywhere in the corpus (within-doc repeats included — the
+    suffix-array match is position-blind), and rebuild each document
+    from its surviving tokens in order. Drop-all semantics: every copy
+    of a duplicated span is cut, matching the paper's byte-range
+    removal; :func:`duplicate_span_stats` is the non-destructive
+    measurement twin. Returns one row per input document:
+    ``(id_col, text, n_tokens, n_kept)`` — a fully-duplicated document
+    keeps an empty string.
+
+    Scale shape: identical skeleton to duplicate_span_stats — the
+    per-position stream carries (id, pos, 32-byte md5), never text;
+    the corpus count is a map-side-partial groupBy on the fingerprint
+    (a boilerplate window repeated 10^8 times collapses to one partial
+    row per map partition before the exchange); the duplicated-start
+    positions come back as ONE slim array per doc via an id-keyed
+    join. The coverage expansion (token i cut iff a duplicated window
+    STARTS in [i-k+1, i]) is a per-row sliding-window OR computed with
+    the winnowing zip-shift trick — k shifted copies + greatest(),
+    O(n*k) per document, zero extra shuffle, no Python, no windows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens"))
+    n = F.col("n_tokens")
+    grams = (
+        base.where(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("_toks"), p, k))).alias("gram"),
+                ))).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.gram")
+    )
+    gcnt = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    starts = (
+        grams.join(gcnt, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_ps"))
+    )
+    joined = base.join(starts, id_col, "left")
+    # start flags s[j] (j = 1..n): 1 iff a duplicated window starts at
+    # j; positions beyond the last window (j > n-k+1) are always 0, so
+    # padding s to n entries bakes in the end-of-doc clipping
+    pm = F.map_from_arrays(
+        F.col("_ps"), F.array_repeat(F.lit(1), F.size("_ps")))
+    s_pad = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.when(F.map_contains_key(pm, j), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    joined = joined.select(
+        id_col, "_toks", "n_tokens",
+        F.when(F.col("_ps").isNotNull(), s_pad)
+        .otherwise(F.array_repeat(F.lit(0), n)).alias("_s"),
+    )
+    # removed[i] = OR of s[i-k+1 .. i]: reverse, forward-max via the
+    # zip-shift trick (greatest skips arrays_zip's trailing-null
+    # padding = clipped windows), reverse back
+    rev = F.reverse(F.col("_s"))
+    zipped = joined.select(
+        id_col, "_toks", "n_tokens",
+        F.arrays_zip(*[
+            F.slice(rev, i + 1, F.greatest(n - i, F.lit(0))).alias(f"_s{i}")
+            for i in range(k)
+        ]).alias("_z"),
+    )
+    removed = F.reverse(F.transform(
+        F.col("_z"), lambda s: F.greatest(*[s[f"_s{i}"] for i in range(k)])))
+    kept = zipped.select(
+        id_col, "n_tokens",
+        F.array_compact(F.zip_with(
+            F.col("_toks"), removed,
+            lambda t, r: F.when(r == 0, t))).alias("_kept"),
+    )
+    return kept.select(
+        id_col,
+        F.array_join("_kept", " ").alias("text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("_kept").cast("long").alias("n_kept"),
+    )

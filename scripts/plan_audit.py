@@ -1305,6 +1305,25 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # ExactSubstr strip: slim gram streams, per-row coverage expansion
+    from commoncrawl_spark.operators.text_dedup import strip_duplicate_spans
+
+    es = strip_duplicate_spans(docs.select("doc_id", "text"), k=20)
+    p = plan_of(es, label="exactsubstr-strip")
+    sections.append((
+        "ExactSubstr removal: the suffix array as two slim shuffles",
+        "Same skeleton as the measurement twin: (id, pos, 32-byte md5) "
+        "per window position, map-side-partial gram counts (boilerplate "
+        "windows collapse before the exchange), duplicated starts "
+        "return as ONE array per doc via an id-keyed join, and the "
+        "coverage OR + token rebuild are per-row zip-shift array "
+        "expressions — no task ever holds more than one document.",
+        [f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

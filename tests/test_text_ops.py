@@ -1575,3 +1575,49 @@ def test_hard_negatives_rejects_bad_band(spark, vectors):
     df, _ = vectors
     with pytest.raises(ValueError):
         hard_negative_pairs(df, df, dim=16, lo=0.5, hi=0.5)
+
+
+@pytest.mark.spark
+def test_strip_duplicate_spans_semantics(spark):
+    from commoncrawl_spark.operators.text_dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),      # shares 'a b c' with doc 2
+         (2, "x a b c y"),
+         (3, "p q p q p q"),    # within-doc repeats: fully cut
+         (4, "tiny")],          # under k tokens: untouched
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+           for r in strip_duplicate_spans(df, k=3, min_count=2).collect()}
+    assert got == {1: ("d e", 5, 2), 2: ("x y", 5, 2),
+                   3: ("", 6, 0), 4: ("tiny", 1, 1)}
+
+
+@pytest.mark.spark
+def test_strip_duplicate_spans_matches_span_stats(spark):
+    # the removal must cut exactly the token mass the measurement twin
+    # reports: n_tokens - n_kept == dup_tokens for every doc
+    from commoncrawl_spark.operators.text_dedup import (
+        duplicate_span_stats, strip_duplicate_spans,
+    )
+
+    docs = [(i, " ".join(
+        f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r["doc_id"]: r["dup_tokens"]
+             for r in duplicate_span_stats(df, k=5).collect()}
+    stripped = {r["doc_id"]: r["n_tokens"] - r["n_kept"]
+                for r in strip_duplicate_spans(df, k=5).collect()}
+    assert stripped == stats
+
+
+@pytest.mark.spark
+def test_strip_duplicate_spans_plan_no_python_no_window(spark):
+    from commoncrawl_spark.operators.text_dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = strip_duplicate_spans(df, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
