@@ -2102,6 +2102,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          threshold=0.5)
     q["spam_mass_hosts"] = spam_mass_hosts
 
+    def domain_webgraph(spark, sf):
+        """The cc-webgraph domain-graph artifact: synthetic host-level
+        link edges (every PSL-lite branch exercised — 2-letter ccTLD +
+        public 2LD takes three labels, www/e-label prefixes strip,
+        bare 2-label hosts pass through) rolled up to registered
+        domains, intra-domain navigation dropped, links counted per
+        domain pair. Scan-stage rollup + one map-side-partial count."""
+        from commoncrawl_spark.operators.links import domain_graph
+
+        d = _read(spark, sf, "documents").select("doc_id", "source")
+        m3, m4 = F.col("doc_id") % 3, F.col("doc_id") % 4
+        src = (
+            F.when(m3 == 0, F.concat(F.col("source"), F.lit(".news.test")))
+            .when(m3 == 1, F.concat(F.lit("www."), F.col("source"),
+                                    F.lit(".co.uk")))
+            .otherwise(F.concat(F.col("source"), F.lit(".org")))
+        )
+        dst = (
+            F.when(m4 == 0, F.concat(F.lit("ext-"),
+                                     (F.col("doc_id") % 5).cast("string"),
+                                     F.lit(".ac.jp")))
+            .when(m4 == 1, F.concat(F.col("source"), F.lit(".co.uk")))
+            .when(m4 == 2, F.lit("static.media.net"))
+            .otherwise(F.concat(F.lit("en."), F.col("source"),
+                                F.lit(".org")))
+        )
+        return domain_graph(
+            d.select(src.alias("src_host"), dst.alias("dst_host")))
+    q["domain_webgraph"] = domain_webgraph
+
     def simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
@@ -4631,6 +4661,42 @@ def oracle_sql() -> dict[str, str]:
                ROUND((p.pr / ps - t.tr / ts) / (p.pr / ps), 6) >= 0.5
                  AS is_candidate
         FROM r3 p JOIN t3 t USING (node) CROSS JOIN sums
+    """
+
+    # domain_webgraph: hosts regenerated from the same CASE templates,
+    # the PSL-lite rule replayed over string_split labels (DuckDB lists
+    # are 1-based; labels[n-1] is the second-level label), intra-domain
+    # pairs dropped before the count
+    _sql_regdom = """
+        CASE WHEN len(ls) <= 1 THEN h
+             WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+                  AND ls[len(ls) - 1] IN
+                      ('co','com','net','org','gov','ac','edu')
+               THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
+             ELSE array_to_string(ls[len(ls) - 1 : len(ls)], '.') END
+    """
+    o["domain_webgraph"] = f"""
+        WITH hosts AS (
+          SELECT
+            CASE WHEN doc_id % 3 = 0 THEN source || '.news.test'
+                 WHEN doc_id % 3 = 1 THEN 'www.' || source || '.co.uk'
+                 ELSE source || '.org' END AS src_h,
+            CASE WHEN doc_id % 4 = 0
+                   THEN 'ext-' || CAST(doc_id % 5 AS VARCHAR) || '.ac.jp'
+                 WHEN doc_id % 4 = 1 THEN source || '.co.uk'
+                 WHEN doc_id % 4 = 2 THEN 'static.media.net'
+                 ELSE 'en.' || source || '.org' END AS dst_h
+          FROM documents),
+        doms AS (
+          SELECT
+            (SELECT {_sql_regdom} FROM (SELECT src_h AS h,
+               string_split(src_h, '.') AS ls)) AS src_domain,
+            (SELECT {_sql_regdom} FROM (SELECT dst_h AS h,
+               string_split(dst_h, '.') AS ls)) AS dst_domain
+          FROM hosts)
+        SELECT src_domain, dst_domain, count(*) AS n_links
+        FROM doms WHERE src_domain <> dst_domain
+        GROUP BY src_domain, dst_domain
     """
 
     # page_directives: every flag recomputed from the generating

@@ -205,3 +205,37 @@ def url_template_col(url: Column) -> Column:
     query = F.regexp_extract(rest, r"^[^#?]*(\?[^#]*)", 1)
     query = F.regexp_replace(query, r"=[^&#]*", "=V")
     return F.concat(netloc, path, query)
+
+
+# second-level labels that act as public suffixes under a 2-letter ccTLD
+# (PSL-lite: the handful that covers the overwhelming majority of
+# multi-label registrations; the full Mozilla Public Suffix List is a
+# data-file drop-in replacing this set — the column logic is unchanged)
+_PSL_LITE_2LD = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered (pay-level) domain of a hostname — the key the
+    Common Crawl domain-level web graph aggregates on: ``a.b.co.uk`` ->
+    ``b.co.uk``, ``www.example.org`` -> ``example.org``, bare or
+    single-label hosts pass through. Heuristic PSL-lite rule: take the
+    last THREE labels when the TLD is 2 letters and the second-level
+    label is a known public-suffix word (co/com/net/org/gov/ac/edu),
+    else the last two. Pure per-row array expressions — scan-stage,
+    no shuffle, replayable in any SQL engine."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.element_at(labels, -2)
+    take3 = (
+        (n >= F.lit(3))
+        & (F.length(tld) == 2)
+        & sld.isin(*_PSL_LITE_2LD)
+    )
+    last = lambda k: F.concat_ws(  # noqa: E731
+        ".", F.slice(labels, n - k + 1, k))
+    return (
+        F.when(n <= 1, host)
+        .when(take3, last(3))
+        .otherwise(last(2))
+    )

@@ -599,3 +599,36 @@ def page_directives(
         F.size(a_tags).alias("n_links"),
         n_nofollow.alias("n_nofollow_links"),
     )
+
+
+def domain_graph(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    drop_internal: bool = True,
+) -> DataFrame:
+    """The Common Crawl domain-level web graph (the cc-webgraph
+    artifact): roll host-level link edges up to registered domains
+    (``functions.urls.registered_domain_col`` — PSL-lite) and count
+    links per domain pair. ``drop_internal`` removes intra-domain
+    edges (self-loops after the rollup — site-internal navigation,
+    which would otherwise dominate every count and pollute any rank
+    computed downstream). Returns
+    ``(src_domain, dst_domain, n_links)`` — feed straight into
+    :func:`~commoncrawl_spark.operators.graph.pagerank` /
+    ``trustrank`` / ``spam_mass`` for domain-level ranking.
+
+    Scale shape: the rollup is a scan-stage expression; the only
+    exchange is the (src_domain, dst_domain) count agg — map-side
+    partial, so the 10^11-edge host graph collapses toward the
+    domain-pair cardinality before shuffling."""
+    from commoncrawl_spark.functions.urls import registered_domain_col
+
+    d = edges.select(
+        registered_domain_col(F.col(src_col)).alias("src_domain"),
+        registered_domain_col(F.col(dst_col)).alias("dst_domain"),
+    )
+    if drop_internal:
+        d = d.filter(F.col("src_domain") != F.col("dst_domain"))
+    return d.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links"))

@@ -1324,6 +1324,29 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # domain web graph: scan-stage rollup, one partial-agg count
+    from commoncrawl_spark.operators.links import domain_graph
+
+    dg_edges = docs.select(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk"))
+        .alias("src_host"),
+        F.concat(F.lit("ext-"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".org")).alias("dst_host"))
+    dg = domain_graph(dg_edges)
+    p = plan_of(dg, label="domain-webgraph")
+    sections.append((
+        "Domain web graph: rollup in the scan, count collapses map-side",
+        "Registered-domain extraction is pure per-row array expressions "
+        "(scan stage, zero exchange); the only shuffle is the "
+        "(src_domain, dst_domain) count, map-side-partial — a 10^11-edge "
+        "host graph collapses toward the domain-pair cardinality before "
+        "any bytes move.",
+        [f"map-side partial aggregates present: {'partial_count' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

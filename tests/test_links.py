@@ -642,3 +642,53 @@ def test_page_directives_canonical_grouping_composes(spark):
         .count().collect())
     got = {r["key"]: r["count"] for r in groups}
     assert got == {"https://h.test/story": 3, "https://h.test/other": 1}
+
+
+@pytest.mark.spark
+def test_registered_domain_branches(spark):
+    from commoncrawl_spark.functions.urls import registered_domain_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("a.b.co.uk", "b.co.uk"),          # 2-letter ccTLD + public 2LD
+        ("www.example.org", "example.org"),
+        ("deep.sub.site.ac.jp", "site.ac.jp"),
+        ("example.org", "example.org"),     # bare registered domain
+        ("x.co.uk", "x.co.uk"),             # exactly three labels
+        ("static.media.net", "media.net"),  # 3-letter TLD: last two
+        ("localhost", "localhost"),         # single label passthrough
+        ("b.co.de", "b.co.de"),             # any 2-letter ccTLD + 'co' 2LD
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r["d"] for r in
+           df.select(registered_domain_col(F.col("h")).alias("d")).collect()]
+    assert got == [w for _, w in cases]
+
+
+@pytest.mark.spark
+def test_domain_graph_rollup_and_internal_drop(spark):
+    from commoncrawl_spark.operators.links import domain_graph
+
+    edges = spark.createDataFrame(
+        [("www.a.co.uk", "b.org"), ("cdn.a.co.uk", "b.org"),
+         ("a.co.uk", "www.a.co.uk"),        # intra-domain after rollup
+         ("c.net", "b.org")],
+        "src_host string, dst_host string")
+    got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+           for r in domain_graph(edges).collect()}
+    assert got == {("a.co.uk", "b.org"): 2, ("c.net", "b.org"): 1}
+    kept = domain_graph(edges, drop_internal=False).count()
+    assert kept == 3   # the self-loop group survives
+
+
+@pytest.mark.spark
+def test_domain_graph_plan_scan_stage_rollup(spark):
+    from commoncrawl_spark.operators.links import domain_graph
+
+    edges = spark.createDataFrame(
+        [("a.org", "b.org")], "src_host string, dst_host string")
+    out = domain_graph(edges)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan   # map-side partial link count
