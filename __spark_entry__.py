@@ -2188,6 +2188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lo=0.1, hi=0.35, k=5, n_planes=6)
     q["hard_negatives"] = hard_negatives
 
+    def diversity_sample_q(spark, sf):
+        """Cluster-balanced diversity sampling (DataComp-style
+        selection): nearest-centroid assignment over the 16 fixed
+        centroids, sqrt-allocation quotas per semantic cell, md5-rank
+        deterministic pick inside each cell — hot clusters can't crowd
+        out the tail. Pure composition of the audited ivf_assign /
+        sqrt_allocation / stratified_sample operators."""
+        from commoncrawl_spark.operators.similarity import (
+            diversity_sample,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        return diversity_sample(
+            e, e.filter(F.col("vec_id") < 16), total_n=100, seed=42)
+    q["diversity_sample"] = diversity_sample_q
+
     def ann_ivf_kmeans_topk(spark, sf):
         # trained-centroid IVF variant. Fully oracle-checked since r03:
         # kmeans_centroids is deterministic by construction (quantized
@@ -5185,6 +5201,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, neighbor_id) AS rank
           FROM band)
         WHERE rank <= 5
+    """
+
+    # diversity_sample: the ann_ivf_topk cells CTE (same argmax order:
+    # cosine DESC, cell asc) + the stratified_sample quota/rank tail on
+    # the cell key
+    o["diversity_sample"] = f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT c.vec_id, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {_sql_cosine("c.v", "cents.cv")} DESC,
+                              cents.cell) AS rn
+            FROM c CROSS JOIN cents)
+          WHERE rn = 1),
+        sizes AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY cell),
+        tot AS (SELECT SUM(sqrt(sz)) AS s FROM sizes),
+        quota AS (
+          SELECT cell,
+                 GREATEST(1, CAST(FLOOR(ROUND(
+                   100.0 * sqrt(sz) / t.s, 6)) AS BIGINT)) AS q
+          FROM sizes, tot t),
+        ranked AS (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY md5('42' || chr(31) || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS rk
+          FROM cells)
+        SELECT r.vec_id, r.cell
+        FROM ranked r JOIN quota USING (cell)
+        WHERE r.rk <= quota.q
     """
 
     o["ann_ivf_topk"] = f"""

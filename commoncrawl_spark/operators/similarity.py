@@ -590,3 +590,37 @@ def bitext_margin_pairs(
         .select("src_id", "_b.tgt_id", "_b.cosine", "_b.margin")
     )
     return best.filter(F.col("margin") >= threshold)
+
+
+def diversity_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    total_n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DataComp/DCLM-style
+    selection shape): assign every vector to its nearest centroid
+    (:func:`ivf_assign`), size per-cell quotas by square-root
+    allocation (hot semantic clusters don't crowd out the long tail,
+    tiny clusters aren't over-represented), and pick deterministically
+    inside each cell by md5 rank — a pure function of the data, same
+    sample across reruns and cluster sizes. Returns the sampled
+    ``(id_col, cell)`` rows.
+
+    Pure composition: the broadcast argmax assignment, the sqrt quota
+    table, and the stratified md5-rank pick are the already-audited
+    ``ivf_assign`` / ``sqrt_allocation`` / ``stratified_sample``
+    operators — one corpus-size exchange (the per-cell rank), quota
+    frames broadcast."""
+    from commoncrawl_spark.operators.analytics import (
+        sqrt_allocation,
+        stratified_sample,
+    )
+
+    assign = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        id_col, "cell")
+    quota = sqrt_allocation(assign, "cell", total_n)
+    return stratified_sample(
+        assign, "cell", quota, key_cols=(id_col,), seed=seed)

@@ -1347,6 +1347,26 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # diversity sample: broadcast assignment, one per-cell rank exchange
+    from commoncrawl_spark.operators.similarity import diversity_sample
+
+    dvs = diversity_sample(emb, emb.filter(F.col("vec_id") < 16),
+                           total_n=100)
+    p = plan_of(dvs, label="diversity-sample")
+    sections.append((
+        "Diversity sampling: assignment map-side, rank keyed by the cell",
+        "Nearest-centroid assignment is the broadcast argmax (max_by "
+        "partial-aggregates map-side — the corpus never shuffles on the "
+        "K-way score fan-out); sqrt quotas are a slim broadcast table; "
+        "the only corpus-size exchange is the per-cell md5 rank, "
+        "partitioned by a real key.",
+        [f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"partition-less Window operators: 0 (cell-keyed only; "
+         f"checked globally below) (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

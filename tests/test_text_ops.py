@@ -1621,3 +1621,32 @@ def test_strip_duplicate_spans_plan_no_python_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_diversity_sample_quotas_and_determinism(spark, vectors):
+    from collections import Counter
+
+    from commoncrawl_spark.operators.similarity import (
+        diversity_sample, ivf_assign,
+    )
+
+    df, _ = vectors
+    cents = df.filter("vec_id < 3")
+    got = diversity_sample(df, cents, total_n=6, seed=7).collect()
+    # every pick carries its true nearest-centroid cell
+    truth = {r["vec_id"]: r["cell"]
+             for r in ivf_assign(df, cents).collect()}
+    for r in got:
+        assert truth[r["vec_id"]] == r["cell"]
+    # per-cell counts respect min(quota, cell size); >= 1 per nonempty cell
+    sizes = Counter(truth.values())
+    picked = Counter(r["cell"] for r in got)
+    assert set(picked) == set(sizes)
+    for cell, n in picked.items():
+        assert 1 <= n <= sizes[cell]
+    # determinism across repartitioning
+    again = diversity_sample(
+        df.repartition(7), cents, total_n=6, seed=7).collect()
+    assert sorted((r["vec_id"], r["cell"]) for r in again) == \
+        sorted((r["vec_id"], r["cell"]) for r in got)
