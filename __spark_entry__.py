@@ -1800,6 +1800,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_sitemap_locs(sm).select("sitemap_url", "is_index", "loc")
     q["sitemap_discovery"] = sitemap_discovery
 
+    def sitemap_tree(spark, sf):
+        """Recursive sitemap-index expansion: per document a root
+        <sitemapindex> (one loc space-padded, one UPPERCASE nested
+        index, one dangling loc with no body) fans out to a urlset
+        (2 pages, depth 1) and through the nested index to a grandchild
+        urlset (1 page, depth 2). Bounded lookup-join recursion — the
+        oracle re-derives every expected loc from the generating
+        arithmetic, so any mis-parse or depth error breaks the hash."""
+        from commoncrawl_spark.operators.links import expand_sitemap_tree
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id").cast("string")
+        base = F.concat(F.lit("https://s"), i, F.lit(".test/"))
+        root = d.select(
+            F.concat(base, F.lit("sitemap.xml")).alias("url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc> '),
+                base, F.lit("sm-a.xml </loc></sitemap><sitemap><loc>"),
+                base, F.lit("sm-b.xml</loc></sitemap><sitemap><loc>"),
+                base, F.lit("sm-missing.xml</loc></sitemap></sitemapindex>"),
+            ).alias("xml"))
+        child_a = d.select(
+            F.concat(base, F.lit("sm-a.xml")).alias("url"),
+            F.concat(
+                F.lit("<urlset><url><loc>"), base, F.lit("p/"), i,
+                F.lit("/1</loc></url><url><loc>"), base, F.lit("p/"), i,
+                F.lit("/2</loc></url></urlset>")).alias("xml"))
+        child_b = d.select(
+            F.concat(base, F.lit("sm-b.xml")).alias("url"),
+            F.concat(
+                F.lit("<SITEMAPINDEX><sitemap><loc>"), base,
+                F.lit("sm-c.xml</loc></sitemap></SITEMAPINDEX>"),
+            ).alias("xml"))
+        child_c = d.select(
+            F.concat(base, F.lit("sm-c.xml")).alias("url"),
+            F.concat(
+                F.lit("<urlset><url><loc>"), base, F.lit("p/"), i,
+                F.lit("/3</loc></url></urlset>")).alias("xml"))
+        bodies = root.unionByName(child_a).unionByName(
+            child_b).unionByName(child_c)
+        seeds = d.select(
+            F.concat(base, F.lit("sitemap.xml")).alias("sitemap_url"))
+        return expand_sitemap_tree(seeds, bodies, max_depth=2)
+    q["sitemap_tree"] = sitemap_tree
+
     def task_fanout(spark, sf):
         """S7: index list -> one task per CDX page (create_tasks.py:85-91),
         with the processed-set resume anti-join (create_tasks.py:62-66).
@@ -4270,6 +4315,25 @@ def oracle_sql() -> dict[str, str]:
 
     # sitemap_discovery: expected rows from first principles — two page
     # locs per doc from the urlset, one nested loc from the sitemapindex
+    # sitemap_tree: expected locs re-derived from the generating
+    # arithmetic — per doc: 2 pages via sm-a at depth 1, 1 page via
+    # sm-c (behind the nested index) at depth 2; the dangling
+    # sm-missing loc has no body and must contribute nothing
+    o["sitemap_tree"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS i,
+                 'https://s' || CAST(doc_id AS VARCHAR) || '.test/' AS b
+          FROM documents)
+        SELECT b || 'sitemap.xml' AS root, b || 'sm-a.xml' AS sitemap_url,
+               1 AS depth, b || 'p/' || i || '/1' AS loc FROM d
+        UNION ALL
+        SELECT b || 'sitemap.xml', b || 'sm-a.xml', 1,
+               b || 'p/' || i || '/2' FROM d
+        UNION ALL
+        SELECT b || 'sitemap.xml', b || 'sm-c.xml', 2,
+               b || 'p/' || i || '/3' FROM d
+    """
+
     o["sitemap_discovery"] = """
         WITH d AS (
           SELECT doc_id,

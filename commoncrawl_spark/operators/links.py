@@ -632,3 +632,69 @@ def domain_graph(
         d = d.filter(F.col("src_domain") != F.col("dst_domain"))
     return d.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).alias("n_links"))
+
+
+def expand_sitemap_tree(
+    seeds: DataFrame,
+    bodies: DataFrame,
+    max_depth: int = 2,
+    seed_col: str = "sitemap_url",
+    body_url_col: str = "url",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Recursive sitemap-index expansion (sitemaps.org: a
+    ``<sitemapindex>`` loc is ANOTHER sitemap, not a page — large sites
+    ship a root index fanning out to thousands of urlset shards):
+    starting from ``seeds`` root sitemap URLs, repeatedly look up each
+    sitemap's body in ``bodies`` (the same lookup-join fetch seam as the
+    transport layer — swap in ranged HTTP at deploy time), extract locs,
+    feed ``<sitemapindex>`` locs back as the next level, and emit
+    ``<urlset>`` locs as frontier page candidates. Returns
+    ``(root, sitemap_url, depth, loc)`` — one row per page loc, tagged
+    with the root that discovered it and the nesting depth.
+
+    Bounded recursion: ``max_depth`` levels (a constant, like the graph
+    walks' fixed iterations), so reference cycles between indexes
+    cannot loop; sitemaps whose body is missing from ``bodies`` simply
+    contribute nothing (unfetched = undiscovered, the crawl semantics).
+
+    Scale shape: each level is one equi-join of the slim frontier
+    (url, root, depth) against the bodies table on the URL key plus the
+    scan-stage regex extraction — the XML column never shuffles (it is
+    consumed in the same stage the join produces); the per-level
+    frontier is checkpoint-truncated so the final plan does not nest
+    ``max_depth`` joins of joins."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    b = bodies.select(
+        F.col(body_url_col).alias("sitemap_url"), F.col(xml_col).alias("_xml"))
+    frontier = seeds.select(
+        F.col(seed_col).alias("sitemap_url"),
+        F.col(seed_col).alias("root"),
+        F.lit(0).alias("depth"),
+    )
+    out = []
+    for level in range(max_depth + 1):
+        fetched = frontier.join(b, "sitemap_url")
+        text = F.col("_xml").cast("string")
+        locs = fetched.select(
+            "root", "sitemap_url", "depth",
+            text.rlike(r"(?is)<\s*sitemapindex[\s>]").alias("is_index"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(_LOC_RE), F.lit(1))
+            ).alias("loc"),
+        ).filter(F.col("loc") != "").localCheckpoint(eager=False)
+        out.append(
+            locs.filter(~F.col("is_index"))
+            .select("root", "sitemap_url", "depth", "loc"))
+        if level == max_depth:
+            break
+        frontier = (
+            locs.filter(F.col("is_index"))
+            .select(F.col("loc").alias("sitemap_url"), "root",
+                    (F.col("depth") + 1).alias("depth"))
+        )
+    pages = out[0]
+    for o_ in out[1:]:
+        pages = pages.unionByName(o_)
+    return pages

@@ -1367,6 +1367,27 @@ def main() -> None:
          f"checked globally below) (expect 0)"],
     ))
 
+    # sitemap tree: bounded lookup-join recursion, XML stays in-stage
+    from commoncrawl_spark.operators.links import expand_sitemap_tree
+
+    sm_bodies = docs.select(
+        F.concat(F.lit("https://s"), F.col("doc_id").cast("string"),
+                 F.lit(".test/sitemap.xml")).alias("url"),
+        F.lit("<urlset><url><loc>p</loc></url></urlset>").alias("xml"))
+    sm_seeds = sm_bodies.select(F.col("url").alias("sitemap_url"))
+    smt = expand_sitemap_tree(sm_seeds, sm_bodies, max_depth=2)
+    p = plan_of(smt, label="sitemap-tree")
+    sections.append((
+        "Sitemap-index recursion: per-level slim joins, bounded depth",
+        "Each level is one equi-join of the (url, root, depth) frontier "
+        "against the bodies table plus scan-stage regex extraction — "
+        "the XML column is consumed in the stage the join produces, "
+        "never shuffled onward; the depth bound makes reference cycles "
+        "terminate like the graph walks' fixed iterations.",
+        [f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

@@ -692,3 +692,57 @@ def test_domain_graph_plan_scan_stage_rollup(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "partial_count" in plan   # map-side partial link count
+
+
+@pytest.mark.spark
+def test_expand_sitemap_tree(spark):
+    from commoncrawl_spark.operators.links import expand_sitemap_tree
+
+    bodies = spark.createDataFrame([
+        ("https://s.test/sitemap.xml",
+         '<?xml version="1.0"?><sitemapindex>'
+         '<sitemap><loc> https://s.test/sm-a.xml </loc></sitemap>'
+         '<sitemap><loc>https://s.test/sm-b.xml</loc></sitemap>'
+         '<sitemap><loc>https://s.test/missing.xml</loc></sitemap>'
+         '</sitemapindex>'),
+        ("https://s.test/sm-a.xml",
+         '<urlset><url><loc>https://s.test/p/1</loc></url>'
+         '<url><loc>https://s.test/p/2</loc></url></urlset>'),
+        ("https://s.test/sm-b.xml",   # UPPERCASE index tag + cycle back
+         '<SITEMAPINDEX><sitemap><loc>https://s.test/sm-c.xml</loc>'
+         '</sitemap><sitemap><loc>https://s.test/sitemap.xml</loc>'
+         '</sitemap></SITEMAPINDEX>'),
+        ("https://s.test/sm-c.xml",
+         '<urlset><url><loc>https://s.test/p/3</loc></url></urlset>'),
+    ], "url string, xml string")
+    seeds = spark.createDataFrame(
+        [("https://s.test/sitemap.xml",)], "sitemap_url string")
+    got = sorted((r["sitemap_url"], r["depth"], r["loc"])
+                 for r in expand_sitemap_tree(seeds, bodies,
+                                              max_depth=2).collect())
+    # cycle back to the root re-emits its urlset children one level
+    # deeper, then the depth bound stops it — no infinite loop
+    assert ("https://s.test/sm-a.xml", 1, "https://s.test/p/1") in got
+    assert ("https://s.test/sm-a.xml", 1, "https://s.test/p/2") in got
+    assert ("https://s.test/sm-c.xml", 2, "https://s.test/p/3") in got
+    assert all(d <= 2 for _, d, _ in got)
+    # depth cap excludes the grandchild
+    got1 = {r["loc"] for r in expand_sitemap_tree(
+        seeds, bodies, max_depth=1).collect()}
+    assert "https://s.test/p/3" not in got1
+    with pytest.raises(ValueError):
+        expand_sitemap_tree(seeds, bodies, max_depth=-1)
+
+
+@pytest.mark.spark
+def test_expand_sitemap_tree_plan_no_python(spark):
+    from commoncrawl_spark.operators.links import expand_sitemap_tree
+
+    bodies = spark.createDataFrame(
+        [("u", "<urlset><url><loc>p</loc></url></urlset>")],
+        "url string, xml string")
+    seeds = spark.createDataFrame([("u",)], "sitemap_url string")
+    out = expand_sitemap_tree(seeds, bodies, max_depth=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
