@@ -209,10 +209,17 @@ def ahash_col(bin_col: Column, bits: int = 32) -> Column:
     plane from the PIL/pyav drop-in; the thresholding math — the actual
     aHash algorithm — is unchanged.
 
-    Pure Catalyst: hex() once, then array expressions over a
-    sequence(0, bits-1) — per-row, no shuffle, no Python. The mean
-    compare is exact integer math (sample*bits > sum), no float
-    division. Empty payloads hash to NULL (no bits, no signal).
+    Pure Catalyst array expressions — per-row, no shuffle, no Python.
+    The mean compare is exact integer math (sample*bits > sum), no
+    float division. Empty payloads hash to NULL (no bits, no signal).
+
+    PERF: as a single composable expression, ``hex(payload)`` and the
+    sample-sum are UNBOUND subexpressions inside the HOF lambdas and
+    re-evaluate per element (the winnowing lesson — measured ~5x at
+    sf0.1). Use :func:`ahash_signatures` (which binds every
+    intermediate as a real column and is what
+    :func:`media_near_duplicates` calls) anywhere hot; this form exists
+    for ad-hoc column composition.
 
     Why aHash and not the media embedding: hash-based image dedup is the
     cheap first pass (64 bits/image, Hamming-ball lookup) that web-scale
@@ -243,6 +250,71 @@ def ahash_col(bin_col: Column, bits: int = 32) -> Column:
     return F.when(n > 0, sig).otherwise(F.lit(None).cast("long"))
 
 
+def ahash_signatures(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """``(id_col, ahash)`` — the staged, hot-path form of
+    :func:`ahash_col`: hex string, byte count, sample array, and sample
+    sum are each BOUND as real columns between selects, so the HOF
+    lambdas reference attributes and every intermediate evaluates once
+    per row (the winnowing lesson: an unbound subexpression inside a
+    lambda re-evaluates per element — the single-expression form re-ran
+    ``hex(payload)`` per sample AND per mean-compare, measured ~5x
+    slower at sf0.1). Same semantics bit-for-bit."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    h = df.select(
+        F.col(id_col),
+        F.hex(F.col(bin_col)).alias("_hex"),
+        F.octet_length(F.col(bin_col)).alias("_n"),
+    )
+    n = F.col("_n")
+    vals = h.select(
+        id_col, "_n",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.col("_hex"),
+                    (F.floor(i * n / F.lit(bits)) * 2 + 1).cast("int"), 2),
+                16, 10,
+            ).cast("long"),
+        ).alias("_vals"),
+    )
+    total = F.aggregate(
+        "_vals", F.lit(0).cast("long"), lambda a, b: a + b)
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    # the threshold compare reads the sum through a BOUND struct field:
+    # Catalyst's projection collapse inlines any column referenced
+    # inside a HOF lambda, so a bare `_total` reference there would
+    # re-evaluate the whole sample-sum (and transitively hex()) PER
+    # ELEMENT — measured 10x on this exact operator. array_repeat
+    # evaluates its argument once per row; the lambda then touches only
+    # its struct.
+    z = F.arrays_zip(
+        F.col("_vals").alias("v"),
+        F.array_repeat(total, bits).alias("t"),
+        weights.alias("w"),
+    )
+    sig = F.aggregate(
+        F.transform(
+            z,
+            lambda s: F.when(s["v"] * F.lit(bits) > s["t"], s["w"])
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return vals.select(
+        F.col(id_col),
+        F.when(n > 0, sig).otherwise(F.lit(None).cast("long"))
+        .alias("ahash"),
+    )
+
+
 def media_near_duplicates(
     df: DataFrame,
     bin_col: str = "media",
@@ -253,18 +325,16 @@ def media_near_duplicates(
     materialize: bool = True,
 ) -> DataFrame:
     """Perceptual near-duplicate media pairs ``(a, b, hamming)``:
-    aHash each payload (:func:`ahash_col`), then the pigeonhole
-    Hamming-block self-join shared with simhash
-    (text_dedup.hamming_near_duplicate_pairs) — the join key is
+    aHash each payload (:func:`ahash_signatures` — the bound staged
+    form), then the pigeonhole Hamming-block self-join shared with
+    simhash (text_dedup.hamming_near_duplicate_pairs) — the join key is
     (block_idx, chunk_value), never all-pairs, and only (id, int64)
     rows shuffle; payload bytes never leave the scan stage."""
     from commoncrawl_spark.operators.text_dedup import (
         hamming_near_duplicate_pairs,
     )
 
-    sigs = df.select(
-        F.col(id_col), ahash_col(F.col(bin_col), bits).alias("ahash")
-    )
+    sigs = ahash_signatures(df, bin_col, id_col, bits)
     return hamming_near_duplicate_pairs(
         sigs, sig_col="ahash", id_col=id_col, max_hamming=max_hamming,
         bits=bits, blocks=blocks, materialize=materialize,
