@@ -2857,6 +2857,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_contamination(d, bench, n=3)
     q["benchmark_contamination"] = benchmark_contamination
 
+    def decontaminate_strip(spark, sf):
+        """SURGICAL decontamination: instead of dropping a whole doc
+        that overlaps the eval set (benchmark_contamination's audit),
+        cut only the tokens covered by a benchmark 3-gram and rebuild
+        the rest — benchmark stand-ins (doc_id % 37 == 0) end up fully
+        cut (they ARE the eval text), everything else keeps its clean
+        remainder. Broadcast semi-join on slim md5 keys + the shared
+        zip-shift coverage/rebuild machinery."""
+        from commoncrawl_spark.operators.text_dedup import (
+            strip_contaminated_spans,
+        )
+
+        d = _read(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        return strip_contaminated_spans(d, bench, k=3)
+    q["decontaminate_strip"] = decontaminate_strip
+
     # ---- per-language quality buckets (CCNet head/middle/tail) ----
 
     def quality_buckets(spark, sf):
@@ -6159,6 +6176,48 @@ def oracle_sql() -> dict[str, str]:
         FROM grams
         WHERE md5(g) IN (SELECT fp FROM bench)
         GROUP BY doc_id
+    """
+
+    # decontaminate_strip: bench fps from the same 3-gram shingle CTE,
+    # positioned 3-grams over the same tokenization, token i cut iff a
+    # benchmark-matching window starts in [i-2, i], rebuild in order
+    o["decontaminate_strip"] = f"""
+        WITH base AS (
+          SELECT doc_id, {toks_doc} AS t,
+                 len({toks_doc}) AS n
+          FROM documents),
+        sh AS (SELECT doc_id, {sh_doc} AS sh FROM documents),
+        bench AS (
+          SELECT DISTINCT md5(g) AS fp
+          FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0)),
+        h AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos:pos + 2], ' ')) AS gram
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, n - 3 + 2)) AS pos
+                FROM base WHERE n >= 3)),
+        st AS (
+          SELECT doc_id, pos FROM h
+          WHERE gram IN (SELECT fp FROM bench)),
+        tk AS (
+          SELECT doc_id, unnest(range(1, n + 1)) AS i
+          FROM base WHERE n > 0),
+        kept AS (
+          SELECT tk.doc_id, tk.i FROM tk
+          WHERE NOT EXISTS (
+            SELECT 1 FROM st
+            WHERE st.doc_id = tk.doc_id
+              AND st.pos BETWEEN tk.i - 2 AND tk.i)),
+        rebuilt AS (
+          SELECT k.doc_id,
+                 string_agg(b.t[k.i], ' ' ORDER BY k.i) AS text,
+                 count(*) AS n_kept
+          FROM kept k JOIN base b USING (doc_id)
+          GROUP BY k.doc_id)
+        SELECT b.doc_id, coalesce(r.text, '') AS text,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
     """
 
     # quality_buckets: the quality expression is quality_scores' oracle;

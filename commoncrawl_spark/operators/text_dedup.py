@@ -1342,18 +1342,81 @@ def strip_duplicate_spans(
     (a boilerplate window repeated 10^8 times collapses to one partial
     row per map partition before the exchange); the duplicated-start
     positions come back as ONE slim array per doc via an id-keyed
-    join. The coverage expansion (token i cut iff a duplicated window
+    join. The coverage expansion (token i cut iff a flagged window
     STARTS in [i-k+1, i]) is a per-row sliding-window OR computed with
     the winnowing zip-shift trick — k shifted copies + greatest(),
     O(n*k) per document, zero extra shuffle, no Python, no windows.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    base = _strip_base(df, text_col, id_col)
+    grams = _positioned_grams(base, id_col, k)
+    gcnt = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    starts = (
+        grams.join(gcnt, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_ps"))
+    )
+    return _rebuild_without_spans(base, starts, id_col, k)
+
+
+def strip_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: instead of dropping a whole
+    training document that overlaps an eval set
+    (:func:`ngram_contamination` + ``drop_contaminated``), cut ONLY the
+    tokens covered by a ``k``-gram that appears in ``benchmark`` and
+    rebuild the rest — the modern recipe (e.g. the Llama/FineWeb-style
+    span scrub) that keeps the uncontaminated 99% of a long page.
+    Returns ``(id_col, text, n_tokens, n_kept)``.
+
+    Scale shape: the benchmark gram set is distinct 32-byte md5 keys
+    (eval suites are tiny next to the corpus) joined left-semi onto the
+    positioned corpus gram stream — AQE broadcasts it, the corpus side
+    never shuffles gram text; flagged starts come back as one slim
+    array per doc and the coverage/rebuild is the shared per-row
+    zip-shift machinery of :func:`strip_duplicate_spans`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bench = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text_col), k)).alias("g"))
+        .select(F.md5("g").alias("gram"))
+        .distinct()
+    )
+    base = _strip_base(df, text_col, id_col)
+    grams = _positioned_grams(base, id_col, k)
+    starts = (
+        grams.join(bench, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_ps"))
+    )
+    return _rebuild_without_spans(base, starts, id_col, k)
+
+
+def _strip_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, _toks, n_tokens)`` — the tokenized base both strip passes
+    and the positioned-gram stream derive from."""
     toks = tokens_col(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+    return df.select(F.col(id_col), toks.alias("_toks")).select(
         id_col, "_toks", F.size("_toks").alias("n_tokens"))
+
+
+def _positioned_grams(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """One row per ``k``-token window: ``(id, pos, gram-md5)`` — 1-based
+    start position, 32-byte fingerprint, never gram text."""
     n = F.col("n_tokens")
-    grams = (
+    return (
         base.where(n >= k)
         .select(
             F.col(id_col),
@@ -1367,20 +1430,25 @@ def strip_duplicate_spans(
         )
         .select(id_col, "_g.pos", "_g.gram")
     )
-    gcnt = (
-        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("gram")
-    )
-    starts = (
-        grams.join(gcnt, "gram")
-        .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("_ps"))
-    )
+
+
+def _rebuild_without_spans(
+    base: DataFrame, starts: DataFrame, id_col: str, k: int,
+) -> DataFrame:
+    """Shared coverage expansion + order-preserving rebuild: cut token
+    i iff a flagged window starts in ``[i-k+1, i]`` (per-row zip-shift
+    sliding OR), keep the rest. ``starts`` is ``(id, _ps array)``."""
+    n = F.col("n_tokens")
     joined = base.join(starts, id_col, "left")
-    # start flags s[j] (j = 1..n): 1 iff a duplicated window starts at
-    # j; positions beyond the last window (j > n-k+1) are always 0, so
-    # padding s to n entries bakes in the end-of-doc clipping
+    # start flags s[j] (j = 1..n): 1 iff a flagged window starts at j;
+    # positions beyond the last window (j > n-k+1) are always 0, so
+    # padding s to n entries bakes in the end-of-doc clipping.
+    # NOTE: pm is referenced inside the transform lambda, so projection
+    # collapse re-builds the map per element — O(n*d) per row, bounded
+    # by document length (worst case n^2 for a fully-flagged doc),
+    # independent of corpus size. Acceptable: d (flagged starts) is
+    # small for real corpora; the ahash-style zip routing cannot carry
+    # a MAP through arrays_zip.
     pm = F.map_from_arrays(
         F.col("_ps"), F.array_repeat(F.lit(1), F.size("_ps")))
     s_pad = F.transform(

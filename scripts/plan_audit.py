@@ -1388,6 +1388,27 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # surgical decontamination: broadcast gram keys, shared rebuild
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_contaminated_spans,
+    )
+
+    dcs = strip_contaminated_spans(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text"),
+        k=3)
+    p = plan_of(dcs, label="decontaminate-strip")
+    sections.append((
+        "Surgical decontamination: eval grams broadcast, spans cut per row",
+        "The benchmark gram set is distinct 32-byte md5 keys semi-joined "
+        "onto the positioned corpus gram stream (broadcast under AQE — "
+        "eval suites are tiny next to the corpus); flagged starts return "
+        "as one slim array per doc and the coverage OR + rebuild are the "
+        "per-row zip-shift machinery shared with the ExactSubstr pass.",
+        [f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

@@ -1650,3 +1650,40 @@ def test_diversity_sample_quotas_and_determinism(spark, vectors):
         df.repartition(7), cents, total_n=6, seed=7).collect()
     assert sorted((r["vec_id"], r["cell"]) for r in again) == \
         sorted((r["vec_id"], r["cell"]) for r in got)
+
+
+@pytest.mark.spark
+def test_strip_contaminated_spans(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha the quick fox beta"),   # contains bench 3-gram
+         (2, "unrelated clean text here"),
+         (3, "the quick fox")],             # exactly the bench text
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "the quick fox jumps")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+           for r in strip_contaminated_spans(train, bench, k=3).collect()}
+    # 'the quick fox' (pos 2) and 'quick fox jumps' aren't both in doc 1;
+    # only the window 'the quick fox' matches -> tokens 2..4 cut
+    assert got[1] == ("alpha beta", 5, 2)
+    assert got[2] == ("unrelated clean text here", 4, 4)
+    assert got[3] == ("", 3, 0)            # eval text itself: fully cut
+
+
+@pytest.mark.spark
+def test_strip_contaminated_spans_plan(spark):
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_contaminated_spans,
+    )
+
+    train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    out = strip_contaminated_spans(train, bench, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
