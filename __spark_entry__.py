@@ -2874,6 +2874,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return strip_contaminated_spans(d, bench, k=3)
     q["decontaminate_strip"] = decontaminate_strip
 
+    def html_quality(spark, sf):
+        """Structural HTML quality gates (jusText/Boilerpipe family)
+        over synthesized markup: per doc a script block (must not count
+        as visible text), a style block, doc_id%4+1 nav links, the doc
+        text, and one nested-markup anchor. Pure scan-stage regex —
+        tag/link counts, visible length, anchor mass, link density,
+        text-to-tag ratio."""
+        from commoncrawl_spark.functions.text import html_quality_cols
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        m = (F.col("doc_id") % 4 + 1).cast("int")
+        html = F.concat(
+            F.lit('<html><head><script type="text/javascript">var x = '
+                  '"IGNORED TEXT";</script><style>.c{color:red}</style>'
+                  "</head><body><nav>"),
+            F.repeat(F.lit('<a href="/x">nav item</a>'), m),
+            F.lit("</nav><p>"), F.col("text"),
+            F.lit('</p><a class="more">Read <b>more</b></a>'
+                  "</body></html>"),
+        )
+        cols = html_quality_cols(html)
+        return d.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()])
+    q["html_quality"] = html_quality
+
     # ---- per-language quality buckets (CCNet head/middle/tail) ----
 
     def quality_buckets(spark, sf):
@@ -6218,6 +6243,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.n AS BIGINT) AS n_tokens,
                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
         FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    # html_quality: the same markup regenerated, the same regex chain
+    # replayed (RE2-portable patterns; DuckDB needs the explicit 'g'
+    # flag where Spark's regexp_replace is global by default)
+    o["html_quality"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><script type="text/javascript">var x = '
+                 || '"IGNORED TEXT";</script><style>.c{color:red}</style>'
+                 || '</head><body><nav>'
+                 || repeat('<a href="/x">nav item</a>',
+                           CAST(doc_id % 4 + 1 AS INT))
+                 || '</nav><p>' || text
+                 || '</p><a class="more">Read <b>more</b></a>'
+                 || '</body></html>' AS s
+          FROM documents),
+        ns AS (
+          SELECT doc_id, s,
+                 regexp_replace(regexp_replace(s,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS n
+          FROM h),
+        vis AS (
+          SELECT doc_id, s,
+                 trim(regexp_replace(regexp_replace(n,
+                   '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS v,
+                 regexp_extract_all(n,
+                   '(?is)<a\b[^>]*>(.*?)</a>', 1) AS an
+          FROM ns),
+        agg AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(s, '<[A-Za-z!/]'))
+                   AS BIGINT) AS n_tags,
+                 CAST(len(regexp_extract_all(s, '(?i)<a\b'))
+                   AS BIGINT) AS n_links,
+                 CAST(length(v) AS BIGINT) AS visible_len,
+                 CAST(coalesce(list_sum(list_transform(an, x ->
+                   length(trim(regexp_replace(regexp_replace(x,
+                     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)
+                   AS BIGINT) AS anchor_len
+          FROM vis)
+        SELECT doc_id, n_tags, n_links, visible_len, anchor_len,
+               round(anchor_len / greatest(visible_len, 1), 4)
+                 AS link_density,
+               round(visible_len / greatest(n_tags, 1), 4)
+                 AS text_tag_ratio
+        FROM agg
     """
 
     # quality_buckets: the quality expression is quality_scores' oracle;

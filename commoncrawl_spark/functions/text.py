@@ -442,3 +442,54 @@ def normalize_text_col(text: Column) -> Column:
         out = F.regexp_replace(out, pat, rep)
     # trim() strips only spaces; edge newlines/tabs must go too
     return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def html_quality_cols(html: Column) -> dict[str, Column]:
+    """Structural HTML quality signals (the jusText/Boilerpipe family —
+    page-level gates that run BEFORE extraction, on the raw markup):
+
+    - ``n_tags`` / ``n_links``: tag and anchor counts;
+    - ``visible_len``: length of the text after script/style blocks and
+      all tags are stripped and whitespace collapsed (entities are NOT
+      decoded — a documented simplification; both engines see the same
+      bytes so the oracle is exact);
+    - ``anchor_len``: total visible length inside ``<a>`` elements;
+    - ``link_density``: anchor_len / visible_len — the classic
+      boilerplate gate (nav/footer chrome is mostly linked text);
+    - ``text_tag_ratio``: visible_len / n_tags — markup-heavy pages
+      (trackers, widget soup) score low.
+
+    Ratios round to 4dp, guarded against zero denominators. Pure
+    scan-stage regex expressions — no parse, no shuffle, no Python;
+    every pattern is Java/RE2-portable so DuckDB replays it verbatim.
+    The MiniSoup DOM (functions/extract.py) is for extraction; these
+    gates exist so 10^10 fetched pages can be triaged without ever
+    building a tree."""
+    s = html.cast("string")
+    noscript = F.regexp_replace(
+        F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " "),
+        r"(?is)<style[^>]*>.*?</style>", " ")
+    visible = F.trim(F.regexp_replace(
+        F.regexp_replace(noscript, r"<[^>]*>", " "), r"\s+", " "))
+    anchors = F.regexp_extract_all(
+        noscript, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1))
+    anchor_vis = F.transform(
+        anchors,
+        lambda a: F.trim(F.regexp_replace(
+            F.regexp_replace(a, r"<[^>]*>", " "), r"\s+", " ")),
+    )
+    anchor_len = F.aggregate(
+        anchor_vis, F.lit(0).cast("long"), lambda acc, a: acc + F.length(a))
+    n_tags = F.regexp_count(s, F.lit(r"<[A-Za-z!/]"))
+    n_links = F.regexp_count(s, F.lit(r"(?i)<a\b"))
+    visible_len = F.length(visible).cast("long")
+    return {
+        "n_tags": n_tags.cast("long"),
+        "n_links": n_links.cast("long"),
+        "visible_len": visible_len,
+        "anchor_len": anchor_len,
+        "link_density": F.round(
+            anchor_len / F.greatest(visible_len, F.lit(1)), 4),
+        "text_tag_ratio": F.round(
+            visible_len / F.greatest(n_tags.cast("long"), F.lit(1)), 4),
+    }

@@ -1409,6 +1409,24 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # HTML structural quality: zero-exchange scan-stage gates
+    from commoncrawl_spark.functions.text import html_quality_cols
+
+    hq_cols = html_quality_cols(F.col("text"))
+    hq = docs.select(
+        "doc_id", *[v.alias(k) for k, v in hq_cols.items()])
+    p = plan_of(hq, label="html-quality")
+    sections.append((
+        "HTML quality gates: triage markup without building a tree",
+        "Tag/link counts, visible length, anchor mass, link density, "
+        "and text-to-tag ratio are pure scan-stage regex expressions — "
+        "zero exchanges, so 10^10 fetched pages are triaged in the same "
+        "stage that reads them; the MiniSoup DOM is reserved for pages "
+        "that pass the gate.",
+        [f"exchanges: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

@@ -1687,3 +1687,38 @@ def test_strip_contaminated_spans_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_html_quality_hand_computed(spark):
+    from commoncrawl_spark.functions.text import html_quality_cols
+    from pyspark.sql import functions as F
+
+    html = ('<html><script>var x = "HIDDEN";</script>'
+            '<style>.c{}</style><body>'
+            '<a href="/1">one</a><a href="/2">two <b>2</b></a>'
+            '<p>hello world</p></body></html>')
+    df = spark.createDataFrame([(html,)], "h string")
+    cols = html_quality_cols(F.col("h"))
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).first()
+    # visible: "one two 2 hello world" = 21 chars; anchors: "one" (3) +
+    # "two 2" (5) = 8; script/style text must never count
+    assert r["visible_len"] == 21
+    assert r["anchor_len"] == 8
+    assert r["n_links"] == 2
+    assert r["link_density"] == round(8 / 21, 4)
+    assert r["text_tag_ratio"] == round(21 / r["n_tags"], 4)
+
+
+@pytest.mark.spark
+def test_html_quality_plan_scan_stage(spark):
+    from commoncrawl_spark.functions.text import html_quality_cols
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("<p>x</p>",)], "h string")
+    cols = html_quality_cols(F.col("h"))
+    out = df.select(*[v.alias(k) for k, v in cols.items()])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan    # pure scan-stage expressions
