@@ -2899,6 +2899,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[v.alias(k) for k, v in cols.items()])
     q["html_quality"] = html_quality
 
+    def proximity_search_q(spark, sf):
+        """Slop-3 ordered proximity over the corpus (the query class
+        between exact phrase and boolean AND): docs where slow..hash..
+        batch appear in order with every gap <= 4 positions; n_matches
+        counts reachable end positions via the existential set fold
+        (complete, unlike greedy earliest-next). Token stream filtered
+        to the query terms before any shuffle."""
+        from commoncrawl_spark.operators.index import proximity_search
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return proximity_search(
+            d, ["slow", "hash", "batch"], slop=3)
+    q["proximity_search"] = proximity_search_q
+
     # ---- per-language quality buckets (CCNet head/middle/tail) ----
 
     def quality_buckets(spark, sf):
@@ -6429,6 +6443,33 @@ def oracle_sql() -> dict[str, str]:
           FROM t WHERE len(toks) >= 3)
         SELECT doc_id, CAST(n_matches AS INTEGER) AS n_matches
         FROM w WHERE n_matches > 0
+    """
+
+    # proximity_search: positions of each term via list_filter over the
+    # token array (1-based there, but gaps are position DIFFERENCES so
+    # the off-by-one cancels), then the same existential set fold for
+    # the fixed 3-term query — r1 = t1 positions reachable from t0,
+    # r2 = t2 positions reachable from r1, n_matches = len(r2)
+    o["proximity_search"] = f"""
+        WITH t AS (SELECT doc_id, {toks_doc} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = 'slow') AS p0,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = 'hash') AS p1,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = 'batch') AS p2
+          FROM t),
+        chain AS (
+          SELECT doc_id,
+                 list_filter(p2, x -> len(list_filter(
+                   list_filter(p1, y -> len(list_filter(p0,
+                     c -> y > c AND y <= c + 4)) > 0),
+                   c -> x > c AND x <= c + 4)) > 0) AS r2
+          FROM pos)
+        SELECT doc_id, CAST(len(r2) AS INTEGER) AS n_matches
+        FROM chain WHERE len(r2) > 0
     """
 
     # bm25_topk: identical BM25 arithmetic (constants written as the

@@ -522,3 +522,69 @@ def phrase_search_indexed(
         )
     )
     return _phrase_match(toks, phrase, id_col)
+
+
+def proximity_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ordered proximity retrieval (the slop query between exact phrase
+    and bag-of-words AND): documents where ``terms`` occur in order
+    with every gap at most ``slop + 1`` token positions (``slop = 0``
+    degenerates to the exact phrase). Returns ``(id_col, n_matches)``
+    with ``n_matches`` = the number of distinct positions of the LAST
+    term reachable through a valid chain — an existential SET fold per
+    slot, which is complete (the tempting greedy earliest-next
+    advance is not: P1={5,7}, P2={9}, gap 3 — greedy takes 5 and
+    strands 9; the set fold keeps both 5 and 7 alive).
+
+    Scale shape: same skeleton as :func:`phrase_search` — the corpus
+    token stream is filtered to the queried terms BEFORE any shuffle,
+    one groupBy(id, slot) collects per-term position sets, one
+    groupBy(id) assembles the slot arrays (ordered by an explicit
+    array_sort over (slot, positions) structs — collect_list order is
+    not deterministic), and the chain fold is per-row array arithmetic
+    bounded by the document's occurrence counts. No self-joins, no
+    windows, no Python."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+    )
+    slots = F.array(*[
+        F.struct(F.lit(t).alias("t"), F.lit(i).alias("i"))
+        for i, t in enumerate(terms)
+    ])
+    hits = (
+        toks.filter(F.col("token").isin(list(set(terms))))
+        .select(id_col, "pos", "token", F.explode(slots).alias("s"))
+        .filter(F.col("token") == F.col("s.t"))
+        .select(id_col, F.col("s.i").alias("slot"), "pos")
+    )
+    per_slot = hits.groupBy(id_col, "slot").agg(
+        F.array_sort(F.collect_set("pos")).alias("ps"))
+    collected = per_slot.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.array_sort(F.collect_list(F.struct("slot", "ps"))).alias("_sl"),
+    )
+    P = F.transform(F.col("_sl"), lambda s: s["ps"])
+    gap = F.lit(slop + 1)
+    reach = F.aggregate(
+        F.slice(P, 2, len(terms)),
+        F.element_at(P, 1),
+        lambda acc, pj: F.filter(
+            pj, lambda x: F.exists(acc, lambda c: (x > c) & (x <= c + gap))
+        ),
+    )
+    return (
+        collected.filter(F.col("_k") == len(terms))
+        .select(F.col(id_col), F.size(reach).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )

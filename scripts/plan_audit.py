@@ -1427,6 +1427,26 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # proximity search: pre-shuffle term filter, per-row chain fold
+    from commoncrawl_spark.operators.index import proximity_search
+
+    px = proximity_search(docs.select("doc_id", "text"),
+                          ["slow", "hash", "batch"], slop=3)
+    p = plan_of(px, label="proximity-search")
+    sections.append((
+        "Proximity search: only queried terms shuffle, chains fold per row",
+        "The corpus token stream is filtered to the query terms BEFORE "
+        "the slot fan-out and the (id, slot) exchange — the aggregate "
+        "sees rows for three tokens, not the corpus; slot arrays "
+        "assemble once per doc (explicitly sorted — collect_list order "
+        "is not deterministic) and the existential chain fold is "
+        "per-row array arithmetic bounded by occurrence counts.",
+        [f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # URL analytics: scan-stage features, slim-key trap aggregation
     from commoncrawl_spark.functions.urls import url_features
     from commoncrawl_spark.operators.links import host_trap_stats

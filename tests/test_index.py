@@ -352,3 +352,66 @@ def test_merge_broadcasts_segment_ids(spark, segments):
     # the anti-join against the slim new-id set must be a broadcast
     # (the historical index is never shuffled for the merge)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+@pytest.mark.spark
+def test_proximity_search_chains(spark):
+    from commoncrawl_spark.operators.index import proximity_search
+
+    df = spark.createDataFrame([
+        (1, "a x b y c"),       # gaps 2,2 within slop 2 -> match
+        (2, "a b q q q c"),     # b->c gap 4 > 3 -> no match
+        (3, "a a x x b c"),     # only the later 'a' starts a chain
+        (4, "c b a"),           # wrong order
+        (5, "a b c c"),         # two reachable end positions
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in proximity_search(df, ["a", "b", "c"], slop=2).collect()}
+    assert got == {1: 1, 3: 1, 5: 2}
+
+
+@pytest.mark.spark
+def test_proximity_greedy_trap(spark):
+    # the case that breaks greedy earliest-next advancing: the earlier
+    # 'b' strands 'c'; only the later 'b' completes the chain
+    from commoncrawl_spark.operators.index import proximity_search
+
+    df = spark.createDataFrame(
+        [(1, "a q b q b q q q c")], "doc_id long, text string")
+    got = proximity_search(df, ["a", "b", "c"], slop=3).collect()
+    # a@0 reaches b@2 AND b@4 (gaps 2, 4 <= 4); c@8 from b@2 is gap 6
+    # (no) but from b@4 is gap 4 (yes) — greedy earliest-next would
+    # stop at b@2 and miss it; the existential fold keeps both alive
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == [(1, 1)]
+
+
+@pytest.mark.spark
+def test_proximity_slop0_equals_phrase(spark):
+    from commoncrawl_spark.operators.index import (
+        phrase_search, proximity_search,
+    )
+
+    df = spark.createDataFrame([
+        (1, "u v w z u v w"), (2, "u z v w"), (3, "w v u")],
+        "doc_id long, text string")
+    a = {(r["doc_id"], r["n_matches"])
+         for r in proximity_search(df, ["u", "v", "w"], slop=0).collect()}
+    b = {(r["doc_id"], r["n_matches"])
+         for r in phrase_search(df, ["u", "v", "w"]).collect()}
+    assert a == b == {(1, 2)}
+
+
+@pytest.mark.spark
+def test_proximity_plan_no_window_no_python(spark):
+    from commoncrawl_spark.operators.index import proximity_search
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = proximity_search(df, ["a", "b"], slop=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    with pytest.raises(ValueError):
+        proximity_search(df, [], slop=1)
+    with pytest.raises(ValueError):
+        proximity_search(df, ["a"], slop=-1)
