@@ -2913,6 +2913,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, ["slow", "hash", "batch"], slop=3)
     q["proximity_search"] = proximity_search_q
 
+    def curation_pipeline_v3(spark, sf):
+        """The RefinedWeb-style destructive dedup chain COMPOSED:
+        per-host template strip (nav/footer chrome that corpus-global
+        dedup never sees) feeding the corpus-wide ExactSubstr cut —
+        span duplication is re-measured on the template-stripped text,
+        so site chrome can't masquerade as cross-site duplication.
+        Same params as the single-stage queries; the oracle nests one
+        stage's SQL as the other's source CTE."""
+        from commoncrawl_spark.operators.text_dedup import (
+            strip_duplicate_spans,
+            strip_host_boilerplate,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "source", "text")
+        hb = strip_host_boilerplate(
+            d, host_col="source", seg_words=2, min_docs=3, min_frac=0.1)
+        return strip_duplicate_spans(
+            hb.select("doc_id", "text"), k=20, min_count=2)
+    q["curation_pipeline_v3"] = curation_pipeline_v3
+
     # ---- per-language quality buckets (CCNet head/middle/tail) ----
 
     def quality_buckets(spark, sf):
@@ -6872,5 +6892,16 @@ def oracle_sql() -> dict[str, str]:
     # this function than the v2 template) as its survivors CTE.
     o["curation_pipeline_v2"] = o["curation_pipeline_v2"].replace(
         "{curation}", o["curation_pipeline"])
+
+    # curation_pipeline_v3: stage composition by CTE nesting — the
+    # boilerplate-strip result (doc_id, text) becomes the table the
+    # ExactSubstr SQL reads (its only source reference is the base CTE)
+    o["curation_pipeline_v3"] = f"""
+        WITH hb AS ({o["host_boilerplate"]}),
+        mid AS (SELECT doc_id, text FROM hb),
+        es AS ({o["exactsubstr_strip"].replace("FROM documents",
+                                               "FROM mid")})
+        SELECT * FROM es
+    """
 
     return o

@@ -355,7 +355,7 @@ def main() -> None:
             "hll_host_cardinality", "warc_revisit", "lm_kneser_ney",
             "spam_mass_hosts", "hard_negatives", "exactsubstr_strip", "domain_webgraph", "diversity_sample",
             "decontaminate_strip", "sitemap_tree", "html_quality",
-            "proximity_search",
+            "proximity_search", "curation_pipeline_v3",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1722,3 +1722,31 @@ def test_html_quality_plan_scan_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan    # pure scan-stage expressions
+
+
+@pytest.mark.spark
+def test_curation_v3_order_matters(spark):
+    # host A's 6-token template would register as corpus-duplicated
+    # spans; stripping it per-host FIRST means ExactSubstr sees only
+    # the genuinely unique bodies and cuts nothing
+    from commoncrawl_spark.operators.text_dedup import (
+        strip_duplicate_spans,
+        strip_host_boilerplate,
+    )
+
+    tpl = "nav home about contact legal privacy"
+    docs = [(i, "A", f"{tpl} body{i} unique{i} words{i} here{i}")
+            for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, host string, text string")
+    # ExactSubstr alone: the template is a duplicated 6-gram -> cuts
+    alone = {r["doc_id"]: r["n_kept"] for r in strip_duplicate_spans(
+        df, k=6, min_count=2).collect()}
+    assert all(v < 10 for v in alone.values())
+    # boilerplate-strip first: template gone, bodies untouched
+    hb = strip_host_boilerplate(df, seg_words=2, min_docs=3, min_frac=0.5)
+    chained = {r["doc_id"]: (r["text"], r["n_kept"])
+               for r in strip_duplicate_spans(
+                   hb.select("doc_id", "text"), k=6, min_count=2).collect()}
+    for i in range(4):
+        assert chained[i][0] == f"body{i} unique{i} words{i} here{i}"
+        assert chained[i][1] == 4
