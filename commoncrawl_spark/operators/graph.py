@@ -118,6 +118,7 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a slim ``(src, dst)`` edge table —
     the crawl-frontier priority signal: hosts (or URLs) that the link
@@ -140,12 +141,20 @@ def pagerank(
     - the edge list is hash-partitioned by ``src`` ONCE and persisted —
       every iteration's join reuses that exchange (the rank side, the
       small one, moves);
-    - ``localCheckpoint`` per iteration truncates lineage so the plan
-      stays one-iteration deep (same discipline as
-      ``connected_components``).
+    - ``localCheckpoint`` every ``checkpoint_interval`` iterations (and
+      on the last) truncates lineage so the plan never nests more than
+      ``checkpoint_interval`` joins deep. Per-ITERATION checkpointing
+      (the r3-early discipline) made every round a full job with a
+      driver barrier — measured ~1 s of serial latency per round on the
+      scaling rig, the dominant cost at sandbox scale and pure overhead
+      at any scale, since unlike connected_components there is no
+      per-round convergence test needing an action.
 
     Returns ``(node, rank)``, one row per distinct node.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -166,22 +175,20 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ann.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(1.0 - damping)
-                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping)
+             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+             ).alias("rank"),
         )
+        if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     ann.unpersist()
     return ranks
 
@@ -300,6 +307,7 @@ def trustrank(
     seed_col: str = "node",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Fixed-iteration TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
     VLDB 2004) — PageRank with the teleport restricted to a vetted seed
@@ -363,22 +371,23 @@ def trustrank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.col("bias").alias("trust"))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ann.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("trust") / F.col("deg")).alias("mass"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(1.0 - damping) * F.col("bias")
-                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                 ).alias("trust"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping) * F.col("bias")
+             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+             ).alias("trust"),
         )
+        # interval checkpointing, same rationale as pagerank: no
+        # per-round convergence action, so per-round barriers are pure
+        # serial overhead; lineage stays <= checkpoint_interval deep
+        if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     ann.unpersist()
     return ranks
 

@@ -352,9 +352,14 @@ def main() -> None:
         "Frontier PageRank: slim rank state, degree join hoisted",
         "Each iteration moves only (node, rank) pairs through one "
         "equi-join and one map-side-partial sum; the edge list carries "
-        "its out-degree from a single pre-loop join, and localCheckpoint "
-        "keeps the per-iteration plan constant-depth (the final plan is "
-        "an RDD scan over the last checkpoint, not a 2-iteration tree).",
+        "its out-degree from a single pre-loop join, and interval "
+        "localCheckpoint (every checkpoint_interval=3 rounds + the "
+        "last) keeps lineage bounded at <=3 joins deep WITHOUT a "
+        "driver barrier per round — per-iteration eager checkpoints "
+        "cost ~1 s of serial latency each on the scaling rig and, "
+        "unlike connected_components, pagerank has no per-round "
+        "convergence action to need one. The final plan is an RDD "
+        "scan over the last checkpoint, not an iters-deep join tree.",
         [f"single-iteration CartesianProduct: {'CartesianProduct' in p} "
          f"(expect False)",
          f"single-iteration Python operators: {p.count('EvalPython')} "
@@ -656,8 +661,8 @@ def main() -> None:
         "per map partition before the exchange. A row_number window on "
         "the cluster key would instead sort every member of the hot "
         "cluster in one task; that shape is pinned absent.",
-        [f"partial_max_by present (map-side fold kept): "
-         f"{'partial_max_by' in p} (expect True)",
+        [f"partial_min_by present (map-side fold kept): "
+         f"{'partial_min_by' in p} (expect True)",
          f"Window nodes: {p.count('Window [')} (expect 0)",
          f"Python operators: {p.count('EvalPython')} (expect 0)",
          f"CartesianProduct present: {'CartesianProduct' in p} "
