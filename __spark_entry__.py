@@ -2122,6 +2122,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("node", F.round("trust", 6).alias("trust"))
     q["trustrank_hosts"] = trustrank_hosts
 
+    def harmonic_hosts(spark, sf):
+        """HyperBall harmonic centrality (Boldi & Vigna ICDM'13 — the
+        Common Crawl webgraph ranking metric) over the same skewed
+        synthetic host graph: H(v) = Σ 1/d(u,v), balls grown one hop
+        per round as mergeable HLL sketches (register-max = set union),
+        radius 6. Exact in the sketch's sparse regime at this scale, so
+        the DuckDB oracle is an exact recursive-CTE BFS; at web scale
+        the same plan degrades to ~1.6% RSE instead of the O(V*E)
+        exact-BFS blowup."""
+        from commoncrawl_spark.operators.graph import harmonic_centrality
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        r = harmonic_centrality(edges, radius=6)
+        return r.select(
+            "node", "ball", F.round("harmonic", 6).alias("harmonic"))
+    q["harmonic_hosts"] = harmonic_hosts
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -4734,6 +4758,40 @@ def oracle_sql() -> dict[str, str]:
         r2 AS ({_pr_iter.format(prev="r1")}),
         r3 AS ({_pr_iter.format(prev="r2")})
         SELECT node, ROUND(pr, 6) AS pr FROM r3
+    """
+
+    # harmonic_hosts: exact ground truth for the HyperBall sketch walk —
+    # a bounded recursive-CTE BFS (min path length per (u, v) pair up to
+    # the radius), harmonic = SUM(1/d), ball = 1 + reachable sources.
+    # Legal as an EXACT oracle because DataSketches HLL is exact in its
+    # sparse/coupon regime and every ball here is <= 97 nodes; the V*E
+    # pair blowup the operator exists to avoid is fine at oracle scale.
+    o["harmonic_hosts"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        -- union wrapped in a subquery: inside WITH RECURSIVE, a CTE
+        -- body whose TOP-LEVEL op is UNION is parsed as the recursive
+        -- initial/step split and silently duplicates rows.
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+        walk(u, v, t) AS (
+          SELECT src, dst, 1 FROM e
+          UNION
+          SELECT w.u, e.dst, w.t + 1
+          FROM walk w JOIN e ON w.v = e.src
+          WHERE w.t < 6),
+        dist AS (
+          SELECT u, v, MIN(t) AS d FROM walk WHERE u <> v GROUP BY u, v)
+        SELECT n.node,
+               CAST(1 + COUNT(dist.u) AS BIGINT) AS ball,
+               ROUND(COALESCE(SUM(1.0 / dist.d), 0.0), 6) AS harmonic
+        FROM nodes n LEFT JOIN dist ON dist.v = n.node
+        GROUP BY n.node
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

@@ -514,3 +514,113 @@ def spam_mass(
             (sm >= F.lit(threshold)).alias("is_candidate"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 6,
+    lgk: int = 12,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", ICDM 2013
+    workshops) — the metric the Common Crawl webgraph releases rank
+    hosts by. ``H(v) = sum over u != v of 1 / d(u, v)``: hosts that
+    MANY hosts reach over SHORT link paths score high, and unlike
+    PageRank the score cannot be farmed by a single dense in-link
+    cluster (each new reachable source adds at most ``1/d``).
+
+    Exact all-pairs distances are O(V*E) — hopeless at 10^8 hosts. The
+    HyperBall trick: represent each node's in-ball
+    ``B(v, t) = {u : d(u, v) <= t}`` as a mergeable HLL sketch, and
+    grow every ball one hop per round via the recurrence
+    ``B(v, t) = {v} UNION B(u, t-1) for each edge u -> v`` — set union
+    becomes HLL register-max, so one round is ONE equi-join of the
+    (node, sketch) state onto the edge list plus ONE
+    ``hll_union_agg`` exchange on the destination key. The harmonic sum
+    folds incrementally from the ball-size deltas:
+    ``H(v) += (|B(v,t)| - |B(v,t-1)|) / t``.
+
+    Accuracy contract, same as ``operators/sketches.py``: DataSketches
+    HLL is EXACT while a ball fits the sketch's sparse/coupon mode
+    (thousands of nodes at ``lgk=12``), then ~1.6% RSE — the driver
+    query's DuckDB oracle (an exact recursive BFS) leans on the exact
+    regime at test scale; at web scale the estimate degrades gracefully
+    and the RANKING it induces is what ships.
+
+    Scale shape (10^8 hosts, 1000 executors):
+    - state is one ``(node, 2^lgk-byte sketch, long, double)`` row per
+      node — fixed size, never proportional to ball size (the whole
+      point vs. exact BFS frontier sets, which explode to V*E pairs);
+    - the edge list is hash-partitioned by ``src`` once and persisted;
+      every round's join reuses that exchange, only sketches move;
+    - ``hll_union_agg`` is a declarative aggregate: partial unions
+      build map-side, so a host with 10^6 in-links folds to one sketch
+      per map partition before the exchange (in-degree skew bounded);
+    - interval ``localCheckpoint`` (same discipline and rationale as
+      :func:`pagerank`): lineage stays <= ``checkpoint_interval``
+      rounds deep with no per-round driver barrier; there is no
+      convergence action — ``radius`` is fixed, and past the graph's
+      effective diameter the deltas are zero.
+
+    Returns ``(node, ball, harmonic)``: the in-ball size at ``radius``
+    (reachable-source count, itself the "how discoverable" metric) and
+    the harmonic centrality sum.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lgk)).alias("sk"))
+        .withColumn("cnt", F.lit(1).cast("long"))
+        .withColumn("harm", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, radius + 1):
+        contrib = (
+            e.join(state.select(F.col("node").alias("src"), "sk"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.hll_union_agg("sk", F.lit(False)).alias("csk"))
+        )
+        # sinks (no in-edges this round) keep their ball: left join +
+        # conditional union. hll_union is register-max, so re-merging
+        # the node's own sketch every round is idempotent.
+        grown = state.join(contrib, "node", "left").select(
+            "node",
+            F.when(F.col("csk").isNull(), F.col("sk"))
+            .otherwise(F.hll_union("sk", "csk")).alias("sk"),
+            "cnt", "harm",
+        )
+        state = grown.select(
+            "node", "sk",
+            F.hll_sketch_estimate("sk").alias("cnt"),
+            (F.col("harm")
+             + (F.hll_sketch_estimate("sk") - F.col("cnt"))
+             / F.lit(float(t))).alias("harm"),
+        )
+        if t % checkpoint_interval == 0 or t == radius:
+            state = state.localCheckpoint(eager=True)
+    e.unpersist()
+    return state.select(
+        "node",
+        F.col("cnt").alias("ball"),
+        F.col("harm").alias("harmonic"),
+    )

@@ -450,6 +450,51 @@ def main() -> None:
          f"{'Scan ExistingRDD' in tr_full}"],
     ))
 
+    # HyperBall harmonic centrality: one round = one equi-join of the
+    # (node, sketch) state onto the persisted edge list + ONE
+    # hll_union_agg exchange; sketches are object-typed aggregates, so
+    # the partial/final split shows as ObjectHashAggregate pairs (the
+    # map-side partial union is what bounds in-degree skew: a host with
+    # 10^6 in-links folds to one sketch per map partition pre-shuffle)
+    from commoncrawl_spark.operators.graph import harmonic_centrality
+
+    hb_state = (
+        pr_edges.select(F.col("src").alias("node")).distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(12)).alias("sk"))
+        .localCheckpoint(eager=True))
+    hb_round = plan_of(
+        pr_edges.join(
+            hb_state.select(F.col("node").alias("src"), "sk"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.hll_union_agg("sk", F.lit(False)).alias("csk")),
+        label="hyperball one round")
+    hb_full = plan_of(harmonic_centrality(pr_edges, radius=2),
+                      label="hyperball")
+    sections.append((
+        "HyperBall harmonic centrality: ball growth as sketch union",
+        "Exact all-pairs distances are O(V*E) — hopeless at 10^8 hosts. "
+        "Each node's in-ball rides ONE fixed-size HLL sketch; growing "
+        "every ball a hop is one equi-join on the persisted edge list "
+        "plus one hll_union_agg exchange on the destination key, and "
+        "the harmonic sum folds from ball-size deltas per round. State "
+        "is O(V), never proportional to ball size; interval "
+        "localCheckpoint keeps lineage constant-depth across the "
+        "fixed-radius loop.",
+        [f"round ObjectHashAggregate (sketch partial+final): "
+         f"{hb_round.count('ObjectHashAggregate')} (expect >= 2 — "
+         f"map-side partial union bounds in-degree skew)",
+         f"round hash exchanges: "
+         f"{hb_round.count('Exchange hashpartitioning')} "
+         f"(expect <= 2: state co-location + the union agg)",
+         f"round Python operators: {hb_round.count('EvalPython')} "
+         f"(expect 0)",
+         f"round CartesianProduct: {'CartesianProduct' in hb_round} "
+         f"(expect False)",
+         f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in hb_full}"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

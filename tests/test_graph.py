@@ -384,3 +384,96 @@ def test_spam_mass_plan_no_python_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+def _harmonic_py(edges, radius):
+    """Exact oracle: per-target BFS over REVERSED edges gives d(u, v)
+    for every source u within the radius; harmonic = sum 1/d, ball =
+    1 + reachable sources (HyperBall counts v itself)."""
+    from collections import defaultdict, deque
+
+    edges = sorted(set(edges))
+    rev = defaultdict(list)
+    nodes = set()
+    for s, t in edges:
+        if s != t:
+            rev[t].append(s)
+            nodes.update((s, t))
+    out = {}
+    for v in nodes:
+        dist = {v: 0}
+        dq = deque([v])
+        while dq:
+            x = dq.popleft()
+            if dist[x] == radius:
+                continue
+            for u in rev[x]:
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    dq.append(u)
+        harm = sum(1.0 / d for u, d in dist.items() if u != v)
+        out[v] = (len(dist), harm)
+    return out
+
+
+@pytest.mark.spark
+def test_harmonic_matches_python_bfs(spark):
+    """HLL balls are exact in the sparse regime at this scale, so the
+    sketch walk must reproduce the exact BFS to the last ulp."""
+    from commoncrawl_spark.operators.graph import harmonic_centrality
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["ball"], r["harmonic"])
+           for r in harmonic_centrality(df, radius=4).collect()}
+    want = _harmonic_py(edges, radius=4)
+    assert set(got) == set(want)
+    for n, (ball, harm) in want.items():
+        assert got[n][0] == ball, n
+        assert got[n][1] == pytest.approx(harm, abs=1e-9), n
+
+
+@pytest.mark.spark
+def test_harmonic_star_and_unreachable(spark):
+    """Leaves -> hub star: the hub collects one full unit per leaf
+    (all at distance 1) while the leaves, never linked to, stay at
+    zero — the 'cannot be farmed by one dense cluster' property."""
+    from commoncrawl_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long")
+    got = {r["node"]: r for r in harmonic_centrality(df, radius=3).collect()}
+    assert got[0]["harmonic"] == pytest.approx(5.0)
+    assert got[0]["ball"] == 6
+    for leaf in range(1, 6):
+        assert got[leaf]["harmonic"] == 0.0 and got[leaf]["ball"] == 1
+
+
+@pytest.mark.spark
+def test_harmonic_radius_clips_path(spark):
+    """Directed path 0->1->2->3->4: at radius 2 the tail node sees only
+    the two nearest ancestors (1 + 1/2), not the full chain."""
+    from commoncrawl_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long")
+    got = {r["node"]: r for r in harmonic_centrality(df, radius=2).collect()}
+    assert got[4]["harmonic"] == pytest.approx(1.5)
+    assert got[4]["ball"] == 3
+    assert got[0]["harmonic"] == 0.0 and got[0]["ball"] == 1
+
+
+@pytest.mark.spark
+def test_harmonic_plan_no_python_no_window(spark):
+    from commoncrawl_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = harmonic_centrality(df, radius=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    # radius 2 with checkpoint_interval 3 -> final forced checkpoint
+    # collapses the returned plan to a checkpoint scan
+    assert "Scan ExistingRDD" in plan
