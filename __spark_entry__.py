@@ -1992,6 +1992,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jaccard_pairs(d, pairs)
     q["ngram_jaccard"] = ngram_jaccard
 
+    def ssjoin_pairs(spark, sf):
+        """EXACT all-pairs Jaccard >= 0.8 via prefix filtering (Vernica
+        et al. SIGMOD'10) over the perturbed-twins corpus — the lossless
+        complement to minhash_buckets: every qualifying pair guaranteed
+        back with its exact score. Rare-first prefixes keep join buckets
+        small; the oracle is the brute-force candidates-by-shared-shingle
+        join (lossless for any threshold > 0), exact arithmetic both
+        sides."""
+        from commoncrawl_spark.operators.text_dedup import (
+            set_similarity_join,
+        )
+
+        return set_similarity_join(_docs2_spark(spark, sf), threshold=0.8)
+    q["ssjoin_pairs"] = ssjoin_pairs
+
     def near_dedup_pipeline(spark, sf):
         """Composed MinHash near-dedup end to end: LSH buckets ->
         candidate pairs -> exact Jaccard verification -> greedy
@@ -5197,6 +5212,26 @@ def oracle_sql() -> dict[str, str]:
                  AS jaccard
         FROM sh x JOIN sh y ON y.doc_id = x.doc_id + (SELECT half FROM n)
         WHERE x.doc_id < (SELECT half FROM n)
+    """
+
+    # ssjoin_pairs: brute-force ground truth for the prefix-filtered
+    # join — candidates are every pair sharing >= 1 shingle (lossless
+    # for threshold > 0 since J >= t > 0 needs a shared shingle), then
+    # exact intersection/union arithmetic, rounded 6dp before the
+    # threshold cut exactly as the operator does.
+    o["ssjoin_pairs"] = f"""
+        WITH s AS (SELECT doc_id, {sh_doc} AS sh FROM {_DOCS2_SQL}),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id),
+        j AS (SELECT a, b,
+                round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                      / greatest(len(list_distinct(
+                            list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
+              FROM cand
+              JOIN s sa ON sa.doc_id = cand.a
+              JOIN s sb ON sb.doc_id = cand.b)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8
     """
 
     o["simhash"] = f"""

@@ -1486,3 +1486,116 @@ def _rebuild_without_spans(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.size("_kept").cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join above ``threshold`` via prefix
+    filtering (Vernica, Carey & Li, "Efficient Parallel Set-Similarity
+    Joins Using MapReduce", SIGMOD 2010) — the lossless complement to
+    the probabilistic MinHash-LSH path: LSH trades recall for speed
+    (a twin pair can land in no shared band), this join GUARANTEES
+    every pair with ``J(A, B) >= threshold`` comes back, with its exact
+    score. Use it when dedup must be auditable (legal takedowns,
+    benchmark decontamination sign-off) or to measure LSH recall.
+
+    Why it scales without the O(n^2) blowup the guarantee suggests:
+    under any single global token ordering, two sets with Jaccard >= t
+    MUST share a token inside their first ``|x| - ceil(t*|x|) + 1``
+    tokens (if the prefixes were disjoint, the overlap needed to reach
+    t cannot fit in the remainder). So:
+
+    1. one pass computes per-shingle document frequency (map-side
+       partial count — the frequency table never leaves the cluster);
+    2. each doc's shingle set is ordered RAREST-FIRST (df asc, then
+       shingle asc for determinism) and only the short prefix — about
+       ``(1 - t) * |set|`` shingles — is exploded;
+    3. candidates come from an equi-join of prefix rows on the shingle
+       key: rare-first ordering deliberately puts the LOW-df shingles
+       in prefixes, so join buckets stay small (a stopword shingle with
+       df = 10^6 sorts last and almost never enters a prefix);
+    4. a size filter (``min(|A|, |B|) >= t * max(|A|, |B|)`` — implied
+       by J >= t since J <= min/max) prunes in the join condition;
+    5. only surviving candidate pairs are verified with the exact
+       intersection/union arithmetic.
+
+    Float guard: ``t * n`` in binary can overshoot an exact integer
+    boundary (0.8 * 5 = 4.0000000000000002 -> ceil 5 shortens the
+    prefix and LOSES pairs at exactly J = t), so both the prefix length
+    and the size filter subtract a 1e-9 epsilon — slack only ever ADDS
+    candidates, which the exact verify step then scores.
+
+    Returns ``(a, b, jaccard)`` with ``a < b``, jaccard rounded to 6dp
+    (the repo's cross-engine float convention) and ``>= threshold``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eps = 1e-9
+    sets = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
+    ex = sets.select("_id", "n", F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    # rare-first global order = sort key (df, g); struct array_sort is
+    # deterministic whatever order collect_list saw the rows in
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps))
+        + F.lit(1)
+    ).cast("int")
+    pref = (
+        ex.join(dfreq, "g")
+        .groupBy("_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("os"))
+        .select(
+            "_id", "n",
+            F.explode(
+                F.slice(F.transform("os", lambda s: s["g"]),
+                        F.lit(1), prefix_len)).alias("g"))
+    )
+    a, b = pref.alias("pa"), pref.alias("pb")
+    cands = (
+        a.join(
+            b,
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa._id") < F.col("pb._id"))
+            & (F.least("pa.n", "pb.n")
+               >= F.lit(threshold) * F.greatest("pa.n", "pb.n") - F.lit(eps)),
+        )
+        .select(F.col("pa._id").alias("a"), F.col("pb._id").alias("b"))
+        .distinct()
+    )
+    j = (
+        cands
+        .join(sets.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sets.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    if not materialize:
+        return j
+    out = j.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out

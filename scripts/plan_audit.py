@@ -1077,6 +1077,38 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # exact set-similarity join: the lossless guarantee without the
+    # all-pairs plan — candidates must come from an EQUI-join on the
+    # rare-first prefix shingle key, never a cartesian/theta join, and
+    # the shingle df table aggregates map-side-partial
+    from commoncrawl_spark.operators.text_dedup import set_similarity_join
+
+    ssj = set_similarity_join(
+        docs.limit(400), threshold=0.8, materialize=False)
+    ssj.collect()
+    p = plan_of(ssj, label="set-similarity join")
+    sections.append((
+        "Exact set-similarity join: prefix filter, equi-join candidates",
+        "Prefix filtering (Vernica et al. SIGMOD'10) makes the EXACT "
+        "threshold-Jaccard join scale: only each doc's ~(1-t)*|set| "
+        "rarest shingles are exploded, candidates are an equi-join on "
+        "that prefix key (rare-first ordering keeps the join buckets "
+        "small — the df=10^6 stopword shingle sorts LAST and never "
+        "enters a prefix), a size filter prunes inside the join "
+        "condition, and only survivors get the exact intersection "
+        "arithmetic. The guarantee LSH cannot give, without the O(n^2) "
+        "plan a naive exact join needs.",
+        [f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"BroadcastNestedLoopJoin: {'BroadcastNestedLoopJoin' in p} "
+         f"(expect False — size filter rides the equi-join, not a "
+         f"theta join)",
+         f"partial aggregates (df count + dedup): "
+         f"{p.count('HashAggregate')} HashAggregate nodes (expect >= 4: "
+         f"partial+final for shingle df and candidate distinct)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # incremental index merge: old index filtered map-side, never shuffled
     from commoncrawl_spark.operators.index import merge_tf_index
 

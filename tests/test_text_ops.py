@@ -5,6 +5,7 @@ scripts/check_contract.py; these cover edge cases and invariants)."""
 from __future__ import annotations
 
 import math
+import random
 
 import numpy as np
 import pytest
@@ -1750,3 +1751,87 @@ def test_curation_v3_order_matters(spark):
     for i in range(4):
         assert chained[i][0] == f"body{i} unique{i} words{i} here{i}"
         assert chained[i][1] == 4
+
+
+def _brute_jaccard(texts, n=3):
+    """Exact all-pairs shingle Jaccard, pure Python."""
+    import re
+
+    def sh(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in texts}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            out[(a, b)] = round(len(sets[a] & sets[b]) / max(u, 1), 6)
+    return out
+
+
+@pytest.mark.spark
+def test_ssjoin_lossless_vs_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: every pair at or above the
+    threshold comes back with its exact score — the guarantee that
+    separates this join from the MinHash-LSH recall tradeoff."""
+    from commoncrawl_spark.operators.text_dedup import set_similarity_join
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = []
+    base = [rng.choice(vocab) for _ in range(30)]
+    for i in range(20):
+        words = list(base)
+        for _ in range(rng.randrange(0, 12)):  # 0-11 point mutations
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        texts.append((i, " ".join(words)))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in set_similarity_join(df, threshold=t).collect()}
+        want = {p: j for p, j in _brute_jaccard(texts).items() if j >= t}
+        assert got == want, f"threshold {t}"
+
+
+@pytest.mark.spark
+def test_ssjoin_exact_boundary_pair(spark):
+    """J(A, B) exactly == threshold must survive the float guards:
+    6-token vs 7-token docs share 4 of 5 shingles -> J = 0.8, and
+    0.8 * 5 rounds UP in binary without the epsilon."""
+    from commoncrawl_spark.operators.text_dedup import set_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g")],
+        "doc_id long, text string")
+    got = set_similarity_join(df, threshold=0.8).collect()
+    assert len(got) == 1
+    assert (got[0]["a"], got[0]["b"], got[0]["jaccard"]) == (1, 2, 0.8)
+    # just above the true score: the pair must drop
+    assert set_similarity_join(df, threshold=0.81).count() == 0
+
+
+@pytest.mark.spark
+def test_ssjoin_threshold_validation(spark):
+    from commoncrawl_spark.operators.text_dedup import set_similarity_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            set_similarity_join(df, threshold=bad)
+
+
+@pytest.mark.spark
+def test_ssjoin_plan_no_cartesian_no_window(spark):
+    from commoncrawl_spark.operators.text_dedup import set_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e")], "doc_id long, text string")
+    out = set_similarity_join(df, threshold=0.5, materialize=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
