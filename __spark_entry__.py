@@ -2161,6 +2161,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", "ball", F.round("harmonic", 6).alias("harmonic"))
     q["harmonic_hosts"] = harmonic_hosts
 
+    def lpa_communities(spark, sf):
+        """Deterministic synchronous label propagation (Raghavan et al.
+        Phys. Rev. E 2007) over the symmetrized host graph: 4 rounds,
+        each node adopting the argmax neighbor label with ties broken
+        (count desc, label asc) — mirror rings and link neighborhoods
+        fall out as shared labels with no objective to tune. The oracle
+        unrolls the same recurrence with QUALIFY row_number per round."""
+        from commoncrawl_spark.operators.graph import label_propagation
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return label_propagation(edges, iters=4)
+    q["lpa_communities"] = lpa_communities
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -4807,6 +4827,35 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(SUM(1.0 / dist.d), 0.0), 6) AS harmonic
         FROM nodes n LEFT JOIN dist ON dist.v = n.node
         GROUP BY n.node
+    """
+
+    # lpa_communities: the synchronous vote recurrence unrolled — per
+    # round, (dst, label) vote counts then the per-node argmax via
+    # QUALIFY row_number (count desc, label asc), exactly the operator's
+    # min_by(label, struct(-count, label)) tie-break.
+    _lpa_round = """
+        v{i} AS (
+          SELECT e.dst AS node, s.label, COUNT(*) AS c
+          FROM e JOIN l{p} s ON e.src = s.node
+          GROUP BY e.dst, s.label),
+        l{i} AS (
+          SELECT node, label FROM v{i}
+          QUALIFY row_number()
+            OVER (PARTITION BY node ORDER BY c DESC, label) = 1)"""
+    o["lpa_communities"] = f"""
+        WITH d AS (
+          SELECT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d) u),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        {",".join(_lpa_round.format(i=i, p=i - 1) for i in range(1, 5))}
+        SELECT node, label AS community FROM l4
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

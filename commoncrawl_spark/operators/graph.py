@@ -624,3 +624,80 @@ def harmonic_centrality(
         F.col("cnt").alias("ball"),
         F.col("harm").alias("harmonic"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 2007) — the
+    near-linear community primitive for host graphs: mirror clusters,
+    link rings, and topical neighborhoods surface as labels without any
+    objective function to optimize or parameter to tune.
+
+    Made DETERMINISTIC (the paper's async random-order variant is not):
+    synchronous rounds over the SYMMETRIZED edge list, each node
+    adopting the argmax neighbor label with ties broken by (count desc,
+    label asc) — expressed as ``min_by(label, struct(-count, label))``,
+    never a negated id (labels here are numeric node ids; the struct
+    keeps the tie-break total). Self-loops are dropped: a node must not
+    vote for itself or singleton labels never merge.
+
+    Scale shape (10^8 hosts, 1000 executors):
+    - state is one slim ``(node, label)`` row per node; one round is
+      one equi-join of state onto the hash-partitioned persisted edge
+      list + TWO map-side-partial aggregates — (dst, label) vote counts
+      (collapses a 10^6-in-degree host's messages per map partition),
+      then the per-dst argmax over the already-tiny vote rows;
+    - no windows anywhere (the argmax is an aggregate, not a rank);
+    - interval ``localCheckpoint`` as in :func:`pagerank`: fixed round
+      count, lineage constant-depth, no per-round driver action.
+
+    Returns ``(node, community)`` after ``iters`` rounds; community ids
+    are node ids (the label each community converged onto).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
+    directed = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    state = (
+        e.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(1, iters + 1):
+        votes = (
+            e.join(state.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("cnt")).alias("nc"),
+                         F.col("label").alias("l")),
+            ).alias("label"))
+        state = winner
+        if it % checkpoint_interval == 0 or it == iters:
+            state = state.localCheckpoint(eager=True)
+    e.unpersist()
+    return state.select("node", F.col("label").alias("community"))

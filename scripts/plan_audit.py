@@ -495,6 +495,48 @@ def main() -> None:
          f"{'Scan ExistingRDD' in hb_full}"],
     ))
 
+    # label propagation: the per-round argmax is an AGGREGATE
+    # (min_by over struct(-count, label)), never a rank window — votes
+    # collapse map-side on (dst, label) before the winner agg
+    from commoncrawl_spark.operators.graph import label_propagation
+
+    lpa_state = (pr_edges.select(F.col("src").alias("node")).distinct()
+                 .withColumn("label", F.col("node"))
+                 .localCheckpoint(eager=True))
+    lpa_round = plan_of(
+        pr_edges.join(
+            lpa_state.select(F.col("node").alias("src"), "label"), "src")
+        .groupBy(F.col("dst").alias("node"), "label")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("node")
+        .agg(F.min_by("label", F.struct((-F.col("cnt")).alias("nc"),
+                                        F.col("label").alias("l")))
+             .alias("label")),
+        label="label propagation one round")
+    lpa_full = plan_of(label_propagation(pr_edges, iters=2),
+                       label="label propagation")
+    sections.append((
+        "Label propagation: argmax as aggregate, never a rank window",
+        "One round is one equi-join of slim (node, label) state onto "
+        "the symmetrized edge list plus two map-side-partial "
+        "aggregates: (dst, label) vote counts (a 10^6-in-degree host's "
+        "messages fold per map partition before any exchange) then the "
+        "per-node argmax via min_by over struct(-count, label) — an "
+        "aggregate with a total deterministic tie-break, not a "
+        "row_number window; interval localCheckpoint keeps the "
+        "fixed-round loop constant-depth.",
+        [f"round partial_min_by in aggregate: "
+         f"{'partial_min_by' in lpa_round} (expect True)",
+         f"round Window operators: {lpa_round.count('Window')} "
+         f"(expect 0)",
+         f"round Python operators: {lpa_round.count('EvalPython')} "
+         f"(expect 0)",
+         f"round CartesianProduct: {'CartesianProduct' in lpa_round} "
+         f"(expect False)",
+         f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in lpa_full}"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

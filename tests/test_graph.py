@@ -477,3 +477,68 @@ def test_harmonic_plan_no_python_no_window(spark):
     # radius 2 with checkpoint_interval 3 -> final forced checkpoint
     # collapses the returned plan to a checkpoint scan
     assert "Scan ExistingRDD" in plan
+
+
+def _lpa_py(edges, iters):
+    """Deterministic synchronous LPA twin: symmetrize, drop self-loops,
+    argmax neighbor label by (count desc, label asc)."""
+    from collections import Counter, defaultdict
+
+    sym = set()
+    for s, t in edges:
+        if s != t:
+            sym.add((s, t))
+            sym.add((t, s))
+    nbrs = defaultdict(list)
+    for s, t in sym:
+        nbrs[t].append(s)
+    labels = {n: n for st in sym for n in st}
+    for _ in range(iters):
+        labels = {
+            v: min(Counter(labels[u] for u in nbrs[v]).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+            for v in labels
+        }
+    return labels
+
+
+@pytest.mark.spark
+def test_lpa_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.graph import label_propagation
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 4):
+        got = {r["node"]: r["community"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == _lpa_py(edges, iters), f"iters {iters}"
+
+
+@pytest.mark.spark
+def test_lpa_separates_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: each clique floods to
+    its own minimum id; the single bridge vote never outnumbers the
+    three in-clique votes."""
+    from commoncrawl_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iters=5).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+@pytest.mark.spark
+def test_lpa_plan_no_python_no_window(spark):
+    from commoncrawl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = label_propagation(df, iters=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan  # the argmax is min_by, not a rank
+    assert "Scan ExistingRDD" in plan  # final checkpoint collapse
