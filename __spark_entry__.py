@@ -2007,6 +2007,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return set_similarity_join(_docs2_spark(spark, sf), threshold=0.8)
     q["ssjoin_pairs"] = ssjoin_pairs
 
+    def lsh_recall(spark, sf):
+        """Recall audit for the MinHash-LSH path: the exact
+        prefix-filtered join is ground truth (every pair with J >= 0.8,
+        guaranteed), LSH bucket collisions are the probe — the metric a
+        dedup deployment tunes (num_hashes, bands) against before
+        trusting LSH at corpus scale. One row: truth/candidate/hit
+        counts + recall, all three legs slim pair frames."""
+        from commoncrawl_spark.operators.text_dedup import (
+            minhash_candidate_pairs,
+            set_similarity_join,
+        )
+
+        d = _docs2_spark(spark, sf)
+        truth = set_similarity_join(d, threshold=0.8)
+        cand = minhash_candidate_pairs(
+            d, num_hashes=NUM_HASHES, bands=BANDS)
+        t = truth.agg(F.count("*").alias("truth_pairs"))
+        c = cand.agg(F.count("*").alias("lsh_candidates"))
+        h = truth.join(cand, ["a", "b"], "semi").agg(
+            F.count("*").alias("hit_pairs"))
+        return t.crossJoin(c).crossJoin(h).select(
+            "truth_pairs", "lsh_candidates", "hit_pairs",
+            F.round(
+                F.col("hit_pairs")
+                / F.greatest(F.col("truth_pairs"), F.lit(1)),
+                6).alias("recall"))
+    q["lsh_recall"] = lsh_recall
+
+    def pmi_collocations_top(spark, sf):
+        """Top-100 collocations by PMI (Church & Hanks CL'90) over the
+        documents corpus, min pair count 20: adjacent pairs co-occurring
+        far above their unigram-frequency prediction — boilerplate
+        phrase mining / multi-word tokenizer seeds. Sum-of-logs (never
+        N^2 — overflows at 10^13 tokens), rounded 6dp, top-k ordered on
+        the ROUNDED value + (w1, w2) so the boundary is cross-engine
+        stable; TakeOrderedAndProject, no global window."""
+        from commoncrawl_spark.operators.analytics import pmi_collocations
+
+        d = _read(spark, sf, "documents")
+        return pmi_collocations(d, min_count=20, top_k=100)
+    q["pmi_collocations"] = pmi_collocations_top
+
+    def readability(spark, sf):
+        """Flesch reading ease + Flesch-Kincaid grade per document
+        (Kincaid et al. 1975) from heuristic vowel-run syllables and
+        [.!?]-sentences — the classic surface readability pair as a
+        quality facet; pure scan-stage Catalyst arrays, zero shuffle,
+        exact DuckDB list-lambda twin."""
+        from commoncrawl_spark.functions.text import readability_signals
+
+        d = _read(spark, sf, "documents")
+        sig = readability_signals(F.col("text"))
+        return d.select(
+            "doc_id",
+            *[sig[k].alias(k) for k in
+              ("n_words", "n_sentences", "n_syllables",
+               "reading_ease", "fk_grade")])
+    q["readability"] = readability
+
     def near_dedup_pipeline(spark, sf):
         """Composed MinHash near-dedup end to end: LSH buckets ->
         candidate pairs -> exact Jaccard verification -> greedy
@@ -5281,6 +5340,91 @@ def oracle_sql() -> dict[str, str]:
               JOIN s sa ON sa.doc_id = cand.a
               JOIN s sb ON sb.doc_id = cand.b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8
+    """
+
+    # lsh_recall: ground truth = the brute-force exact join (as in
+    # ssjoin_pairs), probe = the same banded-signature bucket collisions
+    # minhash_buckets oracles, hit = their equi-join; recall rounded 6dp
+    # like the operator side.
+    o["lsh_recall"] = f"""
+        WITH base AS (SELECT doc_id, {sh_doc} AS sh FROM {_DOCS2_SQL}),
+        sigs AS (SELECT doc_id, {_sql_minhash_sigs()} FROM base),
+        bks AS ({band_rows}),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bks x JOIN bks y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                 WHERE x.doc_id < y.doc_id),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM base),
+        tc AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id),
+        truth AS (
+          SELECT tc.a, tc.b FROM tc
+          JOIN base sa ON sa.doc_id = tc.a
+          JOIN base sb ON sb.doc_id = tc.b
+          WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                      / greatest(len(list_distinct(
+                            list_concat(sa.sh, sb.sh))), 1), 6) >= 0.8),
+        hit AS (SELECT t.a, t.b FROM truth t
+                JOIN cand c ON t.a = c.a AND t.b = c.b)
+        SELECT (SELECT COUNT(*) FROM truth) AS truth_pairs,
+               (SELECT COUNT(*) FROM cand) AS lsh_candidates,
+               (SELECT COUNT(*) FROM hit) AS hit_pairs,
+               ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                     / GREATEST((SELECT COUNT(*) FROM truth), 1), 6)
+                 AS recall
+    """
+
+    # pmi_collocations: identical sum-of-logs arithmetic (same textual
+    # association order as the Spark expression — IEEE + is order
+    # sensitive), M = all adjacent pairs from array lengths, top-k on
+    # the rounded value with the same (w1, w2) tie-break.
+    o["pmi_collocations"] = f"""
+        WITH t AS (SELECT {_SQL_TOKS.format(t='text')} AS t FROM documents),
+        uni AS (SELECT w, COUNT(*) AS c
+                FROM (SELECT unnest(t) AS w FROM t) u GROUP BY w),
+        n AS (SELECT SUM(c) AS _n FROM uni),
+        m AS (SELECT SUM(GREATEST(len(t) - 1, 0)) AS _m FROM t),
+        bi AS (SELECT b, COUNT(*) AS c12 FROM (
+                 SELECT unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1])) AS b
+                 FROM t) x
+               GROUP BY b HAVING COUNT(*) >= 20),
+        s AS (SELECT split_part(b, ' ', 1) AS w1,
+                     split_part(b, ' ', 2) AS w2, c12 FROM bi)
+        SELECT s.w1, s.w2, s.c12,
+               ROUND(ln(s.c12) + 2 * ln((SELECT _n FROM n))
+                     - ln((SELECT _m FROM m)) - ln(u1.c) - ln(u2.c), 6)
+                 AS pmi
+        FROM s JOIN uni u1 ON u1.w = s.w1 JOIN uni u2 ON u2.w = s.w2
+        ORDER BY pmi DESC, s.w1, s.w2 LIMIT 100
+    """
+
+    # readability: the same vowel-run syllable heuristic and sentence
+    # split as list lambdas; arithmetic in the identical textual order
+    # (IEEE + / * are order-sensitive), 6dp round.
+    o["readability"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_SQL_TOKS.format(t='text')} AS t, lower(text) AS low
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 len(list_filter(string_split_regex(low, '[.!?]+'),
+                     x -> regexp_matches(x, '[a-z0-9]'))) AS n_sentences,
+                 CAST(COALESCE(list_sum(list_transform(t, w ->
+                     GREATEST(len(list_filter(
+                         string_split_regex(w, '[^aeiouy]+'),
+                         x -> x <> '')), 1))), 0) AS BIGINT) AS n_syllables
+          FROM t)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ROUND(206.835
+                     - 1.015 * (n_words / GREATEST(n_sentences, 1))
+                     - 84.6 * (n_syllables / GREATEST(n_words, 1)), 6)
+                 AS reading_ease,
+               ROUND(0.39 * (n_words / GREATEST(n_sentences, 1))
+                     + 11.8 * (n_syllables / GREATEST(n_words, 1))
+                     - 15.59, 6) AS fk_grade
+        FROM s
     """
 
     o["simhash"] = f"""

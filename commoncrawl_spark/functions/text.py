@@ -493,3 +493,48 @@ def html_quality_cols(html: Column) -> dict[str, Column]:
         "text_tag_ratio": F.round(
             visible_len / F.greatest(n_tags.cast("long"), F.lit(1)), 4),
     }
+
+
+def readability_signals(text: Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade (Kincaid et al. 1975)
+    — the classic surface-form readability pair, a standard web-text
+    quality facet alongside the Gopher rules: too-easy text is often
+    listicles/spam, too-hard is often OCR noise or legalese.
+
+    Heuristic syllables (no dictionary at corpus scale): maximal
+    ``[aeiouy]+`` runs per lowercased token, floor 1 per word.
+    Sentences: ``[.!?]+``-delimited segments containing at least one
+    alphanumeric. Pure Catalyst array expressions — one pass, zero
+    shuffle, scan-stage pushdown-friendly — and every term has an exact
+    DuckDB list-lambda twin, so the score is portable and auditable.
+
+    ``ease  = 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)``
+    ``grade = 0.39*(words/sentences) + 11.8*(syll/words) - 15.59``
+    (both denominators floored at 1; empty text scores as 0 words /
+    1 sentence, ease 206.835 - 84.6*0 ... i.e. degenerate but defined).
+    """
+    low = F.lower(text)
+    words = tokens_col(text)
+    n_words = F.size(words)
+    syll = F.aggregate(
+        words,
+        F.lit(0),
+        lambda a, w: a + F.greatest(
+            F.size(F.filter(F.split(w, "[^aeiouy]+"), lambda s: s != "")),
+            F.lit(1)),
+    )
+    sents = F.size(F.filter(
+        F.split(low, r"[.!?]+"), lambda s: s.rlike("[a-z0-9]")))
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_s = F.greatest(sents, F.lit(1)).cast("double")
+    wps = n_words / safe_s
+    spw = syll / safe_w
+    return {
+        "n_words": n_words,
+        "n_sentences": sents,
+        "n_syllables": syll,
+        "reading_ease": F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6),
+        "fk_grade": F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
+    }

@@ -372,3 +372,78 @@ def key_skew_profile(
             .alias("share"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, "Word Association Norms, Mutual Information, and
+    Lexicography", Computational Linguistics 1990): adjacent word pairs
+    that co-occur far more than their unigram frequencies predict —
+    'los angeles', 'click here' — the classic signal for boilerplate
+    phrase mining and multi-word tokenizer seeding.
+
+    ``PMI(w1, w2) = ln(p(w1 w2) / (p(w1) p(w2)))``, computed as a SUM
+    OF LOGS — never ``ln(c12 * N^2 / (M * c1 * c2))``: at corpus scale
+    N ~ 10^13 tokens and N^2 overflows a 64-bit count. The float
+    convention: rounded 6dp, and the top-k ORDER uses the rounded value
+    (pmi desc, w1, w2) so the boundary set is reproducible cross-engine.
+
+    Scale shape: ONE tokenized pass is persisted and feeds both counts;
+    unigram and bigram tallies aggregate map-side-partial (shuffle rows
+    = vocab, not corpus); ``min_count`` prunes the bigram frame BEFORE
+    the two token-key count joins; corpus totals ride 1-row broadcasts
+    (the lm.py pattern, no driver collect); the final top-k is
+    orderBy+limit = TakeOrderedAndProject (map-side partial top-k) —
+    never a global rank window.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = df.select(tokens_col(F.col(text_col)).alias("t")).persist()
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("_n"))
+    k = F.size(F.col("t")) - 1
+    bi = (
+        toks.filter(k > 0)
+        .select(F.explode(F.arrays_zip(
+            F.slice("t", 1, F.greatest(k, F.lit(0))).alias("w1"),
+            F.slice("t", 2, F.greatest(k, F.lit(0))).alias("w2"),
+        )).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    # total bigram mass M counts ALL adjacent pairs (p(w1 w2) is over
+    # the full corpus, not the frequent survivors) — derived from token
+    # array lengths, no second pass over the pair counts
+    m_big = toks.agg(
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("_m"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_big))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log("c12") + 2 * F.log("_n")
+                - F.log("_m") - F.log("c1") - F.log("c2"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    ranked = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+    if not materialize:
+        return ranked  # lazy plan for audits; caller owns toks cleanup
+    out = ranked.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out

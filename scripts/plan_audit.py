@@ -1151,6 +1151,51 @@ def main() -> None:
          f"Window operators: {p.count('Window')} (expect 0)"],
     ))
 
+    # PMI collocations: token-key count joins + 1-row broadcast totals,
+    # top-k as TakeOrderedAndProject — never a global rank window
+    from commoncrawl_spark.operators.analytics import pmi_collocations
+
+    pmi = pmi_collocations(docs.limit(300), min_count=2, top_k=50,
+                           materialize=False)
+    pmi.collect()
+    p = plan_of(pmi, label="pmi collocations")
+    sections.append((
+        "PMI collocations: sum-of-logs scoring, partial top-k",
+        "Both tallies aggregate map-side-partial off ONE persisted "
+        "token pass (shuffle rows = vocab, not corpus); min_count "
+        "prunes the bigram frame before the two unigram-count joins; "
+        "corpus totals ride 1-row broadcasts; the top-k compiles to "
+        "TakeOrderedAndProject (map-side partial top-k, only k rows "
+        "cross the exchange). Scoring is a SUM of logs because "
+        "N^2 overflows int64 at a 10^13-token corpus.",
+        [f"TakeOrderedAndProject present: "
+         f"{'TakeOrderedAndProject' in p} (expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False — "
+         f"totals ride BroadcastNestedLoopJoin 1-row crosses)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"partial aggregates: {p.count('HashAggregate')} "
+         f"HashAggregate nodes (expect >= 4)"],
+    ))
+
+    # readability: scan-stage only — the whole signal pair must fuse
+    # into the parquet scan projection, zero exchanges
+    from commoncrawl_spark.functions.text import readability_signals
+
+    rsig = readability_signals(F.col("text"))
+    rd = docs.select("doc_id", *[rsig[k].alias(k) for k in rsig])
+    p = plan_of(rd, label="readability signals")
+    sections.append((
+        "Readability signals: zero-shuffle scan-stage expressions",
+        "Flesch ease/grade from vowel-run syllables and sentence "
+        "splits as pure Catalyst array lambdas: per-row arithmetic "
+        "fuses into the scan projection — a 10^10-doc corpus is scored "
+        "in its read pass, no exchange, no Python.",
+        [f"Exchange count: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
     # incremental index merge: old index filtered map-side, never shuffled
     from commoncrawl_spark.operators.index import merge_tf_index
 

@@ -220,3 +220,48 @@ def test_stratified_sample_rejects_missing_key_cols(spark):
     df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
     with pytest.raises(ValueError, match="key_cols"):
         stratified_sample(df, "host", 1)
+
+
+@pytest.mark.spark
+def test_pmi_hand_computed(spark):
+    """PMI(a, b) over corpus {'a b' x2, 'a c'}: ln(c12*N^2/(M*c1*c2))
+    = ln(2*36/(3*3*2)) = ln 4; the min_count=2 gate drops (a, c)."""
+    from commoncrawl_spark.operators.analytics import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    got = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["c12"]) == ("a", "b", 2)
+    assert r["pmi"] == pytest.approx(math.log(4.0), abs=1e-6)
+
+
+@pytest.mark.spark
+def test_pmi_total_bigram_mass_counts_filtered_pairs(spark):
+    """M must count ALL adjacent pairs, not just min_count survivors —
+    dropping (a, c) from M would inflate every surviving PMI."""
+    from commoncrawl_spark.operators.analytics import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x y z w")],
+        "doc_id long, text string")
+    # N = 8 tokens, M = 2 + 3 = 5 pairs; c12(a,b)=2, c(a)=c(b)=2
+    got = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert len(got) == 1
+    want = math.log(2 * 8 * 8 / (5 * 2 * 2))
+    assert got[0]["pmi"] == pytest.approx(want, abs=1e-6)
+
+
+@pytest.mark.spark
+def test_pmi_plan_topk_no_window(spark):
+    from commoncrawl_spark.operators.analytics import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id long, text string")
+    out = pmi_collocations(df, min_count=1, top_k=5, materialize=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # map-side partial top-k
+    assert "Window" not in plan
+    assert "EvalPython" not in plan

@@ -1835,3 +1835,39 @@ def test_ssjoin_plan_no_cartesian_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_readability_hand_computed(spark):
+    """Flesch arithmetic checked by hand: 6 one-syllable words over 2
+    sentences -> ease 206.835 - 1.015*3 - 84.6*1 = 119.19."""
+    from commoncrawl_spark.functions.text import readability_signals
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string")
+    sig = readability_signals(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[sig[k].alias(k) for k in sig]).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    assert r1["reading_ease"] == pytest.approx(119.19)
+    assert r1["fk_grade"] == pytest.approx(-2.62)
+    # empty text is degenerate but defined (denominators floored at 1)
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (0, 0, 0)
+    assert r2["reading_ease"] == pytest.approx(206.835)
+
+
+@pytest.mark.spark
+def test_readability_syllable_heuristic(spark):
+    """Vowel-run counting: 'beautiful' has runs eau/i/u = 3; a word
+    with no vowels still floors at 1."""
+    from commoncrawl_spark.functions.text import readability_signals
+
+    df = spark.createDataFrame(
+        [(1, "beautiful"), (2, "tsk")], "doc_id long, text string")
+    sig = readability_signals(F.col("text"))
+    got = {r["doc_id"]: r["n_syllables"] for r in df.select(
+        "doc_id", sig["n_syllables"].alias("n_syllables")).collect()}
+    assert got == {1: 3, 2: 1}
