@@ -310,6 +310,14 @@ _SQL_DOT = (
     "(x, y) -> x + y)"
 )
 
+# squared-L2 left fold over an n-dim slice — the PQ subspace metric;
+# list_reduce seeds with the first element, Spark's aggregate with 0.0:
+# 0.0 + v1 == v1 exactly, so both are the same left-associated sum
+_SQL_L2 = (
+    "list_reduce(list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
 
 def _sql_cosine(a: str, b: str) -> str:
     dot = _SQL_DOT.format(a=a, b=b)
@@ -2332,6 +2340,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(e, e.filter(F.col("vec_id") < 10),
                         k=5, n_centroids=16, n_probe=4)
     q["ann_ivf_topk"] = ann_ivf_topk
+
+    def pq_ann_topk(spark, sf):
+        """Product-quantization ANN (Jégou et al. TPAMI'11): 64-dim
+        vectors compressed to 8 one-byte codes (32x), queries score via
+        asymmetric distance — a sum of 8 table lookups, no float vector
+        touched at scoring time; the memory scale path for a 10^10
+        corpus. Cross-subspace sums ride 1e-6-quantized longs so
+        partition order can't perturb the ranking; training-free
+        codebook from the first 16 vectors, exactly replayed by the
+        oracle."""
+        from commoncrawl_spark.operators.similarity import pq_topk
+
+        e = _read(spark, sf, "embeddings")
+        return pq_topk(e, e.filter(F.col("vec_id") < 10),
+                       k=5, m=8, n_codewords=16)
+    q["pq_ann_topk"] = pq_ann_topk
 
     def hard_negatives(spark, sf):
         """Hard-negative mining for contrastive training: per anchor,
@@ -5450,6 +5474,41 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY q.vec_id
                    ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id) AS rank
           FROM c q, c n WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rank <= 5
+    """
+
+    # pq_ann_topk: the PQ pipeline replayed — same subspace slices,
+    # same 6dp-rounded argmin code assignment, same 1e-6-quantized
+    # integer ADC sums, same (adist, neighbor) rank order.
+    _l2s = _SQL_L2.format(a="su.sv", b="cb.cv", n=9)
+    o["pq_ann_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        subs AS (
+          SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+          FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+        cb AS (SELECT vec_id AS cell, sub, sv AS cv
+               FROM subs WHERE vec_id < 16),
+        codes AS (
+          SELECT su.vec_id, su.sub, cb.cell AS code
+          FROM subs su JOIN cb ON cb.sub = su.sub
+          QUALIFY row_number() OVER (
+            PARTITION BY su.vec_id, su.sub
+            ORDER BY round({_l2s}, 6), cb.cell) = 1),
+        dt AS (
+          SELECT su.vec_id AS query_id, su.sub, cb.cell AS code,
+                 CAST(round({_l2s} * 1000000) AS BIGINT) AS d2q
+          FROM subs su JOIN cb ON cb.sub = su.sub
+          WHERE su.vec_id < 10),
+        adc AS (
+          SELECT dt.query_id, c.vec_id AS neighbor_id,
+                 ROUND(CAST(SUM(dt.d2q) AS BIGINT) / 1000000.0, 6) AS adist
+          FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+          WHERE c.vec_id <> dt.query_id
+          GROUP BY dt.query_id, c.vec_id)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT adc.*, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+          FROM adc) r
         WHERE rank <= 5
     """
 

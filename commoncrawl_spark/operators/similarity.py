@@ -624,3 +624,119 @@ def diversity_sample(
     quota = sqrt_allocation(assign, "cell", total_n)
     return stratified_sample(
         assign, "cell", quota, key_cols=(id_col,), seed=seed)
+
+
+def _l2sq_col(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(df: DataFrame, m: int, id_col: str, vec_col: str,
+                   out_id: str) -> DataFrame:
+    """(out_id, sub, sv): each vector sliced into ``m`` contiguous
+    subvectors — one explode, slice bounds derived from the vector
+    length so the same plan serves any dimension divisible by m."""
+    d_sub = (F.size("_v") / F.lit(m)).cast("int")
+    return (
+        df.select(F.col(id_col).alias(out_id),
+                  _as_double(F.col(vec_col)).alias("_v"))
+        .select(out_id,
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+                F.col("_v"))
+        .select(out_id, "sub",
+                F.slice("_v", F.col("sub") * d_sub + 1, d_sub).alias("sv"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    the MEMORY scale path for similarity search: each corpus vector is
+    replaced by ``m`` one-byte codes (here 64 floats = 256 bytes ->
+    8 bytes, 32x), and queries score candidates through asymmetric
+    distance computation (ADC): per query, one small distance table
+    ``dt[sub][cell] = ||q_sub - c_{sub,cell}||^2``, then a candidate's
+    approximate distance is just the SUM of ``m`` table lookups —
+    no float vector is ever touched at scoring time.
+
+    Codebook: per subspace, the subvectors of the first ``n_codewords``
+    corpus vectors (deterministic, training-free — the cross-engine
+    oracle replays it exactly; pass ``codebook=(cell, sub, cv)`` rows
+    from a trained k-means for production recall, mechanics identical —
+    the kmeans_centroids trick of integer-quantized means applies
+    per subspace).
+
+    Determinism contract: per-subspace distances fold sequentially
+    (deterministic double arithmetic), code assignment breaks ties on
+    the 6dp-rounded distance then cell id, and the cross-subspace ADC
+    sum is quantized to 1e-6 LONGS before the groupBy — integer
+    addition is associative, so partition order cannot perturb the
+    ranking (the kmeans_centroids convention).
+
+    Scale shape (10^10 corpus vectors, 1000 executors):
+    - encoding touches each vector once: explode to ``m`` slim subvector
+      rows, probe the BROADCAST codebook (m * n_codewords rows), argmax
+      via ``min_by`` — an aggregate, never a rank window;
+    - the distance-table frame is |Q| * m * n_codewords rows —
+      broadcast; scoring joins it to the (id, sub, code) frame map-side
+      and partial-aggregates the per-pair sum, so the only exchange
+      carries (query, candidate) partials — bounded-|Q| contract, same
+      as cosine_topk (compose with IVF lists to prune candidates);
+    - per-query rank windows partition on query_id (keyed, never
+      global).
+
+    Returns ``(query_id, neighbor_id, adist, rank)``, adist ascending
+    (squared L2 in the quantized space), rank <= k.
+    """
+    if m < 1 or n_codewords < 1 or k < 1:
+        raise ValueError(
+            f"m, n_codewords, k must be >= 1, got {m}, {n_codewords}, {k}")
+    if codebook is None:
+        codebook = _pq_subvectors(
+            corpus.filter(F.col(id_col) < n_codewords), m, id_col, vec_col,
+            "cell").withColumnRenamed("sv", "cv")
+    cb = F.broadcast(codebook.select("cell", "sub", "cv"))
+
+    d2q = F.round(_l2sq_col(F.col("sv"), F.col("cv"))
+                  * F.lit(1000000.0)).cast("long")
+    codes = (
+        _pq_subvectors(corpus, m, id_col, vec_col, "neighbor_id")
+        .join(cb, "sub")
+        .groupBy("neighbor_id", "sub")
+        .agg(F.min_by(
+            "cell",
+            F.struct(F.round(_l2sq_col(F.col("sv"), F.col("cv")), 6)
+                     .alias("d"), F.col("cell").alias("c"))).alias("code"))
+    )
+    dt = (
+        _pq_subvectors(queries, m, id_col, vec_col, "query_id")
+        .join(cb, "sub")
+        .select("query_id", "sub", F.col("cell").alias("code"),
+                d2q.alias("d2q"))
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2q") / F.lit(1000000.0), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1474,6 +1474,32 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # product quantization ANN: broadcast codebook + broadcast distance
+    # table; code assignment is a min_by aggregate, never a rank window
+    from commoncrawl_spark.operators.similarity import pq_topk
+
+    pq = pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=8,
+                 n_codewords=16)
+    p = plan_of(pq, label="pq ann")
+    sections.append((
+        "PQ ANN: byte codes, broadcast lookups, integer ADC sums",
+        "The memory scale path: 10^10 x 64-float vectors become 8-byte "
+        "code rows; encoding probes the BROADCAST codebook (m x K rows) "
+        "and argmins via min_by — an aggregate; scoring joins the "
+        "BROADCAST per-query distance table map-side and sums "
+        "1e-6-quantized LONGS (integer addition is associative, so "
+        "partition order cannot perturb the ranking); the only rank "
+        "window is partitioned by query id.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True — codebook + distance table)",
+         f"all-pairs joins: "
+         f"{p.count('CartesianProduct') + p.count('BroadcastNestedLoopJoin')}"
+         f" (expect 0)",
+         f"partial_min_by code assignment: {'partial_min_by' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # ExactSubstr strip: slim gram streams, per-row coverage expansion
     from commoncrawl_spark.operators.text_dedup import strip_duplicate_spans
 

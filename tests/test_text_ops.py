@@ -1871,3 +1871,56 @@ def test_readability_syllable_heuristic(spark):
     got = {r["doc_id"]: r["n_syllables"] for r in df.select(
         "doc_id", sig["n_syllables"].alias("n_syllables")).collect()}
     assert got == {1: 3, 2: 1}
+
+
+@pytest.mark.spark
+def test_pq_adc_hand_computed(spark):
+    """4-dim vectors, m=2 subspaces, 2 codewords: codes and asymmetric
+    distances checked by hand, including the neighbor-id tie-break."""
+    from commoncrawl_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]),
+         (1, [1.0, 1.0, 1.0, 1.0]),
+         (2, [0.0, 0.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = pq_topk(corpus, queries, k=3, m=2, n_codewords=2).collect()
+    rows = sorted(((r["rank"], r["neighbor_id"], r["adist"]) for r in got))
+    # codes: v0=(0,0) v1=(1,1) v2=(0,1); dt: s0 -> {c0: .5, c1: .5},
+    # s1 -> {c0: 0, c1: 2}; adists: v0 .5, v1 2.5, v2 2.5 (tie -> id asc)
+    assert rows == [(1, 0, 0.5), (2, 1, 2.5), (3, 2, 2.5)]
+
+
+@pytest.mark.spark
+def test_pq_identical_vector_is_top1(spark):
+    """A corpus vector bitwise-equal to the query shares its codes, so
+    its ADC distance equals the query's own quantization distortion —
+    the minimum possible — and it must rank first."""
+    from commoncrawl_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, rng.rand(16).round(3).tolist()) for i in range(40)]
+    dup = (99, vecs[25][1])  # duplicate of corpus vector 25
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([dup], "vec_id long, embedding array<double>")
+    top = pq_topk(corpus, queries, k=1, m=4, n_codewords=8).collect()
+    assert top[0]["neighbor_id"] == 25
+
+
+@pytest.mark.spark
+def test_pq_plan_broadcast_no_python(spark):
+    from commoncrawl_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = pq_topk(corpus, corpus.filter(F.col("vec_id") < 2), k=2,
+                  m=2, n_codewords=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # codebook + distance table
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
