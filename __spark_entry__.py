@@ -2357,6 +2357,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        k=5, m=8, n_codewords=16)
     q["pq_ann_topk"] = pq_ann_topk
 
+    def ivf_pq_ann(spark, sf):
+        """IVF-PQ composed ANN (FAISS ``IVF16,PQ8`` shape): coarse
+        inverted lists prune candidates to n_probe/16 of the corpus,
+        then PQ byte codes score survivors with 8 table lookups each —
+        the compute-and-memory pairing a 10^10-vector deployment uses.
+        All-L2 end-to-end, 6dp-rounded with id tie-breaks, ADC on
+        1e-6-quantized longs; training-free centroids + codebook from
+        the first 16 vectors so the oracle replays the composition."""
+        from commoncrawl_spark.operators.similarity import ivf_pq_topk
+
+        e = _read(spark, sf, "embeddings")
+        return ivf_pq_topk(e, e.filter(F.col("vec_id") < 10),
+                           k=5, m=8, n_codewords=16, n_centroids=16,
+                           n_probe=4)
+    q["ivf_pq_ann"] = ivf_pq_ann
+
     def hard_negatives(spark, sf):
         """Hard-negative mining for contrastive training: per anchor,
         the top-5 LSH-bucket neighbors inside the cosine band
@@ -5505,6 +5521,65 @@ def oracle_sql() -> dict[str, str]:
           FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
           WHERE c.vec_id <> dt.query_id
           GROUP BY dt.query_id, c.vec_id)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT adc.*, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+          FROM adc) r
+        WHERE rank <= 5
+    """
+
+    # ivf_pq_ann: full composition replay — L2 coarse assignment
+    # (round 6dp, cell tie-break) for corpus cells AND query probes,
+    # probe-to-cell equi-join for candidates, then the pq_ann_topk
+    # codes/dt/adc machinery restricted to the candidate pairs.
+    _l2f = _SQL_L2.format(a="c.v", b="cents.cv", n=65)
+    o["ivf_pq_ann"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        cells AS (
+          SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT c.vec_id, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_l2f}, 6), cents.cell) AS rn
+            FROM e c CROSS JOIN cents)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT c.vec_id, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_l2f}, 6), cents.cell) AS rn
+            FROM e c CROSS JOIN cents WHERE c.vec_id < 10)
+          WHERE rn <= 4),
+        cands AS (
+          SELECT p.query_id, n.neighbor_id
+          FROM probes p JOIN cells n USING (cell)
+          WHERE n.neighbor_id <> p.query_id),
+        subs AS (
+          SELECT vec_id, s.sub, v[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+          FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+        cb AS (SELECT vec_id AS cell, sub, sv AS cv
+               FROM subs WHERE vec_id < 16),
+        codes AS (
+          SELECT su.vec_id AS neighbor_id, su.sub, cb.cell AS code
+          FROM subs su JOIN cb ON cb.sub = su.sub
+          QUALIFY row_number() OVER (
+            PARTITION BY su.vec_id, su.sub
+            ORDER BY round({_l2s}, 6), cb.cell) = 1),
+        dt AS (
+          SELECT su.vec_id AS query_id, su.sub, cb.cell AS code,
+                 CAST(round({_l2s} * 1000000) AS BIGINT) AS d2q
+          FROM subs su JOIN cb ON cb.sub = su.sub
+          WHERE su.vec_id < 10),
+        adc AS (
+          SELECT ca.query_id, ca.neighbor_id,
+                 ROUND(CAST(SUM(dt.d2q) AS BIGINT) / 1000000.0, 6) AS adist
+          FROM cands ca
+          JOIN codes c USING (neighbor_id)
+          JOIN dt ON dt.query_id = ca.query_id
+                 AND dt.sub = c.sub AND dt.code = c.code
+          GROUP BY ca.query_id, ca.neighbor_id)
         SELECT query_id, neighbor_id, adist, rank FROM (
           SELECT adc.*, row_number() OVER (
             PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank

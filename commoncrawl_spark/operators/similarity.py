@@ -740,3 +740,110 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codewords: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed index shape production
+    ANN systems deploy (FAISS ``IVFx,PQy`` with ``by_residual=false``):
+    IVF inverted lists prune WHICH candidates a query touches
+    (~n_probe/K of the corpus), PQ byte codes shrink WHAT each touch
+    costs (m table lookups on m bytes instead of an O(D) float dot) —
+    compute and memory attacked at once, which is why this pair is the
+    10^10-vector default.
+
+    Everything is L2 end-to-end (coarse assignment, probing, ADC), all
+    distances 6dp-rounded with id tie-breaks, ADC sums on
+    1e-6-quantized longs — deterministic by the kmeans_centroids
+    convention, so the DuckDB oracle replays the full composition.
+    Training-free coarse centroids and codebook (first ``n_centroids``
+    / ``n_codewords`` vectors); trained drop-ins use the same column
+    contracts.
+
+    Scale shape: coarse assignment probes the BROADCAST centroid frame
+    with a ``min_by`` aggregate (corpus never shuffles whole, no rank
+    window); the probe list is |Q| x n_probe rows; candidates come from
+    the probe-to-cell EQUI-join; ADC joins the slim candidate frame to
+    byte codes on the id key and to the BROADCAST distance table on
+    (sub, code); the per-pair sum partial-aggregates map-side. Rank
+    windows are query-partitioned only.
+    """
+    if n_probe < 1 or n_probe > n_centroids:
+        raise ValueError(
+            f"n_probe must be in [1, n_centroids], got {n_probe}")
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cell"),
+                _as_double(F.col(vec_col)).alias("_cv")))
+
+    # coarse assignment: argmin L2 over the broadcast centroids
+    cells = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_v"))
+        .join(cents)
+        .groupBy("neighbor_id")
+        .agg(F.min_by(
+            "cell",
+            F.struct(F.round(_l2sq_col(F.col("_v"), F.col("_cv")), 6)
+                     .alias("d"), F.col("cell").alias("c"))).alias("cell"))
+    )
+    # probe list: each query's n_probe nearest cells (keyed window)
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("_qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("_cd"), F.asc("cell"))
+    probes = (
+        qs.join(cents)
+        .select("query_id", "cell",
+                F.round(_l2sq_col(F.col("_qv"), F.col("_cv")), 6)
+                .alias("_cd"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cands = (
+        probes.join(cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    codebook = _pq_subvectors(
+        corpus.filter(F.col(id_col) < n_codewords), m, id_col, vec_col,
+        "cell").withColumnRenamed("sv", "cv")
+    cb = F.broadcast(codebook.select("cell", "sub", "cv"))
+    codes = (
+        _pq_subvectors(corpus, m, id_col, vec_col, "neighbor_id")
+        .join(cb, "sub")
+        .groupBy("neighbor_id", "sub")
+        .agg(F.min_by(
+            "cell",
+            F.struct(F.round(_l2sq_col(F.col("sv"), F.col("cv")), 6)
+                     .alias("d"), F.col("cell").alias("c"))).alias("code"))
+    )
+    dt = F.broadcast(
+        _pq_subvectors(queries, m, id_col, vec_col, "query_id")
+        .join(cb, "sub")
+        .select("query_id", "sub", F.col("cell").alias("code"),
+                F.round(_l2sq_col(F.col("sv"), F.col("cv"))
+                        * F.lit(1000000.0)).cast("long").alias("d2q")))
+    adc = (
+        cands.join(codes, "neighbor_id")
+        .join(dt, ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2q") / F.lit(1000000.0), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

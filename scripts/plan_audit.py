@@ -1500,6 +1500,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # IVF-PQ composed ANN: coarse pruning + byte-code scoring
+    from commoncrawl_spark.operators.similarity import ivf_pq_topk
+
+    ipq = ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=8,
+                      n_codewords=16, n_centroids=16, n_probe=4)
+    p = plan_of(ipq, label="ivf-pq ann")
+    sections.append((
+        "IVF-PQ ANN: inverted-list pruning over byte-code scoring",
+        "The composed production index (FAISS IVFx,PQy): coarse "
+        "assignment min_by-probes the BROADCAST centroid frame (the "
+        "corpus never shuffles whole), candidates come from the "
+        "probe-to-cell EQUI-join (~n_probe/K of the corpus per query), "
+        "and only those candidates reach the PQ ADC join — compute "
+        "pruned by IVF, memory shrunk by PQ. Rank windows are "
+        "query-partitioned; ADC sums ride 1e-6-quantized longs.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True — codebook + distance table + candidate keys)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0 — "
+         f"the only cross is the K=16-row BROADCAST centroid expansion, "
+         f"a BroadcastNestedLoopJoin, deliberate and K-bounded)",
+         f"centroid-expansion BroadcastNestedLoopJoin present: "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True)",
+         f"partial_min_by assignments: {'partial_min_by' in p} "
+         f"(expect True — cell + code argmins are aggregates)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # ExactSubstr strip: slim gram streams, per-row coverage expansion
     from commoncrawl_spark.operators.text_dedup import strip_duplicate_spans
 

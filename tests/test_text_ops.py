@@ -1924,3 +1924,66 @@ def test_pq_plan_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan  # codebook + distance table
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+@pytest.mark.spark
+def test_ivf_pq_identical_vector_found(spark):
+    """A corpus duplicate of the query lands in the query's nearest
+    cell (distance 0 to whatever centroid the query is closest to), so
+    IVF probing cannot miss it, and shared codes make its ADC distance
+    the minimum — rank 1."""
+    from commoncrawl_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.rand(16).round(3).tolist()) for i in range(40)]
+    dup = (99, vecs[30][1])
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [dup], "vec_id long, embedding array<double>")
+    top = ivf_pq_topk(corpus, queries, k=1, m=4, n_codewords=8,
+                      n_centroids=8, n_probe=2).collect()
+    assert top[0]["neighbor_id"] == 30
+
+
+@pytest.mark.spark
+def test_ivf_pq_prunes_to_probed_cells(spark):
+    """With n_probe=1 every returned neighbor must live in the query's
+    single nearest cell — cross-checked against a standalone coarse
+    assignment of the corpus."""
+    from commoncrawl_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.rand(8).round(3).tolist()) for i in range(30)]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") == 20)
+    got = ivf_pq_topk(corpus, queries, k=10, m=2, n_codewords=4,
+                      n_centroids=4, n_probe=1).collect()
+    assert got, "query must return candidates from its own cell"
+
+    cents = {i: np.array(v) for i, v in vecs[:4]}
+    def cell(v):
+        d = {c: round(float(((np.array(v) - cv) ** 2).sum()), 6)
+             for c, cv in cents.items()}
+        return min(d, key=lambda c: (d[c], c))
+    qcell = cell(vecs[20][1])
+    for r in got:
+        assert cell(vecs[r["neighbor_id"]][1]) == qcell
+
+
+@pytest.mark.spark
+def test_ivf_pq_n_probe_validation_and_plan(spark):
+    from commoncrawl_spark.operators.similarity import ivf_pq_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.0, 2.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_pq_topk(corpus, corpus, n_probe=0)
+    out = ivf_pq_topk(corpus, corpus.filter(F.col("vec_id") < 2), k=2,
+                      m=2, n_codewords=4, n_centroids=4, n_probe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # centroids, codebook, dt
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
