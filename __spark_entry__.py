@@ -2248,6 +2248,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(edges, iters=4)
     q["lpa_communities"] = lpa_communities
 
+    def triangle_hosts(spark, sf):
+        """Per-host triangle counts + clustering coefficient over the
+        synthetic host graph — the link-farm structural signal
+        (near-cliques cluster ~1, organic hubs ~0). Degree-ordered
+        wedge generation (Suri & Vassilvitskii WWW'11) bounds
+        out-degree by O(sqrt m); the oracle counts each a<b<c triple
+        once via the canonical three-way self-join."""
+        from commoncrawl_spark.operators.graph import triangle_counts
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return triangle_counts(edges)
+    q["triangle_hosts"] = triangle_hosts
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -4955,6 +4975,44 @@ def oracle_sql() -> dict[str, str]:
         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
         {",".join(_lpa_round.format(i=i, p=i - 1) for i in range(1, 5))}
         SELECT node, label AS community FROM l4
+    """
+
+    # triangle_hosts: each triangle counted once as its canonical
+    # a<b<c triple (edges are canonical a<b pairs, so the three-way
+    # self-join e1=(a,b), e2=(b,c), e3=(a,c) hits it exactly once);
+    # per-node counts explode the triple, degree-only nodes come back
+    # via the left join
+    o["triangle_hosts"] = """
+        WITH raw AS (
+          SELECT doc_id % 97 AS s, (doc_id * doc_id + 1) % 97 AS d
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents),
+        und AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s <> d),
+        deg AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und) n
+          GROUP BY node),
+        tri AS (
+          SELECT e1.a AS u, e1.b AS v, e2.b AS w
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pn AS (
+          SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri) t
+          GROUP BY node)
+        SELECT deg.node, deg.degree,
+               COALESCE(pn.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.degree > 1
+                    THEN round(2.0 * COALESCE(pn.n_triangles, 0)
+                               / (deg.degree * (deg.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN pn USING (node)
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

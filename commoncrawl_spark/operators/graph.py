@@ -701,3 +701,117 @@ def label_propagation(
             state = state.localCheckpoint(eager=True)
     e.unpersist()
     return state.select("node", F.col("label").alias("community"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (direction, self-loops
+    and multi-edges dropped) — the spam/mirror-farm structural signal:
+    link farms are near-cliques (clustering ~1), organic hubs are
+    star-like (clustering ~0).
+
+    Algorithm: node-iterator with DEGREE ORIENTATION (Cohen, "Graph
+    twiddling in a MapReduce world", CiSE 2009; Suri & Vassilvitskii
+    WWW'11). Every undirected edge is oriented from its lower
+    (degree, id) endpoint to the higher; each triangle then has exactly
+    ONE wedge node whose two oriented out-edges span it, so wedges are
+    generated once and closed by a single equi-join against the
+    oriented edge list. Orientation is the skew defeat: a 10^7-degree
+    hub re-orients almost all its edges INWARD, bounding every node's
+    out-degree by O(sqrt(m)) and the wedge count by O(m^1.5) — the
+    naive src-grouped wedge join on the same hub would generate 10^14
+    pairs.
+
+    Scale shape (10^9 edges, 1000 executors):
+    - three slim all-long frames: canonical edges, degrees, oriented
+      edges; text never enters;
+    - wedge generation and closure are hash equi-joins on node keys;
+      the (deg, id) orientation rank rides each edge as a struct
+      column, compared per-row — no global rank window;
+    - per-node counts partial-aggregate map-side; degree-only nodes
+      come back via one left join, not a second scan.
+
+    Returns ``(node, degree, n_triangles, clustering)`` with
+    ``clustering = 2T / (deg * (deg - 1))`` rounded 6dp (0.0 when
+    degree < 2). The slim result is eagerly ``localCheckpoint``-ed and
+    the persisted degree/oriented frames unpersisted before returning
+    (repo persist-lifecycle convention); ``materialize=False`` skips
+    both so plan tests and SCALE.md can inspect the lazy shape.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("degree"))
+    )
+    if materialize:
+        deg = deg.persist()
+    # orient a<->b by (degree, id); carry the dst rank for the wedge
+    # ordering below so no second degree join is needed
+    ranked = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("degree").alias("_da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("_db")), "b")
+        .select(
+            F.when(
+                F.struct(F.col("_da").alias("d"), F.col("a").alias("i"))
+                < F.struct(F.col("_db").alias("d"), F.col("b").alias("i")),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v"),
+                         F.col("_db").alias("dv")))
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"),
+                         F.col("_da").alias("dv"))).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"),
+                F.col("e.dv").alias("dv"))
+    )
+    if materialize:
+        ranked = ranked.persist()
+    # wedges at u: ordered pairs of out-neighbors (v before w by the
+    # same (deg, id) rank) -> closed iff oriented edge v->w exists
+    lo = ranked.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    hi = ranked.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = (
+        lo.join(hi, "u")
+        .filter(F.struct(F.col("dx").alias("d"), F.col("x").alias("i"))
+                < F.struct(F.col("dy").alias("d"), F.col("y").alias("i")))
+        .select("u", "x", "y")
+    )
+    tris = wedges.join(
+        ranked.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("n_triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") > 1,
+                F.round(2.0 * F.coalesce("n_triangles", F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)), 6))
+            .otherwise(F.lit(0.0)).alias("clustering"))
+    )
+    if not materialize:
+        return out
+    ck = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    deg.unpersist()
+    return ck

@@ -542,3 +542,50 @@ def test_lpa_plan_no_python_no_window(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan  # the argmax is min_by, not a rank
     assert "Scan ExistingRDD" in plan  # final checkpoint collapse
+
+
+@pytest.mark.spark
+def test_triangle_counts_k4_pendant(spark):
+    """K4 has 4 triangles, 3 per node; the pendant edge raises node 0's
+    degree to 4 (clustering 6/12 = 0.5); self-loops, duplicates and the
+    reversed 5-6/6-5 pair collapse; triangle-free nodes report 0/0.0."""
+    from commoncrawl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (4, 0), (5, 6), (6, 5), (3, 3), (0, 1)],
+        "src long, dst long")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(edges).collect()}
+    assert got[0] == (4, 3, 0.5)
+    assert got[1] == (3, 3, 1.0)
+    assert got[4] == (1, 0, 0.0)
+    assert got[5] == (1, 0, 0.0)
+
+
+@pytest.mark.spark
+def test_triangle_counts_hub_star_is_triangle_free(spark):
+    """A pure star (hub + leaves, no leaf-leaf edges) has zero
+    triangles everywhere — the orientation must not fabricate wedge
+    closures from the hub's edges."""
+    from commoncrawl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], "src long, dst long")
+    rows = triangle_counts(edges).collect()
+    assert all(r["n_triangles"] == 0 for r in rows)
+    assert {r["degree"] for r in rows} == {1, 19}
+
+
+@pytest.mark.spark
+def test_triangle_counts_plan_no_window_no_python(spark):
+    from commoncrawl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * i + 1) % 7) for i in range(40)], "src long, dst long")
+    lazy = triangle_counts(edges, materialize=False)
+    lazy.collect()
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan   # orientation rank is a struct compare
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
