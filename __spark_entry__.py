@@ -2268,6 +2268,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_counts(edges)
     q["triangle_hosts"] = triangle_hosts
 
+    def ip_asn_lookup(spark, sf):
+        """Point-in-interval enrichment (IP -> ASN shape) via the
+        binned range join: a naive BETWEEN theta-join plans a
+        BroadcastNestedLoopJoin (|P| x |R| touches); binning turns it
+        into one hash equi-join on the bin key. Deterministic fake
+        IPs from md5(event_id) hex; 25 ASN ranges with 500-wide gaps
+        so ~20% of points exercise the left-outer null path."""
+        from commoncrawl_spark.operators.ranges import range_lookup_join
+
+        ev = _read(spark, sf, "events")
+        pts = ev.select(
+            "event_id",
+            (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                1, 4), 16, 10).cast("long") % 62500)
+            .alias("ip"))
+        rng = _read(spark, sf, "nation").select(
+            (F.col("n_nationkey") * 2500).alias("lo"),
+            (F.col("n_nationkey") * 2500 + 1999).alias("hi"),
+            F.col("n_name").alias("asn"))
+        return range_lookup_join(
+            pts, rng, "ip", point_id_col="event_id", prefix="r_")
+    q["ip_asn_lookup"] = ip_asn_lookup
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -5013,6 +5036,26 @@ def oracle_sql() -> dict[str, str]:
                                / (deg.degree * (deg.degree - 1)), 6)
                     ELSE 0.0 END AS clustering
         FROM deg LEFT JOIN pn USING (node)
+    """
+
+    # ip_asn_lookup: DuckDB can afford the declarative BETWEEN join at
+    # this scale — the binning rewrite is the Spark scale path, not a
+    # semantic; ranges are disjoint so LEFT JOIN is the winner rule
+    o["ip_asn_lookup"] = """
+        WITH pts AS (
+          SELECT event_id,
+                 CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                         1, 4))::INTEGER % 62500
+                      AS BIGINT) AS ip
+          FROM events),
+        rng AS (
+          SELECT n_nationkey * 2500 AS lo,
+                 n_nationkey * 2500 + 1999 AS hi,
+                 n_name AS asn
+          FROM nation)
+        SELECT p.event_id, p.ip, r.lo AS r_lo, r.hi AS r_hi,
+               r.asn AS r_asn
+        FROM pts p LEFT JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

@@ -563,6 +563,37 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # binned range join: containment as a bin equi-join
+    from commoncrawl_spark.operators.ranges import range_lookup_join
+
+    rj_pts = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") * 7 % 997).alias("v"))
+    rj_rng = docs.select(
+        (F.col("doc_id") % 50 * 20).alias("lo"),
+        (F.col("doc_id") % 50 * 20 + 15).alias("hi"),
+        F.col("doc_id").alias("tag")).distinct()
+    p = plan_of(range_lookup_join(rj_pts, rj_rng, "v"),
+                label="range lookup join")
+    sections.append((
+        "Range join: the BETWEEN theta-join rewritten as a bin equi-join",
+        "Spark plans a raw `p BETWEEN lo AND hi` join as "
+        "BroadcastNestedLoopJoin — |P| x |R| row touches, dead at "
+        "10^10 points. Binning explodes each range into the ~2 bins it "
+        "overlaps (bin width defaults to the mean range width, one "
+        "scalar aggregate), bins each point once, hash-EQUI-joins on "
+        "the bin key and filters the handful of co-binned survivors on "
+        "true containment; overlap resolution is a min_by aggregate on "
+        "the point id (narrowest interval, then lowest lo), never a "
+        "rank window.",
+        [f"BroadcastNestedLoopJoin: {'BroadcastNestedLoopJoin' in p} "
+         f"(expect False — the rewrite's whole point)",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 
