@@ -2291,6 +2291,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pts, rng, "ip", point_id_col="event_id", prefix="r_")
     q["ip_asn_lookup"] = ip_asn_lookup
 
+    def event_funnel(spark, sf):
+        """Ordered funnel view->click->signup->purchase: per prefix,
+        users completing it in order (each step strictly after the
+        earliest completion of the previous). k-1 chained slim joins —
+        never a per-user collect_list fold, so a whale user can't pin
+        one task."""
+        from commoncrawl_spark.operators.analytics import funnel
+
+        ev = _read(spark, sf, "events")
+        return funnel(ev, ["view", "click", "signup", "purchase"])
+    q["event_funnel"] = event_funnel
+
+    def retention(spark, sf):
+        """Weekly retention cohorts over the events log — first-seen
+        week x weeks-since matrix with per-cohort rates; the same query
+        over a capture log reads as host-liveness retention."""
+        from commoncrawl_spark.operators.analytics import retention_cohorts
+
+        ev = _read(spark, sf, "events")
+        return retention_cohorts(ev, period_days=7)
+    q["retention"] = retention
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -5056,6 +5078,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.event_id, p.ip, r.lo AS r_lo, r.hi AS r_hi,
                r.asn AS r_asn
         FROM pts p LEFT JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
+    """
+
+    # event_funnel: the chained min-after-t recurrence as sequential
+    # CTEs — same greedy earliest-chain semantics as the k-1 joins
+    o["event_funnel"] = """
+        WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+               FROM events e JOIN s1 ON s1.u = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+               FROM events e JOIN s2 ON s2.u = e.user_id
+               WHERE e.event_type = 'signup' AND e.ts > s2.t GROUP BY 1),
+        s4 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+               FROM events e JOIN s3 ON s3.u = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        base AS (SELECT COUNT(*) AS b FROM s1),
+        c AS (
+          SELECT 1 AS step_idx, 'view' AS step,
+                 (SELECT COUNT(*) FROM s1) AS n_users
+          UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+          UNION ALL SELECT 3, 'signup', (SELECT COUNT(*) FROM s3)
+          UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
+        SELECT step_idx, step, n_users,
+               CASE WHEN b > 0 THEN round(n_users / b, 6)
+                    ELSE 0.0 END AS conversion
+        FROM c, base
+    """
+
+    # retention: period key = epoch_days // 7 so week arithmetic is
+    # integer subtraction in both engines; cohort label is the
+    # epoch-aligned week-start date
+    o["retention"] = """
+        WITH ev AS (SELECT user_id AS u,
+                           (CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                             AS mk
+                    FROM events),
+        firsts AS (SELECT u, MIN(mk) AS c0 FROM ev GROUP BY u),
+        act AS (SELECT DISTINCT u, mk FROM ev),
+        coh AS (SELECT a.u, f.c0, a.mk - f.c0 AS periods_since
+                FROM act a JOIN firsts f USING (u)),
+        sizes AS (SELECT c0, COUNT(*) AS sz FROM firsts GROUP BY c0),
+        agg AS (SELECT c0, periods_since, COUNT(*) AS n_users
+                FROM coh GROUP BY 1, 2)
+        SELECT CAST(DATE '1970-01-01' + CAST(c0 * 7 AS INTEGER)
+                    AS VARCHAR) AS cohort,
+               periods_since, n_users,
+               round(n_users / sz, 6) AS retention
+        FROM agg JOIN sizes USING (c0)
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

@@ -594,6 +594,34 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # ordered funnel: chained slim joins, never a per-user event fold
+    from commoncrawl_spark.operators.analytics import funnel
+
+    fun_ev = docs.select(
+        (F.col("doc_id") % 50).alias("user_id"),
+        F.col("doc_id").alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("event_type"))
+    p = plan_of(funnel(fun_ev, ["view", "click", "buy"]),
+                label="event funnel")
+    sections.append((
+        "Funnel: k-1 chained slim joins, no per-user array fold",
+        "Each step's frame is one (user, t) row per surviving user — "
+        "built by filtering the event scan to that step's type (pushed "
+        "down), joining the previous frame on the user key, and "
+        "min-after-t aggregating map-side. A collect_list-per-user fold "
+        "would put a whale user's 10^8 events in one task; here no "
+        "operator holds more than one row per user, and the summary is "
+        "k tiny aggregates crossed with a 1-row broadcast base.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False — "
+         f"the only cross is the 1-row base count broadcast)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

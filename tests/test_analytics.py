@@ -265,3 +265,77 @@ def test_pmi_plan_topk_no_window(spark):
     assert "TakeOrderedAndProject" in plan  # map-side partial top-k
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_funnel_strict_order_and_conversion(spark):
+    """User 1 completes view->click->buy in order; user 2 clicks BEFORE
+    viewing (click must not count); user 3 only views. Earliest-chain:
+    user 2's later click (after the view) still advances them."""
+    from commoncrawl_spark.operators.analytics import funnel
+
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        (2, 10, "click"), (2, 20, "view"),
+        (3, 10, "view"),
+        (2, 30, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {r["step"]: (r["n_users"], r["conversion"])
+           for r in funnel(ev, ["view", "click", "buy"]).collect()}
+    assert got["view"] == (3, 1.0)
+    assert got["click"] == (2, round(2 / 3, 6))
+    assert got["buy"] == (1, round(1 / 3, 6))
+
+
+@pytest.mark.spark
+def test_funnel_same_ts_does_not_advance(spark):
+    """Steps must be STRICTLY after the previous step's match — a
+    simultaneous event is not progress."""
+    from commoncrawl_spark.operators.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, 10, "click")],
+        "user_id long, ts long, event_type string")
+    got = {r["step"]: r["n_users"]
+           for r in funnel(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+    with pytest.raises(ValueError, match="steps"):
+        funnel(ev, [])
+
+
+@pytest.mark.spark
+def test_funnel_plan_no_window_no_python(spark):
+    from commoncrawl_spark.operators.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(i % 5, i, "view" if i % 2 else "click") for i in range(40)],
+        "user_id long, ts long, event_type string")
+    out = funnel(ev, ["view", "click"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_retention_cohorts_weekly(spark):
+    """Two users first seen in epoch-week 0 (1970-01-01 start), one
+    returns in week 1; one user first seen week 1. Rates are per-cohort."""
+    from commoncrawl_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        (1, "1970-01-01 10:00:00"), (1, "1970-01-09 10:00:00"),
+        (2, "1970-01-02 10:00:00"),
+        (3, "1970-01-09 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["cohort"], r["periods_since"]): (r["n_users"], r["retention"])
+           for r in retention_cohorts(ev).collect()}
+    assert got[("1970-01-01", 0)] == (2, 1.0)
+    assert got[("1970-01-01", 1)] == (1, 0.5)
+    assert got[("1970-01-08", 0)] == (1, 1.0)
+    with pytest.raises(ValueError, match="period_days"):
+        retention_cohorts(ev, period_days=0)
