@@ -2313,6 +2313,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retention_cohorts(ev, period_days=7)
     q["retention"] = retention
 
+    def cms_word_counts(spark, sf):
+        """Count-min sketch word frequencies: the corpus's token stream
+        folds into a fixed 4x256 counter matrix (size INDEPENDENT of
+        corpus scale, cellwise-mergeable across snapshots), then every
+        distinct word is point-estimated back — est >= truth always,
+        within eN/256 w.p. 1-2^-4. md5-derived row hashes so the
+        oracle replays the exact matrix."""
+        from commoncrawl_spark.operators.analytics import tokens_col
+        from commoncrawl_spark.operators.sketches import (
+            cms_build, cms_estimate,
+        )
+
+        d = _read(spark, sf, "documents")
+        words = d.select(
+            F.explode(tokens_col(F.col("text"))).alias("word"))
+        sk = cms_build(words, "word", depth=4, width=256)
+        probes = words.select("word").distinct()
+        return cms_estimate(sk, probes, "word", depth=4, width=256)
+    q["cms_word_counts"] = cms_word_counts
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -5127,6 +5147,33 @@ def oracle_sql() -> dict[str, str]:
                periods_since, n_users,
                round(n_users / sz, 6) AS retention
         FROM agg JOIN sizes USING (c0)
+    """
+
+    # cms_word_counts: the CMS matrix replayed cell-for-cell — same
+    # md5 row hashes ('0x'||hex ::BIGINT == conv(hex,16,10)), same
+    # min-over-rows estimate; every probed word was inserted so the
+    # missing-bucket coalesce path never fires
+    o["cms_word_counts"] = f"""
+        WITH words AS (
+          SELECT unnest({toks_doc}) AS w FROM documents),
+        ds AS (SELECT unnest(range(0, 4)) AS d),
+        cells AS (
+          SELECT ds.d,
+                 ('0x' || substring(md5(CAST(ds.d AS VARCHAR) || chr(31)
+                                        || w), 1, 8))::BIGINT % 256
+                   AS bucket,
+                 COUNT(*) AS cnt
+          FROM words, ds GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT w FROM words),
+        pb AS (
+          SELECT p.w, ds.d,
+                 ('0x' || substring(md5(CAST(ds.d AS VARCHAR) || chr(31)
+                                        || p.w), 1, 8))::BIGINT % 256
+                   AS bucket
+          FROM probes p, ds)
+        SELECT pb.w AS word, MIN(cells.cnt) AS est
+        FROM pb JOIN cells USING (d, bucket)
+        GROUP BY 1
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

@@ -86,3 +86,91 @@ def estimate_cardinality(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.hll_sketch_estimate(F.col("sketch")).alias("distinct_est"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency summaries
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"
+
+
+def _cms_bucket(key, d: int, width: int):
+    """Row-``d`` CMS bucket for ``key``: md5-based so DuckDB replays it
+    bit-for-bit ('0x'||hex ::BIGINT == conv(hex,16,10))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(d)), F.lit(_SEP), key)), 1, 8),
+        16, 10).cast("long")
+    return (h % width).alias("bucket")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    over ``key_col``: a depth x width counter matrix as ``(d, bucket,
+    count)`` rows — the fixed-size, MERGEABLE frequency summary. Point
+    estimates are min-over-rows, guaranteed >= the true count, within
+    eN/width with probability 1 - (1/2)^depth.
+
+    The 100 TB shape: per-snapshot sketches are depth*width rows
+    REGARDLESS of corpus size; "how often has this URL ever appeared"
+    across a year of snapshots is a sum-groupBy over tiny matrices
+    (:func:`cms_merge`), never a rescan. Counters are plain sums, so
+    map-side partial aggregation collapses each partition's keys before
+    the one exchange on (d, bucket); ``count_col`` weights rows (e.g.
+    pre-aggregated counts) instead of counting them.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    cnt = F.lit(1) if count_col is None else F.col(count_col)
+    rows = None
+    for d in range(depth):
+        r = df.select(
+            F.lit(d).alias("d"),
+            _cms_bucket(F.col(key_col), d, width),
+            cnt.cast("long").alias("_c"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("d", "bucket").agg(F.sum("_c").alias("count"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS matrices built with the same (depth, width): cellwise
+    sum — commutative and associative, so snapshot order cannot change
+    the result."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a CMS matrix:
+    ``(key, est)`` with est = min over the depth rows (missing buckets
+    read 0). Always >= the true count — CMS never undercounts.
+
+    Scale shape: keys explode into depth slim probe rows, equi-join
+    the (d, bucket)-keyed sketch (broadcast — it is depth x width rows
+    by construction), then a min aggregate on the key; no windows."""
+    probes = None
+    for d in range(depth):
+        r = keys.select(
+            F.col(key_col), F.lit(d).alias("d"),
+            _cms_bucket(F.col(key_col), d, width))
+        probes = r if probes is None else probes.unionByName(r)
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("est"))
+    )

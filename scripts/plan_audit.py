@@ -622,6 +622,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # count-min sketch: fixed-size mergeable matrix, broadcast probes
+    from commoncrawl_spark.operators.sketches import cms_build, cms_estimate
+
+    cms_words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).filter(F.col("word") != "")
+    cms_sk = cms_build(cms_words, "word", depth=4, width=256)
+    p = plan_of(
+        cms_estimate(cms_sk, cms_words.distinct(), "word", 4, 256),
+        label="count-min sketch")
+    sections.append((
+        "Count-min sketch: corpus-size-independent frequency summary",
+        "The token stream folds into a 4x256 counter matrix — counters "
+        "are plain sums, so each map partition's keys collapse before "
+        "the one (d, bucket) exchange; the matrix is depth x width rows "
+        "no matter the corpus, so estimation joins it as a BROADCAST "
+        "side and snapshot merges are sum-groupBys over tiny frames. "
+        "The min-over-rows estimate is an aggregate on the key, never "
+        "a rank window.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True — the matrix side)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

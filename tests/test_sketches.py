@@ -105,3 +105,65 @@ def test_sketch_plan_partial_agg_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "partial_hll_sketch_agg" in plan   # map-side partial sketching
+
+
+@pytest.mark.spark
+def test_cms_never_undercounts_and_wide_is_exact(spark):
+    """CMS point estimates are >= truth always; with width >> distinct
+    keys and 4 independent rows, min-over-rows recovers exact counts."""
+    from commoncrawl_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("whale",)] * 30
+    df = spark.createDataFrame(rows, "key string")
+    truth = {f"k{i}": 10 for i in range(7)} | {"whale": 30}
+    sk = cms_build(df, "key", depth=4, width=1024)
+    probes = df.select("key").distinct()
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(sk, probes, "key", depth=4,
+                                 width=1024).collect()}
+    assert all(est[k] >= v for k, v in truth.items())
+    assert est == truth  # wide sketch, no collisions survive 4 rows
+
+
+@pytest.mark.spark
+def test_cms_merge_equals_union_sketch(spark):
+    """Mergeability: sketch(A) + sketch(B) cellwise == sketch(A ∪ B) —
+    the property that makes per-snapshot summaries history-free."""
+    from commoncrawl_spark.operators.sketches import cms_build, cms_merge
+
+    a = spark.createDataFrame([(f"k{i % 5}",) for i in range(40)], "key string")
+    b = spark.createDataFrame([(f"k{i % 9}",) for i in range(33)], "key string")
+    merged = {(r["d"], r["bucket"]): r["count"]
+              for r in cms_merge(cms_build(a, "key", 3, 64),
+                                 cms_build(b, "key", 3, 64)).collect()}
+    whole = {(r["d"], r["bucket"]): r["count"]
+             for r in cms_build(a.unionByName(b), "key", 3, 64).collect()}
+    assert merged == whole
+
+
+@pytest.mark.spark
+def test_cms_unseen_key_reads_zero_or_collision(spark):
+    from commoncrawl_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "key string")
+    sk = cms_build(df, "key", depth=4, width=2048)
+    probes = spark.createDataFrame([("never",)], "key string")
+    est = cms_estimate(sk, probes, "key", depth=4, width=2048).collect()
+    assert est[0]["est"] == 0  # wide enough that no row collides
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_build(df, "key", depth=0)
+
+
+@pytest.mark.spark
+def test_cms_plan_broadcast_probe_no_python(spark):
+    from commoncrawl_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i % 11}",) for i in range(99)],
+                               "key string")
+    sk = cms_build(df, "key", depth=2, width=32)
+    out = cms_estimate(sk, df.distinct(), "key", depth=2, width=32)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the matrix side is broadcast
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
