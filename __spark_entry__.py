@@ -87,6 +87,13 @@ def _sql_canon(url: str) -> str:
     return f"({host} || {path})"
 
 
+# mojibake damage injected by the mojibake_repair query: right-single-
+# quote, e-acute and left-double-quote scars plus a cp1252 nbsp scar
+# (raw UTF-8 in source; continuation chars include a C1 control
+# and a non-breaking space)
+_MOJI_SNIPPET = (" â€™Ã©"
+                 "â€œtestÂ end")
+
 _SQL_TOKS = (
     "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
 )
@@ -2332,6 +2339,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probes = words.select("word").distinct()
         return cms_estimate(sk, probes, "word", depth=4, width=256)
     q["cms_word_counts"] = cms_word_counts
+
+    def mojibake_repair(spark, sf):
+        """Encoding-damage triage + repair: UTF-8-decoded-as-cp1252
+        scars (curly quotes, accents, nbsp — several contain C1
+        controls) counted and repaired by a longest-first literal
+        replace chain, pure whole-stage-codegen. Damage is injected
+        deterministically on every third doc so both the scarred and
+        clean paths are exercised; n_residue pins that repair consumes
+        every known scar."""
+        from commoncrawl_spark.functions.text import (
+            fix_mojibake_col, mojibake_count_col,
+        )
+
+        d = _read(spark, sf, "documents")
+        t = F.concat(
+            F.substring("text", 1, 120),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(_MOJI_SNIPPET)).otherwise(F.lit("")))
+        fixed = fix_mojibake_col(t)
+        return d.select(
+            "doc_id",
+            mojibake_count_col(t).alias("n_scars"),
+            F.length(fixed).alias("repaired_len"),
+            mojibake_count_col(fixed).alias("n_residue"),
+            F.substring(fixed, 1, 160).alias("snippet"))
+    q["mojibake_repair"] = mojibake_repair
 
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
@@ -5174,6 +5207,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT pb.w AS word, MIN(cells.cnt) AS est
         FROM pb JOIN cells USING (d, bucket)
         GROUP BY 1
+    """
+
+    # mojibake_repair: the same longest-first replace chain and
+    # length-delta counts, built programmatically from MOJIBAKE_MAP so
+    # Spark and SQL literally share the scar table
+    from commoncrawl_spark.functions.text import MOJIBAKE_MAP
+
+    def _moji_q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _moji_fix = "t"
+    for _bad, _good in MOJIBAKE_MAP:
+        _moji_fix = (f"replace({_moji_fix}, {_moji_q(_bad)}, "
+                     f"{_moji_q(_good)})")
+
+    def _moji_cnt(col: str) -> str:
+        return " + ".join(
+            f"CAST((length({col}) - length(replace({col}, {_moji_q(b)}, "
+            f"''))) // {len(b)} AS BIGINT)"
+            for b, _ in MOJIBAKE_MAP)
+
+    o["mojibake_repair"] = f"""
+        WITH dam AS (
+          SELECT doc_id,
+                 substring(text, 1, 120)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN {_moji_q(_MOJI_SNIPPET)} ELSE '' END AS t
+          FROM documents),
+        fx AS (SELECT doc_id, t, {_moji_fix} AS f FROM dam)
+        SELECT doc_id, {_moji_cnt("t")} AS n_scars,
+               length(f) AS repaired_len,
+               {_moji_cnt("f")} AS n_residue,
+               substring(f, 1, 160) AS snippet
+        FROM fx
     """
 
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias

@@ -538,3 +538,58 @@ def readability_signals(text: Column) -> dict[str, Column]:
         "fk_grade": F.round(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
     }
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (encoding damage) detection + repair
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes decoded as Latin-1/cp1252 leave unmistakable multi-char
+# scars: the UTF-8 lead byte surfaces as \u00c3/\u00c2/\u00e2 and the
+# continuation bytes as symbol (sometimes invisible C1) chars -- hence
+# the \uXXXX escapes below; several scars are unprintable. The
+# common-web subset covers the overwhelming mass of real damage; repair
+# maps each scar back to the intended code point. Ordered longest-first
+# so three-byte scars never half-repair via a shorter prefix rule.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm  -> right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # a-circ euro ~   -> left single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # a-circ euro oe  -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # a-circ euro C1  -> right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # a-circ euro ldq -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # a-circ euro rdq -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # a-circ euro brokenbar -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # A-tilde copyright -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # A-tilde diaeresis -> e-grave
+    ("\u00c3\u00a0", "\u00e0"),  # A-tilde nbsp      -> a-grave
+    ("\u00c3\u00bc", "\u00fc"),  # A-tilde 1/4       -> u-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # A-tilde pilcrow   -> o-umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # A-tilde currency  -> a-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # A-tilde plusminus -> n-tilde
+    ("\u00c3\u00a7", "\u00e7"),  # A-tilde section   -> c-cedilla
+    ("\u00c2\u00a0", "\u00a0"),  # A-circ nbsp       -> nbsp
+)
+
+
+def mojibake_count_col(text: Column) -> Column:
+    """Number of known mojibake scars in ``text`` -- pure Catalyst:
+    counting via length-delta per pattern (replace with empty, divide
+    by pattern length), summed; no regex backtracking, no Python."""
+    total = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_MAP:
+        n = (F.length(text)
+             - F.length(F.replace(text, F.lit(bad), F.lit("")))) / len(bad)
+        total = total + n.cast("long")
+    return total
+
+
+def fix_mojibake_col(text: Column) -> Column:
+    """Repair the known scars, longest-first (MOJIBAKE_MAP order), as a
+    chain of literal ``replace`` expressions -- whole-stage-codegen'd,
+    byte-deterministic, and exactly replayable by a SQL replace chain.
+    Scars outside the map pass through untouched (measure with
+    :func:`mojibake_count_col` before/after to find residue)."""
+    out = text
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out

@@ -1987,3 +1987,61 @@ def test_ivf_pq_n_probe_validation_and_plan(spark):
     assert "BroadcastHashJoin" in plan  # centroids, codebook, dt
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_mojibake_roundtrip_real_cp1252_damage(spark):
+    """Damage produced the real way — UTF-8 bytes mis-decoded as
+    cp1252 — must repair back to the original, and the scar count must
+    match the number of damaged code points."""
+    from commoncrawl_spark.functions.text import (
+        fix_mojibake_col, mojibake_count_col,
+    )
+
+    original = "déjà vu… “ok’ – señor"
+    scarred = original.encode("utf-8").decode("cp1252")
+    assert scarred != original
+    df = spark.createDataFrame([(scarred,)], "t string")
+    row = df.select(
+        fix_mojibake_col(F.col("t")).alias("fixed"),
+        mojibake_count_col(F.col("t")).alias("n"),
+        mojibake_count_col(fix_mojibake_col(F.col("t"))).alias("res"),
+    ).collect()[0]
+    assert row["fixed"] == original
+    assert row["n"] == 7  # é à … “ ’ – ñ: seven damaged code points
+    assert row["res"] == 0
+
+
+@pytest.mark.spark
+def test_mojibake_every_map_entry_roundtrips(spark):
+    from commoncrawl_spark.functions.text import (
+        MOJIBAKE_MAP, fix_mojibake_col, mojibake_count_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"x{bad}y") for i, (bad, _) in enumerate(MOJIBAKE_MAP)],
+        "i long, t string")
+    got = {r["i"]: (r["f"], r["n"]) for r in df.select(
+        "i", fix_mojibake_col(F.col("t")).alias("f"),
+        mojibake_count_col(F.col("t")).alias("n")).collect()}
+    for i, (_, good) in enumerate(MOJIBAKE_MAP):
+        assert got[i] == (f"x{good}y", 1), f"entry {i}"
+
+
+@pytest.mark.spark
+def test_mojibake_clean_text_untouched_and_plan_pure(spark):
+    from commoncrawl_spark.functions.text import (
+        fix_mojibake_col, mojibake_count_col,
+    )
+
+    df = spark.createDataFrame(
+        [("plain ascii text, nothing to fix",)], "t string")
+    out = df.select(
+        fix_mojibake_col(F.col("t")).alias("f"),
+        mojibake_count_col(F.col("t")).alias("n"))
+    row = out.collect()[0]
+    assert row["f"] == "plain ascii text, nothing to fix"
+    assert row["n"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan  # the replace chain codegens into one stage
