@@ -2366,6 +2366,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.substring(fixed, 1, 160).alias("snippet"))
     q["mojibake_repair"] = mojibake_repair
 
+    def logreg_quality(spark, sf):
+        """Trained discriminative quality classifier: full-batch-GD
+        logistic regression (8 iterations, lr=4) on three scan-stage
+        features (length, token count, 'the'-density) against an
+        is-English target — the iterative optimizer the NB module
+        docstring once ruled out, made oracle-able by the kmeans
+        conventions (1e-6-quantized gradient sums, 6dp rounding every
+        iteration). The oracle replays training as 4 unrolled CTE
+        rounds and scores with the same literal arithmetic."""
+        from commoncrawl_spark.operators.analytics import tokens_col
+        from commoncrawl_spark.operators.classify import (
+            logreg_scores, logreg_train,
+        )
+
+        d = _read(spark, sf, "documents")
+        low = F.lower(F.col("text"))
+        n_toks = F.size(tokens_col(F.col("text")))
+        the_cnt = ((F.length(low)
+                    - F.length(F.replace(low, F.lit("the"), F.lit(""))))
+                   / 3).cast("long")
+        feats = d.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1.0))
+            .otherwise(F.lit(0.0)).alias("y"),
+            F.round(F.length("text") / 1000.0, 6).alias("x1"),
+            F.round(n_toks / 100.0, 6).alias("x2"),
+            F.round(the_cnt * 10.0 / (n_toks + 1.0), 6).alias("x3"))
+        w = logreg_train(feats, ["x1", "x2", "x3"], iters=8, lr=4.0)
+        return logreg_scores(feats, w, ["x1", "x2", "x3"]).select(
+            "doc_id", "y", "p", "pred")
+    q["logreg_quality"] = logreg_quality
+
+    def nb_platt_calibration(spark, sf):
+        """Platt scaling (Platt 1999) — the production classifier
+        stack: the NB posterior log-odds is a good RANKER but a bad
+        PROBABILITY, so a logistic regression is trained on a held-out
+        bucket to map margin -> calibrated p. NB trains on md5-buckets
+        0-3 (de-vs-rest, the corpus's NB target), the calibrator on
+        bucket 4, and every doc gets (margin, calibrated p, pred).
+        The synthetic langs overlap in NB-margin space at a 14% base
+        rate, so the calibrated posterior tops out ~0.27 and pred=0
+        everywhere — the BAYES decision, which is exactly what honest
+        calibration reports (the hash check rides p). Both trainings
+        replay in the oracle: the NB closed form as CTEs, the 8 GD
+        rounds unrolled with quantized gradient sums."""
+        from commoncrawl_spark.operators.classify import (
+            logreg_scores, logreg_train, nb_classify, nb_train,
+        )
+
+        d = _read(spark, sf, "documents")
+        b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 8), 16, 10).cast("long") % 5)
+        lab = d.select(
+            "doc_id", "text", (F.col("lang") == "de").alias("label"),
+            b.alias("b"))
+        model, priors = nb_train(
+            lab.filter(F.col("b") < 4), label_col="label")
+        scored = nb_classify(d, model, priors)
+        feats = scored.select(
+            "doc_id",
+            F.round(F.col("score"), 6).alias("x1"),
+            F.round(F.col("n_tokens") / 100.0, 6).alias("x2"),
+        ).localCheckpoint(eager=True)  # reused 8x by GD + once to score
+        calib = (
+            feats.join(lab.select("doc_id", "b", "label"), "doc_id")
+            .filter(F.col("b") == 4)
+            .select(F.col("label").cast("double").alias("y"), "x1", "x2")
+        )
+        w = logreg_train(calib, ["x1", "x2"], iters=8, lr=4.0)
+        return logreg_scores(feats, w, ["x1", "x2"]).select(
+            "doc_id", "x1", "p", "pred")
+    q["nb_platt_calibration"] = nb_platt_calibration
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -5243,6 +5316,43 @@ def oracle_sql() -> dict[str, str]:
         FROM fx
     """
 
+    # logreg_quality: 8 GD rounds unrolled — weight CTEs wt0..wt4,
+    # per-round sigmoid CTEs; gradient sums on 1e-6-quantized BIGINTs,
+    # every margin/weight rounded 6dp, matching logreg_train exactly
+    _lg_grad = (
+        "round(MIN(w.{c}) - 4.0 * round(CAST(SUM(CAST(round((p - y){x}"
+        " * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6),"
+        " 6) AS {c}")
+    _lg_iter = """
+        pp{i} AS (
+          SELECT f.*, round(1.0 / (1.0 + exp(-round(
+            w.b + w.c1 * f.x1 + w.c2 * f.x2 + w.c3 * f.x3, 6))), 6) AS p
+          FROM f, wt{p} w),
+        wt{i} AS (
+          SELECT """ + ", ".join(
+        _lg_grad.format(c=c, x=x)
+        for c, x in [("b", " * 1.0"), ("c1", " * x1"),
+                     ("c2", " * x2"), ("c3", " * x3")]) + """
+          FROM pp{i}, wt{p} w)"""
+    o["logreg_quality"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 round(length(text) / 1000.0, 6) AS x1,
+                 round(len({toks_doc}) / 100.0, 6) AS x2,
+                 round(((length(lower(text))
+                         - length(replace(lower(text), 'the', ''))) // 3)
+                       * 10.0 / (len({toks_doc}) + 1.0), 6) AS x3
+          FROM documents),
+        wt0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),
+        {",".join(_lg_iter.format(i=i, p=i - 1) for i in range(1, 9))}
+        SELECT doc_id, y, p, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM (
+          SELECT f.*, round(1.0 / (1.0 + exp(-round(
+            w.b + w.c1 * f.x1 + w.c2 * f.x2 + w.c3 * f.x3, 6))), 6) AS p
+          FROM f, wt8 w) s
+    """
+
     # trustrank_hosts: the TrustRank recurrence unrolled as CTEs — bias
     # = 1/|S| on seeds else 0, t0 = bias, t' = 0.15*bias + 0.85*mass;
     # dangling mass leaks exactly as in host_pagerank
@@ -6701,6 +6811,46 @@ def oracle_sql() -> dict[str, str]:
                round(avg(sc.score), 6) AS avg_score
         FROM sc JOIN te USING (doc_id)
         GROUP BY te.label, sc.pred
+    """
+
+    # nb_platt_calibration: the en-vs-rest NB closed form (CTEs above,
+    # scored over the WHOLE corpus) feeding 8 unrolled GD rounds of the
+    # two-feature calibrator on the held-out bucket — same quantized
+    # gradient sums and 6dp rounding as logreg_quality
+    _pl_grad = (
+        "round(MIN(w.{c}) - 4.0 * round(CAST(SUM(CAST(round((p - y){x}"
+        " * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6),"
+        " 6) AS {c}")
+    _pl_iter = """
+        qq{i} AS (
+          SELECT s.*, round(1.0 / (1.0 + exp(-round(
+            w.b + w.c1 * s.x1 + w.c2 * s.x2, 6))), 6) AS p
+          FROM cal s, vt{p} w),
+        vt{i} AS (
+          SELECT """ + ", ".join(
+        _pl_grad.format(c=c, x=x)
+        for c, x in [("b", " * 1.0"), ("c1", " * x1"),
+                     ("c2", " * x2")]) + """
+          FROM qq{i}, vt{p} w)"""
+    o["nb_platt_calibration"] = f"""
+        WITH {_nb_model("lang = 'de'")},
+        {_nb_score_cte("documents")},
+        f AS (
+          SELECT doc_id, round(score, 6) AS x1,
+                 round(n_tokens / 100.0, 6) AS x2
+          FROM sc),
+        cal AS (
+          SELECT CASE WHEN lab.label THEN 1.0 ELSE 0.0 END AS y,
+                 f.x1, f.x2
+          FROM f JOIN lab USING (doc_id) WHERE lab.b = 4),
+        vt0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2),
+        {",".join(_pl_iter.format(i=i, p=i - 1) for i in range(1, 9))}
+        SELECT doc_id, x1, p,
+               CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM (
+          SELECT f.*, round(1.0 / (1.0 + exp(-round(
+            w.b + w.c1 * f.x1 + w.c2 * f.x2, 6))), 6) AS p
+          FROM f, vt8 w) s
     """
 
     # filtering_pipeline: Gopher line rules (min_words=30) -> n-gram

@@ -9,9 +9,10 @@ FineWeb-Edu with an educational-quality model. This module supplies
 that stage: train per-token log-odds from a labeled corpus, score any
 corpus against the model, and evaluate on a held-out split — with
 every number reproducible by an external SQL engine (the oracle
-contract of this repo), which rules out iterative optimizers (SGD
-logistic regression) and picks the closed-form member of the family:
-multinomial NB with Laplace smoothing. fastText without the learned
+contract of this repo). The closed-form member of the family is
+multinomial NB with Laplace smoothing; the ITERATIVE member
+(full-batch-GD logistic regression, once ruled out here) landed in r3
+via the unrolled-CTE replay conventions — see logreg_train below. fastText without the learned
 embedding — the same bag-of-tokens linear decision function.
 
 Scale shapes (no Python anywhere):
@@ -174,3 +175,75 @@ def nb_evaluate(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("score"), 6).alias("avg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression: the iterative member, made oracle-able
+# ---------------------------------------------------------------------------
+
+def logreg_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    iters: int = 4,
+    lr: float = 4.0,
+) -> list[float]:
+    """Full-batch gradient-descent logistic regression over a FIXED,
+    small feature vector (bias implicit, prepended as weight 0) —
+    deterministic enough for an external SQL engine to replay the
+    training bit-for-bit, which the module docstring above once ruled
+    out: the r03 unrolled-CTE machinery (kmeans_centroids, pagerank,
+    BPE) lifts that, using the same two conventions —
+
+    - per-row gradient contributions quantize to 1e-6-scaled LONGS
+      before the sum (integer addition is associative: partition order
+      cannot perturb the total);
+    - the margin, the sigmoid, the averaged gradient and each weight
+      round to 6dp every iteration, so double-precision drift never
+      accumulates past the contract's rounding.
+
+    Weights live on the DRIVER as D+1 floats (D is the feature count,
+    single digits — scalar material like kmeans' K centroids; the
+    per-iteration collect is one tiny row, never data). Feature values
+    must already be 6dp-rounded by the caller.
+
+    Returns ``[b, w_1, ..., w_D]`` after ``iters`` rounds from zero
+    init. Scale shape per iteration: one scan of the feature frame,
+    one map-side-partial sum aggregate — no joins, no windows; the
+    model applies as literal arithmetic in the scan stage.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = [0.0] * (len(feature_cols) + 1)
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    for _ in range(iters):
+        z = F.round(sum(F.lit(wj) * xj for wj, xj in zip(w, xs)), 6)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        err = p - F.col(label_col)
+        aggs = [
+            F.sum(F.round(err * xj * 1e6).cast("long")).alias(f"g{j}")
+            for j, xj in enumerate(xs)
+        ] + [F.count(F.lit(1)).alias("n")]
+        row = feats.agg(*aggs).collect()[0]  # one tiny row of scalars
+        w = [
+            round(wj - lr * round(row[f"g{j}"] / 1e6 / row["n"], 6), 6)
+            for j, wj in enumerate(w)
+        ]
+    return w
+
+
+def logreg_scores(
+    feats: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score with a trained weight vector: adds ``p`` (6dp sigmoid)
+    and ``pred`` (1 iff p >= threshold). Pure scan-stage arithmetic —
+    the model is literals, so the plan is one codegen'd projection."""
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    z = F.round(sum(F.lit(wj) * xj for wj, xj in zip(weights, xs)), 6)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        "*", p.alias("p"),
+        F.when(p >= threshold, F.lit(1)).otherwise(F.lit(0)).alias("pred"))

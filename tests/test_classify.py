@@ -139,3 +139,64 @@ def test_nb_classify_plan_broadcasts_model(spark):
             # FullOuter merge (full outer cannot broadcast; both sides
             # are vocab-sized) — the CORPUS tf stream must broadcast
             raise AssertionError(f"token-key SMJ in scoring plan: {line}")
+
+
+@pytest.mark.spark
+def test_logreg_learns_separable_threshold(spark):
+    """1-D separable data (y = x > 0): GD must find a positive slope
+    and classify the training set perfectly."""
+    from commoncrawl_spark.operators.classify import (
+        logreg_scores, logreg_train,
+    )
+
+    rows = [(float(i > 0), round(i / 10.0, 6)) for i in range(-20, 21) if i]
+    feats = spark.createDataFrame(rows, "y double, x1 double")
+    w = logreg_train(feats, ["x1"], iters=30, lr=4.0)
+    assert w[1] > 1.0  # slope up
+    scored = logreg_scores(feats, w, ["x1"])
+    bad = scored.filter(F.col("pred") != F.col("y").cast("int")).count()
+    assert bad == 0
+
+
+@pytest.mark.spark
+def test_logreg_first_step_hand_computed(spark):
+    """One GD step from zero init: p = 0.5 for every row, so
+    grad_b = mean(0.5 - y) and grad_x = mean((0.5 - y) * x) — weights
+    must land exactly on the 6dp-rounded closed form."""
+    from commoncrawl_spark.operators.classify import logreg_train
+
+    rows = [(1.0, 0.4), (0.0, -0.2), (0.0, 0.1), (1.0, 0.3)]
+    feats = spark.createDataFrame(rows, "y double, x1 double")
+    w = logreg_train(feats, ["x1"], iters=1, lr=2.0)
+    # grads: b: mean(.5-y) = 0; x1: mean((.5-y)*x1) = (-.2+-.1+.05+-.15)/4
+    gx = round((-0.5 * 0.4 + 0.5 * -0.2 + 0.5 * 0.1 + -0.5 * 0.3) / 4, 6)
+    assert w == [0.0, round(-2.0 * gx, 6)]
+    with pytest.raises(ValueError, match="iters"):
+        logreg_train(feats, ["x1"], iters=0)
+
+
+@pytest.mark.spark
+def test_logreg_deterministic_across_partitionings(spark):
+    """Quantized gradient sums: 1 vs 16 partitions must produce
+    bit-identical weights."""
+    from commoncrawl_spark.operators.classify import logreg_train
+
+    rows = [(float(i % 2), round((i * 37 % 100) / 50.0 - 1, 6))
+            for i in range(200)]
+    feats = spark.createDataFrame(rows, "y double, x1 double")
+    w1 = logreg_train(feats.coalesce(1), ["x1"], iters=5)
+    w16 = logreg_train(feats.repartition(16), ["x1"], iters=5)
+    assert w1 == w16
+
+
+@pytest.mark.spark
+def test_logreg_scores_plan_pure_codegen(spark):
+    from commoncrawl_spark.operators.classify import logreg_scores
+
+    feats = spark.createDataFrame(
+        [(1.0, 0.5), (0.0, -0.5)], "y double, x1 double")
+    out = logreg_scores(feats, [0.1, 2.0], ["x1"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # scoring is scan-stage arithmetic
