@@ -2439,6 +2439,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "x1", "p", "pred")
     q["nb_platt_calibration"] = nb_platt_calibration
 
+    def postings_delta(spark, sf):
+        """Index compression measurement: gap-encode every posting
+        list and cost it as LEB128 varints (Lucene/PISA layout —
+        first id absolute, then deltas). Dense stopword postings
+        compress hardest; the per-token ratio column quantifies why
+        8-byte raw ids are unaffordable at 10^10 docs. Pure array
+        expressions on top of the postings build — no extra shuffle."""
+        from commoncrawl_spark.operators.index import (
+            build_postings, delta_encode_postings,
+        )
+
+        d = _read(spark, sf, "documents")
+        return delta_encode_postings(build_postings(d)).select(
+            "token", "df", "first_id", "bytes_raw", "bytes_delta",
+            "ratio")
+    q["postings_delta"] = postings_delta
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -6851,6 +6868,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT f.*, round(1.0 / (1.0 + exp(-round(
             w.b + w.c1 * f.x1 + w.c2 * f.x2, 6))), 6) AS p
           FROM f, vt8 w) s
+    """
+
+    # postings_delta: same build (distinct (doc, token) -> sorted id
+    # list), same zip-shift gaps, same varint CASE chain
+    _vb = ("CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2 "
+           "WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4 "
+           "ELSE 5 END")
+    o["postings_delta"] = f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest({toks_doc}) AS token FROM documents)),
+        p AS (
+          SELECT token, COUNT(*) AS df,
+                 list_sort(list(doc_id)) AS ids
+          FROM dt GROUP BY token),
+        enc AS (
+          SELECT token, df, ids[1] AS first_id,
+                 list_transform(range(2, len(ids) + 1),
+                                i -> ids[i] - ids[i - 1]) AS gaps
+          FROM p),
+        cost AS (
+          SELECT token, df, first_id,
+                 CAST(8 * df AS BIGINT) AS bytes_raw,
+                 CAST({_vb.format(v="first_id")}
+                      + coalesce(list_sum(list_transform(gaps,
+                          g -> {_vb.format(v="g")})), 0)
+                      AS BIGINT) AS bytes_delta
+          FROM enc)
+        SELECT token, df, first_id, bytes_raw, bytes_delta,
+               round(bytes_delta / CAST(bytes_raw AS DOUBLE), 6) AS ratio
+        FROM cost
     """
 
     # filtering_pipeline: Gopher line rules (min_words=30) -> n-gram

@@ -415,3 +415,48 @@ def test_proximity_plan_no_window_no_python(spark):
         proximity_search(df, [], slop=1)
     with pytest.raises(ValueError):
         proximity_search(df, ["a"], slop=-1)
+
+
+@pytest.mark.spark
+def test_delta_postings_hand_computed(spark):
+    """ids [3, 130, 131]: gaps [127, 1]; varints 1+1+1 = 3 bytes vs
+    24 raw. A 128 first_id needs 2 bytes."""
+    from commoncrawl_spark.operators.index import delta_encode_postings
+
+    p = spark.createDataFrame(
+        [("a", 3, [3, 130, 131]), ("b", 1, [128])],
+        "token string, df long, doc_ids array<long>")
+    got = {r["token"]: r for r in delta_encode_postings(p).collect()}
+    a = got["a"]
+    assert (a["first_id"], list(a["gaps"])) == (3, [127, 1])
+    assert (a["bytes_raw"], a["bytes_delta"]) == (24, 3)
+    assert a["ratio"] == 0.125
+    b = got["b"]
+    assert (b["first_id"], list(b["gaps"]), b["bytes_delta"]) == (128, [], 2)
+
+
+@pytest.mark.spark
+def test_delta_postings_varint_boundaries(spark):
+    """Exact LEB128 size at every 7-bit boundary."""
+    from commoncrawl_spark.operators.index import _varint_bytes
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 127, 128, 16383, 16384, 2097151, 2097152,
+                        268435455, 268435456]], "v long")
+    got = dict((r["v"], r["n"]) for r in
+               df.select("v", _varint_bytes(F.col("v")).alias("n")).collect())
+    assert got == {0: 1, 127: 1, 128: 2, 16383: 2, 16384: 3,
+                   2097151: 3, 2097152: 4, 268435455: 4, 268435456: 5}
+
+
+@pytest.mark.spark
+def test_delta_postings_plan_no_shuffle_added(spark):
+    from commoncrawl_spark.operators.index import delta_encode_postings
+
+    p = spark.createDataFrame(
+        [("t", 2, [1, 5])], "token string, df long, doc_ids array<long>")
+    out = delta_encode_postings(p)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row arrays only
+    assert "EvalPython" not in plan
