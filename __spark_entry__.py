@@ -2456,6 +2456,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ratio")
     q["postings_delta"] = postings_delta
 
+    def degree_histogram(spark, sf):
+        """Log-binned in/out-degree histogram over the synthetic host
+        graph — the power-law summary webgraph releases publish.
+        Bucket = bit_width(degree) - 1: an exact integer floor(log2),
+        never float log at power-of-two boundaries."""
+        from commoncrawl_spark.operators.graph import degree_distribution
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return degree_distribution(edges)
+    q["degree_histogram"] = degree_histogram
+
+    def reciprocal_links(spark, sf):
+        """Per-host link reciprocity over the synthetic host graph —
+        link exchanges sit near 1, organic citation near 0. One
+        left-semi self-join of the distinct edge list against its own
+        swap; counts partial-aggregate on the src key."""
+        from commoncrawl_spark.operators.graph import reciprocal_link_stats
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return reciprocal_link_stats(edges)
+    q["reciprocal_links"] = reciprocal_links
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -6899,6 +6935,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, df, first_id, bytes_raw, bytes_delta,
                round(bytes_delta / CAST(bytes_raw AS DOUBLE), 6) AS ratio
         FROM cost
+    """
+
+    # degree_histogram / reciprocal_links: the same %97 synthetic host
+    # graph; bucket via length(bin(d)) - 1 (exact integer floor-log2,
+    # DuckDB bin() == Spark bin() for positive ints)
+    _dg_edges = """
+        raw AS (
+          SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents),
+        e AS (SELECT DISTINCT src, dst FROM raw)"""
+    o["degree_histogram"] = f"""
+        WITH {_dg_edges},
+        od AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY 1),
+        idg AS (SELECT dst AS node, COUNT(*) AS degree FROM e GROUP BY 1),
+        b AS (
+          SELECT 'out' AS direction,
+                 CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+                 degree FROM od
+          UNION ALL
+          SELECT 'in', CAST(length(bin(degree)) - 1 AS BIGINT), degree
+          FROM idg)
+        SELECT direction, bucket, COUNT(*) AS n_nodes,
+               MIN(degree) AS min_degree, MAX(degree) AS max_degree
+        FROM b GROUP BY 1, 2
+    """
+
+    o["reciprocal_links"] = f"""
+        WITH {_dg_edges},
+        ne AS (SELECT src, dst FROM e WHERE src <> dst),
+        per AS (SELECT src, COUNT(*) AS n_out FROM ne GROUP BY src),
+        rec AS (
+          SELECT a.src, COUNT(*) AS n_rec
+          FROM ne a
+          WHERE EXISTS (SELECT 1 FROM ne b
+                        WHERE b.src = a.dst AND b.dst = a.src)
+          GROUP BY a.src)
+        SELECT per.src AS node, per.n_out,
+               COALESCE(rec.n_rec, 0) AS n_reciprocal,
+               round(COALESCE(rec.n_rec, 0) / CAST(per.n_out AS DOUBLE), 6)
+                 AS reciprocity
+        FROM per LEFT JOIN rec USING (src)
     """
 
     # filtering_pipeline: Gopher line rules (min_words=30) -> n-gram

@@ -589,3 +589,33 @@ def test_triangle_counts_plan_no_window_no_python(spark):
     assert "Window" not in plan   # orientation rank is a struct compare
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_degree_distribution_log_bins(spark):
+    """Star hub: out-degree 9 -> bucket 3 ([8,16)); leaves in-degree 1
+    -> bucket 0. Duplicate edges collapse first."""
+    from commoncrawl_spark.operators.graph import degree_distribution
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)] + [(0, 5)], "src long, dst long")
+    got = {(r["direction"], r["bucket"]):
+           (r["n_nodes"], r["min_degree"], r["max_degree"])
+           for r in degree_distribution(edges).collect()}
+    assert got[("out", 3)] == (1, 9, 9)
+    assert got[("in", 0)] == (9, 1, 1)
+    assert set(got) == {("out", 3), ("in", 0)}
+
+
+@pytest.mark.spark
+def test_reciprocal_link_stats(spark):
+    """1<->2 reciprocated; 1->3 not; self-loop 4->4 dropped entirely."""
+    from commoncrawl_spark.operators.graph import reciprocal_link_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (4, 4)], "src long, dst long")
+    got = {r["node"]: (r["n_out"], r["n_reciprocal"], r["reciprocity"])
+           for r in reciprocal_link_stats(edges).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert 4 not in got
