@@ -2492,6 +2492,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reciprocal_link_stats(edges)
     q["reciprocal_links"] = reciprocal_links
 
+    def tokenizer_fertility(spark, sf):
+        """Tokenizer fertility by language — BPE-ish pretokens per
+        whitespace word, the tokenizer-efficiency metric multilingual
+        pipelines budget by (high-fertility languages pay more tokens
+        per word). Corpus-level ratio-of-sums per lang plus chars per
+        pretoken; one scan, one tiny groupBy."""
+        from commoncrawl_spark.functions.text import (
+            bpe_token_count_col, token_count_col,
+        )
+
+        d = _read(spark, sf, "documents")
+        per = d.select(
+            "lang",
+            token_count_col(F.col("text")).alias("_w"),
+            bpe_token_count_col(F.col("text")).alias("_b"),
+            F.length("text").alias("_c"))
+        return per.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_b").alias("n_pretokens"),
+            F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility"),
+            F.round(F.sum("_c") / F.sum("_b"), 6).alias("chars_per_tok"))
+    q["tokenizer_fertility"] = tokenizer_fertility
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -4461,6 +4485,25 @@ def oracle_sql() -> dict[str, str]:
                  AS ws_tokens,
                len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
         FROM documents
+    """
+
+    # tokenizer_fertility: same token counters as token_counts, summed
+    # per lang; ratios as ratio-of-sums (exact integer sums, one 6dp
+    # rounding at the end)
+    o["tokenizer_fertility"] = f"""
+        WITH per AS (
+          SELECT lang,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS w,
+                 len(regexp_extract_all(text, '{BPE_RE}')) AS b,
+                 length(text) AS c
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS n_words,
+               CAST(SUM(b) AS BIGINT) AS n_pretokens,
+               round(SUM(b) / CAST(SUM(w) AS DOUBLE), 6) AS fertility,
+               round(SUM(c) / CAST(SUM(b) AS DOUBLE), 6) AS chars_per_tok
+        FROM per GROUP BY lang
     """
 
     # bpe_merges / bpe_tokens: training replayed via unrolled CTEs

@@ -2045,3 +2045,27 @@ def test_mojibake_clean_text_untouched_and_plan_pure(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "*(1)" in plan  # the replace chain codegens into one stage
+
+
+@pytest.mark.spark
+def test_tokenizer_fertility_hand_computed(spark):
+    """'don't stop' = 2 words but 4 BPE pretokens (don / ' / t / stop)
+    -> fertility 2.0; chars_per_tok = 10/4."""
+    import __spark_entry__ as entry
+
+    df = spark.createDataFrame(
+        [(1, "don't stop", "en")], "doc_id long, text string, lang string")
+    d = df  # mimic the query body on a hand corpus
+    from commoncrawl_spark.functions.text import (
+        bpe_token_count_col, token_count_col,
+    )
+    per = d.select(
+        "lang",
+        token_count_col(F.col("text")).alias("_w"),
+        bpe_token_count_col(F.col("text")).alias("_b"),
+        F.length("text").alias("_c"))
+    row = per.groupBy("lang").agg(
+        F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility"),
+        F.round(F.sum("_c") / F.sum("_b"), 6).alias("cpt")).collect()[0]
+    assert row["fertility"] == 2.0
+    assert row["cpt"] == 2.5
