@@ -2516,6 +2516,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("_c") / F.sum("_b"), 6).alias("chars_per_tok"))
     q["tokenizer_fertility"] = tokenizer_fertility
 
+    def stream_enrich(spark, sf):
+        """STATELESS streaming enrichment: the binned range join
+        (ip_asn_lookup's rewrite) applied inside a real stream — the
+        static range side pre-bins and broadcasts, each micro-batch
+        bins its points and hash-joins, NO state store and no
+        watermark needed (the scale contrast with stream_dedup's keyed
+        state). Events arrive as two file-source micro-batches (even
+        ids, then odd); the result is the per-ASN count over both,
+        NULL asn = gap IPs. Oracle: the same containment join in
+        batch SQL."""
+        import os
+        import tempfile
+        import uuid
+
+        ev = _read(spark, sf, "events").select(
+            "event_id",
+            (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                1, 4), 16, 10).cast("long") % 62500)
+            .alias("ip"))
+        rng = _read(spark, sf, "nation").select(
+            (F.col("n_nationkey") * 2500).alias("lo"),
+            (F.col("n_nationkey") * 2500 + 1999).alias("hi"),
+            F.col("n_name").alias("asn"))
+        binned = F.broadcast(rng.select(
+            "lo", "hi", "asn",
+            F.explode(F.sequence(F.floor(F.col("lo") / 2500),
+                                 F.floor(F.col("hi") / 2500)))
+            .alias("_bin")))
+
+        d = tempfile.mkdtemp(prefix="ccs_stream_enrich_")
+        src = os.path.join(d, "src")
+        parts = [ev.filter(F.col("event_id") % 2 == 0),
+                 ev.filter(F.col("event_id") % 2 == 1)]
+        for i, part in enumerate(parts):
+            bdir = os.path.join(src, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema("event_id long, ip long")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        enriched = (
+            stream.withColumn("_bin", F.floor(F.col("ip") / 2500))
+            .join(binned, "_bin", "left")
+            .select(
+                "event_id", "ip",
+                F.when((F.col("ip") >= F.col("lo"))
+                       & (F.col("ip") <= F.col("hi")), F.col("asn"))
+                .alias("asn"))
+        )
+        name = f"ccs_enrich_{uuid.uuid4().hex[:8]}"
+        (enriched.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+        return (
+            spark.table(name)
+            .groupBy("asn").agg(F.count("*").alias("n"))
+        )
+    q["stream_enrich"] = stream_enrich
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -6978,6 +7043,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, df, first_id, bytes_raw, bytes_delta,
                round(bytes_delta / CAST(bytes_raw AS DOUBLE), 6) AS ratio
         FROM cost
+    """
+
+    # stream_enrich: the streaming pipeline's batch twin — same ip
+    # derivation, same containment join, counts per asn (NULL = gap)
+    o["stream_enrich"] = """
+        WITH pts AS (
+          SELECT event_id,
+                 CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                         1, 4))::INTEGER % 62500
+                      AS BIGINT) AS ip
+          FROM events),
+        rng AS (
+          SELECT n_nationkey * 2500 AS lo,
+                 n_nationkey * 2500 + 1999 AS hi,
+                 n_name AS asn
+          FROM nation)
+        SELECT r.asn, COUNT(*) AS n
+        FROM pts p LEFT JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
+        GROUP BY r.asn
     """
 
     # degree_histogram / reciprocal_links: the same %97 synthetic host

@@ -317,3 +317,57 @@ def test_windowed_fetch_stats_watermark_drops_late_rows(spark, tmp_path):
     # emitted, 03 and 04 stay open; the replayed 00:20 row did NOT
     # bump window 00 from 2 to 3
     assert got == {0: 2, 1: 1}
+
+
+@pytest.mark.spark
+def test_stream_static_range_enrich_is_stateless(spark, tmp_path):
+    """Stream-static binned range join: enrichment works per
+    micro-batch with NO state operator (the contrast with the keyed
+    state store paths), and the union of batches equals the batch
+    join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(i, (i * 7) % 40) for i in range(20)], "event_id long, ip long")
+    rng = spark.createDataFrame(
+        [(0, 9, "A"), (10, 19, "B"), (30, 39, "C")],
+        "lo long, hi long, asn string")
+    binned = F.broadcast(rng.select(
+        "lo", "hi", "asn",
+        F.explode(F.sequence(F.floor(F.col("lo") / 10),
+                             F.floor(F.col("hi") / 10))).alias("_bin")))
+    src = str(tmp_path / "src")
+    for i, part in enumerate([pts.filter(F.col("event_id") < 10),
+                              pts.filter(F.col("event_id") >= 10)]):
+        bdir = os.path.join(src, f"b{i}")
+        part.coalesce(1).write.parquet(bdir)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("event_id long, ip long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src))
+    enriched = (
+        stream.withColumn("_bin", F.floor(F.col("ip") / 10))
+        .join(binned, "_bin", "left")
+        .select("event_id", F.when(
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+            F.col("asn")).alias("asn")))
+    query = (enriched.writeStream.format("memory").queryName("t_enrich")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    progress = query.recentProgress
+    assert len(progress) >= 2  # two micro-batches ran
+    assert all(not p["stateOperators"] for p in progress)  # stateless
+    got = {r["event_id"]: r["asn"]
+           for r in spark.table("t_enrich").collect()}
+    want = {r["event_id"]: r["asn"] for r in pts.join(
+        rng, (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+        "left").select("event_id", "asn").collect()}
+    assert got == want
