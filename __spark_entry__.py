@@ -2581,6 +2581,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["stream_enrich"] = stream_enrich
 
+    def vocab_growth(spark, sf):
+        """Heaps'-law vocabulary growth: distinct vocabulary at 10
+        id-order corpus prefixes — the sublinear V ~ kN^b curve that
+        sizes tokenizer vocabularies and predicts new-vocab yield of
+        the next crawl. No global sort: a term joins prefix i iff its
+        min-id first occurrence is under the cutoff; cutoffs ride a
+        broadcast 10-row frame (bounded fan-out, no window)."""
+        from commoncrawl_spark.operators.analytics import (
+            vocabulary_growth,
+        )
+
+        d = _read(spark, sf, "documents")
+        return vocabulary_growth(d, n_points=10)
+    q["vocab_growth"] = vocab_growth
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -7062,6 +7077,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.asn, COUNT(*) AS n
         FROM pts p LEFT JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
         GROUP BY r.asn
+    """
+
+    # vocab_growth: same prefix semantics — per-term min first id,
+    # cutoff theta-join against the 10-row frame
+    o["vocab_growth"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS id, {toks_doc} AS t FROM documents),
+        mx AS (SELECT MAX(id) AS m FROM toks),
+        cuts AS (
+          SELECT p.point,
+                 CAST(FLOOR(mx.m * p.point / 10.0) AS BIGINT) AS cutoff_id
+          FROM (SELECT unnest(range(1, 11)) AS point) p, mx),
+        firsts AS (
+          SELECT term, MIN(id) AS f FROM (
+            SELECT id, unnest(t) AS term FROM toks) u
+          GROUP BY term),
+        vocab AS (
+          SELECT c.point, c.cutoff_id, COUNT(*) AS vocab
+          FROM firsts JOIN cuts c ON firsts.f <= c.cutoff_id
+          GROUP BY 1, 2),
+        mass AS (
+          SELECT c.point, c.cutoff_id, COUNT(*) AS n_docs,
+                 CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+          FROM toks JOIN cuts c ON toks.id <= c.cutoff_id
+          GROUP BY 1, 2)
+        SELECT m.point, m.cutoff_id, m.n_docs, m.n_tokens, v.vocab
+        FROM mass m JOIN vocab v USING (point, cutoff_id)
     """
 
     # degree_histogram / reciprocal_links: the same %97 synthetic host

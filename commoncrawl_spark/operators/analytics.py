@@ -559,3 +559,58 @@ def retention_cohorts(
             "periods_since", "n_users",
             F.round(F.col("n_users") / F.col("_sz"), 6).alias("retention"))
     )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct vocabulary size at
+    ``n_points`` id-order checkpoints of the corpus — the sublinear
+    V ~ k*N^beta curve that sizes tokenizer vocabularies and predicts
+    how much NEW vocabulary another 10 TB of crawl will add.
+
+    "Corpus prefix" means docs with ``id_col <= cutoff``, cutoffs at
+    ``i/n_points`` of the max id — a deterministic definition that
+    needs NO global sort: a term belongs to prefix *i* iff its
+    first-occurrence id (min aggregate) is under the cutoff.
+
+    Scale shape: one distinct (doc, term) pass -> per-term min-id
+    (both map-side partial, the only term-keyed exchange), then each
+    slim frame theta-joins the BROADCAST ``n_points``-row cutoff frame
+    (a bounded x10 fan-out, not a window; the same trick as
+    zipnum_cluster_idx's offsets) and count-aggregates per cutoff.
+
+    Returns ``(point, cutoff_id, n_docs, n_tokens, vocab)``.
+    """
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_t"))
+    mx = toks.agg(F.max("_id").alias("_mx"))
+    cuts = F.broadcast(
+        mx.select(F.explode(F.sequence(F.lit(1), F.lit(n_points)))
+                  .alias("point"), "_mx")
+        .select("point",
+                F.floor(F.col("_mx") * F.col("point") / n_points)
+                .alias("cutoff_id")))
+    firsts = (
+        toks.select("_id", F.explode("_t").alias("_term"))
+        .groupBy("_term").agg(F.min("_id").alias("_first"))
+    )
+    vocab = (
+        firsts.join(cuts, F.col("_first") <= F.col("cutoff_id"))
+        .groupBy("point", "cutoff_id")
+        .agg(F.count("*").alias("vocab"))
+    )
+    mass = (
+        toks.select("_id", F.size("_t").alias("_n"))
+        .join(cuts, F.col("_id") <= F.col("cutoff_id"))
+        .groupBy("point", "cutoff_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+    )
+    return mass.join(vocab, ["point", "cutoff_id"]).select(
+        "point", "cutoff_id", "n_docs", "n_tokens", "vocab")

@@ -339,3 +339,21 @@ def test_retention_cohorts_weekly(spark):
     assert got[("1970-01-08", 0)] == (1, 1.0)
     with pytest.raises(ValueError, match="period_days"):
         retention_cohorts(ev, period_days=0)
+
+
+@pytest.mark.spark
+def test_vocabulary_growth_prefix_semantics(spark):
+    """4 docs, cutoffs at ids 2 and 4 (n_points=2): vocab counts terms
+    FIRST seen at or under the cutoff; repeats add tokens, not vocab."""
+    from commoncrawl_spark.operators.analytics import vocabulary_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "a a"), (4, "d")],
+        "doc_id long, text string")
+    got = {r["point"]: (r["cutoff_id"], r["n_docs"], r["n_tokens"],
+                        r["vocab"])
+           for r in vocabulary_growth(df, n_points=2).collect()}
+    assert got[1] == (2, 2, 4, 3)  # a b c
+    assert got[2] == (4, 4, 7, 4)  # + d
+    with pytest.raises(ValueError, match="n_points"):
+        vocabulary_growth(df, n_points=0)
