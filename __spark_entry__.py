@@ -2596,6 +2596,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vocabulary_growth(d, n_points=10)
     q["vocab_growth"] = vocab_growth
 
+    def url_tree(spark, sf):
+        """Path-prefix tree rollup over the url_features URL mix — the
+        crawl-budget map: URL mass per (host, prefix) to depth 3,
+        query strings stripped. Prefixes are a bounded per-row array
+        transform (constant fan-out <= depth+1), the only exchange is
+        the (host, prefix) count."""
+        from commoncrawl_spark.operators.links import url_tree_rollup
+
+        d = _read(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+            .when(F.col("doc_id") % 4 == 1, F.concat(
+                F.lit("/a/b/c/page"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(
+                F.lit("/item?id="), F.col("doc_id").cast("string"),
+                F.lit("&ref=feed&x=1")))
+            .otherwise(F.concat(
+                F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("/"))),
+        )
+        return url_tree_rollup(d.select(url.alias("url")))
+    q["url_tree"] = url_tree
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -7104,6 +7128,39 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2)
         SELECT m.point, m.cutoff_id, m.n_docs, m.n_tokens, v.vocab
         FROM mass m JOIN vocab v USING (point, cutoff_id)
+    """
+
+    # url_tree: same URL synthesis as url_features, same prefix
+    # expansion (root + bounded range transform), same depth formula
+    o["url_tree"] = """
+        WITH u AS (
+          SELECT 'https://www.' || source || '.org' ||
+            CASE doc_id % 4
+              WHEN 0 THEN ''
+              WHEN 1 THEN '/a/b/c/page' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/item?id=' || CAST(doc_id AS VARCHAR)
+                          || '&ref=feed&x=1'
+              ELSE '/p' || CAST(doc_id % 7 AS VARCHAR) || '/'
+            END AS url
+          FROM documents),
+        parts AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                 list_filter(string_split(
+                   regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+                   '/'), x -> x <> '') AS segs
+          FROM u),
+        pref AS (
+          SELECT host, unnest(
+            ['/'] || list_transform(
+              range(1, least(3, len(segs)) + 1),
+              i -> '/' || array_to_string(segs[1:i], '/'))) AS prefix
+          FROM parts)
+        SELECT host,
+               CAST(length(prefix) - length(replace(prefix, '/', ''))
+                    - CASE WHEN prefix = '/' THEN 1 ELSE 0 END
+                    AS BIGINT) AS depth,
+               prefix, COUNT(*) AS n_urls
+        FROM pref GROUP BY host, prefix
     """
 
     # degree_histogram / reciprocal_links: the same %97 synthetic host

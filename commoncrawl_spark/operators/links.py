@@ -698,3 +698,57 @@ def expand_sitemap_tree(
     for o_ in out[1:]:
         pages = pages.unionByName(o_)
     return pages
+
+
+def url_tree_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Path-prefix tree aggregation: URL counts per (host, path prefix)
+    down to ``max_depth`` segments — the crawl-budget map ("90% of
+    forum.example's URLs live under /thread/") that drives subtree
+    pruning, trap triage alongside :func:`host_trap_stats`, and
+    sitemap-vs-reality coverage checks.
+
+    Every URL contributes its root ('/', depth 0) plus one row per
+    path prefix: /a -> /a/b -> /a/b/c, capped at ``max_depth``. Query
+    strings and fragments never enter the prefix.
+
+    Scale shape: prefixes are per-row array expressions (split + a
+    bounded transform over at most ``max_depth`` slices — a constant
+    fan-out like the cutoff join in vocabulary_growth, not an
+    explode-per-segment of unbounded depth); the only exchange is the
+    final (host, prefix) count, map-side partial.
+
+    Returns ``(host, depth, prefix, n_urls)``.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n = F.least(F.lit(max_depth), F.size(segs))
+    prefixes = F.concat(
+        F.array(F.lit("/")),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.lit("/"),
+                F.array_join(F.slice(segs, 1, i), "/"))),
+    )
+    # sequence(1, 0) would yield [1, 0] (a DESCENDING range), not
+    # empty — guard zero-segment paths explicitly
+    prefixes = F.when(n >= 1, prefixes).otherwise(F.array(F.lit("/")))
+    return (
+        df.select(host.alias("host"), F.explode(prefixes).alias("prefix"))
+        .groupBy("host", "prefix")
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            "host",
+            (F.length("prefix")
+             - F.length(F.replace(F.col("prefix"), F.lit("/"), F.lit("")))
+             - F.when(F.col("prefix") == "/", 1).otherwise(0))
+            .cast("long").alias("depth"),
+            "prefix", "n_urls")
+    )

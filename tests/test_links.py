@@ -746,3 +746,24 @@ def test_expand_sitemap_tree_plan_no_python(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_url_tree_rollup_depth_cap_and_query_strip(spark):
+    from commoncrawl_spark.operators.links import url_tree_rollup
+
+    df = spark.createDataFrame([
+        ("https://a.test/x/y/z/w?q=1",),
+        ("https://a.test/x/y",),
+        ("https://a.test/",),
+        ("https://b.test",),
+    ], "url string")
+    got = {(r["host"], r["prefix"]): (r["depth"], r["n_urls"])
+           for r in url_tree_rollup(df, max_depth=3).collect()}
+    assert got[("a.test", "/")] == (0, 3)
+    assert got[("a.test", "/x")] == (1, 2)
+    assert got[("a.test", "/x/y/z")] == (3, 1)
+    assert ("a.test", "/x/y/z/w") not in got  # capped at depth 3
+    assert got[("b.test", "/")] == (0, 1)
+    with pytest.raises(ValueError, match="max_depth"):
+        url_tree_rollup(df, max_depth=-1)
