@@ -2620,6 +2620,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return url_tree_rollup(d.select(url.alias("url")))
     q["url_tree"] = url_tree
 
+    def containment_pairs(spark, sf):
+        """Exact asymmetric containment join — quote/excerpt detection
+        where Jaccard is blind (a short quote inside a long article
+        has J near 0, containment 1). Corpus = documents + a 40%-
+        leading-words excerpt of every fifth doc (id + 2000000); the
+        join must surface every (excerpt -> original) pair at
+        containment 1.0. Probe-side rare-first prefixes against the
+        full postings stream; exact verify."""
+        from commoncrawl_spark.operators.text_dedup import (
+            containment_join,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        w = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        k = F.greatest(F.lit(10),
+                       F.floor(F.size(w) * 0.4)).cast("int")
+        quotes = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(w, F.lit(1), k), " ").alias("text"))
+        return containment_join(
+            d.unionByName(quotes), threshold=0.9)
+    q["containment_pairs"] = containment_pairs
+
     def spam_mass_hosts(spark, sf):
         """Relative spam mass (Gyöngyi et al. VLDB'06) over the same
         skewed host graph: the PageRank fraction NOT endorsed by the
@@ -5976,6 +5999,38 @@ def oracle_sql() -> dict[str, str]:
               JOIN s sa ON sa.doc_id = cand.a
               JOIN s sb ON sb.doc_id = cand.b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8
+    """
+
+    # containment_pairs: brute force is the oracle (the prefix filter
+    # is an optimization, not a semantic); both directions kept
+    o["containment_pairs"] = f"""
+        WITH ct AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(
+                   ws[1:CAST(greatest(10, floor(len(ws) * 0.4)) AS INT)],
+                   ' ')
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents) t
+          WHERE doc_id % 5 = 0),
+        s AS (SELECT doc_id, {sh_doc} AS sh FROM ct),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM e x JOIN e y ON x.g = y.g
+                 WHERE x.doc_id <> y.doc_id),
+        j AS (SELECT a, b,
+                round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                      / greatest(len(sa.sh), 1), 6) AS containment,
+                round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                      / greatest(len(list_distinct(
+                            list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
+              FROM cand
+              JOIN s sa ON sa.doc_id = cand.a
+              JOIN s sb ON sb.doc_id = cand.b)
+        SELECT a, b, containment, jaccard FROM j WHERE containment >= 0.9
     """
 
     # lsh_recall: ground truth = the brute-force exact join (as in

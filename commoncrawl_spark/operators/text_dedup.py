@@ -1599,3 +1599,96 @@ def set_similarity_join(
     out = j.localCheckpoint(eager=True)
     sets.unpersist()
     return out
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT asymmetric containment join: every ordered pair (a, b)
+    with ``C(a->b) = |Sa ∩ Sb| / |Sa| >= threshold`` — quote, excerpt
+    and syndication detection, where Jaccard goes blind: a 50-shingle
+    quote inside a 5000-shingle article has J ~ 0.01 but containment
+    1.0, so :func:`set_similarity_join` (and any symmetric LSH) can
+    never surface it.
+
+    Same prefix-filter machinery as the Jaccard join — the bound
+    depends only on the PROBE side's required overlap (>= ceil(t*|Sa|)
+    shared shingles force one inside Sa's first ``n - ceil(t*n) + 1``
+    rarest) — but the INDEX side explodes fully (its size gives no
+    pruning power for asymmetric containment beyond ``|Sb| >= t*|Sa|``,
+    applied in the join condition). Rare-first prefixes keep the probe
+    side out of stopword-shingle buckets; the full index side is the
+    same (shingle, id) stream ``build_postings`` ships. Both sides'
+    floats carry the 1e-9 epsilon slack (candidates only ever widen;
+    the exact verify rescores).
+
+    Returns ``(a, b, containment, jaccard)`` with a != b (BOTH
+    directions can appear — mutual containment is near-duplication),
+    containment/jaccard 6dp, containment >= threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eps = 1e-9
+    sets = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
+    ex = sets.select("_id", "n", F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(eps))
+        + F.lit(1)
+    ).cast("int")
+    pref = (
+        ex.join(dfreq, "g")
+        .groupBy("_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("os"))
+        .select(
+            "_id", "n",
+            F.explode(
+                F.slice(F.transform("os", lambda s: s["g"]),
+                        F.lit(1), prefix_len)).alias("g"))
+    )
+    idx = ex.select(F.col("_id").alias("b"), F.col("n").alias("nb"), "g")
+    cands = (
+        pref.join(idx, "g")
+        .filter((F.col("_id") != F.col("b"))
+                & (F.col("nb")
+                   >= F.lit(threshold) * F.col("n") - F.lit(eps)))
+        .select(F.col("_id").alias("a"), "b")
+        .distinct()
+    )
+    out = (
+        cands
+        .join(sets.select(F.col("_id").alias("a"),
+                          F.col("sh").alias("sh_a")), "a")
+        .join(sets.select(F.col("_id").alias("b"),
+                          F.col("sh").alias("sh_b")), "b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.round(F.col("_inter")
+                    / F.greatest(F.size("sh_a"), F.lit(1)), 6))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")),
+                             F.lit(1)), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment", "jaccard")
+    )
+    if not materialize:
+        return out
+    ck = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return ck

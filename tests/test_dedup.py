@@ -115,3 +115,70 @@ def test_merge_incremental_equals_global_dedup(spark, fixture_dir):
     assert sorted(map(tuple, folded.select(key).collect())) == sorted(
         map(tuple, oneshot.select(key).collect())
     )
+
+
+@pytest.mark.spark
+def test_containment_join_finds_quote_jaccard_misses(spark):
+    """A short quote inside a long article: containment 1.0 though
+    Jaccard ~0.1 — the pair set_similarity_join(0.8) cannot return."""
+    from commoncrawl_spark.operators.text_dedup import (
+        containment_join, set_similarity_join,
+    )
+
+    quote = ("the quick brown fox jumps over the lazy dog near the "
+             "river bank today")
+    article = quote + " " + " ".join(
+        f"word{i} extra{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "nothing shared here at all "
+                                       "with anything else truly")],
+        "doc_id long, text string")
+    got = [(r["a"], r["b"], r["containment"])
+           for r in containment_join(df, threshold=0.9).collect()]
+    assert got == [(1, 2, 1.0)]
+    assert set_similarity_join(df, threshold=0.8).count() == 0
+
+
+@pytest.mark.spark
+def test_containment_join_mutual_for_near_identical(spark):
+    """Near-identical docs contain each other: both directions."""
+    from commoncrawl_spark.operators.text_dedup import containment_join
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, t), (2, t + " lambda")], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in
+             containment_join(df, threshold=0.8).collect()}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    with pytest.raises(ValueError, match="threshold"):
+        containment_join(df, threshold=0.0)
+
+
+@pytest.mark.spark
+def test_containment_join_exactness_vs_bruteforce(spark):
+    """Prefix filtering must lose nothing: compare against the n^2
+    containment over a random corpus with planted excerpts."""
+    import random
+
+    from commoncrawl_spark.operators.text_dedup import containment_join
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(25)]
+    docs += [(100 + i, " ".join(docs[i][1].split()[:18]))
+             for i in range(0, 25, 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           containment_join(df, threshold=0.85).collect()}
+
+    from commoncrawl_spark.operators.text_dedup import shingles_col
+    from pyspark.sql import functions as F
+    sh = {r["doc_id"]: set(r["s"]) for r in df.select(
+        "doc_id", shingles_col(F.col("text")).alias("s")).collect()}
+    want = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa and round(len(sa & sb) / len(sa), 6) >= 0.85:
+                want.add((a, b))
+    assert got == want
