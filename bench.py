@@ -356,6 +356,16 @@ def main() -> None:
             "spam_mass_hosts", "hard_negatives", "exactsubstr_strip", "domain_webgraph", "diversity_sample",
             "decontaminate_strip", "sitemap_tree", "html_quality",
             "proximity_search", "curation_pipeline_v3",
+            # this-session round-3 additions: composed IVF-PQ ANN,
+            # triangle counting, binned range join, event analytics,
+            # count-min sketch, encoding repair, trained classifiers,
+            # index compression, webgraph stats, containment dedup
+            "ivf_pq_ann", "triangle_hosts", "ip_asn_lookup",
+            "event_funnel", "retention", "cms_word_counts",
+            "mojibake_repair", "logreg_quality", "postings_delta",
+            "degree_histogram", "reciprocal_links",
+            "tokenizer_fertility", "vocab_growth", "url_tree",
+            "containment_pairs",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
