@@ -1916,6 +1916,300 @@ def main() -> None:
          f"(expect 0)"],
     ))
 
+    # degree histogram + reciprocity: webgraph structural stats
+    from commoncrawl_spark.operators.graph import (
+        degree_distribution,
+        reciprocal_link_stats,
+    )
+
+    gd_edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 41).alias("dst"))
+    p = plan_of(degree_distribution(gd_edges), label="degree histogram")
+    p2 = plan_of(reciprocal_link_stats(gd_edges), label="link reciprocity")
+    sections.append((
+        "Degree histogram + reciprocity: graph stats without windows",
+        "The log-binned degree histogram is two map-side-partial count "
+        "aggregates (per-node degree over the distinct edge list) "
+        "re-aggregated onto ~35 bucket rows per direction — the bin "
+        "index is bit_width(degree)-1, an exact integer floor(log2), "
+        "so no float-log boundary bets and no rank window. "
+        "Reciprocity marks edges via one LEFT-SEMI equi-join of the "
+        "edge list against its own swap; counts partial-aggregate on "
+        "the src key. A 10^10-edge graph moves (node, count) pairs, "
+        "never adjacency lists.",
+        [f"degree histogram map-side partial aggregate: "
+         f"{'partial_' in p} (expect True)",
+         f"degree histogram joins: "
+         f"{p.count('Join')} (expect 0), Windows: {p.count('Window')} "
+         f"(expect 0)",
+         f"reciprocity LeftSemi equi-join present: "
+         f"{'LeftSemi' in p2} (expect True)",
+         f"reciprocity CartesianProduct: {'CartesianProduct' in p2} "
+         f"(expect False), Windows: {p2.count('Window')} (expect 0)"],
+    ))
+
+    # delta-encoded postings: compression cost as array expressions
+    from commoncrawl_spark.operators.index import (
+        build_postings,
+        delta_encode_postings,
+    )
+
+    base = plan_of(build_postings(docs), label="postings build")
+    p = plan_of(delta_encode_postings(build_postings(docs)),
+                label="delta postings")
+    sections.append((
+        "Delta-encoded postings: varint costing adds zero exchanges",
+        "Gap-encoding each posting list and costing it as LEB128 "
+        "varints (Lucene/PISA layout) is pure array arithmetic on top "
+        "of the postings build — transform + aggregate over the "
+        "already-collected id array, integer bit-width instead of "
+        "float log. The exchange count must equal the underlying "
+        "postings build's: compression measurement rides the index "
+        "shuffle for free.",
+        [f"exchanges: delta {p.count('Exchange')} == postings build "
+         f"{base.count('Exchange')}: "
+         f"{p.count('Exchange') == base.count('Exchange')} (expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)"],
+    ))
+
+    # GD logistic regression: per-iteration scan + quantized partial sum;
+    # scoring is literal arithmetic in the scan stage
+    from commoncrawl_spark.operators.classify import (
+        logreg_scores,
+        logreg_train,
+    )
+
+    lr_feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "de").cast("double").alias("y"),
+        F.round(F.col("n_chars") / 1000.0, 6).alias("x1"),
+        F.round(F.length("text") / 500.0, 6).alias("x2"))
+    xs_audit = [F.lit(1.0), F.col("x1"), F.col("x2")]
+    z0 = F.round(sum(F.lit(0.0) * xj for xj in xs_audit), 6)
+    p0 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z0)), 6)
+    grad = plan_of(
+        lr_feats.agg(*[F.sum(F.round((p0 - F.col("y")) * xj * 1e6)
+                             .cast("long")).alias(f"g{j}")
+                       for j, xj in enumerate(xs_audit)],
+                     F.count(F.lit(1)).alias("n")),
+        label="logreg gradient round")
+    wts = logreg_train(lr_feats, ["x1", "x2"], iters=1, lr=4.0)
+    score = plan_of(logreg_scores(lr_feats, wts, ["x1", "x2"]),
+                    label="logreg scoring")
+    sections.append((
+        "GD logistic regression: gradient folds map-side, model is "
+        "literals",
+        "One training iteration is one scan of the feature frame plus "
+        "a map-side-partial SUM of 1e-6-quantized LONG gradient "
+        "contributions (integer addition is associative — partition "
+        "order cannot perturb the oracle-replayed total); the only "
+        "driver data is D+1 scalar weights per round. Scoring embeds "
+        "the weights as literals: a single codegen'd projection with "
+        "zero exchanges — Platt calibration (nb_platt_calibration) "
+        "chains this onto the NB margin with the same shapes.",
+        [f"gradient round map-side partial aggregate: "
+         f"{'partial_' in grad} (expect True)",
+         f"gradient round exchanges: {grad.count('Exchange')} "
+         f"(expect 1: the scalar final-agg gather)",
+         f"scoring exchanges: {score.count('Exchange')} (expect 0)",
+         f"scoring Python operators: {score.count('EvalPython')} "
+         f"(expect 0)"],
+    ))
+
+    # mojibake repair: cp1252 scar table as a codegen replace chain
+    from commoncrawl_spark.functions.text import (
+        fix_mojibake_col,
+        mojibake_count_col,
+    )
+
+    p = plan_of(
+        docs.select(
+            "doc_id",
+            mojibake_count_col(F.col("text")).alias("n_scars"),
+            fix_mojibake_col(F.col("text")).alias("fixed")),
+        label="mojibake repair")
+    sections.append((
+        "Mojibake repair: scar table burned into the scan stage",
+        "The UTF-8-as-cp1252 double-encoding scars (â€™ "
+        "and friends) repair through a fixed replace chain compiled "
+        "into whole-stage codegen — the scar table is ~30 literal "
+        "pairs, so detection and repair cost one projection, no "
+        "exchange, no Python, no join against a lookup table.",
+        [f"exchanges: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # retention cohorts: user-period pairs bound the state
+    from commoncrawl_spark.operators.analytics import (
+        retention_cohorts,
+        vocabulary_growth,
+    )
+
+    ev_audit = docs.select(
+        (F.col("doc_id") % 50).alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"))
+    p = plan_of(retention_cohorts(ev_audit), label="retention cohorts")
+    sections.append((
+        "Retention cohorts: bounded by users x periods, not events",
+        "Per-user first period and distinct user-periods are two "
+        "map-side-partial aggregates joined on the user key; the "
+        "cohort matrix is one slim count over (cohort, periods_since). "
+        "No step holds more than one row per user-period, so a "
+        "10^12-event log collapses at the map side and the shuffled "
+        "state is users x periods regardless of event volume; no "
+        "windows anywhere.",
+        [f"map-side partial aggregate present: {'partial_' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False)"],
+    ))
+
+    # Heaps-law vocabulary growth: cutoff join instead of a sort
+    p = plan_of(vocabulary_growth(docs, n_points=10),
+                label="vocabulary growth")
+    sections.append((
+        "Vocabulary growth: prefix membership by min-id, no global sort",
+        "The Heaps curve needs vocabulary size at 10 corpus prefixes — "
+        "the naive shape is a global order-by with a running distinct. "
+        "Instead a term joins prefix i iff its min-id first occurrence "
+        "is under cutoff i: one distinct (doc, term) pass, one per-term "
+        "min aggregate (the only term-keyed exchange), then a theta-"
+        "join against the BROADCAST 10-row cutoff frame — a bounded "
+        "x10 fan-out. The nested-loop join is legal precisely because "
+        "one side is n_points rows, never data.",
+        [f"broadcast cutoff join present: "
+         f"{'BroadcastNestedLoopJoin' in p or 'BroadcastHashJoin' in p} "
+         f"(expect True — 10-row side)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Sort without partition keys feeding a running total: "
+         f"{'partial_' in p} partial aggregates present (expect True)"],
+    ))
+
+    # URL path-prefix tree: constant fan-out, one count exchange
+    from commoncrawl_spark.operators.links import url_tree_rollup
+
+    urls_audit = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example/a/b/c/d")).alias("url"))
+    p = plan_of(url_tree_rollup(urls_audit, max_depth=3),
+                label="url path-prefix tree")
+    sections.append((
+        "URL path-prefix tree: bounded fan-out, one exchange",
+        "Every URL contributes its root plus at most max_depth path "
+        "prefixes via a per-row bounded transform (a constant <= "
+        "depth+1 explode, not an unbounded per-segment blowup); the "
+        "only exchange is the final (host, prefix) count with its "
+        "map-side partial. The crawl-budget rollup over 10^10 URLs "
+        "therefore shuffles prefix COUNTS, never URL strings.",
+        [f"exchanges: {p.count('Exchange')} (expect 1)",
+         f"map-side partial aggregate present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"Generate (bounded explode) present: {'Generate' in p} "
+         f"(expect True)"],
+    ))
+
+    # exact containment join: prefix-filtered probe, equi-join candidates
+    from commoncrawl_spark.operators.text_dedup import containment_join
+
+    p = plan_of(
+        containment_join(docs.limit(400), threshold=0.8,
+                         materialize=False),
+        label="containment join")
+    sections.append((
+        "Containment join: asymmetric prefix filter, no all-pairs",
+        "Quote/excerpt detection needs containment C(a->b) = |Sa n Sb| "
+        "/ |Sa| — Jaccard-blind at 50-shingle quotes inside 5000-"
+        "shingle articles. The probe side explodes only its rarest "
+        "n - ceil(t*n) + 1 shingles (the prefix-filter bound depends "
+        "only on the PROBE side for asymmetric containment); "
+        "candidates form on a shingle equi-join with the |Sb| >= t*|Sa| "
+        "size gate in the condition, then the exact verify rescores "
+        "pairs only. No cartesian is reachable; stopword-shingle "
+        "buckets are pruned by rare-first ordering.",
+        [f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"equi-join candidate generation (SortMergeJoin/ShuffledHash/"
+         f"BroadcastHash): "
+         f"{('SortMergeJoin' in p) or ('ShuffledHashJoin' in p) or ('BroadcastHashJoin' in p)} "
+         f"(expect True)",
+         f"partition-less Windows: {len(partitionless_windows(p))} "
+         f"(expect 0)"],
+    ))
+
+    # stateless streaming enrichment: the binned range join's batch twin
+    ev_pts = docs.select(
+        F.col("doc_id").alias("event_id"),
+        (F.col("doc_id") % 62500).alias("ip"))
+    rng_audit = docs.limit(25).select(
+        (F.col("doc_id") * 2500).alias("lo"),
+        (F.col("doc_id") * 2500 + 1999).alias("hi"),
+        F.col("lang").alias("asn"))
+    binned_audit = F.broadcast(rng_audit.select(
+        "lo", "hi", "asn",
+        F.explode(F.sequence(F.floor(F.col("lo") / 2500),
+                             F.floor(F.col("hi") / 2500))).alias("_bin")))
+    p = plan_of(
+        ev_pts.withColumn("_bin", F.floor(F.col("ip") / 2500))
+        .join(binned_audit, "_bin", "left")
+        .select("event_id", "ip",
+                F.when((F.col("ip") >= F.col("lo"))
+                       & (F.col("ip") <= F.col("hi")),
+                       F.col("asn")).alias("asn")),
+        label="stream enrichment join (batch twin)")
+    sections.append((
+        "Streaming enrichment: broadcast bin join, zero state store",
+        "stream_enrich applies the binned range join inside a real "
+        "micro-batch stream: the static range side pre-bins and "
+        "BROADCASTS, each micro-batch bins its points scan-side and "
+        "hash-joins — stateless, so no state store, no watermark, and "
+        "per-batch cost independent of stream history (the scale "
+        "contrast with stream_dedup's keyed state). This is the "
+        "identical plan the stream executes per batch (pytest "
+        "runs the real two-batch stream; this renders the batch twin).",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"Exchange hashpartitioning on the stream side: "
+         f"{p.count('Exchange hashpartitioning')} (expect 0 — points "
+         f"never shuffle)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # tokenizer fertility: scan-stage counts, one tiny groupBy
+    from commoncrawl_spark.functions.text import (
+        bpe_token_count_col,
+        token_count_col,
+    )
+
+    p = plan_of(
+        docs.select(
+            "lang",
+            token_count_col(F.col("text")).alias("_w"),
+            bpe_token_count_col(F.col("text")).alias("_b"),
+            F.length("text").alias("_c"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_w").alias("n_words"),
+             F.sum("_b").alias("n_pretokens"),
+             F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility")),
+        label="tokenizer fertility")
+    sections.append((
+        "Tokenizer fertility: ratio-of-sums in one language-keyed pass",
+        "Pretokens-per-word by language is corpus-level ratio-of-sums: "
+        "token counts evaluate as scan-stage expressions (no "
+        "tokenize-explode — counting needs no token stream) and the "
+        "only exchange is the ~100-row language groupBy with its "
+        "map-side partial. 100 TB of text folds to a handful of rows "
+        "before anything moves.",
+        [f"exchanges: {p.count('Exchange')} (expect 1)",
+         f"map-side partial aggregate present: {'partial_' in p} "
+         f"(expect True)",
+         f"Generate (explode) present: {'Generate' in p} "
+         f"(expect False — counts, not token streams)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
