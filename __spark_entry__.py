@@ -2162,6 +2162,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("node", F.round("rank", 6).alias("pr"))
     q["host_pagerank"] = host_pagerank
 
+    def opic_importance(spark, sf):
+        """OPIC (Abiteboul et al. WWW'03) batch rounds over a host graph
+        WITH dangling hosts (src folded mod 89, dst mod 97: hosts 89-96
+        only ever receive) — the online crawl-importance signal: cash
+        circulates, history accumulates, dangling cash recycles through
+        the virtual page so total importance is exactly 1. Fixed 3
+        rounds, recurrence unrolled CTE-for-CTE in the oracle."""
+        from commoncrawl_spark.operators.graph import opic
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 89).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 89).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        r = opic(edges, iters=3)
+        return r.select(
+            "node",
+            F.round("cash", 6).alias("cash"),
+            F.round("history", 6).alias("history"),
+            F.round("importance", 6).alias("importance"),
+        )
+    q["opic_importance"] = opic_importance
+
     def hits_scores(spark, sf):
         """HITS hubs/authorities over the same skewed synthetic host
         graph as host_pagerank — the frontier's second link-graph
@@ -5291,6 +5317,45 @@ def oracle_sql() -> dict[str, str]:
           FROM e JOIN deg USING (src) JOIN {prev} r ON r.node = e.src
           GROUP BY e.dst) m USING (node)
     """
+    # opic_importance: the batch-OPIC recurrence unrolled — cash0 = 1/n,
+    # received = sum(cash/outdeg) over in-edges, dangling cash (nodes
+    # absent from deg) recycled uniformly via the virtual page, history
+    # accumulates the spent cash; importance = (hist+cash)/(T+1)
+    _opic_iter = """
+        SELECT n.node,
+               COALESCE(m.recv, 0)
+                 + (SELECT COALESCE(SUM(s.cash), 0)
+                    FROM {prev} s LEFT JOIN deg d ON s.node = d.src
+                    WHERE d.src IS NULL) / (SELECT n FROM nn) AS cash,
+               p.hist + p.cash AS hist
+        FROM nodes n
+        JOIN {prev} p ON p.node = n.node
+        LEFT JOIN (
+          SELECT e.dst AS node, SUM(s.cash / d.deg) AS recv
+          FROM e JOIN deg d USING (src) JOIN {prev} s ON s.node = e.src
+          GROUP BY e.dst) m ON m.node = n.node
+    """
+    o["opic_importance"] = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 89 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 89, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        s0 AS (SELECT node, 1.0 / nn.n AS cash, CAST(0.0 AS DOUBLE) AS hist
+               FROM nodes, nn),
+        s1 AS ({_opic_iter.format(prev="s0")}),
+        s2 AS ({_opic_iter.format(prev="s1")}),
+        s3 AS ({_opic_iter.format(prev="s2")})
+        SELECT node, ROUND(cash, 6) AS cash, ROUND(hist, 6) AS history,
+               ROUND((hist + cash) / 4, 6) AS importance
+        FROM s3
+    """
+
     o["host_pagerank"] = f"""
         WITH e AS (
           SELECT DISTINCT src, dst FROM (

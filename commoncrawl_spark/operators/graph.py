@@ -392,6 +392,128 @@ def trustrank(
     return ranks
 
 
+def opic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """OPIC — batch-synchronous Online Page Importance Computation
+    (Abiteboul, Preda & Cobéna, "Adaptive On-Line Page Importance
+    Computation", WWW 2003) — the importance signal real crawlers
+    (e.g. Nutch/StormCrawler lineages) use INSTEAD of PageRank,
+    because it needs no convergence loop over the whole web: each
+    page holds *cash*; fetching/processing a page distributes its
+    cash equally to its out-links and banks the spent amount in the
+    page's *history*. Importance ∝ history — pages that keep
+    receiving cash from important pages accumulate history fastest,
+    and the estimate is usable after ANY number of rounds (online),
+    unlike PageRank's fixed-point. This batch variant processes every
+    page once per round (the paper's "Greedy = all" schedule).
+
+    Semantics (deterministic, CTE-expressible so a SQL oracle can
+    unroll the exact recurrence):
+    ``cash0 = 1/n`` per node (n = |src ∪ dst|), ``history0 = 0``; per
+    round::
+
+        received(v) = Σ_{(u,v) ∈ E} cash(u) / out_degree(u)
+        dangling    = Σ_{u : out_degree(u)=0} cash(u) / n
+        cash'       = received + dangling      # uniform virtual page
+        history'    = history + cash
+
+    Dangling cash is redistributed uniformly (the paper's *virtual
+    page* that every node links to and from), so total cash stays
+    exactly 1 every round and total history after T rounds is exactly
+    T. The normalized estimate ``importance = (history + cash) /
+    (T + 1)`` therefore sums to 1 — comparable across graphs and
+    round counts. Fixed ``iters`` keeps the result bit-stable.
+
+    Scale shape (10^10 edges, 1000 executors):
+    - per-round state is ``(node, cash, history)`` — three slim
+      columns; no windows, no driver data;
+    - one round = one equi-join of cash onto the degree-annotated
+      edge list + one map-side-partial sum (identical shape to
+      :func:`pagerank`) plus a 1-row dangling-mass aggregate that
+      rides back in via ``crossJoin(broadcast(...))`` — never a
+      collect (n itself is a 1-row count aggregate, also broadcast);
+    - the edge list is hash-partitioned by ``src`` once and
+      persisted; every round's join reuses that exchange;
+    - ``localCheckpoint`` every ``checkpoint_interval`` rounds
+      truncates lineage (interval, not per-round: no convergence
+      action exists, so per-round barriers are pure serial overhead).
+
+    Returns ``(node, cash, history, importance)``, one row per node.
+    """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ann = (
+        e.join(out_deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    ann.count()  # materialize once, before the loop
+    n_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count("*").alias("_n"))
+    )
+    # nodes annotated once with n (1-row broadcast) and a dangling
+    # marker (left-anti-shaped via the degree table), so the loop body
+    # is pure column arithmetic over slim state
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .crossJoin(F.broadcast(n_nodes))
+        .join(out_deg.select(F.col("src").alias("node"),
+                             F.lit(1).alias("_has_out")),
+              "node", "left")
+        .select("node", "_n",
+                F.coalesce("_has_out", F.lit(0)).alias("_has_out"))
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        "node", "_n", "_has_out",
+        (F.lit(1.0) / F.col("_n")).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+    for i in range(iters):
+        received = (
+            ann.join(state.select(F.col("node").alias("src"), "cash"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("cash") / F.col("deg")).alias("received"))
+        )
+        dangling = state.filter(F.col("_has_out") == 0).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dangling"))
+        state = (
+            state.join(received, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node", "_n", "_has_out",
+                (F.coalesce("received", F.lit(0.0))
+                 + F.col("_dangling") / F.col("_n")).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
+            state = state.localCheckpoint(eager=True)
+    ann.unpersist()
+    return state.select(
+        "node", "cash", "history",
+        ((F.col("history") + F.col("cash")) / F.lit(float(iters + 1))
+         ).alias("importance"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     corpus: DataFrame,
