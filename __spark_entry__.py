@@ -1755,6 +1755,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["alias_collapse"] = alias_collapse
 
+    def _dust_captures(spark, sf):
+        """Synthetic capture evidence for the DUST miner: 13 hosts x 5
+        paths; content depends on (host, path, sort) but NOT on the
+        session param — so witness groups that vary only `session` keep
+        one digest (irrelevant) while groups that vary only `sort` see
+        the digest change (relevant)."""
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        return d.select(
+            F.concat(
+                F.lit("https://h"), (i % 13).cast("string"),
+                F.lit(".dust.test/item/"), (i % 5).cast("string"),
+                F.lit("?sort="), (i % 3).cast("string"),
+                F.lit("&session=s"), (i % 7).cast("string"),
+            ).alias("url"),
+            F.md5(F.concat_ws(
+                "-", (i % 13).cast("string"), (i % 5).cast("string"),
+                (i % 3).cast("string"))).alias("digest"),
+        )
+
+    def dust_param_rules(spark, sf):
+        """DUST rule mining (Bar-Yossef et al. WWW'07, query-param
+        fragment): witness groups = captures identical except one
+        param's value; a param is irrelevant on a host iff >= 2 groups
+        varied it and none changed the content digest. The oracle
+        rebuilds witness keys with the same md5(base || sorted-others)
+        serialization."""
+        from commoncrawl_spark.operators.dust import mine_irrelevant_params
+
+        return mine_irrelevant_params(_dust_captures(spark, sf))
+    q["dust_param_rules"] = dust_param_rules
+
+    def dust_collapse(spark, sf):
+        """Mined-rule application: strip each host's irrelevant params
+        from its frontier URLs and count the alias collapse — the crawl
+        budget the miner just saved (session-exploded URLs fold to one
+        fetch per true page)."""
+        from commoncrawl_spark.operators.dust import (
+            mine_irrelevant_params,
+            strip_irrelevant_params,
+        )
+
+        caps = _dust_captures(spark, sf)
+        rules = mine_irrelevant_params(caps)
+        collapsed = strip_irrelevant_params(caps.select("url"), rules)
+        from commoncrawl_spark.functions.urls import host_col
+
+        return (
+            collapsed
+            .groupBy(host_col(F.col("url")).alias("host"))
+            .agg(
+                F.count_distinct("url").alias("n_urls"),
+                F.count_distinct("url_collapsed").alias("n_collapsed"),
+            )
+        )
+    q["dust_collapse"] = dust_collapse
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6342,6 +6399,92 @@ def oracle_sql() -> dict[str, str]:
            WHERE r = 1)
         SELECT src_id, tgt_id, cosine, margin
         FROM best WHERE margin >= 1.1
+    """
+
+    # dust_param_rules / dust_collapse: the miner's exact dataflow in
+    # DuckDB list lambdas — witness key = md5(base || sorted other-kvs),
+    # group stats = distinct pvals/digests per witness, verdict per
+    # (host, param); collapse then re-applies the mined dead-param list
+    # with the same order-preserving list_filter rebuild
+    _dust_caps = """
+        caps AS (
+          SELECT 'https://h' || (doc_id % 13) || '.dust.test/item/'
+                   || (doc_id % 5)
+                   || '?sort=' || (doc_id % 3)
+                   || '&session=s' || (doc_id % 7) AS url,
+                 md5((doc_id % 13) || '-' || (doc_id % 5) || '-'
+                     || (doc_id % 3)) AS digest
+          FROM documents),
+        parsed AS (
+          SELECT url, digest,
+                 lower(regexp_replace(regexp_replace(
+                   split_part(split_part(url, '://', 2), '/', 1),
+                   '^www\\.', ''), ':[0-9]+$', '')) AS host,
+                 split_part(url, '?', 1) AS base,
+                 string_split(split_part(split_part(url, '?', 2), '#', 1),
+                              '&') AS kvs
+          FROM caps WHERE contains(url, '?')),
+        occ AS (
+          SELECT url, digest, host, base, kvs,
+                 unnest(list_distinct(list_transform(
+                   kvs, kv -> split_part(kv, '=', 1)))) AS param
+          FROM parsed),
+        wit AS (
+          SELECT host, param,
+                 md5(base || array_to_string(list_sort(list_filter(
+                   kvs, kv -> split_part(kv, '=', 1) != param)), '&'))
+                   AS witness,
+                 array_to_string(list_sort(list_filter(
+                   kvs, kv -> split_part(kv, '=', 1) = param)), '&')
+                   AS pval,
+                 digest
+          FROM occ),
+        grp AS (
+          SELECT host, param, witness,
+                 COUNT(DISTINCT pval) AS n_vals,
+                 COUNT(DISTINCT digest) AS n_digests
+          FROM wit GROUP BY host, param, witness),
+        rules AS (
+          SELECT host, param,
+                 CAST(SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS evidence_groups,
+                 CAST(SUM(CASE WHEN n_vals >= 2 AND n_digests > 1
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violation_groups
+          FROM grp GROUP BY host, param
+          HAVING SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) >= 1)
+    """
+    o["dust_param_rules"] = f"""
+        WITH {_dust_caps}
+        SELECT host, param, evidence_groups, violation_groups,
+               (evidence_groups >= 2 AND violation_groups = 0)
+                 AS irrelevant
+        FROM rules
+    """
+    o["dust_collapse"] = f"""
+        WITH {_dust_caps},
+        dead AS (
+          SELECT host, list(param) AS dead_params
+          FROM rules
+          WHERE evidence_groups >= 2 AND violation_groups = 0
+          GROUP BY host),
+        stripped AS (
+          SELECT p.url, p.host,
+                 CASE
+                   WHEN d.host IS NULL THEN p.url
+                   WHEN len(list_filter(p.kvs, kv -> NOT list_contains(
+                        d.dead_params, split_part(kv, '=', 1)))) = 0
+                     THEN p.base
+                   ELSE p.base || '?' || array_to_string(list_filter(
+                        p.kvs, kv -> NOT list_contains(
+                          d.dead_params, split_part(kv, '=', 1))), '&')
+                 END AS url_collapsed
+          FROM parsed p LEFT JOIN dead d ON p.host = d.host)
+        SELECT host,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT url_collapsed) AS BIGINT)
+                 AS n_collapsed
+        FROM stripped GROUP BY host
     """
 
     # alias_collapse: every url's identity from first principles — an
