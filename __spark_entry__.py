@@ -1812,6 +1812,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dust_collapse"] = dust_collapse
 
+    def focused_frontier_scores(spark, sf):
+        """Shark-search focused-crawl scoring (Hersovici et al. WWW'98):
+        crawled parents carry a topical relevance, links carry anchor
+        text; each child's potential = gamma*inherited + (1-gamma)*
+        (beta*anchor + (1-beta)*parent), max over parents with a
+        deterministic min-parent tie-break. Anchors rotate through
+        2-term / 1-term / 0-term matches so the anchor signal genuinely
+        varies; a quarter of parents are uncrawled (no score row) and
+        their links must vanish."""
+        from commoncrawl_spark.operators.focused import focused_frontier
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        purl = F.concat(F.lit("https://f"), (i % 11).cast("string"),
+                        F.lit(".foc.test/p/"), i.cast("string"))
+        pages = d.filter(i % 4 != 3).select(
+            purl.alias("url"),
+            (((i * 7) % 10) / 10.0).alias("relevance"))
+        anchor = F.element_at(
+            F.array(F.lit("data pipelines guide"), F.lit("the data page"),
+                    F.lit("misc stuff")),
+            ((i % 3) + 1).cast("int"))
+        links = d.select(
+            purl.alias("src_url"),
+            F.concat(F.lit("https://c"), ((i * 3 + 1) % 11).cast("string"),
+                     F.lit(".foc.test/c/"),
+                     ((i * i) % 37).cast("string")).alias("abs_url"),
+            anchor.alias("anchor"))
+        out = focused_frontier(pages, links, ["data", "pipelines"])
+        return out.select(
+            "url",
+            F.round("potential", 6).alias("potential"),
+            F.round("inherited", 6).alias("inherited"),
+            F.round("neighborhood", 6).alias("neighborhood"),
+            "best_parent")
+    q["focused_frontier"] = focused_frontier_scores
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6485,6 +6522,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT url_collapsed) AS BIGINT)
                  AS n_collapsed
         FROM stripped GROUP BY host
+    """
+
+    # focused_frontier: the shark-search arithmetic replayed — anchor
+    # score by the known 3-way rotation (2/2, 1/2, 0/2 query terms),
+    # potential composed in the operator's exact order, per-child argmax
+    # via QUALIFY (potential desc, parent asc = the min-parent tie)
+    o["focused_frontier"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        pages AS (
+          SELECT 'https://f' || (i % 11) || '.foc.test/p/' || i AS purl,
+                 ((i * 7) % 10) / 10.0 AS rel
+          FROM d WHERE i % 4 != 3),
+        links AS (
+          SELECT 'https://f' || (i % 11) || '.foc.test/p/' || i AS purl,
+                 'https://c' || ((i * 3 + 1) % 11) || '.foc.test/c/'
+                   || ((i * i) % 37) AS url,
+                 CASE i % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                            ELSE 0.0 END AS anchor
+          FROM d),
+        scored AS (
+          SELECT l.url, l.purl,
+                 0.5 * p.rel AS inherited,
+                 0.8 * l.anchor + 0.2 * p.rel AS neighborhood,
+                 0.5 * (0.5 * p.rel)
+                   + 0.5 * (0.8 * l.anchor + 0.2 * p.rel) AS potential
+          FROM links l JOIN pages p USING (purl))
+        SELECT url, ROUND(potential, 6) AS potential,
+               ROUND(inherited, 6) AS inherited,
+               ROUND(neighborhood, 6) AS neighborhood,
+               purl AS best_parent
+        FROM scored
+        QUALIFY row_number()
+          OVER (PARTITION BY url ORDER BY potential DESC, purl) = 1
     """
 
     # alias_collapse: every url's identity from first principles — an
