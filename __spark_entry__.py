@@ -1517,6 +1517,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["wet_export"] = wet_export
 
+    def warc_export(spark, sf):
+        """WARC response-record export, the archive artifact itself —
+        closing the WARC/WAT/WET trio: documents -> HTML pages ->
+        byte-deterministic *.warc segments (full HTTP response payload,
+        sorted-by-url gzip members per shard) -> read BACK through the
+        WARC reader. The oracle rebuilds the HTTP block byte-for-byte
+        (status line + headers + body) and hashes it, pinning the whole
+        serialize->gzip->parse loop."""
+        from commoncrawl_spark.sources.warc import (
+            read_warc_records,
+            warc_segments,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.concat(F.lit("https://wr.test/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"),
+                         F.lit("</body></html>")), "utf-8").alias("html"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+        )
+        segs = warc_segments(d)
+        recs = read_warc_records(segs, "segment")
+        return recs.select(
+            "shard", "record_idx",
+            F.col("target_uri").alias("url"),
+            "warc_type", "content_length",
+            F.sha2(F.col("payload"), 256).alias("digest"),
+        )
+    q["warc_export"] = warc_export
+
     def wat_export(spark, sf):
         """WAT metadata-record export — the third Common Crawl artifact
         next to warc_cdx and wet_export, closing the WARC/WAT/WET trio:
@@ -5039,6 +5070,31 @@ def oracle_sql() -> dict[str, str]:
                'conversion' AS warc_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                sha256(text) AS digest
+        FROM d
+    """
+
+    # warc_export: the HTTP response block rebuilt byte-for-byte (the
+    # operator's pinned _HTTP_OK status+header constant, then the body),
+    # record_idx = URL sort rank within the shard; sha256(VARCHAR)
+    # hashes UTF-8 = Spark's sha2 over the parsed payload bytes
+    o["warc_export"] = """
+        WITH d AS (
+          SELECT CAST(doc_id % 8 AS INT) AS shard,
+                 'https://wr.test/' || CAST(doc_id AS VARCHAR) AS url,
+                 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                   || 'Content-Type: text/html; charset=utf-8'
+                   || chr(13) || chr(10) || chr(13) || chr(10)
+                   || '<html><body>' || text || '</body></html>'
+                   AS http_block
+          FROM documents)
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY url) - 1
+                    AS INT) AS record_idx,
+               url,
+               'response' AS warc_type,
+               CAST(octet_length(encode(http_block)) AS BIGINT)
+                 AS content_length,
+               sha256(http_block) AS digest
         FROM d
     """
 

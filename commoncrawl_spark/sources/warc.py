@@ -240,6 +240,35 @@ def wet_segments(
         date=date, gzip_members=gzip_members)
 
 
+def warc_segments(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    shard_col: str = "shard",
+    date: str = "2024-01-01T00:00:00Z",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WARC response-record export — the archive-side artifact itself
+    (the ``*.warc.gz`` files Common Crawl publishes, which ``wet``/
+    ``wat`` derive from): one byte-deterministic segment per shard,
+    records sorted by (url, payload) within the shard, one gzip member
+    per record, re-readable by :func:`read_warc_records`. Closes the
+    WARC/WAT/WET export trio (``wet_segments`` / ``wat_segments``).
+
+    The record payload is the full HTTP response block
+    (status+headers+body, the ISO 28500 ``application/http`` payload),
+    so a re-crawl archived through this sink round-trips through the
+    same reader/extractor path as real Common Crawl segments.
+
+    Scale shape: identical to :func:`wet_segments` — ONE hash exchange
+    on the shard key, per-group Python framing bytes that never visit
+    the driver. Returns ``(shard_col, segment: binary)``.
+    """
+    return _record_segments(
+        pages, make_warc_response, url_col, html_col, shard_col,
+        date=date, gzip_members=gzip_members)
+
+
 def _record_segments(
     pages: DataFrame,
     record_fn,

@@ -343,6 +343,36 @@ def test_wet_segments_duplicate_urls_still_byte_deterministic(spark):
     assert b1 == b2
 
 
+@pytest.mark.spark
+def test_warc_segments_response_roundtrip(spark):
+    """The archive-side export: response records carry the FULL HTTP
+    block (status line + headers + body); re-reading through the real
+    reader recovers it byte-identically, and the extractor-visible body
+    sits after the header split exactly where real CC segments put it.
+    Segment bytes are reproducible across partitionings."""
+    from commoncrawl_spark.sources.warc import (
+        read_warc_records, warc_segments)
+
+    rows = [(f"https://r.test/{i}", f"<html><body>b{i} é</body></html>"
+             .encode(), i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, html binary, shard int")
+    segs1 = {r["shard"]: bytes(r["segment"])
+             for r in warc_segments(df).collect()}
+    segs2 = {r["shard"]: bytes(r["segment"])
+             for r in warc_segments(df.repartition(3)).collect()}
+    assert segs1 == segs2
+    recs = read_warc_records(warc_segments(df), "segment").collect()
+    assert all(r["error"] is None for r in recs)
+    assert all(r["warc_type"] == "response" for r in recs)
+    want = {u: h for u, h, _ in rows}
+    for r in recs:
+        payload = bytes(r["payload"])
+        assert payload.startswith(b"HTTP/1.1 200 OK\r\n")
+        body = payload.split(b"\r\n\r\n", 1)[1]
+        assert body == want[r["target_uri"]]
+        assert r["content_length"] == len(payload)
+
+
 def test_make_wat_record_bytes_deterministic():
     from commoncrawl_spark.sources.warc import make_wat_record
 
