@@ -2210,6 +2210,136 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # OPIC: pagerank's join shape plus a 1-row dangling-mass broadcast
+    from commoncrawl_spark.operators.graph import opic
+
+    opic_edges = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"))
+    p = plan_of(opic(opic_edges, iters=2), label="opic importance")
+    sections.append((
+        "OPIC online importance: slim cash state, broadcast dangling mass",
+        "Each round moves only (node, cash, history) through one "
+        "equi-join on the degree-annotated edge list plus one map-side-"
+        "partial sum; the dangling-cash recycle is a 1-row aggregate "
+        "that rides back via crossJoin(broadcast(...)), so the virtual-"
+        "page redistribution costs a scalar, not a shuffle. Interval "
+        "localCheckpoint collapses the final plan to a checkpoint scan "
+        "— identical discipline to pagerank/trustrank.",
+        [f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in p}",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # DUST param mining: fixed-width witness-hash shuffle, two slim aggs
+    from commoncrawl_spark.operators.dust import (
+        mine_irrelevant_params,
+        strip_irrelevant_params,
+    )
+
+    caps = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".dust.test/i/"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("?sort="), (F.col("doc_id") % 3).cast("string"),
+                 F.lit("&session=s"),
+                 (F.col("doc_id") % 7).cast("string")).alias("url"),
+        F.md5(F.concat_ws("-", (F.col("doc_id") % 13).cast("string"),
+                          (F.col("doc_id") % 3).cast("string")))
+        .alias("digest"))
+    rules = mine_irrelevant_params(caps)
+    p = plan_of(rules, label="dust param mining")
+    sections.append((
+        "DUST param mining: md5 witness keys, two map-side-partial aggs",
+        "The param explode is scan-stage; the shuffled witness key is "
+        "md5(base || other-params) — 32 fixed bytes, never the URL tail "
+        "— and the rule verdict is a second slim aggregation on "
+        "(host, param). No windows, no self-joins: per-key cost is "
+        "bounded by captures-per-witness-group, not corpus size.",
+        [f"Generate (scan-stage explode) present: {'Generate' in p} "
+         f"(expect True)",
+         f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 3: Catalyst's two-distinct Expand dedup, witness "
+         f"groups, host/param verdicts — every key a fixed-width hash)",
+         f"SortMergeJoin/CartesianProduct: "
+         f"{('SortMergeJoin' in p) or ('CartesianProduct' in p)} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    p = plan_of(strip_irrelevant_params(caps.select("url"), rules),
+                label="dust rule application")
+    sections.append((
+        "DUST rule application: per-host rule arrays broadcast",
+        "Mined rules collapse to ONE array row per host (corpus-tiny) "
+        "and broadcast onto the frontier; the URL rebuild is a scan-"
+        "stage array filter + array_join — the frontier itself never "
+        "shuffles to lose its session-id aliases.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 4 — ALL on the rules side below the broadcast: the "
+         f"miner's 3 plus the per-host collect_set; the frontier side "
+         f"never shuffles)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # shark-search focused frontier: literal-array anchor scoring, one
+    # parent join, one argmax agg
+    from commoncrawl_spark.operators.focused import focused_frontier
+
+    sp_pages = docs.select(
+        F.concat(F.lit("https://f"),
+                 (F.col("doc_id") % 11).cast("string"),
+                 F.lit(".t/p/"), F.col("doc_id").cast("string")).alias("url"),
+        (((F.col("doc_id") * 7) % 10) / 10.0).alias("relevance"))
+    sp_links = docs.select(
+        F.concat(F.lit("https://f"),
+                 (F.col("doc_id") % 11).cast("string"),
+                 F.lit(".t/p/"), F.col("doc_id").cast("string"))
+        .alias("src_url"),
+        F.concat(F.lit("https://c.t/"),
+                 ((F.col("doc_id") * F.col("doc_id")) % 37).cast("string"))
+        .alias("abs_url"),
+        F.lit("data pipelines").alias("anchor"))
+    p = plan_of(focused_frontier(sp_pages, sp_links, ["data", "pipelines"]),
+                label="focused frontier")
+    sections.append((
+        "Shark-search focused frontier: scan-stage anchors, argmax agg",
+        "Anchor relevance is a scan-stage array_intersect against a "
+        "literal term array (the query is tiny by definition); parent "
+        "relevance arrives through one equi-join on the slim scores "
+        "side; the per-child best-parent pick is a single map-side-"
+        "partial max/min_by aggregation — no window ranking anywhere.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect <= 3: join sides + final argmax)",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # WARC response export: one shard exchange, one sanctioned
+    # applyInPandas framing site (same shape as WET/WAT/tar)
+    from commoncrawl_spark.sources.warc import warc_segments
+
+    wpages = docs.select(
+        F.concat(F.lit("https://wr.t/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"))
+    p = plan_of(warc_segments(wpages), label="warc response export")
+    sections.append((
+        "WARC response export: one shard exchange into the framing UDF",
+        "The archive sink is the WET/WAT/tar shape: ONE hash exchange "
+        "on the shard key, then per-group Python frames the HTTP blocks "
+        "into gzip members that never visit the driver. Byte "
+        "determinism comes from the in-group (url, payload) sort, "
+        "pinned by the round-trip pytest.",
+        [f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1: the shard key)",
+         f"FlatMapGroupsInPandas (sanctioned framing site): "
+         f"{'FlatMapGroupsInPandas' in p} (expect True)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
