@@ -1880,6 +1880,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "best_parent")
     q["focused_frontier"] = focused_frontier_scores
 
+    def aimd_rates(spark, sf):
+        """AIMD adaptive politeness: replay each host's fetch outcomes
+        in time order — success +0.25 req/s (cap 8.0), failure x0.5
+        (floor 0.125). All constants are exact binary fractions, so the
+        Spark aggregate-lambda fold and the DuckDB list_reduce replay
+        are bit-equal and the value hash must match."""
+        from commoncrawl_spark.operators.schedule import aimd_host_rates
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        log = d.select(
+            F.concat(F.lit("h"), (i % 17).cast("string"),
+                     F.lit(".aimd.test")).alias("host"),
+            i.alias("ts"),
+            (((i * i) % 5) != 0).alias("ok"),
+        )
+        return aimd_host_rates(log)
+    q["aimd_rates"] = aimd_rates
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6578,6 +6597,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT url_collapsed) AS BIGINT)
                  AS n_collapsed
         FROM stripped GROUP BY host
+    """
+
+    # aimd_rates: the controller fold replayed in list_reduce — the
+    # initial rate rides as the list head (DuckDB's reduce has no init
+    # slot), outcomes sort by ts inside the per-host list, and every
+    # constant is an exact binary fraction so the float states agree
+    # bit-for-bit with Spark's aggregate lambda
+    o["aimd_rates"] = """
+        WITH log AS (
+          SELECT 'h' || (doc_id % 17) || '.aimd.test' AS host,
+                 doc_id AS ts,
+                 ((doc_id * doc_id) % 5) != 0 AS ok
+          FROM documents),
+        g AS (
+          SELECT host,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_failures,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     ts := ts,
+                     code := CASE WHEN ok THEN 1.0 ELSE 0.0 END))),
+                   e -> e.code) AS codes
+          FROM log GROUP BY host)
+        SELECT host, n_events, n_failures,
+               list_reduce(
+                 list_prepend(CAST(1.0 AS DOUBLE),
+                   CASE WHEN len(codes) > 512
+                        THEN codes[len(codes) - 511:]
+                        ELSE codes END),
+                 (acc, x) -> CASE WHEN x >= 1.0
+                   THEN least(acc + 0.25, 8.0)
+                   ELSE greatest(acc * 0.5, 0.125) END) AS rate
+        FROM g
     """
 
     # focused_frontier: the shark-search arithmetic replayed — anchor

@@ -345,6 +345,87 @@ def crawl_budget(
     )
 
 
+def aimd_host_rates(
+    fetch_log: DataFrame,
+    host_col_name: str = "host",
+    ts_col: str = "ts",
+    ok_col: str = "ok",
+    init_rate: float = 1.0,
+    add: float = 0.25,
+    beta: float = 0.5,
+    min_rate: float = 0.125,
+    max_rate: float = 8.0,
+    recent_k: int = 512,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Adaptive per-host politeness rates via AIMD (the TCP congestion
+    control rule, applied to crawling): replay each host's recent fetch
+    outcomes in time order — a success ADDS ``add`` req/s (capped at
+    ``max_rate``), a failure (429/5xx/timeout) MULTIPLIES by ``beta``
+    (floored at ``min_rate``). Static crawl-delay budgets
+    (:func:`crawl_budget`) obey what robots.txt *declares*; AIMD obeys
+    what the server *does* — backing off fast on pressure signals and
+    re-probing additively, which is how polite crawlers discover safe
+    rates for the long tail of hosts that declare nothing.
+
+    Determinism contract: all defaults are exact binary fractions
+    (0.25, 0.5, 0.125, 8.0), so the fold's float state is bit-exact and
+    a SQL oracle replaying the same fold matches hash-for-hash. Events
+    tie on ``ts`` break by ``tiebreak_cols``.
+
+    Scale shape (10^9 log rows, 10^7 hosts, 1000 executors):
+    - ONE hash exchange on the host key; the fold is a scan-stage
+      ``aggregate`` lambda over each host's sorted outcome array —
+      no window, no Python, no second shuffle;
+    - per-host state is bounded by construction: only the LAST
+      ``recent_k`` outcomes fold (older history is controller-dead
+      anyway — it would be multiplied/capped away), so a hot host
+      contributes ``recent_k`` array slots, not its full log;
+    - the output is one slim row per host: feed ``rate`` into
+      :func:`crawl_budget`'s politeness ceiling or derive
+      ``delay = 1/rate`` for the fetch scheduler.
+
+    Returns ``(host, n_events, n_failures, rate)``.
+    """
+    for name, v in (("init_rate", init_rate), ("add", add),
+                    ("min_rate", min_rate), ("max_rate", max_rate)):
+        if v <= 0:
+            raise ValueError(f"{name} must be > 0, got {v}")
+    if not 0.0 < beta < 1.0:
+        raise ValueError(f"beta must be in (0, 1), got {beta}")
+    ev = F.struct(
+        F.col(ts_col).alias("ts"),
+        *[F.col(c).alias(c) for c in tiebreak_cols],
+        F.col(ok_col).cast("boolean").cast("double").alias("code"),
+    )
+    grouped = (
+        fetch_log.groupBy(F.col(host_col_name).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(~F.col(ok_col).cast("boolean"), 1).otherwise(0))
+            .alias("n_failures"),
+            F.sort_array(F.collect_list(ev)).alias("_evs"),
+        )
+    )
+    codes = F.transform(F.col("_evs"), lambda e: e["code"])
+    recent = F.when(
+        F.size(codes) > recent_k,
+        F.slice(codes, F.size(codes) - F.lit(recent_k - 1), recent_k),
+    ).otherwise(codes)
+    rate = F.aggregate(
+        recent,
+        F.lit(float(init_rate)),
+        lambda acc, x: F.when(
+            x >= 1.0, F.least(acc + F.lit(float(add)),
+                              F.lit(float(max_rate)))
+        ).otherwise(
+            F.greatest(acc * F.lit(float(beta)), F.lit(float(min_rate)))
+        ),
+    )
+    return grouped.select("host", "n_events", "n_failures",
+                          rate.alias("rate"))
+
+
 def select_polite_batch(
     frontier: DataFrame,
     budget_per_host: int,

@@ -2340,6 +2340,28 @@ def main() -> None:
          f"{'FlatMapGroupsInPandas' in p} (expect True)"],
     ))
 
+    # AIMD controller: one host exchange, scan-stage fold lambda
+    from commoncrawl_spark.operators.schedule import aimd_host_rates
+
+    log = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"))
+        .alias("host"),
+        F.col("doc_id").alias("ts"),
+        (((F.col("doc_id") * F.col("doc_id")) % 5) != 0).alias("ok"))
+    p = plan_of(aimd_host_rates(log), label="aimd host rates")
+    sections.append((
+        "AIMD politeness controller: one host exchange, scan-stage fold",
+        "Each host's outcome replay is a collect_list into ONE hash "
+        "exchange, then a pure-Catalyst aggregate lambda over the "
+        "sorted (and recent_k-sliced) code array — no window, no "
+        "Python, no second shuffle; per-host state is bounded at "
+        "recent_k slots regardless of how hot the host's log is.",
+        [f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1: the host key)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
