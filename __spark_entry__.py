@@ -1899,6 +1899,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return aimd_host_rates(log)
     q["aimd_rates"] = aimd_rates
 
+    def url_word_filter(spark, sf):
+        """RefinedWeb-style weighted URL word scoring: soft token
+        weights (casino 1.0, poker/slots 0.5, free 0.25) summed over
+        the URL's alphanumeric tokens, plus a strict substring list
+        ('xxx', catching it inside concatenated domain labels where
+        tokenization can't). blocked = strict OR score >= 1.0. The
+        oracle recomputes both signals from the generating residues."""
+        from commoncrawl_spark.operators.blocklist import url_word_scores
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        seg1 = F.element_at(
+            F.array(F.lit("casino"), F.lit("news"), F.lit("poker"),
+                    F.lit("blog"), F.lit("slots")), (i % 5 + 1).cast("int"))
+        seg2 = F.element_at(
+            F.array(F.lit("free"), F.lit("read"), F.lit("daily")),
+            (i % 3 + 1).cast("int"))
+        hostpart = F.when(i % 11 == 0, F.lit("myxxxsite")).otherwise(
+            F.concat(F.lit("w"), (i % 9).cast("string")))
+        urls = d.select(F.concat(
+            F.lit("https://"), hostpart, F.lit(".score.test/"), seg1,
+            F.lit("/"), seg2, F.lit("-"), i.cast("string")).alias("url"))
+        return url_word_scores(
+            urls,
+            {"casino": 1.0, "poker": 0.5, "slots": 0.5, "free": 0.25},
+            strict_terms=["xxx"], threshold=1.0)
+    q["url_word_filter"] = url_word_filter
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6631,6 +6659,33 @@ def oracle_sql() -> dict[str, str]:
                    THEN least(acc + 0.25, 8.0)
                    ELSE greatest(acc * 0.5, 0.125) END) AS rate
         FROM g
+    """
+
+    # url_word_filter: both signals recomputed from the residues that
+    # generated the URLs — seg1/seg2 carry the only weighted tokens, the
+    # strict 'xxx' hit is exactly the i%11 host branch
+    o["url_word_filter"] = """
+        WITH d AS (
+          SELECT doc_id AS i,
+                 ['casino','news','poker','blog','slots'][doc_id % 5 + 1]
+                   AS seg1,
+                 ['free','read','daily'][doc_id % 3 + 1] AS seg2,
+                 CASE WHEN doc_id % 11 = 0 THEN 'myxxxsite'
+                      ELSE 'w' || (doc_id % 9) END AS hostpart
+          FROM documents)
+        SELECT 'https://' || hostpart || '.score.test/' || seg1 || '/'
+                 || seg2 || '-' || i AS url,
+               CASE seg1 WHEN 'casino' THEN 1.0 WHEN 'poker' THEN 0.5
+                         WHEN 'slots' THEN 0.5 ELSE 0.0 END
+                 + CASE seg2 WHEN 'free' THEN 0.25 ELSE 0.0 END
+                 AS url_score,
+               (i % 11 = 0) AS strict_hit,
+               (i % 11 = 0) OR
+               (CASE seg1 WHEN 'casino' THEN 1.0 WHEN 'poker' THEN 0.5
+                          WHEN 'slots' THEN 0.5 ELSE 0.0 END
+                + CASE seg2 WHEN 'free' THEN 0.25 ELSE 0.0 END) >= 1.0
+                 AS blocked
+        FROM d
     """
 
     # focused_frontier: the shark-search arithmetic replayed — anchor

@@ -68,3 +68,53 @@ def filter_blocked_hosts(
     )
     how = "left_semi" if invert else "left_anti"
     return df.join(blocked_urls, url_col, how)
+
+
+def url_word_scores(
+    df: DataFrame,
+    weighted_terms: dict[str, float],
+    strict_terms: list[str] | None = None,
+    threshold: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style weighted URL word filtering (Penedo et al. 2023
+    §G.1, the UT1-complement): beyond domain blocklists, a URL is
+    suspect when its OWN text contains flagged words — soft-scored, so
+    "essex.edu" (substring hit) survives while "casino-poker-slots.biz"
+    (three weighted token hits) dies.
+
+    Two signals per URL:
+
+    - **soft score**: the URL splits into lowercase alphanumeric
+      tokens; ``score = Σ weight(token)`` counting multiplicity. The
+      weights map becomes a LITERAL Catalyst map (curation word lists
+      are ~10^3-10^4 entries — query-sized), so scoring is a pure
+      scan-stage array fold: zero shuffle, zero Python, no join at all.
+    - **strict hit**: any of ``strict_terms`` appearing as a SUBSTRING
+      anywhere in the lowercased URL (the unambiguous-word list that
+      blocks even inside concatenated domain labels).
+
+    ``blocked = strict_hit OR score >= threshold``. Returns the input
+    plus ``(url_score, strict_hit, blocked)`` — filter or audit at the
+    call site.
+    """
+    if not weighted_terms:
+        raise ValueError("weighted_terms must be non-empty")
+    lowered = F.lower(F.col(url_col))
+    tokens = F.filter(F.split(lowered, "[^a-z0-9]+"), lambda t: t != "")
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(weighted_terms.items())
+          for x in (kv[0].lower(), float(kv[1]))])
+    score = F.aggregate(
+        tokens, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(weights[t], F.lit(0.0)))
+    strict = F.lit(False)
+    for s in sorted(set(strict_terms or [])):
+        strict = strict | lowered.contains(s.lower())
+    return (
+        df.withColumn("url_score", score)
+        .withColumn("strict_hit", strict)
+        .withColumn(
+            "blocked",
+            F.col("strict_hit") | (F.col("url_score") >= threshold))
+    )

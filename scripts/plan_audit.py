@@ -2362,6 +2362,28 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # URL word scoring: literal-map fold, zero shuffle/join/Python
+    from commoncrawl_spark.operators.blocklist import url_word_scores
+
+    p = plan_of(
+        url_word_scores(
+            docs.select(F.concat(F.lit("https://u"),
+                                 F.col("doc_id").cast("string"),
+                                 F.lit(".t/casino/free")).alias("url")),
+            {"casino": 1.0, "free": 0.25}, strict_terms=["xxx"]),
+        label="url word scoring")
+    sections.append((
+        "URL word scoring: literal-map fold, zero shuffle",
+        "The weighted word list compiles into a LITERAL Catalyst map "
+        "(curation lists are query-sized) and scoring is a scan-stage "
+        "array fold over the URL's tokens plus substring predicates — "
+        "no join, no exchange, no Python: the filter rides the frontier "
+        "scan for free at any corpus size.",
+        [f"Join operators: {p.count('Join')} (expect 0)",
+         f"Exchange operators: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

@@ -50,3 +50,45 @@ def test_filter_blocked_hosts_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_url_word_scores_soft_and_strict(spark):
+    from commoncrawl_spark.operators.blocklist import url_word_scores
+
+    urls = spark.createDataFrame(
+        [("https://casino-poker.test/slots",),   # 3 weighted tokens
+         ("https://news.test/poker-rules",),     # 1 token, under threshold
+         ("https://essex.edu/about",),           # substring, NOT a token
+         ("https://xbadwordx.test/page",),       # strict substring hit
+         ("https://clean.test/a",)],
+        "url string")
+    out = {r["url"]: r for r in url_word_scores(
+        urls,
+        {"casino": 1.0, "poker": 0.5, "slots": 0.5, "sex": 1.0},
+        strict_terms=["badword"], threshold=1.0).collect()}
+    assert out["https://casino-poker.test/slots"]["url_score"] == 2.0
+    assert out["https://casino-poker.test/slots"]["blocked"] is True
+    assert out["https://news.test/poker-rules"]["url_score"] == 0.5
+    assert out["https://news.test/poker-rules"]["blocked"] is False
+    # 'sex' inside 'essex' is not a token hit and not in the strict list
+    assert out["https://essex.edu/about"]["url_score"] == 0.0
+    assert out["https://essex.edu/about"]["blocked"] is False
+    assert out["https://xbadwordx.test/page"]["strict_hit"] is True
+    assert out["https://xbadwordx.test/page"]["blocked"] is True
+    assert out["https://clean.test/a"]["blocked"] is False
+
+
+@pytest.mark.spark
+def test_url_word_scores_multiplicity_and_plan(spark):
+    from commoncrawl_spark.operators.blocklist import url_word_scores
+
+    urls = spark.createDataFrame(
+        [("https://poker.test/poker/poker",)], "url string")
+    out = url_word_scores(urls, {"poker": 0.5}, threshold=10.0)
+    assert out.collect()[0]["url_score"] == 1.5  # counts every occurrence
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # literal-map fold: no join, no shuffle, no Python anywhere
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
