@@ -1927,6 +1927,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict_terms=["xxx"], threshold=1.0)
     q["url_word_filter"] = url_word_filter
 
+    def adaptive_frontier_pipeline(spark, sf):
+        """The adaptive-admission frontier composed end-to-end: capture
+        evidence -> DUST param mining -> alias collapse (session ids
+        die) -> weighted URL word filter (casino paths die) -> AIMD
+        rates from the host's fetch history -> per-host quota ->
+        salted politeness batch. The oracle rebuilds every stage from
+        the generating residues, so the hash pins the whole chain:
+        mined rules, collapse, scoring, the bit-exact rate fold, quota
+        clamps, and the final per-host top-k."""
+        from commoncrawl_spark.operators.blocklist import url_word_scores
+        from commoncrawl_spark.operators.dust import (
+            mine_irrelevant_params,
+            strip_irrelevant_params,
+        )
+        from commoncrawl_spark.operators.schedule import (
+            aimd_host_rates,
+            select_polite_batch,
+            with_host,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        seg = F.element_at(
+            F.array(F.lit("casino"), F.lit("news"), F.lit("poker"),
+                    F.lit("blog"), F.lit("docs")), (i % 5 + 1).cast("int"))
+        caps = d.select(
+            F.concat(
+                F.lit("https://h"), (i % 7).cast("string"),
+                F.lit(".pipe.test/"), seg, F.lit("/"),
+                (i % 5).cast("string"),
+                F.lit("?sort="), (i % 3).cast("string"),
+                F.lit("&session=s"), (i % 11).cast("string"),
+            ).alias("url"),
+            F.md5(F.concat_ws(
+                "-", (i % 7).cast("string"), (i % 5).cast("string"),
+                (i % 3).cast("string"))).alias("digest"),
+        )
+        rules = mine_irrelevant_params(caps)
+        collapsed = (
+            strip_irrelevant_params(caps.select("url"), rules)
+            .select(F.col("url_collapsed").alias("url"))
+            .distinct()
+        )
+        kept = url_word_scores(
+            collapsed, {"casino": 1.0, "poker": 0.5}, threshold=1.0,
+        ).filter(~F.col("blocked")).select("url")
+        log = d.select(
+            F.concat(F.lit("h"), (i % 7).cast("string"),
+                     F.lit(".pipe.test")).alias("host"),
+            i.alias("ts"),
+            ((i % (3 + (i % 7))) != 0).alias("ok"))
+        budgets = aimd_host_rates(log).select(
+            "host",
+            F.greatest(F.lit(1), F.least(
+                F.lit(4), F.floor("rate").cast("int"))).alias("quota"))
+        frontier = (
+            with_host(kept)
+            .withColumn("url_sha1", F.sha1(F.col("url")))
+            .join(budgets, "host", "left")
+        )
+        batch = select_polite_batch(
+            frontier, budget_per_host=4, salt_buckets=8,
+            priority_cols=("url",), budget_col="quota")
+        return batch.select("host", "url", "host_rank")
+    q["adaptive_frontier_pipeline"] = adaptive_frontier_pipeline
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6686,6 +6752,57 @@ def oracle_sql() -> dict[str, str]:
                 + CASE seg2 WHEN 'free' THEN 0.25 ELSE 0.0 END) >= 1.0
                  AS blocked
         FROM d
+    """
+
+    # adaptive_frontier_pipeline: every stage rebuilt from the residues
+    # that generated the evidence — the miner provably strips exactly
+    # `session` (digest is session-independent, sort-dependent), so the
+    # collapsed identity is (host, path, sort); 'casino' paths score 1.0
+    # and die; the AIMD fold replays in list_reduce; the politeness
+    # batch is row_number by url within host, clamped by the quota
+    o["adaptive_frontier_pipeline"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        idents AS (
+          SELECT DISTINCT (i % 7) AS h, (i % 5) AS p, (i % 3) AS s
+          FROM d),
+        urls AS (
+          SELECT 'h' || h || '.pipe.test' AS host,
+                 'https://h' || h || '.pipe.test/'
+                   || ['casino','news','poker','blog','docs'][p + 1]
+                   || '/' || p || '?sort=' || s AS url,
+                 ['casino','news','poker','blog','docs'][p + 1] AS seg
+          FROM idents),
+        kept AS (SELECT host, url FROM urls WHERE seg != 'casino'),
+        log AS (
+          SELECT 'h' || (i % 7) || '.pipe.test' AS host, i AS ts,
+                 (i % (3 + (i % 7))) != 0 AS ok
+          FROM d),
+        g AS (
+          SELECT host,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     ts := ts,
+                     code := CASE WHEN ok THEN 1.0 ELSE 0.0 END))),
+                   e -> e.code) AS codes
+          FROM log GROUP BY host),
+        budgets AS (
+          SELECT host,
+                 greatest(1, least(4, CAST(floor(
+                   list_reduce(
+                     list_prepend(CAST(1.0 AS DOUBLE), codes),
+                     (acc, x) -> CASE WHEN x >= 1.0
+                       THEN least(acc + 0.25, 8.0)
+                       ELSE greatest(acc * 0.5, 0.125) END)) AS INT)))
+                   AS quota
+          FROM g),
+        ranked AS (
+          SELECT k.host, k.url, b.quota,
+                 ROW_NUMBER() OVER (PARTITION BY k.host ORDER BY k.url)
+                   AS host_rank
+          FROM kept k LEFT JOIN budgets b USING (host))
+        SELECT host, url, CAST(host_rank AS INT) AS host_rank
+        FROM ranked
+        WHERE host_rank <= least(coalesce(quota, 4), 4)
     """
 
     # focused_frontier: the shark-search arithmetic replayed — anchor
