@@ -1993,6 +1993,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return batch.select("host", "url", "host_rank")
     q["adaptive_frontier_pipeline"] = adaptive_frontier_pipeline
 
+    def revalidation_bandwidth(spark, sf):
+        """Conditional-GET planning (RFC 9110 validators) over a
+        recrawl frontier: ETag beats Last-Modified beats unconditional;
+        expected refetch bytes = p*body + (1-p)*304-overhead when a
+        validator is worthwhile. Rolled up per validator class — the
+        bandwidth ledger a recrawl budget reads."""
+        from commoncrawl_spark.operators.temporal import revalidation_plan
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        frontier = d.select(
+            F.concat(F.lit("https://rv.test/"), i.cast("string"))
+            .alias("url"),
+            ((i % 10) / 10.0).alias("p_changed"),
+            (F.lit(400) + (i % 50) * 100).cast("long")
+            .alias("content_length"),
+            F.when(i % 3 == 0,
+                   F.concat(F.lit('"e'), i.cast("string"), F.lit('"')))
+            .alias("etag"),
+            F.when(i % 4 == 0, F.lit("Mon, 01 Jan 2024 00:00:00 GMT"))
+            .alias("last_modified"),
+        )
+        planned = revalidation_plan(frontier)
+        return planned.groupBy("validator").agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.round(F.sum("expected_bytes"), 6).alias("expected_total"),
+            F.round(F.sum("saved_bytes"), 6).alias("saved_total"),
+        )
+    q["revalidation_bandwidth"] = revalidation_bandwidth
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6803,6 +6833,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, url, CAST(host_rank AS INT) AS host_rank
         FROM ranked
         WHERE host_rank <= least(coalesce(quota, 4), 4)
+    """
+
+    # revalidation_bandwidth: validator choice and the 304 expectation
+    # replayed from the generating residues; bodies of 400/500 bytes sit
+    # under the 600-byte overhead, exercising the not-worthwhile branch
+    o["revalidation_bandwidth"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        f AS (
+          SELECT i, (i % 10) / 10.0 AS p,
+                 CAST(400 + (i % 50) * 100 AS DOUBLE) AS body,
+                 (i % 3 = 0) AS has_etag, (i % 4 = 0) AS has_lm
+          FROM d),
+        pl AS (
+          SELECT CASE WHEN has_etag THEN 'etag'
+                      WHEN has_lm THEN 'last-modified'
+                      ELSE 'none' END AS validator,
+                 CASE WHEN (has_etag OR has_lm) AND body > 600
+                      THEN p * body + (1 - p) * 600
+                      ELSE body END AS expected,
+                 body
+          FROM f)
+        SELECT validator,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
+               ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
+        FROM pl GROUP BY validator
     """
 
     # focused_frontier: the shark-search arithmetic replayed — anchor

@@ -387,3 +387,58 @@ def revisit_records(
         rec_type.alias("record_type"),
         refers.alias("refers_to_ts"),
     )
+
+
+def revalidation_plan(
+    frontier: DataFrame,
+    p_col: str = "p_changed",
+    bytes_col: str = "content_length",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+    overhead_bytes: int = 600,
+) -> DataFrame:
+    """Conditional-GET planning for the recrawl frontier: per URL,
+    which HTTP validator to send and what the refetch is expected to
+    cost. A page whose server returned an ``ETag`` revalidates with
+    ``If-None-Match`` (the strong validator, RFC 9110 §8.8.3); one with
+    only ``Last-Modified`` uses ``If-Modified-Since``; one with neither
+    must be fetched unconditionally. When the content is unchanged
+    (probability ``1 - p_changed`` from :func:`recrawl_schedule`), a
+    validated request costs only the ~``overhead_bytes`` of a 304
+    exchange instead of the full body — at web scale most pages don't
+    change between visits, so this is the dominant bandwidth lever a
+    polite recrawler has.
+
+    Adds ``validator`` ('etag' | 'last-modified' | 'none'),
+    ``expected_bytes`` = ``p*body + (1-p)*(overhead if validator else
+    body)``, and ``saved_bytes`` = the expectation saved vs an
+    unconditional fetch (0 for validator-less URLs; never negative —
+    bodies smaller than the overhead fetch unconditionally and save 0).
+    Both rounded to 6dp (the engine's cross-engine float convention).
+
+    Pure column arithmetic over the frontier scan — no shuffle, no
+    Python; aggregate per host downstream to budget bandwidth.
+    """
+    p = F.col(p_col).cast("double")
+    body = F.col(bytes_col).cast("double")
+    has_etag = F.col(etag_col).isNotNull() & (F.col(etag_col) != "")
+    has_lm = (F.col(last_modified_col).isNotNull()
+              & (F.col(last_modified_col) != ""))
+    validator = (
+        F.when(has_etag, F.lit("etag"))
+        .when(has_lm, F.lit("last-modified"))
+        .otherwise(F.lit("none"))
+    )
+    # a 304 cheaper than the body is the only case worth a validator
+    worthwhile = (validator != "none") & (body > F.lit(float(overhead_bytes)))
+    expected = F.when(
+        worthwhile,
+        p * body + (F.lit(1.0) - p) * F.lit(float(overhead_bytes)),
+    ).otherwise(body)
+    return (
+        frontier.withColumn("validator", validator)
+        .withColumn("expected_bytes", F.round(expected, 6))
+        .withColumn(
+            "saved_bytes",
+            F.round(body - expected, 6))
+    )

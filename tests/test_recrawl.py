@@ -122,3 +122,50 @@ def test_evict_stale_freshness_policy(spark, tables, tmp_path_factory):
     refetched = {r["url"] for r in job.articles_df()
                  .groupBy("url").count().filter(F.col("count") > 1).collect()}
     assert rounds and refetched == {hot}
+
+
+@pytest.mark.spark
+def test_revalidation_plan_validator_choice_and_expectation(spark):
+    from commoncrawl_spark.operators.temporal import revalidation_plan
+
+    rows = [
+        # etag wins over last-modified; p=0.25, body=10000
+        ("https://a.test/1", 0.25, 10000, 'W/"x"', "Mon, 01 Jan 2024", None),
+        # last-modified only
+        ("https://a.test/2", 0.5, 2000, None, "Tue, 02 Jan 2024", None),
+        # no validator -> unconditional, saves nothing
+        ("https://a.test/3", 0.0, 50000, None, None, None),
+        # tiny body under the 304 overhead -> validator not worthwhile
+        ("https://a.test/4", 0.5, 100, '"t"', None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u, p, b, e, lm) for u, p, b, e, lm, _ in rows],
+        "url string, p_changed double, content_length long, "
+        "etag string, last_modified string")
+    got = {r["url"]: r for r in revalidation_plan(df).collect()}
+    r1 = got["https://a.test/1"]
+    assert r1["validator"] == "etag"
+    assert r1["expected_bytes"] == 0.25 * 10000 + 0.75 * 600
+    assert r1["saved_bytes"] == 10000 - r1["expected_bytes"]
+    r2 = got["https://a.test/2"]
+    assert r2["validator"] == "last-modified"
+    assert r2["expected_bytes"] == 0.5 * 2000 + 0.5 * 600
+    r3 = got["https://a.test/3"]
+    assert r3["validator"] == "none"
+    assert r3["expected_bytes"] == 50000.0 and r3["saved_bytes"] == 0.0
+    r4 = got["https://a.test/4"]
+    assert r4["validator"] == "etag"
+    assert r4["expected_bytes"] == 100.0 and r4["saved_bytes"] == 0.0
+
+
+@pytest.mark.spark
+def test_revalidation_plan_is_scan_stage(spark):
+    from commoncrawl_spark.operators.temporal import revalidation_plan
+
+    df = spark.createDataFrame(
+        [("u", 0.5, 1000, "e", None)],
+        "url string, p_changed double, content_length long, "
+        "etag string, last_modified string")
+    plan = (revalidation_plan(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
