@@ -4258,13 +4258,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as their permanent record and follow after.
     # ROUND-4 NOTE: the driver attests only the FIRST 50 entries. The
     # list below is round 3's attestation set — do not reorder it
-    # before the round-3 driver run. NEXT round, front-load the 16
-    # late-r3 queries that sit after position 50 (semdedup,
-    # gopher_repetition, bpe_merges, bpe_tokens, filtering_pipeline,
-    # url_features, temperature_mix, warc_cdx, ann_recall, host_traps,
-    # hits_scores, stratified_sample, cdx_zipnum, crawl_budget,
-    # stream_window_stats, wet_export); everything in the current list
-    # will then have CORRECTNESS_r03 as its permanent record.
+    # before the round-3 driver run. NEXT round, front-load the never-
+    # attested queries that sit after position 50, starting with the
+    # late-r3 ones (semdedup, gopher_repetition, bpe_merges, bpe_tokens,
+    # filtering_pipeline, url_features, temperature_mix, warc_cdx,
+    # ann_recall, host_traps, hits_scores, stratified_sample,
+    # cdx_zipnum, crawl_budget, stream_window_stats, wet_export) and the
+    # fifth-session adds (opic_importance, dust_param_rules,
+    # dust_collapse, focused_frontier, aimd_rates, url_word_filter,
+    # adaptive_frontier_pipeline, revalidation_bandwidth, warc_export);
+    # everything in the current list will then have CORRECTNESS_r03 as
+    # its permanent record. Rotating 50 never-attested queries per
+    # round covers the whole surface by round 5.
     _front = [
         # new in round 3
         "line_dedup",
