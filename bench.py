@@ -366,6 +366,15 @@ def main() -> None:
             "degree_histogram", "reciprocal_links",
             "tokenizer_fertility", "vocab_growth", "url_tree",
             "containment_pairs",
+            # fifth-session round-3 additions: OPIC importance, DUST
+            # param mining + collapse, shark-search scoring, AIMD
+            # politeness, URL word filter, WARC response export,
+            # conditional-GET planning, and the composed adaptive
+            # admission pipeline
+            "opic_importance", "dust_param_rules", "dust_collapse",
+            "focused_frontier", "aimd_rates", "url_word_filter",
+            "warc_export", "revalidation_bandwidth",
+            "adaptive_frontier_pipeline",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
