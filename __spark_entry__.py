@@ -2023,6 +2023,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["revalidation_bandwidth"] = revalidation_bandwidth
 
+    def seed_depth_rings(spark, sf):
+        """Depth-limited crawl scope (Heritrix maxdepth): BFS link
+        distance from vetted seeds {0,10,20} over the skewed synthetic
+        host graph, max_depth=4 — frontier ring sizes are the seed-
+        coverage diagnostic. Unreached hosts are absent, not infinity
+        rows. The oracle is a bounded recursive-CTE BFS."""
+        from commoncrawl_spark.operators.graph import seed_distances
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        seeds = spark.range(3).select((F.col("id") * 10).alias("node"))
+        return seed_distances(edges, seeds, max_depth=4)
+    q["seed_depth_rings"] = seed_depth_rings
+
+    def script_profile(spark, sf):
+        """Writing-system histogram next to language ID: per-script
+        character counts via scan-stage regexp class removal (explicit
+        codepoint ranges so Java regex and RE2 agree), dominant script
+        = first in SCRIPT_RANGES order achieving the max, 'none' for
+        script-less rows. Docs get deterministic Cyrillic/CJK/Arabic
+        tails so every class and the tie rules are exercised."""
+        from commoncrawl_spark.functions.text import script_count_cols
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        i = F.col("doc_id")
+        tail = (
+            F.when(i % 4 == 0, F.lit(" Привет мир"))
+            .when(i % 4 == 1, F.lit(" 你好世界"))
+            .when(i % 4 == 2, F.lit(" مرحبا"))
+            .otherwise(F.lit(""))
+        )
+        mixed = d.select(
+            "doc_id", F.concat(F.col("text"), tail).alias("text"))
+        cols = script_count_cols(F.col("text"))
+        return mixed.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()])
+    q["script_profile"] = script_profile
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6838,6 +6882,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, url, CAST(host_rank AS INT) AS host_rank
         FROM ranked
         WHERE host_rank <= least(coalesce(quota, 4), 4)
+    """
+
+    # seed_depth_rings: bounded recursive-CTE BFS — every path up to
+    # depth 4 enumerated, min depth per node; seeds pin depth 0 via the
+    # VALUES anchor; unreached nodes never appear (no infinity rows)
+    o["seed_depth_rings"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 97, (doc_id * 17 + 3) % 41 FROM documents)
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        walk(node, d) AS (
+          SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0),
+                                (CAST(10 AS BIGINT), 0),
+                                (CAST(20 AS BIGINT), 0)) t(node, d)
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.d < 4)
+        SELECT node, CAST(MIN(d) AS INT) AS depth
+        FROM walk GROUP BY node
+    """
+
+    # script_profile: the same class-removal counting in RE2 syntax
+    # ([\x{...}] ranges = the operator's [\u...] Java classes), dominant
+    # = first script in declaration order achieving the max
+    o["script_profile"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 4
+                   WHEN 0 THEN ' Привет мир'
+                   WHEN 1 THEN ' 你好世界'
+                   WHEN 2 THEN ' مرحبا'
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(length(t) - length(regexp_replace(t,
+                   '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS BIGINT)
+                   AS n_latin,
+                 CAST(length(t) - length(regexp_replace(t,
+                   '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT)
+                   AS n_cyrillic,
+                 CAST(length(t) - length(regexp_replace(t,
+                   '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT)
+                   AS n_arabic,
+                 CAST(length(t) - length(regexp_replace(t,
+                   '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}'
+                   || '\\x{AC00}-\\x{D7AF}]', '', 'g')) AS BIGINT)
+                   AS n_cjk
+          FROM d)
+        SELECT doc_id, n_latin, n_cyrillic, n_arabic, n_cjk,
+               CASE WHEN greatest(n_latin, n_cyrillic, n_arabic, n_cjk)
+                         = 0 THEN 'none'
+                    WHEN n_latin = greatest(n_latin, n_cyrillic,
+                                            n_arabic, n_cjk)
+                      THEN 'latin'
+                    WHEN n_cyrillic = greatest(n_cyrillic, n_arabic,
+                                               n_cjk) THEN 'cyrillic'
+                    WHEN n_arabic = greatest(n_arabic, n_cjk)
+                      THEN 'arabic'
+                    ELSE 'cjk' END AS dominant
+        FROM c
     """
 
     # revalidation_bandwidth: validator choice and the 304 expectation

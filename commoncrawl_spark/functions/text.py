@@ -593,3 +593,46 @@ def fix_mojibake_col(text: Column) -> Column:
     for bad, good in MOJIBAKE_MAP:
         out = F.replace(out, F.lit(bad), F.lit(good))
     return out
+
+
+# Writing-system ranges for script profiling. Explicit codepoint ranges
+# (not \p{Script=...}) so Java-regex (Spark) and RE2 (DuckDB oracle)
+# agree character-for-character; blocks chosen to cover the major
+# Common-Crawl scripts without overlap.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z\\u00C0-\\u024F"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("cjk", "\\u3040-\\u30FF\\u4E00-\\u9FFF\\uAC00-\\uD7AF"),
+)
+
+
+def script_count_cols(text: Column) -> dict[str, Column]:
+    """Per-script character counts plus the dominant script — the
+    writing-system histogram CC-style pipelines use next to language ID
+    (a 'lang=en' page that is 60% CJK is a mislabel; a Latin/Cyrillic
+    half-split is real code-switching or encoding damage that CCNet-
+    style per-line language filters should see).
+
+    Counting is ``length(text) - length(regexp_replace(text, class,
+    ''))`` per script class — pure scan-stage codegen, one pass per
+    script over the text expression, no explode and no Python.
+    ``dominant`` is the max-count script, ties broken by the
+    ``SCRIPT_RANGES`` order (latin first), 'none' when every count is
+    zero. Returns ``{'n_<script>': Column, ..., 'dominant': Column}``.
+    """
+    out: dict[str, Column] = {}
+    for name, ranges in SCRIPT_RANGES:
+        out[f"n_{name}"] = (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{ranges}]", ""))
+        ).cast("long")
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    for name, _ in SCRIPT_RANGES:
+        n = out[f"n_{name}"]
+        take = n > best_n  # strict: earlier scripts win ties
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    out["dominant"] = best
+    return out

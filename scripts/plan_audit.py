@@ -2384,6 +2384,49 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # seed-distance BFS: one relax round = join + min-agg on slim state
+    from commoncrawl_spark.operators.graph import seed_distances
+
+    sd_edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"))
+    sd_seeds = docs.select((F.col("doc_id") % 3 * 10).alias("node")).limit(3)
+    p = plan_of(seed_distances(sd_edges, sd_seeds, max_depth=2),
+                label="seed distances")
+    sections.append((
+        "Seed-distance BFS: ring-sized joins, slim (node, depth) state",
+        "Each relax round joins the CURRENT reached set (seed-sized at "
+        "round 1, one ring bigger per round) onto the src-partitioned "
+        "edge list and min-aggregates — map-side partial, no windows, "
+        "no driver data; unreachable nodes are never materialized. "
+        "Interval localCheckpoint collapses the final plan to a "
+        "checkpoint scan, the pagerank discipline.",
+        [f"post-loop plan collapsed to checkpoint scan: "
+         f"{'Scan ExistingRDD' in p}",
+         f"CartesianProduct: {'CartesianProduct' in p} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # script profiling: pure scan-stage regexp counting
+    from commoncrawl_spark.functions.text import script_count_cols
+
+    sc_cols = script_count_cols(F.col("text"))
+    p = plan_of(
+        docs.select("doc_id",
+                    *[v.alias(k) for k, v in sc_cols.items()]),
+        label="script profile")
+    sections.append((
+        "Script profiling: class-removal counts ride the scan",
+        "Per-script character counts are length-minus-stripped regexp "
+        "expressions and the dominant pick is a comparison fold — all "
+        "whole-stage codegen on the scan, no explode, no shuffle, no "
+        "Python: the writing-system histogram is free at any corpus "
+        "size.",
+        [f"Exchange operators: {p.count('Exchange')} (expect 0)",
+         f"Generate (explode): {'Generate' in p} (expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

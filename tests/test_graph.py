@@ -244,6 +244,67 @@ def test_opic_online_property(spark):
         assert imp[0] > imp[2]
 
 
+def _bfs_py(edges, seeds, max_depth):
+    from collections import deque
+
+    adj = {}
+    for s, t in set(edges):
+        adj.setdefault(s, []).append(t)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@pytest.mark.spark
+def test_seed_distances_match_bfs(spark):
+    from commoncrawl_spark.operators.graph import seed_distances
+
+    rng = random.Random(19)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(100)]
+    seeds = [0, 7]
+    got = {r["node"]: r["depth"] for r in seed_distances(
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame([(s,) for s in seeds], "node long"),
+        max_depth=5).collect()}
+    assert got == _bfs_py(edges, seeds, 5)
+
+
+@pytest.mark.spark
+def test_seed_distances_rings_and_cutoff(spark):
+    """Chain 0->1->2->3->4 from seed 0 with max_depth=2: exact rings,
+    and nodes beyond the depth budget are ABSENT (not infinity rows)."""
+    from commoncrawl_spark.operators.graph import seed_distances
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"]
+           for r in seed_distances(e, s, max_depth=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+@pytest.mark.spark
+def test_seed_distances_shorter_path_wins(spark):
+    """Diamond with a shortcut: depth is the MIN over paths, and a seed
+    that is also reachable keeps depth 0."""
+    from commoncrawl_spark.operators.graph import seed_distances
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"]
+           for r in seed_distances(e, s, max_depth=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
 def _hits_py(edges, iters=3):
     """Pure-Python oracle: the operator's exact recurrence — auth' =
     L1-normalized sum of incoming hubs, hub' = L1-normalized sum of the

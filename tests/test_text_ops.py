@@ -2069,3 +2069,27 @@ def test_tokenizer_fertility_hand_computed(spark):
         F.round(F.sum("_c") / F.sum("_b"), 6).alias("cpt")).collect()[0]
     assert row["fertility"] == 2.0
     assert row["cpt"] == 2.5
+
+
+@pytest.mark.spark
+def test_script_count_cols_counts_and_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.functions.text import script_count_cols
+
+    df = spark.createDataFrame(
+        [("hello Привет 你好",),   # latin 5, cyr 6, cjk 2 -> cyrillic
+         ("abc абв",),             # 3 vs 3 tie -> latin (order wins)
+         ("مرحبا",),               # arabic only
+         ("12345 !!",),            # no script -> none
+         ("héllo",)],              # accented latin counts as latin
+        "text string")
+    cols = script_count_cols(F.col("text"))
+    rows = df.select(*[v.alias(k) for k, v in cols.items()]).collect()
+    assert (rows[0]["n_latin"], rows[0]["n_cyrillic"],
+            rows[0]["n_cjk"]) == (5, 6, 2)
+    assert rows[0]["dominant"] == "cyrillic"
+    assert rows[1]["dominant"] == "latin"
+    assert rows[2]["dominant"] == "arabic" and rows[2]["n_arabic"] == 5
+    assert rows[3]["dominant"] == "none"
+    assert rows[4]["n_latin"] == 5
