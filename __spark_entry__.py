@@ -2067,6 +2067,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[v.alias(k) for k, v in cols.items()])
     q["script_profile"] = script_profile
 
+    def vocab_coverage(spark, sf):
+        """Good-Turing unseen mass (n1/N) and Chao1 richness
+        (V + n1^2/2n2) per language — the 'is this slice big enough to
+        freeze a vocab on' diagnostics, computed from one token
+        frequency-spectrum pass."""
+        from commoncrawl_spark.operators.analytics import (
+            vocab_coverage_stats,
+        )
+
+        d = _read(spark, sf, "documents").select("lang", "text")
+        return vocab_coverage_stats(d, group_col="lang")
+    q["vocab_coverage"] = vocab_coverage
+
+    def softdedup_weights(spark, sf):
+        """Soft dedup (keep every copy, weight 1/cluster-size) over the
+        exact-duplicate doubled corpus: every doc pairs with its
+        identical twin -> weight 0.5, weighted_tokens halve, and the
+        effective corpus size equals the unique corpus — without
+        choosing which copy to destroy."""
+        from commoncrawl_spark.operators.selection import (
+            soft_dedup_weights,
+        )
+
+        return soft_dedup_weights(_docs_dup_spark(spark, sf))
+    q["softdedup_weights"] = softdedup_weights
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -6905,6 +6931,51 @@ def oracle_sql() -> dict[str, str]:
           WHERE w.d < 4)
         SELECT node, CAST(MIN(d) AS INT) AS depth
         FROM walk GROUP BY node
+    """
+
+    # softdedup_weights: exact md5 clusters over the doubled corpus,
+    # weight = 1/size, token counts via the shared tokenizer SQL
+    o["softdedup_weights"] = f"""
+        WITH corpus AS (SELECT * FROM {_DOCS_DUP_SQL}),
+        sizes AS (
+          SELECT md5(text) AS fp, COUNT(*) AS cluster_size
+          FROM corpus GROUP BY md5(text))
+        SELECT c.doc_id,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               ROUND(1.0 / s.cluster_size, 6) AS weight,
+               CAST(len({_SQL_TOKS.format(t="c.text")}) AS BIGINT)
+                 AS n_tokens,
+               ROUND(ROUND(1.0 / s.cluster_size, 6)
+                     * len({_SQL_TOKS.format(t="c.text")}), 6)
+                 AS weighted_tokens
+        FROM corpus c JOIN sizes s ON md5(c.text) = s.fp
+    """
+
+    # vocab_coverage: the frequency spectrum per language, estimators
+    # recomputed from (n1, n2, N, V) with the same 6dp rounding
+    o["vocab_coverage"] = f"""
+        WITH freqs AS (
+          SELECT lang, word, COUNT(*) AS f FROM (
+            SELECT lang, unnest({toks_doc}) AS word FROM documents)
+          GROUP BY lang, word),
+        agg AS (
+          SELECT lang,
+                 CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS singletons,
+                 CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doubletons
+          FROM freqs GROUP BY lang)
+        SELECT lang, n_tokens, vocab_size, singletons, doubletons,
+               ROUND(CAST(singletons AS DOUBLE) / n_tokens, 6)
+                 AS unseen_mass,
+               ROUND(CASE WHEN doubletons > 0
+                     THEN vocab_size + (singletons * singletons)
+                          / (2.0 * doubletons)
+                     ELSE CAST(vocab_size AS DOUBLE) END, 6)
+                 AS chao1_vocab
+        FROM agg
     """
 
     # script_profile: the same class-removal counting in RE2 syntax

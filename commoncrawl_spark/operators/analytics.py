@@ -614,3 +614,62 @@ def vocabulary_growth(
     )
     return mass.join(vocab, ["point", "cutoff_id"]).select(
         "point", "cutoff_id", "n_docs", "n_tokens", "vocab")
+
+
+def vocab_coverage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Vocabulary coverage estimators from the token frequency spectrum
+    — the 'is this corpus slice big enough' diagnostics read before
+    freezing a tokenizer or vocabulary:
+
+    - **Good-Turing unseen mass** ``n1 / N`` (Good 1953): the
+      probability the NEXT token drawn is a word never seen in this
+      slice — high unseen mass means the vocab/LM decisions made on it
+      won't transfer;
+    - **Chao1 richness** ``V + n1^2 / (2*n2)`` (Chao 1984): a lower
+      bound on the TRUE vocabulary size including unseen words (falls
+      back to V when no doubletons exist);
+    - the spectrum inputs themselves: ``n_tokens`` (N), ``vocab_size``
+      (V), ``singletons`` (n1), ``doubletons`` (n2).
+
+    Optionally grouped (per language, per source). Ratios round to 6dp
+    (the engine's cross-engine float convention).
+
+    Scale shape: one explode + ONE map-side-partial count per distinct
+    (group, term) — the word_topk shuffle — then a group-level
+    aggregation over the slim (group, freq) pairs; no windows, no
+    second pass over text.
+    """
+    gcols = [group_col] if group_col else []
+    freqs = (
+        df.select(*gcols, F.explode(tokens_col(F.col(text_col)))
+                  .alias("_term"))
+        .groupBy(*gcols, "_term")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    agg = (
+        freqs.groupBy(*gcols)
+        .agg(
+            F.sum("_f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("_f") == 1, 1).otherwise(0))
+            .alias("singletons"),
+            F.sum(F.when(F.col("_f") == 2, 1).otherwise(0))
+            .alias("doubletons"),
+        )
+    )
+    chao1 = F.when(
+        F.col("doubletons") > 0,
+        F.col("vocab_size")
+        + (F.col("singletons") * F.col("singletons"))
+        / (2.0 * F.col("doubletons")),
+    ).otherwise(F.col("vocab_size").cast("double"))
+    return agg.select(
+        *gcols, "n_tokens", "vocab_size", "singletons", "doubletons",
+        F.round(F.col("singletons") / F.col("n_tokens"), 6)
+        .alias("unseen_mass"),
+        F.round(chao1, 6).alias("chao1_vocab"),
+    )

@@ -276,3 +276,61 @@ def weighted_sample_k(
         )
     )
     return keyed.orderBy(F.desc("es_key"), F.col(id_col)).limit(k)
+
+
+def soft_dedup_weights(
+    corpus: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Soft deduplication: keep every copy, DOWNWEIGHT duplicates — the
+    sampling/loss-reweighting alternative to destructive dedup (SoftDeDup,
+    He et al. 2024): dropping all-but-one copy throws away the natural
+    upweighting of genuinely popular content AND risks keeping the worst
+    copy; weighting each member of a duplicate cluster ``1/|cluster|``
+    preserves the corpus distribution while removing the duplication
+    gradient bias. The weight multiplies the per-document sampling rate
+    (:func:`weighted_sample_k`) or the per-token loss downstream.
+
+    ``clusters`` is any ``(id_col, cluster_col)`` assignment —
+    ``graph.dedup_clusters`` output for near-dup transitive clusters;
+    when None, exact clusters via the md5 text fingerprint (the cheap
+    tier). Unclustered documents keep weight 1.0.
+
+    Adds ``cluster_size``, ``weight`` = 1/cluster_size, ``n_tokens``
+    and ``weighted_tokens`` (weight * n_tokens, the document's
+    contribution to the EFFECTIVE corpus size — sum it per slice to see
+    how much unique signal survives the downweighting). Weights round
+    to 6dp (cross-engine float convention).
+
+    Scale shape: one exchange on the cluster key for the size count,
+    one slim join back on the id — both map-side partial; token counts
+    ride the corpus scan. No windows, no Python.
+    """
+    from commoncrawl_spark.operators.analytics import tokens_col
+
+    if clusters is None:
+        clusters = corpus.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias(cluster_col))
+    sizes = (
+        clusters.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    assigned = clusters.join(sizes, cluster_col).select(
+        id_col, "cluster_size")
+    return (
+        corpus.join(assigned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.round(1.0 / F.coalesce("cluster_size", F.lit(1)), 6)
+            .alias("weight"),
+            F.size(tokens_col(F.col(text_col))).cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "weighted_tokens",
+            F.round(F.col("weight") * F.col("n_tokens"), 6))
+    )

@@ -357,3 +357,31 @@ def test_vocabulary_growth_prefix_semantics(spark):
     assert got[2] == (4, 4, 7, 4)  # + d
     with pytest.raises(ValueError, match="n_points"):
         vocabulary_growth(df, n_points=0)
+
+
+@pytest.mark.spark
+def test_vocab_coverage_stats_exact_spectrum(spark):
+    from commoncrawl_spark.operators.analytics import vocab_coverage_stats
+
+    # corpus: a a a b b c d -> N=7, V=4, n1=2 (c,d), n2=1 (b)
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    r = vocab_coverage_stats(df).collect()[0]
+    assert (r["n_tokens"], r["vocab_size"], r["singletons"],
+            r["doubletons"]) == (7, 4, 2, 1)
+    assert r["unseen_mass"] == round(2 / 7, 6)
+    assert r["chao1_vocab"] == 4 + 4 / 2.0
+
+
+@pytest.mark.spark
+def test_vocab_coverage_stats_grouped_and_no_doubletons(spark):
+    from commoncrawl_spark.operators.analytics import vocab_coverage_stats
+
+    df = spark.createDataFrame(
+        [("en", "x y z"), ("en", "x"), ("de", "nur ein wort")],
+        "lang string, text string")
+    got = {r["lang"]: r
+           for r in vocab_coverage_stats(df, group_col="lang").collect()}
+    assert got["en"]["n_tokens"] == 4 and got["en"]["vocab_size"] == 3
+    # de: all singletons, no doubletons -> chao1 falls back to V
+    assert got["de"]["chao1_vocab"] == 3.0
+    assert got["de"]["unseen_mass"] == 1.0

@@ -227,3 +227,37 @@ def test_weighted_sample_k_plan_is_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+@pytest.mark.spark
+def test_soft_dedup_weights_exact_clusters(spark):
+    from commoncrawl_spark.operators.selection import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique one two")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["cluster_size"] == 3
+        assert got[i]["weight"] == round(1 / 3, 6)
+    assert got[4]["cluster_size"] == 1 and got[4]["weight"] == 1.0
+    assert got[4]["n_tokens"] == 3
+    # effective size: 3 copies contribute ~1 doc worth of tokens
+    eff = sum(r["weighted_tokens"] for r in got.values())
+    assert abs(eff - (2 + 3)) < 1e-3  # 'same text'=2 tokens once + unique 3
+
+
+@pytest.mark.spark
+def test_soft_dedup_weights_external_clusters(spark):
+    from commoncrawl_spark.operators.selection import soft_dedup_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "zzz")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster long")  # 3 unassigned
+    got = {r["doc_id"]: r for r in
+           soft_dedup_weights(corpus, clusters).collect()}
+    assert got[1]["weight"] == 0.5 and got[2]["weight"] == 0.5
+    assert got[3]["weight"] == 1.0 and got[3]["cluster_size"] == 1
