@@ -2093,6 +2093,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return soft_dedup_weights(_docs_dup_spark(spark, sf))
     q["softdedup_weights"] = softdedup_weights
 
+    def cdc_dedup(spark, sf):
+        """Content-defined chunking dedup ledger (rows-only by design:
+        the Gear rolling hash has no SQL equivalent — chunk coverage,
+        boundary-shift resistance, and this exact dedup arithmetic are
+        pinned in tests/test_cdc.py against the shared pure-Python
+        kernel). Each doc yields its payload and a prefix-shifted copy;
+        CDC re-aligns after the shift, so stored bytes land well under
+        the 2x logical size where fixed blocking would find nothing."""
+        from commoncrawl_spark.operators.cdc import (
+            cdc_chunk_table,
+            chunk_dedup_stats,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        body = F.concat_ws(" ", F.array_repeat(F.col("text"), 4))
+        segs = d.select(
+            F.col("doc_id").alias("segment_id"),
+            F.encode(body, "utf-8").alias("payload"),
+        ).unionByName(d.select(
+            (F.col("doc_id") + 1000000).alias("segment_id"),
+            F.encode(F.concat(F.lit("shift-"),
+                              F.col("doc_id").cast("string"),
+                              F.lit(" "), body), "utf-8").alias("payload"),
+        ))
+        chunks = cdc_chunk_table(segs, avg_bits=8, min_len=32,
+                                 max_len=2048)
+        return chunk_dedup_stats(chunks)
+    q["cdc_dedup"] = cdc_dedup
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing

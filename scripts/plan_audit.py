@@ -2427,6 +2427,35 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # CDC chunking: sanctioned mapInPandas, digest-only shuffle
+    from commoncrawl_spark.operators.cdc import (
+        cdc_chunk_table,
+        chunk_dedup_stats,
+    )
+
+    cdc_segs = docs.select(
+        F.col("doc_id").alias("segment_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"))
+    p = plan_of(
+        chunk_dedup_stats(cdc_chunk_table(cdc_segs, avg_bits=8,
+                                          min_len=32, max_len=2048)),
+        label="cdc dedup ledger")
+    sections.append((
+        "CDC chunk dedup: bytes stay put, digests shuffle",
+        "The Gear chunker is a sanctioned Arrow-batched mapInPandas "
+        "(byte-level rolling hash has no Catalyst form); payloads move "
+        "zero-copy into the worker ONCE and only slim (id, idx, offset, "
+        "length, sha1) rows come back. The dedup rollup shuffles "
+        "20-byte digests with map-side partial aggregation — chunk "
+        "bytes never cross an exchange.",
+        [f"MapInPandas (sanctioned chunker): {'MapInPandas' in p} "
+         f"(expect True)",
+         f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 1: the sha1 digest key)",
+         f"MapInPandas count: {p.count('MapInPandas')} (expect 1 — one "
+         f"Python site, everything downstream pure Catalyst)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
