@@ -2122,6 +2122,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_dedup_stats(chunks)
     q["cdc_dedup"] = cdc_dedup
 
+    def fetch_timetable_q(spark, sf):
+        """The politeness loop closed end-to-end: AIMD rates from the
+        host's fetch history assign concrete dispatch times — the k-th
+        URL of a host (priority order) fires at k/rate seconds into the
+        round. Oracle replays the rate fold AND the timetable window."""
+        from commoncrawl_spark.operators.schedule import (
+            aimd_host_rates,
+            fetch_timetable,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        log = d.select(
+            F.concat(F.lit("h"), (i % 17).cast("string"),
+                     F.lit(".aimd.test")).alias("host"),
+            i.alias("ts"),
+            (((i * i) % 5) != 0).alias("ok"),
+        )
+        batch = d.filter(i % 5 == 0).select(
+            F.concat(F.lit("h"), (i % 17).cast("string"),
+                     F.lit(".aimd.test")).alias("host"),
+            F.concat(F.lit("https://h"), (i % 17).cast("string"),
+                     F.lit(".aimd.test/"), i.cast("string")).alias("url"),
+        )
+        rates = aimd_host_rates(log).select("host", "rate")
+        return fetch_timetable(batch, rates, round_start=0.0)
+    q["fetch_timetable"] = fetch_timetable_q
+
+    def host_shard_ring(spark, sf):
+        """Consistent-hash fetcher affinity: 251 hosts onto an 8-shard
+        ring with 32 virtual nodes each (md5-u32 positions, the
+        engine's reproducible hash convention). The minimal-movement
+        resize property is pinned in pytest; the oracle rebuilds the
+        identical ring and picks the first clockwise owner with the
+        same (pos, shard) tie order and wrap fallback."""
+        from commoncrawl_spark.operators.schedule import (
+            consistent_host_shards,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        hosts = d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 251).cast("string"),
+                     F.lit(".shard.test")).alias("host"))
+        return consistent_host_shards(hosts, n_shards=8, vnodes=32)
+    q["host_shard_ring"] = host_shard_ring
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7073,6 +7119,69 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # host_shard_ring: the ring rebuilt position-for-position (md5-u32
+    # twin expression), owner = first clockwise (pos >= hpos) by
+    # (pos, shard), wrap = global min when no position is clockwise
+    o["host_shard_ring"] = """
+        WITH ring AS (
+          SELECT CAST(s.x AS BIGINT) AS shard,
+                 ('0x' || substring(md5('ring-' || s.x || '-' || v.x),
+                                    1, 8))::BIGINT AS pos
+          FROM generate_series(0, 7) s(x), generate_series(0, 31) v(x)),
+        h AS (
+          SELECT DISTINCT 'h' || (doc_id % 251) || '.shard.test' AS host
+          FROM documents),
+        hp AS (
+          SELECT host,
+                 ('0x' || substring(md5(host), 1, 8))::BIGINT AS hpos
+          FROM h)
+        SELECT host, shard FROM (
+          SELECT hp.host, ring.shard,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY hp.host
+                   ORDER BY (ring.pos < hp.hpos), ring.pos, ring.shard)
+                   AS rn
+          FROM hp, ring) t
+        WHERE rn = 1
+    """
+
+    # fetch_timetable: the aimd fold (same list_reduce replay) feeding
+    # the per-host dispatch window — fetch_at = host_seq / rate
+    o["fetch_timetable"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        log AS (
+          SELECT 'h' || (i % 17) || '.aimd.test' AS host, i AS ts,
+                 ((i * i) % 5) != 0 AS ok
+          FROM d),
+        g AS (
+          SELECT host,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     ts := ts,
+                     code := CASE WHEN ok THEN 1.0 ELSE 0.0 END))),
+                   e -> e.code) AS codes
+          FROM log GROUP BY host),
+        rates AS (
+          SELECT host,
+                 list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE), codes),
+                   (acc, x) -> CASE WHEN x >= 1.0
+                     THEN least(acc + 0.25, 8.0)
+                     ELSE greatest(acc * 0.5, 0.125) END) AS rate
+          FROM g),
+        batch AS (
+          SELECT 'h' || (i % 17) || '.aimd.test' AS host,
+                 'https://h' || (i % 17) || '.aimd.test/' || i AS url
+          FROM d WHERE i % 5 = 0)
+        SELECT b.host, b.url,
+               CAST(ROW_NUMBER() OVER (PARTITION BY b.host ORDER BY b.url)
+                    - 1 AS INT) AS host_seq,
+               ROUND((ROW_NUMBER() OVER (PARTITION BY b.host
+                                         ORDER BY b.url) - 1)
+                     / coalesce(r.rate, 1.0), 6) AS fetch_at
+        FROM batch b LEFT JOIN rates r USING (host)
     """
 
     # focused_frontier: the shark-search arithmetic replayed — anchor

@@ -426,6 +426,118 @@ def aimd_host_rates(
                           rate.alias("rate"))
 
 
+def _ring_pos(s):
+    """First 8 md5 hex chars as a long in [0, 2^32) — the module-wide
+    engine-reproducible uniform hash (selection._md5_u32 convention)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def consistent_host_shards(
+    hosts: DataFrame,
+    n_shards: int,
+    vnodes: int = 64,
+    host_col_name: str = "host",
+    salt: str = "ring",
+) -> DataFrame:
+    """Consistent-hash assignment of hosts to fetcher shards (Karger et
+    al., STOC 1997 — the memcached/Dynamo ring): each shard owns
+    ``vnodes`` pseudo-random ring positions; a host belongs to the
+    shard owning the first position clockwise of the host's own hash.
+    Why not ``pmod(hash, n)``: resizing the fetcher pool re-shuffles
+    EVERY host's affinity (connection pools, robots caches, DNS, AIMD
+    rate state all go cold); on the ring, adding a shard steals only
+    ~1/(n+1) of each shard's arc and every moved host moves TO the new
+    shard — nothing migrates between survivors. Virtual nodes bound the
+    arc-size variance so shard load stays even.
+
+    Hashes are the engine-reproducible md5-u32 convention
+    (``selection._md5_u32``), so a SQL oracle replays the ring exactly.
+
+    Scale shape: the ring is ``n_shards * vnodes`` rows — config-sized
+    — and BROADCASTS; assignment is one map-side-partial ``min_by``
+    aggregation per host over the broadcast ring (wrap-around via a
+    global-min fallback). No shuffle of the host table beyond its own
+    distinct.
+
+    Returns ``(host, shard)``, one row per distinct host.
+    """
+    if n_shards < 1 or vnodes < 1:
+        raise ValueError(
+            f"n_shards and vnodes must be >= 1, got {n_shards}/{vnodes}")
+    spark = hosts.sparkSession
+    ring = (
+        spark.range(n_shards).select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(vnodes).select(F.col("id").alias("_v")))
+        .select(
+            "shard",
+            _ring_pos(F.concat(
+                F.lit(salt + "-"), F.col("shard").cast("string"),
+                F.lit("-"), F.col("_v").cast("string"))).alias("pos"))
+    )
+    h = (
+        hosts.select(F.col(host_col_name).alias("host"))
+        .filter(F.col("host").isNotNull())
+        .distinct()
+        .withColumn("_hp", _ring_pos(F.col("host")))
+    )
+    # deterministic ties: order by (pos, shard), not pos alone
+    key = F.struct(F.col("pos"), F.col("shard"))
+    clockwise = F.when(F.col("pos") >= F.col("_hp"), key)
+    return (
+        h.crossJoin(F.broadcast(ring))
+        .groupBy("host")
+        .agg(
+            F.min_by("shard", clockwise).alias("_cw"),
+            F.min_by("shard", key).alias("_wrap"),
+        )
+        .select("host", F.coalesce("_cw", "_wrap").alias("shard"))
+    )
+
+
+def fetch_timetable(
+    batch: DataFrame,
+    rates: DataFrame,
+    round_start: float = 0.0,
+    default_rate: float = 1.0,
+    host_col_name: str = "host",
+    priority_cols: Sequence[str] = ("url",),
+) -> DataFrame:
+    """Turn a selected polite batch plus per-host rates into a concrete
+    dispatch timetable: the k-th URL of a host (0-based, in priority
+    order) fires at ``round_start + k / rate`` — the executable
+    artifact a fetcher pool consumes, closing the politeness loop
+    (:func:`aimd_host_rates` measures what the server tolerates,
+    :func:`select_polite_batch` decides WHAT to fetch, this decides
+    WHEN). Hosts missing a rate row pace at ``default_rate`` req/s.
+
+    Adds ``host_seq`` (0-based position within the host) and
+    ``fetch_at`` (seconds, rounded 6dp). The within-host ordering is
+    ``priority_cols`` — deterministic, so re-planning a round
+    reproduces the identical timetable (resume safety).
+
+    Scale shape: one window over the HOST key (a real partition key —
+    never partition-less; per-host batch size is already bounded by
+    the politeness budget upstream) and one slim broadcast-friendly
+    join for the rates. No Python.
+    """
+    w = Window.partitionBy(host_col_name).orderBy(
+        *[F.col(c) for c in priority_cols])
+    r = rates.select(F.col(host_col_name),
+                     F.col("rate").alias("_rate"))
+    return (
+        batch.withColumn("host_seq", F.row_number().over(w) - 1)
+        .join(F.broadcast(r), host_col_name, "left")
+        .withColumn(
+            "fetch_at",
+            F.round(
+                F.lit(float(round_start))
+                + F.col("host_seq")
+                / F.coalesce(F.col("_rate"), F.lit(float(default_rate))),
+                6))
+        .drop("_rate")
+    )
+
+
 def select_polite_batch(
     frontier: DataFrame,
     budget_per_host: int,

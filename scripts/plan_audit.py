@@ -2456,6 +2456,57 @@ def main() -> None:
          f"Python site, everything downstream pure Catalyst)"],
     ))
 
+    # consistent-hash sharding: broadcast ring, min_by probe
+    from commoncrawl_spark.operators.schedule import (
+        consistent_host_shards,
+        fetch_timetable,
+    )
+
+    hosts_df = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        .alias("host"))
+    p = plan_of(consistent_host_shards(hosts_df, 8, vnodes=16),
+                label="consistent host shards")
+    sections.append((
+        "Consistent-hash sharding: config-sized ring broadcasts",
+        "The ring (shards x vnodes rows) broadcasts; assignment is one "
+        "map-side-partial min_by per host over the broadcast — the "
+        "host table shuffles only for its own distinct, and resizing "
+        "the fetcher pool moves ~1/(n+1) of hosts (pinned in pytest) "
+        "instead of pmod's full reshuffle.",
+        [f"BroadcastNestedLoopJoin (ring probe): "
+         f"{'BroadcastNestedLoopJoin' in p} (expect True — the ring "
+         f"side is config-sized by construction)",
+         f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect <= 2: host distinct + final min_by)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # fetch timetable: host-partitioned window (never partition-less)
+    tt_batch = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("https://u/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    tt_rates = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        .alias("host"), F.lit(2.0).alias("rate")).distinct()
+    p = plan_of(fetch_timetable(tt_batch, tt_rates),
+                label="fetch timetable")
+    sections.append((
+        "Fetch timetable: host-keyed window, broadcast rates",
+        "Dispatch times are a row_number window PARTITIONED BY host "
+        "(bounded per-host by the upstream politeness budget — never "
+        "partition-less) plus a broadcast join of the slim rate table; "
+        "the timetable is a pure function of (batch, rates), so "
+        "re-planning reproduces identical times (resume safety).",
+        [f"partition-less Windows here: "
+         f"{len(partitionless_windows(p))} (expect 0)",
+         f"BroadcastHashJoin (rates): {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

@@ -70,3 +70,87 @@ def test_equal_ts_tiebreak_is_deterministic(spark):
                          tiebreak_cols=("seq",)).collect()[0]["rate"]
     # ok(seq=0) first: 1.25 -> fail halves: 0.625
     assert r1 == r2 == 0.625
+
+
+@pytest.mark.spark
+def test_fetch_timetable_spacing_and_default(spark):
+    from commoncrawl_spark.operators.schedule import fetch_timetable
+
+    batch = spark.createDataFrame(
+        [("fast.test", f"https://fast.test/{i}") for i in range(3)]
+        + [("norate.test", "https://norate.test/a")],
+        "host string, url string")
+    rates = spark.createDataFrame(
+        [("fast.test", 4.0)], "host string, rate double")
+    got = {r["url"]: r for r in fetch_timetable(
+        batch, rates, round_start=100.0).collect()}
+    assert [got[f"https://fast.test/{i}"]["fetch_at"] for i in range(3)] \
+        == [100.0, 100.25, 100.5]
+    assert got["https://norate.test/a"]["fetch_at"] == 100.0
+    assert got["https://fast.test/2"]["host_seq"] == 2
+
+
+@pytest.mark.spark
+def test_fetch_timetable_deterministic_replan(spark):
+    from commoncrawl_spark.operators.schedule import fetch_timetable
+
+    rows = [("h.test", f"https://h.test/{c}") for c in "dacb"]
+    batch = spark.createDataFrame(rows, "host string, url string")
+    rates = spark.createDataFrame([("h.test", 2.0)],
+                                  "host string, rate double")
+    t1 = sorted(map(tuple, fetch_timetable(batch, rates).collect()))
+    t2 = sorted(map(tuple, fetch_timetable(
+        batch.repartition(5), rates).collect()))
+    assert t1 == t2
+    by_url = {u: t for _, u, _, t in t1}
+    # priority order is the url sort: a fires first
+    assert by_url["https://h.test/a"] == 0.0
+    assert by_url["https://h.test/d"] == 1.5
+
+
+def _ring_py(hosts, n_shards, vnodes=64, salt="ring"):
+    import hashlib
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ring = sorted(
+        (u32(f"{salt}-{s}-{v}"), s)
+        for s in range(n_shards) for v in range(vnodes))
+    out = {}
+    for h in hosts:
+        hp = u32(h)
+        nxt = [e for e in ring if e[0] >= hp]
+        out[h] = (nxt[0] if nxt else ring[0])[1]
+    return out
+
+
+@pytest.mark.spark
+def test_consistent_shards_match_python_ring(spark):
+    from commoncrawl_spark.operators.schedule import consistent_host_shards
+
+    hosts = [f"h{i}.test" for i in range(60)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["shard"]
+           for r in consistent_host_shards(df, 5, vnodes=16).collect()}
+    assert got == _ring_py(hosts, 5, 16)
+    # virtual nodes keep load roughly even: no shard owns half the keys
+    from collections import Counter
+    assert max(Counter(got.values()).values()) < 30
+
+
+@pytest.mark.spark
+def test_consistent_shards_minimal_movement_on_resize(spark):
+    """THE consistent-hashing property: growing 5 -> 6 shards moves
+    hosts ONLY onto the new shard 5 — never between survivors."""
+    from commoncrawl_spark.operators.schedule import consistent_host_shards
+
+    df = spark.createDataFrame(
+        [(f"h{i}.test",) for i in range(200)], "host string")
+    a = {r["host"]: r["shard"]
+         for r in consistent_host_shards(df, 5, vnodes=16).collect()}
+    b = {r["host"]: r["shard"]
+         for r in consistent_host_shards(df, 6, vnodes=16).collect()}
+    moved = {h for h in a if a[h] != b[h]}
+    assert all(b[h] == 5 for h in moved)
+    assert 0 < len(moved) < 100  # some arc stolen, far from a reshuffle
