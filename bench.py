@@ -375,6 +375,12 @@ def main() -> None:
             "focused_frontier", "aimd_rates", "url_word_filter",
             "warc_export", "revalidation_bandwidth",
             "adaptive_frontier_pipeline",
+            # sixth-wave round-3 additions: seed BFS rings, script
+            # histogram, vocabulary coverage estimators, soft dedup,
+            # CDC chunk dedup, dispatch timetable, consistent sharding
+            "seed_depth_rings", "script_profile", "vocab_coverage",
+            "softdedup_weights", "cdc_dedup", "fetch_timetable",
+            "host_shard_ring",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
