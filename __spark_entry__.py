@@ -2168,6 +2168,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return consistent_host_shards(hosts, n_shards=8, vnodes=32)
     q["host_shard_ring"] = host_shard_ring
 
+    def embedding_outliers_q(spark, sf):
+        """Centroid-distance outlier prune (the SemDeDup-adjacent
+        prototypicality pass): top-25 farthest vectors from the
+        quantized-integer corpus centroid — distances are exact int64
+        folds, so ranking and values are bit-stable and the oracle
+        replays them hash-exact."""
+        from commoncrawl_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        return embedding_outliers(_read(spark, sf, "embeddings"),
+                                  top_k=25)
+    q["embedding_outliers"] = embedding_outliers_q
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7119,6 +7133,34 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # embedding_outliers: the quantized-integer pipeline replayed —
+    # component -> floor(val * 2^20) long (exact multiply, tie-free
+    # floor), centroid = floor(int-sum / n) as long, d2 = exact integer
+    # sum of squared diffs, rank by (d2 desc, id)
+    o["embedding_outliers"] = """
+        WITH q AS (
+          SELECT vec_id, pos,
+                 CAST(floor(CAST(val AS DOUBLE) * 1048576.0) AS BIGINT)
+                   AS qv
+          FROM (
+            SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)),
+        c AS (
+          SELECT pos,
+                 CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cq
+          FROM q GROUP BY pos),
+        d AS (
+          SELECT vec_id,
+                 CAST(SUM((qv - cq) * (qv - cq)) AS BIGINT) AS d2
+          FROM q JOIN c USING (pos) GROUP BY vec_id)
+        SELECT vec_id, d2,
+               CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+                 AS dist_micros
+        FROM d ORDER BY d2 DESC, vec_id LIMIT 25
     """
 
     # host_shard_ring: the ring rebuilt position-for-position (md5-u32

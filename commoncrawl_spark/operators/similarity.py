@@ -847,3 +847,75 @@ def ivf_pq_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_outliers(
+    vectors: DataFrame,
+    top_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-distance outlier detection over an embedding column —
+    the prototypicality prune curation pipelines run next to SemDeDup:
+    points FARTHEST from the corpus centroid are OCR noise, wrong-
+    language spillover, or adversarial junk that embedding-space dedup
+    never catches (it looks for near-neighbors; these have none).
+    Returns the ``top_k`` farthest vectors for audit/removal.
+
+    DETERMINISTIC BY CONSTRUCTION (the kmeans_centroids discipline,
+    hardened): components quantize via floor(val * 2^20) — the
+    power-of-two multiply is EXACT on the float-promoted double and
+    floor has no tie semantics (round() hits real .5 ties on float32
+    data; measured on this corpus); the centroid is floor of the
+    per-position INTEGER sum / n; each vector's squared distance is an
+    exact int64 fold over the quantized diffs (dim 64, diffs ~2e6 ->
+    sums far below 2^63) — so ranking and values are bit-stable across
+    partitionings and engines, and the DuckDB oracle replays them
+    hash-exact.
+
+    Scale shape: ONE posexplode exchange of slim (pos, val) rows for
+    the centroid (map-side partial integer sums; dim x 1 rows out),
+    centroid rides back as a broadcast array; distances are a
+    scan-stage zip_with fold; the global ranking is orderBy().limit()
+    = TakeOrderedAndProject (map-side partial top-k, only top_k rows
+    cross — never a partition-less window).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    q = F.floor(F.col("val").cast("double") * 1048576.0).cast("long")
+    centroid = (
+        vectors.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(q).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("pos"), F.floor(F.col("_s") / F.col("_n"))
+            .cast("long").alias("c")))).alias("_cs"))
+        .select(F.transform("_cs", lambda r: r["c"]).alias("_centroid"))
+    )
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * 1048576.0).cast("long"))
+    d2 = F.aggregate(
+        F.zip_with(qvec, F.col("_centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroid))
+        .select(
+            id_col,
+            d2.alias("_d2"),
+        )
+        .orderBy(F.desc("_d2"), F.asc(id_col))
+        .limit(top_k)
+        # d2 is the exact integer invariant; dist_micros = floor(sqrt)
+        # stays integer too (ROUND(double, 6) is the one step Spark's
+        # BigDecimal and other engines disagree on at the last digit)
+        .select(
+            id_col,
+            F.col("_d2").alias("d2"),
+            F.floor(F.sqrt(F.col("_d2"))).cast("long")
+            .alias("dist_micros"))
+    )

@@ -2093,3 +2093,38 @@ def test_script_count_cols_counts_and_dominant(spark):
     assert rows[2]["dominant"] == "arabic" and rows[2]["n_arabic"] == 5
     assert rows[3]["dominant"] == "none"
     assert rows[4]["n_latin"] == 5
+
+
+@pytest.mark.spark
+def test_embedding_outliers_finds_planted_junk(spark):
+    import math
+
+    from commoncrawl_spark.operators.similarity import embedding_outliers
+
+    # 30 clustered points near the origin + 2 planted far-away junk rows
+    rows = [(i, [0.01 * ((i + j) % 5) for j in range(8)])
+            for i in range(30)]
+    rows += [(100, [5.0] * 8), (101, [-4.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_outliers(df, top_k=2).collect()
+    assert [r["vec_id"] for r in got] == [100, 101]
+    # distance is the exact quantized-space value: centroid ~= mean
+    assert got[0]["dist_micros"] > got[1]["dist_micros"] > 10_000_000
+    # determinism across partitionings (integer folds, no float order)
+    again = embedding_outliers(df.repartition(7), top_k=2).collect()
+    assert [(r["vec_id"], r["d2"]) for r in again] == \
+        [(r["vec_id"], r["d2"]) for r in got]
+
+
+@pytest.mark.spark
+def test_embedding_outliers_plan_has_no_global_window(spark):
+    from commoncrawl_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    plan = (embedding_outliers(df, top_k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
