@@ -2182,6 +2182,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   top_k=25)
     q["embedding_outliers"] = embedding_outliers_q
 
+    def retrieval_metrics(spark, sf):
+        """The search-family eval harness on a synthetic gold set: 5
+        queries x 10-deep rankings vs graded judgments (incl. rel=0
+        rows and judged-but-unsearched coverage) -> per-query MRR,
+        precision@10, recall@10, nDCG@10. The oracle replays the exact
+        TREC arithmetic (2^rel-1 gains, log2 discounts, ideal ranking
+        by rel desc)."""
+        from commoncrawl_spark.operators.index import retrieval_eval
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        docs100 = d.select((F.col("doc_id") % 100).alias("doc")).distinct()
+        qspan = spark.range(5).select(F.col("id").alias("qid"))
+        ranks = spark.range(1, 11).select(F.col("id").alias("rank"))
+        results = qspan.crossJoin(ranks).select(
+            F.concat(F.lit("q"), F.col("qid").cast("string"))
+            .alias("query_id"),
+            ((F.col("qid") * 13 + F.col("rank") * 7) % 100).alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"))
+        qrels = qspan.crossJoin(docs100).filter(
+            (F.col("doc") + F.col("qid")) % 4 == 0).select(
+            F.concat(F.lit("q"), F.col("qid").cast("string"))
+            .alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            (F.col("doc") % 3).cast("int").alias("rel"))
+        return retrieval_eval(results, qrels, k=10)
+    q["retrieval_metrics"] = retrieval_metrics
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7133,6 +7160,62 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # retrieval_metrics: the TREC arithmetic replayed — gains 2^rel - 1,
+    # log2(rank+1) discounts, ideal ranking by (rel desc, doc) with
+    # row_number positions, zero rows for judged-but-unsearched queries
+    o["retrieval_metrics"] = """
+        WITH docs100 AS (
+          SELECT DISTINCT doc_id % 100 AS doc FROM documents),
+        qspan AS (SELECT x AS qid FROM generate_series(0, 4) t(x)),
+        results AS (
+          SELECT 'q' || qid AS query_id,
+                 (qid * 13 + r.x * 7) % 100 AS doc_id,
+                 CAST(r.x AS INT) AS rank
+          FROM qspan, generate_series(1, 10) r(x)),
+        qrels AS (
+          SELECT 'q' || qid AS query_id, doc AS doc_id,
+                 CAST(doc % 3 AS INT) AS rel
+          FROM qspan, docs100 WHERE (doc + qid) % 4 = 0),
+        joined AS (
+          SELECT r.query_id, r.rank,
+                 COALESCE(CAST(j.rel AS DOUBLE), 0.0) AS rel
+          FROM results r LEFT JOIN qrels j
+            ON r.query_id = j.query_id AND r.doc_id = j.doc_id),
+        got AS (
+          SELECT query_id,
+                 MAX(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END)
+                   AS mrr,
+                 SUM(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+                   AS hits_k,
+                 SUM(CASE WHEN rank <= 10
+                     THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0)
+                     ELSE 0.0 END) AS dcg_k
+          FROM joined GROUP BY query_id),
+        nrel AS (
+          SELECT query_id, COUNT(*) AS n_rel
+          FROM qrels WHERE rel > 0 GROUP BY query_id),
+        ideal AS (
+          SELECT t.query_id, nrel.n_rel,
+                 SUM((pow(2.0, t.rel) - 1.0) / log2(t.rn + 1.0))
+                   AS idcg_k
+          FROM (
+            SELECT query_id, CAST(rel AS DOUBLE) AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC) AS rn
+            FROM qrels WHERE rel > 0) t
+          JOIN nrel USING (query_id)
+          WHERE t.rn <= 10 GROUP BY t.query_id, nrel.n_rel)
+        SELECT i.query_id,
+               ROUND(COALESCE(g.mrr, 0.0), 6) AS mrr,
+               ROUND(COALESCE(g.hits_k, 0) / 10.0, 6) AS precision_k,
+               ROUND(COALESCE(g.hits_k, 0) / CAST(i.n_rel AS DOUBLE), 6)
+                 AS recall_k,
+               ROUND(CASE WHEN i.idcg_k > 0
+                     THEN COALESCE(g.dcg_k, 0.0) / i.idcg_k
+                     ELSE 0.0 END, 6) AS ndcg_k
+        FROM ideal i LEFT JOIN got g USING (query_id)
     """
 
     # embedding_outliers: the quantized-integer pipeline replayed —

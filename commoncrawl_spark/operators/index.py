@@ -639,3 +639,98 @@ def delta_encode_postings(postings: DataFrame) -> DataFrame:
         bytes_delta.alias("bytes_delta"),
         F.round(bytes_delta / raw, 6).alias("ratio"),
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranked-retrieval evaluation — the harness that closes the search
+    family (BM25/phrase/boolean produce rankings; this grades them):
+    per query, from a ``(query, doc, rank)`` result list (rank 1-based)
+    and a ``(query, doc, rel)`` judgment table (graded relevance,
+    0 = irrelevant):
+
+    - ``mrr``        — 1/rank of the first relevant hit (0 if none);
+    - ``precision_k`` / ``recall_k`` — relevant-in-top-k over k /
+      over total relevant for the query;
+    - ``ndcg_k``     — DCG with the log2(rank+1) discount over graded
+      rels, normalized by the ideal DCG of the query's judgments
+      (TREC convention; 0 when the query has no relevant docs).
+
+    All ratios rounded 6dp. Queries appearing in ``qrels`` but missing
+    from ``results`` still report (all-zero rows) — silent query drops
+    are exactly what an eval harness must surface.
+
+    Scale shape: one slim equi-join of results to judgments on
+    (query, doc), then ONE aggregation per query — map-side partial,
+    no windows (ranks arrive from the ranker, which derived them
+    bounded); the ideal-DCG side is a second slim aggregation over the
+    judgments. Result lists are top-k bounded by construction, so
+    per-query state is O(k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = results.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rank"))
+    j = qrels.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_rel"))
+    joined = (
+        r.join(j, ["_q", "_d"], "left")
+        .select("_q", "_rank", F.coalesce("_rel", F.lit(0.0)).alias("_rel"))
+    )
+    got = joined.groupBy("_q").agg(
+        F.max(F.when(F.col("_rel") > 0, 1.0 / F.col("_rank"))
+              .otherwise(F.lit(0.0))).alias("_mrr"),
+        F.sum(F.when((F.col("_rank") <= k) & (F.col("_rel") > 0), 1)
+              .otherwise(0)).alias("_hits_k"),
+        F.sum(F.when(F.col("_rank") <= k,
+                     (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                     / F.log2(F.col("_rank") + 1.0))
+              .otherwise(F.lit(0.0))).alias("_dcg_k"),
+    )
+    # ideal DCG: judgments sorted by rel desc; position via the graded
+    # histogram fold (no window): for each rel grade, its docs occupy
+    # the next contiguous rank block
+    ideal = (
+        j.filter(F.col("_rel") > 0)
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("_n_rel"),
+            F.reverse(F.array_sort(F.collect_list("_rel"))).alias("_rels"),
+        )
+        .select(
+            "_q", "_n_rel",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_rels"), 1,
+                            F.least(F.size("_rels"), F.lit(k))),
+                    F.sequence(F.lit(1),
+                               F.least(F.size("_rels"), F.lit(k))),
+                    lambda rel, pos: (F.pow(F.lit(2.0), rel) - 1.0)
+                    / F.log2(pos.cast("double") + 1.0)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("_idcg_k"),
+        )
+    )
+    return (
+        ideal.join(got, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(F.coalesce("_mrr", F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.coalesce(F.col("_hits_k"), F.lit(0)) / F.lit(float(k)),
+                    6).alias("precision_k"),
+            F.round(F.coalesce(F.col("_hits_k"), F.lit(0))
+                    / F.col("_n_rel"), 6).alias("recall_k"),
+            F.round(
+                F.when(F.col("_idcg_k") > 0,
+                       F.coalesce("_dcg_k", F.lit(0.0)) / F.col("_idcg_k"))
+                .otherwise(F.lit(0.0)), 6).alias("ndcg_k"),
+        )
+    )

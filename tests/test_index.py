@@ -460,3 +460,52 @@ def test_delta_postings_plan_no_shuffle_added(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # per-row arrays only
     assert "EvalPython" not in plan
+
+
+@pytest.mark.spark
+def test_retrieval_eval_hand_case(spark):
+    import math
+
+    from commoncrawl_spark.operators.index import retrieval_eval
+
+    # q1: rels {d1: 3, d2: 1}; ranking [d9, d1, d2] -> first rel at 2
+    results = spark.createDataFrame(
+        [("q1", "d9", 1), ("q1", "d1", 2), ("q1", "d2", 3),
+         ("q2", "d5", 1)],                     # q2: no relevant retrieved
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 3), ("q1", "d2", 1), ("q2", "d7", 2),
+         ("q3", "d8", 1)],                     # q3 never searched
+        "query_id string, doc_id string, rel int")
+    got = {r["query_id"]: r
+           for r in retrieval_eval(results, qrels, k=3).collect()}
+    q1 = got["q1"]
+    assert q1["mrr"] == 0.5
+    assert q1["precision_k"] == round(2 / 3, 6)
+    assert q1["recall_k"] == 1.0
+    dcg = (2**3 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    assert q1["ndcg_k"] == round(dcg / idcg, 6)
+    assert got["q2"]["mrr"] == 0.0 and got["q2"]["ndcg_k"] == 0.0
+    # judged-but-unsearched query surfaces as an all-zero row
+    assert got["q3"]["recall_k"] == 0.0 and "q3" in got
+
+
+@pytest.mark.spark
+def test_retrieval_eval_grades_bm25_on_synthetic_gold(spark):
+    """End-to-end: BM25 over docs where gold = docs containing the
+    query term; a working ranker scores near-perfect recall@k."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.operators.index import bm25_search, retrieval_eval
+
+    docs = spark.createDataFrame(
+        [(i, ("needle common words " if i % 4 == 0 else "common words only ")
+          + f"filler{i}") for i in range(40)],
+        "doc_id long, text string")
+    res = bm25_search(docs, ["needle"], top_k=10)
+    results = res.select(F.lit("q").alias("query_id"), "doc_id", "rank")
+    qrels = docs.filter(F.col("text").contains("needle")).select(
+        F.lit("q").alias("query_id"), "doc_id", F.lit(1).alias("rel"))
+    r = retrieval_eval(results, qrels, k=10).collect()[0]
+    assert r["mrr"] == 1.0 and r["recall_k"] == 1.0
