@@ -380,7 +380,7 @@ def main() -> None:
             # CDC chunk dedup, dispatch timetable, consistent sharding
             "seed_depth_rings", "script_profile", "vocab_coverage",
             "softdedup_weights", "cdc_dedup", "fetch_timetable",
-            "host_shard_ring",
+            "host_shard_ring", "embedding_outliers", "retrieval_metrics",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
