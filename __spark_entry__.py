@@ -2209,6 +2209,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieval_eval(results, qrels, k=10)
     q["retrieval_metrics"] = retrieval_metrics
 
+    def anchor_bm25(spark, sf):
+        """The classic web-search anchor-text field: pages are indexed
+        by how OTHER pages describe them (anchor text beats on-page
+        text for navigational queries — the original Google/WAND
+        design). Links collapse per target into a sorted concatenated
+        anchor field; BM25 ranks targets for ['join', 'scan'] over that
+        derived corpus. Oracle rebuilds the field with string_agg and
+        replays the exact BM25 arithmetic."""
+        from commoncrawl_spark.operators.index import bm25_search
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        anchor = F.element_at(
+            F.array(F.lit("fast spark join"), F.lit("hash index scan"),
+                    F.lit("news archive feed"), F.lit("deep join scan")),
+            ((i % 4) + 1).cast("int"))
+        links = d.select(
+            ((i * i + 7) % 50).alias("target"), anchor.alias("anchor"))
+        field = (
+            links.groupBy("target")
+            .agg(F.concat_ws(
+                " ", F.array_sort(F.collect_list("anchor"))).alias("text"))
+            .select(F.col("target").alias("doc_id"), "text")
+        )
+        return bm25_search(field, ["join", "scan"], top_k=10)
+    q["anchor_bm25"] = anchor_bm25
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -8863,6 +8890,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 15
     """
+    # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
+    # space-joined = the operator's array_sort + concat_ws), then the
+    # bm25_topk arithmetic over the derived 50-doc corpus
+    o["anchor_bm25"] = f"""
+        WITH links AS (
+          SELECT (doc_id * doc_id + 7) % 50 AS target,
+                 ['fast spark join', 'hash index scan',
+                  'news archive feed', 'deep join scan'][doc_id % 4 + 1]
+                   AS anchor
+          FROM documents),
+        afield AS (
+          SELECT target AS doc_id,
+                 string_agg(anchor, ' ' ORDER BY anchor) AS text
+          FROM links GROUP BY target),
+        toksv AS (
+          SELECT doc_id, unnest({_SQL_TOKS.format(t="text")}) AS token
+          FROM afield),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM afield d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'scan')),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM qt GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
     # the indexed twins compute identical results from the persisted
     # index, so the end-to-end oracles are the same SQL
     o["bm25_indexed"] = o["bm25_topk"]
