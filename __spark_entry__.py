@@ -2236,6 +2236,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_search(field, ["join", "scan"], top_k=10)
     q["anchor_bm25"] = anchor_bm25
 
+    def snapshot_term_drift(spark, sf):
+        """Corpus drift monitoring between two crawl snapshots: even
+        docs are snapshot A, odd docs are snapshot B with a synthetic
+        'breaking election results' burst on every 5th doc — top-20
+        terms by smoothed probability shift, with log-odds direction.
+        Per-term arithmetic only, so every value replays exactly."""
+        from commoncrawl_spark.operators.analytics import term_drift
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        i = F.col("doc_id")
+        a = d.filter(i % 2 == 0).select("text")
+        b = d.filter(i % 2 == 1).select(
+            F.when(i % 5 == 0,
+                   F.concat(F.col("text"),
+                            F.lit(" breaking election results")))
+            .otherwise(F.col("text")).alias("text"))
+        return term_drift(a, b, top_k=20)
+    q["snapshot_term_drift"] = snapshot_term_drift
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7187,6 +7206,46 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # snapshot_term_drift: add-one smoothing over the union vocab,
+    # per-term deltas rounded 9dp, cut by (|delta| desc, term)
+    o["snapshot_term_drift"] = f"""
+        WITH a AS (
+          SELECT text FROM documents WHERE doc_id % 2 = 0),
+        b AS (
+          SELECT CASE WHEN doc_id % 5 = 0
+                 THEN text || ' breaking election results'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 2 = 1),
+        ca AS (
+          SELECT term, count(*) AS n_a FROM (
+            SELECT unnest({_SQL_TOKS.format(t="text")}) AS term FROM a)
+          GROUP BY term),
+        cb AS (
+          SELECT term, count(*) AS n_b FROM (
+            SELECT unnest({_SQL_TOKS.format(t="text")}) AS term FROM b)
+          GROUP BY term),
+        m AS (
+          SELECT coalesce(ca.term, cb.term) AS term,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        t AS (
+          SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+                 CAST(SUM(n_b) AS DOUBLE) AS tb,
+                 CAST(COUNT(*) AS DOUBLE) AS v
+          FROM m)
+        SELECT term, n_a, n_b,
+               ROUND((n_a + 1.0) / (ta + v), 9) AS p_a,
+               ROUND((n_b + 1.0) / (tb + v), 9) AS p_b,
+               ROUND((n_b + 1.0) / (tb + v)
+                     - (n_a + 1.0) / (ta + v), 9) AS delta,
+               ROUND(ln(((n_b + 1.0) / (tb + v))
+                        / ((n_a + 1.0) / (ta + v))), 6) AS log_odds
+        FROM m, t
+        ORDER BY abs(ROUND((n_b + 1.0) / (tb + v)
+                           - (n_a + 1.0) / (ta + v), 9)) DESC, term
+        LIMIT 20
     """
 
     # retrieval_metrics: the TREC arithmetic replayed — gains 2^rel - 1,

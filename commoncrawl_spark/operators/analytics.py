@@ -673,3 +673,70 @@ def vocab_coverage_stats(
         .alias("unseen_mass"),
         F.round(chao1, 6).alias("chao1_vocab"),
     )
+
+
+def term_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram distribution drift between two corpus snapshots — the
+    monitoring pass a continuously-recrawled corpus runs before
+    retraining on it: which terms' probability mass moved most between
+    crawl A and crawl B (new events, spam bursts, template changes,
+    scraper regressions all surface here first, long before aggregate
+    quality metrics move).
+
+    Per term over the UNION vocabulary, with add-one smoothing so a
+    term absent from one side still gets a finite probability:
+    ``p = (count + 1) / (total_tokens + vocab_size)``. Reports the
+    ``top_k`` terms by absolute probability change with the log-odds
+    ratio (the per-term KL/JS contribution direction), ranked by
+    (rounded |delta| desc, term asc) so the cut is deterministic.
+
+    Scale shape: one token-count aggregation per side (map-side
+    partial, the word_topk shuffle), a full-outer merge on the slim
+    term key, scalar totals via 1-row crossJoin broadcasts, and the
+    global cut is orderBy().limit() = TakeOrderedAndProject — never a
+    partition-less window. Per-term arithmetic only (no corpus-level
+    float sums), so every reported number is engine-reproducible.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def counts(df):
+        return (
+            df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ca = counts(corpus_a).withColumnRenamed("n", "n_a")
+    cb = counts(corpus_b).withColumnRenamed("n", "n_b")
+    merged = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = merged.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_v"))
+    pa = (F.col("n_a") + 1.0) / (F.col("_ta") + F.col("_v"))
+    pb = (F.col("n_b") + 1.0) / (F.col("_tb") + F.col("_v"))
+    scored = (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            "term", "n_a", "n_b",
+            F.round(pa, 9).alias("p_a"),
+            F.round(pb, 9).alias("p_b"),
+            F.round(pb - pa, 9).alias("delta"),
+            F.round(F.log(pb / pa), 6).alias("log_odds"),
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("delta")).desc(), F.asc("term"))
+        .limit(top_k)
+    )

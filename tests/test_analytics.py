@@ -385,3 +385,37 @@ def test_vocab_coverage_stats_grouped_and_no_doubletons(spark):
     # de: all singletons, no doubletons -> chao1 falls back to V
     assert got["de"]["chao1_vocab"] == 3.0
     assert got["de"]["unseen_mass"] == 1.0
+
+
+@pytest.mark.spark
+def test_term_drift_detects_burst_and_disappearance(spark):
+    from commoncrawl_spark.operators.analytics import term_drift
+
+    a = spark.createDataFrame(
+        [("common words here",), ("common words vanish vanish",)],
+        "text string")
+    b = spark.createDataFrame(
+        [("common words here",), ("common words burst burst burst",)],
+        "text string")
+    rows = term_drift(a, b, top_k=3).collect()
+    by_term = {r["term"]: r for r in rows}
+    assert "burst" in by_term and "vanish" in by_term
+    assert by_term["burst"]["delta"] > 0 and by_term["burst"]["n_a"] == 0
+    assert by_term["vanish"]["delta"] < 0
+    assert by_term["burst"]["log_odds"] > 0
+
+
+@pytest.mark.spark
+def test_term_drift_smoothing_and_determinism(spark):
+    from commoncrawl_spark.operators.analytics import term_drift
+
+    a = spark.createDataFrame([("x y z",)], "text string")
+    b = spark.createDataFrame([("x y q",)], "text string")
+    r1 = [(r["term"], r["delta"]) for r in term_drift(a, b, 4).collect()]
+    r2 = [(r["term"], r["delta"])
+          for r in term_drift(a.repartition(3), b.repartition(2), 4)
+          .collect()]
+    assert r1 == r2
+    # union vocab = {x,y,z,q}: totals 3 tokens + 4 vocab each side
+    by = dict(r1)
+    assert by["q"] == round(2 / 7 - 1 / 7, 9)
