@@ -2255,6 +2255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return term_drift(a, b, top_k=20)
     q["snapshot_term_drift"] = snapshot_term_drift
 
+    def zipf_slope(spark, sf):
+        """Zipf rank-frequency OLS fit over the top-2000 terms — the
+        corpus-health scalar (natural text: slope ~ -1; template spam
+        flattens it). Regression points quantize to 1e-6 longs so the
+        sums are exact integers and slope/intercept/r2 replay bit-equal
+        in the oracle."""
+        from commoncrawl_spark.operators.analytics import zipf_fit
+
+        return zipf_fit(_read(spark, sf, "documents"), max_rank=2000)
+    q["zipf_slope"] = zipf_slope
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7206,6 +7217,57 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # zipf_slope: the quantized OLS replayed — same top-k cut, same
+    # floor(ln * 1e6) points, exact integer sums, same expression
+    # parenthesization so the final doubles agree bit-for-bit
+    o["zipf_slope"] = f"""
+        WITH freqs AS (
+          SELECT term, count(*) AS freq FROM (
+            SELECT unnest({toks_doc}) AS term FROM documents)
+          GROUP BY term ORDER BY freq DESC, term LIMIT 2000),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank,
+                 freq
+          FROM freqs),
+        pts AS (
+          SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+                      AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0)
+                      AS BIGINT) AS y
+          FROM ranked),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM pts)
+        SELECT n AS n_points,
+               ROUND((CAST(n AS DOUBLE) * (sxy / 1000000000000.0)
+                      - (sx / 1000000.0) * (sy / 1000000.0))
+                     / (CAST(n AS DOUBLE) * (sxx / 1000000000000.0)
+                        - (sx / 1000000.0) * (sx / 1000000.0)), 6)
+                 AS slope,
+               ROUND(((sy / 1000000.0)
+                      - ((CAST(n AS DOUBLE) * (sxy / 1000000000000.0)
+                          - (sx / 1000000.0) * (sy / 1000000.0))
+                         / (CAST(n AS DOUBLE) * (sxx / 1000000000000.0)
+                            - (sx / 1000000.0) * (sx / 1000000.0)))
+                        * (sx / 1000000.0)) / CAST(n AS DOUBLE), 6)
+                 AS intercept,
+               ROUND(((CAST(n AS DOUBLE) * (sxy / 1000000000000.0)
+                       - (sx / 1000000.0) * (sy / 1000000.0))
+                      * (CAST(n AS DOUBLE) * (sxy / 1000000000000.0)
+                         - (sx / 1000000.0) * (sy / 1000000.0)))
+                     / ((CAST(n AS DOUBLE) * (sxx / 1000000000000.0)
+                         - (sx / 1000000.0) * (sx / 1000000.0))
+                        * (CAST(n AS DOUBLE) * (syy / 1000000000000.0)
+                           - (sy / 1000000.0) * (sy / 1000000.0))), 6)
+                 AS r2
+        FROM s
     """
 
     # snapshot_term_drift: add-one smoothing over the union vocab,

@@ -740,3 +740,74 @@ def term_drift(
         scored.orderBy(F.abs(F.col("delta")).desc(), F.asc("term"))
         .limit(top_k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 5000,
+) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health scalar next to
+    Heaps' law (:func:`vocab_growth_curve`): natural text follows
+    ``freq ∝ rank^s`` with s ≈ -1; a slope far from -1 flags template
+    spam (too flat: thousands of equally-common boilerplate tokens) or
+    degenerate generation loops (too steep). Fits ordinary least
+    squares on (ln rank, ln freq) over the top ``max_rank`` terms.
+
+    DETERMINISTIC BY CONSTRUCTION: ranks come from a top-k cut
+    (``orderBy(freq desc, term).limit(max_rank)`` =
+    TakeOrderedAndProject) followed by a rank derivation over that
+    BOUNDED set; each point's regression contributions (x, y, xy, x²)
+    quantize to 1e-6 longs, so the OLS sums are exact integers and the
+    slope/intercept are bit-stable across partitionings and engines.
+
+    Returns one row: ``(n_points, slope, intercept, r2)`` (6dp).
+    """
+    if max_rank < 2:
+        raise ValueError(f"max_rank must be >= 2, got {max_rank}")
+    freqs = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(max_rank)
+    )
+    # rank over the bounded survivors via a one-row array fold — no
+    # global window (the set is <= max_rank rows by construction)
+    ranked = (
+        freqs.select(F.struct(
+            (-F.col("freq")).alias("_nf"), F.col("term"),
+            F.col("freq")).alias("_r"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(F.posexplode("_rs").alias("_pos", "_r"))
+        .select((F.col("_pos") + 1).alias("rank"),
+                F.col("_r.term").alias("term"),
+                F.col("_r.freq").alias("freq"))
+    )
+    qx = F.floor(F.log(F.col("rank").cast("double")) * 1000000.0)
+    qy = F.floor(F.log(F.col("freq").cast("double")) * 1000000.0)
+    pts = ranked.select(
+        qx.cast("long").alias("x"), qy.cast("long").alias("y"))
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # back to natural units: x,y were scaled by 1e6
+    n = F.col("n").cast("double")
+    sx = F.col("sx") / 1e6
+    sy = F.col("sy") / 1e6
+    sxy = F.col("sxy") / 1e12
+    sxx = F.col("sxx") / 1e12
+    syy = F.col("syy") / 1e12
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -419,3 +419,34 @@ def test_term_drift_smoothing_and_determinism(spark):
     # union vocab = {x,y,z,q}: totals 3 tokens + 4 vocab each side
     by = dict(r1)
     assert by["q"] == round(2 / 7 - 1 / 7, 9)
+
+
+@pytest.mark.spark
+def test_zipf_fit_recovers_planted_slope(spark):
+    from commoncrawl_spark.operators.analytics import zipf_fit
+
+    # plant an exact zipf corpus: term k appears floor(1000/k) times
+    words = []
+    for k in range(1, 51):
+        words += [f"w{k:03d}"] * (1000 // k)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_fit(df, max_rank=50).collect()[0]
+    assert r["n_points"] == 50
+    assert -1.05 < r["slope"] < -0.95
+    assert r["r2"] > 0.99
+    # determinism across partitionings (quantized integer sums)
+    r2 = zipf_fit(df.repartition(4), max_rank=50).collect()[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == \
+        (r2["slope"], r2["intercept"], r2["r2"])
+
+
+@pytest.mark.spark
+def test_zipf_fit_flat_spam_flags(spark):
+    from commoncrawl_spark.operators.analytics import zipf_fit
+
+    # template spam: 40 terms all with identical frequency -> slope ~ 0
+    df = spark.createDataFrame(
+        [((" ".join(f"t{k}" for k in range(40)) + " ") * 10,)],
+        "text string")
+    r = zipf_fit(df, max_rank=40).collect()[0]
+    assert abs(r["slope"]) < 0.01
