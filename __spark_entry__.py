@@ -2266,6 +2266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zipf_fit(_read(spark, sf, "documents"), max_rank=2000)
     q["zipf_slope"] = zipf_slope
 
+    def ngram_diversity_q(spark, sf):
+        """Distinct-1/2/3-gram ratios per language — the degeneration
+        diagnostic (looping generators and boilerplate crater
+        distinct-2/3 first). One explode + count-distinct per n."""
+        from commoncrawl_spark.operators.analytics import ngram_diversity
+
+        d = _read(spark, sf, "documents").select("lang", "text")
+        return ngram_diversity(d, group_col="lang", max_n=3)
+    q["ngram_diversity"] = ngram_diversity_q
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7217,6 +7227,41 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # ngram_diversity: grams rebuilt with inclusive list slices
+    # (toks[i:i+n-1] = n elements), one count/count-distinct per n
+    o["ngram_diversity"] = f"""
+        WITH t AS (SELECT lang, {toks_doc} AS toks FROM documents),
+        g1 AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1_total,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n1_distinct
+          FROM (SELECT lang, unnest(toks) AS g FROM t) GROUP BY lang),
+        g2 AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2_total,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n2_distinct
+          FROM (SELECT lang, unnest(list_transform(
+                  range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS g
+                FROM t) GROUP BY lang),
+        g3 AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n3_total,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n3_distinct
+          FROM (SELECT lang, unnest(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS g
+                FROM t) GROUP BY lang)
+        SELECT lang,
+               n1_total, n1_distinct,
+               ROUND(CAST(n1_distinct AS DOUBLE) / n1_total, 6)
+                 AS distinct_1,
+               n2_total, n2_distinct,
+               ROUND(CAST(n2_distinct AS DOUBLE) / n2_total, 6)
+                 AS distinct_2,
+               n3_total, n3_distinct,
+               ROUND(CAST(n3_distinct AS DOUBLE) / n3_total, 6)
+                 AS distinct_3
+        FROM g1 JOIN g2 USING (lang) JOIN g3 USING (lang)
     """
 
     # zipf_slope: the quantized OLS replayed — same top-k cut, same

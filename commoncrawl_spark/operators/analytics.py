@@ -811,3 +811,53 @@ def zipf_fit(
         F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    max_n: int = 3,
+) -> DataFrame:
+    """Distinct-n-gram diversity ratios — the standard degeneration
+    diagnostic for generated/scraped text (self-BLEU's cheap cousin):
+    ``distinct-n = |unique n-grams| / |n-grams|`` for n = 1..max_n.
+    Repetitive boilerplate and looping generators crater distinct-2/3
+    long before humans notice; a slice with distinct-3 near 1.0 is
+    healthy prose. Optionally grouped (per language/source).
+
+    Scale shape: ONE explode per n over the token array (scan-stage
+    slicing builds the n-grams), each followed by a map-side-partial
+    count-distinct aggregation on the (group, gram) key; ratios round
+    to 6dp. No windows, no Python.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    gcols = [group_col] if group_col else []
+    toks = df.select(*gcols, tokens_col(F.col(text_col)).alias("_t"))
+    out = None
+    for n in range(1, max_n + 1):
+        grams = F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("_t"), i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        stats = (
+            toks.select(*gcols, F.explode(grams).alias("_g"))
+            .groupBy(*gcols)
+            .agg(
+                F.count(F.lit(1)).alias(f"n{n}_total"),
+                F.count_distinct(F.col("_g")).alias(f"n{n}_distinct"),
+            )
+            .withColumn(
+                f"distinct_{n}",
+                F.round(F.col(f"n{n}_distinct") / F.col(f"n{n}_total"), 6))
+        )
+        if out is None:
+            out = stats
+        elif gcols:
+            out = out.join(stats, gcols, "full_outer")
+        else:
+            out = out.crossJoin(stats)  # both are single summary rows
+    return out

@@ -450,3 +450,21 @@ def test_zipf_fit_flat_spam_flags(spark):
         "text string")
     r = zipf_fit(df, max_rank=40).collect()[0]
     assert abs(r["slope"]) < 0.01
+
+
+@pytest.mark.spark
+def test_ngram_diversity_repetition_vs_prose(spark):
+    from commoncrawl_spark.operators.analytics import ngram_diversity
+
+    df = spark.createDataFrame(
+        [("loop", "a b a b a b"), ("prose", "x y z w")],
+        "kind string, text string")
+    got = {r["kind"]: r
+           for r in ngram_diversity(df, group_col="kind").collect()}
+    assert got["loop"]["distinct_1"] == round(2 / 6, 6)
+    assert got["loop"]["distinct_2"] == round(2 / 5, 6)  # 'a b', 'b a'
+    assert got["loop"]["distinct_3"] == 0.5
+    assert got["prose"]["distinct_3"] == 1.0
+    # ungrouped: single summary row via crossJoin composition
+    one = ngram_diversity(df).collect()
+    assert len(one) == 1 and one[0]["n1_total"] == 10
