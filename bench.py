@@ -381,6 +381,10 @@ def main() -> None:
             "seed_depth_rings", "script_profile", "vocab_coverage",
             "softdedup_weights", "cdc_dedup", "fetch_timetable",
             "host_shard_ring", "embedding_outliers", "retrieval_metrics",
+            # corpus-health and search-composition wave: anchor-field
+            # BM25, drift monitor, Zipf fit, n-gram diversity
+            "anchor_bm25", "snapshot_term_drift", "zipf_slope",
+            "ngram_diversity",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
