@@ -2276,6 +2276,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_diversity(d, group_col="lang", max_n=3)
     q["ngram_diversity"] = ngram_diversity_q
 
+    def explore_exploit(spark, sf):
+        """Epsilon-greedy crawl budget: 90% exploits 20 known hosts
+        proportional to score, 10% explores 9 never-crawled hosts
+        uniformly with the md5-smallest hosts taking the remainder —
+        deterministic bandit allocation, re-planned identically on
+        resume."""
+        from commoncrawl_spark.operators.schedule import (
+            explore_exploit_budget,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        hosts = d.select(
+            F.concat(F.lit("h"), (i % 29).cast("string"),
+                     F.lit(".ee.test")).alias("host"),
+            ((i % 29) + 1).cast("double").alias("score"),
+            ((i % 29) < 20).alias("known"),
+        ).distinct()
+        return explore_exploit_budget(hosts, total_budget=500,
+                                      epsilon=0.1)
+    q["explore_exploit"] = explore_exploit
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7227,6 +7249,37 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # explore_exploit: exploit pot floor(0.9*500)=450 proportional to
+    # score with the 6dp-round-then-floor convention; explore pot 50
+    # uniform over the 9 new hosts, remainder +1 to the md5-smallest
+    o["explore_exploit"] = """
+        WITH hosts AS (
+          SELECT DISTINCT 'h' || (doc_id % 29) || '.ee.test' AS host,
+                 CAST((doc_id % 29) + 1 AS DOUBLE) AS score,
+                 (doc_id % 29) < 20 AS known
+          FROM documents),
+        t AS (
+          SELECT SUM(CASE WHEN known THEN score ELSE 0 END) AS tscore,
+                 SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS nnew
+          FROM hosts),
+        bonus AS (
+          SELECT host, 1 AS b FROM (
+            SELECT h.host,
+                   ROW_NUMBER() OVER (ORDER BY md5(h.host), h.host)
+                     AS rn,
+                   t.nnew
+            FROM hosts h, t WHERE NOT h.known) x
+          WHERE rn <= 50 % nnew)
+        SELECT h.host, h.known,
+               CAST(CASE WHEN h.known THEN
+                      CASE WHEN t.tscore > 0 THEN
+                        floor(round(450.0 * h.score / t.tscore, 6))
+                      ELSE 0 END
+                    ELSE floor(50.0 / t.nnew) + coalesce(b.b, 0)
+               END AS BIGINT) AS quota
+        FROM hosts h CROSS JOIN t LEFT JOIN bonus b ON h.host = b.host
     """
 
     # ngram_diversity: grams rebuilt with inclusive list slices

@@ -579,3 +579,91 @@ def select_polite_batch(
         survivors.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= limit)
     )
+
+
+def explore_exploit_budget(
+    hosts: DataFrame,
+    total_budget: int,
+    epsilon: float = 0.1,
+    host_col_name: str = "host",
+    score_col: str = "score",
+    known_col: str = "known",
+) -> DataFrame:
+    """Epsilon-greedy split of a global crawl budget: ``(1-eps)`` of it
+    EXPLOITS hosts with observed value (allocated proportional to
+    ``score_col`` — pages/quality/change-rate, whatever the crawl
+    optimizes), ``eps`` EXPLORES hosts never crawled (uniform, since
+    there is no evidence to weight by). Pure exploitation starves the
+    frontier of new-host evidence and locks in the seed bias; this is
+    the standard bandit fix, made deterministic so a resumed round
+    re-plans identically.
+
+    Quotas are floors of 6dp-rounded shares (the :func:`crawl_budget`
+    convention); the explore pot's remainder goes +1 each to the
+    ``pot % n_new`` new hosts with the smallest ``md5(host)`` — a
+    deterministic pseudo-random choice, not a window over arrival
+    order. Hosts with a zero/null score and ``known=true`` get quota 0
+    (they earned no budget); unknown hosts always get >= the uniform
+    floor.
+
+    Scale shape: two 1-row aggregates (score total, new-host count)
+    broadcast back via crossJoin; the remainder pick is an
+    ``orderBy().limit()`` TakeOrderedAndProject over new hosts, never
+    a global window. Returns ``(host, known, quota)``.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if not 0.0 <= epsilon <= 1.0:
+        raise ValueError(f"epsilon must be in [0, 1], got {epsilon}")
+    h = hosts.select(
+        F.col(host_col_name).alias("host"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))
+        .alias("_score"),
+        F.coalesce(F.col(known_col).cast("boolean"), F.lit(False))
+        .alias("known"),
+    )
+    exploit_pot = int((1.0 - epsilon) * total_budget)
+    explore_pot = total_budget - exploit_pot
+    totals = h.agg(
+        F.sum(F.when(F.col("known"), F.col("_score")).otherwise(0.0))
+        .alias("_tscore"),
+        F.sum(F.when(~F.col("known"), 1).otherwise(0)).alias("_nnew"),
+    )
+    base = h.crossJoin(F.broadcast(totals))
+    known_quota = F.when(
+        F.col("_tscore") > 0,
+        F.floor(F.round(F.lit(float(exploit_pot))
+                        * F.col("_score") / F.col("_tscore"), 6)),
+    ).otherwise(F.lit(0))
+    new_floor = F.when(
+        F.col("_nnew") > 0,
+        F.floor(F.lit(float(explore_pot)) / F.col("_nnew")),
+    ).otherwise(F.lit(0))
+    # +1 remainder to the md5-smallest new hosts (bounded top-k pick)
+    rem = (
+        h.filter(~F.col("known"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("_nnew") > 0)
+        .select("host", F.md5(F.col("host")).alias("_o"),
+                (F.lit(explore_pot) % F.col("_nnew")).alias("_r"))
+    )
+    bonus_hosts = (
+        rem.orderBy("_o", "host")
+        .limit(explore_pot)  # upper bound; exact cut via _rank below
+        .select("host", "_o", "_r")
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("_o", "host", "_r")))
+             .alias("_rs"))
+        .select(F.posexplode("_rs").alias("_pos", "_x"))
+        .filter(F.col("_pos") < F.col("_x._r"))
+        .select(F.col("_x.host").alias("host"), F.lit(1).alias("_bonus"))
+    )
+    return (
+        base.join(bonus_hosts, "host", "left")
+        .select(
+            "host", "known",
+            F.when(F.col("known"), known_quota)
+            .otherwise(new_floor + F.coalesce("_bonus", F.lit(0)))
+            .cast("long").alias("quota"),
+        )
+    )

@@ -154,3 +154,52 @@ def test_consistent_shards_minimal_movement_on_resize(spark):
     moved = {h for h in a if a[h] != b[h]}
     assert all(b[h] == 5 for h in moved)
     assert 0 < len(moved) < 100  # some arc stolen, far from a reshuffle
+
+
+@pytest.mark.spark
+def test_explore_exploit_budget_split(spark):
+    import hashlib
+
+    from commoncrawl_spark.operators.schedule import explore_exploit_budget
+
+    hosts = spark.createDataFrame(
+        [("big.test", 30.0, True), ("mid.test", 10.0, True),
+         ("dead.test", 0.0, True),
+         ("new1.test", None, False), ("new2.test", None, False),
+         ("new3.test", None, False)],
+        "host string, score double, known boolean")
+    got = {r["host"]: r["quota"] for r in explore_exploit_budget(
+        hosts, total_budget=100, epsilon=0.2).collect()}
+    # exploit pot 80 split 30:10 -> 60/20; zero-score earns nothing
+    assert got["big.test"] == 60 and got["mid.test"] == 20
+    assert got["dead.test"] == 0
+    # explore pot 20 over 3 new hosts: floor 6 each + 2 remainder to
+    # the md5-smallest hosts
+    news = ["new1.test", "new2.test", "new3.test"]
+    bonus = sorted(news, key=lambda h: hashlib.md5(h.encode()).hexdigest())[:2]
+    for h in news:
+        assert got[h] == 6 + (1 if h in bonus else 0)
+    assert sum(got[h] for h in news) == 20
+    # determinism across partitionings
+    again = {r["host"]: r["quota"] for r in explore_exploit_budget(
+        hosts.repartition(5), total_budget=100, epsilon=0.2).collect()}
+    assert again == got
+
+
+@pytest.mark.spark
+def test_explore_exploit_edge_cases(spark):
+    from commoncrawl_spark.operators.schedule import explore_exploit_budget
+
+    # no new hosts: whole exploit pot still allocates, explore pot idles
+    known_only = spark.createDataFrame(
+        [("a.test", 1.0, True)], "host string, score double, known boolean")
+    got = {r["host"]: r["quota"] for r in explore_exploit_budget(
+        known_only, 10, epsilon=0.5).collect()}
+    assert got["a.test"] == 5
+    # epsilon=1: pure exploration
+    new_only = spark.createDataFrame(
+        [("n1.test", None, False), ("n2.test", None, False)],
+        "host string, score double, known boolean")
+    got = {r["host"]: r["quota"] for r in explore_exploit_budget(
+        new_only, 7, epsilon=1.0).collect()}
+    assert sorted(got.values()) == [3, 4]
