@@ -2298,6 +2298,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       epsilon=0.1)
     q["explore_exploit"] = explore_exploit
 
+    def bloom_fpr_audit(spark, sf):
+        """Seen-set quality audit (rows-only by design — the xxhash64
+        bit fold has no SQL twin; the bound is pinned in
+        tests/test_seen_set.py): build the Bloom blob table at
+        fp_rate=0.01 from 5,000 seen keys, probe 5,000 DISJOINT fresh
+        keys, report the measured false-positive rate against the
+        configured budget. A crawl runs this against every blob
+        generation — FPR drift above budget means the bucket sizing no
+        longer matches the key count and re-fetch waste is growing."""
+        from commoncrawl_spark.operators.seen_set import (
+            bloom_prefilter,
+            build_bloom_table,
+        )
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        tenfold = d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j"),
+            F.col("doc_id"))
+        seen = tenfold.select(
+            F.sha1(F.concat(F.lit("seen-"), F.col("doc_id").cast("string"),
+                            F.lit("-"), F.col("j").cast("string")))
+            .alias("url_sha1"))
+        probes = tenfold.select(
+            F.sha1(F.concat(F.lit("fresh-"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("-"), F.col("j").cast("string")))
+            .alias("url_sha1"))
+        blooms = build_bloom_table(seen, n_buckets=16, fp_rate=0.01)
+        flagged = bloom_prefilter(probes, blooms, 16)
+        return flagged.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("_maybe_seen").cast("int"))
+            .alias("false_positives"),
+            F.round(F.sum(F.col("_maybe_seen").cast("int"))
+                    / F.count(F.lit(1)), 6).alias("fpr"),
+            F.lit(0.01).alias("fp_budget"),
+        )
+    q["bloom_fpr_audit"] = bloom_fpr_audit
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing

@@ -196,3 +196,32 @@ def test_bloom_seen_set_compaction_preserves_membership(spark, keyed):
     got = {r["url_sha1"] for r in s.unseen(keyed).collect()}
     assert got == set()  # every key was added
     s.release()
+
+
+@pytest.mark.spark
+def test_bloom_fpr_within_budget(spark):
+    """Measured FPR on guaranteed-fresh probes stays within ~2x the
+    configured budget (the sizing formula's slack), and NO true
+    positive is ever missed (zero false negatives — the Bloom
+    guarantee the anti-join's correctness rests on)."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.operators.seen_set import (
+        bloom_prefilter,
+        build_bloom_table,
+    )
+
+    seen = spark.range(5000).select(
+        F.sha1(F.concat(F.lit("s-"), F.col("id").cast("string")))
+        .alias("url_sha1"))
+    fresh = spark.range(5000).select(
+        F.sha1(F.concat(F.lit("f-"), F.col("id").cast("string")))
+        .alias("url_sha1"))
+    blooms = build_bloom_table(seen, n_buckets=16, fp_rate=0.01)
+    fp = (bloom_prefilter(fresh, blooms, 16)
+          .filter(F.col("_maybe_seen")).count())
+    assert fp / 5000 < 0.02
+    # zero false negatives: every seen key must flag maybe-seen
+    misses = (bloom_prefilter(seen, blooms, 16)
+              .filter(~F.col("_maybe_seen")).count())
+    assert misses == 0
