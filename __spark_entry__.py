@@ -2337,6 +2337,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["bloom_fpr_audit"] = bloom_fpr_audit
 
+    def curation_attribution(spark, sf):
+        """Dolma-style rejection attribution over the doubled corpus:
+        each doc gets the FIRST verdict in chain order (too_short ->
+        too_repetitive -> duplicate -> kept), then the funnel rollup —
+        the 'why did the corpus shrink' ledger a curation run
+        publishes. Precedence matters: a short duplicate counts as
+        short, so rule counts sum to the corpus exactly once."""
+        from commoncrawl_spark.operators.analytics import (
+            attribution_funnel,
+            first_match_verdict,
+            tokens_col,
+        )
+
+        d = _docs_dup_spark(spark, sf)
+        toks = tokens_col(F.col("text"))
+        feats = d.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("fp"),
+            F.size(toks).alias("nt"),
+            F.when(F.size(toks) == 0, F.lit(1.0))
+            .otherwise(F.size(F.array_distinct(toks))
+                       / F.size(toks).cast("double")).alias("ratio"),
+        )
+        winners = feats.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+        tagged = first_match_verdict(
+            feats.join(winners, "fp"),
+            [
+                ("too_short", F.col("nt") < 30),
+                ("too_repetitive", F.col("ratio") < 0.4),
+                ("duplicate", F.col("doc_id") != F.col("keeper")),
+            ])
+        return attribution_funnel(tagged)
+    q["curation_attribution"] = curation_attribution
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7288,6 +7322,34 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # curation_attribution: the first-match CASE chain replayed over the
+    # same features (token count, distinct ratio, md5 dup keeper)
+    o["curation_attribution"] = f"""
+        WITH corpus AS (SELECT * FROM {_DOCS_DUP_SQL}),
+        feats AS (
+          SELECT doc_id, md5(text) AS fp,
+                 len(toks) AS nt,
+                 CASE WHEN len(toks) = 0 THEN 1.0
+                      ELSE len(list_distinct(toks)) * 1.0 / len(toks)
+                 END AS ratio
+          FROM (SELECT doc_id, text, {_SQL_TOKS.format(t="text")} AS toks
+                FROM corpus)),
+        winners AS (SELECT fp, MIN(doc_id) AS keeper
+                    FROM feats GROUP BY fp),
+        tagged AS (
+          SELECT CASE WHEN nt < 30 THEN 'too_short'
+                      WHEN ratio < 0.4 THEN 'too_repetitive'
+                      WHEN doc_id != keeper THEN 'duplicate'
+                      ELSE 'kept' END AS verdict
+          FROM feats JOIN winners USING (fp)),
+        counts AS (SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM tagged GROUP BY verdict),
+        t AS (SELECT SUM(n_docs) AS tot FROM counts)
+        SELECT verdict, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / tot, 6) AS share
+        FROM counts, t
     """
 
     # explore_exploit: exploit pot floor(0.9*500)=450 proportional to

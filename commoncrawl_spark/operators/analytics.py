@@ -861,3 +861,41 @@ def ngram_diversity(
         else:
             out = out.crossJoin(stats)  # both are single summary rows
     return out
+
+
+def first_match_verdict(
+    df: DataFrame,
+    rules: list,
+    default: str = "kept",
+    out_col: str = "verdict",
+) -> DataFrame:
+    """Attribution for a filter chain: tag each row with the FIRST rule
+    (in the given order) whose condition fires — the per-document
+    provenance curation releases publish (Dolma-style attribution),
+    and the debugging handle for 'why did my corpus shrink 40%'.
+    ``rules`` is an ordered ``[(name, boolean Column), ...]``; rows no
+    rule claims get ``default``. Pure scan-stage CASE chain."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    v = F.lit(default)
+    for name, cond in reversed(rules):
+        v = F.when(cond, F.lit(name)).otherwise(v)
+    return df.withColumn(out_col, v)
+
+
+def attribution_funnel(
+    tagged: DataFrame,
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Collapse per-row verdicts into the rejection funnel:
+    ``(verdict, n_docs, share)`` — one slim aggregation plus a 1-row
+    total broadcast, shares rounded 6dp."""
+    counts = tagged.groupBy(verdict_col).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            verdict_col, "n_docs",
+            F.round(F.col("n_docs") / F.col("_t"), 6).alias("share"))
+    )

@@ -468,3 +468,27 @@ def test_ngram_diversity_repetition_vs_prose(spark):
     # ungrouped: single summary row via crossJoin composition
     one = ngram_diversity(df).collect()
     assert len(one) == 1 and one[0]["n1_total"] == 10
+
+
+@pytest.mark.spark
+def test_first_match_verdict_precedence_and_funnel(spark):
+    from commoncrawl_spark.operators.analytics import (
+        attribution_funnel,
+        first_match_verdict,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, True), (2, 100, True), (3, 100, False), (4, 5, False)],
+        "doc_id long, n_tokens long, is_dup boolean")
+    tagged = first_match_verdict(df, [
+        ("too_short", F.col("n_tokens") < 30),
+        ("duplicate", F.col("is_dup")),
+    ])
+    got = {r["doc_id"]: r["verdict"] for r in tagged.collect()}
+    # doc 1 is short AND dup: the FIRST rule in order claims it
+    assert got == {1: "too_short", 2: "duplicate", 3: "kept",
+                   4: "too_short"}
+    funnel = {r["verdict"]: (r["n_docs"], r["share"])
+              for r in attribution_funnel(tagged).collect()}
+    assert funnel["too_short"] == (2, 0.5)
+    assert funnel["kept"] == (1, 0.25)
