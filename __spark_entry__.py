@@ -2371,6 +2371,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return attribution_funnel(tagged)
     q["curation_attribution"] = curation_attribution
 
+    def lsh_plan(spark, sf):
+        """MinHash-LSH banding planner: S-curve collision probabilities
+        for every factorization of 128 hashes at/around the 0.8 target
+        — pure math, the table read before fixing (bands, rows)."""
+        from commoncrawl_spark.operators.text_dedup import (
+            lsh_banding_plan,
+        )
+
+        return lsh_banding_plan(spark, num_hashes=128, threshold=0.8)
+    q["lsh_plan"] = lsh_plan
+
     def host_boilerplate(spark, sf):
         """Per-host template removal (the statistical analog of the
         reference's per-site selector lists): 2-word segments appearing
@@ -7322,6 +7333,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(expected, 6)), 6) AS expected_total,
                ROUND(SUM(ROUND(body - expected, 6)), 6) AS saved_total
         FROM pl GROUP BY validator
+    """
+
+    # lsh_plan: the S-curve arithmetic replayed over the factorizations
+    # of 128 (pow parity is the repo's established libm convention)
+    o["lsh_plan"] = """
+        WITH facts AS (
+          SELECT CAST(b.x AS BIGINT) AS bands,
+                 CAST(128 / b.x AS BIGINT) AS rows
+          FROM generate_series(1, 128) b(x) WHERE 128 % b.x = 0)
+        SELECT bands, rows,
+               ROUND(pow(1.0 / bands, 1.0 / rows), 6) AS knee,
+               ROUND(1.0 - pow(1.0 - pow(0.7, rows), bands), 6)
+                 AS p_below,
+               ROUND(1.0 - pow(1.0 - pow(0.8, rows), bands), 6)
+                 AS p_at_threshold,
+               ROUND(1.0 - pow(1.0 - pow(0.9, rows), bands), 6)
+                 AS p_above
+        FROM facts
     """
 
     # curation_attribution: the first-match CASE chain replayed over the

@@ -1692,3 +1692,44 @@ def containment_join(
     ck = out.localCheckpoint(eager=True)
     sets.unpersist()
     return ck
+
+
+def lsh_banding_plan(
+    spark,
+    num_hashes: int = 128,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH banding planner: for every factorization
+    ``num_hashes = bands x rows``, the S-curve collision probability
+    ``P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands`` evaluated at
+    the target threshold, just below it (threshold - 0.1, the false-
+    positive region) and just above (threshold + 0.1, the recall
+    region) — the table you read before fixing (bands, rows) instead of
+    cargo-culting (16, 8). Sharper knee at the threshold = better
+    plan; the conventional pick is the factorization whose knee
+    ``(1/bands)^(1/rows)`` lands nearest the threshold.
+
+    Pure math over a generated factorization table — no corpus pass at
+    all; 6dp rounding, engine-reproducible.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    facts = (
+        spark.range(1, num_hashes + 1)
+        .select(F.col("id").alias("bands"))
+        .filter(F.lit(num_hashes) % F.col("bands") == 0)
+        .select("bands", (F.lit(num_hashes) / F.col("bands"))
+                .cast("long").alias("rows"))
+    )
+    def p_at(s: float):
+        return F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(s), F.col("rows")),
+                        F.col("bands")), 6)
+    return facts.select(
+        "bands", "rows",
+        F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows")), 6)
+        .alias("knee"),
+        p_at(threshold - 0.1).alias("p_below"),
+        p_at(threshold).alias("p_at_threshold"),
+        p_at(min(threshold + 0.1, 0.999)).alias("p_above"),
+    )

@@ -182,3 +182,20 @@ def test_containment_join_exactness_vs_bruteforce(spark):
             if a != b and sa and round(len(sa & sb) / len(sa), 6) >= 0.85:
                 want.add((a, b))
     assert got == want
+
+
+@pytest.mark.spark
+def test_lsh_banding_plan_scurve(spark):
+    from commoncrawl_spark.operators.text_dedup import lsh_banding_plan
+
+    rows = {r["bands"]: r
+            for r in lsh_banding_plan(spark, 16, 0.8).collect()}
+    assert set(rows) == {1, 2, 4, 8, 16}
+    # S-curve monotonicity: collision prob rises with jaccard
+    for b, r in rows.items():
+        assert r["p_below"] <= r["p_at_threshold"] <= r["p_above"]
+    # the exact closed form at (bands=4, rows=4, s=0.8)
+    want = 1 - (1 - 0.8 ** 4) ** 4
+    assert rows[4]["p_at_threshold"] == round(want, 6)
+    # knee = (1/b)^(1/r)
+    assert rows[4]["knee"] == round((1 / 4) ** (1 / 4), 6)
