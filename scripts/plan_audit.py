@@ -2507,6 +2507,74 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # embedding outliers: posexplode centroid + TakeOrdered cut
+    from commoncrawl_spark.operators.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(embedding_outliers(emb, top_k=10),
+                label="embedding outliers")
+    sections.append((
+        "Embedding outliers: integer centroid, bounded global cut",
+        "The centroid is one posexplode exchange of slim (pos, val) "
+        "integer sums broadcast back as an array; distances are a "
+        "scan-stage zip_with fold over exact int64s; the global "
+        "farthest-k cut is orderBy+limit = TakeOrderedAndProject — "
+        "only top_k rows cross the exchange, never a partition-less "
+        "window sort of the corpus.",
+        [f"TakeOrderedAndProject: {'TakeOrderedAndProject' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    # corpus-health family: drift / zipf / diversity / coverage — all
+    # token-count aggregations with map-side partials; audit the two
+    # with global cuts for the no-window invariant
+    from commoncrawl_spark.operators.analytics import (
+        term_drift,
+        vocab_coverage_stats,
+        zipf_fit,
+    )
+
+    p = plan_of(term_drift(docs.select("text"), docs.select("text"),
+                           top_k=10), label="term drift")
+    sections.append((
+        "Term drift: slim term merge, bounded top-k cut",
+        "Two token-count aggregations meet in a full-outer merge on the "
+        "slim term key; totals ride 1-row broadcasts; the drifted-term "
+        "cut is orderBy+limit (TakeOrderedAndProject). Per-term "
+        "arithmetic only — no corpus-level float sums, so values are "
+        "engine-reproducible.",
+        [f"TakeOrderedAndProject: {'TakeOrderedAndProject' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    p = plan_of(zipf_fit(docs, max_rank=500), label="zipf fit")
+    sections.append((
+        "Zipf fit: top-k cut then quantized-integer OLS",
+        "Term frequencies cut to max_rank via TakeOrderedAndProject; "
+        "rank derivation is a one-row array fold over the BOUNDED "
+        "survivors (no window); regression sums are exact int64s, so "
+        "slope/intercept/r2 are bit-stable at any partitioning.",
+        [f"TakeOrderedAndProject: {'TakeOrderedAndProject' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    p = plan_of(vocab_coverage_stats(docs, group_col="lang"),
+                label="vocab coverage")
+    sections.append((
+        "Vocab coverage: one spectrum pass per group",
+        "Good-Turing/Chao1 come from a single (group, term) count "
+        "aggregation followed by a group-level rollup — two map-side-"
+        "partial exchanges on slim keys, no windows, no Python.",
+        [f"Exchange hashpartitioning: {p.count('Exchange hashpartitioning')} "
+         f"(expect 2: term counts, then group rollup)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
