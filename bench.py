@@ -384,7 +384,8 @@ def main() -> None:
             # corpus-health and search-composition wave: anchor-field
             # BM25, drift monitor, Zipf fit, n-gram diversity
             "anchor_bm25", "snapshot_term_drift", "zipf_slope",
-            "ngram_diversity",
+            "ngram_diversity", "explore_exploit", "curation_attribution",
+            "lsh_plan", "bloom_fpr_audit",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
