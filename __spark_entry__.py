@@ -4340,6 +4340,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["phrase_indexed"] = phrase_indexed
 
+    def ql_topk(spark, sf):
+        """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+        Lafferty SIGIR'01) — the language-modeling ranker beside BM25;
+        same terms/k as bm25_topk so the two rankings are directly
+        comparable (and fusable, see hybrid_rrf). Decomposed-form
+        arithmetic with ordered folds, so the oracle hash-matches."""
+        from commoncrawl_spark.operators.index import ql_search
+
+        d = _read(spark, sf, "documents")
+        return ql_search(d, ["join", "hash", "scan"],
+                         mu=1500.0, top_k=15)
+    q["ql_topk"] = ql_topk
+
+    def hybrid_rrf(spark, sf):
+        """Hybrid search: lexical BM25 top-20 fused with dense
+        embedding-cosine top-20 (neighbors of vec 7, vec_id == doc_id)
+        via reciprocal-rank fusion (Cormack et al. SIGIR'09) — the
+        standard two-ranker hybrid; fusion cost is bounded by the two
+        top-k lists, never the corpus."""
+        from commoncrawl_spark.operators.index import (
+            bm25_search,
+            rrf_fuse,
+        )
+
+        d = _read(spark, sf, "documents")
+        e = _read(spark, sf, "embeddings")
+        lex = bm25_search(
+            d, ["join", "hash", "scan"], top_k=20
+        ).select("doc_id", "rank")
+        sem = cosine_topk(
+            e, e.filter(F.col("vec_id") == 7), k=20
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return rrf_fuse([lex, sem], rrf_k=60, top_k=15)
+    q["hybrid_rrf"] = hybrid_rrf
+
+    def fuzzy_terms(spark, sf):
+        """SymSpell symmetric-delete fuzzy matching: corpus vocabulary
+        histogram -> delete-1 key equi-join against misspelled query
+        terms -> Levenshtein-verified candidates ranked (dist, freq
+        desc, term). 'tabel' is the planted transposition: its delete
+        keys collide with 'table' but plain Levenshtein is 2, so
+        verification must reject it."""
+        from commoncrawl_spark.operators.fuzzy import (
+            fuzzy_term_candidates,
+            vocab_histogram,
+        )
+
+        d = _read(spark, sf, "documents")
+        return fuzzy_term_candidates(
+            vocab_histogram(d),
+            ["joind", "hsh", "scann", "tabel", "qury", "batch"],
+            spark=spark, top_k=3)
+    q["fuzzy_terms"] = fuzzy_terms
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9239,6 +9293,183 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 15
     """
+    # ql_topk: the Dirichlet decomposed form replayed term-for-term —
+    # p_t = cf/|C| as doubles, per-term ln(1 + tf/(mu*p_t)) folded in
+    # token order (list_reduce's first-element seed == Spark's 0.0+x),
+    # plus the query constant and the -nq*ln(dl+mu) length term
+    o["ql_topk"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        tot AS (SELECT sum(CAST(dl AS DOUBLE)) AS ctot FROM dlf),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'hash', 'scan')),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM qt GROUP BY doc_id, token),
+        cf AS (SELECT token, sum(CAST(tf AS DOUBLE)) AS cf
+               FROM tf GROUP BY token),
+        qc AS (
+          SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token,
+                                                l := ln(1500.0 * cf / tot.ctot)))),
+                     x -> x['l']),
+                   (a, c) -> a + c) AS qc,
+                 CAST(count(*) AS DOUBLE) AS nq
+          FROM cf, tot),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + CAST(tf.tf AS DOUBLE)
+                          / (1500.0 * cf.cf / tot.ctot)) AS s
+          FROM tf JOIN cf USING (token), tot),
+        sp AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c) AS sp
+          FROM per GROUP BY doc_id),
+        scored AS (
+          SELECT sp.doc_id,
+                 round(sp.sp + qc.qc
+                       - qc.nq * ln(CAST(dlf.dl AS DOUBLE) + 1500.0),
+                       6) AS score
+          FROM sp JOIN dlf USING (doc_id), qc),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM scored)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
+    """
+
+    # hybrid_rrf: bm25 top-20 (the bm25_topk chain, k=20) + cosine
+    # top-20 neighbors of vec 7, fused 1/(60+rank) with the sum folded
+    # in source order (src 0 = lexical, src 1 = dense)
+    o["hybrid_rrf"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'hash', 'scan')),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM qt GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        lex AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank
+            FROM folded) WHERE rank <= 20),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sem AS (
+          SELECT neighbor_id AS doc_id, rank FROM (
+            SELECT n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id)
+                     AS rank
+            FROM c q, c n WHERE q.vec_id = 7 AND n.vec_id <> q.vec_id)
+          WHERE rank <= 20),
+        contrib AS (
+          SELECT doc_id, 0 AS src,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS cn FROM lex
+          UNION ALL
+          SELECT doc_id, 1 AS src,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS cn FROM sem),
+        fused AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(src := src, cn := cn))),
+                     x -> x['cn']),
+                   (a, c) -> a + c), 6) AS score,
+                 count(*) AS n_lists
+          FROM contrib GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score, n_lists,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM fused)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank,
+               CAST(n_lists AS INTEGER) AS n_lists
+        FROM ranked WHERE rank <= 15
+    """
+
+    # fuzzy_terms: the symmetric-delete join replayed — identical
+    # identity-augmented delete-1 key sets on both sides, Levenshtein
+    # verification, (dist, freq desc, term) ranking
+    o["fuzzy_terms"] = f"""
+        WITH toksv AS (
+          SELECT unnest({toks_doc}) AS term FROM documents),
+        vocab AS (SELECT term, count(*) AS freq FROM toksv GROUP BY term),
+        vkeys AS (
+          SELECT DISTINCT term AS candidate, freq, k FROM (
+            SELECT term, freq,
+                   unnest(list_append(
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, i - 1)
+                            || substr(term, i + 1, length(term) - i)),
+                     term)) AS k
+            FROM vocab)),
+        q AS (SELECT unnest(['joind', 'hsh', 'scann', 'tabel', 'qury',
+                             'batch']) AS query_term),
+        qkeys AS (
+          SELECT DISTINCT query_term, k FROM (
+            SELECT query_term,
+                   unnest(list_append(
+                     list_transform(range(1, length(query_term) + 1),
+                       i -> substr(query_term, 1, i - 1)
+                            || substr(query_term, i + 1,
+                                      length(query_term) - i)),
+                     query_term)) AS k
+            FROM q)),
+        pairs AS (
+          SELECT DISTINCT query_term, candidate, freq
+          FROM vkeys JOIN qkeys USING (k)),
+        verified AS (
+          SELECT query_term, candidate, freq,
+                 levenshtein(query_term, candidate) AS dist
+          FROM pairs
+          WHERE levenshtein(query_term, candidate) <= 1),
+        ranked AS (
+          SELECT query_term, candidate, dist, freq,
+                 row_number() OVER (
+                   PARTITION BY query_term
+                   ORDER BY dist, freq DESC, candidate) AS rank
+          FROM verified)
+        SELECT query_term, candidate, CAST(dist AS INTEGER) AS dist,
+               freq, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
     # space-joined = the operator's array_sort + concat_ws), then the
     # bm25_topk arithmetic over the derived 50-doc corpus

@@ -734,3 +734,167 @@ def retrieval_eval(
                 .otherwise(F.lit(0.0)), 6).alias("ndcg_k"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    rrf_k: int = 60,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    weights: Sequence[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    — the standard way to combine heterogeneous rankers (lexical BM25 +
+    dense embedding top-k is the canonical "hybrid search" pair):
+    ``score(d) = sum_i w_i / (rrf_k + rank_i(d))`` over every input
+    list that ranked ``d``. Rank-based, so it needs no score
+    calibration between rankers whose scales are incomparable (BM25
+    sums vs cosines); ``rrf_k`` (60 in the paper) damps the head so a
+    single #1 cannot outvote consistent mid-list agreement.
+
+    Inputs are ``(id_col, rank)`` frames — the bounded top-k output
+    shape every ranker in this module produces. Determinism: the
+    per-document sum folds in input-list order (sorted collect + an
+    explicit fold, the ``_bm25_rank`` pattern) so float accumulation
+    order is engine-identical; ties break on the id.
+
+    Scale shape: each input is ALREADY top-k bounded by its ranker, so
+    the union holds <= sum(k_i) rows per query — fusion cost is
+    independent of corpus size. One groupBy on the id, then the
+    parallel partial top-k (``orderBy().limit()``) and the window-free
+    bounded rank fold. The expensive part of hybrid search is the
+    upstream rankers, never the fusion."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("weights must match rankings length")
+    tagged = None
+    for i, r in enumerate(rankings):
+        w = 1.0 if weights is None else float(weights[i])
+        t = r.select(
+            F.col(id_col),
+            F.lit(i).alias("_src"),
+            (F.lit(w) / (F.lit(float(rrf_k))
+                         + F.col("rank").cast("double"))).alias("_c"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    folded = (
+        tagged.groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("_src", "_c"))).alias("_cs"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(F.col("_cs"), F.lit(0.0),
+                            lambda acc, x: acc + x["_c"]),
+                6).alias("score"),
+            F.size("_cs").alias("n_lists"),
+        )
+    )
+    ranked = _rank_bounded(
+        folded.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k),
+        id_col,
+    )
+    return ranked.join(folded.select(id_col, "n_lists"), id_col)
+
+
+def ql_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    mu: float = 1500.0,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling ranker, BM25's
+    principled sibling: ``score(d) = sum_t ln((tf + mu*p_t)/(dl + mu))``
+    with ``p_t = cf_t / |C|`` (collection term probability). Documents
+    matching at least one query term are scored over ALL query terms
+    (absent terms contribute the background probability); query terms
+    absent from the whole collection are ignored (p_t = 0 would be
+    -inf for every document — the standard OOV drop).
+
+    Computed in the rank-equivalent decomposed form, identically on
+    both engines so the 6dp-rounded sum hash-matches:
+    ``sum_{t present} ln(1 + tf/(mu*p_t)) + qconst - nq*ln(dl + mu)``
+    where ``qconst = sum_t ln(mu*p_t)`` and ``nq`` is the surviving
+    query-term count. Both folds run in sorted token order.
+
+    Scale shape: mirrors :func:`bm25_search` — document length is a
+    scan-stage ``size(tokens)`` (no explode, no shuffle), the only
+    explode is filtered to the query terms BEFORE its shuffle, and the
+    collection statistics fall out for free: ``cf_t`` is the sum of
+    the per-doc tf rows (already query-term-only), ``|C|`` a 1-row
+    aggregate of the doclen column. The query-constant frame is
+    |terms| rows -> 1 row, broadcast. Final top-k is the parallel
+    partial top-k; ranks come from the window-free bounded fold."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if mu <= 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
+    dl = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0))
+    doclen = df.select(F.col(id_col), dl.alias("_dl"))
+    totals = doclen.agg(
+        F.sum(F.col("_dl").cast("double")).alias("_ctot"))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    cf = tf.groupBy("token").agg(
+        F.sum(F.col("_tf").cast("double")).alias("_cf"))
+    # query constant: fold ln(mu * cf/|C|) in token order; |terms| rows
+    qconst = (
+        cf.crossJoin(F.broadcast(totals))
+        .select(F.struct(
+            "token",
+            F.log(F.lit(mu) * F.col("_cf") / F.col("_ctot")).alias("_l"),
+        ).alias("_r"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(
+            F.aggregate(F.col("_rs"), F.lit(0.0),
+                        lambda acc, x: acc + x["_l"]).alias("_qc"),
+            F.size("_rs").alias("_nq"),
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(cf), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col), F.col("token"),
+            F.log(1.0 + F.col("_tf").cast("double")
+                  / (F.lit(mu) * F.col("_cf") / F.col("_ctot"))).alias("_s"),
+        )
+    )
+    folded = (
+        per_term.groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("token", "_s"))).alias("_ts"))
+        .select(
+            F.col(id_col),
+            F.aggregate(F.col("_ts"), F.lit(0.0),
+                        lambda acc, x: acc + x["_s"]).alias("_sp"),
+        )
+    )
+    scored = (
+        folded.join(doclen, id_col)
+        .crossJoin(F.broadcast(qconst))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("_sp") + F.col("_qc")
+                - F.col("_nq").cast("double")
+                * F.log(F.col("_dl").cast("double") + F.lit(mu)),
+                6).alias("score"),
+        )
+    )
+    return _rank_bounded(
+        scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k),
+        id_col,
+    )
