@@ -386,6 +386,9 @@ def main() -> None:
             "anchor_bm25", "snapshot_term_drift", "zipf_slope",
             "ngram_diversity", "explore_exploit", "curation_attribution",
             "lsh_plan", "bloom_fpr_audit",
+            # retrieval-completion wave: query-likelihood Dirichlet
+            # ranking, RRF hybrid fusion, SymSpell fuzzy matching
+            "ql_topk", "hybrid_rrf", "fuzzy_terms",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -2575,6 +2575,66 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # --- retrieval-completion wave: QL ranking, RRF fusion, fuzzy ---
+    from commoncrawl_spark.operators.fuzzy import (
+        fuzzy_term_candidates,
+        vocab_histogram,
+    )
+    from commoncrawl_spark.operators.index import (
+        bm25_search,
+        ql_search,
+        rrf_fuse,
+    )
+
+    p = plan_of(ql_search(docs, ["join", "hash", "scan"], top_k=15),
+                label="ql search")
+    sections.append((
+        "Query-likelihood (Dirichlet): bm25's shape, one filtered explode",
+        "Document length is a scan-stage size(tokens) (no explode); the "
+        "only explode is filtered to the query terms BEFORE its shuffle; "
+        "cf and |C| are 1-row/|terms|-row broadcast aggregates; top-k is "
+        "the parallel partial top-k with the window-free rank fold.",
+        [f"TakeOrderedAndProject: {'TakeOrderedAndProject' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    lex = bm25_search(docs, ["join", "hash", "scan"], top_k=20
+                      ).select("doc_id", "rank")
+    ql = ql_search(docs, ["join", "hash", "scan"], top_k=20
+                   ).select("doc_id", "rank")
+    p = plan_of(rrf_fuse([lex, ql], top_k=15), label="rrf fuse")
+    sections.append((
+        "RRF hybrid fusion: bounded by the input top-k lists",
+        "Fusion unions the ALREADY-bounded ranker outputs (<= sum(k_i) "
+        "rows), folds contributions per doc in source order, and cuts "
+        "with orderBy+limit — fusion cost is independent of corpus "
+        "size; the corpus-scale work stays inside the upstream rankers.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    p = plan_of(
+        fuzzy_term_candidates(
+            vocab_histogram(docs), ["joind", "hsh"], spark=spark),
+        label="fuzzy terms")
+    sections.append((
+        "SymSpell fuzzy match: delete-key EQUI join, never a distance "
+        "cartesian",
+        "Levenshtein is not an equi-key, so the naive form is vocab x "
+        "query cartesian. Symmetric delete-1 keys restore a broadcast "
+        "equi-join (query side is query-sized); levenshtein runs only "
+        "on key-collision survivors. Vocab key expansion is scan-stage "
+        "array expressions over the token histogram (vocab-sized, not "
+        "corpus-sized); per-term ranking is the bounded array fold.",
+        [f"BroadcastHashJoin: {'BroadcastHashJoin' in p} (expect True)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"BroadcastNestedLoopJoin: {p.count('BroadcastNestedLoopJoin')} "
+         f"(expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
