@@ -4394,6 +4394,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark=spark, top_k=3)
     q["fuzzy_terms"] = fuzzy_terms
 
+    def rm_expansion_q(spark, sf):
+        """Pseudo-relevance-feedback expansion (Lavrenko & Croft RM1):
+        QL top-10 for ['join','hash'] -> exp-shift doc weights ->
+        P(t|R) over the feedback docs, top-12 expansion terms. Every
+        float fold is ordered, so the oracle replays it exactly."""
+        from commoncrawl_spark.operators.index import rm_expansion
+
+        d = _read(spark, sf, "documents")
+        return rm_expansion(d, ["join", "hash"], mu=1500.0,
+                            fb_docs=10, fb_terms=12)
+    q["rm_expansion"] = rm_expansion_q
+
+    def kwic_snippets_q(spark, sf):
+        """Keyword-in-context snippets for ['hash','join'] (width 8,
+        first-occurrence anchor) — the search-result display stage;
+        pure scan-stage array expressions, zero shuffle."""
+        from commoncrawl_spark.operators.index import kwic_snippets
+
+        d = _read(spark, sf, "documents")
+        return kwic_snippets(d, ["hash", "join"], width=8)
+    q["kwic_snippets"] = kwic_snippets_q
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9468,6 +9490,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_term, candidate, CAST(dist AS INTEGER) AS dist,
                freq, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    # rm_expansion: the RM1 chain replayed — the ql_topk CTEs for
+    # ('join','hash') cut at 10, exp-shift weights with Z folded in
+    # doc-id order, P(t|d)*w/Z contributions folded per term in doc-id
+    # order, 6dp round, top 12 by (score desc, term asc)
+    o["rm_expansion"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        tot AS (SELECT sum(CAST(dl AS DOUBLE)) AS ctot FROM dlf),
+        qt AS (SELECT doc_id, token FROM toksv
+               WHERE token IN ('join', 'hash')),
+        tfq AS (SELECT doc_id, token, count(*) AS tf
+                FROM qt GROUP BY doc_id, token),
+        cfq AS (SELECT token, sum(CAST(tf AS DOUBLE)) AS cf
+                FROM tfq GROUP BY token),
+        qc AS (
+          SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token,
+                                                l := ln(1500.0 * cf / tot.ctot)))),
+                     x -> x['l']),
+                   (a, c) -> a + c) AS qc,
+                 CAST(count(*) AS DOUBLE) AS nq
+          FROM cfq, tot),
+        per AS (
+          SELECT tfq.doc_id, tfq.token,
+                 ln(1.0 + CAST(tfq.tf AS DOUBLE)
+                          / (1500.0 * cfq.cf / tot.ctot)) AS s
+          FROM tfq JOIN cfq USING (token), tot),
+        sp AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c) AS sp
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score FROM (
+            SELECT sp.doc_id,
+                   round(sp.sp + qc.qc
+                         - qc.nq * ln(CAST(dlf.dl AS DOUBLE) + 1500.0),
+                         6) AS score,
+                   row_number() OVER (
+                     ORDER BY round(sp.sp + qc.qc
+                       - qc.nq * ln(CAST(dlf.dl AS DOUBLE) + 1500.0), 6)
+                       DESC, sp.doc_id ASC) AS rnk
+            FROM sp JOIN dlf USING (doc_id), qc)
+          WHERE rnk <= 10),
+        mx AS (SELECT max(score) AS mx FROM ranked),
+        w AS (SELECT doc_id, exp(score - mx.mx) AS w FROM ranked, mx),
+        z AS (
+          SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(doc_id := doc_id,
+                                                w := w))),
+                     x -> x['w']),
+                   (a, c) -> a + c) AS z
+          FROM w),
+        fbtf AS (
+          SELECT t.doc_id, t.token AS term, count(*) AS tf
+          FROM toksv t JOIN ranked USING (doc_id)
+          GROUP BY t.doc_id, t.token),
+        contrib AS (
+          SELECT fbtf.term,
+                 struct_pack(
+                   doc_id := fbtf.doc_id,
+                   c := CAST(fbtf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+                        * w.w / z.z) AS r
+          FROM fbtf JOIN dl USING (doc_id) JOIN w USING (doc_id), z),
+        scored AS (
+          SELECT term,
+                 round(list_reduce(
+                   list_transform(list_sort(list(r)), x -> x['c']),
+                   (a, c) -> a + c), 6) AS score
+          FROM contrib GROUP BY term),
+        out AS (
+          SELECT term, score,
+                 row_number() OVER (ORDER BY score DESC, term ASC)
+                   AS rank
+          FROM scored)
+        SELECT term, score, CAST(rank AS INTEGER) AS rank
+        FROM out WHERE rank <= 12
+    """
+
+    # kwic_snippets: first-hit anchored width-8 window, before = 4;
+    # 1-based positions throughout on the SQL side (Spark's 0-based
+    # first + 1 == DuckDB's list index)
+    o["kwic_snippets"] = f"""
+        WITH t AS (SELECT doc_id, {toks_doc} AS toks FROM documents),
+        m AS (
+          SELECT doc_id, toks,
+                 list_filter(
+                   list_transform(range(1, len(toks) + 1),
+                     i -> struct_pack(i := i, tk := toks[i])),
+                   s -> list_contains(['hash', 'join'], s.tk)) AS hits
+          FROM t),
+        hit AS (
+          SELECT doc_id, toks, hits[1].i AS fp,
+                 greatest(1, hits[1].i - 4) AS s1
+          FROM m WHERE len(hits) > 0)
+        SELECT doc_id, CAST(fp AS INTEGER) AS first_pos,
+               array_to_string(toks[s1 : s1 + 7], ' ') AS snippet,
+               CAST(len(list_filter(toks[s1 : s1 + 7],
+                 x -> list_contains(['hash', 'join'], x)))
+                 AS INTEGER) AS n_hits
+        FROM hit
     """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,

@@ -898,3 +898,152 @@ def ql_search(
         scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k),
         id_col,
     )
+
+
+def rm_expansion(
+    df: DataFrame,
+    terms: Sequence[str],
+    mu: float = 1500.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms — Lavrenko & Croft's
+    relevance model (RM1, SIGIR'01), the classic automatic
+    query-expansion step (RM3 = interpolate this with the original
+    query): take the query-likelihood top ``fb_docs``, weight each by
+    its (shift-normalized) query likelihood, and score every term in
+    those documents by ``P(t|R) = sum_d P(t|d) * w_d`` with
+    ``P(t|d) = tf/dl`` and ``w_d = exp(score_d - max_score) / Z``.
+    Returns the top ``fb_terms`` as ``(term, score, rank)``.
+
+    Determinism: document weights use the ALREADY-6dp-rounded QL
+    scores; ``Z`` and every per-term sum fold in doc-id order; final
+    scores round to 6dp — the whole chain replays exactly in any
+    engine.
+
+    Scale shape: the feedback set is ``fb_docs`` rows — everything
+    after the QL ranking is bounded. The corpus-scale work is
+    :func:`ql_search` itself (audited separately); the feedback docs
+    are pulled with one broadcast semi-join on the id, tokenized once
+    (fb_docs documents, not the corpus), and the term scoring is a
+    fold over <= fb_docs contributions per term."""
+    # the QL ranking feeds THREE consumers (max, weights, semi-join);
+    # a lazy localCheckpoint materializes the <= fb_docs rows once so
+    # the corpus is scanned once, not three times (the zipnum pattern)
+    ranked = ql_search(df, terms, mu=mu, top_k=fb_docs,
+                       text_col=text_col, id_col=id_col
+                       ).localCheckpoint(eager=False)
+    # shift-normalized doc weights: 1-row frame (max, Z) with Z folded
+    # in doc-id order over <= fb_docs rows
+    mx = ranked.agg(F.max("score").alias("_mx"))
+    wdoc = (
+        ranked.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(id_col),
+            F.exp(F.col("score") - F.col("_mx")).alias("_w"))
+    )
+    z = (
+        wdoc.select(F.struct(F.col(id_col).alias("_id"),
+                             F.col("_w").alias("_w")).alias("_r"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(F.aggregate(F.col("_rs"), F.lit(0.0),
+                            lambda acc, x: acc + x["_w"]).alias("_z"))
+    )
+    fb = df.join(
+        F.broadcast(ranked.select(id_col)), id_col, "semi")
+    dl = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0))
+    doclen = fb.select(F.col(id_col), dl.alias("_dl"))
+    tf = (
+        fb.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(doclen), id_col)
+        .join(F.broadcast(wdoc), id_col)
+        .crossJoin(F.broadcast(z))
+        .select(
+            "term",
+            F.struct(
+                F.col(id_col).alias("_id"),
+                (F.col("_tf").cast("double")
+                 / F.col("_dl").cast("double")
+                 * F.col("_w") / F.col("_z")).alias("_c"),
+            ).alias("_r"),
+        )
+    )
+    scored = (
+        contrib.groupBy("term")
+        .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
+        .select(
+            "term",
+            F.round(
+                F.aggregate(F.col("_rs"), F.lit(0.0),
+                            lambda acc, x: acc + x["_c"]),
+                6).alias("score"),
+        )
+    )
+    return _rank_bounded(
+        scored.orderBy(F.desc("score"), F.asc("term")).limit(fb_terms),
+        "term",
+    )
+
+
+def kwic_snippets(
+    df: DataFrame,
+    terms: Sequence[str],
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippets — the search-result display step:
+    for every document containing at least one query term, a
+    ``width``-token window anchored on the FIRST occurrence (the
+    grep ``-m1`` convention; window starts ``width // 2`` tokens
+    before the hit, clamped to the document start, and clamps short at
+    the document end). Returns ``(id_col, first_pos, snippet,
+    n_hits)`` with ``first_pos`` the 1-based token position of the
+    first hit and ``n_hits`` the query-token count inside the window.
+
+    Scale shape: pure per-row array expressions over the token split
+    (bound to a real column so higher-order lambdas read an attribute,
+    not a re-evaluated expression — the ``chunk_documents`` lesson);
+    zero shuffle, zero Python — composes into the scan stage after any
+    retrieval join."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    before = width // 2
+    toks = F.col("_toks")
+    first0 = F.element_at(
+        F.filter(
+            F.transform(
+                toks, lambda t, i: F.struct(i.alias("_i"), t.alias("_t"))),
+            lambda s: s["_t"].isin(terms)),
+        1)["_i"]
+    base = (
+        df.select(F.col(id_col),
+                  tokens_col(F.col(text_col)).alias("_toks"))
+        .filter(F.exists(toks, lambda t: t.isin(terms)))
+        .select(F.col(id_col), toks.alias("_toks"),
+                first0.alias("_f0"))
+    )
+    start0 = F.greatest(F.lit(0), F.col("_f0") - F.lit(before))
+    window = F.slice(F.col("_toks"), start0 + 1, width)
+    return (
+        base.select(F.col(id_col), F.col("_f0"), window.alias("_w"))
+        .select(
+            F.col(id_col),
+            (F.col("_f0") + 1).alias("first_pos"),
+            F.concat_ws(" ", F.col("_w")).alias("snippet"),
+            F.size(F.filter(
+                F.col("_w"), lambda t: t.isin(terms))).alias("n_hits"),
+        )
+    )

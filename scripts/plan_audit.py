@@ -2635,6 +2635,38 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.index import (
+        kwic_snippets,
+        rm_expansion,
+    )
+
+    p = plan_of(rm_expansion(docs, ["join", "hash"], fb_docs=10),
+                label="rm expansion")
+    sections.append((
+        "RM1 expansion: corpus work = one QL ranking, rest is fb_docs-"
+        "bounded",
+        "The QL top-k materializes ONCE (lazy localCheckpoint — three "
+        "consumers, one corpus scan); feedback docs are pulled with a "
+        "broadcast semi-join on the id and tokenized alone; weights, Z "
+        "and per-term sums are ordered folds over <= fb_docs rows.",
+        [f"BroadcastHashJoin/semi present: {'BroadcastHashJoin' in p}",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+    p = plan_of(kwic_snippets(docs, ["join", "hash"]),
+                label="kwic snippets")
+    sections.append((
+        "KWIC snippets: scan-stage only",
+        "First-hit window extraction is per-row array expressions over "
+        "an attribute-bound token split (the chunk_documents lesson) — "
+        "zero exchanges, zero Python; composes into the scan above any "
+        "retrieval join.",
+        [f"Exchange operators: {p.count('Exchange')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

@@ -229,3 +229,90 @@ def test_ql_hybrid_rrf_composition(spark):
     by_rank = [r["doc_id"] for r in sorted(fused, key=lambda r: r["rank"])]
     assert by_rank[0] == 1          # both rankers agree on doc 1
     assert 4 not in by_rank
+
+
+# ---------------------------------------------------------------------------
+# RM1 expansion + KWIC snippets
+# ---------------------------------------------------------------------------
+
+
+def _rm_oracle(docs, terms, mu, fb_docs, fb_terms):
+    ql = _ql_oracle(docs, terms, mu)
+    top = sorted(ql.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_docs]
+    mx = max(s for _, s in top)
+    w = {d: math.exp(s - mx) for d, s in top}
+    z = 0.0
+    for d in sorted(w):
+        z += w[d]
+    toks = {d: t.split() for d, t in docs}
+    scores = {}
+    for d in sorted(w):
+        tl = toks[d]
+        for t in set(tl):
+            scores.setdefault(t, 0.0)
+    for t in scores:
+        s = 0.0
+        for d in sorted(w):
+            tl = toks[d]
+            if t in tl:
+                s += tl.count(t) / len(tl) * w[d] / z
+        scores[t] = round(s, 6)
+    out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    return {t: (s, i + 1) for i, (t, s) in enumerate(out)}
+
+
+@pytest.mark.spark
+def test_rm_expansion_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.index import rm_expansion
+
+    docs = [(1, "spark join spark shuffle"), (2, "spark join broadcast"),
+            (3, "join shuffle shuffle skew"), (4, "unrelated filler words"),
+            (5, "spark spark spark join")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["term"]: (r["score"], r["rank"])
+           for r in rm_expansion(
+               df, ["spark", "join"], mu=50.0,
+               fb_docs=3, fb_terms=5).collect()}
+    assert got == _rm_oracle(docs, ["spark", "join"], 50.0, 3, 5)
+    # expansion surfaces co-occurring vocabulary beyond the query
+    assert any(t in got for t in ("shuffle", "broadcast"))
+
+
+@pytest.mark.spark
+def test_kwic_hand_cases(spark):
+    from commoncrawl_spark.operators.index import kwic_snippets
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e TARGET f g h i j"),
+         (2, "TARGET x y"),                  # hit at doc start: clamp
+         (3, "p q r s TARGET"),              # hit at doc end: short tail
+         (4, "no match here"),
+         (5, "TARGET other target TARGET")],  # n_hits inside window
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in kwic_snippets(df, ["target"], width=4).collect()}
+    # width 4, before = 2; doc 1: first hit at token 6 (1-based),
+    # window starts at token 4
+    assert rows[1]["first_pos"] == 6
+    assert rows[1]["snippet"] == "d e target f"
+    assert rows[1]["n_hits"] == 1
+    # doc 2: clamp at document start
+    assert rows[2]["first_pos"] == 1 and rows[2]["snippet"] == "target x y"
+    # doc 3: tail window shorter than width
+    assert rows[3]["snippet"] == "r s target"
+    assert 4 not in rows
+    # doc 5: lowercased tokens -> 3 hits, window catches all of them
+    assert rows[5]["n_hits"] == 3
+
+
+@pytest.mark.spark
+def test_kwic_plan_no_shuffle_no_python(spark):
+    from commoncrawl_spark.operators.index import kwic_snippets
+
+    df = spark.createDataFrame(
+        [(1, "a target b")], "doc_id long, text string")
+    plan = kwic_snippets(df, ["target"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
