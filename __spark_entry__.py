@@ -4416,6 +4416,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kwic_snippets(d, ["hash", "join"], width=8)
     q["kwic_snippets"] = kwic_snippets_q
 
+    def bm25f_topk(spark, sf):
+        """Field-weighted BM25F (Robertson et al. CIKM'04): title field
+        = the document's first 8 tokens at weight 3.0, body = the full
+        text at weight 1.0 — weighted tf summed BEFORE saturation, the
+        way web search actually scores title/anchor hits. Exact-binary
+        weights keep every weighted sum dyadic, so the oracle replays
+        the arithmetic bit-for-bit."""
+        from commoncrawl_spark.operators.index import bm25f_search
+
+        d = _read(spark, sf, "documents")
+        base = d.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(tokens_col(F.col("text")), 1, 8)
+            ).alias("title"),
+            F.col("text").alias("body"),
+        )
+        return bm25f_search(
+            base, ["join", "hash", "scan"],
+            {"title": 3.0, "body": 1.0}, top_k=15)
+    q["bm25f_topk"] = bm25f_topk
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9602,6 +9624,63 @@ def oracle_sql() -> dict[str, str]:
                  x -> list_contains(['hash', 'join'], x)))
                  AS INTEGER) AS n_hits
         FROM hit
+    """
+
+    # bm25f_topk: the BM25F arithmetic replayed — title = first 8
+    # tokens at weight 3.0, body = full text at weight 1.0; weighted
+    # tf/dl folded in fixed field order (3.0*title + 1.0*body), then
+    # the bm25_topk scoring over the weighted quantities
+    o["bm25f_topk"] = f"""
+        WITH base AS (
+          SELECT doc_id, {toks_doc} AS bt, ({toks_doc})[1:8] AS tt
+          FROM documents),
+        dlw AS (
+          SELECT doc_id,
+                 3.0 * CAST(len(tt) AS DOUBLE)
+                 + 1.0 * CAST(len(bt) AS DOUBLE) AS dl
+          FROM base),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dlw),
+        stream AS (
+          SELECT doc_id, unnest(tt) AS token, 0 AS fi FROM base
+          UNION ALL
+          SELECT doc_id, unnest(bt) AS token, 1 AS fi FROM base),
+        cnt AS (
+          SELECT doc_id, token,
+                 sum(CASE WHEN fi = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN fi = 1 THEN 1 ELSE 0 END) AS c1
+          FROM stream WHERE token IN ('join', 'hash', 'scan')
+          GROUP BY doc_id, token),
+        tfw AS (
+          SELECT doc_id, token,
+                 CAST(c0 AS DOUBLE) * 3.0 + CAST(c1 AS DOUBLE) * 1.0
+                   AS tf
+          FROM cnt),
+        dfq AS (SELECT token, count(*) AS df FROM tfw GROUP BY token),
+        per AS (
+          SELECT tfw.doc_id, tfw.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (tfw.tf * 2.2
+                    / (tfw.tf
+                       + 1.2 * (1.0 - 0.75 + 0.75 * dlw.dl / g.avgdl)))
+                   AS s
+          FROM tfw JOIN dfq USING (token) JOIN dlw USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
     """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,

@@ -389,7 +389,7 @@ def main() -> None:
             # retrieval-completion wave: query-likelihood Dirichlet
             # ranking, RRF hybrid fusion, SymSpell fuzzy matching
             "ql_topk", "hybrid_rrf", "fuzzy_terms",
-            "rm_expansion", "kwic_snippets",
+            "rm_expansion", "kwic_snippets", "bm25f_topk",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

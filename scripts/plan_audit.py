@@ -2667,6 +2667,31 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.index import bm25f_search
+
+    docs_2f = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(
+            F.split(F.lower("text"), "[^a-z0-9]+"), 1, 8)).alias("title"),
+        F.col("text").alias("body"))
+    p = plan_of(
+        bm25f_search(docs_2f, ["join", "hash"],
+                     {"title": 3.0, "body": 1.0}),
+        label="bm25f field-weighted")
+    sections.append((
+        "BM25F: field count multiplies scan work, not shuffle keys",
+        "Weighted document length is ONE scan-stage expression over all "
+        "fields; the per-field token streams are filtered to the query "
+        "terms BEFORE the union's shuffle and the field dimension folds "
+        "into conditional-count columns inside the SAME (id, token) "
+        "aggregate — shuffle keys stay (id, token) however many fields "
+        "exist. Top-k via orderBy+limit, rank via the bounded fold.",
+        [f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in p}",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

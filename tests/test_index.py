@@ -509,3 +509,116 @@ def test_retrieval_eval_grades_bm25_on_synthetic_gold(spark):
         F.lit("q").alias("query_id"), "doc_id", F.lit(1).alias("rel"))
     r = retrieval_eval(results, qrels, k=10).collect()[0]
     assert r["mrr"] == 1.0 and r["recall_k"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BM25F field-weighted retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25f_oracle(docs, terms, weights, k1=1.2, b=0.75):
+    """docs: [(id, {field: text})]; weights: [(field, w)] ordered."""
+    import math
+
+    def toks(t):
+        import re
+        return [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+
+    dl = {}
+    for did, fields in docs:
+        s = 0.0
+        for f, w in weights:
+            s += len(toks(fields.get(f, ""))) * w
+        dl[did] = s
+    n = len(docs)
+    avgdl = sum(dl[d] for d, _ in docs) / n
+    tf = {}
+    for did, fields in docs:
+        for t in set(terms):
+            wtf = 0.0
+            for f, w in weights:
+                wtf += toks(fields.get(f, "")).count(t) * w
+            if wtf > 0:
+                tf[(did, t)] = wtf
+    dfreq = {}
+    for (_d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    scores = {}
+    for did, _ in docs:
+        per = []
+        for t in sorted(set(terms)):
+            if (did, t) not in tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            x = tf[(did, t)]
+            per.append((t, idf * x * (k1 + 1)
+                        / (x + k1 * (1 - b + b * dl[did] / avgdl))))
+        if per:
+            s = 0.0
+            for _t, v in sorted(per):
+                s += v
+            scores[did] = round(s, 6)
+    return scores
+
+
+@pytest.mark.spark
+def test_bm25f_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.index import bm25f_search
+
+    docs = [
+        (1, {"title": "spark join guide", "body": "hash partitions and join plans"}),
+        (2, {"title": "cooking pasta", "body": "spark spark join join join hash"}),
+        (3, {"title": "hash maps", "body": "no relevant words at all"}),
+        (4, {"title": "", "body": "join"}),
+    ]
+    df = spark.createDataFrame(
+        [(d, f["title"], f["body"]) for d, f in docs],
+        "doc_id long, title string, body string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25f_search(
+               df, ["spark", "join", "hash"],
+               {"title": 3.0, "body": 1.0}, top_k=10).collect()}
+    want = _bm25f_oracle(docs, ["spark", "join", "hash"],
+                         [("title", 3.0), ("body", 1.0)])
+    assert got == want
+
+
+@pytest.mark.spark
+def test_bm25f_title_hit_beats_body_hit(spark):
+    from commoncrawl_spark.operators.index import bm25f_search
+
+    # identical docs except WHERE the term sits; equal lengths so only
+    # the field weight separates them
+    df = spark.createDataFrame(
+        [(1, "spark intro", "filler words here"),
+         (2, "other intro", "spark words here")],
+        "doc_id long, title string, body string")
+    rows = {r["doc_id"]: r
+            for r in bm25f_search(
+                df, ["spark"], {"title": 3.0, "body": 1.0}).collect()}
+    assert rows[1]["score"] > rows[2]["score"]
+    assert rows[1]["rank"] == 1
+
+
+@pytest.mark.spark
+def test_bm25f_single_field_unit_weight_is_bm25(spark, corpus):
+    from commoncrawl_spark.operators.index import bm25_search, bm25f_search
+
+    a = {(r["doc_id"], r["score"], r["rank"])
+         for r in bm25_search(corpus, ["spark", "hash"], top_k=4).collect()}
+    f = {(r["doc_id"], r["score"], r["rank"])
+         for r in bm25f_search(
+             corpus, ["spark", "hash"], {"text": 1.0}, top_k=4).collect()}
+    assert a == f
+
+
+@pytest.mark.spark
+def test_bm25f_validation(spark, corpus):
+    from commoncrawl_spark.operators.index import bm25f_search
+
+    with pytest.raises(ValueError):
+        bm25f_search(corpus, [], {"text": 1.0})
+    with pytest.raises(ValueError):
+        bm25f_search(corpus, ["spark"], {})
+    with pytest.raises(ValueError):
+        bm25f_search(corpus, ["spark"], {"text": 0.0})
