@@ -4438,6 +4438,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"title": 3.0, "body": 1.0}, top_k=15)
     q["bm25f_topk"] = bm25f_topk
 
+    def champion_search(spark, sf):
+        """Static index pruning (champion lists, Manning IIR §7.1.3):
+        keep only the tf-top-32 postings per term, stamp the TRUE df,
+        then BM25 over the pruned lists — query cost O(|query|·m)
+        whatever the corpus size. The serving-scale answer to stopword
+        posting lists; survivors score EXACTLY as the full index."""
+        from commoncrawl_spark.operators.index import (
+            bm25_search_champion,
+            build_champion_lists,
+            build_doclen,
+            build_tf_index,
+        )
+
+        d = _read(spark, sf, "documents")
+        champ = build_champion_lists(
+            build_tf_index(d), m=32, salt_buckets=8)
+        return bm25_search_champion(
+            champ, build_doclen(d), ["join", "hash", "scan"], top_k=15)
+    q["champion_search"] = champion_search
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9666,6 +9686,58 @@ def oracle_sql() -> dict[str, str]:
                        + 1.2 * (1.0 - 0.75 + 0.75 * dlw.dl / g.avgdl)))
                    AS s
           FROM tfw JOIN dfq USING (token) JOIN dlw USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
+    """
+
+    # champion_search: per-term tf-top-32 pruning (row_number over the
+    # token partition, ties on doc_id — the salted two-stage collapses
+    # to exactly this), TRUE df from the pre-pruning counts, then the
+    # bm25_topk arithmetic over the survivors
+    o["champion_search"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        tfx AS (SELECT doc_id, token, count(*) AS tf
+                FROM toksv WHERE token IN ('join', 'hash', 'scan')
+                GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tfx GROUP BY token),
+        champ AS (
+          SELECT doc_id, token, tf FROM (
+            SELECT doc_id, token, tf,
+                   row_number() OVER (
+                     PARTITION BY token
+                     ORDER BY tf DESC, doc_id ASC) AS rn
+            FROM tfx)
+          WHERE rn <= 32),
+        per AS (
+          SELECT champ.doc_id, champ.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(champ.tf AS DOUBLE) * 2.2
+                    / (CAST(champ.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM champ JOIN dfq USING (token) JOIN dl USING (doc_id), g),
         folded AS (
           SELECT doc_id,
                  round(list_reduce(

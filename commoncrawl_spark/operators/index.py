@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analytics import tokens_col
@@ -210,15 +210,25 @@ def _bm25_rank(
     b: float,
     top_k: int,
     id_col: str,
+    df_precomputed: bool = False,
 ) -> DataFrame:
     """Shared BM25 scoring tail: ``tf`` is ``(id, token, _tf)`` already
     restricted to the query terms, ``doclen`` is ``(id, _dl)``,
-    ``globals_`` a 1-row ``(_n, _avgdl)`` frame. Fed by both the
-    scan path (:func:`bm25_search`) and the persisted-index path
-    (:func:`bm25_search_indexed`)."""
-    # tf has exactly one row per (doc, term): df is a tiny re-aggregate,
-    # not a second distinct pass over the corpus token frame
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ``globals_`` a 1-row ``(_n, _avgdl)`` frame. Fed by the scan path
+    (:func:`bm25_search`), the persisted-index path
+    (:func:`bm25_search_indexed`), and — with ``df_precomputed`` — the
+    pruned path (:func:`bm25_search_champion`), whose tf rows carry the
+    TRUE document frequency as a ``_df`` column stamped at build time
+    (recounting over the pruned lists would understate df and inflate
+    idf)."""
+    if df_precomputed:
+        scored = tf
+    else:
+        # tf has exactly one row per (doc, term): df is a tiny
+        # re-aggregate, not a second distinct pass over the corpus
+        # token frame
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        scored = tf.join(dfreq, "token")
     idf = F.log(
         1.0 + (F.col("_n").cast("double") - F.col("_df") + 0.5)
         / (F.col("_df").cast("double") + 0.5))
@@ -229,7 +239,7 @@ def _bm25_rank(
                    / F.col("_avgdl")))
     )
     per_term = (
-        tf.join(dfreq, "token")
+        scored
         .join(doclen, id_col)
         .crossJoin(F.broadcast(globals_))
         .select(F.col(id_col), F.col("token"), term_score.alias("_s"))
@@ -1134,3 +1144,90 @@ def bm25f_search(
         wtf = term_tf if wtf is None else wtf + term_tf
     tf = counts.select(F.col(id_col), F.col("token"), wtf.alias("_tf"))
     return _bm25_rank(tf, doclen, globals_, k1, b, top_k, id_col)
+
+
+def build_champion_lists(
+    tf_index: DataFrame,
+    m: int = 128,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Static index pruning via champion lists (Manning IIR §7.1.3 /
+    Carmel et al. SIGIR'01 top-answers pruning): keep, per term, only
+    the ``m`` postings with the highest term frequency (ties on the id)
+    — the documents that term could ever rank highly. Returns
+    ``(token, id, tf, df)`` with ``df`` the term's TRUE pre-pruning
+    document frequency, stamped on so idf at query time is computed
+    against the full corpus, not the survivors.
+
+    This is the serving-scale lever for stopword-heavy queries: a term
+    in 10^10 documents has an 80 GB posting list, but its champion list
+    is ``m`` rows — query cost becomes O(|query| * m) regardless of
+    corpus size. The price is approximation: a document outside every
+    queried term's champion list cannot be retrieved (fine for top-k
+    ranking where tf-saturation means low-tf postings hardly score;
+    measure with the overlap-vs-full test before deploying).
+
+    Scale shape: per-term top-m via the SALTED two-stage pattern
+    (``select_polite_batch``'s exactness argument — any true top-m row
+    is in the top-m of its own salt bucket): stage 1 ranks within
+    ``(token, salt)`` so a stopword's corpus-sized posting list splits
+    across ``salt_buckets`` tasks; stage 2 ranks the <= salt_buckets*m
+    survivors per token. Both windows are keyed — no partition-less
+    Window. df is a map-side-partial count re-aggregate joined back on
+    the token."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    dfreq = tf_index.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    order = [F.col("tf").desc(), F.col(id_col).asc()]
+    salted = tf_index.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"))
+    w1 = Window.partitionBy("token", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= m)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("token").orderBy(*order)
+    pruned = (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= m)
+        .drop("_rn2")
+    )
+    return pruned.join(dfreq, "token").select("token", id_col, "tf", "df")
+
+
+def bm25_search_champion(
+    champions: DataFrame,
+    doclen: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over champion lists (:func:`build_champion_lists` output):
+    identical arithmetic to :func:`bm25_search_indexed` — idf uses the
+    stamped TRUE df, length normalization uses the full ``doclen``
+    table — but each queried term contributes at most ``m`` candidate
+    rows, so query cost is bounded by the query, not the corpus.
+    Documents outside every queried term's champion list are
+    unreachable (the documented pruning approximation); any document
+    whose every matched posting survived pruning scores EXACTLY as the
+    full index would."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    dl = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = champions.filter(F.col("token").isin(terms)).select(
+        F.col(id_col), F.col("token"),
+        F.col("tf").alias("_tf"), F.col("df").alias("_df"),
+    )
+    return _bm25_rank(tf, dl, globals_, k1, b, top_k, id_col,
+                      df_precomputed=True)

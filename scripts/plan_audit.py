@@ -2692,6 +2692,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.index import (
+        bm25_search_champion,
+        build_champion_lists,
+        build_doclen,
+        build_tf_index,
+    )
+
+    champ = build_champion_lists(build_tf_index(docs), m=32,
+                                 salt_buckets=8)
+    p = plan_of(
+        bm25_search_champion(champ, build_doclen(docs), ["join", "hash"]),
+        label="champion-pruned bm25")
+    sections.append((
+        "Champion lists: per-term top-m pruning is salted and KEYED",
+        "Static index pruning bounds every queried term to m candidate "
+        "rows however long its true posting list. The top-m windows are "
+        "partitioned — (token, salt) in stage 1 so a stopword's corpus-"
+        "sized list splits across salt_buckets tasks, token-only in "
+        "stage 2 over <= salt_buckets*m survivors — so no partition-less "
+        "Window exists anywhere in the build+search plan; the final "
+        "top-k stays orderBy+limit.",
+        [f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in p}",
+         "partition-less Window: swept globally below (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)

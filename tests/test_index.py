@@ -622,3 +622,96 @@ def test_bm25f_validation(spark, corpus):
         bm25f_search(corpus, ["spark"], {})
     with pytest.raises(ValueError):
         bm25f_search(corpus, ["spark"], {"text": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# Champion lists (static index pruning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def champ_corpus(spark):
+    # 'common' appears in every doc with distinct tfs; 'rare' in two
+    rows = []
+    for i in range(1, 9):
+        rows.append((i, " ".join(["common"] * i)
+                     + (" rare" if i in (3, 7) else "")))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.mark.spark
+def test_champion_lists_keep_top_m_by_tf(spark, champ_corpus):
+    from commoncrawl_spark.operators.index import (
+        build_champion_lists, build_tf_index)
+
+    champ = build_champion_lists(
+        build_tf_index(champ_corpus), m=3, salt_buckets=4)
+    rows = [r for r in champ.collect() if r["token"] == "common"]
+    # top-3 postings by tf desc: docs 8, 7, 6
+    assert sorted(r["doc_id"] for r in rows) == [6, 7, 8]
+    # TRUE df stamped, not the pruned list length
+    assert all(r["df"] == 8 for r in rows)
+    rare = [r for r in champ.collect() if r["token"] == "rare"]
+    assert sorted(r["doc_id"] for r in rare) == [3, 7]
+
+
+@pytest.mark.spark
+def test_champion_ties_break_on_id(spark):
+    from commoncrawl_spark.operators.index import (
+        build_champion_lists, build_tf_index)
+
+    df = spark.createDataFrame(
+        [(i, "tie tie") for i in range(1, 6)], "doc_id long, text string")
+    champ = build_champion_lists(build_tf_index(df), m=2, salt_buckets=4)
+    assert sorted(r["doc_id"] for r in champ.collect()) == [1, 2]
+
+
+@pytest.mark.spark
+def test_champion_search_equals_full_when_m_large(spark, champ_corpus):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_champion, bm25_search_indexed, build_champion_lists,
+        build_doclen, build_tf_index)
+
+    tfi = build_tf_index(champ_corpus)
+    dl = build_doclen(champ_corpus)
+    full = {(r["doc_id"], r["score"], r["rank"])
+            for r in bm25_search_indexed(
+                tfi, dl, ["common", "rare"], top_k=8).collect()}
+    pruned = {(r["doc_id"], r["score"], r["rank"])
+              for r in bm25_search_champion(
+                  build_champion_lists(tfi, m=100), dl,
+                  ["common", "rare"], top_k=8).collect()}
+    assert full == pruned
+
+
+@pytest.mark.spark
+def test_champion_search_scores_survivors_exactly(spark, champ_corpus):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_champion, bm25_search_indexed, build_champion_lists,
+        build_doclen, build_tf_index)
+
+    tfi = build_tf_index(champ_corpus)
+    dl = build_doclen(champ_corpus)
+    full = {r["doc_id"]: r["score"]
+            for r in bm25_search_indexed(
+                tfi, dl, ["common"], top_k=8).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_search_champion(
+               build_champion_lists(tfi, m=3), dl,
+               ["common"], top_k=8).collect()}
+    # only the tf-top-3 candidates are reachable (the documented
+    # approximation: tf-pruning, not score-pruning — doc 5 outscores
+    # doc 7 in the full ranking because 'rare' pads 7's length, but 5
+    # is outside the champion list), each scored EXACTLY as full
+    assert sorted(got) == [6, 7, 8]
+    for d, s in got.items():
+        assert s == full[d]
+
+
+@pytest.mark.spark
+def test_champion_validation(spark, champ_corpus):
+    from commoncrawl_spark.operators.index import (
+        build_champion_lists, build_tf_index)
+
+    with pytest.raises(ValueError):
+        build_champion_lists(build_tf_index(champ_corpus), m=0)
