@@ -4458,6 +4458,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             champ, build_doclen(d), ["join", "hash", "scan"], top_k=15)
     q["champion_search"] = champion_search
 
+    def kcore_hosts(spark, sf):
+        """k-core membership of the host graph (Seidman 1983, peeled
+        for <= 8 rounds): the densely interlinked center — crawl-budget
+        tier / link-farm triage signal beside PageRank. Same synthetic
+        host graph as host_pagerank; peeling is confluent, so the
+        bounded-round replay is engine-exact."""
+        from commoncrawl_spark.operators.graph import kcore
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        edges = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return kcore(edges, k=9, max_rounds=8)
+    q["kcore_hosts"] = kcore_hosts
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9754,6 +9773,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 15
     """
+
+    # kcore_hosts: the bounded-round peel unrolled CTE-for-CTE —
+    # symmetrized distinct host edges, then 8 rounds of (degree ->
+    # alive >= k -> both-endpoint restriction), final deg >= k cut.
+    # Peeling is confluent, and rounds after convergence are no-ops,
+    # so the unroll count only needs to MATCH the operator's bound.
+    _kcore_k, _kcore_rounds = 9, 8
+    _kc = """
+        WITH d AS (SELECT doc_id FROM documents),
+        raw AS (
+          SELECT doc_id % 97 AS a, (doc_id * doc_id + 1) % 97 AS b
+          FROM d
+          UNION ALL
+          SELECT doc_id % 97 AS a, (doc_id * 17 + 3) % 41 AS b FROM d),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM raw WHERE a <> b
+            UNION ALL
+            SELECT b AS a, a AS b FROM raw WHERE a <> b))"""
+    for _r in range(_kcore_rounds):
+        _kc += f""",
+        al{_r} AS MATERIALIZED (SELECT a FROM e{_r} GROUP BY a
+                   HAVING count(*) >= {_kcore_k}),
+        e{_r + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{_r} e
+          JOIN al{_r} x ON e.a = x.a
+          JOIN al{_r} y ON e.b = y.a)"""
+    _kc += f"""
+        SELECT a AS node, count(*) AS deg
+        FROM e{_kcore_rounds} GROUP BY a
+        HAVING count(*) >= {_kcore_k}
+    """
+    o["kcore_hosts"] = _kc
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
     # space-joined = the operator's array_sort + concat_ws), then the

@@ -2699,6 +2699,22 @@ def main() -> None:
         build_tf_index,
     )
 
+    from commoncrawl_spark.operators.graph import kcore
+
+    p = plan_of(kcore(pr_edges, k=9, max_rounds=2), label="k-core")
+    sections.append((
+        "k-core peel: slim edge state, semi-join restriction per round",
+        "Each peel round is one map-side-partial degree count plus two "
+        "SEMI joins on the slim survivor set — no fat columns move, no "
+        "window anywhere, the convergence test is a scalar count. "
+        "Interval localCheckpoint bounds lineage; peeling is confluent "
+        "so the bounded-round state is engine-replayable.",
+        [f"LeftSemi joins present: {'LeftSemi' in p} (expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

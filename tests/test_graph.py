@@ -751,3 +751,87 @@ def test_reciprocal_link_stats(spark):
     assert got[1] == (2, 1, 0.5)
     assert got[2] == (1, 1, 1.0)
     assert 4 not in got
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(edges, k):
+    """Peel to the fixed point on a symmetrized simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        weak = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(weak)
+        for n in weak:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+@pytest.mark.spark
+def test_kcore_triangle_with_tail(spark):
+    from commoncrawl_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus a tail 3-4-5: the 2-core is the triangle
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert got == _kcore_oracle(edges, 2)
+
+
+@pytest.mark.spark
+def test_kcore_cascade_peel(spark):
+    from commoncrawl_spark.operators.graph import kcore
+
+    # chain 1-2-3-4: every node eventually peels at k=2 (cascade:
+    # endpoints fall first, then the middle) — needs >1 round
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert kcore(df, k=2).count() == 0
+
+
+@pytest.mark.spark
+def test_kcore_matches_oracle_on_random_graph(spark):
+    from commoncrawl_spark.operators.graph import kcore
+
+    # deterministic pseudo-random graph, same family as the query
+    edges = [((i * i + 1) % 37, (i * 17 + 3) % 37) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["deg"] for r in kcore(df, k=k).collect()}
+        assert got == _kcore_oracle(edges, k), f"k={k}"
+
+
+@pytest.mark.spark
+def test_kcore_self_loops_and_duplicates_ignored(spark):
+    from commoncrawl_spark.operators.graph import kcore
+
+    edges = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+@pytest.mark.spark
+def test_kcore_bounded_rounds_state(spark):
+    from commoncrawl_spark.operators.graph import kcore
+
+    # chain of 6 at k=2 with max_rounds=1: one peel round removes the
+    # two endpoints, the final deg>=k cut then removes 2 and 5 as well
+    # (their degree is 1 AFTER the restriction) — the round-R state an
+    # unrolled oracle computes
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"]
+           for r in kcore(df, k=2, max_rounds=1).collect()}
+    assert got == {3: 2, 4: 2}
