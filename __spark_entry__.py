@@ -4477,6 +4477,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kcore(edges, k=9, max_rounds=8)
     q["kcore_hosts"] = kcore_hosts
 
+    def cocitation_hosts(spark, sf):
+        """Co-citation host similarity (Small 1973, HITS' A^T A one
+        cell at a time): hosts are similar when the same pages link to
+        both — "sites like X" without touching content. Pages cite the
+        two synthetic hosts of the pagerank graph; hub sources above
+        max_out=8 distinct targets are excluded (the quadratic guard),
+        pairs need >= 2 co-citing pages, cosine-normalized by citing
+        counts."""
+        from commoncrawl_spark.operators.links import cocitation
+
+        d = _read(spark, sf, "documents").select("doc_id")
+        links = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+        ).unionByName(d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 41).alias("dst"),
+        ))
+        return cocitation(links, max_out=8, min_count=2)
+    q["cocitation_hosts"] = cocitation_hosts
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9806,6 +9827,34 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= {_kcore_k}
     """
     o["kcore_hosts"] = _kc
+
+    # cocitation_hosts: distinct citations -> hub cut at out-degree 8
+    # -> per-source pair self-join (a < b) -> cosine normalization by
+    # the eligible-set citing counts, min 2 co-citing sources
+    o["cocitation_hosts"] = """
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, (doc_id * doc_id + 1) % 97 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id AS src, (doc_id * 17 + 3) % 41 AS dst
+            FROM documents)),
+        od AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 8),
+        el AS (SELECT e.src, e.dst FROM e JOIN od USING (src)),
+        dfq AS (SELECT dst, count(*) AS df FROM el GROUP BY dst),
+        pairs AS (
+          SELECT l.dst AS a, r.dst AS b, count(*) AS n_common
+          FROM el l JOIN el r ON l.src = r.src AND l.dst < r.dst
+          GROUP BY l.dst, r.dst
+          HAVING count(*) >= 2)
+        SELECT p.a, p.b, p.n_common,
+               round(CAST(p.n_common AS DOUBLE)
+                     / sqrt(CAST(da.df AS DOUBLE)
+                            * CAST(db.df AS DOUBLE)), 6) AS similarity
+        FROM pairs p
+        JOIN dfq da ON p.a = da.dst
+        JOIN dfq db ON p.b = db.dst
+    """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
     # space-joined = the operator's array_sort + concat_ws), then the

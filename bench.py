@@ -390,7 +390,7 @@ def main() -> None:
             # ranking, RRF hybrid fusion, SymSpell fuzzy matching
             "ql_topk", "hybrid_rrf", "fuzzy_terms",
             "rm_expansion", "kwic_snippets", "bm25f_topk",
-            "champion_search", "kcore_hosts",
+            "champion_search", "kcore_hosts", "cocitation_hosts",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

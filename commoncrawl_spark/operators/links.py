@@ -752,3 +752,74 @@ def url_tree_rollup(
             .cast("long").alias("depth"),
             "prefix", "n_urls")
     )
+
+
+def cocitation(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_out: int = 64,
+    min_count: int = 1,
+) -> DataFrame:
+    """Co-citation similarity (Small, JASIS 1973 — the original
+    link-structure similarity, and HITS' ``A^T A`` matrix one cell at
+    a time): two targets are similar when the same sources link to
+    BOTH. Returns ``(a, b, n_common, similarity)`` for unordered
+    target pairs ``a < b`` with ``n_common`` co-citing sources
+    ``>= min_count`` and ``similarity`` the cosine normalization
+    ``n_common / sqrt(df_a * df_b)`` (df = a target's distinct citing
+    sources) rounded 6dp — related-host discovery, mirror triage, and
+    the "sites like X" signal, computed without touching any content.
+
+    Bibliographic coupling (Kessler 1963) — two SOURCES similar when
+    they cite the same targets — is this operator on the reversed edge
+    list: ``cocitation(links, src_col=dst_col, dst_col=src_col)``.
+
+    Scale shape: the pair fan-out is the self-join of each source's
+    out-list with itself — quadratic in out-degree — so sources with
+    more than ``max_out`` distinct targets are EXCLUDED before the
+    join (a directory page citing 10^4 hosts contributes 10^8
+    signal-free pairs; dropping hubs is the standard cut, and the same
+    ubiquity guard mirrors/minhash use). Every surviving source
+    contributes <= C(max_out, 2) pairs, so output is linear in
+    eligible sources. The self-join is an equi-join on the source key;
+    df counts come from the SAME eligible edge set (the normalization
+    stays consistent with the pair counts); no windows, no collect."""
+    if max_out < 2:
+        raise ValueError(f"max_out must be >= 2, got {max_out}")
+    e = (
+        links.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .filter(F.col("_s").isNotNull() & F.col("_t").isNotNull())
+        .distinct()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od"))
+    eligible = (
+        e.join(outdeg.filter(F.col("_od") <= max_out).select("_s"),
+               "_s", "semi")
+    )
+    dfreq = eligible.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    left = eligible.select("_s", F.col("_t").alias("a"))
+    right = eligible.select("_s", F.col("_t").alias("b"))
+    pairs = (
+        left.join(right, "_s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if min_count > 1:
+        pairs = pairs.filter(F.col("n_common") >= min_count)
+    return (
+        pairs
+        .join(dfreq.select(F.col("_t").alias("a"),
+                           F.col("_df").alias("_dfa")), "a")
+        .join(dfreq.select(F.col("_t").alias("b"),
+                           F.col("_df").alias("_dfb")), "b")
+        .select(
+            "a", "b", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.sqrt(F.col("_dfa").cast("double")
+                         * F.col("_dfb").cast("double")),
+                6).alias("similarity"),
+        )
+    )

@@ -2715,6 +2715,28 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.links import cocitation
+
+    cc_links = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"))
+    p = plan_of(cocitation(cc_links, max_out=8, min_count=2),
+                label="co-citation")
+    sections.append((
+        "Co-citation: pair fan-out bounded by the hub cut",
+        "The per-source pair self-join is quadratic in out-degree, so "
+        "sources above max_out distinct targets are semi-join-excluded "
+        "BEFORE the join — every surviving source contributes <= "
+        "C(max_out, 2) pairs and output stays linear in eligible "
+        "sources. The self-join is an equi-join on the source key; df "
+        "normalization reuses the same eligible edge set.",
+        [f"SortMergeJoin/BroadcastHashJoin present: "
+         f"{('SortMergeJoin' in p) or ('BroadcastHashJoin' in p)}",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

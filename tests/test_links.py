@@ -767,3 +767,70 @@ def test_url_tree_rollup_depth_cap_and_query_strip(spark):
     assert got[("b.test", "/")] == (0, 1)
     with pytest.raises(ValueError, match="max_depth"):
         url_tree_rollup(df, max_depth=-1)
+
+
+# ---------------------------------------------------------------------------
+# co-citation similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+def test_cocitation_counts_and_cosine(spark):
+    from commoncrawl_spark.operators.links import cocitation
+
+    # s1 and s2 both cite {x, y}; s3 cites {x, z}
+    links = spark.createDataFrame(
+        [("s1", "x"), ("s1", "y"),
+         ("s2", "x"), ("s2", "y"),
+         ("s3", "x"), ("s3", "z")],
+        "src string, dst string")
+    rows = {(r["a"], r["b"]): r for r in cocitation(links).collect()}
+    # x cited by 3, y by 2, z by 1
+    assert rows[("x", "y")]["n_common"] == 2
+    assert rows[("x", "y")]["similarity"] == round(2 / (3 * 2) ** 0.5, 6)
+    assert rows[("x", "z")]["n_common"] == 1
+    assert rows[("x", "z")]["similarity"] == round(1 / (3 * 1) ** 0.5, 6)
+    assert ("y", "z") not in rows  # no common citing source
+
+
+@pytest.mark.spark
+def test_cocitation_hub_exclusion(spark):
+    from commoncrawl_spark.operators.links import cocitation
+
+    hub = [("hub", t) for t in ("a", "b", "c", "d", "e")]
+    links = spark.createDataFrame(
+        hub + [("s1", "a"), ("s1", "b")], "src string, dst string")
+    rows = {(r["a"], r["b"]): r
+            for r in cocitation(links, max_out=4).collect()}
+    # the 5-target hub is excluded entirely: only s1's pair survives,
+    # and df counts exclude the hub's citations too (df_a = df_b = 1)
+    assert set(rows) == {("a", "b")}
+    assert rows[("a", "b")]["n_common"] == 1
+    assert rows[("a", "b")]["similarity"] == 1.0
+
+
+@pytest.mark.spark
+def test_cocitation_duplicate_links_collapse(spark):
+    from commoncrawl_spark.operators.links import cocitation
+
+    links = spark.createDataFrame(
+        [("s1", "x"), ("s1", "x"), ("s1", "y")], "src string, dst string")
+    rows = cocitation(links).collect()
+    assert len(rows) == 1 and rows[0]["n_common"] == 1
+
+
+@pytest.mark.spark
+def test_cocitation_min_count_and_coupling_via_reversal(spark):
+    from commoncrawl_spark.operators.links import cocitation
+
+    links = spark.createDataFrame(
+        [("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"), ("s3", "x")],
+        "src string, dst string")
+    assert [(r["a"], r["b"]) for r in
+            cocitation(links, min_count=2).collect()] == [("x", "y")]
+    # bibliographic coupling: sources similar through shared targets
+    coup = {(r["a"], r["b"]): r["n_common"]
+            for r in cocitation(
+                links, src_col="dst", dst_col="src").collect()}
+    assert coup[("s1", "s2")] == 2
+    assert coup[("s1", "s3")] == 1 and coup[("s2", "s3")] == 1
