@@ -4498,6 +4498,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cocitation(links, max_out=8, min_count=2)
     q["cocitation_hosts"] = cocitation_hosts
 
+    def corrected_search(spark, sf):
+        """Did-you-mean retrieval: SymSpell rank-1 correction of the
+        misspelled query ['joind','hsh','scann'] against the corpus
+        vocabulary, then BM25 over the corrected term set — the
+        correct-then-rank composition, zero driver data (corrections
+        feed the tf stream through a broadcast semi-join)."""
+        from commoncrawl_spark.operators.fuzzy import corrected_bm25_search
+
+        d = _read(spark, sf, "documents")
+        return corrected_bm25_search(
+            d, ["joind", "hsh", "scann"], top_k=15)
+    q["corrected_search"] = corrected_search
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9854,6 +9867,85 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p
         JOIN dfq da ON p.a = da.dst
         JOIN dfq db ON p.b = db.dst
+    """
+
+    # corrected_search: the fuzzy_terms correction chain cut at rank 1
+    # feeding the bm25_topk arithmetic — token membership comes from
+    # the corrections CTE instead of a literal list
+    o["corrected_search"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        vocab AS (SELECT token AS term, count(*) AS freq
+                  FROM toksv GROUP BY token),
+        vkeys AS (
+          SELECT DISTINCT term AS candidate, freq, k FROM (
+            SELECT term, freq,
+                   unnest(list_append(
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, i - 1)
+                            || substr(term, i + 1, length(term) - i)),
+                     term)) AS k
+            FROM vocab)),
+        q AS (SELECT unnest(['joind', 'hsh', 'scann']) AS query_term),
+        qkeys AS (
+          SELECT DISTINCT query_term, k FROM (
+            SELECT query_term,
+                   unnest(list_append(
+                     list_transform(range(1, length(query_term) + 1),
+                       i -> substr(query_term, 1, i - 1)
+                            || substr(query_term, i + 1,
+                                      length(query_term) - i)),
+                     query_term)) AS k
+            FROM q)),
+        cpairs AS (
+          SELECT DISTINCT query_term, candidate, freq
+          FROM vkeys JOIN qkeys USING (k)),
+        corr AS (
+          SELECT DISTINCT candidate AS ctoken FROM (
+            SELECT query_term, candidate,
+                   row_number() OVER (
+                     PARTITION BY query_term
+                     ORDER BY levenshtein(query_term, candidate),
+                              freq DESC, candidate) AS rnk
+            FROM cpairs
+            WHERE levenshtein(query_term, candidate) <= 1)
+          WHERE rnk = 1),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toksv
+               WHERE token IN (SELECT ctoken FROM corr)
+               GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        per AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        folded AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM per GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM folded)
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 15
     """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,

@@ -147,3 +147,56 @@ def fuzzy_term_candidates(
             (F.col("_pos") + 1).alias("rank"),
         )
     )
+
+
+def corrected_bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    min_freq: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Did-you-mean retrieval: SymSpell-correct each query term against
+    the corpus vocabulary (rank-1 candidate by dist asc, freq desc,
+    term asc — a correctly spelled in-vocabulary term corrects to
+    ITSELF at distance 0), then Okapi BM25 over the corrected term set
+    — the search stack's standard correct-then-rank composition.
+
+    A query term with NO vocabulary word within edit distance 1 is
+    dropped (there is nothing defensible to search for; surface it by
+    anti-joining :func:`fuzzy_term_candidates` if "no results for X"
+    matters to the caller). Two misspellings correcting to the same
+    word collapse — BM25 scores a term SET.
+
+    Scale shape: zero driver data — the corrected terms stay a
+    DataFrame (query-sized) and replace :func:`bm25_search`'s
+    ``isin`` literal filter with a BROADCAST semi-join on the token,
+    so the corpus tf stream is pruned pre-shuffle exactly as the
+    literal filter would. The corpus is tokenized twice (vocabulary
+    histogram + tf stream), both map-side-partial aggregates; at
+    deployment scale the vocabulary is built once and persisted, not
+    rebuilt per query."""
+    from .index import _bm25_rank
+
+    cand = fuzzy_term_candidates(
+        vocab_histogram(df, text_col=text_col, min_freq=min_freq),
+        terms, spark=df.sparkSession, top_k=1)
+    corrected = cand.select(F.col("candidate").alias("token")).distinct()
+    dl = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0))
+    doclen = df.select(F.col(id_col), dl.alias("_dl"))
+    globals_ = doclen.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .join(F.broadcast(corrected), "token", "semi")
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return _bm25_rank(tf, doclen, globals_, k1, b, top_k, id_col)

@@ -2737,6 +2737,23 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.fuzzy import corrected_bm25_search
+
+    p = plan_of(corrected_bm25_search(docs, ["joind", "hsh"]),
+                label="corrected bm25")
+    sections.append((
+        "Corrected search: corrections stay distributed",
+        "The SymSpell rank-1 corrections never touch the driver — they "
+        "replace the literal isin filter with a BROADCAST semi-join on "
+        "the token, pruning the corpus tf stream pre-shuffle exactly as "
+        "the literal would; everything downstream is the audited BM25 "
+        "tail (orderBy+limit, bounded rank fold).",
+        [f"BroadcastHashJoin semi present: {'BroadcastHashJoin' in p}",
+         f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in p}",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

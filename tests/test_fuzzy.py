@@ -316,3 +316,61 @@ def test_kwic_plan_no_shuffle_no_python(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corrected BM25 search (did-you-mean composition)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+def test_corrected_search_equals_bm25_on_corrected_terms(spark):
+    from commoncrawl_spark.operators.fuzzy import corrected_bm25_search
+    from commoncrawl_spark.operators.index import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "spark join spark shuffle"), (2, "spark join broadcast"),
+         (3, "join shuffle shuffle skew"), (4, "unrelated filler words")],
+        "doc_id long, text string")
+    # 'joinn' -> join (delete), 'sprk' -> spark (insert); both dist 1
+    got = {(r["doc_id"], r["score"], r["rank"])
+           for r in corrected_bm25_search(
+               df, ["joinn", "sprk"], top_k=4).collect()}
+    want = {(r["doc_id"], r["score"], r["rank"])
+            for r in bm25_search(df, ["join", "spark"], top_k=4).collect()}
+    assert got == want and got
+
+
+@pytest.mark.spark
+def test_corrected_search_exact_term_corrects_to_itself(spark):
+    from commoncrawl_spark.operators.fuzzy import corrected_bm25_search
+    from commoncrawl_spark.operators.index import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta")],
+        "doc_id long, text string")
+    # 'alpha' is in-vocab (dist 0 beats every dist-1 neighbor);
+    # 'zzzzzz' has no dist-1 neighbor and is dropped
+    got = {(r["doc_id"], r["score"])
+           for r in corrected_bm25_search(
+               df, ["alpha", "zzzzzz"]).collect()}
+    want = {(r["doc_id"], r["score"])
+            for r in bm25_search(df, ["alpha"]).collect()}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_corrected_search_collapses_same_correction(spark):
+    from commoncrawl_spark.operators.fuzzy import corrected_bm25_search
+    from commoncrawl_spark.operators.index import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "table chairs"), (2, "table lamp"), (3, "sofa")],
+        "doc_id long, text string")
+    # both misspellings correct to 'table'; scored once, not twice
+    got = {(r["doc_id"], r["score"])
+           for r in corrected_bm25_search(
+               df, ["tble", "tabl"]).collect()}
+    want = {(r["doc_id"], r["score"])
+            for r in bm25_search(df, ["table"]).collect()}
+    assert got == want
