@@ -4511,6 +4511,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, ["joind", "hsh", "scann"], top_k=15)
     q["corrected_search"] = corrected_search
 
+    def champion_recall(spark, sf):
+        """Measured pruning quality — ann_recall's twin for the lexical
+        index: overlap@15 of champion-pruned BM25 (m=8) against the
+        full-index ranking, for the query ['join','hash','scan']. The
+        number that sizes m before pruning a 10^10-doc index."""
+        from commoncrawl_spark.operators.index import (
+            bm25_search_champion,
+            bm25_search_indexed,
+            build_champion_lists,
+            build_doclen,
+            build_tf_index,
+        )
+
+        d = _read(spark, sf, "documents")
+        tfi, dl = build_tf_index(d), build_doclen(d)
+        terms = ["join", "hash", "scan"]
+        full = bm25_search_indexed(tfi, dl, terms, top_k=15)
+        pruned = bm25_search_champion(
+            build_champion_lists(tfi, m=8, salt_buckets=8), dl,
+            terms, top_k=15)
+        return (
+            pruned.join(full, "doc_id", "semi")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                F.lit(15).alias("k"),
+                F.lit(8).alias("m"),
+                "n_common",
+                F.round(F.col("n_common") / F.lit(15.0), 6)
+                .alias("recall_at_k"),
+            )
+        )
+    q["champion_recall"] = champion_recall
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -9946,6 +9979,84 @@ def oracle_sql() -> dict[str, str]:
           FROM folded)
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 15
+    """
+
+    # champion_recall: full-index top-15 CTE vs champion(m=8) top-15
+    # CTE, overlap counted on the doc id — both replays of the audited
+    # bm25 arithmetic over the same shared token stream
+    o["champion_recall"] = f"""
+        WITH toksv AS MATERIALIZED (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS MATERIALIZED (
+          SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS MATERIALIZED (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        tfx AS MATERIALIZED (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toksv WHERE token IN ('join', 'hash', 'scan')
+          GROUP BY doc_id, token),
+        dfq AS MATERIALIZED (
+          SELECT token, count(*) AS df FROM tfx GROUP BY token),
+        perf AS (
+          SELECT tfx.doc_id, tfx.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tfx.tf AS DOUBLE) * 2.2
+                    / (CAST(tfx.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tfx JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        fullr AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY round(list_reduce(
+                       list_transform(
+                         list_sort(list(struct_pack(token := token,
+                                                    s := s))),
+                         x -> x['s']),
+                       (a, c) -> a + c), 6) DESC, doc_id ASC) AS rnk
+            FROM perf GROUP BY doc_id)
+          WHERE rnk <= 15),
+        champ AS (
+          SELECT doc_id, token, tf FROM (
+            SELECT doc_id, token, tf,
+                   row_number() OVER (
+                     PARTITION BY token
+                     ORDER BY tf DESC, doc_id ASC) AS rn
+            FROM tfx)
+          WHERE rn <= 8),
+        perc AS (
+          SELECT champ.doc_id, champ.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(champ.tf AS DOUBLE) * 2.2
+                    / (CAST(champ.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM champ JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        prunedr AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY round(list_reduce(
+                       list_transform(
+                         list_sort(list(struct_pack(token := token,
+                                                    s := s))),
+                         x -> x['s']),
+                       (a, c) -> a + c), 6) DESC, doc_id ASC) AS rnk
+            FROM perc GROUP BY doc_id)
+          WHERE rnk <= 15)
+        SELECT 15 AS k, 8 AS m,
+               count(*) AS n_common,
+               round(count(*) / 15.0, 6) AS recall_at_k
+        FROM prunedr JOIN fullr USING (doc_id)
     """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
