@@ -4544,6 +4544,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["champion_recall"] = champion_recall
 
+    def fuzzy_contamination(spark, sf):
+        """Fuzzy benchmark decontamination: MinHash-LSH overlap between
+        the corpus and a synthetic eval set (every 41st document,
+        TRUNCATED to 4/5 of its chars — the paraphrase/truncation case
+        exact n-grams miss). Per corpus doc: hit count + max estimated
+        Jaccard at threshold 0.5."""
+        from commoncrawl_spark.operators.text_dedup import (
+            minhash_contamination,
+        )
+
+        d = _read(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 41 == 0).select(
+            "doc_id",
+            F.expr("substring(text, 1, (n_chars * 4) div 5)").alias("text"),
+        )
+        return minhash_contamination(d, bench, threshold=0.5)
+    q["fuzzy_contamination"] = fuzzy_contamination
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -10057,6 +10075,41 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_common,
                round(count(*) / 15.0, 6) AS recall_at_k
         FROM prunedr JOIN fullr USING (doc_id)
+    """
+
+    # fuzzy_contamination: the near_dedup_incremental machinery with
+    # corpus/benchmark roles — synthetic eval set = every 41st doc
+    # truncated to 4/5 chars, LSH band collision -> signature-agreement
+    # estimate >= 0.5 -> per-doc hit aggregate (NO self-exclusion:
+    # byte-identical leakage is exactly what must flag)
+    _csig_eq = " + ".join(
+        f"CAST(cs.s{j} = bs.s{j} AS INT)" for j in range(NUM_HASHES))
+    o["fuzzy_contamination"] = f"""
+        WITH bench AS (
+          SELECT doc_id, substr(text, 1, (n_chars * 4) // 5) AS text
+          FROM documents WHERE doc_id % 41 = 0),
+        cbase AS (SELECT doc_id, {sh_doc} AS sh FROM documents),
+        bbase AS (SELECT doc_id, {sh_doc} AS sh FROM bench),
+        csigs AS MATERIALIZED (
+          SELECT doc_id, {_sql_minhash_sigs()} FROM cbase),
+        bsigs AS MATERIALIZED (
+          SELECT doc_id, {_sql_minhash_sigs()} FROM bbase),
+        cbk AS ({_band_rows_from("csigs")}),
+        bbk AS ({_band_rows_from("bsigs")}),
+        cand AS (
+          SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+          FROM cbk c JOIN bbk b
+            ON c.band = b.band AND c.bucket = b.bucket),
+        est AS (
+          SELECT cand.cid, cand.bid,
+                 round(CAST({_csig_eq} AS DOUBLE) / {NUM_HASHES}, 6)
+                   AS est
+          FROM cand
+          JOIN csigs cs ON cs.doc_id = cand.cid
+          JOIN bsigs bs ON bs.doc_id = cand.bid)
+        SELECT cid AS doc_id, count(*) AS n_bench_matches,
+               max(est) AS max_est_jaccard
+        FROM est WHERE est >= 0.5 GROUP BY cid
     """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,

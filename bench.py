@@ -391,7 +391,7 @@ def main() -> None:
             "ql_topk", "hybrid_rrf", "fuzzy_terms",
             "rm_expansion", "kwic_snippets", "bm25f_topk",
             "champion_search", "kcore_hosts", "cocitation_hosts",
-            "corrected_search", "champion_recall",
+            "corrected_search", "champion_recall", "fuzzy_contamination",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1733,3 +1733,85 @@ def lsh_banding_plan(
         p_at(threshold).alias("p_at_threshold"),
         p_at(min(threshold + 0.1, 0.999)).alias("p_above"),
     )
+
+
+def minhash_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-dup complement of
+    :func:`ngram_contamination`: exact n-gram overlap misses an eval
+    item that was paraphrased, truncated, or lightly edited on its way
+    into the crawl, but its shingle set still collides in MinHash-LSH
+    space. Per corpus document, every benchmark item sharing an LSH
+    band AND agreeing on >= ``threshold`` of the minhash components is
+    a fuzzy contamination hit; returns
+    ``(id_col, n_bench_matches, max_est_jaccard)`` for hit documents
+    only. The GPT-3 appendix-C shape (13-gram exact) upgraded to the
+    Llama/FineWeb-era fuzzy check.
+
+    Corpus and benchmark ids may share a namespace — unlike the dedup
+    operators there is NO self-exclusion: an eval item byte-identical
+    to a corpus document is precisely what must be flagged.
+
+    Scale shape: the corpus side is one scan-stage signature fold plus
+    a bands-wide posexplode; the benchmark side (~10^4-10^6 eval
+    items) builds the same signatures and BROADCASTS, so the corpus
+    never shuffles for the probe — the only exchanges are the pair
+    distinct and the per-document aggregate, both over collision
+    survivors already thresholded on the estimate. Candidates come
+    only from band collisions, never all-pairs. Disable
+    ``broadcast_benchmark`` for a corpus-sized benchmark; AQE then
+    picks the strategy."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    bsig = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        minhash_signature(F.col(bench_text_col), num_hashes, shingle_n)
+        .alias("_bsig"),
+    )
+    bb = bsig.select(
+        "_bid", "_bsig",
+        F.explode(_sig_band_buckets(F.col("_bsig"), num_hashes, bands))
+        .alias("_bb"),
+    ).select("_bid", "_bsig", "_bb.band", "_bb.bucket")
+    csig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n)
+        .alias("_csig"),
+    )
+    cb = csig.select(
+        id_col, "_csig",
+        F.explode(_sig_band_buckets(F.col("_csig"), num_hashes, bands))
+        .alias("_bb"),
+    ).select(id_col, "_csig", "_bb.band", "_bb.bucket")
+    hint = F.broadcast if broadcast_benchmark else (lambda d: d)
+    est = (
+        F.size(F.filter(
+            F.zip_with("_csig", "_bsig", lambda a, b: a == b),
+            lambda x: x,
+        )) / F.lit(num_hashes)
+    )
+    pairs = (
+        cb.join(hint(bb), ["band", "bucket"])
+        .withColumn("_est", F.round(est, 6))
+        .filter(F.col("_est") >= threshold)
+        .select(id_col, "_bid", "_est")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("_est").alias("max_est_jaccard"),
+        )
+    )

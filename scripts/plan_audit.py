@@ -2754,6 +2754,27 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.text_dedup import minhash_contamination
+
+    bench_df = docs.filter(F.col("doc_id") % 41 == 0).select(
+        "doc_id", F.expr("substring(text, 1, (n_chars * 4) div 5)")
+        .alias("text"))
+    p = plan_of(minhash_contamination(docs, bench_df, threshold=0.5),
+                label="fuzzy contamination")
+    sections.append((
+        "Fuzzy contamination: eval side broadcasts, corpus never "
+        "shuffles for the probe",
+        "Both sides are scan-stage signature folds + a bands-wide "
+        "posexplode; the benchmark side broadcasts (eval suites are "
+        "10^4-10^6 items), candidates come only from band collisions, "
+        "and the estimate is computed and thresholded BEFORE the pair "
+        "distinct — only survivor rows cross an exchange.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p}",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

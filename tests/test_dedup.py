@@ -199,3 +199,52 @@ def test_lsh_banding_plan_scurve(spark):
     assert rows[4]["p_at_threshold"] == round(want, 6)
     # knee = (1/b)^(1/r)
     assert rows[4]["knee"] == round((1 / 4) ** (1 / 4), 6)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+def test_minhash_contamination_flags_exact_and_truncated(spark):
+    from commoncrawl_spark.operators.text_dedup import minhash_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely unrelated text about spark shuffle partitions"),
+         (3, "another benign document mentioning nothing evaluated")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        # item 10 = doc 1 verbatim; item 11 = doc 1 truncated (fuzzy)
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "the quick brown fox jumps over the lazy dog"),
+         (12, "entirely disjoint benchmark question text here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in minhash_contamination(
+               corpus, bench, threshold=0.5).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_bench_matches"] >= 1
+    assert got[1]["max_est_jaccard"] == 1.0  # the verbatim copy
+
+
+@pytest.mark.spark
+def test_minhash_contamination_no_self_exclusion(spark):
+    from commoncrawl_spark.operators.text_dedup import minhash_contamination
+
+    # corpus id 5 == bench id 5, byte-identical text: MUST be flagged
+    txt = "shared evaluation passage that leaked into the crawl corpus"
+    corpus = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    bench = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    rows = minhash_contamination(corpus, bench).collect()
+    assert len(rows) == 1 and rows[0]["max_est_jaccard"] == 1.0
+
+
+@pytest.mark.spark
+def test_minhash_contamination_threshold_validation(spark):
+    from commoncrawl_spark.operators.text_dedup import minhash_contamination
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_contamination(df, df, threshold=0.0)
