@@ -4562,6 +4562,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_contamination(d, bench, threshold=0.5)
     q["fuzzy_contamination"] = fuzzy_contamination
 
+    def mmr_diversify(spark, sf):
+        """MMR result diversification (Carbonell & Goldstein SIGIR'98):
+        cosine top-20 for query vector 0, greedily re-ranked to 8
+        results at lambda 0.75 — near-duplicate hits are pushed down in
+        favor of novel ones. The greedy trace is fully 6dp-rounded, so
+        the oracle replays it step for step."""
+        from commoncrawl_spark.operators.similarity import (
+            cosine_topk,
+            mmr_rerank,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        top = cosine_topk(e, e.filter(F.col("vec_id") == 0), k=20)
+        cands = (
+            top.select(F.col("neighbor_id").alias("vec_id"),
+                       F.col("cosine").alias("rel"))
+            .join(e.select("vec_id", "embedding"), "vec_id")
+        )
+        return mmr_rerank(cands, k=8, lam=0.75)
+    q["mmr_diversify"] = mmr_diversify
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -10111,6 +10132,73 @@ def oracle_sql() -> dict[str, str]:
                max(est) AS max_est_jaccard
         FROM est WHERE est >= 0.5 GROUP BY cid
     """
+
+    # mmr_diversify: the greedy MMR trace unrolled CTE-for-CTE — k=8
+    # steps, each replaying the operator's exact expression: remaining
+    # = not-yet-selected, marginal = round(0.75*rel - 0.25*max_cos, 6)
+    # with IEEE -0.0 folded by + 0.0, argmax via struct sort on
+    # (-marginal, id), CASE no-op once candidates exhaust
+    _mmr_cos = (
+        "round("
+        + _SQL_DOT.format(a="c['vec']", b="s['vec']")
+        + " / (sqrt(" + _SQL_DOT.format(a="c['vec']", b="c['vec']")
+        + ") * sqrt(" + _SQL_DOT.format(a="s['vec']", b="s['vec']")
+        + ")), 6)"
+    )
+    _mmr_step = f"""
+          SELECT cands,
+            CASE WHEN len(rem) = 0 THEN sel
+                 ELSE list_append(sel, struct_pack(
+                   id := best['id'],
+                   score := -best['nm'] + 0.0,
+                   vec := list_filter(cands,
+                            c -> c['id'] = best['id'])[1]['vec']))
+            END AS sel
+          FROM (
+            SELECT cands, sel, rem,
+                   list_sort(list_transform(rem, c -> struct_pack(
+                     nm := -round(0.75 * c['rel'] - 0.25 * coalesce(
+                       list_max(list_transform(sel, s -> {_mmr_cos})),
+                       0.0), 6) + 0.0,
+                     id := c['id'])))[1] AS best
+            FROM (
+              SELECT cands, sel,
+                     list_filter(cands, c -> NOT list_contains(
+                       list_transform(sel, s -> s['id']), c['id']))
+                       AS rem
+              FROM {{prev}}))"""
+    _mmr = """
+        WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+        q0 AS (SELECT v FROM ev WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, rel, v FROM (
+            SELECT e.vec_id, {cosq} AS rel, e.v,
+                   row_number() OVER (
+                     ORDER BY {cosq} DESC, e.vec_id) AS rnk
+            FROM ev e, q0 WHERE e.vec_id <> 0)
+          WHERE rnk <= 20),
+        m0 AS MATERIALIZED (
+          SELECT list_sort(list(struct_pack(id := vec_id, rel := rel,
+                                            vec := v))) AS cands,
+                 CAST([] AS STRUCT(id BIGINT, score DOUBLE,
+                                   vec DOUBLE[])[]) AS sel
+          FROM cand)""".format(
+        cosq="round(" + _SQL_DOT.format(a="e.v", b="q0.v")
+        + " / (sqrt(" + _SQL_DOT.format(a="e.v", b="e.v")
+        + ") * sqrt(" + _SQL_DOT.format(a="q0.v", b="q0.v") + ")), 6)")
+    for _i in range(1, 9):
+        _mmr += f",\n        m{_i} AS MATERIALIZED ({_mmr_step.format(prev=f'm{_i - 1}')})"
+    _mmr += """
+        SELECT r['s']['id'] AS vec_id,
+               r['s']['score'] AS mmr_score,
+               CAST(r['i'] AS INTEGER) AS rank
+        FROM (
+          SELECT unnest(list_transform(range(1, len(sel) + 1),
+                   i -> struct_pack(i := i, s := sel[i]))) AS r
+          FROM m8)
+    """
+    o["mmr_diversify"] = _mmr
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
     # space-joined = the operator's array_sort + concat_ws), then the

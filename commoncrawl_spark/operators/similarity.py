@@ -919,3 +919,110 @@ def embedding_outliers(
             F.floor(F.sqrt(F.col("_d2"))).cast("long")
             .alias("dist_micros"))
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    max_candidates: int = 4096,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — result diversification: greedily pick, ``k`` times, the
+    candidate maximizing ``lam * rel - (1-lam) * max_sim_to_selected``
+    (cosine; the first pick sees similarity 0). Ten near-identical top
+    hits waste a result page — and a few-shot retrieval context — so
+    every search stack runs some form of this between ranking and
+    display; on the curation side it is the per-query twin of the
+    corpus-level diversity sampler.
+
+    Returns ``(id_col, mmr_score, rank)`` with ``mmr_score`` the
+    6dp-rounded marginal value AT SELECTION TIME (monotonically
+    non-increasing is NOT guaranteed for lam < 1; ties break on the
+    id). If fewer than ``k`` candidates exist, all are ranked.
+
+    Determinism: candidates enter in id order (one array_sort), every
+    cosine and every marginal score is 6dp-rounded before the argmax,
+    and the argmax itself is a struct sort on ``(-score, id)`` — the
+    greedy trace replays bit-for-bit in any engine.
+
+    Scale shape: MMR is inherently sequential in ``k``, so it is NOT a
+    corpus operator — it re-ranks the BOUNDED output of a retrieval
+    stage (top-n from bm25/QL/ANN; n is tens-to-hundreds). The operator
+    REFUSES more than ``max_candidates`` rows rather than silently
+    folding a corpus into one task (the embedding_neardup guard). The
+    greedy loop is ONE ``F.aggregate`` over ``sequence(1, k)`` — a
+    constant-size expression tree evaluated iteratively at runtime,
+    never k nested copies of itself — over a single collected row;
+    cost O(k * n * k) similarity evaluations, independent of corpus
+    size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    n = candidates.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: {n} candidates exceed max_candidates="
+            f"{max_candidates} — MMR re-ranks a bounded retrieval "
+            f"output, not a corpus; cut top-n first or raise the guard")
+    cand = F.struct(
+        F.col(id_col).alias("id"),
+        F.col(rel_col).cast("double").alias("rel"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    packed = candidates.select(cand.alias("_c")).groupBy().agg(
+        F.array_sort(F.collect_list("_c")).alias("_cands"))
+    cands = F.col("_cands")
+    empty_sel = F.transform(
+        F.slice(cands, 1, 0),
+        lambda c: F.struct(
+            c["id"].alias("id"), F.lit(0.0).alias("score"),
+            c["vec"].alias("vec")),
+    )
+
+    def step(sel, _i):
+        remaining = F.filter(
+            cands,
+            lambda c: ~F.exists(sel, lambda s: s["id"] == c["id"]))
+
+        def neg_mmr(c):
+            max_sim = F.coalesce(
+                F.array_max(F.transform(
+                    sel, lambda s: cosine_col(c["vec"], s["vec"]))),
+                F.lit(0.0))
+            m = F.round(
+                F.lit(float(lam)) * c["rel"]
+                - F.lit(float(1.0 - lam)) * max_sim, 6)
+            # + 0.0 folds IEEE -0.0 to +0.0 so a zero marginal sorts
+            # identically in every engine
+            return -m + F.lit(0.0)
+
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(neg_mmr(c).alias("nm"),
+                               c["id"].alias("id")))
+        best = F.element_at(F.array_sort(scored), 1)
+        entry = F.struct(
+            best["id"].alias("id"),
+            (-best["nm"] + F.lit(0.0)).alias("score"),
+            F.element_at(
+                F.filter(cands, lambda c: c["id"] == best["id"]), 1
+            )["vec"].alias("vec"),
+        )
+        return F.when(F.size(remaining) == 0, sel).otherwise(
+            F.concat(sel, F.array(entry)))
+
+    selected = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k))), empty_sel, step)
+    return (
+        packed.select(F.posexplode(selected).alias("_pos", "_s"))
+        .select(
+            F.col("_s.id").alias(id_col),
+            F.col("_s.score").alias("mmr_score"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
+    )

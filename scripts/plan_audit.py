@@ -2775,6 +2775,28 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.similarity import mmr_rerank
+
+    mmr_cands = docs.limit(40).select(
+        F.col("doc_id").alias("vec_id"),
+        (F.col("doc_id") % 10 / 10.0).alias("rel"),
+        F.array(F.lit(1.0), (F.col("doc_id") % 7).cast("double"))
+        .alias("embedding"))
+    p = plan_of(mmr_rerank(mmr_cands, k=5), label="mmr rerank")
+    sections.append((
+        "MMR re-rank: sequential-in-k over a BOUNDED, guarded input",
+        "MMR is inherently greedy-sequential, so it re-ranks the "
+        "bounded output of a retrieval stage and REFUSES more than "
+        "max_candidates rows (the embedding_neardup guard) instead of "
+        "silently folding a corpus into one task. The k-step loop is "
+        "ONE aggregate over sequence(1, k) — a constant-size expression "
+        "tree evaluated iteratively, never k nested copies — above a "
+        "single collected row.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

@@ -2128,3 +2128,100 @@ def test_embedding_outliers_plan_has_no_global_window(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(cands, k, lam):
+    """cands: [(id, rel, vec)]; replay the greedy trace."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    sel, out = [], []
+    pool = sorted(cands)
+    for _ in range(min(k, len(pool))):
+        best = None
+        for cid, rel, vec in pool:
+            if any(s[0] == cid for s in sel):
+                continue
+            ms = max((cos(vec, s[2]) for s in sel), default=0.0)
+            m = round(lam * rel - (1 - lam) * ms, 6)
+            key = (-m, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, m, vec)
+        sel.append((best[1], best[2], best[3]))
+        out.append((best[1], best[2]))
+    return {cid: (m, i + 1) for i, (cid, m) in enumerate(out)}
+
+
+@pytest.mark.spark
+def test_mmr_matches_python_oracle(spark):
+    from commoncrawl_spark.operators.similarity import mmr_rerank
+
+    # two tight clusters + one outlier; rel favors cluster A
+    cands = [
+        (1, 0.99, [1.0, 0.0, 0.0]),
+        (2, 0.98, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, 0.97, [0.0, 1.0, 0.0]),
+        (4, 0.96, [0.01, 0.999, 0.0]),   # near-dup of 3
+        (5, 0.60, [0.0, 0.0, 1.0]),      # low-rel but novel
+    ]
+    df = spark.createDataFrame(
+        [(i, r, v) for i, r, v in cands],
+        "vec_id long, rel double, embedding array<double>")
+    got = {r["vec_id"]: (r["mmr_score"], r["rank"])
+           for r in mmr_rerank(df, k=3, lam=0.5).collect()}
+    assert got == _mmr_oracle(cands, 3, 0.5)
+    # diversification: after picking 1, the novel 5 and orthogonal 3
+    # beat the near-dup 2
+    by_rank = sorted(got, key=lambda i: got[i][1])
+    assert by_rank[0] == 1 and 2 not in by_rank
+
+
+@pytest.mark.spark
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from commoncrawl_spark.operators.similarity import mmr_rerank
+
+    cands = [(i, 1.0 - i / 10.0, [1.0, float(i)]) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        cands, "vec_id long, rel double, embedding array<double>")
+    rows = sorted(mmr_rerank(df, k=5, lam=1.0).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [r["mmr_score"] for r in rows] == [
+        round(1.0 - i / 10.0, 6) for i in range(1, 6)]
+
+
+@pytest.mark.spark
+def test_mmr_k_exceeds_candidates(spark):
+    from commoncrawl_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, 0.8, [0.0, 1.0])],
+        "vec_id long, rel double, embedding array<double>")
+    rows = mmr_rerank(df, k=10, lam=0.7).collect()
+    assert len(rows) == 2
+    assert sorted(r["rank"] for r in rows) == [1, 2]
+
+
+@pytest.mark.spark
+def test_mmr_guards(spark):
+    from commoncrawl_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 0.9, [1.0]), (2, 0.8, [0.5])],
+        "vec_id long, rel double, embedding array<double>")
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, lam=1.5)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, max_candidates=1)
