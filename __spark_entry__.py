@@ -4583,6 +4583,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mmr_rerank(cands, k=8, lam=0.75)
     q["mmr_diversify"] = mmr_diversify
 
+    def pii_cards(spark, sf):
+        """Luhn-validated payment-card audit (ISO/IEC 7812): card-
+        SHAPED digit runs are extracted by regex, then the mod-10
+        checksum separates near-certain PII from ids/order numbers —
+        the validation step the email/phone detectors don't need.
+        Numbers are planted deterministically (every 29th doc gets a
+        valid+invalid pair, every 31st a dashed valid card)."""
+        from commoncrawl_spark.functions.text import card_counts_col
+
+        d = _read(spark, sf, "documents")
+        planted = (
+            F.when(F.col("doc_id") % 29 == 0,
+                   F.concat(F.col("text"),
+                            F.lit(" card 4532015112830366 and "
+                                  "ref 1234567890123")))
+            .when(F.col("doc_id") % 31 == 0,
+                  F.concat(F.col("text"),
+                           F.lit(" pay 4111-1111-1111-1111 now")))
+            .otherwise(F.col("text"))
+        )
+        return (
+            d.select("doc_id", card_counts_col(planted).alias("_c"))
+            .select("doc_id", "_c.n_card_candidates", "_c.n_cards_valid")
+            .filter(F.col("n_card_candidates") > 0)
+        )
+    q["pii_cards"] = pii_cards
+
     def split_assign(spark, sf):
         """Deterministic train/val/test assignment: md5(doc_id) bucket
         in [0,100) -> 90/5/5. Same hash family as shard_assign, so the
@@ -4868,10 +4895,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cdx_zipnum, crawl_budget, stream_window_stats, wet_export) and the
     # fifth-session adds (opic_importance, dust_param_rules,
     # dust_collapse, focused_frontier, aimd_rates, url_word_filter,
-    # adaptive_frontier_pipeline, revalidation_bandwidth, warc_export);
-    # everything in the current list will then have CORRECTNESS_r03 as
-    # its permanent record. Rotating 50 never-attested queries per
-    # round covers the whole surface by round 5.
+    # adaptive_frontier_pipeline, revalidation_bandwidth, warc_export),
+    # the sixth-session retrieval wave (ql_topk, hybrid_rrf,
+    # fuzzy_terms, rm_expansion, kwic_snippets) and the seventh-session
+    # adds (bm25f_topk, champion_search, champion_recall, kcore_hosts,
+    # cocitation_hosts, corrected_search, fuzzy_contamination,
+    # mmr_diversify); everything in the current list will then have
+    # CORRECTNESS_r03 as its permanent record. Rotating 50
+    # never-attested queries per round covers the whole surface by
+    # round 5.
     _front = [
         # new in round 3
         "line_dedup",
@@ -10199,6 +10231,40 @@ def oracle_sql() -> dict[str, str]:
           FROM m8)
     """
     o["mmr_diversify"] = _mmr
+
+    # pii_cards: the same planting, the same candidate regex, and the
+    # Luhn fold replayed in list lambdas (integer sum — order-free)
+    _luhn_sql = (
+        "list_reduce(list_transform(range(1, length(c) + 1), i -> "
+        "CASE WHEN (length(c) - i) % 2 = 1 THEN "
+        "CASE WHEN CAST(substr(c, i, 1) AS INT) * 2 > 9 "
+        "THEN CAST(substr(c, i, 1) AS INT) * 2 - 9 "
+        "ELSE CAST(substr(c, i, 1) AS INT) * 2 END "
+        "ELSE CAST(substr(c, i, 1) AS INT) END), "
+        "(a, b) -> a + b) % 10 = 0"
+    )
+    o["pii_cards"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 29 = 0 THEN text ||
+                        ' card 4532015112830366 and ref 1234567890123'
+                      WHEN doc_id % 31 = 0 THEN text ||
+                        ' pay 4111-1111-1111-1111 now'
+                      ELSE text END AS t
+          FROM documents),
+        cands AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_extract_all(
+                     t, '\\b(?:[0-9][ \\-]?){{12,18}}[0-9]\\b'),
+                   x -> regexp_replace(x, '[ \\-]', '', 'g')) AS cs
+          FROM planted)
+        SELECT doc_id,
+               CAST(len(cs) AS INTEGER) AS n_card_candidates,
+               CAST(len(list_filter(cs, c -> {_luhn_sql}))
+                 AS INTEGER) AS n_cards_valid
+        FROM cands WHERE len(cs) > 0
+    """
 
     # anchor_bm25: the anchor field rebuilt with string_agg (sorted,
     # space-joined = the operator's array_sort + concat_ws), then the

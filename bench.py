@@ -392,7 +392,7 @@ def main() -> None:
             "rm_expansion", "kwic_snippets", "bm25f_topk",
             "champion_search", "kcore_hosts", "cocitation_hosts",
             "corrected_search", "champion_recall", "fuzzy_contamination",
-            "mmr_diversify",
+            "mmr_diversify", "pii_cards",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

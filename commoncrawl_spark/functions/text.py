@@ -293,6 +293,56 @@ PII_PATTERNS = [
 ]
 
 
+# Payment-card candidates: 13-19 digits with optional single space/dash
+# separators. Candidate extraction is a regex; VALIDATION is the Luhn
+# checksum (ISO/IEC 7812) — digit runs are everywhere (ids, timestamps,
+# phone numbers), and the mod-10 check is what separates a plausible
+# card number from noise, cutting false positives ~10x. Works under
+# both Java regex and RE2 (no backrefs, no lookaround).
+CARD_CANDIDATE_RE = r"\b(?:[0-9][ \-]?){12,18}[0-9]\b"
+
+
+def card_candidates_col(text: Column) -> Column:
+    """Array of separator-stripped 13-19-digit candidate strings —
+    scan-stage: one regexp_extract_all + a per-element replace."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), F.lit(0)),
+        lambda c: F.regexp_replace(c, r"[ \-]", ""),
+    )
+
+
+def luhn_valid_col(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a digit string (ISO/IEC 7812): from
+    the RIGHT, double every second digit, subtract 9 when the double
+    exceeds 9, valid iff the sum is divisible by 10. One integer fold
+    over the character positions — pure Catalyst, engine-replayable."""
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            (n - i) % 2 == 1,
+            F.when(digits.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                   digits.substr(i, F.lit(1)).cast("int") * 2 - 9)
+            .otherwise(digits.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(digits.substr(i, F.lit(1)).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def card_counts_col(text: Column) -> Column:
+    """struct(n_card_candidates, n_cards_valid) — the audit pair for
+    payment-card PII: how many card-SHAPED digit runs, and how many
+    pass Luhn. Filtering policy belongs to the caller (valid cards are
+    near-certain PII; a high candidate count alone is usually a spec
+    sheet or a log file)."""
+    cands = card_candidates_col(text)
+    return F.struct(
+        F.size(cands).alias("n_card_candidates"),
+        F.size(F.filter(cands, luhn_valid_col)).alias("n_cards_valid"),
+    )
+
+
 def redact_pii_col(text: Column, token: str = "<PII:{kind}>") -> Column:
     """Replace emails, IPv4 addresses, and phone numbers with typed
     placeholder tokens — the standard scrub before corpus release.

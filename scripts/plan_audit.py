@@ -2797,6 +2797,23 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.functions.text import card_counts_col
+
+    p = plan_of(
+        docs.select("doc_id", card_counts_col(F.col("text")).alias("c")),
+        label="card pii")
+    sections.append((
+        "Luhn card audit: scan-stage regex + integer fold",
+        "Candidate extraction is one regexp_extract_all, separator "
+        "strip a per-element replace, and the Luhn checksum an integer "
+        "fold over character positions — all whole-stage-codegen "
+        "expressions in the scan, zero shuffle, zero Python; composes "
+        "with the existing email/IPv4/phone passes.",
+        [f"Exchange operators: {p.count('Exchange')} (expect 0)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     champ = build_champion_lists(build_tf_index(docs), m=32,
                                  salt_buckets=8)
     p = plan_of(

@@ -2225,3 +2225,46 @@ def test_mmr_guards(spark):
         mmr_rerank(df, k=2, lam=1.5)
     with pytest.raises(ValueError):
         mmr_rerank(df, k=2, max_candidates=1)
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card PII
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+def test_card_counts_luhn_separates_valid_from_noise(spark):
+    from commoncrawl_spark.functions.text import card_counts_col
+
+    df = spark.createDataFrame(
+        [(1, "pay with 4532015112830366 or 4111-1111-1111-1111 today"),
+         (2, "order id 1234567890123 is not a card"),
+         (3, "spaced 5500 0055 5555 5559 works too"),
+         (4, "no digit runs at all"),
+         (5, "short 123456 and a phone 555-123-4567")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["c"]
+            for r in df.select("doc_id",
+                               card_counts_col(F.col("text")).alias("c"))
+            .collect()}
+    assert rows[1]["n_card_candidates"] == 2
+    assert rows[1]["n_cards_valid"] == 2
+    assert rows[2]["n_card_candidates"] == 1
+    assert rows[2]["n_cards_valid"] == 0     # fails Luhn
+    assert rows[3]["n_cards_valid"] == 1     # space separators stripped
+    assert rows[4]["n_card_candidates"] == 0
+    assert rows[5]["n_card_candidates"] == 0  # too short either way
+
+
+@pytest.mark.spark
+def test_luhn_valid_col_direct(spark):
+    from commoncrawl_spark.functions.text import luhn_valid_col
+
+    df = spark.createDataFrame(
+        [("4532015112830366",), ("4111111111111111",),
+         ("1234567890123",), ("5500005555555559",)], "d string")
+    got = {r["d"]: r["ok"]
+           for r in df.select("d", luhn_valid_col(F.col("d")).alias("ok"))
+           .collect()}
+    assert got == {"4532015112830366": True, "4111111111111111": True,
+                   "1234567890123": False, "5500005555555559": True}
