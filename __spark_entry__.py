@@ -142,6 +142,36 @@ _NFC_JUNK_SQL = "e'" + "".join(
     for c in _NFC_JUNK) + "'"
 
 
+def _sql_estr(s: str) -> str:
+    """DuckDB e-string literal spelling the SAME string as the Python
+    literal (control bytes as \\xHH, quotes doubled, UTF-8 verbatim)."""
+    return "e'" + "".join(
+        "''" if c == "'" else
+        f"\\x{ord(c):02X}" if ord(c) < 0x20 or ord(c) == 0x7F else c
+        for c in s) + "'"
+
+
+# multi-line page fixture for c4_clean (documents.text is single-line
+# word soup, so each C4 rule needs a synthetic line): one line per
+# line-level rule, then a per-doc variant tail exercising each
+# page-level drop reason. Same strings on both engines via _sql_estr.
+_C4_LINE_JUNK = (
+    "\nShort line.\n"
+    "no terminal punctuation on this line\n"
+    "Please enable JavaScript to view the comments powered by widgets.\n"
+    "This boilerplate-free line survives the cleaning pass!\n"
+)
+_C4_VARIANTS = (
+    "lorem ipsum dolor sit amet, consectetur adipiscing elit.",     # %5==0
+    "if (x) { return y; } // stray code fragment",                  # %5==1
+    "this page mentions badword1 in passing somewhere.",            # %5==2
+    "One more good sentence here. Another good sentence follows!"   # %5==3
+    " Does a question count as well? Yes it certainly does."
+    " And one final declarative sentence to clear the bar.",
+    "",                                                             # %5==4
+)
+
+
 def _sql_normalize(expr: str) -> str:
     """DuckDB twin of functions.text.normalize_text_col, generated from
     the same NORMALIZE_PASSES table."""
@@ -3635,6 +3665,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("n_chars", F.length("norm"))
     q["nfc_normalize"] = nfc_normalize_q
 
+    def c4_clean(spark, sf):
+        """C4 page cleaning (Raffel et al. 2020 §2.2) over a
+        deterministically assembled multi-line page: line-level rules
+        (terminal punctuation, ≥3 words, no 'javascript') plus the
+        page-level gates (bad word, lorem ipsum, curly brace, <5
+        sentences) with first-match drop_reason precedence. Pure
+        scan-stage array lambdas — zero exchanges at any corpus size."""
+        from commoncrawl_spark.functions.text import c4_signals
+
+        d = _read(spark, sf, "documents")
+        m5 = F.col("doc_id") % 5
+        variant = (
+            F.when(m5 == 0, F.lit(_C4_VARIANTS[0]))
+            .when(m5 == 1, F.lit(_C4_VARIANTS[1]))
+            .when(m5 == 2, F.lit(_C4_VARIANTS[2]))
+            .when(m5 == 3, F.lit(_C4_VARIANTS[3]))
+            .otherwise(F.lit(""))
+        )
+        page = F.concat(F.col("text"), F.lit("."),
+                        F.lit(_C4_LINE_JUNK), variant)
+        sig = c4_signals(page)
+        return d.select(
+            "doc_id",
+            sig["n_lines"].alias("n_lines"),
+            sig["n_kept_lines"].alias("n_kept_lines"),
+            sig["n_sentences"].alias("n_sentences"),
+            sig["clean_text"].alias("clean_text"),
+            sig["keep"].alias("keep"),
+            sig["drop_reason"].alias("drop_reason"),
+        )
+    q["c4_clean"] = c4_clean
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -4900,7 +4962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fuzzy_terms, rm_expansion, kwic_snippets) and the seventh-session
     # adds (bm25f_topk, champion_search, champion_recall, kcore_hosts,
     # cocitation_hosts, corrected_search, fuzzy_contamination,
-    # mmr_diversify); everything in the current list will then have
+    # mmr_diversify) and the eighth-session adds (c4_clean, ...);
+    # everything in the current list will then have
     # CORRECTNESS_r03 as its permanent record. Rotating 50
     # never-attested queries per round covers the whole surface by
     # round 5.
@@ -8316,6 +8379,70 @@ def oracle_sql() -> dict[str, str]:
                length({_sql_normalize("nfc_normalize(mtext)")}) AS n_chars
         FROM (SELECT doc_id, text || ' ' || {_NFC_JUNK_SQL} AS mtext
               FROM documents)
+    """
+
+    # c4_clean: the exact C4 rules replayed as list lambdas — same
+    # split/trim/filter order, same regexes (ASCII fixture keeps Java
+    # and RE2 \s/\b in agreement), sentence count via the length-diff
+    # identity for the single-char class [.!?]
+    _c4_keep_l = (
+        "regexp_matches(l, '[.!?\"]$') "
+        "AND len(list_filter(regexp_split_to_array(l, '\\s+'), "
+        "w -> w <> '')) >= 3 "
+        "AND NOT regexp_matches(lower(l), '\\bjavascript\\b')"
+    )
+    o["c4_clean"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || '.' || {_sql_estr(_C4_LINE_JUNK)} ||
+                 CASE WHEN doc_id % 5 = 0 THEN {_sql_estr(_C4_VARIANTS[0])}
+                      WHEN doc_id % 5 = 1 THEN {_sql_estr(_C4_VARIANTS[1])}
+                      WHEN doc_id % 5 = 2 THEN {_sql_estr(_C4_VARIANTS[2])}
+                      WHEN doc_id % 5 = 3 THEN {_sql_estr(_C4_VARIANTS[3])}
+                      ELSE '' END AS page
+          FROM documents),
+        lined AS (
+          SELECT doc_id, page,
+                 list_filter(list_transform(string_split(page, chr(10)),
+                                            l -> trim(l)),
+                             l -> l <> '') AS lines_all
+          FROM base),
+        keptt AS (
+          SELECT doc_id, page, lines_all,
+                 list_filter(lines_all, l -> {_c4_keep_l}) AS kept
+          FROM lined),
+        sig AS (
+          SELECT doc_id, lines_all, kept,
+                 array_to_string(kept, chr(10)) AS clean_text,
+                 len(list_intersect(
+                     list_filter(regexp_split_to_array(lower(page),
+                                                       '\\s+'),
+                                 w -> w <> ''),
+                     ['badword1', 'badword2'])) > 0 AS has_bad,
+                 contains(lower(page), 'lorem ipsum') AS has_lorem,
+                 contains(page, '{{') AS has_brace
+          FROM keptt),
+        cnt AS (
+          SELECT *, CAST(length(clean_text)
+                         - length(regexp_replace(clean_text, '[.!?]',
+                                                 '', 'g'))
+                         AS BIGINT) AS n_sentences
+          FROM sig)
+        SELECT doc_id,
+               CAST(len(lines_all) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               n_sentences, clean_text,
+               CASE WHEN has_bad THEN 'bad_word'
+                    WHEN has_lorem THEN 'lorem_ipsum'
+                    WHEN has_brace THEN 'curly_brace'
+                    WHEN n_sentences < 5 THEN 'too_few_sentences'
+                    ELSE 'kept' END = 'kept' AS keep,
+               CASE WHEN has_bad THEN 'bad_word'
+                    WHEN has_lorem THEN 'lorem_ipsum'
+                    WHEN has_brace THEN 'curly_brace'
+                    WHEN n_sentences < 5 THEN 'too_few_sentences'
+                    ELSE 'kept' END AS drop_reason
+        FROM cnt
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -686,3 +686,97 @@ def script_count_cols(text: Column) -> dict[str, Column]:
         best_n = F.when(take, n).otherwise(best_n)
     out["dominant"] = best
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, JMLR 21(140) §2.2)
+# ---------------------------------------------------------------------------
+
+# A line survives only if it ends in a terminal punctuation mark — C4's
+# list: period, exclamation mark, question mark, or end quotation mark.
+C4_TERMINAL_RE = r'[.!?"]$'
+
+# Tiny stand-in for C4's "List of Dirty, Naughty, Obscene or Otherwise
+# Bad Words" — the membership TEST is the operator; the list is config.
+C4_BAD_WORDS = ("badword1", "badword2")
+
+
+def c4_kept_lines(text: Column, min_words: int = 3) -> Column:
+    """The line-level half of C4 cleaning (Raffel et al. 2020 §2.2):
+    split on newline, trim, and keep a line only if it (a) ends in a
+    terminal punctuation mark, (b) has at least ``min_words``
+    whitespace words (C4 uses 3), and (c) does not mention
+    ``javascript`` (case-insensitive word match — C4 drops any line
+    with the word "Javascript", aimed at please-enable-JS boilerplate).
+
+    Returns ``array<string>`` of surviving lines. Pure scan-stage
+    array lambdas — no explode, no shuffle, no Python — with an exact
+    DuckDB ``list_filter`` equivalent, so the pass is oracle-checkable
+    and portable."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    def _keep(l: Column) -> Column:
+        n_words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return (
+            l.rlike(C4_TERMINAL_RE)
+            & (n_words >= min_words)
+            & ~F.lower(l).rlike(r"\bjavascript\b")
+        )
+    return F.filter(lines, _keep)
+
+
+def c4_signals(
+    text: Column,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> dict[str, Column]:
+    """Full C4 page cleaning (Raffel et al. 2020 §2.2) as one dict of
+    scan-stage columns: line filtering via :func:`c4_kept_lines`, then
+    the page-level gates — drop the whole page if any (lowercased
+    whitespace) word is on the bad-words list, if it contains the
+    phrase ``lorem ipsum``, if it contains a curly brace ``{`` (code),
+    or if the CLEANED text has fewer than ``min_sentences`` sentences.
+
+    Sentence counting is deterministic by construction: the count of
+    ``.``/``!``/``?`` marks in the kept lines (C4 used a sentence
+    splitter; this engine-neutral approximation is exact for the
+    terminal-punctuated lines the line filter admits, and has a
+    byte-identical DuckDB replay).
+
+    ``drop_reason`` precedence (first match wins): ``bad_word`` >
+    ``lorem_ipsum`` > ``curly_brace`` > ``too_few_sentences`` >
+    ``kept``. Everything is a per-row expression — zero exchanges at
+    any corpus size; at 10^10 pages this pass rides the scan."""
+    kept = c4_kept_lines(text, min_words=min_words)
+    clean_text = F.array_join(kept, "\n")
+    words = F.filter(
+        F.transform(F.split(F.lower(text), r"\s+"), lambda w: F.trim(w)),
+        lambda w: w != "",
+    )
+    has_bad = F.arrays_overlap(
+        words, F.array(*[F.lit(w) for w in bad_words]))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    n_sentences = F.regexp_count(clean_text, F.lit(r"[.!?]")).cast("long")
+    reason = (
+        F.when(has_bad, F.lit("bad_word"))
+        .when(has_lorem, F.lit("lorem_ipsum"))
+        .when(has_brace, F.lit("curly_brace"))
+        .when(n_sentences < min_sentences, F.lit("too_few_sentences"))
+        .otherwise(F.lit("kept"))
+    )
+    lines_all = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    return {
+        "n_lines": F.size(lines_all).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences,
+        "clean_text": clean_text,
+        "keep": reason == "kept",
+        "drop_reason": reason,
+    }

@@ -1193,6 +1193,27 @@ def main() -> None:
          f"{'*(1)' in p} (expect True)"],
     ))
 
+    # C4 line/page cleaning: scan-stage array lambdas
+    from commoncrawl_spark.functions.text import c4_signals
+
+    c4 = c4_signals(F.col("text"))
+    p = plan_of(docs.select(
+        "doc_id", c4["n_kept_lines"].alias("n_kept_lines"),
+        c4["clean_text"].alias("clean_text"),
+        c4["keep"].alias("keep"),
+        c4["drop_reason"].alias("drop_reason")))
+    sections.append((
+        "C4 cleaning: line + page gates ride the scan",
+        "Every C4 rule (terminal punctuation, min words, javascript "
+        "line drop; bad-word / lorem-ipsum / curly-brace / sentence-"
+        "count page gates) is a per-row array-lambda expression — the "
+        "whole Raffel-et-al pass fuses into the read projection, so a "
+        "10^10-page corpus is cleaned in the stage that scans it, with "
+        "no exchange and no Python anywhere.",
+        [f"Exchange count: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # incremental near-dedup: the persisted index is never shuffled
     from commoncrawl_spark.operators.text_dedup import (
         build_minhash_index,

@@ -2268,3 +2268,74 @@ def test_luhn_valid_col_direct(spark):
            .collect()}
     assert got == {"4532015112830366": True, "4111111111111111": True,
                    "1234567890123": False, "5500005555555559": True}
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_c4_kept_lines_rules(spark):
+    from commoncrawl_spark.functions.text import c4_kept_lines
+
+    page = "\n".join([
+        "This sentence ends properly and has enough words.",  # kept
+        "Too short.",                                  # < 3 words
+        "this line has no terminal punctuation at all",  # no [.!?"]
+        "Please enable JavaScript to view comments.",  # javascript rule
+        "  Surrounding spaces are trimmed first!  ",   # kept after trim
+        "",                                            # empty dropped
+        'He said "use quotes"',                        # ends in " -> kept
+    ])
+    df = spark.createDataFrame([(page,)], "text string")
+    [row] = df.select(c4_kept_lines(F.col("text")).alias("k")).collect()
+    assert row["k"] == [
+        "This sentence ends properly and has enough words.",
+        "Surrounding spaces are trimmed first!",
+        'He said "use quotes"',
+    ]
+
+
+@pytest.mark.spark
+def test_c4_signals_page_gates_and_precedence(spark):
+    from commoncrawl_spark.functions.text import c4_signals
+
+    five_sentences = ("Good one here. Good two follows! Is three a "
+                      "question? Four is fine. Five closes it out.")
+    rows = [
+        (0, five_sentences),                                   # kept
+        (1, five_sentences + "\nlorem ipsum dolor sit."),      # lorem
+        (2, five_sentences + "\ncode { inside } braces."),     # brace
+        (3, five_sentences + "\nmentions badword1 somewhere."),  # bad word
+        (4, "Just one good sentence survives the line pass."),  # < 5
+        # precedence: bad_word beats lorem_ipsum beats curly_brace
+        (5, "badword2 lorem ipsum { all three offenses here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = c4_signals(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", sig["keep"].alias("keep"),
+        sig["drop_reason"].alias("why"),
+        sig["n_sentences"].alias("ns")).collect()}
+    assert got[0]["keep"] and got[0]["why"] == "kept" and got[0]["ns"] == 5
+    assert got[1]["why"] == "lorem_ipsum"
+    assert got[2]["why"] == "curly_brace"
+    assert got[3]["why"] == "bad_word"
+    assert got[4]["why"] == "too_few_sentences"
+    assert got[5]["why"] == "bad_word"
+    assert not any(got[i]["keep"] for i in range(1, 6))
+
+
+@pytest.mark.spark
+def test_c4_signals_clean_text_joins_kept_lines(spark):
+    from commoncrawl_spark.functions.text import c4_signals
+
+    page = "Keep this first line of prose.\nskip me\nAnd keep this one too!"
+    df = spark.createDataFrame([(page,)], "text string")
+    sig = c4_signals(F.col("text"))
+    [row] = df.select(sig["clean_text"].alias("c"),
+                      sig["n_lines"].alias("nl"),
+                      sig["n_kept_lines"].alias("nk")).collect()
+    assert row["c"] == ("Keep this first line of prose.\n"
+                        "And keep this one too!")
+    assert row["nl"] == 3 and row["nk"] == 2
