@@ -3697,6 +3697,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c4_clean"] = c4_clean
 
+    def heavy_hitters_q(spark, sf):
+        """Exact phi-frequent tokens via the two-pass Misra-Gries shape
+        (per-partition O(k) candidate fold, broadcast-semi exact
+        recount): every token with cnt*k >= n over the corpus tokens
+        plus a doc_id-salted 97-token rare tail that the sketch must
+        survive. Output is partitioning-independent by construction —
+        candidates are a guaranteed superset, the integer n/k gate is
+        exact."""
+        from commoncrawl_spark.operators.analytics import tokens_col
+        from commoncrawl_spark.operators.sketches import heavy_hitters
+
+        d = _read(spark, sf, "documents")
+        page = F.concat(F.col("text"), F.lit(" tail"),
+                        (F.col("doc_id") % 97).cast("string"))
+        toks = d.select(tokens_col(page).alias("tokens"))
+        return heavy_hitters(toks, "tokens", k=100)
+    q["heavy_hitters"] = heavy_hitters_q
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8443,6 +8461,23 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n_sentences < 5 THEN 'too_few_sentences'
                     ELSE 'kept' END AS drop_reason
         FROM cnt
+    """
+
+    # heavy_hitters: the sketch is candidate GENERATION only — the
+    # final gate is an exact integer comparison, so the oracle is the
+    # plain exact count with the same cnt*k >= n predicate
+    o["heavy_hitters"] = f"""
+        WITH toks AS (
+          SELECT unnest({_SQL_TOKS.format(
+              t="text || ' tail' || CAST(doc_id % 97 AS VARCHAR)")})
+                 AS token
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks),
+        cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+        SELECT token, cnt, round(cnt / n, 6) AS share
+        FROM cnt, tot
+        WHERE cnt * 100 >= n
+        ORDER BY cnt DESC, token
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -174,3 +174,106 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("count", F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: exact phi-frequent items, candidate-sized state
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_py(stream, m: int) -> dict:
+    """Misra-Gries fold (Misra & Gries, Sci. Comput. Program. 1982) with
+    ``m`` counters over an item stream: returns ``{item: lower_bound}``.
+    GUARANTEE: every item whose true count exceeds n/(m+1) survives, and
+    each kept bound undercounts by at most n/(m+1). Pure deterministic
+    function — the executor kernel AND the pytest oracle, in the
+    cdc.py shared-kernel style."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    counters: dict = {}
+    for item in stream:
+        if item in counters:
+            counters[item] += 1
+        elif len(counters) < m:
+            counters[item] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    arr_col: str = "tokens",
+    k: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters: every token whose corpus count ``cnt``
+    satisfies ``cnt * k >= n`` (n = total token count), as
+    ``(token, cnt, share)`` ordered by count — the two-pass
+    Misra-Gries shape (candidates, then exact recount).
+
+    Why not plain word-count? ``explode + groupBy`` shuffles one row
+    per DISTINCT key — fine for words, corpus-scale for URLs or
+    n-grams where the vocabulary grows with the data. Here the shuffle
+    is CANDIDATE-sized at any vocabulary:
+
+    - Pass 1 (``mapInPandas``, a sanctioned Arrow-batched Python site —
+      a decrement-all counter fold has no Catalyst expression): each
+      partition folds its token stream through :func:`misra_gries_py`
+      with m = k counters and emits at most k candidate tokens. State
+      is O(k) per task regardless of partition size; only P*k slim
+      rows leave the stage.
+    - Superset proof: if an item's global count c >= n/k, then by
+      averaging some partition i has c_i >= n_i/k > n_i/(k+1), so MG
+      with k counters keeps it there — the distinct-union of
+      per-partition survivors contains every global heavy hitter.
+    - Pass 2: exact recount of candidates only — explode, broadcast
+      LEFT SEMI probe against the candidate set (P*k rows by
+      construction), then a map-side-partial count whose exchange
+      carries at most the candidate cardinality. The n/k gate uses
+      integer arithmetic (``cnt * k >= n``), so the output is
+      bit-deterministic and independent of partitioning: false
+      candidates are filtered, true ones were never lost.
+
+    Space-Saving (Metwally et al., ICDT 2005) is the always-increment
+    twin with the same guarantee; MG is chosen for its smaller
+    per-step state. ``share`` is round(cnt/n, 6) per the repo's float
+    compare grain.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    def part(batches):
+        def stream():
+            for pdf in batches:
+                for arr in pdf[arr_col]:
+                    if arr is not None:
+                        yield from arr
+        yield pd.DataFrame({"token": list(misra_gries_py(stream(), k))})
+
+    cand = (
+        df.select(F.col(arr_col).alias(arr_col))
+        .mapInPandas(part, "token string")
+        .distinct()
+    )
+    toks = df.select(F.explode(F.col(arr_col)).alias("token"))
+    n = df.agg(
+        F.sum(F.coalesce(F.size(F.col(arr_col)), F.lit(0)))
+        .cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * k >= F.col("n"))
+        .select(
+            "token", "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )

@@ -649,6 +649,36 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # Misra-Gries heavy hitters: candidate-sized shuffle at any vocab
+    from commoncrawl_spark.operators.sketches import heavy_hitters
+
+    hh_toks = docs.select(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("tokens"))
+    p = plan_of(heavy_hitters(hh_toks, "tokens", k=100),
+                label="heavy hitters")
+    sections.append((
+        "Heavy hitters: MG candidates bound the shuffle, not the vocab",
+        "Plain explode+groupBy shuffles one row per DISTINCT key — "
+        "corpus-scale for URLs or n-grams. The Misra-Gries pass holds "
+        "O(k) counters per task (the one MapInPandas site — a "
+        "decrement-all fold has no Catalyst expression) and emits at "
+        "most k candidates per partition; the exact recount probes that "
+        "P*k-row set as a BROADCAST left-semi before counting, so the "
+        "exchange carries at most the candidate cardinality. The n/k "
+        "gate is integer arithmetic — output is exact and partition-"
+        "independent (superset guarantee by the averaging argument in "
+        "the operator docstring).",
+        [f"MapInPandas sites: {p.count('MapInPandas')} (expect 1 — "
+         f"the MG fold)",
+         f"BroadcastHashJoin LeftSemi present: "
+         f"{'BroadcastHashJoin' in p and 'LeftSemi' in p} (expect True)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"row-at-a-time Python: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # change-rate recrawl stats: window + aggregate share one exchange
     from commoncrawl_spark.operators.temporal import capture_change_stats
 

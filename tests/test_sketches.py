@@ -167,3 +167,81 @@ def test_cms_plan_broadcast_probe_no_python(spark):
     assert "BroadcastHashJoin" in plan  # the matrix side is broadcast
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_misra_gries_guarantee_and_bounds():
+    from collections import Counter
+
+    from commoncrawl_spark.operators.sketches import misra_gries_py
+
+    # adversarial stream: 3 heavy items among a churn of singletons
+    stream = (["a"] * 400 + ["b"] * 300 + ["c"] * 200
+              + [f"x{i}" for i in range(600)])
+    true = Counter(stream)
+    n = len(stream)
+    for m in (3, 5, 20):
+        kept = misra_gries_py(iter(stream), m)
+        assert len(kept) <= m
+        # every item with count > n/(m+1) must survive
+        for item, c in true.items():
+            if c > n / (m + 1):
+                assert item in kept, (item, m)
+        # kept bounds never overcount and undercount by <= n/(m+1)
+        for item, lb in kept.items():
+            assert lb <= true[item]
+            assert true[item] - lb <= n / (m + 1)
+    with pytest.raises(ValueError):
+        misra_gries_py(iter(stream), 0)
+
+
+@pytest.mark.spark
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from commoncrawl_spark.operators.sketches import heavy_hitters
+
+    # 2 heavy tokens + a 200-token tail spread over docs
+    rows = [(i, ["hot"] * 5 + ["warm"] * 2 + [f"t{i % 200}"])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    n = 400 * 8
+    # k=10 -> threshold n/k=320: hot (2000) and warm (800) only
+    want = [("hot", 2000, round(2000 / n, 6)),
+            ("warm", 800, round(800 / n, 6))]
+    for parts in (1, 7, 32):
+        got = [(r["token"], r["cnt"], r["share"])
+               for r in heavy_hitters(
+                   df.repartition(parts), "tokens", k=10).collect()]
+        assert got == want, parts
+
+
+@pytest.mark.spark
+def test_heavy_hitters_edge_cases(spark):
+    from commoncrawl_spark.operators.sketches import heavy_hitters
+
+    # null and empty arrays don't crash and don't count toward n
+    df = spark.createDataFrame(
+        [(0, ["a", "a", "b"]), (1, None), (2, [])],
+        "doc_id long, tokens array<string>")
+    got = [(r["token"], r["cnt"]) for r in
+           heavy_hitters(df, "tokens", k=2).collect()]
+    assert got == [("a", 2)]       # b: 1*2 < 3
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tokens", k=0)
+
+
+@pytest.mark.spark
+def test_heavy_hitters_plan_broadcast_semi_no_global_window(spark):
+    from commoncrawl_spark.operators.sketches import heavy_hitters
+    from commoncrawl_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame(
+        [(i, ["w", f"t{i}"]) for i in range(50)],
+        "doc_id long, tokens array<string>")
+    p = plan_string(heavy_hitters(df, "tokens", k=5), "simple")
+    # candidate probe broadcasts; the only Python site is the MG pass
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert p.count("MapInPandas") == 1 and "EvalPython" not in p
+    assert "Window" not in p
