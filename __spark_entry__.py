@@ -3715,6 +3715,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return heavy_hitters(toks, "tokens", k=100)
     q["heavy_hitters"] = heavy_hitters_q
 
+    def publication_dates(spark, sf):
+        """CC-News-style article dating over synthetic pages where the
+        true date and its source are known by construction: OpenGraph >
+        meta-date > <time> > JSON-LD > URL /YYYY/MM/DD/ > bare ISO
+        text, first CALENDAR-VALID PLAUSIBLE candidate wins (an
+        invalid Feb-31 OpenGraph stamp falls through to the URL date,
+        which also outranks the bare text date present on the same
+        page; a 9999 placeholder yields 'none' — it is itself the
+        first bare ISO string in the page, so the text fallback
+        correctly re-rejects it). Pure scan-stage regexes."""
+        from commoncrawl_spark.functions.extract import publication_date_cols
+
+        d = _read(spark, sf, "documents")
+        dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+        mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+        m7 = F.col("doc_id") % 7
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(m7 == 0, F.concat(
+                F.lit('<meta property="article:published_time" '
+                      'content="2021-'), mm, F.lit("-"), dd,
+                F.lit('T12:30:00+00:00">'))).otherwise(F.lit("")),
+            F.when(m7 == 1, F.concat(
+                F.lit('<meta name="date" content="2020-'), mm, F.lit("-"),
+                dd, F.lit('">'))).otherwise(F.lit("")),
+            F.when(m7 == 5, F.lit(
+                '<meta property="article:published_time" '
+                'content="2021-02-31T00:00:00Z">')).otherwise(F.lit("")),
+            F.when(m7 == 6, F.lit(
+                '<meta property="article:published_time" '
+                'content="9999-12-31T00:00:00Z">')).otherwise(F.lit("")),
+            F.lit("</head><body>"),
+            F.when(m7 == 2, F.concat(
+                F.lit('<time datetime="2022-'), mm, F.lit("-"), dd,
+                F.lit('T08:00:00">March</time>'))).otherwise(F.lit("")),
+            F.when(m7 == 3, F.concat(
+                F.lit('<script>{"datePublished": "2023-'), mm,
+                F.lit("-"), dd, F.lit('"}</script>'))).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(m7 == 5, F.concat(
+                F.lit(" updated 2019-"), mm, F.lit("-07 by staff."))
+                   ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".org/"),
+            F.when(m7 == 4, F.concat(F.lit("2020/"), mm, F.lit("/"), dd,
+                                     F.lit("/"))).otherwise(F.lit("")),
+            F.when(m7 == 5, F.concat(F.lit("2019/"), mm,
+                                     F.lit("/07/"))).otherwise(F.lit("")),
+            F.lit("post-"), F.col("doc_id").cast("string"))
+        cols = publication_date_cols(html, url)
+        return d.select(
+            "doc_id",
+            cols["pub_date"].alias("pub_date"),
+            cols["date_source"].alias("date_source"),
+        )
+    q["publication_dates"] = publication_dates
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8479,6 +8538,61 @@ def oracle_sql() -> dict[str, str]:
         WHERE cnt * 100 >= n
         ORDER BY cnt DESC, token
     """
+
+    # publication_dates: the SAME precedence table (imported, so the
+    # two sides cannot drift) — per-source regexp_extract candidates,
+    # try_cast calendar validation + year plausibility, first valid
+    # wins via COALESCE order
+    from commoncrawl_spark.functions.extract import (
+        PUB_DATE_MAX_YEAR,
+        PUB_DATE_MIN_YEAR,
+        PUB_DATE_SOURCES,
+    )
+
+    _pd_t = ", ".join(
+        "try_cast(substring(replace(regexp_extract("
+        f"{where}, '{pat}', 1), '/', '-'), 1, 10) AS DATE) AS t{i}"
+        for i, (_lbl, where, pat) in enumerate(PUB_DATE_SOURCES))
+    _pd_v = ", ".join(
+        f"CASE WHEN t{i} IS NOT NULL AND year(t{i}) BETWEEN "
+        f"{PUB_DATE_MIN_YEAR} AND {PUB_DATE_MAX_YEAR} "
+        f"THEN CAST(t{i} AS VARCHAR) END AS v{i}"
+        for i in range(len(PUB_DATE_SOURCES)))
+    _pd_src = " ".join(
+        f"WHEN v{i} IS NOT NULL THEN '{lbl}'"
+        for i, (lbl, _w, _p) in enumerate(PUB_DATE_SOURCES))
+    o["publication_dates"] = ("""
+        WITH b AS (
+          SELECT doc_id, text, source,
+                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+                 doc_id % 7 AS m7
+          FROM documents),
+        page AS (
+          SELECT doc_id,
+            '<html><head>'
+            || CASE WHEN m7 = 0 THEN '<meta property="article:published_time" content="2021-' || mm || '-' || dd || 'T12:30:00+00:00">' ELSE '' END
+            || CASE WHEN m7 = 1 THEN '<meta name="date" content="2020-' || mm || '-' || dd || '">' ELSE '' END
+            || CASE WHEN m7 = 5 THEN '<meta property="article:published_time" content="2021-02-31T00:00:00Z">' ELSE '' END
+            || CASE WHEN m7 = 6 THEN '<meta property="article:published_time" content="9999-12-31T00:00:00Z">' ELSE '' END
+            || '</head><body>'
+            || CASE WHEN m7 = 2 THEN '<time datetime="2022-' || mm || '-' || dd || 'T08:00:00">March</time>' ELSE '' END
+            || CASE WHEN m7 = 3 THEN '<script>{"datePublished": "2023-' || mm || '-' || dd || '"}</script>' ELSE '' END
+            || text
+            || CASE WHEN m7 = 5 THEN ' updated 2019-' || mm || '-07 by staff.' ELSE '' END
+            || '</body></html>' AS html,
+            'https://' || source || '.org/'
+            || CASE WHEN m7 = 4 THEN '2020/' || mm || '/' || dd || '/' ELSE '' END
+            || CASE WHEN m7 = 5 THEN '2019/' || mm || '/07/' ELSE '' END
+            || 'post-' || CAST(doc_id AS VARCHAR) AS url
+          FROM b),
+        cand AS (SELECT doc_id, """ + _pd_t + """ FROM page),
+        val AS (SELECT doc_id, """ + _pd_v + """ FROM cand)
+        SELECT doc_id,
+               COALESCE(v0, v1, v2, v3, v4, v5) AS pub_date,
+               CASE """ + _pd_src + """ ELSE 'none' END AS date_source
+        FROM val
+    """)
 
     # lm_quality: identical unigram MLE — cnt/total is one double
     # division on both sides, avg(ln) rounded to the compare grain

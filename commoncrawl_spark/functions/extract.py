@@ -453,3 +453,62 @@ def sniff_mime_col(payload):
               "application/octet-stream")
         .otherwise("text/plain")
     )
+
+
+# --------------------------------------------------------------------------
+# Publication-date extraction (CC-News-style article dating)
+# --------------------------------------------------------------------------
+
+# candidate sources in precedence order: (label, where, pattern).
+# Each pattern is RE2/Java-compatible (no lookaround) so the Spark and
+# DuckDB sides run the SAME regex. regexp_extract returns '' on miss
+# in both engines.
+PUB_DATE_SOURCES: tuple[tuple[str, str, str], ...] = (
+    ("og_meta", "html",
+     r'<meta[^>]*property="article:published_time"[^>]*content="([^"]+)"'),
+    ("meta_date", "html",
+     r'<meta[^>]*name="date"[^>]*content="([^"]+)"'),
+    ("time_tag", "html", r'<time[^>]+datetime="([^"]+)"'),
+    ("json_ld", "html", r'"datePublished"\s*:\s*"([^"]+)"'),
+    ("url_path", "url", r"/(\d{4}/\d{2}/\d{2})/"),
+    ("text_iso", "html", r"(\d{4}-\d{2}-\d{2})"),
+)
+
+PUB_DATE_MIN_YEAR = 1995
+PUB_DATE_MAX_YEAR = 2035
+
+
+def publication_date_cols(html, url) -> dict:
+    """Article publication date from page bytes + URL, the CC-News
+    dating chain: OpenGraph ``article:published_time`` > ``<meta
+    name="date">`` > ``<time datetime>`` > JSON-LD ``datePublished`` >
+    a ``/YYYY/MM/DD/`` URL segment > the first bare ISO date in the
+    page. The FIRST candidate that parses to a calendar-valid,
+    plausible date (year in [1995, 2035]) wins — a malformed or
+    implausible higher-precedence match falls through instead of
+    nulling the row, because boilerplate misdates (cache timestamps,
+    1970 epochs, 9999 placeholders) are endemic in web pages.
+
+    Returns ``{"pub_date": yyyy-MM-dd string or null,
+    "date_source": label or 'none'}``. Pure scan-stage regexes and a
+    when-chain — zero exchanges, zero Python; every pattern and the
+    validity rule replay verbatim in DuckDB (regexp_extract +
+    try_cast), so the chain is fully oracle-checkable."""
+    from pyspark.sql import functions as F  # keep module import-light
+
+    parsed = F.lit(None).cast("date")
+    source = F.lit(None).cast("string")
+    for label, col_name, pat in PUB_DATE_SOURCES:
+        raw = F.regexp_extract(html if col_name == "html" else url, pat, 1)
+        iso = F.substring(F.replace(raw, F.lit("/"), F.lit("-")), 1, 10)
+        d = F.try_to_timestamp(iso, F.lit("yyyy-MM-dd")).cast("date")
+        ok = (d.isNotNull()
+              & (F.year(d) >= PUB_DATE_MIN_YEAR)
+              & (F.year(d) <= PUB_DATE_MAX_YEAR))
+        take = parsed.isNull() & ok
+        parsed = F.when(take, d).otherwise(parsed)
+        source = F.when(take & source.isNull(), F.lit(label)).otherwise(source)
+    return {
+        "pub_date": F.date_format(parsed, "yyyy-MM-dd"),
+        "date_source": F.coalesce(source, F.lit("none")),
+    }

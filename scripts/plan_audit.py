@@ -1244,6 +1244,25 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # publication-date chain: scan-stage regex cascade
+    from commoncrawl_spark.functions.extract import publication_date_cols
+
+    pd_cols = publication_date_cols(
+        F.col("text"), F.concat(F.lit("https://h.test/"), F.col("source")))
+    p = plan_of(docs.select(
+        "doc_id", pd_cols["pub_date"].alias("pub_date"),
+        pd_cols["date_source"].alias("date_source")))
+    sections.append((
+        "Publication dating: six-source cascade rides the scan",
+        "Every candidate source (OpenGraph, meta-date, time tag, "
+        "JSON-LD, URL path, bare ISO text) is one regexp_extract and "
+        "the first-valid-wins cascade is a when-chain — the whole "
+        "dating pass is a projected expression with no exchange and "
+        "no Python, so 10^10 pages date in their read stage.",
+        [f"Exchange count: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # incremental near-dedup: the persisted index is never shuffled
     from commoncrawl_spark.operators.text_dedup import (
         build_minhash_index,

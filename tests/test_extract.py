@@ -204,3 +204,59 @@ def test_sniff_mime_lying_content_type(spark):
         "declared string, payload binary")
     row = df.select(sniff_mime_col(F.col("payload")).alias("m")).collect()[0]
     assert row["m"] == "application/gzip"
+
+
+# ---------------------------------------------------------------------------
+# publication-date extraction
+# ---------------------------------------------------------------------------
+
+def _pub(spark, html, url="https://h.test/post-1"):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.functions.extract import publication_date_cols
+
+    df = spark.createDataFrame([(html, url)], "html string, url string")
+    c = publication_date_cols(F.col("html"), F.col("url"))
+    return df.select(c["pub_date"].alias("d"),
+                     c["date_source"].alias("s")).collect()[0]
+
+
+@pytest.mark.spark
+def test_pub_date_precedence_og_beats_everything(spark):
+    html = ('<meta property="article:published_time" '
+            'content="2021-05-04T12:00:00Z">'
+            '<time datetime="2022-01-01">x</time> body 2019-01-01.')
+    r = _pub(spark, html)
+    assert (r["d"], r["s"]) == ("2021-05-04", "og_meta")
+
+
+@pytest.mark.spark
+def test_pub_date_each_source_fires(spark):
+    cases = [
+        ('<meta name="date" content="2020-07-15">', None,
+         "2020-07-15", "meta_date"),
+        ('<time datetime="2022-03-09T08:00:00">t</time>', None,
+         "2022-03-09", "time_tag"),
+        ('<script>{"datePublished": "2023-12-25"}</script>', None,
+         "2023-12-25", "json_ld"),
+        ("no dates here", "https://h.test/2020/06/30/post",
+         "2020-06-30", "url_path"),
+        ("updated 2019-08-07 by staff", None, "2019-08-07", "text_iso"),
+        ("nothing at all", None, None, "none"),
+    ]
+    for html, url, want_d, want_s in cases:
+        r = _pub(spark, html, url or "https://h.test/post-1")
+        assert (r["d"], r["s"]) == (want_d, want_s), html
+
+
+@pytest.mark.spark
+def test_pub_date_invalid_and_implausible_fall_through(spark):
+    # calendar-invalid Feb 31 og falls to the URL date
+    html = ('<meta property="article:published_time" '
+            'content="2021-02-31T00:00:00Z">')
+    r = _pub(spark, html, "https://h.test/2019/04/07/p")
+    assert (r["d"], r["s"]) == ("2019-04-07", "url_path")
+    # implausible years (epoch boilerplate, 9999 placeholder) rejected
+    for bad in ("1970-01-01", "9999-12-31"):
+        r = _pub(spark, f'<time datetime="{bad}">x</time>')
+        assert (r["d"], r["s"]) == (None, "none"), bad
