@@ -3774,6 +3774,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["publication_dates"] = publication_dates
 
+    def feed_entries(spark, sf):
+        """RSS/Atom syndication parsing — the news-crawl freshness
+        source beside sitemaps: even docs publish an RSS 2.0 feed
+        (RFC 822 pubDate, guid, one linkless item that must drop),
+        odd docs an Atom feed (ISO published, href links, one entry
+        that only has <updated>). Both date dialects normalize to one
+        comparable yyyy-MM-dd key; all scan-stage regex + explode."""
+        from commoncrawl_spark.operators.links import (
+            FEED_MONTHS,
+            extract_feed_entries,
+        )
+
+        d = _read(spark, sf, "documents")
+        sid = F.col("doc_id").cast("string")
+        day = (F.col("doc_id") % 28 + 1).cast("string")
+        dd = F.lpad(day, 2, "0")
+        mon = F.element_at(
+            F.array(*[F.lit(m) for m in FEED_MONTHS]),
+            (F.col("doc_id") % 12).cast("int") + 1)
+        mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+        host = F.concat(F.lit("https://"), F.col("source"), F.lit(".org"))
+        rss = F.concat(
+            F.lit('<rss version="2.0"><channel><title>S</title>'
+                  "<item><title>Post "), sid,
+            F.lit("</title><link>"), host, F.lit("/a/"), sid,
+            F.lit("</link><guid>g-"), sid,
+            F.lit("</guid><pubDate>Tue, "), day, F.lit(" "), mon,
+            F.lit(" 2021 10:00:00 GMT</pubDate></item>"
+                  "<item><title>Second</title><link>"), host,
+            F.lit("/b/"), sid,
+            F.lit("</link></item>"
+                  "<item><title>no link</title></item>"
+                  "</channel></rss>"))
+        atom = F.concat(
+            F.lit("<feed><title>S</title><entry><title>Entry "), sid,
+            F.lit('</title><link rel="alternate" href="'), host,
+            F.lit("/x/"), sid, F.lit('"/><id>urn:'), sid,
+            F.lit("</id><published>2022-"), mm, F.lit("-"), dd,
+            F.lit("T08:00:00Z</published></entry>"
+                  '<entry><title>Beta</title><link href="'), host,
+            F.lit("/y/"), sid,
+            F.lit('"/><updated>2023-01-15T00:00:00Z</updated></entry>'
+                  "</feed>"))
+        feeds = d.select(
+            F.concat(host, F.lit("/feed/"), sid).alias("feed_url"),
+            F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+            .alias("xml"))
+        return extract_feed_entries(feeds)
+    q["feed_entries"] = feed_entries
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8593,6 +8643,102 @@ def oracle_sql() -> dict[str, str]:
                CASE """ + _pd_src + """ ELSE 'none' END AS date_source
         FROM val
     """)
+
+    # feed_entries: same block regexes + child extraction + month map
+    # (generated from FEED_MONTHS so the dialect tables cannot drift)
+    from commoncrawl_spark.operators.links import FEED_MONTHS
+
+    _fm_arr = ", ".join(f"'{m}'" for m in FEED_MONTHS)
+    _fm_case = ("CASE " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in FEED_MONTHS.items()) + " END")
+    _rfc = (r"(\d{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+            r" (\d{4})")
+
+    def _fchild(tag: str) -> str:
+        return ("nullif(trim(regexp_extract(b, "
+                f"'(?is)<{tag}[^>]*>\\s*([^<]*?)\\s*</{tag}>', 1)), '')")
+
+    o["feed_entries"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(doc_id AS VARCHAR) AS sid,
+                 CAST(doc_id % 28 + 1 AS VARCHAR) AS day,
+                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+                 ([{_fm_arr}])[CAST(doc_id % 12 AS INT) + 1] AS mon,
+                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+                 'https://' || source || '.org' AS host
+          FROM documents),
+        feeds AS (
+          SELECT host || '/feed/' || sid AS feed_url,
+            CASE WHEN doc_id % 2 = 0 THEN
+              '<rss version="2.0"><channel><title>S</title><item><title>Post '
+              || sid || '</title><link>' || host || '/a/' || sid
+              || '</link><guid>g-' || sid || '</guid><pubDate>Tue, ' || day
+              || ' ' || mon || ' 2021 10:00:00 GMT</pubDate></item>'
+              || '<item><title>Second</title><link>' || host || '/b/' || sid
+              || '</link></item><item><title>no link</title></item>'
+              || '</channel></rss>'
+            ELSE
+              '<feed><title>S</title><entry><title>Entry ' || sid
+              || '</title><link rel="alternate" href="' || host || '/x/'
+              || sid || '"/><id>urn:' || sid || '</id><published>2022-'
+              || mm || '-' || dd || 'T08:00:00Z</published></entry>'
+              || '<entry><title>Beta</title><link href="' || host || '/y/'
+              || sid
+              || '"/><updated>2023-01-15T00:00:00Z</updated></entry></feed>'
+            END AS xml
+          FROM base),
+        blocks AS (
+          SELECT feed_url,
+                 CASE WHEN regexp_matches(xml, '(?is)<feed[\\s>]')
+                      THEN 'atom'
+                      WHEN regexp_matches(xml, '(?is)<rss[\\s>]')
+                      THEN 'rss' END AS kind,
+                 unnest(CASE WHEN regexp_matches(xml, '(?is)<feed[\\s>]')
+                   THEN regexp_extract_all(
+                        xml, '(?is)<entry>(.*?)</entry>', 1)
+                   ELSE regexp_extract_all(
+                        xml, '(?is)<item>(.*?)</item>', 1) END) AS b
+          FROM feeds
+          WHERE regexp_matches(xml, '(?is)<feed[\\s>]')
+             OR regexp_matches(xml, '(?is)<rss[\\s>]')),
+        fields AS (
+          SELECT feed_url, kind,
+                 {_fchild("title")} AS title,
+                 CASE WHEN kind = 'atom'
+                      THEN nullif(regexp_extract(
+                           b, '(?is)<link[^>]*href="([^"]+)"', 1), '')
+                      ELSE {_fchild("link")} END AS link,
+                 CASE WHEN kind = 'atom' THEN {_fchild("id")}
+                      ELSE {_fchild("guid")} END AS entry_id,
+                 CASE WHEN kind = 'atom'
+                      THEN COALESCE({_fchild("published")},
+                                    {_fchild("updated")})
+                      ELSE {_fchild("pubDate")} END AS published_raw
+          FROM blocks)
+        SELECT feed_url, kind, title, link, entry_id,
+               CASE WHEN regexp_extract(published_raw, '{_rfc}', 1) <> ''
+                    THEN regexp_extract(published_raw, '{_rfc}', 3) || '-'
+                         || ({_fm_case.replace(
+                             "CASE ",
+                             "CASE regexp_extract(published_raw, '"
+                             + _rfc + "', 2) ")}) || '-'
+                         || lpad(regexp_extract(
+                                published_raw, '{_rfc}', 1), 2, '0')
+                    WHEN regexp_extract(
+                         published_raw,
+                         '(\\d{{4}})-(\\d{{2}})-(\\d{{2}})', 1) <> ''
+                    THEN regexp_extract(published_raw,
+                         '(\\d{{4}})-(\\d{{2}})-(\\d{{2}})', 1) || '-'
+                      || regexp_extract(published_raw,
+                         '(\\d{{4}})-(\\d{{2}})-(\\d{{2}})', 2) || '-'
+                      || regexp_extract(published_raw,
+                         '(\\d{{4}})-(\\d{{2}})-(\\d{{2}})', 3)
+               END AS published,
+               published_raw
+        FROM fields
+        WHERE link IS NOT NULL
+    """
 
     # lm_quality: identical unigram MLE — cnt/total is one double
     # division on both sides, avg(ln) rounded to the compare grain

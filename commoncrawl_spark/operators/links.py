@@ -823,3 +823,100 @@ def cocitation(
                 6).alias("similarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed parsing (the sitemap extractor's syndication twin)
+# ---------------------------------------------------------------------------
+
+#: RFC 822 month tokens -> zero-padded month numbers, shared with the
+#: DuckDB oracle so both engines normalize pubDate identically
+FEED_MONTHS = {
+    "Jan": "01", "Feb": "02", "Mar": "03", "Apr": "04", "May": "05",
+    "Jun": "06", "Jul": "07", "Aug": "08", "Sep": "09", "Oct": "10",
+    "Nov": "11", "Dec": "12",
+}
+
+_RSS_ITEM_RE = r"(?is)<item>(.*?)</item>"
+_ATOM_ENTRY_RE = r"(?is)<entry>(.*?)</entry>"
+_RFC822_DATE_RE = (
+    r"(\d{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) (\d{4})"
+)
+_ISO_DATE_RE = r"(\d{4})-(\d{2})-(\d{2})"
+
+
+def extract_feed_entries(
+    feeds: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "feed_url",
+) -> DataFrame:
+    """RSS 2.0 ``<item>`` / Atom ``<entry>`` records from feed bytes:
+    one row per entry — ``(feed_url, kind, title, link, entry_id,
+    published, published_raw)``, missing children null, entries
+    without a link dropped (nothing to crawl). ``published``
+    normalizes BOTH date dialects to yyyy-MM-dd — RFC 822
+    ("Tue, 7 Sep 2021 10:00:00 GMT") via a month-token map and ISO
+     8601 via direct extraction — because feeds are the news-crawl
+    freshness source and the recrawl scheduler wants one comparable
+    key, not two formats.
+
+    Same scan-stage shape as :func:`extract_sitemap_entries`: the only
+    non-projection op is the explode; every child field is a
+    regexp_extract over the entry block, so 10^8 polled feeds parse in
+    their read stage. Feed kind is sniffed from the root element —
+    ``<feed`` (Atom) wins over ``<rss`` so Atom feeds that mention rss
+    in comments don't misroute."""
+    text = F.col(xml_col).cast("string")
+    kind = (
+        F.when(text.rlike(r"(?is)<feed[\s>]"), F.lit("atom"))
+        .when(text.rlike(r"(?is)<rss[\s>]"), F.lit("rss"))
+    )
+    blocks = F.when(
+        kind == "atom",
+        F.regexp_extract_all(text, F.lit(_ATOM_ENTRY_RE), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(text, F.lit(_RSS_ITEM_RE), F.lit(1)))
+    ex = feeds.select(
+        F.col(url_col).alias("feed_url"), kind.alias("kind"),
+        F.explode(blocks).alias("_b"),
+    ).filter(F.col("kind").isNotNull())
+
+    def child(tag: str) -> Column:
+        v = F.trim(F.regexp_extract(
+            F.col("_b"), rf"(?is)<{tag}[^>]*>\s*([^<]*?)\s*</{tag}>", 1))
+        return F.when(v != "", v)
+
+    link = F.when(
+        F.col("kind") == "atom",
+        F.when(F.regexp_extract(
+            F.col("_b"), r'(?is)<link[^>]*href="([^"]+)"', 1) != "",
+            F.regexp_extract(
+                F.col("_b"), r'(?is)<link[^>]*href="([^"]+)"', 1)),
+    ).otherwise(child("link"))
+    raw = F.when(F.col("kind") == "atom",
+                 F.coalesce(child("published"), child("updated"))
+                 ).otherwise(child("pubDate"))
+    mm = F.coalesce(*[
+        F.when(F.regexp_extract(raw, _RFC822_DATE_RE, 2) == k, F.lit(v))
+        for k, v in FEED_MONTHS.items()])
+    rfc = F.when(
+        F.regexp_extract(raw, _RFC822_DATE_RE, 1) != "",
+        F.concat(
+            F.regexp_extract(raw, _RFC822_DATE_RE, 3), F.lit("-"), mm,
+            F.lit("-"),
+            F.lpad(F.regexp_extract(raw, _RFC822_DATE_RE, 1), 2, "0")))
+    iso = F.when(
+        F.regexp_extract(raw, _ISO_DATE_RE, 1) != "",
+        F.concat_ws("-",
+                    F.regexp_extract(raw, _ISO_DATE_RE, 1),
+                    F.regexp_extract(raw, _ISO_DATE_RE, 2),
+                    F.regexp_extract(raw, _ISO_DATE_RE, 3)))
+    return ex.select(
+        "feed_url", "kind",
+        child("title").alias("title"),
+        link.alias("link"),
+        F.when(F.col("kind") == "atom", child("id"))
+        .otherwise(child("guid")).alias("entry_id"),
+        F.coalesce(rfc, iso).alias("published"),
+        raw.alias("published_raw"),
+    ).filter(F.col("link").isNotNull())

@@ -834,3 +834,73 @@ def test_cocitation_min_count_and_coupling_via_reversal(spark):
                 links, src_col="dst", dst_col="src").collect()}
     assert coup[("s1", "s2")] == 2
     assert coup[("s1", "s3")] == 1 and coup[("s2", "s3")] == 1
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed parsing
+# ---------------------------------------------------------------------------
+
+RSS_FEED = """<?xml version="1.0"?><rss version="2.0"><channel>
+<title>Site</title><link>https://s.test/</link>
+<item><title> First post </title><link>https://s.test/a</link>
+<guid isPermaLink="false">tag:a</guid>
+<pubDate>Tue, 7 Sep 2021 10:00:00 GMT</pubDate></item>
+<item><title>No date</title><link>https://s.test/b</link></item>
+<item><title>No link, dropped</title></item>
+</channel></rss>"""
+
+ATOM_FEED = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Site</title>
+<entry><title type="text">Alpha</title>
+<link rel="alternate" href="https://a.test/x"/>
+<id>urn:1</id><published>2022-03-09T08:00:00Z</published></entry>
+<entry><title>Beta</title><link href="https://a.test/y"/>
+<updated>2022-12-31T23:59:59Z</updated></entry>
+</feed>"""
+
+
+@pytest.mark.spark
+def test_feed_entries_rss(spark):
+    from commoncrawl_spark.operators.links import extract_feed_entries
+
+    df = spark.createDataFrame([("https://s.test/feed", RSS_FEED)],
+                               "feed_url string, xml string")
+    rows = extract_feed_entries(df).orderBy("link").collect()
+    assert [r["link"] for r in rows] == ["https://s.test/a",
+                                         "https://s.test/b"]
+    a, b = rows
+    assert a["kind"] == "rss" and a["title"] == "First post"
+    assert a["entry_id"] == "tag:a"
+    assert a["published"] == "2021-09-07"          # RFC822 normalized
+    assert a["published_raw"] == "Tue, 7 Sep 2021 10:00:00 GMT"
+    assert b["entry_id"] is None and b["published"] is None
+
+
+@pytest.mark.spark
+def test_feed_entries_atom(spark):
+    from commoncrawl_spark.operators.links import extract_feed_entries
+
+    df = spark.createDataFrame([("https://a.test/atom", ATOM_FEED)],
+                               "feed_url string, xml string")
+    rows = extract_feed_entries(df).orderBy("link").collect()
+    assert [(r["kind"], r["link"]) for r in rows] == [
+        ("atom", "https://a.test/x"), ("atom", "https://a.test/y")]
+    x, y = rows
+    assert x["title"] == "Alpha" and x["entry_id"] == "urn:1"
+    assert x["published"] == "2022-03-09"          # ISO normalized
+    assert y["published"] == "2022-12-31"          # falls back to updated
+    assert y["entry_id"] is None
+
+
+@pytest.mark.spark
+def test_feed_entries_not_a_feed_and_plan(spark):
+    from commoncrawl_spark.operators.links import extract_feed_entries
+    from commoncrawl_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame(
+        [("https://h.test/p", "<html>not a feed</html>")],
+        "feed_url string, xml string")
+    out = extract_feed_entries(df)
+    assert out.count() == 0
+    p = plan_string(out, "simple")
+    assert "Exchange" not in p and "EvalPython" not in p
