@@ -3844,6 +3844,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return postings_compression(build_postings(docs))
     q["postings_compression"] = postings_compression_q
 
+    def epoch_plan_q(spark, sf):
+        """Data-constrained training mix: per-source token counts
+        (one map-side-partial aggregate) waterfilled against a 60k
+        budget under dyadic repetition caps (1/2/4 epochs by source
+        ordinal — bulk web repeats least, scarce quality most). The
+        breakpoint search is candidate-per-cap aggregates, never a
+        global sort; budget lands mid-ladder so low-cap sources
+        saturate and cap-4 sources share the uniform level."""
+        from commoncrawl_spark.operators.analytics import tokens_col
+        from commoncrawl_spark.operators.selection import epoch_plan
+
+        d = _read(spark, sf, "documents")
+        st = d.groupBy("source").agg(
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("long").alias("n_tokens"))
+        n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+        st = st.withColumn(
+            "max_epochs",
+            F.when(n % 3 == 0, F.lit(1.0))
+            .when(n % 3 == 1, F.lit(2.0)).otherwise(F.lit(4.0)))
+        return epoch_plan(st, 60000.0)
+    q["epoch_plan"] = epoch_plan_q
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8795,6 +8818,41 @@ def oracle_sql() -> dict[str, str]:
                varint_bytes, max_gap,
                round(varint_bytes / (df * 8.0), 6) AS ratio
         FROM priced
+    """
+
+    # epoch_plan: the waterfilling replayed — dyadic caps keep every
+    # sat-sum exact in double, so the one division matches bit-for-bit
+    o["epoch_plan"] = f"""
+        WITH st AS (
+          SELECT source,
+                 CAST(sum(len({toks_doc})) AS BIGINT) AS n_tokens,
+                 CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
+                      WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                      ELSE 4.0 END AS max_epochs
+          FROM documents GROUP BY source),
+        caps AS (SELECT DISTINCT max_epochs AS c FROM st),
+        cand AS (
+          SELECT c,
+                 sum(CASE WHEN s.max_epochs < c
+                          THEN s.n_tokens * s.max_epochs
+                          ELSE 0 END) AS sat,
+                 sum(CASE WHEN s.max_epochs >= c THEN s.n_tokens
+                          ELSE 0 END) AS un,
+                 max(CASE WHEN s.max_epochs < c THEN s.max_epochs
+                          ELSE 0 END) AS prev
+          FROM caps, st s GROUP BY c),
+        lvl AS (
+          SELECT min((60000.0 - sat) / un) AS level
+          FROM cand
+          WHERE (60000.0 - sat) / un >= prev
+            AND (60000.0 - sat) / un < c)
+        SELECT source, n_tokens, max_epochs,
+               round(least(coalesce(level, max_epochs), max_epochs), 6)
+                 AS epochs,
+               round(n_tokens
+                     * round(least(coalesce(level, max_epochs),
+                                   max_epochs), 6), 6) AS alloc_tokens
+        FROM st, lvl
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -334,3 +334,74 @@ def soft_dedup_weights(
             "weighted_tokens",
             F.round(F.col("weight") * F.col("n_tokens"), 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch planning (waterfilling under per-source caps)
+# ---------------------------------------------------------------------------
+
+
+def epoch_plan(
+    source_tokens: DataFrame,
+    budget: float,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    cap_col: str = "max_epochs",
+) -> DataFrame:
+    """How many epochs of each source to train on, given a total token
+    budget and per-source repetition caps — the Muennighoff et al.
+    (NeurIPS 2023) data-constrained regime where repeating a source
+    beyond ~4 epochs stops helping, so scarce high-quality sources cap
+    high and bulk web caps low. Solves the waterfilling equation
+    sum_s(tokens_s * min(e, cap_s)) = budget for the uniform epoch
+    level e, then reports per source: ``(group, n_tokens, max_epochs,
+    epochs, alloc_tokens)`` with epochs = min(e, cap) rounded 6dp.
+    If the budget exceeds full saturation every source trains at its
+    cap (the plan under-fills; the caller sees it in sum(alloc)).
+
+    WINDOW-FREE breakpoint search: for each distinct cap value c,
+    assume sources with cap < c are saturated — e(c) = (budget -
+    sum_{cap<c} tokens*cap) / sum_{cap>=c} tokens — and keep the
+    candidate where prev-cap <= e(c) < c. That is one conditional
+    aggregate per candidate over the SOURCE table (cap-cardinality x
+    source-cardinality join rows, both bounded: sources are a
+    histogram of the corpus, caps a config ladder), never a global
+    sort. DETERMINISM CONTRACT: caps must be dyadic (4.0, 2.0, 1.0,
+    0.5...) so tokens*cap is exact in double and the saturated sums
+    are order-independent; the one division lands on the 6dp grain.
+
+    Scale shape: the input is already per-source (the caller's one
+    map-side-partial aggregate over the corpus); everything here is
+    joins and aggregates over that bounded table — no corpus rescan,
+    no window, no Python."""
+    toks = F.col(tokens_col).cast("double")
+    caps = source_tokens.select(F.col(cap_col).alias("_c")).distinct()
+    cand = (
+        caps.crossJoin(source_tokens.select(
+            F.col(cap_col).alias("_cap"), toks.alias("_t")))
+        .groupBy("_c")
+        .agg(
+            F.sum(F.when(F.col("_cap") < F.col("_c"),
+                         F.col("_t") * F.col("_cap"))
+                  .otherwise(F.lit(0.0))).alias("_sat"),
+            F.sum(F.when(F.col("_cap") >= F.col("_c"), F.col("_t"))
+                  .otherwise(F.lit(0.0))).alias("_un"),
+            F.max(F.when(F.col("_cap") < F.col("_c"), F.col("_cap"))
+                  .otherwise(F.lit(0.0))).alias("_prev"),
+        )
+        .withColumn("_e", (F.lit(float(budget)) - F.col("_sat"))
+                    / F.col("_un"))
+        .filter((F.col("_e") >= F.col("_prev")) & (F.col("_e") < F.col("_c")))
+        .agg(F.min("_e").alias("_level"))
+    )
+    out = source_tokens.crossJoin(F.broadcast(cand))
+    epochs = F.round(
+        F.least(F.coalesce(F.col("_level"), F.col(cap_col).cast("double")),
+                F.col(cap_col).cast("double")), 6)
+    return out.select(
+        F.col(group_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(cap_col).cast("double").alias("max_epochs"),
+        epochs.alias("epochs"),
+        F.round(toks * epochs, 6).alias("alloc_tokens"),
+    )

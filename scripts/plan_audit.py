@@ -1244,6 +1244,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # epoch waterfilling: bounded source table, candidate aggregates
+    from commoncrawl_spark.operators.selection import epoch_plan
+
+    st = docs.groupBy("source").agg(
+        F.sum(F.length("text")).cast("long").alias("n_tokens")
+    ).withColumn(
+        "max_epochs",
+        F.when(F.col("source").endswith("0"), F.lit(1.0))
+        .otherwise(F.lit(4.0)))
+    p = plan_of(epoch_plan(st, 60000.0))
+    sections.append((
+        "Epoch waterfilling: candidate aggregates, never a global sort",
+        "The corpus collapses to one per-source row (map-side-partial "
+        "aggregate); the min(e,cap) breakpoint is found by one "
+        "conditional aggregate per distinct cap over that bounded "
+        "table and the 1-row level broadcasts back — windows and "
+        "corpus rescans never appear, so the plan costs the same at "
+        "10^10 docs as at 10^3.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # posting-list compression pricing: per-row folds over the index
     from commoncrawl_spark.operators.index import postings_compression
 

@@ -261,3 +261,57 @@ def test_soft_dedup_weights_external_clusters(spark):
            soft_dedup_weights(corpus, clusters).collect()}
     assert got[1]["weight"] == 0.5 and got[2]["weight"] == 0.5
     assert got[3]["weight"] == 1.0 and got[3]["cluster_size"] == 1
+
+
+# ---------------------------------------------------------------------------
+# data-constrained epoch planning
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_epoch_plan_waterfills_to_budget(spark):
+    from commoncrawl_spark.operators.selection import epoch_plan
+
+    st = spark.createDataFrame(
+        [("web", 1000, 1.0), ("books", 500, 2.0), ("wiki", 250, 4.0)],
+        "source string, n_tokens long, max_epochs double")
+    # budget 2500: web saturates at 1.0 (1000), books at 2.0 (1000),
+    # wiki gets (2500-2000)/250 = 2.0 epochs (500)
+    got = {r["source"]: r for r in epoch_plan(st, 2500.0).collect()}
+    assert got["web"]["epochs"] == 1.0
+    assert got["books"]["epochs"] == 2.0
+    assert got["wiki"]["epochs"] == 2.0
+    assert sum(r["alloc_tokens"] for r in got.values()) == 2500.0
+    # mid-segment budget: web saturated, books+wiki share the level
+    got = {r["source"]: r for r in epoch_plan(st, 2125.0).collect()}
+    assert got["web"]["epochs"] == 1.0
+    assert got["books"]["epochs"] == got["wiki"]["epochs"] == 1.5
+    assert sum(r["alloc_tokens"] for r in got.values()) == 2125.0
+
+
+@pytest.mark.spark
+def test_epoch_plan_over_and_under_budget(spark):
+    from commoncrawl_spark.operators.selection import epoch_plan
+
+    st = spark.createDataFrame(
+        [("a", 100, 2.0), ("b", 300, 4.0)],
+        "source string, n_tokens long, max_epochs double")
+    # budget above full saturation (200 + 1200): everyone at cap
+    got = {r["source"]: r for r in epoch_plan(st, 10_000.0).collect()}
+    assert got["a"]["epochs"] == 2.0 and got["b"]["epochs"] == 4.0
+    assert sum(r["alloc_tokens"] for r in got.values()) == 1400.0
+    # tiny budget: uniform level below every cap
+    got = {r["source"]: r for r in epoch_plan(st, 200.0).collect()}
+    assert got["a"]["epochs"] == got["b"]["epochs"] == 0.5
+    assert sum(r["alloc_tokens"] for r in got.values()) == 200.0
+
+
+@pytest.mark.spark
+def test_epoch_plan_no_window_no_python(spark):
+    from commoncrawl_spark.operators.selection import epoch_plan
+    from commoncrawl_spark.plans.explain import plan_string
+
+    st = spark.createDataFrame(
+        [("a", 100, 2.0), ("b", 300, 4.0)],
+        "source string, n_tokens long, max_epochs double")
+    p = plan_string(epoch_plan(st, 500.0), "simple")
+    assert "Window" not in p and "EvalPython" not in p
