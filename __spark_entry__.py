@@ -3867,6 +3867,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return epoch_plan(st, 60000.0)
     q["epoch_plan"] = epoch_plan_q
 
+    def hreflang_pairs(spark, sf):
+        """Bidirectionally confirmed translation pairs (the hreflang
+        validation step that seeds CCMatrix-style bitext mining): each
+        doc publishes en/de/fr variants declaring each other, except
+        every fifth doc's fr page which declares nothing — so its
+        fr pairs must DROP (unreciprocated) while de-en survives.
+        Labels come from the opposite page, the direction search
+        engines trust. Equi-joins on URL keys, no cartesian."""
+        from commoncrawl_spark.operators.links import (
+            confirmed_hreflang_pairs,
+            extract_hreflang,
+        )
+
+        d = _read(spark, sf, "documents")
+        b = F.concat(F.lit("https://"), F.col("source"), F.lit(".org/"),
+                     F.col("doc_id").cast("string"), F.lit("/"))
+        tag = lambda lng: F.concat(  # noqa: E731
+            F.lit('<link rel="alternate" hreflang="' + lng + '" href="'),
+            b, F.lit(lng + '"/>'))
+        full = F.concat(F.lit("<html><head>"), tag("en"), tag("de"),
+                        tag("fr"), F.lit("</head></html>"))
+        pages = (
+            d.select("doc_id", b.alias("_b"), full.alias("_full"))
+            .select(
+                "doc_id", "_b", "_full",
+                F.explode(F.array(F.lit("en"), F.lit("de"), F.lit("fr")))
+                .alias("_l"))
+            .select(
+                F.concat(F.col("_b"), F.col("_l")).alias("url"),
+                F.when((F.col("_l") == "fr") & (F.col("doc_id") % 5 == 0),
+                       F.lit("<html></html>"))
+                .otherwise(F.col("_full")).alias("html"))
+        )
+        return confirmed_hreflang_pairs(extract_hreflang(pages))
+    q["hreflang_pairs"] = hreflang_pairs
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8853,6 +8889,50 @@ def oracle_sql() -> dict[str, str]:
                      * round(least(coalesce(level, max_epochs),
                                    max_epochs), 6), 6) AS alloc_tokens
         FROM st, lvl
+    """
+
+    # hreflang_pairs: full replay — tag regexes, attribute extraction,
+    # reciprocity self-join, strict url_a < url_b canonicalization
+    o["hreflang_pairs"] = r"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 'https://' || source || '.org/'
+                 || CAST(doc_id AS VARCHAR) || '/' AS b
+          FROM documents),
+        pages AS (
+          SELECT doc_id, b, b || l AS url,
+                 CASE WHEN l = 'fr' AND doc_id % 5 = 0
+                      THEN '<html></html>'
+                      ELSE '<html><head>'
+                        || '<link rel="alternate" hreflang="en" href="'
+                        || b || 'en"/>'
+                        || '<link rel="alternate" hreflang="de" href="'
+                        || b || 'de"/>'
+                        || '<link rel="alternate" hreflang="fr" href="'
+                        || b || 'fr"/>'
+                        || '</head></html>' END AS html
+          FROM base, unnest(['en', 'de', 'fr']) AS t(l)),
+        tags AS (
+          SELECT url,
+                 unnest(regexp_extract_all(
+                     html, '(?i)<link\b([^>]*hreflang[^>]*)>', 1)) AS tg
+          FROM pages),
+        alts AS (
+          SELECT DISTINCT url,
+                 lower(regexp_extract(tg, '(?i)hreflang="([^"]+)"', 1))
+                   AS hreflang,
+                 regexp_extract(tg, '(?i)href="([^"]+)"', 1) AS alt_url
+          FROM tags
+          WHERE lower(regexp_extract(tg, '(?i)rel="([^"]+)"', 1))
+                  = 'alternate'
+            AND regexp_extract(tg, '(?i)hreflang="([^"]+)"', 1) <> ''
+            AND regexp_extract(tg, '(?i)href="([^"]+)"', 1) <> '')
+        SELECT DISTINCT
+               a.url AS url_a, rb.hreflang AS lang_a,
+               a.alt_url AS url_b, a.hreflang AS lang_b
+        FROM alts a
+        JOIN alts rb ON rb.url = a.alt_url AND rb.alt_url = a.url
+        WHERE a.url < a.alt_url
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -920,3 +920,78 @@ def extract_feed_entries(
         F.coalesce(rfc, iso).alias("published"),
         raw.alias("published_raw"),
     ).filter(F.col("link").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates (multilingual site mapping -> bitext candidates)
+# ---------------------------------------------------------------------------
+
+
+def extract_hreflang(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """``<link rel="alternate" hreflang=... href=...>`` declarations:
+    one row per tag — ``(url, hreflang, alt_url)``, language tag
+    lowercased (BCP 47 tags are case-insensitive), tags missing either
+    attribute or not rel=alternate dropped. This is how multilingual
+    sites declare their translation sets (Google's hreflang
+    convention) — the seed signal for CCMatrix/CCAligned-style bitext
+    mining, long before any content alignment runs.
+
+    Attribute order is free in HTML, so the tag body is captured once
+    and each attribute extracted independently. Scan-stage regex +
+    explode, zero exchanges."""
+    text = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(
+        text, F.lit(r"(?i)<link\b([^>]*hreflang[^>]*)>"), F.lit(1))
+    ex = pages.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("_t"))
+    lang = F.lower(F.regexp_extract(
+        F.col("_t"), r'(?i)hreflang="([^"]+)"', 1))
+    href = F.regexp_extract(F.col("_t"), r'(?i)href="([^"]+)"', 1)
+    rel = F.regexp_extract(F.col("_t"), r'(?i)rel="([^"]+)"', 1)
+    return (
+        ex.select(
+            "url", lang.alias("hreflang"), href.alias("alt_url"),
+            F.lower(rel).alias("_rel"))
+        .filter((F.col("hreflang") != "") & (F.col("alt_url") != "")
+                & (F.col("_rel") == "alternate"))
+        .drop("_rel")
+    )
+
+
+def confirmed_hreflang_pairs(alts: DataFrame) -> DataFrame:
+    """Bidirectionally confirmed translation pairs from
+    :func:`extract_hreflang` output: ``(url_a, lang_a, url_b,
+    lang_b)`` with ``url_a < url_b``, kept only when A declares B AND
+    B declares A — the validation step that makes hreflang usable at
+    web scale, because unreciprocated declarations (spam, stale tags,
+    scraped copies pointing at originals) are endemic and one-sided
+    claims routinely cross sites. ``lang_b`` is the language A
+    declares FOR B and vice versa — each side's label comes from the
+    OTHER page, the direction search engines actually trust.
+    Self-references (a page listing itself) and ``x-default`` rows
+    pass through extract_hreflang but cannot form a pair (url_a <
+    url_b is strict; x-default pairs fail the reciprocity join unless
+    genuinely mutual).
+
+    Scale shape: one equi-join of the declaration table against
+    itself on the (url, alt_url) key pair — hash join on real keys,
+    no cartesian anywhere; a hub page declaring 50 languages
+    contributes 50 rows, not 50^2. The distinct collapses duplicate
+    tags before pairs form."""
+    d = alts.select("url", "hreflang", "alt_url").distinct()
+    a = d.select(F.col("url").alias("url_a"),
+                 F.col("alt_url").alias("url_b"),
+                 F.col("hreflang").alias("lang_b"))
+    b = d.select(F.col("url").alias("url_b"),
+                 F.col("alt_url").alias("url_a"),
+                 F.col("hreflang").alias("lang_a"))
+    return (
+        a.join(b, ["url_a", "url_b"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "lang_a", "url_b", "lang_b")
+        .distinct()
+    )

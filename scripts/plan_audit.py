@@ -1244,6 +1244,31 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # hreflang reciprocity: equi self-join on URL key pairs
+    from commoncrawl_spark.operators.links import (
+        confirmed_hreflang_pairs,
+        extract_hreflang,
+    )
+
+    hl_pages = docs.select(
+        F.concat(F.lit("https://h.test/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="https://'),
+            F.col("source"), F.lit('.org/de"/>')).alias("html"))
+    p = plan_of(confirmed_hreflang_pairs(extract_hreflang(hl_pages)))
+    sections.append((
+        "hreflang reciprocity: URL-key equi-join, never a cartesian",
+        "Tag extraction is scan-stage regex + explode; the mutual-"
+        "declaration check is one hash equi-join of the declaration "
+        "table against itself on the (url, alt_url) KEY PAIR — a hub "
+        "page declaring 50 languages contributes 50 join rows, not "
+        "50^2, and unreciprocated spam declarations die in the join.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # epoch waterfilling: bounded source table, candidate aggregates
     from commoncrawl_spark.operators.selection import epoch_plan
 

@@ -904,3 +904,66 @@ def test_feed_entries_not_a_feed_and_plan(spark):
     assert out.count() == 0
     p = plan_string(out, "simple")
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates
+# ---------------------------------------------------------------------------
+
+HREFLANG_PAGE = """<html><head>
+<link rel="alternate" hreflang="EN" href="https://s.test/en"/>
+<link hreflang="de" rel="alternate" href="https://s.test/de"/>
+<link rel="alternate" hreflang="x-default" href="https://s.test/"/>
+<link rel="stylesheet" hreflang="fr" href="https://s.test/css"/>
+<link rel="alternate" hreflang="es">
+</head></html>"""
+
+
+@pytest.mark.spark
+def test_extract_hreflang_attr_order_case_and_filters(spark):
+    from commoncrawl_spark.operators.links import extract_hreflang
+
+    df = spark.createDataFrame([("https://s.test/en", HREFLANG_PAGE)],
+                               "url string, html string")
+    rows = extract_hreflang(df).orderBy("hreflang").collect()
+    # stylesheet rel dropped, missing-href dropped, lang lowercased
+    assert [(r["hreflang"], r["alt_url"]) for r in rows] == [
+        ("de", "https://s.test/de"),
+        ("en", "https://s.test/en"),
+        ("x-default", "https://s.test/"),
+    ]
+
+
+@pytest.mark.spark
+def test_confirmed_hreflang_pairs_reciprocity(spark):
+    from commoncrawl_spark.operators.links import confirmed_hreflang_pairs
+
+    alts = spark.createDataFrame([
+        # en <-> de reciprocal
+        ("https://s.test/en", "de", "https://s.test/de"),
+        ("https://s.test/de", "en", "https://s.test/en"),
+        # en -> fr unreciprocated (fr page never confirms)
+        ("https://s.test/en", "fr", "https://s.test/fr"),
+        # duplicate tag collapses
+        ("https://s.test/en", "de", "https://s.test/de"),
+        # self-reference cannot pair
+        ("https://s.test/en", "en", "https://s.test/en"),
+    ], "url string, hreflang string, alt_url string")
+    rows = confirmed_hreflang_pairs(alts).collect()
+    # lang_a is the label the OTHER page assigns A: the en page says
+    # the de page is "de", and vice versa
+    assert [(r["url_a"], r["lang_a"], r["url_b"], r["lang_b"])
+            for r in rows] == [
+        ("https://s.test/de", "de", "https://s.test/en", "en")]
+
+
+@pytest.mark.spark
+def test_hreflang_pair_plan_equi_join_no_cartesian(spark):
+    from commoncrawl_spark.operators.links import confirmed_hreflang_pairs
+    from commoncrawl_spark.plans.explain import plan_string
+
+    alts = spark.createDataFrame(
+        [("u", "en", "v"), ("v", "de", "u")],
+        "url string, hreflang string, alt_url string")
+    p = plan_string(confirmed_hreflang_pairs(alts), "simple")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
