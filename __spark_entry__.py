@@ -3903,6 +3903,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return confirmed_hreflang_pairs(extract_hreflang(pages))
     q["hreflang_pairs"] = hreflang_pairs
 
+    def span_corruption_q(spark, sf):
+        """T5 span corruption (Raffel et al. §3.1.4) in the
+        deterministic windowed form: one md5-placed 3-token span per
+        complete 20-token block swaps for its <extra_id_k> sentinel
+        (exactly the 15% T5 rate), targets carry sentinel+span+final
+        sentinel, tails pass through. Per-row array lambdas — the
+        objective materializes in the scan stage of the export job."""
+        from commoncrawl_spark.operators.chunking import span_corruption
+
+        return span_corruption(_read(spark, sf, "documents"))
+    q["span_corruption"] = span_corruption_q
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8933,6 +8945,41 @@ def oracle_sql() -> dict[str, str]:
         FROM alts a
         JOIN alts rb ON rb.url = a.alt_url AND rb.alt_url = a.url
         WHERE a.url < a.alt_url
+    """
+
+    # span_corruption: block slicing + the md5 offset arithmetic in
+    # list lambdas; Spark slice(arr, s, len) maps to l[s : s+len-1]
+    _t5_off_sql = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || "
+        "CAST(w AS VARCHAR)), 1, 8))::BIGINT % 18 AS INT)")
+    o["span_corruption"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CAST(floor(len(toks) / 20) AS INT) AS nw
+          FROM t),
+        built AS (
+          SELECT doc_id, n, nw,
+            flatten(list_transform(range(0, nw), w ->
+              toks[w * 20 + 1 : w * 20 + {_t5_off_sql}]
+              || ['<extra_id_' || CAST(w AS VARCHAR) || '>']
+              || toks[w * 20 + {_t5_off_sql} + 4 : w * 20 + 20]))
+            || toks[nw * 20 + 1 : n] AS inputs,
+            flatten(list_transform(range(0, nw), w ->
+              ['<extra_id_' || CAST(w AS VARCHAR) || '>']
+              || toks[w * 20 + {_t5_off_sql} + 1
+                      : w * 20 + {_t5_off_sql} + 3]))
+            || ['<extra_id_' || CAST(nw AS VARCHAR) || '>'] AS targets
+          FROM m)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(nw AS BIGINT) AS n_spans,
+               array_to_string(inputs, ' ') AS input_text,
+               array_to_string(targets, ' ') AS target_text
+        FROM built
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

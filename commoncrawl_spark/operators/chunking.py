@@ -173,3 +173,76 @@ def pack_sequences(
         (g_end - g_start).alias("n_tokens"),
         (g_start - F.col("seq_id") * seq_tokens).alias("seq_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption (deterministic windowed variant)
+# ---------------------------------------------------------------------------
+
+
+def span_corruption(
+    df: DataFrame,
+    window: int = 20,
+    span: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The T5 pre-training objective (Raffel et al. JMLR'20 §3.1.4)
+    as a DETERMINISTIC windowed transform: the token stream splits
+    into fixed ``window``-token blocks and each complete block loses
+    ONE ``span``-token run at an md5-derived offset, replaced by its
+    ``<extra_id_k>`` sentinel; targets are sentinel + removed run per
+    block plus the terminal sentinel. Corruption rate is exactly
+    span/window (3/20 = T5's 15%) over complete blocks; the tail
+    (< window tokens) passes through uncorrupted. T5 samples spans
+    i.i.d., which is irreproducible across engines AND forces a
+    sequential non-overlap scan; fixed blocks make non-overlap true
+    by construction, keep the rate exact, and let every offset be
+    md5(id|block) arithmetic both engines replay bit-for-bit.
+
+    Output: ``(id_col, n_tokens, n_spans, input_text, target_text)``.
+    Scale shape: per-row array lambdas over the token split — zero
+    exchanges, zero Python; 10^10 docs corrupt in their scan stage,
+    composing with chunk_documents/write_shards like the other
+    export steps."""
+    if span < 1 or window <= span:
+        raise ValueError(f"need window > span >= 1, got {window}/{span}")
+    toks = _words_col(F.col(text_col))
+    n = F.size(toks)
+    n_win = F.floor(n / window).cast("int")
+    offs_mod = window - span + 1
+
+    def off(w: Column) -> Column:
+        # md5-derived offset in [0, window-span]; same conv arithmetic
+        # as the CMS buckets so DuckDB replays it exactly
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col(id_col).cast("string"), F.lit("|"),
+            w.cast("string"))), 1, 8), 16, 10).cast("long")
+        return (h % offs_mod).cast("int")
+
+    def sentinel(w: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), w.cast("string"), F.lit(">"))
+
+    def win_slice(w: Column, start_in_win: Column, length: Column) -> Column:
+        return F.slice(toks, w * window + start_in_win + 1, length)
+
+    # sequence(0, -1) in Spark yields [0, -1] (auto negative step), so
+    # the zero-complete-windows case guards the sequence itself
+    ws = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    inp_blocks = F.transform(ws, lambda w: F.concat(
+        win_slice(w, F.lit(0), off(w)),
+        F.array(sentinel(w)),
+        win_slice(w, off(w) + span, F.lit(window) - off(w) - span)))
+    tgt_blocks = F.transform(ws, lambda w: F.concat(
+        F.array(sentinel(w)), win_slice(w, off(w), F.lit(span))))
+    tail = F.slice(toks, n_win * window + 1, n - n_win * window)
+    inputs = F.concat(F.flatten(inp_blocks), tail)
+    targets = F.concat(F.flatten(tgt_blocks), F.array(sentinel(n_win)))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_win.cast("long").alias("n_spans"),
+        F.array_join(inputs, " ").alias("input_text"),
+        F.array_join(targets, " ").alias("target_text"),
+    )

@@ -1244,6 +1244,22 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # T5 span corruption: the training objective rides the scan
+    from commoncrawl_spark.operators.chunking import span_corruption
+
+    p = plan_of(span_corruption(docs.select("doc_id", "text")))
+    sections.append((
+        "T5 span corruption: objective materializes in the scan stage",
+        "Fixed 20-token blocks make span non-overlap true by "
+        "construction (T5's i.i.d. sampling would force a sequential "
+        "scan); each block's offset is md5 arithmetic and the "
+        "input/target rebuild is slice+flatten lambdas — zero "
+        "exchanges, zero Python, so the pre-training objective is "
+        "generated in the same pass that reads the corpus.",
+        [f"Exchange count: {p.count('Exchange')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # hreflang reciprocity: equi self-join on URL key pairs
     from commoncrawl_spark.operators.links import (
         confirmed_hreflang_pairs,

@@ -2339,3 +2339,78 @@ def test_c4_signals_clean_text_joins_kept_lines(spark):
     assert row["c"] == ("Keep this first line of prose.\n"
                         "And keep this one too!")
     assert row["nl"] == 3 and row["nk"] == 2
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption
+# ---------------------------------------------------------------------------
+
+def _t5_off(doc_id, w, window=20, span=3):
+    import hashlib
+    h = int(hashlib.md5(f"{doc_id}|{w}".encode()).hexdigest()[:8], 16)
+    return h % (window - span + 1)
+
+
+@pytest.mark.spark
+def test_span_corruption_hand_replay(spark):
+    from commoncrawl_spark.operators.chunking import span_corruption
+
+    toks = [f"w{i}" for i in range(45)]     # 2 complete windows + tail 5
+    df = spark.createDataFrame([(7, " ".join(toks))],
+                               "doc_id long, text string")
+    [r] = span_corruption(df).collect()
+    assert (r["n_tokens"], r["n_spans"]) == (45, 2)
+    inp, tgt = [], []
+    for w in range(2):
+        off = _t5_off(7, w)
+        blk = toks[w * 20:(w + 1) * 20]
+        inp += blk[:off] + [f"<extra_id_{w}>"] + blk[off + 3:]
+        tgt += [f"<extra_id_{w}>"] + blk[off:off + 3]
+    inp += toks[40:]
+    tgt += ["<extra_id_2>"]
+    assert r["input_text"] == " ".join(inp)
+    assert r["target_text"] == " ".join(tgt)
+    # exactly 15% of complete-window tokens corrupted
+    assert r["input_text"].split().count("<extra_id_0>") == 1
+
+
+@pytest.mark.spark
+def test_span_corruption_short_doc_and_empty(spark):
+    from commoncrawl_spark.operators.chunking import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "only five words right here"), (2, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    assert got[1]["input_text"] == "only five words right here"
+    assert got[1]["target_text"] == "<extra_id_0>"
+    assert got[1]["n_spans"] == 0
+    assert got[2]["input_text"] == "" and got[2]["n_tokens"] == 0
+
+
+@pytest.mark.spark
+def test_span_corruption_token_conservation_and_guards(spark):
+    from commoncrawl_spark.operators.chunking import span_corruption
+
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(3, " ".join(toks))],
+                               "doc_id long, text string")
+    [r] = span_corruption(df).collect()
+    kept = [t for t in r["input_text"].split() if not t.startswith("<extra")]
+    removed = [t for t in r["target_text"].split()
+               if not t.startswith("<extra")]
+    # every original token is in exactly one of inputs / targets
+    assert sorted(kept + removed) == sorted(toks)
+    assert len(removed) == 5 * 3                 # 5 windows x span 3
+    with pytest.raises(ValueError):
+        span_corruption(df, window=3, span=3)
+
+
+@pytest.mark.spark
+def test_span_corruption_plan_no_shuffle(spark):
+    from commoncrawl_spark.operators.chunking import span_corruption
+    from commoncrawl_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = plan_string(span_corruption(df), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p
