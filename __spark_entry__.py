@@ -3915,6 +3915,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_corruption(_read(spark, sf, "documents"))
     q["span_corruption"] = span_corruption_q
 
+    def news_pipeline(spark, sf):
+        """The news-crawl composition the feed operators exist for:
+        poll feeds (RSS+Atom fixture) -> entry links become frontier
+        candidates keyed by sha1(canonical url) -> anti-join the seen
+        set (every sixth doc's /a/ link already crawled) -> freshness
+        priority (days-to-epoch of the normalized published date,
+        dateless entries sink) -> salted per-host politeness batch of
+        10. Tie-break on the url string so the whole chain replays in
+        SQL; the sha1 key drives only the membership join (injective,
+        so raw-url membership is the same set)."""
+        from commoncrawl_spark.operators.links import extract_feed_entries
+        from commoncrawl_spark.operators.schedule import select_polite_batch
+        from commoncrawl_spark.operators.seen_set import (
+            anti_join_seen,
+            with_url_key,
+        )
+
+        ent = feed_entries(spark, sf)
+        cand = with_url_key(
+            ent.select(F.col("link").alias("url"), "published"))
+        d = _read(spark, sf, "documents")
+        seen = with_url_key(
+            d.filter(F.col("doc_id") % 6 == 0).select(
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".org/a/"), F.col("doc_id").cast("string"))
+                .alias("url")))
+        fresh = (
+            anti_join_seen(cand, seen)
+            .withColumn("host",
+                        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+            .withColumn(
+                "staleness",
+                F.coalesce(
+                    F.datediff(F.lit("2100-01-01").cast("date"),
+                               F.col("published").cast("date")),
+                    F.lit(99999)).cast("int"))
+        )
+        batch = select_polite_batch(
+            fresh, budget_per_host=10,
+            priority_cols=("staleness", "url"), key_col="url_sha1")
+        return batch.select("host", "url", "published", "staleness",
+                            "host_rank")
+    q["news_pipeline"] = news_pipeline
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -8980,6 +9024,33 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(inputs, ' ') AS input_text,
                array_to_string(targets, ' ') AS target_text
         FROM built
+    """
+
+    # news_pipeline: the feed oracle nests as a subquery; membership on
+    # the raw url (sha1 key is injective), rank replay on (host,
+    # staleness, url) — the exact w2 ordering select_polite_batch uses
+    o["news_pipeline"] = f"""
+        WITH cand AS (
+          SELECT link AS url, published FROM ({o["feed_entries"]}) ent),
+        seen AS (
+          SELECT 'https://' || source || '.org/a/'
+                 || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 6 = 0),
+        fresh AS (
+          SELECT c.url, c.published,
+                 regexp_extract(c.url, '^[a-z]+://([^/]+)', 1) AS host,
+                 CAST(coalesce(date_diff('day',
+                         try_cast(c.published AS DATE),
+                         DATE '2100-01-01'), 99999) AS INT) AS staleness
+          FROM cand c
+          WHERE c.url NOT IN (SELECT url FROM seen)),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY staleness, url) AS INT)
+                 AS host_rank
+          FROM fresh)
+        SELECT host, url, published, staleness, host_rank
+        FROM ranked WHERE host_rank <= 10
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

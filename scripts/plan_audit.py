@@ -1348,6 +1348,42 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # news pipeline: feeds -> anti-join -> salted politeness batch
+    from commoncrawl_spark.operators.schedule import select_polite_batch
+    from commoncrawl_spark.operators.seen_set import (
+        anti_join_seen,
+        with_url_key,
+    )
+
+    np_ent = extract_feed_entries(feeds)   # feeds built above
+    np_cand = with_url_key(np_ent.select(
+        F.col("link").alias("url"), "published"))
+    np_seen = with_url_key(docs.limit(50).select(
+        F.concat(F.lit("https://x.test/"), F.col("doc_id").cast("string"))
+        .alias("url")))
+    np_fresh = (
+        anti_join_seen(np_cand, np_seen)
+        .withColumn("host",
+                    F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+        .withColumn("staleness", F.lit(1)))
+    p = plan_of(select_polite_batch(
+        np_fresh, budget_per_host=10,
+        priority_cols=("staleness", "url"), key_col="url_sha1"))
+    sections.append((
+        "News pipeline: feed scan -> LEFT ANTI -> salted host windows",
+        "Feed parsing stays in the scan stage, the seen-set check is "
+        "one LEFT ANTI hash join on the sha1 key, and the freshness "
+        "batch reuses the politeness top-k (salt-bucket window, then "
+        "host window — both PARTITIONED, so no task ever sorts more "
+        "than one host's candidates).",
+        [f"LeftAnti join present: {'LeftAnti' in p} (expect True)",
+         f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # publication-date chain: scan-stage regex cascade
     from commoncrawl_spark.functions.extract import publication_date_cols
 
