@@ -3959,6 +3959,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "host_rank")
     q["news_pipeline"] = news_pipeline
 
+    def host_quality_prior_q(spark, sf):
+        """Domain-level reputation from doc-level verdicts: hosts mix
+        big (8/10 of docs stay on the source host) and tiny ("-mN"
+        satellites, ~2 docs each); keep = n_chars >= 500. Beta-
+        binomial shrinkage (m=20 pseudo-docs toward the corpus rate)
+        keeps the evidence-free tail neutral while real evidence
+        reaches trusted/blocked. One host aggregate + a 1-row global
+        broadcast."""
+        from commoncrawl_spark.operators.classify import host_quality_prior
+
+        d = _read(spark, sf, "documents")
+        row = F.floor(F.col("doc_id") / F.lit(20)).cast("long")
+        host = F.when(row % 10 < 8, F.col("source")).otherwise(
+            F.concat(F.col("source"), F.lit("-m"),
+                     (row % 4).cast("string")))
+        return host_quality_prior(
+            d.select(host.alias("host"),
+                     (F.col("n_chars") >= 500).alias("keep")))
+    q["host_quality_prior"] = host_quality_prior_q
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9051,6 +9071,35 @@ def oracle_sql() -> dict[str, str]:
           FROM fresh)
         SELECT host, url, published, staleness, host_rank
         FROM ranked WHERE host_rank <= 10
+    """
+
+    # host_quality_prior: integer counts, one global division, one
+    # mul-add-divide per host — both engines land on the same doubles
+    o["host_quality_prior"] = """
+        WITH d AS (
+          SELECT CASE WHEN (doc_id // 20) % 10 < 8 THEN source
+                      ELSE source || '-m'
+                           || CAST((doc_id // 20) % 4 AS VARCHAR)
+                 END AS host,
+                 (n_chars >= 500) AS keep
+          FROM documents),
+        ph AS (
+          SELECT host, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep
+          FROM d GROUP BY host),
+        g AS (SELECT CAST(sum(n_keep) AS DOUBLE)
+                     / CAST(sum(n_docs) AS DOUBLE) AS g FROM ph)
+        SELECT host, n_docs, n_keep,
+               round(CAST(n_keep AS DOUBLE) / n_docs, 6) AS raw_rate,
+               round((n_keep + 20.0 * g) / (n_docs + 20.0), 6)
+                 AS shrunk_rate,
+               CASE WHEN round((n_keep + 20.0 * g) / (n_docs + 20.0), 6)
+                         >= 0.8 THEN 'trusted'
+                    WHEN round((n_keep + 20.0 * g) / (n_docs + 20.0), 6)
+                         <= 0.3 THEN 'blocked'
+                    ELSE 'neutral' END AS verdict
+        FROM ph, g
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

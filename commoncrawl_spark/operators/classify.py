@@ -247,3 +247,59 @@ def logreg_scores(
     return feats.select(
         "*", p.alias("p"),
         F.when(p >= threshold, F.lit(1)).otherwise(F.lit(0)).alias("pred"))
+
+
+# ---------------------------------------------------------------------------
+# Host reputation priors (empirical-Bayes shrinkage of keep rates)
+# ---------------------------------------------------------------------------
+
+
+def host_quality_prior(
+    docs: DataFrame,
+    keep_col: str = "keep",
+    host_col: str = "host",
+    pseudo_count: float = 20.0,
+    trust_at: float = 0.8,
+    block_at: float = 0.3,
+) -> DataFrame:
+    """Domain-level curation prior from document-level quality verdicts
+    — the RefinedWeb/FineWeb move of judging HOSTS, not just documents,
+    so a domain whose pages keep failing is cut wholesale (and its
+    unfetched pages never get crawled). Raw per-host keep rates are
+    unusable at the tail: a host seen twice with one keep reads 0.5
+    with no evidence. Beta-binomial shrinkage fixes that — ``shrunk =
+    (keeps + m * g) / (n + m)`` with ``g`` the corpus keep rate and
+    ``m`` the pseudo-count — so small hosts pull toward the corpus
+    mean and only hosts with real evidence reach the ``trusted`` /
+    ``blocked`` verdicts.
+
+    Output: ``(host, n_docs, n_keep, raw_rate, shrunk_rate, verdict)``
+    with rates rounded 6dp. DETERMINISM: counts are integers, ``g`` is
+    one division of two exact sums, and each shrunk rate is one
+    mul-add-divide off those — no order-dependent float accumulation.
+
+    Scale shape: one map-side-partial (host) aggregate + a 1-row
+    global broadcast; 10^10 docs collapse to host cardinality before
+    anything else happens."""
+    per_host = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(keep_col).cast("long")).alias("n_keep"),
+    )
+    totals = per_host.agg(
+        (F.sum("n_keep") / F.sum("n_docs")).alias("_g"))
+    m = float(pseudo_count)
+    shrunk = F.round(
+        (F.col("n_keep") + F.lit(m) * F.col("_g"))
+        / (F.col("n_docs") + F.lit(m)), 6)
+    return (
+        per_host.crossJoin(F.broadcast(totals))
+        .select(
+            host_col, "n_docs", "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6)
+            .alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+            F.when(shrunk >= trust_at, F.lit("trusted"))
+            .when(shrunk <= block_at, F.lit("blocked"))
+            .otherwise(F.lit("neutral")).alias("verdict"),
+        )
+    )

@@ -1244,6 +1244,25 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # host reputation prior: host aggregate + 1-row global broadcast
+    from commoncrawl_spark.operators.classify import host_quality_prior
+
+    hq = docs.select(
+        F.col("source").alias("host"),
+        (F.length("text") > 500).alias("keep"))
+    p = plan_of(host_quality_prior(hq))
+    sections.append((
+        "Host reputation prior: docs collapse to hosts before anything",
+        "The per-host keep counts are one map-side-partial aggregate "
+        "(10^10 docs -> host cardinality in the map stage); the corpus "
+        "rate is a 1-row broadcast and the shrinkage is per-row "
+        "mul-add-divide — no second corpus pass, no window, no Python.",
+        [f"map-side partial aggregates present: {'partial_' in p} "
+         f"(expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # T5 span corruption: the training objective rides the scan
     from commoncrawl_spark.operators.chunking import span_corruption
 

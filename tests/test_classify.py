@@ -200,3 +200,38 @@ def test_logreg_scores_plan_pure_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # scoring is scan-stage arithmetic
+
+
+# ---------------------------------------------------------------------------
+# host reputation priors
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_host_quality_prior_shrinks_small_hosts(spark):
+    from commoncrawl_spark.operators.classify import host_quality_prior
+
+    rows = (
+        [("big-good", True)] * 95 + [("big-good", False)] * 5
+        + [("big-bad", True)] * 5 + [("big-bad", False)] * 95
+        + [("tiny", True), ("tiny", False)]           # raw 0.5, no evidence
+    )
+    df = spark.createDataFrame(rows, "host string, keep boolean")
+    got = {r["host"]: r for r in host_quality_prior(df).collect()}
+    g = (95 + 5 + 1) / 202                            # corpus keep rate
+    assert got["big-good"]["verdict"] == "trusted"
+    assert got["big-bad"]["verdict"] == "blocked"
+    # the tiny host shrinks toward g, not its raw 0.5
+    assert got["tiny"]["shrunk_rate"] == round((1 + 20 * g) / 22, 6)
+    assert got["tiny"]["verdict"] == "neutral"
+    assert got["big-good"]["shrunk_rate"] == round((95 + 20 * g) / 120, 6)
+    assert got["big-good"]["raw_rate"] == 0.95
+
+
+@pytest.mark.spark
+def test_host_quality_prior_plan_partial_agg_no_window(spark):
+    from commoncrawl_spark.operators.classify import host_quality_prior
+    from commoncrawl_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([("h", True)], "host string, keep boolean")
+    p = plan_string(host_quality_prior(df), "simple")
+    assert "partial_" in p and "Window" not in p and "EvalPython" not in p
