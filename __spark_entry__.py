@@ -3979,6 +3979,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      (F.col("n_chars") >= 500).alias("keep")))
     q["host_quality_prior"] = host_quality_prior_q
 
+    def epoch_stream(spark, sf):
+        """epoch_plan made physical: every doc appears floor(epochs)
+        times plus an md5-drawn partial-epoch copy, each copy carrying
+        its per-epoch shuffle key md5(seed|epoch|id) — the resumable,
+        permutation-free training order. Composes the waterfilled plan
+        (broadcast, group-cardinality) into the corpus scan."""
+        from commoncrawl_spark.operators.selection import materialize_epochs
+
+        plan = epoch_plan_q(spark, sf)
+        return materialize_epochs(_read(spark, sf, "documents"), plan)
+    q["epoch_stream"] = epoch_stream
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9100,6 +9112,34 @@ def oracle_sql() -> dict[str, str]:
                          <= 0.3 THEN 'blocked'
                     ELSE 'neutral' END AS verdict
         FROM ph, g
+    """
+
+    # epoch_stream: the epoch_plan oracle nests as the plan; copies +
+    # per-epoch keys replay the same md5/2^32 arithmetic
+    o["epoch_stream"] = f"""
+        WITH plan AS (
+          SELECT source, epochs FROM ({o["epoch_plan"]}) p),
+        j AS (
+          SELECT d.doc_id, d.source, p.epochs
+          FROM documents d JOIN plan p USING (source)),
+        c AS (
+          SELECT doc_id, source,
+                 CAST(floor(epochs) AS INT)
+                 + CASE WHEN CAST(('0x' || substring(
+                         md5('ep|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT AS DOUBLE) / 4294967296.0
+                         < epochs - floor(epochs)
+                        THEN 1 ELSE 0 END AS n
+          FROM j),
+        ex AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(0, n),
+                                       x -> CAST(x AS INT))) AS epoch
+          FROM c)
+        SELECT doc_id, source, epoch,
+               md5('ep|' || CAST(epoch AS VARCHAR) || '|'
+                   || CAST(doc_id AS VARCHAR)) AS order_key
+        FROM ex
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -405,3 +405,50 @@ def epoch_plan(
         epochs.alias("epochs"),
         F.round(toks * epochs, 6).alias("alloc_tokens"),
     )
+
+
+def materialize_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    epochs_col: str = "epochs",
+    seed: str = "ep",
+) -> DataFrame:
+    """Turn an :func:`epoch_plan` allocation into the actual training
+    stream: each document of a group with ``epochs = 3.63`` appears in
+    3 full epochs plus — with probability 0.63, decided by its own
+    md5-uniform draw — a 4th partial epoch, so every group's expected
+    token contribution matches the plan (the same
+    expectation-contract as ``sample_token_budget``). Every copy gets
+    an ``order_key`` = md5(seed|epoch|id): sorting any epoch's shard
+    by it yields that epoch's shuffle, different per epoch, with NO
+    materialized permutation and NO RNG state — the property that
+    makes a 10^10-doc stream resumable at an arbitrary offset.
+
+    Output: ``(id_col, group_col, epoch, order_key)``. Scale shape:
+    one broadcast join against the group-cardinality plan, a per-row
+    guarded sequence explode (bounded by ceil(epochs)), and scan-stage
+    hash arithmetic — no shuffle beyond whatever the caller's sink
+    needs."""
+    j = docs.select(id_col, group_col).join(
+        F.broadcast(plan.select(group_col, epochs_col)), group_col)
+    e = F.col(epochs_col)
+    full = F.floor(e).cast("int")
+    frac = e - F.floor(e)
+    u = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0))
+    n_copies = (full + F.when(u < frac, 1).otherwise(0)).alias("_n")
+    ws = F.when(n_copies > 0,
+                F.sequence(F.lit(0), n_copies - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return j.select(
+        F.col(id_col), F.col(group_col),
+        F.explode(ws).alias("epoch"),
+    ).withColumn(
+        "order_key",
+        F.md5(F.concat(F.lit(seed), F.lit("|"),
+                       F.col("epoch").cast("string"), F.lit("|"),
+                       F.col(id_col).cast("string"))))

@@ -1244,6 +1244,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # epoch materialization: broadcast plan, guarded sequence explode
+    from commoncrawl_spark.operators.selection import materialize_epochs
+
+    ep_plan = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        "source", (F.lit(1.0) + (F.length("source") % 3))
+        .cast("double").alias("epochs"))
+    p = plan_of(materialize_epochs(
+        docs.select("doc_id", "source"), ep_plan))
+    sections.append((
+        "Epoch materialization: the plan broadcasts, the corpus streams",
+        "The group-cardinality epoch plan joins as a BROADCAST side; "
+        "copy counts and the partial-epoch draw are scan-stage md5 "
+        "arithmetic; the per-copy explode is bounded by ceil(epochs). "
+        "Per-epoch shuffle keys are md5(seed|epoch|id) — no "
+        "materialized permutation, no RNG state, so a 10^10-doc "
+        "training stream resumes at any offset.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p} "
+         f"(expect True)",
+         f"SortMergeJoin present: {'SortMergeJoin' in p} (expect False)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # host reputation prior: host aggregate + 1-row global broadcast
     from commoncrawl_spark.operators.classify import host_quality_prior
 

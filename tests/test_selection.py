@@ -315,3 +315,60 @@ def test_epoch_plan_no_window_no_python(spark):
         "source string, n_tokens long, max_epochs double")
     p = plan_string(epoch_plan(st, 500.0), "simple")
     assert "Window" not in p and "EvalPython" not in p
+
+
+@pytest.mark.spark
+def test_materialize_epochs_counts_and_determinism(spark):
+    import hashlib
+
+    from commoncrawl_spark.operators.selection import materialize_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 60 else "wiki") for i in range(100)],
+        "doc_id long, source string")
+    plan = spark.createDataFrame(
+        [("web", 1.0), ("wiki", 2.5)], "source string, epochs double")
+    out = materialize_epochs(docs, plan).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every web doc exactly once, epoch 0
+    assert all(by_doc[i] == [0] for i in range(60))
+    # wiki docs: 2 or 3 copies, exactly as the md5 draw dictates
+    for i in range(60, 100):
+        u = int(hashlib.md5(f"ep|{i}".encode()).hexdigest()[:8], 16) \
+            / 4294967296.0
+        want = 3 if u < 0.5 else 2
+        assert sorted(by_doc[i]) == list(range(want)), i
+    # order keys: per-epoch shuffles differ, rerun is identical
+    k0 = sorted(r["order_key"] for r in out if r["epoch"] == 0
+                and r["source"] == "wiki")
+    k1 = sorted(r["order_key"] for r in out if r["epoch"] == 1
+                and r["source"] == "wiki")
+    assert k0 != k1
+    again = materialize_epochs(docs, plan).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@pytest.mark.spark
+def test_materialize_epochs_zero_epoch_group_drops(spark):
+    from commoncrawl_spark.operators.selection import materialize_epochs
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "doc_id long, source string")
+    plan = spark.createDataFrame([("a", 0.0), ("b", 1.0)],
+                                 "source string, epochs double")
+    out = materialize_epochs(docs, plan).collect()
+    assert [(r["doc_id"], r["epoch"]) for r in out] == [(2, 0)]
+
+
+@pytest.mark.spark
+def test_materialize_epochs_plan_broadcast_no_python(spark):
+    from commoncrawl_spark.operators.selection import materialize_epochs
+    from commoncrawl_spark.plans.explain import plan_string
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = spark.createDataFrame([("a", 2.0)], "source string, epochs double")
+    p = plan_string(materialize_epochs(docs, plan), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p and "Window" not in p
