@@ -3991,6 +3991,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return materialize_epochs(_read(spark, sf, "documents"), plan)
     q["epoch_stream"] = epoch_stream
 
+    def lang_mismatch(spark, sf):
+        """Crawl-QA confusion matrix: the server/page-DECLARED language
+        column against the n-gram DETECTED one — mislabeled
+        Content-Language headers are endemic and silently poison
+        per-language corpora, so the routing decision needs the
+        disagreement rate per (declared, detected) cell before anyone
+        trusts the label. One map-side-partial aggregate."""
+        from commoncrawl_spark.functions.text import language_id_col
+
+        d = _read(spark, sf, "documents")
+        return (
+            d.groupBy(
+                F.col("lang").alias("declared"),
+                language_id_col(F.col("text")).alias("detected"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("agree", F.col("declared") == F.col("detected"))
+        )
+    q["lang_mismatch"] = lang_mismatch
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -5256,7 +5275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fuzzy_terms, rm_expansion, kwic_snippets) and the seventh-session
     # adds (bm25f_topk, champion_search, champion_recall, kcore_hosts,
     # cocitation_hosts, corrected_search, fuzzy_contamination,
-    # mmr_diversify) and the eighth-session adds (c4_clean, ...);
+    # mmr_diversify) and the eighth-session adds (c4_clean,
+    # heavy_hitters, publication_dates, feed_entries, news_pipeline,
+    # postings_compression, epoch_plan, epoch_stream, hreflang_pairs,
+    # span_corruption, host_quality_prior);
     # everything in the current list will then have
     # CORRECTNESS_r03 as its permanent record. Rotating 50
     # never-attested queries per round covers the whole surface by
@@ -9140,6 +9162,16 @@ def oracle_sql() -> dict[str, str]:
                md5('ep|' || CAST(epoch AS VARCHAR) || '|'
                    || CAST(doc_id AS VARCHAR)) AS order_key
         FROM ex
+    """
+
+    # lang_mismatch: the language_id oracle nests as the detector
+    o["lang_mismatch"] = f"""
+        WITH pred AS ({o["language_id"]})
+        SELECT d.lang AS declared, p.pred_lang AS detected,
+               count(*) AS n_docs,
+               (d.lang = p.pred_lang) AS agree
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -393,6 +393,15 @@ def main() -> None:
             "champion_search", "kcore_hosts", "cocitation_hosts",
             "corrected_search", "champion_recall", "fuzzy_contamination",
             "mmr_diversify", "pii_cards",
+            # eighth-session wave: C4 cleaning, MG heavy hitters,
+            # article dating, feed parsing + the composed news-crawl
+            # pipeline, index storage pricing, epoch waterfilling +
+            # materialized training stream, hreflang bitext seeds,
+            # T5 span corruption, host reputation priors
+            "c4_clean", "heavy_hitters", "publication_dates",
+            "feed_entries", "news_pipeline", "postings_compression",
+            "epoch_plan", "epoch_stream", "hreflang_pairs",
+            "span_corruption", "host_quality_prior",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

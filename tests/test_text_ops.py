@@ -2414,3 +2414,25 @@ def test_span_corruption_plan_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     p = plan_string(span_corruption(df), "simple")
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+@pytest.mark.spark
+def test_lang_mismatch_cells(spark):
+    """Declared-vs-detected confusion matrix built from language_id_col."""
+    from commoncrawl_spark.functions.text import language_id_col
+
+    df = spark.createDataFrame(
+        [(0, "en", "the of and to in the of"),       # agree
+         (1, "de", "the of and to in the of"),       # declared de, det en
+         (2, "fr", "le la et les des un une")],      # agree
+        "doc_id long, lang string, text string")
+    got = {(r["declared"], r["detected"]): (r["n_docs"], r["agree"])
+           for r in df.groupBy(
+               F.col("lang").alias("declared"),
+               language_id_col(F.col("text")).alias("detected"))
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .withColumn("agree", F.col("declared") == F.col("detected"))
+           .collect()}
+    assert got[("en", "en")] == (1, True)
+    assert got[("de", "en")] == (1, False)
+    assert got[("fr", "fr")] == (1, True)
