@@ -4010,6 +4010,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lang_mismatch"] = lang_mismatch
 
+    def pagination_chains_q(spark, sf):
+        """Multi-page article stitching from rel=next declarations:
+        each doc publishes a (doc_id%4)+1-page chain; every fiftieth
+        doc publishes a 2-page rel=next CYCLE instead, which must
+        vanish (a cycle has no head — the desirable trap behavior).
+        Single-page docs have no edges and are not chains. Ring-sized
+        joins, bounded depth, recursive-CTE oracle."""
+        from commoncrawl_spark.operators.links import (
+            extract_rel_next,
+            pagination_chains,
+        )
+
+        d = _read(spark, sf, "documents")
+        n_pages = (F.col("doc_id") % 4 + 1).cast("int")
+        b = F.concat(F.lit("https://"), F.col("source"), F.lit(".org/a"),
+                     F.col("doc_id").cast("string"), F.lit("/pg"))
+        cyc = F.col("doc_id") % 50 == 0
+        pages = (
+            d.select("doc_id", b.alias("_b"),
+                     F.when(cyc, F.lit(2)).otherwise(n_pages).alias("_n"))
+            .select("doc_id", "_b", "_n",
+                    F.explode(F.sequence(F.lit(1), F.col("_n")))
+                    .alias("_i"))
+            .select(
+                F.concat(F.col("_b"), F.col("_i").cast("string"))
+                .alias("url"),
+                F.when(
+                    F.col("_i") < F.col("_n"),
+                    F.concat(F.lit('<link rel="next" href="'), F.col("_b"),
+                             (F.col("_i") + 1).cast("string"),
+                             F.lit('">')))
+                .when(
+                    (F.col("doc_id") % 50 == 0) & (F.col("_i") == F.col("_n")),
+                    F.concat(F.lit('<link rel="next" href="'), F.col("_b"),
+                             F.lit('1">')))
+                .otherwise(F.lit("<html></html>")).alias("html"))
+        )
+        return pagination_chains(extract_rel_next(pages), max_pages=10)
+    q["pagination_chains"] = pagination_chains_q
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9172,6 +9212,51 @@ def oracle_sql() -> dict[str, str]:
                (d.lang = p.pred_lang) AS agree
         FROM documents d JOIN pred p USING (doc_id)
         GROUP BY d.lang, p.pred_lang
+    """
+
+    # pagination_chains: recursive CTE replays the bounded ring walk;
+    # cycles have no head row so the recursion never admits them
+    o["pagination_chains"] = r"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id,
+                 'https://' || source || '.org/a'
+                 || CAST(doc_id AS VARCHAR) || '/pg' AS b,
+                 CASE WHEN doc_id % 50 = 0 THEN 2
+                      ELSE CAST(doc_id % 4 + 1 AS INT) END AS n,
+                 (doc_id % 50 = 0) AS cyc
+          FROM documents),
+        pages AS (
+          SELECT b || CAST(i AS VARCHAR) AS url,
+                 CASE WHEN i < n THEN
+                        '<link rel="next" href="' || b
+                        || CAST(i + 1 AS VARCHAR) || '">'
+                      WHEN cyc AND i = n THEN
+                        '<link rel="next" href="' || b || '1">'
+                      ELSE '<html></html>' END AS html
+          FROM base, unnest(range(1, n + 1)) AS t(i)),
+        tags AS (
+          SELECT url,
+                 unnest(regexp_extract_all(html, '(?i)<link\b([^>]*)>', 1))
+                   AS tg
+          FROM pages),
+        edges AS (
+          SELECT url,
+                 min(regexp_extract(tg, '(?i)href="([^"]+)"', 1))
+                   AS next_url
+          FROM tags
+          WHERE lower(regexp_extract(tg, '(?i)rel="([^"]+)"', 1)) = 'next'
+            AND regexp_extract(tg, '(?i)href="([^"]+)"', 1) <> ''
+          GROUP BY url),
+        chains AS (
+          SELECT url AS head_url, url, 0 AS position
+          FROM edges
+          WHERE url NOT IN (SELECT next_url FROM edges)
+          UNION ALL
+          SELECT c.head_url, e.next_url, c.position + 1
+          FROM chains c JOIN edges e ON e.url = c.url
+          WHERE c.position < 9)
+        SELECT head_url, url, CAST(min(position) AS INT) AS position
+        FROM chains GROUP BY head_url, url
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -995,3 +995,70 @@ def confirmed_hreflang_pairs(alts: DataFrame) -> DataFrame:
         .select("url_a", "lang_a", "url_b", "lang_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=next pagination chains (multi-page article stitching)
+# ---------------------------------------------------------------------------
+
+
+def extract_rel_next(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """``(url, next_url)`` edges from ``<link rel="next" href=...>``
+    declarations (attribute order free, first declaration wins — a
+    page has one successor). The pagination signal multi-page
+    articles/forums publish; stitching them back together is what
+    turns 8 thin fragment-pages into one trainable document."""
+    text = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(
+        text, F.lit(r"(?i)<link\b([^>]*)>"), F.lit(1))
+    ex = pages.select(F.col(url_col).alias("url"),
+                      F.explode(tags).alias("_t"))
+    rel = F.lower(F.regexp_extract(F.col("_t"), r'(?i)rel="([^"]+)"', 1))
+    href = F.regexp_extract(F.col("_t"), r'(?i)href="([^"]+)"', 1)
+    return (
+        ex.filter((rel == "next") & (href != ""))
+        .groupBy("url")
+        .agg(F.min(href).alias("next_url"))
+    )
+
+
+def pagination_chains(
+    edges: DataFrame,
+    max_pages: int = 10,
+) -> DataFrame:
+    """Stitch :func:`extract_rel_next` edges into ordered chains:
+    ``(head_url, url, position)`` with position 0 at the head — a head
+    is any page no other page declares as its next (so a chain
+    entered mid-way still yields a well-defined suffix chain). Chains
+    longer than ``max_pages`` truncate (the sitemap_tree depth-bound
+    rationale: adversarial or cyclic rel=next must terminate).
+
+    Scale shape: per round ONE hash equi-join of the current ring
+    (slim (head, url) pairs) against the edge table — ring-sized work
+    like the seed-BFS walk, no window, no Python; cycles cannot loop
+    because position strictly increases and the bound cuts them."""
+    heads = edges.join(
+        edges.select(F.col("next_url").alias("url")).distinct(),
+        "url", "left_anti",
+    ).select(F.col("url").alias("head_url"), F.col("url"))
+    ring = heads.withColumn("position", F.lit(0))
+    out = [ring]
+    for _ in range(max_pages - 1):
+        ring = (
+            ring.join(edges, "url")
+            .select(
+                "head_url",
+                F.col("next_url").alias("url"),
+                (F.col("position") + 1).alias("position"))
+        )
+        out.append(ring)
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    # a truncated cycle could re-enter a url; keep the first position
+    return res.groupBy("head_url", "url").agg(
+        F.min("position").alias("position"))

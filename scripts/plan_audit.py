@@ -1244,6 +1244,28 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # pagination chains: ring-sized joins, bounded depth
+    from commoncrawl_spark.operators.links import pagination_chains
+
+    pg_edges = docs.select(
+        F.concat(F.lit("https://h.test/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("https://h.test/"),
+                 (F.col("doc_id") + 1).cast("string")).alias("next_url"))
+    p = plan_of(pagination_chains(pg_edges, max_pages=5))
+    sections.append((
+        "Pagination chains: ring joins like seed-BFS, cycles starve",
+        "Each round is one hash equi-join of the slim (head, url) ring "
+        "against the edge table — seed_depth_rings' shape; position "
+        "strictly increases and the depth bound cuts adversarial "
+        "rel=next loops, while pure cycles have no head and never "
+        "enter the walk at all.",
+        [f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # epoch materialization: broadcast plan, guarded sequence explode
     from commoncrawl_spark.operators.selection import materialize_epochs
 

@@ -967,3 +967,56 @@ def test_hreflang_pair_plan_equi_join_no_cartesian(spark):
         "url string, hreflang string, alt_url string")
     p = plan_string(confirmed_hreflang_pairs(alts), "simple")
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# rel=next pagination chains
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_extract_rel_next_first_wins_and_filters(spark):
+    from commoncrawl_spark.operators.links import extract_rel_next
+
+    html = ('<link rel="stylesheet" href="/css">'
+            '<link href="https://s.test/p2" rel="next">'
+            '<link rel="next" href="https://s.test/zzz">'   # dup: min wins
+            '<link rel="prev" href="https://s.test/p0">')
+    df = spark.createDataFrame([("https://s.test/p1", html)],
+                               "url string, html string")
+    rows = extract_rel_next(df).collect()
+    assert [(r["url"], r["next_url"]) for r in rows] == [
+        ("https://s.test/p1", "https://s.test/p2")]
+
+
+@pytest.mark.spark
+def test_pagination_chains_order_cycle_truncation(spark):
+    from commoncrawl_spark.operators.links import pagination_chains
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),            # chain a->b->c
+         ("x", "y"), ("y", "x"),            # pure cycle: no head, drops
+         ("m", "n")],                       # 2-page chain
+        "url string, next_url string")
+    got = sorted((r["head_url"], r["url"], r["position"])
+                 for r in pagination_chains(edges).collect())
+    assert got == [("a", "a", 0), ("a", "b", 1), ("a", "c", 2),
+                   ("m", "m", 0), ("m", "n", 1)]
+    # truncation: a 6-chain cut at max_pages=3 keeps positions 0..2
+    long_edges = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(6)],
+        "url string, next_url string")
+    got = sorted((r["url"], r["position"]) for r in
+                 pagination_chains(long_edges, max_pages=3).collect())
+    assert got == [("p0", 0), ("p1", 1), ("p2", 2)]
+
+
+@pytest.mark.spark
+def test_pagination_chains_plan(spark):
+    from commoncrawl_spark.operators.links import pagination_chains
+    from commoncrawl_spark.plans.explain import plan_string
+
+    edges = spark.createDataFrame([("a", "b")],
+                                  "url string, next_url string")
+    p = plan_string(pagination_chains(edges, max_pages=4), "simple")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "Window" not in p
