@@ -4050,6 +4050,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagination_chains(extract_rel_next(pages), max_pages=10)
     q["pagination_chains"] = pagination_chains_q
 
+    def kmv_vocab_sample(spark, sf):
+        """Bottom-k (KMV) sketch per source over its distinct
+        vocabulary (plus the salted rare tail): a MERGEABLE fixed-size
+        uniform sample of each source's distinct tokens AND the
+        (k-1)/u_k distinct-count estimate — the sample HLL cannot
+        give. k=16 < per-source vocabulary, so the estimator regime
+        (not the exact small-key path) is what the oracle checks.
+        Salted two-stage keyed bottom-k; the collect is <= k rows per
+        key by construction."""
+        from commoncrawl_spark.operators.analytics import tokens_col
+        from commoncrawl_spark.operators.sketches import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        d = _read(spark, sf, "documents")
+        page = F.concat(F.col("text"), F.lit(" tail"),
+                        (F.col("doc_id") % 97).cast("string"))
+        toks = d.select(
+            "source", F.explode(tokens_col(page)).alias("tok"))
+        sk = kmv_build(toks, ["source"], "tok", k=16)
+        est = kmv_estimate(sk, ["source"], k=16)
+        return sk.join(est, "source").select(
+            "source", "members", "distinct_est", "sample_size")
+    q["kmv_vocab_sample"] = kmv_vocab_sample
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9257,6 +9283,38 @@ def oracle_sql() -> dict[str, str]:
           WHERE c.position < 9)
         SELECT head_url, url, CAST(min(position) AS INT) AS position
         FROM chains GROUP BY head_url, url
+    """
+
+    # kmv_vocab_sample: bottom-16 by the same md5-prefix hash, members
+    # listed in (hash, token) order, (k-1)/u_k estimate replayed
+    o["kmv_vocab_sample"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT source,
+                 unnest({_SQL_TOKS.format(
+                     t="text || ' tail' || CAST(doc_id % 97 AS VARCHAR)")})
+                 AS tok
+          FROM documents),
+        hashed AS (
+          SELECT source, tok,
+                 ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+          FROM toks),
+        ranked AS (
+          SELECT source, tok, h,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, tok) AS rn
+          FROM hashed),
+        bottom AS (
+          SELECT source,
+                 list(tok ORDER BY h, tok) AS members,
+                 list(h ORDER BY h, tok) AS hashes,
+                 count(*) AS n
+          FROM ranked WHERE rn <= 16 GROUP BY source)
+        SELECT source, members,
+               CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+                    ELSE round(15.0 / (hashes[16] / 4294967296.0), 6)
+               END AS distinct_est,
+               CAST(n AS INT) AS sample_size
+        FROM bottom
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -24,7 +24,7 @@ exchange on the key, zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LGK = 12  # ~1.6% RSE, 4 KiB dense sketch
@@ -277,3 +277,115 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"))
         .orderBy(F.desc("cnt"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch: mergeable fixed-size samples + distinct counts
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = 4294967296.0  # 2^32: md5-prefix hashes map to [0, 1)
+
+
+def kmv_build(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    k: int = 64,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per key group (Bar-Yossef et al. 2002):
+    the ``k`` smallest md5-hash values of the group's distinct
+    ``val_col`` members, as ``(*key_cols, hashes: array<long>,
+    members: array<string>)`` with both arrays aligned ascending.
+    Two summaries in one fixed-size blob: a MERGEABLE uniform sample
+    of the group's distinct members (min-hash of a union is the union
+    of min-hashes) and a distinct-count estimator — the deterministic
+    complement to the HLL sketch, with the sample HLL cannot give.
+
+    Scale shape: (key, value) distinct first, then the SALTED
+    two-stage keyed top-k (build_champion_lists' exactness argument:
+    any true bottom-k row is in the bottom-k of its own salt bucket),
+    so a hot key's corpus-sized value stream splits across
+    ``salt_buckets`` tasks and no window is partition-less. The final
+    collect_list is bounded by construction (<= k rows per key reach
+    it)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(val_col).cast("string")
+    h = F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
+    dv = df.select(*key_cols, v.alias("_v"), h.alias("_h")).distinct()
+    order = [F.col("_h").asc(), F.col("_v").asc()]
+    salted = dv.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("_v")), F.lit(salt_buckets)).cast("int"))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    bottom = (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k))
+    return (
+        bottom.groupBy(*key_cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_h", "_v")))
+            .alias("_pairs"))
+        .select(
+            *key_cols,
+            F.transform(F.col("_pairs"), lambda p: p["_h"])
+            .alias("hashes"),
+            F.transform(F.col("_pairs"), lambda p: p["_v"])
+            .alias("members"))
+    )
+
+
+def kmv_merge(*sketches: DataFrame, key_cols: list[str],
+              k: int = 64) -> DataFrame:
+    """Union N per-snapshot KMV tables and re-take the bottom-k per
+    key: commutative, associative, duplicate-insensitive — re-seen
+    values hash identically and collapse. Pure array arithmetic over
+    k-sized blobs (explode + the same bounded machinery would also
+    work; arrays avoid any shuffle beyond the key groupBy)."""
+    u = sketches[0]
+    for t in sketches[1:]:
+        u = u.unionByName(t)
+    zipped = F.arrays_zip(F.col("hashes"), F.col("members"))
+    merged = (
+        u.select(*key_cols, F.explode(zipped).alias("_p"))
+        .select(*key_cols, F.col("_p.hashes").alias("_h"),
+                F.col("_p.members").alias("_v"))
+        .distinct()
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_h").asc(), F.col("_v").asc())
+    bottom = merged.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= k)
+    return (
+        bottom.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("_h", "_v")))
+             .alias("_pairs"))
+        .select(
+            *key_cols,
+            F.transform(F.col("_pairs"), lambda p: p["_h"])
+            .alias("hashes"),
+            F.transform(F.col("_pairs"), lambda p: p["_v"])
+            .alias("members"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, key_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """Distinct-count estimates from a KMV table: if the sketch holds
+    fewer than ``k`` hashes the count is EXACT (the group had <= k
+    distinct members — the small-key regime, like HLL's coupon mode);
+    otherwise n_hat = (k-1) / u_k with u_k the k-th smallest hash
+    mapped to (0,1). One per-row expression, no exchange; rounded
+    6dp."""
+    n = F.size(F.col("hashes"))
+    u_k = F.element_at(F.col("hashes"), k) / F.lit(KMV_HASH_SPACE)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / u_k, 6))
+    return sketch.select(*key_cols, est.alias("distinct_est"),
+                         n.alias("sample_size"))

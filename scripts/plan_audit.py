@@ -649,6 +649,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # KMV bottom-k sketch: salted keyed windows, bounded collect
+    from commoncrawl_spark.operators.sketches import kmv_build
+
+    kmv_in = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    p = plan_of(kmv_build(kmv_in, ["source"], "tok", k=16),
+                label="kmv sketch")
+    sections.append((
+        "KMV sketch: hot keys split across salt buckets, collect <= k",
+        "The bottom-k hashes per key use the champion-list salted "
+        "two-stage pattern — stage 1 ranks within (key, salt) so a "
+        "hot key's corpus-sized value stream never sorts in one task; "
+        "stage 2 sees <= salt_buckets*k survivors. The collect_list "
+        "is bounded by construction (<= k rows per key reach it), so "
+        "the blob is fixed-size and union-mergeable like HLL/CMS.",
+        [f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Window operators present: {'Window' in p} (expect True — "
+         f"both keyed)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # Misra-Gries heavy hitters: candidate-sized shuffle at any vocab
     from commoncrawl_spark.operators.sketches import heavy_hitters
 

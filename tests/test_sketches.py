@@ -245,3 +245,73 @@ def test_heavy_hitters_plan_broadcast_semi_no_global_window(spark):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert p.count("MapInPandas") == 1 and "EvalPython" not in p
     assert "Window" not in p
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketches
+# ---------------------------------------------------------------------------
+
+def _kmv_hash(v: str) -> int:
+    import hashlib
+    return int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+
+
+@pytest.mark.spark
+def test_kmv_build_exact_small_and_merge_equals_whole(spark):
+    from commoncrawl_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("k"),
+        ((F.col("id") * 7) % 500).alias("v"))
+    whole = kmv_build(df, ["k"], "v", k=64)
+    # small regime: each key has <= 500 distinct; with k=64 the
+    # estimate is the KMV formula — but a key with < 64 distinct is
+    # exact. Build a tiny group to check exactness:
+    tiny = spark.createDataFrame(
+        [(9, i % 5) for i in range(50)], "k long, v long")
+    t = kmv_estimate(kmv_build(tiny, ["k"], "v", k=64), ["k"], k=64)
+    assert t.collect()[0]["distinct_est"] == 5.0
+    # merge of halves == sketch of whole (order/dup insensitivity)
+    a = kmv_build(df.filter(F.col("id") % 2 == 0), ["k"], "v", k=64)
+    b = kmv_build(df.filter(F.col("id") % 2 == 1).repartition(7),
+                  ["k"], "v", k=64)
+    m = kmv_merge(a, b, key_cols=["k"], k=64)
+    got_w = {r["k"]: (r["hashes"], r["members"])
+             for r in whole.collect()}
+    got_m = {r["k"]: (r["hashes"], r["members"]) for r in m.collect()}
+    assert got_w == got_m
+
+
+@pytest.mark.spark
+def test_kmv_bottom_k_is_truly_bottom_and_estimate_close(spark):
+    from commoncrawl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    n = 2000
+    df = spark.range(n).select(F.lit(0).alias("k"),
+                               F.col("id").alias("v"))
+    sk = kmv_build(df, ["k"], "v", k=64)
+    [row] = sk.collect()
+    want = sorted(_kmv_hash(str(v)) for v in range(n))[:64]
+    assert row["hashes"] == want
+    [est] = kmv_estimate(sk, ["k"], k=64).collect()
+    assert abs(est["distinct_est"] - n) / n < 0.35   # (k-1)/u_k regime
+    # members align with hashes
+    assert [_kmv_hash(m) for m in row["members"]] == row["hashes"]
+
+
+@pytest.mark.spark
+def test_kmv_plan_keyed_windows_only(spark):
+    from commoncrawl_spark.operators.sketches import kmv_build
+    from commoncrawl_spark.plans.explain import plan_string
+
+    df = spark.range(100).select((F.col("id") % 2).alias("k"),
+                                 F.col("id").alias("v"))
+    p = plan_string(kmv_build(df, ["k"], "v", k=8))
+    # both windows carry partition specs (the salted two-stage shape)
+    from scripts.plan_audit import partitionless_windows
+    assert partitionless_windows(p) == []
+    assert "EvalPython" not in p
