@@ -3824,25 +3824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_feed_entries(feeds)
     q["feed_entries"] = feed_entries
 
-    def postings_compression_q(spark, sf):
-        """Index storage sizing: delta-gap + LEB128 pricing of every
-        posting list (the layout decision a 10^10-doc index build
-        makes before sharding), over postings that mix dense lists
-        (base vocabulary, gap~1) with a sparse salted tail (df~5,
-        gap~100) so both compression regimes appear. Pure array folds
-        over the built index — the corpus is touched once, by
-        build_postings."""
-        from commoncrawl_spark.operators.index import (
-            build_postings,
-            postings_compression,
-        )
-
-        d = _read(spark, sf, "documents")
-        page = F.concat(F.col("text"), F.lit(" tail"),
-                        (F.col("doc_id") % 97).cast("string"))
-        docs = d.select("doc_id", page.alias("text"))
-        return postings_compression(build_postings(docs))
-    q["postings_compression"] = postings_compression_q
 
     def epoch_plan_q(spark, sf):
         """Data-constrained training mix: per-source token counts
@@ -5343,7 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cocitation_hosts, corrected_search, fuzzy_contamination,
     # mmr_diversify) and the eighth-session adds (c4_clean,
     # heavy_hitters, publication_dates, feed_entries, news_pipeline,
-    # postings_compression, epoch_plan, epoch_stream, hreflang_pairs,
+    # epoch_plan, epoch_stream, hreflang_pairs,
     # span_corruption, host_quality_prior);
     # everything in the current list will then have
     # CORRECTNESS_r03 as its permanent record. Rotating 50
@@ -8995,42 +8976,6 @@ def oracle_sql() -> dict[str, str]:
         WHERE link IS NOT NULL
     """
 
-    # postings_compression: postings rebuild + the SAME LEB128 ladder
-    # (generated from VARINT_LEVELS) over index-aware gap lambdas
-    from commoncrawl_spark.operators.index import VARINT_LEVELS
-
-    _vb_case = ("CASE " + " ".join(
-        f"WHEN g < {bound} THEN {n}" for n, bound in VARINT_LEVELS)
-        + " ELSE 9 END")
-    o["postings_compression"] = f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest({_SQL_TOKS.format(
-                     t="text || ' tail' || CAST(doc_id % 97 AS VARCHAR)")})
-                 AS token
-          FROM documents),
-        dt AS (SELECT DISTINCT doc_id, token FROM toks),
-        post AS (
-          SELECT token, count(*) AS df,
-                 list_sort(list(doc_id)) AS doc_ids
-          FROM dt GROUP BY token),
-        gapped AS (
-          SELECT token, df,
-                 list_transform(doc_ids, (x, i) ->
-                     CASE WHEN i = 1 THEN x
-                          ELSE x - doc_ids[i - 1] END) AS gaps
-          FROM post),
-        priced AS (
-          SELECT token, df,
-                 CAST(list_sum(list_transform(gaps, g -> {_vb_case}))
-                      AS BIGINT) AS varint_bytes,
-                 CAST(list_max(gaps) AS BIGINT) AS max_gap
-          FROM gapped)
-        SELECT token, df, CAST(df * 8 AS BIGINT) AS raw_bytes,
-               varint_bytes, max_gap,
-               round(varint_bytes / (df * 8.0), 6) AS ratio
-        FROM priced
-    """
 
     # epoch_plan: the waterfilling replayed — dyadic caps keep every
     # sat-sum exact in double, so the one division matches bit-for-bit

@@ -399,8 +399,7 @@ def main() -> None:
             # materialized training stream, hreflang bitext seeds,
             # T5 span corruption, host reputation priors
             "c4_clean", "heavy_hitters", "publication_dates",
-            "feed_entries", "news_pipeline", "postings_compression",
-            "epoch_plan", "epoch_stream", "hreflang_pairs",
+            "feed_entries", "news_pipeline", "epoch_plan", "epoch_stream", "hreflang_pairs",
             "span_corruption", "host_quality_prior",
         ]:
             t0 = time.monotonic()

@@ -1231,56 +1231,3 @@ def bm25_search_champion(
     )
     return _bm25_rank(tf, dl, globals_, k1, b, top_k, id_col,
                       df_precomputed=True)
-
-
-# ---------------------------------------------------------------------------
-# Posting-list compression planning (index-once storage sizing)
-# ---------------------------------------------------------------------------
-
-#: LEB128 size ladder: a gap g encodes in n bytes iff g < 2**(7n).
-#: A non-negative int64 has <= 63 significant bits, so 9 bytes is the
-#: ceiling — the ladder stops at n=8 (2**56) with an else-9. Shared
-#: with the DuckDB oracle so both engines price bytes identically.
-VARINT_LEVELS = tuple((n, 1 << (7 * n)) for n in range(1, 9))
-
-
-def varint_bytes_col(g: Column) -> Column:
-    """LEB128 encoded size in bytes of a non-negative integer column —
-    the pure arithmetic CASE ladder (no float log, so exact at the
-    2**7n boundaries where a log formula rounds wrong)."""
-    out = F.lit(9)
-    for n, bound in reversed(VARINT_LEVELS):
-        out = F.when(g < F.lit(bound), F.lit(n)).otherwise(out)
-    return out
-
-
-def postings_compression(postings: DataFrame) -> DataFrame:
-    """Storage plan for a :func:`build_postings` index: per term —
-    ``(token, df, raw_bytes, varint_bytes, max_gap, ratio)`` where
-    ``raw_bytes`` prices the naive int64 list (8*df), ``varint_bytes``
-    prices delta-gap + LEB128 (the classic inverted-index layout:
-    sorted doc_ids become first-id-then-gaps, and dense posting lists
-    of a 10^10-doc corpus compress toward 1 byte/posting), ``max_gap``
-    bounds the worst encoded gap, and ``ratio`` = varint/raw (6dp).
-    This is the number that decides whether a term's postings page
-    into executor memory at query time — the sizing step a 100 TB
-    index build runs BEFORE choosing shard counts.
-
-    Scale shape: every column is a per-row array fold over the already
-    -built postings table (gaps via an index-aware transform, byte
-    pricing via :func:`varint_bytes_col`'s integer ladder) — zero
-    exchanges, zero Python, corpus bytes never touched."""
-    ids = F.col("doc_ids")
-    gaps = F.transform(
-        ids, lambda x, i: F.when(i == 0, x)
-        .otherwise(x - F.element_at(ids, i)))
-    varint = F.aggregate(
-        gaps, F.lit(0).cast("long"),
-        lambda acc, g: acc + varint_bytes_col(g).cast("long"))
-    return postings.select(
-        "token", "df",
-        (F.col("df") * 8).cast("long").alias("raw_bytes"),
-        varint.alias("varint_bytes"),
-        F.array_max(gaps).cast("long").alias("max_gap"),
-        F.round(varint / (F.col("df") * 8.0), 6).alias("ratio"),
-    )

@@ -1398,25 +1398,6 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
-    # posting-list compression pricing: per-row folds over the index
-    from commoncrawl_spark.operators.index import postings_compression
-
-    fake_post = docs.select(
-        F.col("source").alias("token"), F.lit(3).cast("long").alias("df"),
-        F.array(F.col("doc_id"), F.col("doc_id") + 2,
-                F.col("doc_id") + 300).alias("doc_ids"))
-    p = plan_of(postings_compression(fake_post))
-    sections.append((
-        "Postings compression pricing: reads the index, not the corpus",
-        "Delta-gap derivation (index-aware transform) and LEB128 byte "
-        "pricing (integer CASE ladder) are per-row array folds over "
-        "the already-built postings table — sizing a 10^10-doc index's "
-        "storage costs one scan of the index itself, with no exchange "
-        "and no Python.",
-        [f"Exchange count: {p.count('Exchange')} (expect 0)",
-         f"Python operators: {p.count('EvalPython')} (expect 0)"],
-    ))
-
     # RSS/Atom feed parsing: explode is the only non-projection op
     from commoncrawl_spark.operators.links import extract_feed_entries
 

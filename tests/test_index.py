@@ -716,45 +716,3 @@ def test_champion_validation(spark, champ_corpus):
     with pytest.raises(ValueError):
         build_champion_lists(build_tf_index(champ_corpus), m=0)
 
-
-# ---------------------------------------------------------------------------
-# posting-list compression planning
-# ---------------------------------------------------------------------------
-
-def test_varint_ladder_exact_boundaries(spark):
-    from pyspark.sql import functions as F
-
-    from commoncrawl_spark.operators.index import varint_bytes_col
-
-    vals = [0, 1, 127, 128, 16383, 16384, (1 << 21) - 1, 1 << 21,
-            (1 << 56) - 1, 1 << 56, (1 << 63) - 1]
-    want = [1, 1, 1, 2, 2, 3, 3, 4, 8, 9, 9]
-    df = spark.createDataFrame([(v,) for v in vals], "v long")
-    got = {r["v"]: r["b"] for r in df.select(
-        "v", varint_bytes_col(F.col("v")).alias("b")).collect()}
-    assert [got[v] for v in vals] == want
-
-
-def test_postings_compression_hand_case(spark):
-    from commoncrawl_spark.operators.index import postings_compression
-
-    # gaps: [10, 15, 2, 300] -> varint bytes 1+1+1+2 = 5; raw 8*4 = 32
-    df = spark.createDataFrame(
-        [("t", 4, [10, 25, 27, 327]), ("u", 1, [0])],
-        "token string, df long, doc_ids array<long>")
-    got = {r["token"]: r for r in postings_compression(df).collect()}
-    t = got["t"]
-    assert (t["raw_bytes"], t["varint_bytes"], t["max_gap"]) == (32, 5, 300)
-    assert t["ratio"] == round(5 / 32, 6)
-    u = got["u"]
-    assert (u["raw_bytes"], u["varint_bytes"], u["max_gap"]) == (8, 1, 0)
-
-
-def test_postings_compression_plan_no_shuffle(spark):
-    from commoncrawl_spark.operators.index import postings_compression
-    from commoncrawl_spark.plans.explain import plan_string
-
-    df = spark.createDataFrame(
-        [("t", 2, [1, 5])], "token string, df long, doc_ids array<long>")
-    p = plan_string(postings_compression(df), "simple")
-    assert "Exchange" not in p and "EvalPython" not in p
