@@ -4057,6 +4057,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "members", "distinct_est", "sample_size")
     q["kmv_vocab_sample"] = kmv_vocab_sample
 
+    def bm25_tombstoned(spark, sf):
+        """Index deletes without rewrites: the persisted tf/doclen
+        index is built over the FULL corpus, every seventh doc is then
+        tombstoned (takedown/dedup), and ranking excludes them via two
+        slim LEFT ANTI joins with exact live-corpus statistics — the
+        result must equal a from-scratch index of the survivors,
+        which is literally what the oracle computes. The posting
+        lists are never rewritten."""
+        from commoncrawl_spark.operators.index import (
+            bm25_search_tombstoned,
+            build_doclen,
+            build_tf_index,
+        )
+
+        d = _read(spark, sf, "documents")
+        dead = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        return bm25_search_tombstoned(
+            build_tf_index(d), build_doclen(d), dead,
+            ["join", "hash", "scan"], top_k=15)
+    q["bm25_tombstoned"] = bm25_tombstoned
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -11269,6 +11290,11 @@ def oracle_sql() -> dict[str, str]:
     # index, so the end-to-end oracles are the same SQL
     o["bm25_indexed"] = o["bm25_topk"]
     o["phrase_indexed"] = o["phrase_search"]
+    # bm25_tombstoned: exact-stat deletes == a fresh index of the
+    # survivors, so the oracle IS bm25_topk over the live subset
+    o["bm25_tombstoned"] = o["bm25_topk"].replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 0)")
 
     # split_assign: the shard_assign hash family at modulus 100
     o["split_assign"] = """

@@ -1231,3 +1231,63 @@ def bm25_search_champion(
     )
     return _bm25_rank(tf, dl, globals_, k1, b, top_k, id_col,
                       df_precomputed=True)
+
+
+def bm25_search_tombstoned(
+    tf_index: DataFrame,
+    doclen: DataFrame,
+    tombstones: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    stale_stats: bool = False,
+) -> DataFrame:
+    """:func:`bm25_search_indexed` with DELETES — the index-lifecycle
+    step the build/merge/prune family was missing: takedowns and
+    post-hoc dedup remove documents from a 10^10-doc index far more
+    often than anyone can afford to rewrite posting lists, so deleted
+    ids live in a slim ``tombstones`` table and are excluded at QUERY
+    time (the Lucene live-docs model; a later merge makes them
+    physical). Default is exact statistics: doclen and the tf stream
+    are both tombstone-filtered, so N/avgdl/df describe the LIVE
+    corpus and scores equal a from-scratch index of the survivors
+    (the oracle checks exactly that). ``stale_stats=True`` keeps the
+    pre-delete N/avgdl/df (what Lucene actually serves between
+    merges — cheaper, scores drift until compaction) while still
+    never returning a deleted doc.
+
+    Scale shape: two LEFT ANTI hash joins on the id key against the
+    slim tombstone table, on streams already term-filtered — the
+    posting lists are never rewritten and the corpus is never
+    touched."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ts = tombstones.select(F.col(id_col)).distinct()
+    dl_all = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    dl_live = dl_all.join(ts, id_col, "left_anti")
+    globals_ = (dl_all if stale_stats else dl_live).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = (
+        tf_index.filter(F.col("token").isin(terms))
+        .join(ts, id_col, "left_anti")
+        .select(F.col(id_col), F.col("token"), F.col("tf").alias("_tf"))
+    )
+    if stale_stats:
+        # df must stay pre-delete too: recount is meaningless here, so
+        # stale mode requires a df column stamped on the index rows
+        if "df" not in tf_index.columns:
+            raise ValueError(
+                "stale_stats=True needs a df column on tf_index "
+                "(build-time document frequencies)")
+        tf = tf_index.filter(F.col("token").isin(terms)).join(
+            ts, id_col, "left_anti").select(
+            F.col(id_col), F.col("token"), F.col("tf").alias("_tf"),
+            F.col("df").alias("_df"))
+        return _bm25_rank(tf, dl_live, globals_, k1, b, top_k, id_col,
+                          df_precomputed=True)
+    return _bm25_rank(tf, dl_live, globals_, k1, b, top_k, id_col)

@@ -1398,6 +1398,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # tombstone-aware search: deletes as slim anti-joins, no rewrite
+    from commoncrawl_spark.operators.index import (
+        bm25_search_tombstoned,
+        build_doclen,
+        build_tf_index,
+    )
+
+    tomb_dead = docs.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    p = plan_of(bm25_search_tombstoned(
+        build_tf_index(docs), build_doclen(docs), tomb_dead,
+        ["the", "and"], top_k=10))
+    sections.append((
+        "Index deletes: tombstone anti-joins, posting lists untouched",
+        "Takedowns and post-hoc dedup remove docs from a 10^10-doc "
+        "index constantly; rewriting posting lists per delete is "
+        "unaffordable, so deleted ids are a slim table excluded at "
+        "query time by LEFT ANTI joins on streams ALREADY term-"
+        "filtered — exact live-corpus stats, scores equal to a "
+        "from-scratch index of the survivors (the oracle's check).",
+        [f"LeftAnti joins present: {'LeftAnti' in p} (expect True)",
+         f"Window operators: {p.count('Window')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # RSS/Atom feed parsing: explode is the only non-projection op
     from commoncrawl_spark.operators.links import extract_feed_entries
 

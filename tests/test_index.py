@@ -716,3 +716,79 @@ def test_champion_validation(spark, champ_corpus):
     with pytest.raises(ValueError):
         build_champion_lists(build_tf_index(champ_corpus), m=0)
 
+
+
+# ---------------------------------------------------------------------------
+# tombstone-aware indexed search (index deletes without rewrites)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_tombstoned_equals_fresh_index_of_survivors(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search,
+        bm25_search_tombstoned,
+        build_doclen,
+        build_tf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join hash"), (2, "spark join"), (3, "hash only"),
+         (4, "spark hash join extra words"), (5, "join join join")],
+        "doc_id long, text string")
+    tf, dl = build_tf_index(docs), build_doclen(docs)
+    dead = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_search_tombstoned(
+            tf, dl, dead, ["spark", "join"], top_k=5).collect())
+    want = sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_search(
+            docs.filter(~F.col("doc_id").isin(2, 5)),
+            ["spark", "join"], top_k=5).collect())
+    assert got == want and got                 # exact-stat contract
+    assert all(d not in (2, 5) for d, _, _ in got)
+
+
+@pytest.mark.spark
+def test_tombstoned_stale_stats_requires_df_and_excludes_dead(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_tombstoned,
+        build_doclen,
+        build_tf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "spark"), (3, "join spark")],
+        "doc_id long, text string")
+    tf, dl = build_tf_index(docs), build_doclen(docs)
+    dead = spark.createDataFrame([(2,)], "doc_id long")
+    with pytest.raises(ValueError, match="df column"):
+        bm25_search_tombstoned(tf, dl, dead, ["spark"], stale_stats=True)
+    # stamp build-time df on; stale mode serves pre-delete stats but
+    # never a deleted doc
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf_df = tf.join(dfreq, "token")
+    rows = bm25_search_tombstoned(
+        tf_df, dl, dead, ["spark"], stale_stats=True, top_k=5).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+    exact = bm25_search_tombstoned(
+        tf, dl, dead, ["spark"], top_k=5).collect()
+    # stale idf uses df=3 (pre-delete), exact uses df=2: scores differ
+    assert {r["score"] for r in rows} != {r["score"] for r in exact}
+
+
+@pytest.mark.spark
+def test_tombstoned_plan_anti_join_no_window(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_tombstoned,
+        build_doclen,
+        build_tf_index,
+    )
+    from commoncrawl_spark.plans.explain import plan_string
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    dead = spark.createDataFrame([(9,)], "doc_id long")
+    p = plan_string(bm25_search_tombstoned(
+        build_tf_index(docs), build_doclen(docs), dead, ["a"]), "simple")
+    assert "LeftAnti" in p and "Window" not in p and "EvalPython" not in p
