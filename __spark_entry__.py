@@ -4078,6 +4078,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["join", "hash", "scan"], top_k=15)
     q["bm25_tombstoned"] = bm25_tombstoned
 
+    def merge_plan(spark, sf):
+        """LSM/Lucene tiered compaction scheduling over a synthetic
+        segment ledger spanning five size-doubling tiers: every full
+        group of 4 equals-tier segments (smallest first, id ties)
+        becomes one merge task; partial groups wait. Integer tier
+        thresholds — float log2 disagrees across engines exactly at
+        the power-of-two boundaries this fixture includes."""
+        from commoncrawl_spark.tables import plan_tiered_merges
+
+        d = _read(spark, sf, "documents")
+        segs = d.select(
+            F.concat(F.lit("seg-"), F.col("doc_id").cast("string"))
+            .alias("segment_id"),
+            (F.lit(1 << 20) * (1 + F.col("doc_id") % 30)
+             + F.col("n_chars")).cast("long").alias("bytes"))
+        return plan_tiered_merges(segs)
+    q["merge_plan"] = merge_plan
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9281,6 +9299,35 @@ def oracle_sql() -> dict[str, str]:
                END AS distinct_est,
                CAST(n AS INT) AS sample_size
         FROM bottom
+    """
+
+    # merge_plan: the tier ladder generated from the same constants,
+    # keyed windows replayed, integer group arithmetic
+    from commoncrawl_spark.tables import MERGE_TIER_MAX
+
+    _tier_case = ("CASE " + " ".join(
+        f"WHEN bytes < {(1 << 20) * (1 << (t + 1))} THEN {t}"
+        for t in range(MERGE_TIER_MAX))
+        + f" ELSE {MERGE_TIER_MAX} END")
+    o["merge_plan"] = f"""
+        WITH segs AS (
+          SELECT 'seg-' || CAST(doc_id AS VARCHAR) AS segment_id,
+                 CAST(1048576 * (1 + doc_id % 30) + n_chars AS BIGINT)
+                   AS bytes
+          FROM documents),
+        tiered AS (SELECT *, {_tier_case} AS tier FROM segs),
+        ranked AS (
+          SELECT *,
+                 CAST(row_number() OVER (
+                     PARTITION BY tier ORDER BY bytes, segment_id)
+                   AS INT) AS tier_rank,
+                 count(*) OVER (PARTITION BY tier) AS n
+          FROM tiered)
+        SELECT segment_id, bytes, tier, tier_rank,
+               CASE WHEN (floor((tier_rank - 1) / 4) + 1) * 4 <= n
+                    THEN CAST(floor((tier_rank - 1) / 4) AS INT) END
+                 AS merge_group
+        FROM ranked
     """
 
     # lm_quality: identical unigram MLE — cnt/total is one double

@@ -647,3 +647,64 @@ def zipnum_cluster_idx(
             "n_lines",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tiered merge planning (LSM/Lucene-style compaction scheduling)
+# ---------------------------------------------------------------------------
+
+#: size-doubling tier ladder: tier t holds segments with
+#: floor_bytes * 2^t <= bytes < floor_bytes * 2^(t+1); integer CASE
+#: thresholds (shared with the oracle) rather than float log2, which
+#: disagrees across engines exactly at the power-of-two boundaries
+MERGE_TIER_MAX = 40
+
+
+def plan_tiered_merges(
+    segments: DataFrame,
+    merge_factor: int = 4,
+    floor_bytes: int = 1 << 20,
+    id_col: str = "segment_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Which segments to compact next — the LSM/Lucene tiered policy
+    the snapshot tables and posting-list deltas both need once
+    appends accumulate: segments bucket into size-doubling tiers;
+    within a tier, every full group of ``merge_factor`` segments
+    (smallest first, ties on id) becomes one merge task, producing a
+    segment that graduates toward the next tier. Segments in partial
+    groups keep ``merge_group`` null and wait. Output: ``(id, bytes,
+    tier, tier_rank, merge_group)`` — group key = (tier, merge_group).
+
+    Write amplification is the point: merging equals-sized segments
+    means every byte is rewritten O(log(total/floor)) times over its
+    life, vs O(n) for merge-on-every-append; this is why every
+    LSM store ships this policy.
+
+    Scale shape: one integer CASE ladder per row for the tier, then a
+    window PARTITIONED BY tier (a 10^6-segment table sorts per tier,
+    never globally); group assignment is integer arithmetic on the
+    rank. Determinism: integer thresholds (no float log2), ties on
+    the id."""
+    if merge_factor < 2:
+        raise ValueError(f"merge_factor must be >= 2, got {merge_factor}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = F.col(bytes_col).cast("long")
+    tier = F.lit(MERGE_TIER_MAX)
+    for t in range(MERGE_TIER_MAX - 1, -1, -1):
+        tier = F.when(b < F.lit(floor_bytes * (1 << (t + 1))),
+                      F.lit(t)).otherwise(tier)
+    w = Window.partitionBy("tier").orderBy(
+        F.col(bytes_col).asc(), F.col(id_col).asc())
+    ranked = (
+        segments.select(id_col, bytes_col)
+        .withColumn("tier", tier)
+        .withColumn("tier_rank", F.row_number().over(w))
+    )
+    n_per_tier = Window.partitionBy("tier")
+    grp = F.floor((F.col("tier_rank") - 1) / merge_factor)
+    full = (grp + 1) * merge_factor <= F.max("tier_rank").over(n_per_tier)
+    return ranked.withColumn(
+        "merge_group", F.when(full, grp.cast("int")))

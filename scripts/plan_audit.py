@@ -1398,6 +1398,28 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # tiered merge planning: per-tier windows, integer ladder
+    from commoncrawl_spark.tables import plan_tiered_merges
+
+    tm_segs = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string"))
+        .alias("segment_id"),
+        ((F.col("doc_id") % 20 + 1) * (1 << 20)).cast("long")
+        .alias("bytes"))
+    p = plan_of(plan_tiered_merges(tm_segs))
+    sections.append((
+        "Tiered merge planning: sorts per tier, never globally",
+        "The compaction scheduler buckets segments into size-doubling "
+        "tiers with an INTEGER threshold ladder (float log2 flips at "
+        "power-of-two boundaries) and ranks within each tier — a "
+        "10^6-segment ledger sorts per tier partition, and group "
+        "assignment is integer arithmetic on the rank. This is the "
+        "O(log n) write-amplification policy every LSM store ships.",
+        [f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # tombstone-aware search: deletes as slim anti-joins, no rewrite
     from commoncrawl_spark.operators.index import (
         bm25_search_tombstoned,

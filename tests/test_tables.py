@@ -143,3 +143,51 @@ def test_tar_reexport_sweeps_stale_shards(spark, tmp_path):
     # no stale shards from the larger first export survive
     assert len(on_disk) == m2["n_shards"]
     assert verify_tar_shards(out)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# tiered merge planning
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_tiered_merge_groups_and_boundaries(spark):
+    from commoncrawl_spark.tables import plan_tiered_merges
+
+    MB = 1 << 20
+    rows = [
+        # tier 0 [1MB, 2MB): five segments -> one full group of 4 + 1 waits
+        ("a", MB), ("b", MB + 5), ("c", 2 * MB - 1), ("d", MB + 1),
+        ("e", MB + 2),
+        # exact boundary: 2MB lands in tier 1, not tier 0
+        ("f", 2 * MB), ("g", 3 * MB),
+        # tier 3 [8MB, 16MB): lone segment waits
+        ("h", 9 * MB),
+    ]
+    df = spark.createDataFrame(rows, "segment_id string, bytes long")
+    got = {r["segment_id"]: (r["tier"], r["merge_group"])
+           for r in plan_tiered_merges(df).collect()}
+    assert got["f"][0] == 1 and got["g"][0] == 1   # boundary exact
+    assert got["h"] == (3, None)                   # partial group waits
+    t0 = {k: v for k, v in got.items() if v[0] == 0}
+    assert len(t0) == 5
+    merged = [k for k, v in t0.items() if v[1] == 0]
+    waiting = [k for k, v in t0.items() if v[1] is None]
+    # smallest four merge (a,b,d,e); the largest (c) waits
+    assert sorted(merged) == ["a", "b", "d", "e"] and waiting == ["c"]
+    # tier 1 has only 2 segments < merge_factor: both wait
+    assert got["f"][1] is None and got["g"][1] is None
+    with pytest.raises(ValueError):
+        plan_tiered_merges(df, merge_factor=1)
+
+
+@pytest.mark.spark
+def test_tiered_merge_plan_windows_partitioned(spark):
+    from commoncrawl_spark.plans.explain import plan_string
+    from commoncrawl_spark.tables import plan_tiered_merges
+    from scripts.plan_audit import partitionless_windows
+
+    df = spark.createDataFrame([("a", 1 << 20)],
+                               "segment_id string, bytes long")
+    p = plan_string(plan_tiered_merges(df))
+    assert partitionless_windows(p) == []
+    assert "EvalPython" not in p
