@@ -3774,19 +3774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["publication_dates"] = publication_dates
 
-    def feed_entries(spark, sf):
-        """RSS/Atom syndication parsing — the news-crawl freshness
-        source beside sitemaps: even docs publish an RSS 2.0 feed
-        (RFC 822 pubDate, guid, one linkless item that must drop),
-        odd docs an Atom feed (ISO published, href links, one entry
-        that only has <updated>). Both date dialects normalize to one
-        comparable yyyy-MM-dd key; all scan-stage regex + explode."""
-        from commoncrawl_spark.operators.links import (
-            FEED_MONTHS,
-            extract_feed_entries,
-        )
+    def _feed_fixture(d):
+        """Shared RSS/Atom feed frame (feed_url, xml) for the batch
+        parse query and the streaming poller twin."""
+        from commoncrawl_spark.operators.links import FEED_MONTHS
 
-        d = _read(spark, sf, "documents")
         sid = F.col("doc_id").cast("string")
         day = (F.col("doc_id") % 28 + 1).cast("string")
         dd = F.lpad(day, 2, "0")
@@ -3817,11 +3809,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("/y/"), sid,
             F.lit('"/><updated>2023-01-15T00:00:00Z</updated></entry>'
                   "</feed>"))
-        feeds = d.select(
+        return d.select(
             F.concat(host, F.lit("/feed/"), sid).alias("feed_url"),
             F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
             .alias("xml"))
-        return extract_feed_entries(feeds)
+
+    def feed_entries(spark, sf):
+        """RSS/Atom syndication parsing — the news-crawl freshness
+        source beside sitemaps: even docs publish an RSS 2.0 feed
+        (RFC 822 pubDate, guid, one linkless item that must drop),
+        odd docs an Atom feed (ISO published, href links, one entry
+        that only has <updated>). Both date dialects normalize to one
+        comparable yyyy-MM-dd key; all scan-stage regex + explode."""
+        from commoncrawl_spark.operators.links import extract_feed_entries
+
+        return extract_feed_entries(
+            _feed_fixture(_read(spark, sf, "documents")))
     q["feed_entries"] = feed_entries
 
 
@@ -4095,6 +4098,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              + F.col("n_chars")).cast("long").alias("bytes"))
         return plan_tiered_merges(segs)
     q["merge_plan"] = merge_plan
+
+    def stream_feed_poll(spark, sf):
+        """The feed poller as a REAL stream: feeds re-poll constantly
+        and mostly re-serve the same entries, so new-entry detection
+        is state, not a batch distinct. Batch 0 polls half the feeds,
+        batch 1 re-polls ALL of them (every batch-0 entry reappears
+        verbatim); extract_feed_entries runs per micro-batch
+        (stateless scan-stage transform) and streaming_first_seen on
+        the entry link emits each entry exactly once — a stateless
+        engine would emit the batch-0 half twice and fail the row
+        count. The oracle is the batch feed extraction (links are
+        unique, so first-seen == the full batch result)."""
+        import os
+        import tempfile
+        import uuid
+
+        from commoncrawl_spark.operators.links import extract_feed_entries
+        from commoncrawl_spark.streaming.stateful import (
+            streaming_first_seen,
+        )
+
+        feeds_all = _feed_fixture(_read(spark, sf, "documents"))
+        tmp = tempfile.mkdtemp(prefix="ccs_feed_poll_")
+        src = os.path.join(tmp, "src")
+        half = feeds_all.filter(F.crc32(F.col("feed_url")) % 2 == 0)
+        for i, part in enumerate([half, feeds_all]):
+            bdir = os.path.join(src, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema("feed_url string, xml string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        out = streaming_first_seen(extract_feed_entries(stream), ["link"])
+        name = f"ccs_feedpoll_{uuid.uuid4().hex[:8]}"
+        (out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(300))
+        return spark.table(name).select(
+            "feed_url", "kind", "title", "link", "entry_id",
+            "published", "published_raw")
+    q["stream_feed_poll"] = stream_feed_poll
 
     # ---- within-document line dedup ----
 
@@ -9014,6 +9065,10 @@ def oracle_sql() -> dict[str, str]:
         FROM fields
         WHERE link IS NOT NULL
     """
+    # stream_feed_poll: first-seen over re-polled feeds == the batch
+    # extraction (links are unique; the state store's job is proving
+    # the re-polled half does NOT double-emit)
+    o["stream_feed_poll"] = o["feed_entries"]
 
 
     # epoch_plan: the waterfilling replayed — dyadic caps keep every
