@@ -4147,6 +4147,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "published", "published_raw")
     q["stream_feed_poll"] = stream_feed_poll
 
+    def microdata_stats(spark, sf):
+        """schema.org structured-data census — what Common Crawl ships
+        as WAT metadata and what rich-result pipelines mine first:
+        per page, extract every microdata ``itemtype`` URL and JSON-LD
+        ``@type`` value (both regex-reachable without a parser), then
+        count pages per normalized type. Fixture plants Article /
+        Product / NewsArticle / none variants plus a JSON-LD-only doc;
+        types normalize by stripping the schema.org prefix and
+        lowercasing. Scan-stage regex + explode + one map-side-partial
+        count."""
+        d = _read(spark, sf, "documents")
+        m4 = F.col("doc_id") % 4
+        html = F.concat(
+            F.lit("<html><body>"),
+            F.when(m4 == 0, F.lit(
+                '<div itemscope itemtype="https://schema.org/Article">'
+            )).when(m4 == 1, F.lit(
+                '<div itemscope itemtype="http://schema.org/Product">'
+                '<script>{"@type": "Offer"}</script>'
+            )).when(m4 == 2, F.lit(
+                '<script type="application/ld+json">'
+                '{"@context": "https://schema.org", '
+                '"@type": "NewsArticle"}</script>'
+            )).otherwise(F.lit("")),
+            F.col("text"), F.lit("</body></html>"))
+        itemtypes = F.regexp_extract_all(
+            html, F.lit(r'(?i)itemtype="https?://schema\.org/([^"]+)"'),
+            F.lit(1))
+        ldtypes = F.regexp_extract_all(
+            html, F.lit(r'"@type"\s*:\s*"([^"]+)"'), F.lit(1))
+        types = F.concat(itemtypes, ldtypes)
+        return (
+            d.select(F.explode(types).alias("t"))
+            .groupBy(F.lower(F.col("t")).alias("schema_type"))
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+        )
+    q["microdata_stats"] = microdata_stats
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -9069,6 +9107,34 @@ def oracle_sql() -> dict[str, str]:
     # extraction (links are unique; the state store's job is proving
     # the re-polled half does NOT double-emit)
     o["stream_feed_poll"] = o["feed_entries"]
+
+    # microdata_stats: both extractors replayed, same normalization
+    o["microdata_stats"] = r"""
+        WITH page AS (
+          SELECT doc_id,
+            '<html><body>'
+            || CASE WHEN doc_id % 4 = 0 THEN
+                 '<div itemscope itemtype="https://schema.org/Article">'
+               WHEN doc_id % 4 = 1 THEN
+                 '<div itemscope itemtype="http://schema.org/Product">'
+                 || '<script>{"@type": "Offer"}</script>'
+               WHEN doc_id % 4 = 2 THEN
+                 '<script type="application/ld+json">'
+                 || '{"@context": "https://schema.org", '
+                 || '"@type": "NewsArticle"}</script>'
+               ELSE '' END
+            || text || '</body></html>' AS html
+          FROM documents),
+        t AS (
+          SELECT unnest(
+            regexp_extract_all(
+              html, '(?i)itemtype="https?://schema\.org/([^"]+)"', 1)
+            || regexp_extract_all(html, '"@type"\s*:\s*"([^"]+)"', 1))
+            AS ty
+          FROM page)
+        SELECT lower(ty) AS schema_type, count(*) AS n_pages
+        FROM t GROUP BY lower(ty)
+    """
 
 
     # epoch_plan: the waterfilling replayed — dyadic caps keep every
