@@ -4185,6 +4185,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["microdata_stats"] = microdata_stats
 
+    def sq8_ann(spark, sf):
+        """FAISS-style SQ8 scalar quantization: per-dim min/max bounds
+        (one posexplode pass), uint8 codes via FLOOR (round's halfway
+        ties differ across engines), then ASYMMETRIC inner-product
+        top-5 — float queries against midpoint-dequantized codes. The
+        4x memory cut that decides whether a 10^10-embedding index
+        fits executor memory; recall vs the exact ranking is pinned
+        in pytest, determinism + arithmetic here."""
+        from commoncrawl_spark.operators.similarity import (
+            sq8_bounds,
+            sq8_encode,
+            sq8_topk,
+        )
+
+        e = _read(spark, sf, "embeddings")
+        b = sq8_bounds(e)
+        return sq8_topk(sq8_encode(e, b), b,
+                        e.filter(F.col("vec_id") < 10), k=5)
+    q["sq8_ann"] = sq8_ann
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -7692,6 +7712,44 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY q.vec_id
                    ORDER BY {_sql_cosine("q.v", "n.v")} DESC, n.vec_id) AS rank
           FROM c q, c n WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rank <= 5
+    """
+
+    # sq8_ann: bounds, floor-quantize, midpoint dequant, asymmetric
+    # dot — every step integer or fixed-order double arithmetic
+    o["sq8_ann"] = f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        dims AS (
+          SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+          FROM c, unnest(range(1, 65)) AS t(i) GROUP BY i),
+        b AS (SELECT list(lo ORDER BY i) AS los,
+                     list(hi ORDER BY i) AS his FROM dims),
+        codes AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   CASE WHEN his[i] - los[i] > 0 THEN
+                     greatest(0, least(255,
+                       CAST(floor(256.0 * (v[i] - los[i])
+                                  / (his[i] - los[i])) AS INT)))
+                   ELSE 0 END) AS cd
+          FROM c, b),
+        dq AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   los[i] + (cd[i] + 0.5) * (his[i] - los[i]) / 256.0)
+                   AS dv
+          FROM codes, b),
+        scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 round({_SQL_DOT.format(a="q.v", b="n.dv")}, 6) AS score
+          FROM c q, dq n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
         WHERE rank <= 5
     """
 

@@ -1026,3 +1026,99 @@ def mmr_rerank(
             (F.col("_pos") + 1).alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (FAISS SQ8: int8 codes, asymmetric search)
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension quantization bounds as ONE row ``(los, his)``
+    (arrays in dim order) — the trained "codebook" of scalar
+    quantization: one posexplode + a dim-keyed map-side-partial
+    min/max, then a dim-count-sized collect into arrays. The corpus
+    is read once; the result is a broadcastable constant."""
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    per = ex.groupBy("dim").agg(
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"))
+    return per.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("dim", "lo", "hi")))
+        .alias("_b"),
+    ).select(
+        F.transform(F.col("_b"), lambda b: b["lo"]).alias("los"),
+        F.transform(F.col("_b"), lambda b: b["hi"]).alias("his"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize float vectors to uint8 codes: ``code_i = min(255,
+    floor(256 * (x - lo_i) / (hi_i - lo_i)))`` (clamped at 0;
+    degenerate dims encode 0). FLOOR, not round — round's half-way
+    ties resolve differently across engines (banker's vs away), floor
+    is exact. 4x memory cut per vector: the difference between a
+    10^10-embedding index fitting executor memory or not, at a recall
+    cost the sq8 pytest measures. Bounds ride a 1-row broadcast; the
+    encode is a per-row indexed transform, zero extra exchanges."""
+    j = corpus.crossJoin(F.broadcast(bounds))
+
+    def code(x, i):
+        lo = F.element_at(F.col("los"), i + 1)
+        hi = F.element_at(F.col("his"), i + 1)
+        scale = hi - lo
+        raw = F.floor(F.lit(256.0) * (x.cast("double") - lo) / scale)
+        return F.when(scale > 0,
+                      F.greatest(F.lit(0), F.least(F.lit(255),
+                                                   raw.cast("int")))
+                      ).otherwise(F.lit(0))
+
+    return j.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), code).alias("codes"),
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 search (the FAISS convention: the query stays
+    float, corpus codes dequantize to their cell midpoints ``lo_i +
+    (code_i + 0.5) * (hi_i - lo_i) / 256``): inner-product top-k per
+    query with the usual (score desc, id asc) determinism. Queries
+    and bounds broadcast; the codes table is scanned once un-shuffled
+    and only (query, neighbor, score) survivors reach the per-query
+    rank window — cosine_topk's shape at a quarter the bytes."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")))
+    j = codes.crossJoin(F.broadcast(bounds)).join(q)
+
+    def dq(c, i):
+        lo = F.element_at(F.col("los"), i + 1)
+        hi = F.element_at(F.col("his"), i + 1)
+        return lo + (c.cast("double") + 0.5) * (hi - lo) / F.lit(256.0)
+
+    score = F.round(dot_col(F.col("_qv"),
+                            F.transform(F.col("codes"), dq)), 6)
+    scored = (
+        j.filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

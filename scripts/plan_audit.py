@@ -1398,6 +1398,35 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # SQ8 quantization: bounds broadcast, codes never shuffle
+    from commoncrawl_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    sq_corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[(F.col("doc_id") % (i + 3)).cast("float")
+                  for i in range(8)]).alias("embedding"))
+    sq_b = sq8_bounds(sq_corpus)
+    p = plan_of(sq8_topk(sq8_encode(sq_corpus, sq_b), sq_b,
+                         sq_corpus.filter(F.col("vec_id") < 3), k=5))
+    sections.append((
+        "SQ8 search: codes scan un-shuffled, bounds+queries broadcast",
+        "The uint8 codes table (4x smaller than the float vectors — "
+        "the fits-in-memory lever at 10^10 embeddings) is scanned "
+        "once with the 1-row bounds and the bounded query set as "
+        "BROADCAST sides; dequantization and the asymmetric dot are "
+        "per-row folds, and only (query, neighbor, score) survivors "
+        "reach the per-query rank window.",
+        [f"BroadcastNestedLoopJoin/BroadcastHashJoin present: "
+         f"{'Broadcast' in p} (expect True)",
+         f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # tiered merge planning: per-tier windows, integer ladder
     from commoncrawl_spark.tables import plan_tiered_merges
 

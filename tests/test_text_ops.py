@@ -2436,3 +2436,95 @@ def test_lang_mismatch_cells(spark):
     assert got[("en", "en")] == (1, True)
     assert got[("de", "en")] == (1, False)
     assert got[("fr", "fr")] == (1, True)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def _rand_vecs(n, dim=8):
+    import hashlib
+    out = []
+    for i in range(n):
+        v = [(int(hashlib.md5(f"sq{i}-{j}".encode()).hexdigest()[:8], 16)
+              / 2**32) * 2 - 1 for j in range(dim)]
+        out.append((i, v))
+    return out
+
+
+@pytest.mark.spark
+def test_sq8_encode_bounds_and_codes(spark):
+    from commoncrawl_spark.operators.similarity import sq8_bounds, sq8_encode
+
+    rows = [(0, [0.0, 5.0]), (1, [1.0, 5.0]), (2, [2.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = sq8_bounds(df)
+    [br] = b.collect()
+    assert br["los"] == [0.0, 5.0] and br["his"] == [2.0, 5.0]
+    got = {r["vec_id"]: r["codes"] for r in sq8_encode(df, b).collect()}
+    # dim0 spans [0,2]: codes floor(256*x/2) clamped; dim1 degenerate -> 0
+    assert got[0] == [0, 0]
+    assert got[1] == [128, 0]
+    assert got[2] == [255, 0]          # top of range clamps to 255
+
+
+@pytest.mark.spark
+def test_sq8_topk_recall_vs_exact(spark):
+    from commoncrawl_spark.operators.similarity import (
+        cosine_topk,
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    df = spark.createDataFrame(_rand_vecs(80),
+                               "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 3)
+    b = sq8_bounds(df)
+    codes = sq8_encode(df, b)
+    sq = sq8_topk(codes, b, qs, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    assert len(got) == 15
+    # 8-bit cells are tight: recall@5 vs the exact ranking stays high
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, qs, k=5).collect()}
+    # cosine vs inner product differ by norm; compare against exact
+    # INNER-PRODUCT ranking instead for a like-for-like recall
+    from commoncrawl_spark.operators.similarity import dot_col
+    from pyspark.sql import Window as W
+
+    qv = F.broadcast(qs.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("_qv")))
+    ip = (df.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_cv"))
+          .join(qv).filter(F.col("neighbor_id") != F.col("query_id"))
+          .select("query_id", "neighbor_id",
+                  dot_col(F.col("_qv"), F.col("_cv")).alias("s")))
+    w = W.partitionBy("query_id").orderBy(F.desc("s"),
+                                          F.asc("neighbor_id"))
+    ex = {(r["query_id"], r["neighbor_id"]) for r in
+          ip.withColumn("r", F.row_number().over(w))
+          .filter(F.col("r") <= 5).collect()}
+    assert len(got & ex) / len(ex) >= 0.8
+    # determinism: rerun is identical
+    again = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    assert got == again
+
+
+@pytest.mark.spark
+def test_sq8_plan_broadcast_and_keyed_window(spark):
+    from commoncrawl_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+    from commoncrawl_spark.plans.explain import plan_string
+    from scripts.plan_audit import partitionless_windows
+
+    df = spark.createDataFrame(_rand_vecs(20),
+                               "vec_id long, embedding array<float>")
+    b = sq8_bounds(df)
+    p = plan_string(sq8_topk(sq8_encode(df, b), b,
+                             df.filter(F.col("vec_id") < 2), k=3))
+    assert partitionless_windows(p) == []
+    assert "EvalPython" not in p
