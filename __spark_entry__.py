@@ -4205,6 +4205,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         e.filter(F.col("vec_id") < 10), k=5)
     q["sq8_ann"] = sq8_ann
 
+    def feed_discovery(spark, sf):
+        """Feed autodiscovery from page HTML (the rel=alternate
+        type=application/*+xml convention every reader implements) —
+        the missing edge between crawling pages and polling feeds:
+        even docs declare an RSS feed, odd docs Atom, every ninth doc
+        declares nothing; a stylesheet link with a feed MIME type is
+        planted and must NOT match."""
+        from commoncrawl_spark.operators.links import discover_feeds
+
+        d = _read(spark, sf, "documents")
+        host = F.concat(F.lit("https://"), F.col("source"), F.lit(".org"))
+        sid = F.col("doc_id").cast("string")
+        decl = F.when(
+            F.col("doc_id") % 9 == 0, F.lit("")
+        ).when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="'), host, F.lit("/feed/"), sid, F.lit('"/>'))
+        ).otherwise(F.concat(
+            F.lit('<link type="application/atom+xml" rel="alternate" '
+                  'href="'), host, F.lit("/atom/"), sid, F.lit('"/>')))
+        html = F.concat(
+            F.lit("<html><head>"), decl,
+            F.lit('<link rel="stylesheet" type="application/rss+xml" '
+                  'href="/decoy.css">'),
+            F.lit("</head><body></body></html>"))
+        pages = d.select(
+            F.concat(host, F.lit("/p/"), sid).alias("url"),
+            html.alias("html"))
+        return discover_feeds(pages)
+    q["feed_discovery"] = feed_discovery
+
+    def stitched_chains(spark, sf):
+        """Pagination chains merged back into single documents — the
+        point of chain detection: the rel=next fixture's fragment
+        pages (each carrying 'part <i> of doc <id>.') reassemble in
+        position order into one trainable text per chain head. Slim
+        chain join + a head-keyed aggregate bounded by max_pages."""
+        from commoncrawl_spark.operators.links import (
+            extract_rel_next,
+            pagination_chains,
+            stitch_chains,
+        )
+
+        d = _read(spark, sf, "documents")
+        n_pages = (F.col("doc_id") % 4 + 1).cast("int")
+        b = F.concat(F.lit("https://"), F.col("source"), F.lit(".org/a"),
+                     F.col("doc_id").cast("string"), F.lit("/pg"))
+        cyc = F.col("doc_id") % 50 == 0
+        pages = (
+            d.select("doc_id", b.alias("_b"),
+                     F.when(cyc, F.lit(2)).otherwise(n_pages).alias("_n"))
+            .select("doc_id", "_b", "_n",
+                    F.explode(F.sequence(F.lit(1), F.col("_n")))
+                    .alias("_i"))
+            .select(
+                F.concat(F.col("_b"), F.col("_i").cast("string"))
+                .alias("url"),
+                F.when(
+                    F.col("_i") < F.col("_n"),
+                    F.concat(F.lit('<link rel="next" href="'), F.col("_b"),
+                             (F.col("_i") + 1).cast("string"),
+                             F.lit('">')))
+                .when(cyc & (F.col("_i") == F.col("_n")),
+                      F.concat(F.lit('<link rel="next" href="'),
+                               F.col("_b"), F.lit('1">')))
+                .otherwise(F.lit("<html></html>")).alias("html"),
+                F.concat(F.lit("part "), F.col("_i").cast("string"),
+                         F.lit(" of doc "), F.col("doc_id").cast("string"),
+                         F.lit(".")).alias("text"))
+        )
+        chains = pagination_chains(extract_rel_next(pages), max_pages=10)
+        return stitch_chains(chains, pages)
+    q["stitched_chains"] = stitched_chains
+
     # ---- within-document line dedup ----
 
     def line_dedup(spark, sf):
@@ -7715,6 +7789,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 5
     """
 
+    # feed_discovery: both regexes + the MIME-kind map replayed
+    o["feed_discovery"] = r"""
+        WITH page AS (
+          SELECT 'https://' || source || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><head>'
+                 || CASE WHEN doc_id % 9 = 0 THEN ''
+                    WHEN doc_id % 2 = 0 THEN
+                      '<link rel="alternate" type="application/rss+xml" href="https://'
+                      || source || '.org/feed/' || CAST(doc_id AS VARCHAR)
+                      || '"/>'
+                    ELSE
+                      '<link type="application/atom+xml" rel="alternate" href="https://'
+                      || source || '.org/atom/' || CAST(doc_id AS VARCHAR)
+                      || '"/>' END
+                 || '<link rel="stylesheet" type="application/rss+xml" href="/decoy.css">'
+                 || '</head><body></body></html>' AS html
+          FROM documents),
+        tags AS (
+          SELECT url,
+                 unnest(regexp_extract_all(html, '(?i)<link\b([^>]*)>', 1))
+                   AS tg
+          FROM page)
+        SELECT url,
+               CASE lower(regexp_extract(tg, '(?i)type="([^"]+)"', 1))
+                    WHEN 'application/rss+xml' THEN 'rss'
+                    WHEN 'application/atom+xml' THEN 'atom' END
+                 AS feed_kind,
+               regexp_extract(tg, '(?i)href="([^"]+)"', 1) AS feed_url
+        FROM tags
+        WHERE lower(regexp_extract(tg, '(?i)rel="([^"]+)"', 1))
+                = 'alternate'
+          AND lower(regexp_extract(tg, '(?i)type="([^"]+)"', 1))
+                IN ('application/rss+xml', 'application/atom+xml')
+          AND regexp_extract(tg, '(?i)href="([^"]+)"', 1) <> ''
+    """
+
     # sq8_ann: bounds, floor-quantize, midpoint dequant, asymmetric
     # dot — every step integer or fixed-order double arithmetic
     o["sq8_ann"] = f"""
@@ -9447,6 +9558,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT head_url, url, CAST(min(position) AS INT) AS position
         FROM chains GROUP BY head_url, url
     """
+
+    # stitched_chains: the recursive chain walk nested, then texts
+    # rebuilt in position order (positions unique per head)
+    o["stitched_chains"] = f"""
+        WITH chains AS ({o["pagination_chains"]}),
+        ptext AS (
+          SELECT 'https://' || source || '.org/a'
+                 || CAST(doc_id AS VARCHAR) || '/pg'
+                 || CAST(i AS VARCHAR) AS url,
+                 'part ' || CAST(i AS VARCHAR) || ' of doc '
+                 || CAST(doc_id AS VARCHAR) || '.' AS text
+          FROM (SELECT doc_id, source,
+                       CASE WHEN doc_id % 50 = 0 THEN 2
+                            ELSE CAST(doc_id % 4 + 1 AS INT) END AS n
+                FROM documents) b,
+               unnest(range(1, n + 1)) AS t(i))
+        SELECT c.head_url,
+               CAST(count(*) AS INT) AS n_pages,
+               array_to_string(list(p.text ORDER BY c.position),
+                               chr(10)) AS text
+        FROM chains c JOIN ptext p ON p.url = c.url
+        GROUP BY c.head_url
+    """
+
 
     # kmv_vocab_sample: bottom-16 by the same md5-prefix hash, members
     # listed in (hash, token) order, (k-1)/u_k estimate replayed

@@ -399,8 +399,15 @@ def main() -> None:
             # materialized training stream, hreflang bitext seeds,
             # T5 span corruption, host reputation priors
             "c4_clean", "heavy_hitters", "publication_dates",
-            "feed_entries", "news_pipeline", "epoch_plan", "epoch_stream", "hreflang_pairs",
+            "feed_entries", "news_pipeline", "epoch_plan",
+            "epoch_stream", "hreflang_pairs",
             "span_corruption", "host_quality_prior",
+            # eighth-session continued: language QA, pagination
+            # stitching, KMV sketches, tombstoned search, merge
+            # planning, schema.org census, SQ8 ANN
+            "lang_mismatch", "pagination_chains", "kmv_vocab_sample",
+            "bm25_tombstoned", "merge_plan", "microdata_stats",
+            "sq8_ann",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1062,3 +1062,65 @@ def pagination_chains(
     # a truncated cycle could re-enter a url; keep the first position
     return res.groupBy("head_url", "url").agg(
         F.min("position").alias("position"))
+
+
+def discover_feeds(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Feed AUTODISCOVERY — the step that connects page crawling to
+    feed polling: ``<link rel="alternate" type="application/rss+xml"
+    | "application/atom+xml" href=...>`` declarations (the convention
+    every reader/browser implements), one row ``(url, feed_kind,
+    feed_url)`` per declaration, kind derived from the MIME type.
+    Scan-stage regex + explode, attribute order free."""
+    text = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(
+        text, F.lit(r"(?i)<link\b([^>]*)>"), F.lit(1))
+    ex = pages.select(F.col(url_col).alias("url"),
+                      F.explode(tags).alias("_t"))
+    rel = F.lower(F.regexp_extract(F.col("_t"), r'(?i)rel="([^"]+)"', 1))
+    typ = F.lower(F.regexp_extract(F.col("_t"), r'(?i)type="([^"]+)"', 1))
+    href = F.regexp_extract(F.col("_t"), r'(?i)href="([^"]+)"', 1)
+    kind = (F.when(typ == "application/rss+xml", F.lit("rss"))
+            .when(typ == "application/atom+xml", F.lit("atom")))
+    return (
+        ex.select("url", kind.alias("feed_kind"), href.alias("feed_url"))
+        .filter((F.col("feed_kind").isNotNull())
+                & (F.col("feed_url") != "") & (rel == "alternate"))
+    )
+
+
+def stitch_chains(
+    chains: DataFrame,
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    sep: str = "\n",
+) -> DataFrame:
+    """Merge :func:`pagination_chains` output back into single
+    documents — the POINT of chain detection: 8 thin fragment pages
+    become one trainable document. ``(head_url, n_pages, text)`` with
+    page texts joined in position order.
+
+    Scale shape: one hash join of the slim chain table against the
+    pages table on the URL key, then a head-keyed aggregate whose
+    per-group state is bounded by max_pages (the chain walk's depth
+    bound) — the sort happens inside a <= max_pages array, never in a
+    window."""
+    j = chains.join(
+        pages.select(F.col(url_col).alias("url"), F.col(text_col)),
+        "url")
+    return (
+        j.groupBy("head_url")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("position", text_col)))
+            .alias("_parts"))
+        .select(
+            "head_url",
+            F.size(F.col("_parts")).alias("n_pages"),
+            F.array_join(
+                F.transform(F.col("_parts"), lambda p: p[text_col]),
+                sep).alias("text"))
+    )

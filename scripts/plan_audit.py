@@ -1290,6 +1290,31 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # chain stitching: slim join, bounded per-head aggregate
+    from commoncrawl_spark.operators.links import stitch_chains
+
+    st_chains = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        .alias("head_url"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 4).cast("int").alias("position"))
+    st_pages = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"))
+    p = plan_of(stitch_chains(st_chains, st_pages))
+    sections.append((
+        "Chain stitching: per-head state bounded by the depth cap",
+        "Fragment texts join the slim chain table on the URL key and "
+        "aggregate per head; the position sort happens inside a "
+        "<= max_pages array (the walk's depth bound), never in a "
+        "window — so reassembling 10^8 multi-page articles is one "
+        "join plus a map-side-partial collect of tiny arrays.",
+        [f"Window operators: {p.count('Window')} (expect 0)",
+         f"CartesianProduct present: {'CartesianProduct' in p} "
+         f"(expect False)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # epoch materialization: broadcast plan, guarded sequence explode
     from commoncrawl_spark.operators.selection import materialize_epochs
 

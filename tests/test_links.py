@@ -1020,3 +1020,40 @@ def test_pagination_chains_plan(spark):
     p = plan_string(pagination_chains(edges, max_pages=4), "simple")
     assert "CartesianProduct" not in p and "EvalPython" not in p
     assert "Window" not in p
+
+
+@pytest.mark.spark
+def test_discover_feeds(spark):
+    from commoncrawl_spark.operators.links import discover_feeds
+
+    html = ('<link rel="alternate" type="application/rss+xml" '
+            'href="https://s.test/feed"/>'
+            '<link type="application/atom+xml" rel="alternate" '
+            'href="https://s.test/atom"/>'
+            '<link rel="alternate" type="text/html" href="/mobile">'
+            '<link rel="stylesheet" type="application/rss+xml" '
+            'href="/weird">')
+    df = spark.createDataFrame([("https://s.test/p", html)],
+                               "url string, html string")
+    rows = sorted((r["feed_kind"], r["feed_url"])
+                  for r in discover_feeds(df).collect())
+    assert rows == [("atom", "https://s.test/atom"),
+                    ("rss", "https://s.test/feed")]
+
+
+@pytest.mark.spark
+def test_stitch_chains_orders_and_bounds(spark):
+    from commoncrawl_spark.operators.links import stitch_chains
+
+    chains = spark.createDataFrame(
+        [("a", "a", 0), ("a", "b", 1), ("a", "c", 2), ("m", "m", 0)],
+        "head_url string, url string, position int")
+    pages = spark.createDataFrame(
+        [("a", "first."), ("b", "second."), ("c", "third."),
+         ("m", "solo."), ("zz", "unreferenced.")],
+        "url string, text string")
+    got = {r["head_url"]: (r["n_pages"], r["text"])
+           for r in stitch_chains(chains, pages).collect()}
+    assert got["a"] == (3, "first.\nsecond.\nthird.")
+    assert got["m"] == (1, "solo.")
+    assert "zz" not in got
