@@ -407,7 +407,8 @@ def main() -> None:
             # planning, schema.org census, SQ8 ANN
             "lang_mismatch", "pagination_chains", "kmv_vocab_sample",
             "bm25_tombstoned", "merge_plan", "microdata_stats",
-            "sq8_ann",
+            "sq8_ann", "feed_discovery", "stitched_chains",
+            "stream_feed_poll",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
