@@ -5547,7 +5547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mmr_diversify) and the eighth-session adds (c4_clean,
     # heavy_hitters, publication_dates, feed_entries, news_pipeline,
     # epoch_plan, epoch_stream, hreflang_pairs,
-    # span_corruption, host_quality_prior);
+    # span_corruption, host_quality_prior, lang_mismatch,
+    # pagination_chains, stitched_chains, kmv_vocab_sample,
+    # bm25_tombstoned, merge_plan, stream_feed_poll, microdata_stats,
+    # sq8_ann, feed_discovery);
     # everything in the current list will then have
     # CORRECTNESS_r03 as its permanent record. Rotating 50
     # never-attested queries per round covers the whole surface by
