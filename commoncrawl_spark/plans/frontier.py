@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import best_capture_per_url
+from ..operators.dedup import best_capture_per_url, dedup_first_seen
 from ..operators.extraction import extract_articles, split_articles
 from ..operators.schedule import apply_robots, select_polite_batch, with_host
 from ..operators.seen_set import (
@@ -189,6 +189,63 @@ class CrawlJob:
         )
         frontier = self._filter_unseen(frontier)
         self.frontier.overwrite(frontier, {"round": self.next_round()})
+        if not self.seen.exists():
+            self.seen.overwrite(
+                self.spark.createDataFrame([], SEEN_SCHEMA), {"round": -1}
+            )
+        return self.frontier.read(self.spark).count()
+
+    def seed_from_feeds(
+        self,
+        feeds: DataFrame,
+        ref_date: str = "2100-01-01",
+        xml_col: str = "xml",
+        url_col: str = "feed_url",
+    ) -> int:
+        """Feed-driven (re)seeding — the news-crawl entry point: poll
+        results (``feed_url, xml``) become entry links, freshness maps
+        into the frontier's existing priority triple (``page`` = days
+        from the normalized published date to ``ref_date``, so fresher
+        entries schedule first; dateless entries sink at 99999;
+        ``crawl_rank`` = ``line_no`` = 0), duplicate links across
+        feeds collapse first-priority-wins on the canonical key, the
+        seen set filters re-announced URLs, and the survivors MERGE
+        into the current frontier (unlike ``seed_from_cdx``'s
+        overwrite — feeds are polled into a live crawl). Returns the
+        frontier size after the merge.
+
+        Scale shape: feed parsing rides the scan, the dedup is a
+        min_by partial aggregate on the key (never a window), the
+        membership check is the job's crossover-aware anti-join, and
+        the merge re-dedups only on the slim key."""
+        from ..operators.links import extract_feed_entries
+
+        ent = extract_feed_entries(feeds, xml_col=xml_col,
+                                   url_col=url_col)
+        cand = with_host(with_url_key(
+            ent.select(F.col("link").alias("url"), "published")))
+        staleness = F.coalesce(
+            F.datediff(F.lit(ref_date).cast("date"),
+                       F.col("published").cast("date")),
+            F.lit(99999)).cast("int")
+        rows = cand.select(
+            "url", "url_sha1", "host",
+            F.lit(0).alias("crawl_rank"),
+            staleness.alias("page"),
+            F.lit(0).alias("line_no"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("not_before_round"),
+        )
+        rows = self._filter_unseen(rows)
+        existing = self.frontier.read_or_empty(self.spark, FRONTIER_SCHEMA)
+        merged = dedup_first_seen(
+            existing.unionByName(rows.select(
+                *[f.name for f in FRONTIER_SCHEMA.fields])),
+            key_cols=["url_sha1"],
+            arrival_cols=["crawl_rank", "page", "line_no", "url"],
+        )
+        self.frontier.overwrite(merged, {"round": self.next_round(),
+                                         "seeded_from": "feeds"})
         if not self.seen.exists():
             self.seen.overwrite(
                 self.spark.createDataFrame([], SEEN_SCHEMA), {"round": -1}

@@ -348,3 +348,60 @@ def test_evict_validates_before_mutating_seen(spark, tables, full_run,
         job.evict_for_recrawl(keyed, requeue=True)
     after = {r["url_sha1"] for r in job.seen_df().collect()}
     assert after == before  # nothing was evicted
+
+
+# ---------------------------------------------------------------------------
+# feed-driven seeding
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_seed_from_feeds_freshness_dedup_and_merge(spark, tmp_path):
+    from commoncrawl_spark.plans.frontier import CrawlJob
+
+    rss = ('<rss><channel>'
+           '<item><title>new</title><link>https://n.test/fresh</link>'
+           '<pubDate>Tue, 7 Sep 2021 10:00:00 GMT</pubDate></item>'
+           '<item><title>old</title><link>https://n.test/stale</link>'
+           '<pubDate>Mon, 1 Jan 2001 00:00:00 GMT</pubDate></item>'
+           '<item><title>nodate</title><link>https://n.test/nodate</link>'
+           '</item></channel></rss>')
+    # a second feed re-announces /fresh with an older date: the
+    # first-priority-wins merge must keep the fresher copy
+    rss2 = ('<rss><channel>'
+            '<item><title>dup</title><link>https://n.test/fresh</link>'
+            '<pubDate>Sat, 1 Jan 2011 00:00:00 GMT</pubDate></item>'
+            '</channel></rss>')
+    feeds = spark.createDataFrame(
+        [("https://n.test/feed1", rss), ("https://n.test/feed2", rss2)],
+        "feed_url string, xml string")
+
+    job = CrawlJob(spark, str(tmp_path / "ckpt"), budget_per_host=10)
+    n = job.seed_from_feeds(feeds)
+    rows = {r["url"]: r for r in job.frontier.read(spark).collect()}
+    assert n == 3 and set(rows) == {"https://n.test/fresh",
+                                    "https://n.test/stale",
+                                    "https://n.test/nodate"}
+    # freshness ordering: fresher entries carry a smaller page value
+    assert (rows["https://n.test/fresh"]["page"]
+            < rows["https://n.test/stale"]["page"]
+            < rows["https://n.test/nodate"]["page"])
+    assert rows["https://n.test/nodate"]["page"] == 99999
+    # the duplicate announcement lost: 2021's staleness, not 2011's
+    import datetime
+    want = (datetime.date(2100, 1, 1) - datetime.date(2021, 9, 7)).days
+    assert rows["https://n.test/fresh"]["page"] == want
+
+    # re-seeding from the same feeds after marking /fresh seen: the
+    # seen filter drops it, the merge keeps the untouched rows
+    seen = spark.createDataFrame(
+        [("https://n.test/fresh",)], "url string")
+    from commoncrawl_spark.operators.seen_set import with_url_key
+    job.seen.overwrite(
+        with_url_key(seen).select("url_sha1"), {"round": 0})
+    n2 = job.seed_from_feeds(feeds)
+    assert n2 == 3  # merged frontier still holds the earlier fresh row
+    # but a FRESH checkpoint seeded after seen would exclude it
+    job2 = CrawlJob(spark, str(tmp_path / "ckpt2"), budget_per_host=10)
+    job2.seen.overwrite(
+        with_url_key(seen).select("url_sha1"), {"round": 0})
+    assert job2.seed_from_feeds(feeds) == 2
