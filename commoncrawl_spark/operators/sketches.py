@@ -207,6 +207,50 @@ def misra_gries_py(stream, m: int) -> dict:
     return counters
 
 
+def misra_gries_weighted_py(pairs, m: int) -> dict:
+    """Weighted Misra-Gries (Berinde et al., PODS 2009 §2: insert with
+    weight w; on overflow subtract the minimum counter from all and
+    drop zeros): same guarantee as the unit fold — every item with
+    total weight > W/(m+1) survives, undercount <= W/(m+1) — but the
+    stream can be PRE-AGGREGATED (item, weight) pairs. That is the
+    fast executor path: a C-speed ``Counter`` per Arrow batch, then
+    this fold over batch-vocabulary-many pairs instead of a Python
+    loop over every token."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    counters: dict = {}
+    for item, w in pairs:
+        if w <= 0:
+            continue
+        if item in counters:
+            counters[item] += w
+        elif len(counters) < m:
+            counters[item] = w
+        else:
+            d = min(counters.values())
+            if w <= d:
+                # the newcomer dies first: equivalent to inserting it
+                # then subtracting w from everything (w == d also kills
+                # the old minimum, so zeros must still be swept)
+                dead = []
+                for c in counters:
+                    counters[c] -= w
+                    if counters[c] == 0:
+                        dead.append(c)
+                for c in dead:
+                    del counters[c]
+            else:
+                dead = []
+                for c in counters:
+                    counters[c] -= d
+                    if counters[c] == 0:
+                        dead.append(c)
+                for c in dead:
+                    del counters[c]
+                counters[item] = w - d
+    return counters
+
+
 def heavy_hitters(
     df: DataFrame,
     arr_col: str = "tokens",
@@ -247,15 +291,23 @@ def heavy_hitters(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    import itertools
+    from collections import Counter
+
     import pandas as pd
 
     def part(batches):
-        def stream():
+        # C-speed per-batch histogram, then the weighted MG fold over
+        # batch-vocabulary-many (item, count) pairs — same candidate
+        # guarantee as the token-at-a-time fold (misra_gries_weighted_py
+        # docstring), ~10x less Python per token
+        def pairs():
             for pdf in batches:
-                for arr in pdf[arr_col]:
-                    if arr is not None:
-                        yield from arr
-        yield pd.DataFrame({"token": list(misra_gries_py(stream(), k))})
+                c = Counter(itertools.chain.from_iterable(
+                    arr for arr in pdf[arr_col] if arr is not None))
+                yield from c.items()
+        yield pd.DataFrame(
+            {"token": list(misra_gries_weighted_py(pairs(), k))})
 
     cand = (
         df.select(F.col(arr_col).alias(arr_col))

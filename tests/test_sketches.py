@@ -315,3 +315,39 @@ def test_kmv_plan_keyed_windows_only(spark):
     from scripts.plan_audit import partitionless_windows
     assert partitionless_windows(p) == []
     assert "EvalPython" not in p
+
+
+def test_misra_gries_weighted_matches_unit_guarantee():
+    import random
+    from collections import Counter
+
+    from commoncrawl_spark.operators.sketches import (
+        misra_gries_py,
+        misra_gries_weighted_py,
+    )
+
+    rng = random.Random(7)
+    stream = (["a"] * 300 + ["b"] * 150
+              + [f"x{rng.randrange(400)}" for _ in range(800)])
+    rng.shuffle(stream)
+    true = Counter(stream)
+    W = len(stream)
+    for m in (4, 16):
+        # feed pre-aggregated chunks in arbitrary chunking
+        chunks = [stream[i:i + 97] for i in range(0, W, 97)]
+        pairs = [p for ch in chunks for p in Counter(ch).items()]
+        kept = misra_gries_weighted_py(iter(pairs), m)
+        assert len(kept) <= m
+        for item, c in true.items():
+            if c > W / (m + 1):
+                assert item in kept, (item, m)
+        for item, lb in kept.items():
+            assert lb <= true[item]
+            assert true[item] - lb <= W / (m + 1)
+        # weight-1 pairs degenerate to the unit fold's guarantee too
+        unit = misra_gries_py(iter(stream), m)
+        for item, c in true.items():
+            if c > W / (m + 1):
+                assert item in unit
+    with pytest.raises(ValueError):
+        misra_gries_weighted_py(iter([]), 0)
