@@ -686,8 +686,9 @@ def main() -> None:
         "Plain explode+groupBy shuffles one row per DISTINCT key — "
         "corpus-scale for URLs or n-grams. The Misra-Gries pass holds "
         "O(k) counters per task (the one MapInPandas site — a "
-        "decrement-all fold has no Catalyst expression) and emits at "
-        "most k candidates per partition; the exact recount probes that "
+        "decrement-all fold has no Catalyst expression; per-batch "
+        "C-speed Counter histograms feed the weighted fold) and emits "
+        "at most k candidates per partition; the exact recount probes that "
         "P*k-row set as a BROADCAST left-semi before counting, so the "
         "exchange carries at most the candidate cardinality. The n/k "
         "gate is integer arithmetic — output is exact and partition-"
