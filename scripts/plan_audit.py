@@ -38,20 +38,39 @@ def plan_of(df, mode: str = "simple", label: str = "") -> str:
     return p
 
 
-def _window_partition_groups(line: str) -> int:
-    """Top-level [...] groups on a simple-mode Window line: 2 means
-    [functions], [order] — NO partition spec; 3 means partitioned."""
+def _window_groups(line: str) -> list[str]:
+    """Top-level [...] groups on a simple-mode Window line. The full
+    taxonomy (verified against live plans):
+    3 groups = [functions], [partition], [order]      -> partitioned;
+    2 groups, second contains ASC/DESC = [fn], [order] -> NO partition;
+    2 groups, second without ASC/DESC = [fn], [part]   -> partitioned
+      but unordered (e.g. max() OVER (PARTITION BY k)) — fine;
+    1 group = [functions] only                         -> global window."""
     s = line[line.index("Window ") + len("Window "):]
     depth = 0
-    groups = 0
+    groups: list[str] = []
+    buf: list[str] = []
     for ch in s:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
             depth += 1
         elif ch == "]":
             depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth > 0:
+            buf.append(ch)
     return groups
+
+
+def _is_partitionless(line: str) -> bool:
+    g = _window_groups(line)
+    if len(g) >= 3:
+        return False
+    if len(g) == 2:
+        return " ASC" in g[1] or " DESC" in g[1]
+    return True
 
 
 def partitionless_windows(plan: str) -> list[str]:
@@ -60,8 +79,7 @@ def partitionless_windows(plan: str) -> list[str]:
     funnels through ONE task for the sort. Expect none anywhere."""
     bad = []
     for ln in plan.splitlines():
-        if re.search(r"\bWindow \[", ln) and \
-                _window_partition_groups(ln) < 3:
+        if re.search(r"\bWindow \[", ln) and _is_partitionless(ln):
             bad.append(ln.strip()[:110])
     return bad
 
