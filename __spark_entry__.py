@@ -4185,6 +4185,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["microdata_stats"] = microdata_stats
 
+    def partitioned_read(spark, sf):
+        """Partition-spec snapshot tables: documents commit twice
+        (halves) into a lang-partitioned SnapshotTable, then a
+        lang-filtered read must (a) span both commits, (b) prune
+        non-matching partition DIRECTORIES at planning time (the
+        PartitionFilters pin lives in pytest + SCALE.md), and (c)
+        aggregate correctly — which is what the oracle hashes."""
+        import tempfile
+
+        from commoncrawl_spark.tables import SnapshotTable
+
+        d = _read(spark, sf, "documents")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="ccs_part_"),
+                          partition_by=("lang",))
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        t.append(d.filter(F.col("doc_id") % 2 == 1))
+        return (
+            t.read(spark).filter(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars"))
+        )
+    q["partitioned_read"] = partitioned_read
+
     def sq8_ann(spark, sf):
         """FAISS-style SQ8 scalar quantization: per-dim min/max bounds
         (one posexplode pass), uint8 codes via FLOOR (round's halfway
@@ -7827,6 +7851,14 @@ def oracle_sql() -> dict[str, str]:
           AND lower(regexp_extract(tg, '(?i)type="([^"]+)"', 1))
                 IN ('application/rss+xml', 'application/atom+xml')
           AND regexp_extract(tg, '(?i)href="([^"]+)"', 1) <> ''
+    """
+
+    # partitioned_read: the commits partition the same rows the plain
+    # table holds, so the filtered aggregate is directly replayable
+    o["partitioned_read"] = """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'en' GROUP BY source
     """
 
     # sq8_ann: bounds, floor-quantize, midpoint dequant, asymmetric

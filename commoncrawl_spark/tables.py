@@ -32,8 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, partition_by: tuple[str, ...] = ()):
+        """``partition_by`` is the table's partition spec (Iceberg's
+        identity-transform case): commits lay data out hive-style
+        (``col=value/`` directories) so reads that filter on a
+        partition column PRUNE whole directories at planning time —
+        the property that lets a per-crawl or per-language question
+        touch 1/Nth of a 100 TB table. The spec is a TABLE property:
+        it is recorded in every manifest and must not change between
+        commits (validated), matching Iceberg's spec-per-snapshot
+        model in the single-spec case."""
         self.root = root
+        self.partition_by = tuple(partition_by)
         self._snap_dir = os.path.join(root, "_snapshots")
         self._data_dir = os.path.join(root, "data")
 
@@ -78,10 +88,18 @@ class SnapshotTable:
         new_id = 0 if parent is None else parent + 1
 
         commit_dir = f"c{new_id}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(self._data_dir, commit_dir))
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(os.path.join(self._data_dir, commit_dir))
 
         if operation == "append" and parent is not None:
             prev = self.snapshot(parent)
+            prev_spec = tuple(prev.get("partition_by", ()))
+            if prev_spec != self.partition_by:
+                raise ValueError(
+                    f"partition spec changed: table has {prev_spec}, "
+                    f"writer has {self.partition_by}")
             files = list(prev["files"]) + [commit_dir]
         else:
             files = [commit_dir]
@@ -91,6 +109,7 @@ class SnapshotTable:
             "parent": parent,
             "operation": operation,
             "files": files,
+            "partition_by": list(self.partition_by),
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -128,6 +147,7 @@ class SnapshotTable:
             "parent": parent,
             "operation": "retag",
             "files": list(prev["files"]),
+            "partition_by": list(prev.get("partition_by", ())),
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -146,6 +166,17 @@ class SnapshotTable:
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         paths = [os.path.join(self._data_dir, f) for f in snap["files"]]
+        if snap.get("partition_by"):
+            # each commit dir is its own hive-partitioned root (a shared
+            # basePath would put the non-partition c<id>-<uuid> level
+            # inside the partition spec); the union keeps partition
+            # discovery per branch, so a partition-column filter still
+            # prunes directories in every commit's scan. Commit count is
+            # bounded by compact()/expire_snapshots() maintenance.
+            out = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(spark.read.parquet(p))
+            return out
         return spark.read.parquet(*paths)
 
     def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:

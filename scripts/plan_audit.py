@@ -1493,6 +1493,33 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # partitioned snapshot reads: directory pruning at planning time
+    import tempfile as _tf
+
+    from commoncrawl_spark.tables import SnapshotTable as _ST
+
+    _pt = _ST(_tf.mkdtemp(prefix="ccs_audit_part_"),
+              partition_by=("lang",))
+    _pt.append(docs.filter(F.col("doc_id") % 2 == 0)
+               .select("doc_id", "lang", "n_chars"))
+    _pt.append(docs.filter(F.col("doc_id") % 2 == 1)
+               .select("doc_id", "lang", "n_chars"))
+    ptq = _pt.read(spark).filter(F.col("lang") == "en")
+    p = plan_of(ptq, "formatted")
+    pruned = ("PartitionFilters" in p
+              and "lang" in p.split("PartitionFilters")[1][:120])
+    sections.append((
+        "Partitioned snapshots: the filter prunes directories, not rows",
+        "The table's partition spec lays commits out hive-style, so a "
+        "lang/crawl-partition filter lands in the scan's "
+        "PartitionFilters — whole directories are skipped at PLANNING "
+        "time in every commit branch, the property that lets a "
+        "per-language question touch 1/Nth of a 100 TB table.",
+        [f"PartitionFilters carries the lang predicate: {pruned} "
+         f"(expect True)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # tombstone-aware search: deletes as slim anti-joins, no rewrite
     from commoncrawl_spark.operators.index import (
         bm25_search_tombstoned,

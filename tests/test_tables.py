@@ -191,3 +191,41 @@ def test_tiered_merge_plan_windows_partitioned(spark):
     p = plan_string(plan_tiered_merges(df))
     assert partitionless_windows(p) == []
     assert "EvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# partitioned snapshot tables: spec + pruning
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_partitioned_snapshot_prunes_and_time_travels(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.plans.explain import plan_string
+    from commoncrawl_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pt"), partition_by=("lang",))
+    a = spark.createDataFrame(
+        [(1, "en", "x"), (2, "de", "y")], "id long, lang string, v string")
+    b = spark.createDataFrame(
+        [(3, "en", "z"), (4, "fr", "w")], "id long, lang string, v string")
+    s0 = t.append(a)
+    s1 = t.append(b)
+    # full read spans commits; partition column survives the layout
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+    assert {r["id"] for r in t.read(spark, s0).collect()} == {1, 2}
+    # a partition-column filter prunes directories at planning time
+    q = t.read(spark).filter(F.col("lang") == "en")
+    assert {r["id"] for r in q.collect()} == {1, 3}
+    pf = plan_string(q, "formatted")
+    assert "PartitionFilters" in pf and "lang" in pf.split(
+        "PartitionFilters")[1][:120]
+    # retag keeps the spec; append after retag still validates
+    t.retag({"note": "tag"})
+    t.append(spark.createDataFrame([(5, "en", "q")],
+                                   "id long, lang string, v string"))
+    assert t.read(spark).count() == 5
+    # changing the spec on an existing table refuses
+    t2 = SnapshotTable(str(tmp_path / "pt"))
+    with pytest.raises(ValueError, match="partition spec"):
+        t2.append(a)
