@@ -4209,6 +4209,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["partitioned_read"] = partitioned_read
 
+    def coverage_gap(spark, sf):
+        """Sitemap-vs-crawl coverage audit — the crawl-ops question
+        behind budget reallocation: per host, how many publisher-
+        DECLARED URLs (urlset locs) has the crawl never fetched? Each
+        doc declares /p/ and /q/ pages; the seen set holds only /p/
+        URLs of docs not divisible by 3 — so every /q/ page and every
+        third /p/ page is a gap. One LEFT ANTI on the canonical key +
+        a host aggregate with the gap share at the 6dp grain."""
+        from commoncrawl_spark.operators.links import (
+            extract_sitemap_entries,
+        )
+        from commoncrawl_spark.operators.seen_set import (
+            anti_join_seen,
+            with_url_key,
+        )
+
+        d = _read(spark, sf, "documents")
+        sid = F.col("doc_id").cast("string")
+        host = F.concat(F.col("source"), F.lit(".org"))
+        xml = F.concat(
+            F.lit("<urlset><url><loc>https://"), host, F.lit("/p/"), sid,
+            F.lit("</loc></url><url><loc>https://"), host, F.lit("/q/"),
+            sid, F.lit("</loc></url></urlset>"))
+        maps = d.select(
+            F.concat(F.lit("https://"), host, F.lit("/sitemap.xml"))
+            .alias("sitemap_url"),
+            F.encode(xml, "utf-8").alias("xml"))
+        declared = with_url_key(
+            extract_sitemap_entries(maps).select(F.col("loc").alias("url")))
+        seen = with_url_key(
+            d.filter(F.col("doc_id") % 3 != 0).select(
+                F.concat(F.lit("https://"), host, F.lit("/p/"), sid)
+                .alias("url")))
+        gaps = anti_join_seen(declared, seen)
+        h = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+        per_host = declared.select(h.alias("host")).groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_declared"))
+        gap_host = gaps.select(h.alias("host")).groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_gap"))
+        return (
+            per_host.join(gap_host, "host", "left")
+            .select(
+                "host", "n_declared",
+                F.coalesce(F.col("n_gap"), F.lit(0)).cast("long")
+                .alias("n_gap"))
+            .withColumn("gap_share",
+                        F.round(F.col("n_gap") / F.col("n_declared"), 6))
+        )
+    q["coverage_gap"] = coverage_gap
+
     def sq8_ann(spark, sf):
         """FAISS-style SQ8 scalar quantization: per-dim min/max bounds
         (one posexplode pass), uint8 codes via FLOOR (round's halfway
@@ -7851,6 +7901,28 @@ def oracle_sql() -> dict[str, str]:
           AND lower(regexp_extract(tg, '(?i)type="([^"]+)"', 1))
                 IN ('application/rss+xml', 'application/atom+xml')
           AND regexp_extract(tg, '(?i)href="([^"]+)"', 1) <> ''
+    """
+
+    # coverage_gap: declared set, crawled subset, NOT IN, host rollup
+    o["coverage_gap"] = """
+        WITH declared AS (
+          SELECT source || '.org' AS host,
+                 'https://' || source || '.org/' || p || '/'
+                 || CAST(doc_id AS VARCHAR) AS url
+          FROM documents, unnest(['p', 'q']) AS t(p)),
+        seen AS (
+          SELECT 'https://' || source || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 3 <> 0),
+        gap AS (
+          SELECT host, count(*) AS n_gap FROM declared
+          WHERE url NOT IN (SELECT url FROM seen) GROUP BY host)
+        SELECT d.host, count(*) AS n_declared,
+               CAST(coalesce(any_value(g.n_gap), 0) AS BIGINT) AS n_gap,
+               round(coalesce(any_value(g.n_gap), 0)
+                     / CAST(count(*) AS DOUBLE), 6) AS gap_share
+        FROM declared d LEFT JOIN gap g USING (host)
+        GROUP BY d.host
     """
 
     # partitioned_read: the commits partition the same rows the plain

@@ -408,7 +408,7 @@ def main() -> None:
             "lang_mismatch", "pagination_chains", "kmv_vocab_sample",
             "bm25_tombstoned", "merge_plan", "microdata_stats",
             "sq8_ann", "feed_discovery", "stitched_chains",
-            "stream_feed_poll", "partitioned_read",
+            "stream_feed_poll", "partitioned_read", "coverage_gap",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
