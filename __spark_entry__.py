@@ -4259,6 +4259,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["coverage_gap"] = coverage_gap
 
+    def stats_pruned_read(spark, sf):
+        """Manifest min/max file skipping (the Iceberg manifest-stats
+        analog): documents commit range-clustered on n_chars into a
+        stats_by table, then a banded read goes through read_pruned —
+        the skipping decision is made from the manifest alone, files
+        outside the band are never opened (file counts pinned in
+        pytest + SCALE.md), and the caller's row filter still applies
+        on top (stats pruning is a superset guarantee). The oracle
+        hashes the final aggregate."""
+        import tempfile
+
+        from commoncrawl_spark.tables import SnapshotTable
+
+        d = _read(spark, sf, "documents")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="ccs_stats_"),
+                          stats_by=("n_chars",))
+        t.overwrite(
+            d.repartitionByRange(16, F.col("n_chars"))
+            .sortWithinPartitions("n_chars"))
+        band = t.read_pruned(spark, {"n_chars": (400, 600)})
+        return (
+            band.filter(F.col("n_chars").between(400, 600))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars"))
+        )
+    q["stats_pruned_read"] = stats_pruned_read
+
     def sq8_ann(spark, sf):
         """FAISS-style SQ8 scalar quantization: per-dim min/max bounds
         (one posexplode pass), uint8 codes via FLOOR (round's halfway
@@ -7923,6 +7951,14 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 6) AS gap_share
         FROM declared d LEFT JOIN gap g USING (host)
         GROUP BY d.host
+    """
+
+    # stats_pruned_read: pruning is a superset guarantee, so the
+    # aggregate replays over the plain filtered table
+    o["stats_pruned_read"] = """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars BETWEEN 400 AND 600 GROUP BY lang
     """
 
     # partitioned_read: the commits partition the same rows the plain

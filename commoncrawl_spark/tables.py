@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    def __init__(self, root: str, partition_by: tuple[str, ...] = ()):
+    def __init__(self, root: str, partition_by: tuple[str, ...] = (),
+                 stats_by: tuple[str, ...] = ()):
         """``partition_by`` is the table's partition spec (Iceberg's
         identity-transform case): commits lay data out hive-style
         (``col=value/`` directories) so reads that filter on a
@@ -44,6 +45,12 @@ class SnapshotTable:
         model in the single-spec case."""
         self.root = root
         self.partition_by = tuple(partition_by)
+        self.stats_by = tuple(stats_by)
+        if self.partition_by and self.stats_by:
+            raise ValueError(
+                "stats_by currently requires an unpartitioned table "
+                "(hive layout moves the partition column out of the "
+                "data files)")
         self._snap_dir = os.path.join(root, "_snapshots")
         self._data_dir = os.path.join(root, "data")
 
@@ -92,6 +99,9 @@ class SnapshotTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(os.path.join(self._data_dir, commit_dir))
+        file_stats = (
+            self._collect_file_stats(df.sparkSession, commit_dir)
+            if self.stats_by else {})
 
         if operation == "append" and parent is not None:
             prev = self.snapshot(parent)
@@ -104,12 +114,16 @@ class SnapshotTable:
         else:
             files = [commit_dir]
 
+        if operation == "append" and parent is not None and self.stats_by:
+            file_stats = {**(prev.get("file_stats") or {}), **file_stats}
         manifest = {
             "id": new_id,
             "parent": parent,
             "operation": operation,
             "files": files,
             "partition_by": list(self.partition_by),
+            "stats_by": list(self.stats_by),
+            "file_stats": file_stats if self.stats_by else {},
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -122,6 +136,72 @@ class SnapshotTable:
             fh.write(str(new_id))
         os.replace(tmp_ptr, os.path.join(self._snap_dir, "LATEST"))
         return new_id
+
+    def _collect_file_stats(self, spark: SparkSession,
+                            commit_dir: str) -> dict[str, Any]:
+        """Per-data-file min/max for the ``stats_by`` columns — the
+        Iceberg manifest-stats analog: one grouped aggregate over the
+        just-written commit keyed by ``input_file_name()``. Keys are
+        paths relative to the table's data dir so the manifest stays
+        relocatable."""
+        from pyspark.sql import functions as F
+
+        base = os.path.join(self._data_dir, commit_dir)
+        aggs = []
+        for c in self.stats_by:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = (
+            spark.read.parquet(base)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, Any] = {}
+        for r in rows:
+            p = r["_f"]
+            p = p[len("file:"):] if p.startswith("file:") else p
+            rel = os.path.relpath(p, self._data_dir)
+            out[rel] = {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                        for c in self.stats_by}
+        return out
+
+    def matching_files(self, prune: dict[str, tuple],
+                       snapshot_id: int | None = None) -> list[str]:
+        """Data files whose manifest [min, max] interval intersects
+        EVERY ``{col: (lo, hi)}`` bound — the file-skipping decision,
+        made from the manifest alone (no file opened). Files without
+        recorded stats are conservatively kept."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        stats = snap.get("file_stats") or {}
+        live_dirs = set(snap["files"])
+        keep = []
+        for rel, cols in stats.items():
+            if rel.split(os.sep, 1)[0] not in live_dirs:
+                continue
+            ok = True
+            for c, (lo, hi) in prune.items():
+                if c in cols:
+                    mn, mx = cols[c]
+                    if mn is None or mx is None or mx < lo or mn > hi:
+                        ok = False
+                        break
+            if ok:
+                keep.append(os.path.join(self._data_dir, rel))
+        return keep
+
+    def read_pruned(self, spark: SparkSession, prune: dict[str, tuple],
+                    snapshot_id: int | None = None) -> DataFrame:
+        """Read only the files :meth:`matching_files` admits. The
+        caller STILL applies its row filter — stats pruning is a
+        superset guarantee, not a predicate. Returns an empty frame of
+        the table's schema when every file prunes away."""
+        paths = self.matching_files(prune, snapshot_id)
+        if not paths:
+            full = self.read(spark, snapshot_id)
+            return full.filter("1 = 0")
+        return spark.read.parquet(*paths)
 
     def append(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
         """ST4: incremental checkpoint commit per round."""
@@ -148,6 +228,8 @@ class SnapshotTable:
             "operation": "retag",
             "files": list(prev["files"]),
             "partition_by": list(prev.get("partition_by", ())),
+            "stats_by": list(prev.get("stats_by", ())),
+            "file_stats": prev.get("file_stats") or {},
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -739,3 +821,30 @@ def plan_tiered_merges(
     full = (grp + 1) * merge_factor <= F.max("tier_rank").over(n_per_tier)
     return ranked.withColumn(
         "merge_group", F.when(full, grp.cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional file skipping)
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-curve interleave of two non-negative integer columns
+    (bit i of ``a`` lands at position 2i, of ``b`` at 2i+1): points
+    close in BOTH dimensions get close z-values, so range-partitioning
+    by z clusters 2-D neighborhoods into the same files — the Delta
+    ``OPTIMIZE ZORDER BY`` primitive. Callers normalize dimensions to
+    [0, 2^bits) first (rank or min-max scale); pure shift/mask
+    expressions, exactly replayable in any engine with integer ops."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(a.cast("long"), i)
+                           .bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(b.cast("long"), i)
+                           .bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+

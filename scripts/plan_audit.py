@@ -1520,6 +1520,30 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    # manifest stats: file skipping decided without opening files
+    _st = _ST(_tf.mkdtemp(prefix="ccs_audit_stats_"),
+              stats_by=("n_chars",))
+    _st.overwrite(docs.select("doc_id", "lang", "n_chars")
+                  .repartitionByRange(16, F.col("n_chars"))
+                  .sortWithinPartitions("n_chars"))
+    _all = len(_st.matching_files({"n_chars": (-10**9, 10**9)}))
+    _band = len(_st.matching_files({"n_chars": (400, 600)}))
+    sections.append((
+        "Manifest stats: the band read never opens non-matching files",
+        "Each commit records per-file min/max for the stats columns in "
+        "the manifest (one grouped aggregate at write time — the "
+        "Iceberg manifest-stats analog); a banded read consults the "
+        "manifest alone and opens only intersecting files. Range-"
+        "clustering the write makes the intervals tight, so the band "
+        "touches a fraction of the table at ANY size; z-ordering "
+        "(tables.zorder_key) extends the same mechanism to 2-D boxes "
+        "(measured in test_tables.py).",
+        [f"files in table: {_all}",
+         f"files opened for the n_chars 400-600 band: {_band} "
+         f"(expect < {_all})",
+         f"band read is a strict subset: {_band < _all} (expect True)"],
+    ))
+
     # tombstone-aware search: deletes as slim anti-joins, no rewrite
     from commoncrawl_spark.operators.index import (
         bm25_search_tombstoned,

@@ -229,3 +229,86 @@ def test_partitioned_snapshot_prunes_and_time_travels(spark, tmp_path):
     t2 = SnapshotTable(str(tmp_path / "pt"))
     with pytest.raises(ValueError, match="partition spec"):
         t2.append(a)
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering: measured file skipping
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    [r] = df.select(zorder_key(F.col("a"), F.col("b"), bits=3)
+                    .alias("z")).collect()
+    # a bits at even positions (0,2,4), b bits at odd (1,3,5):
+    # a=101 -> 1<<0 | 0<<2 | 1<<4 = 17; b=011 -> 1<<1 | 1<<3 | 0<<5 = 10
+    assert r["z"] == 27
+
+
+@pytest.mark.spark
+def test_zorder_plus_manifest_stats_skip_files_on_both_dims(spark, tmp_path):
+    """The lakehouse data-skipping stack end-to-end: z-order clustering
+    makes per-file (a, b) intervals TIGHT on both dimensions, manifest
+    min/max stats make the skipping decision without opening a file —
+    a 2-D box read touches a handful of files where the single-column
+    layout prunes on one dimension only."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import SnapshotTable, zorder_key
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        ((F.xxhash64("id") % 256) + 256) % 256,
+        ((F.xxhash64("id", F.lit(1)) % 256) + 256) % 256,
+        F.col("id"),
+    ).toDF("a", "b", "id")
+
+    z = SnapshotTable(str(tmp_path / "z"), stats_by=("a", "b"))
+    z.overwrite(df.withColumn("_z", zorder_key(F.col("a"), F.col("b"),
+                                               bits=8))
+                .repartitionByRange(64, F.col("_z"))
+                .sortWithinPartitions("_z").drop("_z"))
+    lin = SnapshotTable(str(tmp_path / "lin"), stats_by=("a", "b"))
+    lin.overwrite(df.repartitionByRange(64, F.col("a"))
+                  .sortWithinPartitions("a"))
+
+    box = {"a": (32, 63), "b": (32, 63)}
+    nz = len(z.matching_files(box))
+    nl = len(lin.matching_files(box))
+    # single-column layout: ~1/8 of files survive the a-bound but every
+    # one of them spans all of b; the z-layout prunes on BOTH
+    assert nz < nl, (nz, nl)
+    assert nz <= 8
+    # pruned read == full filtered read, row for row
+    pred = ((F.col("a") >= 32) & (F.col("a") <= 63)
+            & (F.col("b") >= 32) & (F.col("b") <= 63))
+    got = {r["id"] for r in z.read_pruned(spark, box)
+           .filter(pred).collect()}
+    want = {r["id"] for r in z.read(spark).filter(pred).collect()}
+    assert got == want and got
+    # a box outside the domain prunes everything, schema intact
+    empty = z.read_pruned(spark, {"a": (1000, 2000)})
+    assert empty.count() == 0 and set(empty.columns) == {"a", "b", "id"}
+
+
+@pytest.mark.spark
+def test_stats_append_accumulates_and_guards(spark, tmp_path):
+    from commoncrawl_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "s"), stats_by=("v",))
+    a = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1100)], "v long")
+    t.append(a.coalesce(1))
+    t.append(b.coalesce(1))
+    # stats accumulate across commits; a disjoint bound keeps one file
+    assert len(t.matching_files({"v": (1000, 1050)})) == 1
+    assert len(t.matching_files({"v": (0, 2000)})) == 2
+    assert {r["v"] for r in
+            t.read_pruned(spark, {"v": (1000, 1050)}).collect()}         == set(range(1000, 1100))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        SnapshotTable(str(tmp_path / "x"), partition_by=("p",),
+                      stats_by=("v",))
