@@ -4287,6 +4287,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["stats_pruned_read"] = stats_pruned_read
 
+    def delete_read(spark, sf):
+        """Iceberg-v2 equality deletes at the table layer (the
+        bm25_tombstoned idea generalized): documents commit once,
+        every seventh doc_id lands in a slim delete file, and read()
+        applies the merge-on-read anti-join — data files untouched,
+        time travel preserved, compaction materializes later. The
+        oracle is the plain filtered aggregate."""
+        import tempfile
+
+        from commoncrawl_spark.tables import SnapshotTable
+
+        d = _read(spark, sf, "documents")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="ccs_del_"))
+        t.append(d)
+        t.delete_where(
+            d.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            "doc_id")
+        return (
+            t.read(spark)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars"))
+        )
+    q["delete_read"] = delete_read
+
     def sq8_ann(spark, sf):
         """FAISS-style SQ8 scalar quantization: per-dim min/max bounds
         (one posexplode pass), uint8 codes via FLOOR (round's halfway
@@ -7951,6 +7976,13 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 6) AS gap_share
         FROM declared d LEFT JOIN gap g USING (host)
         GROUP BY d.host
+    """
+
+    # delete_read: merge-on-read == the survivors' aggregate
+    o["delete_read"] = """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
     """
 
     # stats_pruned_read: pruning is a superset guarantee, so the

@@ -409,7 +409,7 @@ def main() -> None:
             "bm25_tombstoned", "merge_plan", "microdata_stats",
             "sq8_ann", "feed_discovery", "stitched_chains",
             "stream_feed_poll", "partitioned_read", "coverage_gap",
-            "stats_pruned_read",
+            "stats_pruned_read", "delete_read",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -116,6 +116,13 @@ class SnapshotTable:
 
         if operation == "append" and parent is not None and self.stats_by:
             file_stats = {**(prev.get("file_stats") or {}), **file_stats}
+        if operation == "append" and parent is not None:
+            # merge-on-read deletes accumulated so far still apply to
+            # the carried-over ancestor files
+            delete_files = list(prev.get("delete_files", ()))
+            delete_key = prev.get("delete_key")
+        else:
+            delete_files, delete_key = [], None
         manifest = {
             "id": new_id,
             "parent": parent,
@@ -124,6 +131,8 @@ class SnapshotTable:
             "partition_by": list(self.partition_by),
             "stats_by": list(self.stats_by),
             "file_stats": file_stats if self.stats_by else {},
+            "delete_files": delete_files,
+            "delete_key": delete_key,
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -210,6 +219,54 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
         return self._commit(df, "overwrite", metadata)
 
+    def delete_where(self, keys: DataFrame, key_col: str,
+                     metadata: dict[str, Any] | None = None) -> int:
+        """Iceberg-v2 equality-delete commit (merge-on-read): the keys
+        to remove are written as their OWN slim parquet file and
+        recorded in the manifest — the 100 TB of data files are never
+        touched. ``read()`` applies every accumulated delete file as
+        one LEFT ANTI join on the key; ``compact()`` materializes them
+        (it reads with deletes applied and rewrites) and clears the
+        list — exactly Iceberg's merge-on-read -> copy-on-write
+        compaction cycle. One key column per table (validated);
+        deleting an absent key is a no-op by anti-join semantics.
+        Time travel before the delete commit still sees the rows."""
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise FileNotFoundError(
+                f"table {self.root} has no snapshot to delete from")
+        prev = self.snapshot(parent)
+        prev_key = prev.get("delete_key")
+        if prev_key and prev_key != key_col:
+            raise ValueError(
+                f"delete key changed: table has {prev_key!r}, "
+                f"delete uses {key_col!r}")
+        new_id = parent + 1
+        ddir = f"d{new_id}-{uuid.uuid4().hex[:8]}"
+        keys.select(key_col).distinct().write.mode("overwrite").parquet(
+            os.path.join(self._data_dir, ddir))
+        manifest = {
+            "id": new_id,
+            "parent": parent,
+            "operation": "delete",
+            "files": list(prev["files"]),
+            "partition_by": list(prev.get("partition_by", ())),
+            "stats_by": list(prev.get("stats_by", ())),
+            "file_stats": prev.get("file_stats") or {},
+            "delete_files": list(prev.get("delete_files", ())) + [ddir],
+            "delete_key": key_col,
+            "metadata": metadata or {},
+        }
+        tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"v{new_id}.json"))
+        tmp_ptr = os.path.join(self._snap_dir, ".LATEST.tmp")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(new_id))
+        os.replace(tmp_ptr, os.path.join(self._snap_dir, "LATEST"))
+        return new_id
+
     def retag(self, metadata: dict[str, Any] | None = None) -> int:
         """Metadata-only commit: a new snapshot REFERENCING the current
         snapshot's data files unchanged — no Spark job, no bytes
@@ -230,6 +287,8 @@ class SnapshotTable:
             "partition_by": list(prev.get("partition_by", ())),
             "stats_by": list(prev.get("stats_by", ())),
             "file_stats": prev.get("file_stats") or {},
+            "delete_files": list(prev.get("delete_files", ())),
+            "delete_key": prev.get("delete_key"),
             "metadata": metadata or {},
         }
         tmp = os.path.join(self._snap_dir, f".v{new_id}.json.tmp")
@@ -258,8 +317,15 @@ class SnapshotTable:
             out = spark.read.parquet(paths[0])
             for p in paths[1:]:
                 out = out.unionByName(spark.read.parquet(p))
-            return out
-        return spark.read.parquet(*paths)
+        else:
+            out = spark.read.parquet(*paths)
+        dels = snap.get("delete_files") or []
+        if dels:
+            key = snap["delete_key"]
+            dkeys = spark.read.parquet(
+                *[os.path.join(self._data_dir, d) for d in dels])
+            out = out.join(dkeys.select(key).distinct(), key, "left_anti")
+        return out
 
     def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:
         if not self.exists():
@@ -310,7 +376,9 @@ class SnapshotTable:
         for name in os.listdir(self._snap_dir):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(self._snap_dir, name)) as fh:
-                    live.update(json.load(fh)["files"])
+                    m = json.load(fh)
+                    live.update(m["files"])
+                    live.update(m.get("delete_files") or [])
         removed = []
         for d in sorted(os.listdir(self._data_dir)):
             if d not in live:

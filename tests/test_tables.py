@@ -312,3 +312,50 @@ def test_stats_append_accumulates_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="unpartitioned"):
         SnapshotTable(str(tmp_path / "x"), partition_by=("p",),
                       stats_by=("v",))
+
+
+# ---------------------------------------------------------------------------
+# equality-delete files (merge-on-read)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_delete_where_merge_on_read_cycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"))
+    s_del = t.delete_where(
+        spark.createDataFrame([(2,), (5,), (99,)], "id long"), "id")
+    # merge-on-read: data files untouched, rows gone; absent key no-op
+    assert {r["id"] for r in t.read(spark).collect()} \
+        == set(range(10)) - {2, 5}
+    # time travel BEFORE the delete still sees the rows
+    assert t.read(spark, s_del - 1).count() == 10
+    # appends after a delete keep it applying to ancestor files
+    t.append(spark.createDataFrame([(2, "again"), (20, "new")],
+                                   "id long, v string"))
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    # NOTE: equality deletes are by KEY — the re-appended id=2 is also
+    # suppressed until compaction clears the delete (Iceberg sequencing
+    # would scope it; the simple table documents key-scoped semantics)
+    assert 20 in got and 5 not in got
+    # a second delete accumulates
+    t.delete_where(spark.createDataFrame([(7,)], "id long"), "id")
+    assert 7 not in {r["id"] for r in t.read(spark).collect()}
+    # key-column change refuses
+    with pytest.raises(ValueError, match="delete key"):
+        t.delete_where(spark.createDataFrame([("x",)], "v string"), "v")
+    # compact materializes: delete files cleared, results unchanged
+    before = {tuple(r) for r in t.read(spark).collect()}
+    t.compact(spark, target_partitions=1)
+    assert t.snapshot().get("delete_files") == []
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    # vacuum never removes a referenced delete file pre-compaction,
+    # and sweeps them once expired
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()
+    assert any(d.startswith("d") for d in removed)
+    assert {tuple(r) for r in t.read(spark).collect()} == before
