@@ -5646,6 +5646,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return host_content_overlap(hf, max_hosts_per_fp=50)
     q["mirror_overlap"] = mirror_overlap
 
+    # ---- soft-404 detection (crawl QA) ----
+
+    def soft404_content(spark, sf):
+        """Content-classifier soft-404 detection (the heuristic-gate
+        family, Meneses & Furuta JCDL'11): every 13th doc is rewritten
+        as a status-200 error page (templated title + apology body),
+        every 13th+5 doc merely MENTIONS an error phrase inside a long
+        legitimate body and must survive. Pure scan-stage expressions —
+        zero shuffle, zero Python."""
+        from commoncrawl_spark.operators.soft404 import detect_soft404
+
+        d = _read(spark, sf, "documents")
+        is_err = F.col("doc_id") % 13 == 0
+        mentions = F.col("doc_id") % 13 == 5
+        title = F.when(
+            is_err, F.concat(F.lit("404 Not Found - "), F.col("source"))
+        ).otherwise(F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+        body = F.when(is_err, F.concat(
+            F.lit("404 page not found. The page you requested does not "
+                  "exist or is no longer available on "),
+            F.col("source"), F.lit("."))
+        ).when(mentions, F.concat(
+            F.lit("some links now answer page not found which is why "),
+            F.col("text"))
+        ).otherwise(F.col("text"))
+        out = detect_soft404(
+            d.select("doc_id", title.alias("title"), body.alias("text")))
+        return out.select("doc_id", "err_hits", "title_err", "n_tokens",
+                          "soft404_score", "is_soft404")
+    q["soft404_content"] = soft404_content
+
+    def soft404_probe(spark, sf):
+        """Probe-similarity soft-404 detection (Bar-Yossef et al.
+        WWW'04 "Sic Transit Gloria Telae"): one known-nonexistent-URL
+        probe body per host; a page is the host's error page iff its
+        word-shingle Jaccard to the probe is near-identity. Every 17th
+        doc serves the host's error template (only the requested path
+        differs from the probe); broadcast |hosts|-row join, one
+        Jaccard per page, output exactly |pages| rows."""
+        from commoncrawl_spark.operators.soft404 import soft404_by_probe
+
+        d = _read(spark, sf, "documents")
+        host = F.concat(F.col("source"), F.lit(".probe.test"))
+        tmpl = F.concat(
+            F.lit("404 page not found. The page you requested does not "
+                  "exist on this server or is no longer available. "
+                  "Please verify the address you typed and then try "
+                  "your request again later. Requested path "))
+        body = F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(tmpl, F.lit("/d/"), F.col("doc_id").cast("string"))
+        ).otherwise(F.col("text"))
+        pages = d.select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, F.lit("/d/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            body.alias("text"),
+        )
+        probes = d.select(host.alias("host")).distinct().select(
+            "host", F.concat(tmpl, F.lit("/zz-probe")).alias("probe_text"))
+        out = soft404_by_probe(pages, probes, sim_threshold=0.8)
+        return out.select("url", "probe_jaccard", "is_soft404")
+    q["soft404_probe"] = soft404_probe
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -12177,6 +12241,90 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         JOIN tot ta ON ta.host = pairs.host_a
         JOIN tot tb ON tb.host = pairs.host_b
+    """
+
+    # soft404_content: the classifier replayed — same phrase
+    # alternations (regexp_extract_all count == Spark's regexp_count:
+    # both leftmost-first, non-overlapping), same token count, same
+    # weight arithmetic in the same evaluation order, rounded 4dp
+    # BEFORE the threshold compare exactly as the operator does.
+    _s404_body = "|".join((
+        "page not found", "404", "not be found", "does not exist",
+        "no longer available", "has been removed", "has been deleted",
+        "nothing was found", "an error occurred"))
+    _s404_title = "404|not found|error|page missing"
+    o["soft404_content"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN '404 Not Found - ' || source
+                      ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN '404 page not found. The page you requested '
+                           || 'does not exist or is no longer available '
+                           || 'on ' || source || '.'
+                      WHEN doc_id % 13 = 5
+                      THEN 'some links now answer page not found '
+                           || 'which is why ' || text
+                      ELSE text END AS body
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(body),
+                          '{_s404_body}')) AS INT) AS err_hits,
+                 CASE WHEN regexp_matches(lower(title), '{_s404_title}')
+                      THEN 1 ELSE 0 END AS title_err,
+                 CAST(len({_SQL_TOKS.format(t="lower(body)")}) AS INT)
+                   AS n_tokens
+          FROM pages)
+        SELECT doc_id, err_hits, title_err, n_tokens,
+               round(title_err * 0.4 + least(err_hits, 3) * 0.25
+                     + (CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) * 0.2,
+                     4) AS soft404_score,
+               round(title_err * 0.4 + least(err_hits, 3) * 0.25
+                     + (CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) * 0.2,
+                     4) >= 0.6 AS is_soft404
+        FROM sig
+    """
+
+    # soft404_probe: Bar-Yossef probe similarity replayed — the same
+    # error template with only the requested path differing, 3-gram
+    # shingle Jaccard rounded 4dp before the 0.8 threshold.
+    _s404_tmpl = (
+        "404 page not found. The page you requested does not exist on "
+        "this server or is no longer available. Please verify the "
+        "address you typed and then try your request again later. "
+        "Requested path ")
+    _probe_toks = _SQL_TOKS.format(t="body")
+    _probe_sh = _SQL_SHINGLES.format(toks=_probe_toks)
+    _pr_toks = _SQL_TOKS.format(t="probe_text")
+    _pr_sh = _SQL_SHINGLES.format(toks=_pr_toks)
+    o["soft404_probe"] = f"""
+        WITH pages AS (
+          SELECT source || '.probe.test' AS host,
+                 'https://' || source || '.probe.test/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 17 = 0
+                      THEN '{_s404_tmpl}' || '/d/'
+                           || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS body
+          FROM documents),
+        probes AS (
+          SELECT DISTINCT source || '.probe.test' AS host,
+                 '{_s404_tmpl}' || '/zz-probe' AS probe_text
+          FROM documents),
+        sh AS (SELECT host, url, {_probe_sh} AS ps FROM pages),
+        pr AS (SELECT host, {_pr_sh} AS qs FROM probes),
+        j AS (
+          SELECT sh.url,
+                 CASE WHEN len(list_distinct(list_concat(ps, qs))) > 0
+                      THEN round(len(list_intersect(ps, qs)) * 1.0
+                           / len(list_distinct(list_concat(ps, qs))), 4)
+                 END AS probe_jaccard
+          FROM sh JOIN pr USING (host))
+        SELECT url, probe_jaccard,
+               coalesce(probe_jaccard >= 0.8, false) AS is_soft404
+        FROM j
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in
