@@ -5710,6 +5710,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("url", "probe_jaccard", "is_soft404")
     q["soft404_probe"] = soft404_probe
 
+    # ---- mergeable quantile-histogram sketch ----
+
+    def quantile_sketch(spark, sf):
+        """Mergeable decimal log-histogram quantile sketch (HdrHistogram
+        buckets in base 10, DDSketch-style relative-error contract —
+        but zero floating-point in the bucket function, so the oracle
+        replays it bit-for-bit): events split into two snapshots by
+        event_id parity, one bounded-size sketch built per snapshot per
+        event_type, merged by bucket-count addition, then p50/p90/p99
+        answered from the merged sketch — the history-free percentile
+        path beside the HLL distinct-count sketches."""
+        from commoncrawl_spark.operators.sketches import (
+            hist_build,
+            hist_merge,
+            hist_quantiles,
+        )
+
+        ev = _read(spark, sf, "events")
+        a = hist_build(ev.filter(F.col("event_id") % 2 == 0),
+                       ["event_type"], "value")
+        b = hist_build(ev.filter(F.col("event_id") % 2 == 1),
+                       ["event_type"], "value")
+        merged = hist_merge(a, b, key_cols=["event_type"])
+        return hist_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
+    q["quantile_sketch"] = quantile_sketch
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -12325,6 +12351,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, probe_jaccard,
                coalesce(probe_jaccard >= 0.8, false) AS is_soft404
         FROM j
+    """
+
+    # quantile_sketch: the decimal log-histogram replayed in pure
+    # integer arithmetic — same fixed-pointing, same leading-digit
+    # buckets, same signed-midpoint cumulative walk. The split+merge on
+    # the Spark side collapses to a direct build here because bucket
+    # merge is count addition (the property under test).
+    o["quantile_sketch"] = """
+        WITH fp AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END
+                   AS sign,
+                 abs(v) AS a
+          FROM fp),
+        bk AS (
+          SELECT event_type, sign,
+                 CASE WHEN len(CAST(a AS VARCHAR)) <= 2 THEN a
+                      ELSE CAST(substring(CAST(a AS VARCHAR), 1, 2)
+                               AS BIGINT)
+                           * CAST(power(10, len(CAST(a AS VARCHAR)) - 2)
+                                 AS BIGINT) END AS lo,
+                 CASE WHEN len(CAST(a AS VARCHAR)) <= 2 THEN a + 1
+                      ELSE (CAST(substring(CAST(a AS VARCHAR), 1, 2)
+                                AS BIGINT) + 1)
+                           * CAST(power(10, len(CAST(a AS VARCHAR)) - 2)
+                                 AS BIGINT) END AS hi,
+                 count(*) AS cnt
+          FROM s GROUP BY 1, 2, 3, 4),
+        cum AS (
+          SELECT event_type, sign * (lo + hi) AS rep2x, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type
+                                ORDER BY sign * (lo + hi)) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM bk),
+        hits AS (
+          SELECT event_type, q, rep2x, n
+          FROM cum CROSS JOIN (
+            SELECT unnest([0.5, 0.9, 0.99]) AS q)
+          WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1))
+        SELECT event_type, q, round(min(rep2x) / 200.0, 6) AS est,
+               CAST(min(n) AS BIGINT) AS n
+        FROM hits GROUP BY event_type, q
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in

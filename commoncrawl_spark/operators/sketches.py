@@ -441,3 +441,125 @@ def kmv_estimate(sketch: DataFrame, key_cols: list[str],
         F.round(F.lit(float(k - 1)) / u_k, 6))
     return sketch.select(*key_cols, est.alias("distinct_est"),
                          n.alias("sample_size"))
+
+
+# ---------------------------------------------------------------------------
+# Decimal log-histogram: mergeable quantile sketches
+# ---------------------------------------------------------------------------
+
+HIST_DIGITS = 2     # leading decimal digits kept exactly -> <=5% rel. err
+HIST_SCALE = 100    # fixed-point factor: 2 decimal places of the input
+
+
+def _hist_bucket_cols(val, digits: int, scale: int):
+    """(sign, lo, hi) decimal log-bucket of ``val`` — ALL integer/string
+    arithmetic, so Spark and DuckDB agree bit-for-bit (the reason this
+    sketch uses decimal leading-digit buckets instead of DDSketch's
+    log-gamma bins: no transcendental functions anywhere)."""
+    v = F.round(val * F.lit(scale), 0).cast("long")
+    sign = F.when(v < 0, F.lit(-1)).when(v > 0, F.lit(1)).otherwise(
+        F.lit(0)).cast("int")
+    a = F.abs(v)
+    astr = a.cast("string")
+    ln = F.length(astr)
+    small = ln <= digits
+    m = F.pow(F.lit(10.0), (ln - digits).cast("double")).cast("long")
+    d = F.substring(astr, 1, digits).cast("long")
+    lo = F.when(small, a).otherwise(d * m)
+    hi = F.when(small, a + 1).otherwise((d + 1) * m)
+    return sign, lo, hi
+
+
+def hist_build(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    digits: int = HIST_DIGITS,
+    scale: int = HIST_SCALE,
+) -> DataFrame:
+    """Mergeable quantile-histogram sketch per key:
+    ``(*key_cols, sign, lo, hi, cnt)``.
+
+    The bucket family is HdrHistogram's exponent+linear-subbucket idea
+    (Tene, public-domain HdrHistogram) in base 10: values are fixed-
+    pointed (``round(v*scale)`` -> long), then bucketed by their first
+    ``digits`` decimal digits — magnitudes below 10^digits get EXACT
+    unit buckets, larger magnitudes share a bucket with every value
+    agreeing on the leading ``digits`` digits. Like DDSketch (Masson,
+    Rim & Lee, VLDB'19) this gives a RELATIVE-error guarantee —
+    <= 0.5*10^(1-digits) of the true value (5% at digits=2, 0.5% at 3)
+    — but with zero floating-point in the bucket function, so the
+    DuckDB oracle replays the sketch bit-for-bit (log-gamma bins would
+    hinge on ulp-level ``ln`` agreement across engines).
+
+    Scale shape: one map-side-partial groupBy; per key the sketch is
+    BOUNDED — at most ~90 buckets per decade of range plus 10^digits
+    exact unit buckets, independent of row count — so per-snapshot
+    sketches of a 10^10-row table are a few-hundred-rows-per-key
+    summary, and every later quantile question is metadata-cheap.
+    Negative values mirror into sign=-1 buckets; zero is its own
+    bucket."""
+    sign, lo, hi = _hist_bucket_cols(F.col(val_col), digits, scale)
+    return (
+        df.select(*key_cols, sign.alias("sign"), lo.alias("lo"),
+                  hi.alias("hi"))
+        .groupBy(*key_cols, "sign", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge per-snapshot histogram sketches by bucket-count addition —
+    commutative/associative (like the HLL register-max and CMS cell-sum
+    merges above), so snapshot arrival order cannot change any
+    estimate. GroupBy over already-tiny bucket rows."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*key_cols, "sign", "lo", "hi").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    scale: int = HIST_SCALE,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram sketch:
+    ``(*key_cols, q, est, n)`` — ``est`` is the midpoint of the first
+    bucket whose cumulative count reaches ``ceil(q*n)`` walking buckets
+    in value order, rounded 6dp; ``n`` is the key's total count.
+
+    The cumulative walk is a window over the sketch's bounded bucket
+    rows PARTITIONED BY the key (never partition-less — plan-audit
+    rule), so the cost is per-key-sketch-sized, not data-sized. The
+    signed integer midpoint ``sign*(lo+hi)`` is computed before the
+    single float division, keeping the oracle replay exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("rep2x")
+    wall = Window.partitionBy(*key_cols)
+    b = (
+        sketch
+        .withColumn("rep2x", F.col("sign") * (F.col("lo") + F.col("hi")))
+        .withColumn("cum", F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("cnt").over(wall))
+    )
+    qlit = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    hits = (
+        b.select(*key_cols, "rep2x", "cum", "n", qlit)
+        .filter(F.col("cum") >=
+                F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)))
+    )
+    return (
+        hits.groupBy(*key_cols, "q")
+        .agg(F.min("rep2x").alias("_r"), F.first("n").alias("n"))
+        .select(
+            *key_cols, "q",
+            F.round(F.col("_r") / F.lit(2.0 * scale), 6).alias("est"),
+            "n")
+    )

@@ -351,3 +351,94 @@ def test_misra_gries_weighted_matches_unit_guarantee():
                 assert item in unit
     with pytest.raises(ValueError):
         misra_gries_weighted_py(iter([]), 0)
+
+
+# ---------------------------------------------------------------------------
+# decimal log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _hist_rows(spark, vals, key="k"):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(k=key, v=float(x)) for x in vals], "k string, v double")
+
+
+def test_hist_merge_halves_equals_whole(spark):
+    from commoncrawl_spark.operators.sketches import hist_build, hist_merge
+    vals = [x * 0.37 + (x % 7) for x in range(400)]
+    whole = hist_build(_hist_rows(spark, vals), ["k"], "v")
+    a = hist_build(_hist_rows(spark, vals[:200]), ["k"], "v")
+    b = hist_build(_hist_rows(spark, vals[200:]), ["k"], "v")
+    merged = hist_merge(a, b, key_cols=["k"])
+    got = {(r["sign"], r["lo"], r["hi"]): r["cnt"] for r in merged.collect()}
+    want = {(r["sign"], r["lo"], r["hi"]): r["cnt"] for r in whole.collect()}
+    assert got == want
+
+
+def test_hist_quantile_relative_error_bound(spark):
+    # digits=2 guarantees <=5% relative error vs the true quantile.
+    import numpy as np
+    from commoncrawl_spark.operators.sketches import (
+        hist_build, hist_quantiles)
+    rng = np.random.RandomState(7)
+    vals = list(rng.lognormal(3.0, 1.2, 3000))
+    sk = hist_build(_hist_rows(spark, vals), ["k"], "v")
+    out = {r["q"]: r["est"]
+           for r in hist_quantiles(sk, ["k"], [0.5, 0.9, 0.99]).collect()}
+    # exact quantile of the fixed-pointed values (what the sketch sees)
+    fp = np.sort(np.round(np.array(vals) * 100).astype(np.int64)) / 100.0
+    for q in (0.5, 0.9, 0.99):
+        true = fp[int(np.ceil(q * len(fp))) - 1]
+        assert abs(out[q] - true) / true <= 0.05, (q, out[q], true)
+
+
+def test_hist_small_magnitudes_are_exact(spark):
+    # |round(v*100)| < 100 -> unit buckets -> exact quantiles
+    # (midpoint of [a, a+1) in fixed point is a + 0.005 off).
+    from commoncrawl_spark.operators.sketches import (
+        hist_build, hist_quantiles)
+    vals = [0.01 * i for i in range(1, 100)]  # 0.01 .. 0.99
+    sk = hist_build(_hist_rows(spark, vals), ["k"], "v")
+    out = {r["q"]: r["est"] for r in
+           hist_quantiles(sk, ["k"], [0.5]).collect()}
+    assert abs(out[0.5] - 0.50) <= 0.0051
+
+
+def test_hist_sign_and_zero_buckets(spark):
+    from commoncrawl_spark.operators.sketches import (
+        hist_build, hist_quantiles)
+    vals = [-250.0, -1.0, 0.0, 1.0, 250.0]
+    sk = hist_build(_hist_rows(spark, vals), ["k"], "v")
+    rows = sk.collect()
+    assert {r["sign"] for r in rows} == {-1, 0, 1}
+    zero = [r for r in rows if r["sign"] == 0][0]
+    assert zero["lo"] == 0 and zero["cnt"] == 1
+    med = hist_quantiles(sk, ["k"], [0.5]).collect()[0]
+    assert med["est"] == 0.0 and med["n"] == 5  # median of the five is 0
+
+
+def test_hist_bucket_count_is_bounded(spark):
+    # 50k distinct values over 6 decades -> a few hundred buckets max.
+    from commoncrawl_spark.operators.sketches import hist_build
+    vals = [1.07 ** i % 1e6 for i in range(2000)]
+    sk = hist_build(_hist_rows(spark, vals), ["k"], "v")
+    assert sk.count() < 700
+
+
+def test_hist_quantile_windows_are_partitioned(spark):
+    from commoncrawl_spark.operators.sketches import (
+        hist_build, hist_quantiles)
+    sk = hist_build(_hist_rows(spark, [1.0, 2.0, 3.0]), ["k"], "v")
+    plan = hist_quantiles(sk, ["k"], [0.5])._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[", plan):
+        line = plan[m.start():plan.index("\n", m.start())]
+        assert "partitionBy" not in line or True
+    # the audit-grade check: no partition-less Window in the plan
+    sys_path_hack = "/root/repo"
+    import sys
+    if sys_path_hack not in sys.path:
+        sys.path.insert(0, sys_path_hack)
+    from scripts.plan_audit import partitionless_windows
+    assert partitionless_windows(plan) == []
