@@ -5736,6 +5736,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
     q["quantile_sketch"] = quantile_sketch
 
+    # ---- per-IP (server-level) politeness ----
+
+    def ip_politeness(spark, sf):
+        """Server-level politeness (Heritrix server queues / IRLbot
+        per-server budgets): 40 vhosts resolve onto 8 IPs via the
+        md5-prefix stand-in resolver (the DNS seam), and each IP gets a
+        budget of 6 slots dealt round-robin-fair across its co-hosted
+        vhosts — head-of-line URLs first. Salted two-stage per-IP
+        top-k, broadcast |hosts|-row resolution join."""
+        from commoncrawl_spark.operators.schedule import (
+            resolve_host_ips,
+            select_ip_polite_batch,
+        )
+
+        d = _read(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"),
+                        F.lit(".ip.test"))
+        f = d.select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, F.lit("/d/"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        ips = resolve_host_ips(f, n_ips=8)
+        out = select_ip_polite_batch(f, ips, budget_per_ip=6)
+        return out.select("ip", "host", "url", "host_rank", "ip_rank")
+    q["ip_politeness"] = ip_politeness
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -12397,6 +12423,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, q, round(min(rep2x) / 200.0, 6) AS est,
                CAST(min(n) AS BIGINT) AS n
         FROM hits GROUP BY event_type, q
+    """
+
+    # ip_politeness: the md5-prefix IP assignment and the two windows
+    # replayed; the salted two-stage collapses to the single per-IP
+    # window (exactness argument in select_ip_polite_batch).
+    o["ip_politeness"] = """
+        WITH f AS (
+          SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.ip.test'
+                   AS host,
+                 'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.ip.test/d/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM f),
+        ips AS (
+          SELECT host,
+                 '10.0.'
+                 || CAST((('0x' || substring(md5(host), 1, 8))::BIGINT
+                          % 8) // 256 AS VARCHAR)
+                 || '.'
+                 || CAST((('0x' || substring(md5(host), 1, 8))::BIGINT
+                          % 8) % 256 AS VARCHAR) AS ip
+          FROM hosts),
+        r AS (
+          SELECT f.host, f.url, ips.ip,
+                 row_number() OVER (PARTITION BY ips.ip, f.host
+                                    ORDER BY f.url) AS host_rank
+          FROM f JOIN ips USING (host)),
+        sel AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY ip
+                   ORDER BY host_rank, host, url) AS ip_rank
+          FROM r)
+        SELECT ip, host, url, host_rank, ip_rank
+        FROM sel WHERE ip_rank <= 6
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in

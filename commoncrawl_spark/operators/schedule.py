@@ -667,3 +667,96 @@ def explore_exploit_budget(
             .cast("long").alias("quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-IP politeness: vhosts sharing a server share a budget
+# ---------------------------------------------------------------------------
+
+def resolve_host_ips(
+    hosts: DataFrame,
+    n_ips: int = 256,
+    host_col_name: str = "host",
+    resolver=None,
+) -> DataFrame:
+    """Host -> IP assignment table ``(host, ip)`` for server-level
+    politeness. Per-host politeness is not enough on the real web:
+    shared hosting and CDNs put thousands of vhosts behind one server,
+    so a crawler polite to every HOST can still hammer one IP (the
+    server-level queues of Heritrix and the per-server budgets of
+    IRLbot, Lee et al. TWEB'09, exist for exactly this).
+
+    ``resolver`` is the injection seam for real DNS (the transport-seam
+    convention, sources/transport.py): a callable mapping a DataFrame
+    of hosts to (host, ip) rows. The default — sandbox and tests — is
+    a deterministic stand-in: ip index = md5-prefix(host) mod n_ips
+    rendered as ``10.0.x.y``. md5, not xxhash64, so the DuckDB oracle
+    replays the assignment (the _ring_pos / selection._md5_u32
+    convention). Collisions are the point: n_ips below the host count
+    models co-hosting.
+
+    Scale shape: one scan-stage expression over the |hosts|-row table;
+    the output is the broadcast side of every downstream join."""
+    if resolver is not None:
+        return resolver(hosts)
+    h = hosts.select(host_col_name).distinct()
+    idx = F.pmod(_ring_pos(F.col(host_col_name)), F.lit(n_ips))
+    return h.select(
+        host_col_name,
+        F.concat(F.lit("10.0."), (idx / 256).cast("int").cast("string"),
+                 F.lit("."), F.pmod(idx, F.lit(256)).cast("string"))
+        .alias("ip"))
+
+
+def select_ip_polite_batch(
+    frontier: DataFrame,
+    host_ips: DataFrame,
+    budget_per_ip: int,
+    salt_buckets: int = 16,
+    priority_cols: Sequence[str] = ("url",),
+    host_col_name: str = "host",
+) -> DataFrame:
+    """Top-``budget_per_ip`` URLs per server IP, round-robin-fair
+    across the IP's vhosts, skew-safely.
+
+    Ranking: ``host_rank`` = position within (ip, host) by priority;
+    the IP's batch is ordered (host_rank, host, priority) — i.e. every
+    vhost's head-of-line URL first, then every second URL, ... — so a
+    budget of B on an IP with H vhosts gives each vhost floor(B/H) or
+    ceil(B/H) slots (weighted fair queueing's round-robin case), never
+    one greedy vhost starving the rest.
+
+    Skew: a shared-hosting IP with 10^5 vhosts would put its whole
+    frontier slice in one window partition, so stage 1 pre-truncates
+    within (ip, salt-of-host) — host is finer than the salt bucket, so
+    ``host_rank`` is computable before the global per-IP window, and
+    any row in the true per-IP top-B is in its bucket's top-B
+    (removing other buckets' rows only improves its composite rank):
+    the salted two-stage is EXACT, the select_polite_batch argument.
+
+    Output: frontier columns + ``ip``, ``host_rank``, ``ip_rank``
+    (<= budget_per_ip). Hosts with no IP row are dropped — an
+    unresolvable host cannot be fetched politely or otherwise."""
+    df = (frontier if host_col_name in frontier.columns
+          else with_host(frontier, out_col=host_col_name))
+    order = [F.col(c).asc() for c in priority_cols]
+    joined = df.join(
+        F.broadcast(host_ips.select(host_col_name, "ip")), host_col_name)
+
+    wh = Window.partitionBy("ip", host_col_name).orderBy(*order)
+    ranked = joined.withColumn("host_rank", F.row_number().over(wh))
+
+    comp = [F.col("host_rank").asc(), F.col(host_col_name).asc(), *order]
+    salted = ranked.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(host_col_name)), F.lit(salt_buckets))
+        .cast("int"))
+    w1 = Window.partitionBy("ip", "_salt").orderBy(*comp)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= budget_per_ip)
+        .drop("_rn1", "_salt"))
+    w2 = Window.partitionBy("ip").orderBy(*comp)
+    return (
+        survivors.withColumn("ip_rank", F.row_number().over(w2))
+        .filter(F.col("ip_rank") <= budget_per_ip))

@@ -203,3 +203,88 @@ def test_explore_exploit_edge_cases(spark):
     got = {r["host"]: r["quota"] for r in explore_exploit_budget(
         new_only, 7, epsilon=1.0).collect()}
     assert sorted(got.values()) == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# per-IP politeness
+# ---------------------------------------------------------------------------
+
+def _ip_frontier(spark, n_hosts=9, urls_per_host=5):
+    from pyspark.sql import Row
+    rows = [Row(host=f"h{h}.ip.test",
+                url=f"https://h{h}.ip.test/p{u}")
+            for h in range(n_hosts) for u in range(urls_per_host)]
+    return spark.createDataFrame(rows)
+
+
+def test_cohosted_hosts_share_one_ip_budget(spark):
+    from commoncrawl_spark.operators.schedule import (
+        resolve_host_ips, select_ip_polite_batch)
+    f = _ip_frontier(spark)
+    ips = resolve_host_ips(f, n_ips=2)  # 9 hosts -> 2 ips: forced co-hosting
+    out = select_ip_polite_batch(f, ips, budget_per_ip=4)
+    per_ip = {r["ip"]: r["cnt"] for r in
+              out.groupBy("ip").count().withColumnRenamed(
+                  "count", "cnt").collect()}
+    assert all(v <= 4 for v in per_ip.values())
+    # total fetches bounded by ips*budget even though hosts*urls = 45
+    assert out.count() <= 2 * 4
+
+
+def test_round_robin_fairness_across_vhosts(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.schedule import select_ip_polite_batch
+    f = _ip_frontier(spark, n_hosts=3, urls_per_host=10)
+    ips = f.sparkSession.createDataFrame(
+        [Row(host=f"h{h}.ip.test", ip="10.0.0.1") for h in range(3)])
+    out = select_ip_polite_batch(f, ips, budget_per_ip=4)
+    counts = sorted(r["cnt"] for r in out.groupBy("host").count()
+                    .withColumnRenamed("count", "cnt").collect())
+    # 4 slots over 3 vhosts -> (1,1,2), never (4,0,0)
+    assert counts == [1, 1, 2]
+    # and the slots are each host's head-of-line URLs in priority order
+    first = out.filter(out.ip_rank <= 3)
+    assert all(r["host_rank"] == 1 for r in first.collect())
+
+
+def test_salted_two_stage_is_exact(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.schedule import select_ip_polite_batch
+    f = _ip_frontier(spark, n_hosts=7, urls_per_host=6)
+    ips = f.sparkSession.createDataFrame(
+        [Row(host=f"h{h}.ip.test", ip=f"10.0.0.{h % 2}")
+         for h in range(7)])
+    a = select_ip_polite_batch(f, ips, budget_per_ip=5, salt_buckets=8)
+    b = select_ip_polite_batch(f, ips, budget_per_ip=5, salt_buckets=1)
+    ka = sorted((r["ip"], r["url"], r["ip_rank"]) for r in a.collect())
+    kb = sorted((r["ip"], r["url"], r["ip_rank"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_unresolvable_hosts_dropped_and_join_broadcast(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.schedule import select_ip_polite_batch
+    f = _ip_frontier(spark, n_hosts=4)
+    ips = f.sparkSession.createDataFrame(
+        [Row(host="h0.ip.test", ip="10.0.0.1")])
+    out = select_ip_polite_batch(f, ips, budget_per_ip=10)
+    hosts = {r["host"] for r in out.select("host").distinct().collect()}
+    assert hosts == {"h0.ip.test"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import sys
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+    from scripts.plan_audit import partitionless_windows
+    assert partitionless_windows(plan) == []
+
+
+def test_resolver_default_is_md5_deterministic(spark):
+    from commoncrawl_spark.operators.schedule import resolve_host_ips
+    import hashlib
+    f = _ip_frontier(spark, n_hosts=5, urls_per_host=1)
+    got = {r["host"]: r["ip"] for r in
+           resolve_host_ips(f, n_ips=16).collect()}
+    for h, ip in got.items():
+        idx = int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % 16
+        assert ip == f"10.0.{idx // 256}.{idx % 256}"
