@@ -5762,6 +5762,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("ip", "host", "url", "host_rank", "ip_rank")
     q["ip_politeness"] = ip_politeness
 
+    # ---- Block-Max pruned retrieval ----
+
+    def blockmax_topk(spark, sf):
+        """Block-Max pruned BM25 (Ding & Suel SIGIR'11, range-block
+        variant): champion-pass k-th score as the threshold, docID
+        regions whose summed per-term block maxima fall below it are
+        skipped LOSSLESSLY, survivors scored exactly. The oracle is
+        the FULL-index BM25 SQL — equality to the unpruned ranking is
+        the property under test."""
+        from commoncrawl_spark.operators.index import (
+            bm25_search_blockmax,
+            build_doclen,
+            build_tf_index,
+        )
+
+        d = _read(spark, sf, "documents")
+        return bm25_search_blockmax(
+            build_tf_index(d), build_doclen(d),
+            ["join", "hash", "scan"], champion_m=32, block_span=64,
+            top_k=15)
+    q["blockmax_topk"] = blockmax_topk
+
+    def blockmax_plan(spark, sf):
+        """The Block-Max region plan itself: per docID block, the
+        query's summed score ceiling and the skip verdict against the
+        champion-derived threshold — the metadata table a serving tier
+        would consult before touching postings."""
+        from commoncrawl_spark.operators.index import (
+            blockmax_region_plan,
+            bm25_search_champion,
+            build_block_max,
+            build_champion_lists,
+            build_doclen,
+            build_tf_index,
+        )
+
+        d = _read(spark, sf, "documents")
+        tf, dl = build_tf_index(d), build_doclen(d)
+        ctop = bm25_search_champion(
+            build_champion_lists(tf, m=32, salt_buckets=8), dl,
+            ["join", "hash", "scan"], top_k=15)
+        theta = ctop.agg(
+            F.when(F.count(F.lit(1)) >= 15, F.min("score"))
+            .otherwise(F.lit(float("-inf"))).alias("theta"))
+        return blockmax_region_plan(
+            build_block_max(tf, dl, block_span=64),
+            ["join", "hash", "scan"], theta)
+    q["blockmax_plan"] = blockmax_plan
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -12457,6 +12506,92 @@ def oracle_sql() -> dict[str, str]:
           FROM r)
         SELECT ip, host, url, host_rank, ip_rank
         FROM sel WHERE ip_rank <= 6
+    """
+
+    # blockmax_topk: pruning is lossless by construction, so the oracle
+    # IS the full-index BM25 ranking — the strongest possible check.
+    o["blockmax_topk"] = o["bm25_topk"]
+
+    # blockmax_plan: block maxima over every query-term posting's true
+    # score, champion top-15 replayed for theta (with the same
+    # filled-k guard), token-ordered fold of the <=3 per-block ubs.
+    o["blockmax_plan"] = f"""
+        WITH toksv AS (
+          SELECT doc_id, unnest({toks_doc}) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toksv GROUP BY doc_id),
+        dlf AS (
+          SELECT coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlf),
+        tfx AS (SELECT doc_id, token, count(*) AS tf
+                FROM toksv WHERE token IN ('join', 'hash', 'scan')
+                GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tfx GROUP BY token),
+        per_all AS (
+          SELECT tfx.doc_id, tfx.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(tfx.tf AS DOUBLE) * 2.2
+                    / (CAST(tfx.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM tfx JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        bm AS (
+          SELECT token, doc_id // 64 AS block_id,
+                 count(*) AS np, max(s) AS ub
+          FROM per_all GROUP BY 1, 2),
+        champ AS (
+          SELECT doc_id, token, tf FROM (
+            SELECT doc_id, token, tf,
+                   row_number() OVER (
+                     PARTITION BY token
+                     ORDER BY tf DESC, doc_id ASC) AS rn
+            FROM tfx)
+          WHERE rn <= 32),
+        cper AS (
+          SELECT champ.doc_id, champ.token,
+                 ln(1.0 + (g.n - dfq.df + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * (CAST(champ.tf AS DOUBLE) * 2.2
+                    / (CAST(champ.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / g.avgdl))) AS s
+          FROM champ JOIN dfq USING (token) JOIN dl USING (doc_id), g),
+        cfold AS (
+          SELECT doc_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token, s := s))),
+                     x -> x['s']),
+                   (a, c) -> a + c), 6) AS score
+          FROM cper GROUP BY doc_id),
+        ctop AS (
+          SELECT score FROM (
+            SELECT score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank
+            FROM cfold)
+          WHERE rank <= 15),
+        theta AS (
+          SELECT CASE WHEN count(*) >= 15 THEN min(score)
+                      ELSE -1e308 END AS th
+          FROM ctop),
+        plan AS (
+          SELECT block_id,
+                 round(list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(token := token,
+                                                ub := ub))),
+                     x -> x['ub']),
+                   (a, c) -> a + c), 6) AS ub_sum,
+                 CAST(sum(np) AS BIGINT) AS n_postings
+          FROM bm GROUP BY block_id)
+        SELECT block_id, ub_sum, n_postings,
+               ub_sum < (SELECT th FROM theta) AS skippable
+        FROM plan
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in

@@ -1291,3 +1291,178 @@ def bm25_search_tombstoned(
         return _bm25_rank(tf, dl_live, globals_, k1, b, top_k, id_col,
                           df_precomputed=True)
     return _bm25_rank(tf, dl_live, globals_, k1, b, top_k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Block-Max pruning: skip docID regions a query provably cannot rank in
+# ---------------------------------------------------------------------------
+
+def build_block_max(
+    tf_index: DataFrame,
+    doclen: DataFrame,
+    block_span: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Block-max metadata ``(token, block_id, n_postings, ub)`` — per
+    term, per docID block, the maximum BM25 contribution any posting in
+    the block can make (Block-Max WAND, Ding & Suel SIGIR'11).
+
+    Blocks here are fixed docID RANGES (``block_id = id // block_span``)
+    rather than the classic fixed-COUNT blocks: range blocks build with
+    one groupBy — no per-term sequential numbering, whose window over a
+    stopword's corpus-sized posting list is exactly the partition-less-
+    shape this module bans — and, because every term uses the SAME
+    ranges, block bounds align across query terms, so a whole docID
+    region is skippable when the SUM of the terms' block maxima is
+    below the threshold (the variable/range-block BMW variant, cf.
+    Mallia et al. SIGIR'17). The upper bound is the posting's true
+    score — idf from the full df, length norm from the doc's own dl —
+    maxed within the block, so the bound is tight per block.
+
+    Scale shape: df re-aggregate + one (token, block) groupBy over the
+    index; metadata size = postings / block_span. Build once at index
+    time, reuse per query."""
+    dl = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    dfreq = tf_index.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        1.0 + (F.col("_n").cast("double") - F.col("_df") + 0.5)
+        / (F.col("_df").cast("double") + 0.5))
+    score = idf * (
+        F.col("tf").cast("double") * (k1 + 1.0)
+        / (F.col("tf").cast("double")
+           + k1 * (1.0 - b + b * F.col("_dl").cast("double")
+                   / F.col("_avgdl"))))
+    return (
+        tf_index
+        .join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "token",
+            (F.col(id_col) / block_span).cast("long").alias("block_id"),
+            score.alias("_s"))
+        .groupBy("token", "block_id")
+        .agg(F.count(F.lit(1)).alias("n_postings"),
+             F.max("_s").alias("ub"))
+    )
+
+
+def blockmax_region_plan(
+    block_max: DataFrame,
+    terms: Sequence[str],
+    theta: DataFrame,
+) -> DataFrame:
+    """Per docID region, the query's summed score ceiling and the skip
+    verdict: ``(block_id, ub_sum, n_postings, skippable)``.
+
+    A region is skippable iff sum over query terms of the term's block
+    maximum < theta: no document in the region can reach theta even
+    scoring maximally on every term. With ``theta`` a LOWER bound on
+    the true k-th best score (e.g. the k-th score of a champion-list
+    search, whose doc scores are <= their full-index scores), skipping
+    is LOSSLESS — every true top-k document survives.
+
+    ``theta`` is a 1-row ``(theta)`` DataFrame so the plan composes
+    lazily (no driver collect between champion pass and pruned pass).
+    The sum folds in token order over a <=|terms|-element array —
+    deterministic, oracle-replayable. Region count = idspace/span:
+    metadata-sized groupBy, broadcast theta."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    return (
+        block_max.filter(F.col("token").isin(terms))
+        .groupBy("block_id")
+        .agg(
+            F.sum("n_postings").alias("n_postings"),
+            F.array_sort(
+                F.collect_list(F.struct("token", "ub"))).alias("_tu"))
+        .select(
+            "block_id", "n_postings",
+            F.round(
+                F.aggregate(F.col("_tu"), F.lit(0.0),
+                            lambda acc, x: acc + x["ub"]),
+                6).alias("ub_sum"))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "block_id", "ub_sum", "n_postings",
+            (F.col("ub_sum") < F.col("theta")).alias("skippable"))
+    )
+
+
+def bm25_search_blockmax(
+    tf_index: DataFrame,
+    doclen: DataFrame,
+    terms: Sequence[str],
+    champion_m: int = 32,
+    block_span: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    block_max: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k that provably equals the full-index ranking while
+    reading only the docID regions that can matter — the two pruning
+    families composed: a champion-list pass (bounded: m rows per term)
+    produces its k-th score as the threshold theta; theta lower-bounds
+    the true k-th score, so every region whose summed block maxima
+    fall below it is skipped LOSSLESSLY (see blockmax_region_plan);
+    the full scorer then runs on the surviving regions only.
+
+    Exactness argument, end to end: (1) champion doc scores are <=
+    their full scores, so theta = champion kth <= true kth; (2) a
+    skipped region's best possible score < theta <= true kth, so no
+    true top-k doc is skipped; (3) survivors are scored by the exact
+    :func:`_bm25_rank` arithmetic with the FULL-corpus df stamped
+    before pruning. The equality (not similarity) to
+    :func:`bm25_search_indexed` is what the driver oracle checks.
+
+    Scale shape: everything bounded or metadata-sized — champion pass
+    O(|terms|*m), region plan O(idspace/span), final pass reads only
+    surviving regions' postings via a broadcast semi-join on the
+    computed block id. No collect between stages: theta flows as a
+    1-row broadcast frame."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    champs = build_champion_lists(tf_index, m=champion_m, id_col=id_col)
+    ctop = bm25_search_champion(
+        champs, doclen, terms, k1=k1, b=b, top_k=top_k, id_col=id_col)
+    # theta = the champion k-th score, but ONLY when the champion pass
+    # actually filled k slots: with fewer matches the min is not the
+    # k-th score and lower-bounds nothing (full search may rank docs
+    # the champion lists cannot reach into slots r+1..k), so theta
+    # falls back to -inf = nothing skippable, plain full search.
+    theta = ctop.agg(
+        F.when(F.count(F.lit(1)) >= top_k, F.min("score"))
+        .otherwise(F.lit(float("-inf"))).alias("theta"))
+    bm = block_max if block_max is not None else build_block_max(
+        tf_index, doclen, block_span=block_span, k1=k1, b=b, id_col=id_col)
+    plan = blockmax_region_plan(bm, terms, theta)
+    live = plan.filter(~F.col("skippable")).select("block_id")
+
+    tf = tf_index.filter(F.col("token").isin(terms))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    pruned = (
+        tf.withColumn(
+            "_blk", (F.col(id_col) / block_span).cast("long"))
+        .join(F.broadcast(live.withColumnRenamed("block_id", "_blk")),
+              "_blk", "left_semi")
+        .join(dfreq, "token")
+        .select(F.col(id_col), F.col("token"),
+                F.col("tf").alias("_tf"), F.col("_df"))
+    )
+    dl = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    return _bm25_rank(pruned, dl, globals_, k1, b, top_k, id_col,
+                      df_precomputed=True)

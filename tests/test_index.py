@@ -792,3 +792,127 @@ def test_tombstoned_plan_anti_join_no_window(spark):
     p = plan_string(bm25_search_tombstoned(
         build_tf_index(docs), build_doclen(docs), dead, ["a"]), "simple")
     assert "LeftAnti" in p and "Window" not in p and "EvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# Block-Max pruning
+# ---------------------------------------------------------------------------
+
+def _bm_corpus(spark, n=240):
+    # docs 0..n-1; ids >= 128 are low-signal (terms appear once in long
+    # docs), ids < 128 carry the high-tf matches -> the high docID
+    # blocks become skippable once theta is known.
+    rows = []
+    for i in range(n):
+        if i < 64:
+            text = "join " * 5 + "hash " * 3 + "filler " * 10
+        elif i < 128:
+            text = "join hash " + "pad " * 30
+        else:
+            text = ("join " if i % 3 == 0 else "") + "unrelated " * 60
+        rows.append((i, text.strip()))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+def test_blockmax_equals_full_index_ranking(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, bm25_search_indexed, build_doclen,
+        build_tf_index)
+    d = _bm_corpus(spark)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    full = bm25_search_indexed(tf, dl, ["join", "hash"], top_k=10).collect()
+    pruned = bm25_search_blockmax(
+        tf, dl, ["join", "hash"], champion_m=16, block_span=64,
+        top_k=10).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in full] == \
+           [(r["doc_id"], r["score"], r["rank"]) for r in pruned]
+
+
+@pytest.mark.spark
+def test_blockmax_ub_is_true_upper_bound(spark):
+    from commoncrawl_spark.operators.index import (
+        build_block_max, build_doclen, build_tf_index)
+    d = _bm_corpus(spark, n=120)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    bm = {(r["token"], r["block_id"]): r["ub"]
+          for r in build_block_max(tf, dl, block_span=32).collect()}
+    # recompute every posting's score the slow way and compare
+    from commoncrawl_spark.operators.index import bm25_search_indexed
+    import math
+    rows = tf.collect()
+    dls = {r["doc_id"]: r["dl"] for r in build_doclen(d).collect()}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    dfc = {}
+    for r in rows:
+        dfc[r["token"]] = dfc.get(r["token"], 0) + 1
+    for r in rows:
+        idf = math.log(1.0 + (n - dfc[r["token"]] + 0.5)
+                       / (dfc[r["token"]] + 0.5))
+        s = idf * (r["tf"] * 2.2
+                   / (r["tf"] + 1.2 * (0.25 + 0.75 * dls[r["doc_id"]]
+                                       / avgdl)))
+        assert s <= bm[(r["token"], r["doc_id"] // 32)] + 1e-9
+
+
+@pytest.mark.spark
+def test_blockmax_actually_skips_regions(spark):
+    from commoncrawl_spark.operators.index import (
+        blockmax_region_plan, bm25_search_champion, build_block_max,
+        build_champion_lists, build_doclen, build_tf_index)
+    d = _bm_corpus(spark)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    champs = build_champion_lists(tf, m=16)
+    theta = bm25_search_champion(
+        champs, dl, ["join", "hash"], top_k=10).agg(
+        F.min("score").alias("theta"))
+    plan = blockmax_region_plan(
+        build_block_max(tf, dl, block_span=64), ["join", "hash"], theta)
+    verdicts = {r["block_id"]: r["skippable"] for r in plan.collect()}
+    assert verdicts[0] is False          # the high-tf region survives
+    assert any(verdicts.values())        # and something IS skipped
+
+
+@pytest.mark.spark
+def test_blockmax_plan_hygiene(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, build_doclen, build_tf_index)
+    d = _bm_corpus(spark, n=60)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    out = bm25_search_blockmax(tf, dl, ["join", "hash"], top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import sys
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+    from scripts.plan_audit import partitionless_windows
+    assert partitionless_windows(plan) == []
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.spark
+def test_blockmax_unknown_terms_empty_not_crash(spark):
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, build_doclen, build_tf_index)
+    d = _bm_corpus(spark, n=30)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    assert bm25_search_blockmax(tf, dl, ["zzz"], top_k=5).count() == 0
+
+
+@pytest.mark.spark
+def test_blockmax_underfilled_champion_still_equals_full(spark):
+    # fewer matching docs than top_k: theta must fall back to -inf
+    # (the champion min is NOT a kth-score lower bound there), so the
+    # pruned path degenerates to the full search and stays exact.
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, bm25_search_indexed, build_doclen,
+        build_tf_index)
+    d = spark.createDataFrame(
+        [(i, "join pad" if i % 2 else "other text") for i in range(8)],
+        "doc_id long, text string")
+    tf, dl = build_tf_index(d), build_doclen(d)
+    full = bm25_search_indexed(tf, dl, ["join"], top_k=10).collect()
+    pruned = bm25_search_blockmax(tf, dl, ["join"], top_k=10,
+                                  champion_m=2, block_span=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in full] == \
+           [(r["doc_id"], r["score"]) for r in pruned]
