@@ -410,6 +410,11 @@ def main() -> None:
             "sq8_ann", "feed_discovery", "stitched_chains",
             "stream_feed_poll", "partitioned_read", "coverage_gap",
             "stats_pruned_read", "delete_read",
+            # ninth-session wave: soft-404 detection (classifier +
+            # probe similarity), mergeable quantile-histogram
+            # sketches, per-IP politeness, Block-Max pruned retrieval
+            "soft404_content", "soft404_probe", "quantile_sketch",
+            "ip_politeness", "blockmax_topk", "blockmax_plan",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -3284,6 +3284,121 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.soft404 import (
+        detect_soft404,
+        soft404_by_probe,
+    )
+
+    s404_pages = docs.select(
+        F.concat(F.col("source"), F.lit(".x")).alias("host"),
+        F.col("text"),
+        F.lit("t").alias("title"))
+    p = plan_of(detect_soft404(s404_pages), label="soft404 classifier")
+    p2 = plan_of(
+        soft404_by_probe(
+            s404_pages,
+            docs.select(F.concat(F.col("source"), F.lit(".x"))
+                        .alias("host"),
+                        F.col("text").alias("probe_text")).limit(5)),
+        label="soft404 probe")
+    sections.append((
+        "Soft-404 detection: scan-stage classifier + broadcast probe join",
+        "The content classifier is pure codegen expressions (composes "
+        "free with the extraction pass over 10^10 pages); the "
+        "Bar-Yossef probe path joins pages to ONE row per host "
+        "(broadcast, |hosts|-sized) and emits exactly |pages| rows — "
+        "a per-page Jaccard against its single probe, never a pair "
+        "blowup.",
+        [f"classifier Exchange operators: {p.count('Exchange')} "
+         f"(expect 0)",
+         f"classifier Python operators: {p.count('EvalPython')} "
+         f"(expect 0)",
+         f"probe BroadcastHashJoin present: "
+         f"{'BroadcastHashJoin' in p2}",
+         f"probe SortMergeJoin present: {'SortMergeJoin' in p2} "
+         f"(expect False)"],
+    ))
+
+    from commoncrawl_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    ev_audit = spark.read.parquet(f"{SF}/events.parquet")
+    hsk = hist_merge(
+        hist_build(ev_audit.filter(F.col("event_id") % 2 == 0),
+                   ["event_type"], "value"),
+        hist_build(ev_audit.filter(F.col("event_id") % 2 == 1),
+                   ["event_type"], "value"),
+        key_cols=["event_type"])
+    p = plan_of(hist_quantiles(hsk, ["event_type"], [0.5, 0.99]),
+                label="quantile-histogram sketch")
+    sections.append((
+        "Quantile-histogram sketch: bounded state, keyed windows only",
+        "Per-snapshot build is one map-side-partial groupBy to a "
+        "BOUNDED bucket set per key (~90/decade + unit buckets — "
+        "independent of row count); merge is bucket-count addition; "
+        "the quantile walk windows over the KEY across those bounded "
+        "buckets, so estimation cost is sketch-sized, not data-sized. "
+        "Zero floating-point in the bucket function (decimal leading-"
+        "digit buckets), zero Python anywhere.",
+        [f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"partial_count (map-side combine) present: "
+         f"{'partial_count' in p or 'partial_sum' in p}"],
+    ))
+
+    from commoncrawl_spark.operators.schedule import (
+        resolve_host_ips,
+        select_ip_polite_batch,
+    )
+
+    ipf = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".ip.x")).alias("host"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"))
+    p = plan_of(
+        select_ip_polite_batch(ipf, resolve_host_ips(ipf, n_ips=8),
+                               budget_per_ip=6),
+        label="per-ip politeness")
+    sections.append((
+        "Per-IP politeness: broadcast DNS table, salted keyed top-k",
+        "Host->IP resolution is a |hosts|-row broadcast join; the "
+        "per-server budget uses the exact salted two-stage pattern, so "
+        "a shared-hosting IP with 10^5 vhosts splits across salt "
+        "buckets before the global per-IP window — every window keyed "
+        "((ip,host), (ip,salt), (ip)); never partition-less.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p}",
+         f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    from commoncrawl_spark.operators.index import bm25_search_blockmax
+
+    p = plan_of(
+        bm25_search_blockmax(build_tf_index(docs), build_doclen(docs),
+                             ["join", "hash"], champion_m=16,
+                             block_span=64),
+        label="block-max pruned bm25")
+    sections.append((
+        "Block-Max pruning: metadata-sized plan, lossless skip",
+        "Range blocks build with ONE groupBy (no per-term sequential "
+        "numbering — that window over a stopword's posting list would "
+        "be the banned partition-less shape); the region plan is "
+        "idspace/span rows; theta flows as a 1-row broadcast from the "
+        "champion pass (no driver collect between stages); survivors "
+        "join via broadcast semi on the computed block id. Equality "
+        "to the full-index ranking is oracle-checked (blockmax_topk).",
+        [f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in p}",
+         f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
