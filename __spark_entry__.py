@@ -5811,6 +5811,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["join", "hash", "scan"], theta)
     q["blockmax_plan"] = blockmax_plan
 
+    # ---- robots / politeness compliance audit ----
+
+    def robots_compliance(spark, sf):
+        """Post-hoc crawler compliance report: every 7th fetch hits a
+        robots-disallowed path (prefix rule on even hosts, wildcard on
+        odd), and every 4th fetch per host arrives 1s after its
+        predecessor — under the even hosts' declared Crawl-delay. The
+        audit parses the REAL robots bodies through the Catalyst
+        parser, joins the |hosts|-row rules broadcast, and rolls up
+        violations per host."""
+        from commoncrawl_spark.operators.schedule import (
+            parse_robots_txt,
+            robots_compliance_audit,
+        )
+
+        d = _read(spark, sf, "documents")
+        h = F.col("doc_id") % 10
+        host = F.concat(F.lit("h"), h.cast("string"), F.lit(".rc.test"))
+        i = (F.col("doc_id") / 10).cast("long")
+        log = d.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://"), host,
+                F.when(F.col("doc_id") % 7 == 0, F.lit("/private/p"))
+                .otherwise(F.lit("/page/p")),
+                F.col("doc_id").cast("string")).alias("url"),
+            (i * 5 - F.when(i % 4 == 3, F.lit(4)).otherwise(F.lit(0)))
+            .cast("double").alias("fetched_at"),
+        )
+        robots = parse_robots_txt(
+            d.select(host.alias("host")).distinct().select(
+                "host",
+                F.when(
+                    F.substring(F.col("host"), 2, 1).cast("int") % 2 == 0,
+                    F.concat(
+                        F.lit("User-agent: *\nDisallow: /private\n"
+                              "Crawl-delay: "),
+                        (F.lit(2)
+                         + (F.substring(F.col("host"), 2, 1).cast("int")
+                            / 2).cast("int") % 3).cast("string")))
+                .otherwise(F.lit("User-agent: *\nDisallow: /priv*"))
+                .alias("robots_txt")))
+        return robots_compliance_audit(log, robots)
+    q["robots_compliance"] = robots_compliance
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -12592,6 +12637,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT block_id, ub_sum, n_postings,
                ub_sum < (SELECT th FROM theta) AS skippable
         FROM plan
+    """
+
+    # robots_compliance: the audit replayed with the robots semantics
+    # resolved by hand — /private-prefix (even hosts) and /priv*
+    # wildcard (odd) both convict exactly the doc_id%7 fetches; the
+    # even hosts' parsed Crawl-delay is 2+(h/2)%3; the lag-gap window
+    # replays ordered (t, url).
+    o["robots_compliance"] = """
+        WITH f AS (
+          SELECT doc_id, doc_id % 10 AS h, doc_id // 10 AS i
+          FROM documents),
+        log AS (
+          SELECT 'h' || CAST(h AS VARCHAR) || '.rc.test' AS host, h,
+                 'https://h' || CAST(h AS VARCHAR) || '.rc.test'
+                   || CASE WHEN doc_id % 7 = 0 THEN '/private/p'
+                           ELSE '/page/p' END
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 CAST(i * 5 - CASE WHEN i % 4 = 3 THEN 4 ELSE 0 END
+                      AS DOUBLE) AS t,
+                 doc_id % 7 = 0 AS dis
+          FROM f),
+        g AS (
+          SELECT host, h, dis,
+                 t - lag(t) OVER (PARTITION BY host ORDER BY t, url)
+                   AS gap
+          FROM log),
+        agg AS (
+          SELECT host,
+                 count(*) AS n_fetches,
+                 CAST(sum(CASE WHEN dis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_disallowed,
+                 CAST(sum(CASE WHEN gap IS NOT NULL AND h % 2 = 0
+                               AND gap < (2 + (h // 2) % 3)
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delay_violations,
+                 round(min(gap), 6) AS min_gap_s
+          FROM g GROUP BY host, h)
+        SELECT host, n_fetches, n_disallowed, n_delay_violations,
+               min_gap_s,
+               n_disallowed = 0 AND n_delay_violations = 0 AS compliant
+        FROM agg
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in

@@ -189,16 +189,19 @@ def fetch_robots_rules(hosts: DataFrame, transport,
     return parse_robots_txt(txt)
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame,
-                 url_col: str = "url") -> DataFrame:
-    """Drop URLs disallowed by per-host rules.
+def with_robots_verdict(frontier: DataFrame, robots: DataFrame,
+                        url_col: str = "url") -> DataFrame:
+    """Frontier joined to per-host rules plus a ``robots_blocked``
+    verdict column (RFC 9309 longest-match, Allow wins ties) — the
+    shared kernel of :func:`apply_robots` (which filters on it) and
+    :func:`robots_compliance_audit` (which counts it). Rule columns
+    are carried through; callers drop what they don't need.
 
-    ``robots(host, disallow_prefixes: array<string>[, crawl_delay_s])`` is
-    tiny (one row per host) — broadcast, never shuffled. Hosts absent from
-    the table are allowed (reference behavior: no robots handling at all,
-    so the default must be permissive). ``crawl_delay_s``, when present,
-    is carried through for budget derivation (see select_polite_batch).
-    """
+    ``robots(host, disallow_prefixes: array<string>[, allow_prefixes,
+    crawl_delay_s])`` is tiny (one row per host) — broadcast, never
+    shuffled. Hosts absent from the table are allowed (reference
+    behavior: no robots handling at all, so the default must be
+    permissive)."""
     has_allow = "allow_prefixes" in robots.columns
     cols = (["host", "disallow_prefixes"]
             + (["allow_prefixes"] if has_allow else [])
@@ -237,8 +240,79 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
     # column the allow side is the constant 0 (pure disallow gating).
     la = longest_match("allow_prefixes") if has_allow else F.lit(0)
     blocked = longest_match("disallow_prefixes") > la
-    drop = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
-    return joined.filter(~blocked).drop(*drop)
+    return joined.withColumn("robots_blocked", blocked)
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Drop URLs disallowed by per-host rules (see
+    :func:`with_robots_verdict` for the match semantics and the
+    broadcast shape). ``crawl_delay_s``, when present, is carried
+    through for budget derivation (see select_polite_batch)."""
+    has_allow = "allow_prefixes" in robots.columns
+    drop = (["disallow_prefixes", "robots_blocked"]
+            + (["allow_prefixes"] if has_allow else []))
+    return (
+        with_robots_verdict(frontier, robots, url_col)
+        .filter(~F.col("robots_blocked"))
+        .drop(*drop)
+    )
+
+
+def robots_compliance_audit(
+    fetch_log: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetched_at",
+    host_col_name: str = "host",
+) -> DataFrame:
+    """Post-hoc compliance report over what the crawler ACTUALLY
+    fetched — the audit table a crawl operator (or an abuse complaint)
+    reads: per host, how many fetches hit robots-disallowed paths, and
+    how many consecutive-fetch gaps undercut the host's Crawl-delay.
+    A scheduler bug, a stale robots cache, or a retry path that skips
+    the politeness gate all surface here; the reference has no robots
+    handling at all (SURVEY §2.5 W5), which this table would score as
+    n_disallowed = every fetch of a disallowed path.
+
+    Output per host: ``n_fetches``, ``n_disallowed`` (RFC 9309
+    longest-match verdicts via :func:`with_robots_verdict`),
+    ``n_delay_violations`` (gaps below ``crawl_delay_s``; hosts with
+    no declared delay never violate), ``min_gap_s`` (tightest observed
+    spacing, 6dp; null for single-fetch hosts), and ``compliant``.
+
+    Scale shape: the rules join is the same |hosts|-row broadcast as
+    apply_robots; the gap check is one lag window PARTITIONED BY host
+    ordered by (ts, url) — deterministic under same-second fetches —
+    and one map-side-partial host aggregate. No Python."""
+    v = with_robots_verdict(fetch_log, robots, url_col)
+    if "crawl_delay_s" not in v.columns:
+        v = v.withColumn("crawl_delay_s", F.lit(None).cast("double"))
+    w = Window.partitionBy(host_col_name).orderBy(
+        F.col(ts_col).asc(), F.col(url_col).asc())
+    gap = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")).over(w)
+    per = v.withColumn("_gap", gap)
+    return (
+        per.groupBy(host_col_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(F.col("robots_blocked").cast("long"))
+            .alias("n_disallowed"),
+            F.sum(
+                F.when(
+                    F.col("_gap").isNotNull()
+                    & F.col("crawl_delay_s").isNotNull()
+                    & (F.col("_gap") < F.col("crawl_delay_s")),
+                    F.lit(1)).otherwise(F.lit(0)).cast("long"))
+            .alias("n_delay_violations"),
+            F.round(F.min("_gap"), 6).alias("min_gap_s"),
+        )
+        .withColumn(
+            "compliant",
+            (F.col("n_disallowed") == 0)
+            & (F.col("n_delay_violations") == 0))
+    )
 
 
 def crawl_budget(

@@ -177,3 +177,66 @@ def test_wildcard_and_anchor_rules(spark):
     kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
     for u, want_kept in urls.items():
         assert (u in kept) == want_kept, u
+
+
+# ---------------------------------------------------------------------------
+# robots / politeness compliance audit
+# ---------------------------------------------------------------------------
+
+def test_compliance_audit_counts_violations(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.schedule import (
+        parse_robots_txt, robots_compliance_audit)
+    robots = parse_robots_txt(spark.createDataFrame([
+        Row(host="a.test",
+            robots_txt="User-agent: *\nDisallow: /private\nCrawl-delay: 3"),
+        Row(host="b.test",
+            robots_txt="User-agent: *\nDisallow: /priv*"),
+    ]))
+    log = spark.createDataFrame([
+        # a.test: one disallowed fetch + one 1s gap under the 3s delay
+        Row(host="a.test", url="https://a.test/page/1", fetched_at=0.0),
+        Row(host="a.test", url="https://a.test/private/x", fetched_at=1.0),
+        Row(host="a.test", url="https://a.test/page/2", fetched_at=10.0),
+        # b.test: wildcard-disallowed fetch, no delay declared
+        Row(host="b.test", url="https://b.test/priv/zz", fetched_at=0.0),
+        Row(host="b.test", url="https://b.test/ok", fetched_at=0.5),
+        # c.test: no robots row at all -> fully compliant
+        Row(host="c.test", url="https://c.test/x", fetched_at=0.0),
+    ])
+    out = {r["host"]: r
+           for r in robots_compliance_audit(log, robots).collect()}
+    a = out["a.test"]
+    assert (a["n_fetches"], a["n_disallowed"], a["n_delay_violations"]) \
+        == (3, 1, 1)
+    assert a["min_gap_s"] == 1.0 and not a["compliant"]
+    b = out["b.test"]
+    assert (b["n_disallowed"], b["n_delay_violations"]) == (1, 0)
+    assert not b["compliant"]
+    c = out["c.test"]
+    assert c["n_disallowed"] == 0 and c["min_gap_s"] is None
+    assert c["compliant"]
+
+
+def test_compliance_audit_allow_override_and_plan(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.schedule import (
+        parse_robots_txt, robots_compliance_audit)
+    robots = parse_robots_txt(spark.createDataFrame([
+        Row(host="a.test",
+            robots_txt="User-agent: *\nDisallow: /p\nAllow: /p/ok"),
+    ]))
+    log = spark.createDataFrame([
+        Row(host="a.test", url="https://a.test/p/ok/1", fetched_at=0.0),
+        Row(host="a.test", url="https://a.test/p/bad", fetched_at=9.0),
+    ])
+    out = robots_compliance_audit(log, robots)
+    row = out.collect()[0]
+    assert row["n_disallowed"] == 1  # /p/ok survives by longest-match Allow
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import sys
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+    from scripts.plan_audit import partitionless_windows
+    assert partitionless_windows(plan) == []
