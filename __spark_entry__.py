@@ -5856,6 +5856,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_compliance_audit(log, robots)
     q["robots_compliance"] = robots_compliance
 
+    # ---- unigram-LM tokenizer (SentencePiece's default algorithm) ----
+
+    def unigram_seed(spark, sf):
+        """Unigram-tokenizer seed vocabulary (Kudo ACL'18 step 1):
+        occurrence-weighted substring counts over the word histogram,
+        top-20 multi-char pieces plus every character (coverage).
+        Histogram-sized after the one corpus tokenize pass; bounded
+        global top-k."""
+        from commoncrawl_spark.operators.unigram import (
+            seed_vocab,
+            word_histogram,
+        )
+
+        d = _read(spark, sf, "documents")
+        return seed_vocab(word_histogram(d), max_piece_len=4,
+                          seed_size=20)
+    q["unigram_seed"] = unigram_seed
+
+    def unigram_vocab(spark, sf):
+        """Unigram-tokenizer training: one deterministic hard-EM round
+        — Viterbi-segment every DISTINCT word under the seed log-probs
+        (ties: fewer pieces, then lex piece sequence), recount pieces
+        with integer word frequencies, char floor for coverage. The
+        oracle replays the whole round, Viterbi DP included, as
+        unrolled position CTEs."""
+        from commoncrawl_spark.operators.unigram import (
+            seed_vocab,
+            train_unigram,
+            word_histogram,
+        )
+
+        d = _read(spark, sf, "documents")
+        h = word_histogram(d)
+        return train_unigram(h, seed_vocab(h, max_piece_len=4,
+                                           seed_size=20),
+                             n_iter=1, max_piece_len=4)
+    q["unigram_vocab"] = unigram_vocab
+
+    def unigram_tokens(spark, sf):
+        """Corpus encoding under the trained unigram vocabulary:
+        per-doc piece and word counts — the fertility table a
+        pretraining budget reads. Distinct words segment once through
+        the shared Python kernel; docs aggregate JVM-side."""
+        from commoncrawl_spark.operators.unigram import (
+            seed_vocab,
+            train_unigram,
+            unigram_token_counts,
+            word_histogram,
+        )
+
+        d = _read(spark, sf, "documents")
+        h = word_histogram(d)
+        v = train_unigram(h, seed_vocab(h, max_piece_len=4,
+                                        seed_size=20),
+                          n_iter=1, max_piece_len=4)
+        return unigram_token_counts(d, v, max_piece_len=4)
+    q["unigram_tokens"] = unigram_tokens
+
     # ---- full pipeline (non-SQL-expressible: pandas-UDF extraction) ----
     q["crawl_pipeline"] = _crawl_pipeline
 
@@ -5954,6 +6012,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _sql_unigram_chain(maxlen: int = 8, mpl: int = 4,
+                       seed_size: int = 20) -> str:
+    """One unigram hard-EM round unrolled as CTEs (the _sql_bpe_chain
+    pattern): seed substring counts, piece log-probs, then the Viterbi
+    DP unrolled per string position (v1..v{maxlen}; candidates at
+    position K join v_j for j in [K-mpl, K) against the (j, K) edge;
+    argmin per word via the operator's exact total order — cost asc,
+    piece count asc, \\x1f-joined path asc), best segmentation per
+    word, integer recount, char floor."""
+    toks = _SQL_TOKS.format(t="text")
+    parts = [f"""hist AS MATERIALIZED (
+          SELECT x AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({toks}) AS x FROM documents)
+          GROUP BY x),
+        spos AS (SELECT word, freq,
+                        unnest(range(1, length(word) + 1)) AS i
+                 FROM hist),
+        spl AS (SELECT word, freq, i,
+                       unnest(range(1, least({mpl},
+                                length(word) - i + 1) + 1)) AS l
+                FROM spos),
+        pcounts AS (
+          SELECT substring(word, i, l) AS piece, l,
+                 CAST(sum(freq) AS BIGINT) AS count
+          FROM spl GROUP BY 1, 2),
+        multi AS (SELECT piece, count FROM pcounts WHERE l >= 2
+                  ORDER BY count DESC, piece ASC LIMIT {seed_size}),
+        chars AS (SELECT piece, count FROM pcounts WHERE l = 1),
+        seed AS MATERIALIZED (SELECT * FROM multi UNION ALL SELECT * FROM chars),
+        vocab AS MATERIALIZED (
+          SELECT piece,
+                 ln(count / (SELECT CAST(sum(count) AS DOUBLE)
+                             FROM seed)) AS lp
+          FROM seed),
+        epos AS (SELECT word, unnest(range(1, length(word) + 1)) AS i
+                 FROM hist),
+        epair AS (SELECT word, i,
+                         unnest(range(greatest(0, i - {mpl}), i)) AS j
+                  FROM epos),
+        edges AS MATERIALIZED (
+          SELECT e.word, e.j, e.i, v.lp,
+                 substring(e.word, e.j + 1, e.i - e.j) AS piece
+          FROM epair e
+          JOIN vocab v ON v.piece = substring(e.word, e.j + 1,
+                                              e.i - e.j)),
+        v0 AS MATERIALIZED (SELECT word, freq, CAST(0.0 AS DOUBLE) AS cost,
+                      0 AS np, CAST([] AS VARCHAR[]) AS path
+               FROM hist)"""]
+    for k in range(1, maxlen + 1):
+        cands = "\n            UNION ALL\n            ".join(
+            f"""SELECT v.word, v.freq, v.cost - e.lp AS cost,
+                   v.np + 1 AS np,
+                   list_append(v.path, e.piece) AS path
+            FROM v{j} v JOIN edges e
+              ON e.word = v.word AND e.j = {j} AND e.i = {k}"""
+            for j in range(max(0, k - mpl), k))
+        parts.append(f"""v{k} AS MATERIALIZED (
+          SELECT word, freq, cost, np, path FROM (
+            SELECT c.*, row_number() OVER (
+              PARTITION BY word
+              ORDER BY cost ASC, np ASC,
+                       array_to_string(path, chr(31)) ASC) AS rn
+            FROM ({cands}) c)
+          WHERE rn = 1)""")
+    vit_union = "\n          UNION ALL\n          ".join(
+        f"SELECT word, freq, path FROM v{k} WHERE length(word) = {k}"
+        for k in range(1, maxlen + 1))
+    parts.append(f"""vit AS MATERIALIZED (
+          {vit_union}),
+        segcnt AS MATERIALIZED (
+          SELECT p AS piece, CAST(sum(freq) AS BIGINT) AS count
+          FROM (SELECT freq, unnest(path) AS p FROM vit)
+          GROUP BY 1),
+        trained AS (
+          SELECT piece, count FROM segcnt
+          UNION ALL
+          SELECT c.piece, CAST(1 AS BIGINT) AS count
+          FROM chars c
+          WHERE c.piece NOT IN (SELECT piece FROM segcnt))""")
+    return ",\n        ".join(parts)
+
 
 def oracle_sql() -> dict[str, str]:
     toks_doc = _SQL_TOKS.format(t="text")
@@ -12678,6 +12818,29 @@ def oracle_sql() -> dict[str, str]:
                min_gap_s,
                n_disallowed = 0 AND n_delay_violations = 0 AS compliant
         FROM agg
+    """
+
+    # unigram tokenizer family: seed / one-hard-EM-round vocabulary /
+    # corpus fertility, all over the same unrolled chain (only the
+    # CTEs each query references are evaluated)
+    _uni = _sql_unigram_chain(maxlen=8, mpl=4, seed_size=20)
+    o["unigram_seed"] = f"""
+        WITH {_uni}
+        SELECT piece, count FROM seed
+    """
+    o["unigram_vocab"] = f"""
+        WITH {_uni}
+        SELECT piece, count FROM trained
+    """
+    o["unigram_tokens"] = f"""
+        WITH {_uni},
+        wnp AS (SELECT word, len(path) AS n_pieces FROM vit),
+        dt AS (SELECT doc_id, unnest({toks_doc}) AS word
+               FROM documents)
+        SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+               count(*) AS n_words
+        FROM dt JOIN wnp USING (word)
+        GROUP BY doc_id
     """
 
     # curation_pipeline_v2 embeds the full curation SQL (defined later in
