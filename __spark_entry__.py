@@ -5856,6 +5856,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_compliance_audit(log, robots)
     q["robots_compliance"] = robots_compliance
 
+    def size_drift_sketch(spark, sf):
+        """The question the quantile sketches exist for: per-key
+        distribution DRIFT between snapshots without rescanning either
+        — p50/p99 of event value per event_type from the old
+        snapshot's sketch vs the new one's, delta reported. Both
+        inputs are the bounded per-snapshot bucket tables; the corpus
+        is touched once per snapshot at build time (the
+        snapshot_term_drift counterpart for the numeric facet)."""
+        from commoncrawl_spark.operators.sketches import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        ev = _read(spark, sf, "events")
+        n = ev.count()
+        old = hist_build(ev.filter(F.col("event_id") < n / 2),
+                         ["event_type"], "value")
+        new = hist_build(ev.filter(F.col("event_id") >= n / 2),
+                         ["event_type"], "value")
+        qo = hist_quantiles(old, ["event_type"], [0.5, 0.99]).select(
+            "event_type", "q", F.col("est").alias("est_old"))
+        qn = hist_quantiles(new, ["event_type"], [0.5, 0.99]).select(
+            "event_type", "q", F.col("est").alias("est_new"))
+        return qo.join(qn, ["event_type", "q"]).select(
+            "event_type", "q", "est_old", "est_new",
+            F.round(F.col("est_new") - F.col("est_old"), 6)
+            .alias("drift"))
+    q["size_drift_sketch"] = size_drift_sketch
+
     # ---- unigram-LM tokenizer (SentencePiece's default algorithm) ----
 
     def unigram_seed(spark, sf):
@@ -12818,6 +12847,60 @@ def oracle_sql() -> dict[str, str]:
                min_gap_s,
                n_disallowed = 0 AND n_delay_violations = 0 AS compliant
         FROM agg
+    """
+
+    # size_drift_sketch: the quantile-sketch walk instantiated per
+    # snapshot half and joined — same integer bucket arithmetic as
+    # quantile_sketch, [0.5, 0.99], drift rounded 6dp
+    def _hist_q_sql(pred: str) -> str:
+        return f"""(
+          WITH fp AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE {pred}),
+          s AS (
+            SELECT event_type,
+                   CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END
+                     AS sign,
+                   abs(v) AS a
+            FROM fp),
+          bk AS (
+            SELECT event_type, sign,
+                   CASE WHEN len(CAST(a AS VARCHAR)) <= 2 THEN a
+                        ELSE CAST(substring(CAST(a AS VARCHAR), 1, 2)
+                                 AS BIGINT)
+                             * CAST(power(10,
+                                    len(CAST(a AS VARCHAR)) - 2)
+                                   AS BIGINT) END AS lo,
+                   CASE WHEN len(CAST(a AS VARCHAR)) <= 2 THEN a + 1
+                        ELSE (CAST(substring(CAST(a AS VARCHAR), 1, 2)
+                                  AS BIGINT) + 1)
+                             * CAST(power(10,
+                                    len(CAST(a AS VARCHAR)) - 2)
+                                   AS BIGINT) END AS hi,
+                   count(*) AS cnt
+            FROM s GROUP BY 1, 2, 3, 4),
+          cum AS (
+            SELECT event_type, sign * (lo + hi) AS rep2x, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY sign * (lo + hi)) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM bk),
+          hits AS (
+            SELECT event_type, q, rep2x
+            FROM cum CROSS JOIN (
+              SELECT unnest([0.5, 0.99]) AS q)
+            WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1))
+          SELECT event_type, q, round(min(rep2x) / 200.0, 6) AS est
+          FROM hits GROUP BY event_type, q)"""
+
+    o["size_drift_sketch"] = f"""
+        WITH half AS (SELECT count(*) / 2.0 AS h FROM events),
+        oldq AS {_hist_q_sql("event_id < (SELECT h FROM half)")},
+        newq AS {_hist_q_sql("event_id >= (SELECT h FROM half)")}
+        SELECT o.event_type, o.q, o.est AS est_old, n.est AS est_new,
+               round(n.est - o.est, 6) AS drift
+        FROM oldq o JOIN newq n
+          ON n.event_type = o.event_type AND n.q = o.q
     """
 
     # unigram tokenizer family: seed / one-hard-EM-round vocabulary /

@@ -415,6 +415,8 @@ def main() -> None:
             # sketches, per-IP politeness, Block-Max pruned retrieval
             "soft404_content", "soft404_probe", "quantile_sketch",
             "ip_politeness", "blockmax_topk", "blockmax_plan",
+            "robots_compliance", "size_drift_sketch",
+            "unigram_seed", "unigram_vocab", "unigram_tokens",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

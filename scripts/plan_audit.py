@@ -3399,6 +3399,85 @@ def main() -> None:
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
     ))
 
+    from commoncrawl_spark.operators.schedule import (
+        parse_robots_txt,
+        robots_compliance_audit,
+    )
+
+    rc_log = docs.select(
+        F.concat(F.col("source"), F.lit(".rc.x")).alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".rc.x/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 2).cast("double").alias("fetched_at"))
+    rc_rules = parse_robots_txt(docs.select(
+        F.concat(F.col("source"), F.lit(".rc.x")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /q\nCrawl-delay: 1")
+        .alias("robots_txt")).distinct())
+    p = plan_of(robots_compliance_audit(rc_log, rc_rules),
+                label="robots compliance audit")
+    sections.append((
+        "Robots compliance audit: broadcast rules, host-keyed lag",
+        "The post-hoc fetch-log audit reuses apply_robots' broadcast "
+        "|hosts|-row rules join (with_robots_verdict kernel); the "
+        "Crawl-delay gap check is one lag window PARTITIONED BY host "
+        "and one map-side-partial rollup — fetch-log-sized, no "
+        "Python.",
+        [f"BroadcastHashJoin present: {'BroadcastHashJoin' in p}",
+         f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    from commoncrawl_spark.operators.unigram import (
+        seed_vocab as uni_seed,
+        train_unigram,
+        word_histogram,
+    )
+
+    uh = word_histogram(docs)
+    p = plan_of(uni_seed(uh, max_piece_len=4, seed_size=20),
+                label="unigram seed vocab")
+    uni_v = train_unigram(uh, uni_seed(uh, 4, 20), n_iter=1,
+                          max_piece_len=4)
+    sections.append((
+        "Unigram tokenizer: histogram-sized training, bounded model",
+        "BPE's word-histogram reduction reused: the corpus is "
+        "tokenized once; seeding explodes substrings of DISTINCT "
+        "words and takes a bounded global top-k "
+        "(TakeOrderedAndProject); each hard-EM round runs Arrow-"
+        "batched Viterbi over histogram rows with the vocabulary as "
+        "broadcast model state, and the M-step recount is an exact "
+        "integer partial aggregate — training output is partition-"
+        "independent (pytest-pinned).",
+        [f"seed TakeOrderedAndProject present: "
+         f"{'TakeOrderedAndProject' in p}",
+         f"seed partition-less windows: "
+         f"{len(partitionless_windows(p))} (expect 0)",
+         f"trained vocab rows (bounded by seed_size + alphabet): "
+         f"{uni_v.count()}"],
+    ))
+
+    p = plan_of(
+        hist_quantiles(
+            hist_merge(
+                hist_build(ev_audit.filter(F.col("event_id") % 2 == 0),
+                           ["event_type"], "value"),
+                hist_build(ev_audit.filter(F.col("event_id") % 2 == 1),
+                           ["event_type"], "value"),
+                key_cols=["event_type"]),
+            ["event_type"], [0.5, 0.99]),
+        label="size drift quantiles")
+    sections.append((
+        "Snapshot drift from sketches: history never rescanned",
+        "The drift monitor consumes only the bounded per-snapshot "
+        "bucket tables — old and new quantiles join on (key, q); "
+        "corpus cost is one build pass per snapshot at write time, "
+        "amortized across every later drift question.",
+        [f"partition-less windows: {len(partitionless_windows(p))} "
+         f"(expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
