@@ -5885,6 +5885,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("drift"))
     q["size_drift_sketch"] = size_drift_sketch
 
+    def percolate_alerts(spark, sf):
+        """Inverse search / percolation (the news-alert shape): six
+        standing term queries matched against every document —
+        conjunctive hits only. Inverted evaluation: distinct doc
+        tokens equi-join the exploded query-term table, count-vs-size
+        per (doc, query) — never a broadcast CNF, never a cartesian."""
+        from pyspark.sql import Row
+
+        from commoncrawl_spark.operators.index import percolate
+
+        d = _read(spark, sf, "documents")
+        qs = spark.createDataFrame([
+            Row(query_id="q_joinhash", terms=["join", "hash"]),
+            Row(query_id="q_scan", terms=["scan"]),
+            Row(query_id="q_triple", terms=["table", "row", "value"]),
+            Row(query_id="q_dup", terms=["batch", "batch", "slow"]),
+            Row(query_id="q_miss", terms=["join", "zzzz"]),
+            Row(query_id="q_none", terms=["qqqq"]),
+        ])
+        return percolate(d, qs, mode="all")
+    q["percolate_alerts"] = percolate_alerts
+
     # ---- unigram-LM tokenizer (SentencePiece's default algorithm) ----
 
     def unigram_seed(spark, sf):
@@ -12901,6 +12923,34 @@ def oracle_sql() -> dict[str, str]:
                round(n.est - o.est, 6) AS drift
         FROM oldq o JOIN newq n
           ON n.event_type = o.event_type AND n.q = o.q
+    """
+
+    # percolate_alerts: the inverted standing-query join replayed
+    o["percolate_alerts"] = f"""
+        WITH qs(query_id, terms) AS (VALUES
+          ('q_joinhash', ['join', 'hash']),
+          ('q_scan', ['scan']),
+          ('q_triple', ['table', 'row', 'value']),
+          ('q_dup', ['batch', 'batch', 'slow']),
+          ('q_miss', ['join', 'zzzz']),
+          ('q_none', ['qqqq'])),
+        qt AS (
+          SELECT query_id,
+                 len(list_distinct(terms)) AS nq,
+                 unnest(list_distinct(terms)) AS token
+          FROM qs),
+        dt AS (
+          SELECT doc_id,
+                 unnest(list_distinct({toks_doc})) AS token
+          FROM documents),
+        hits AS (
+          SELECT doc_id, query_id,
+                 count(*) AS n_matched,
+                 CAST(min(nq) AS INT) AS n_terms
+          FROM dt JOIN qt USING (token)
+          GROUP BY 1, 2)
+        SELECT doc_id, query_id, n_matched, n_terms
+        FROM hits WHERE n_matched = n_terms
     """
 
     # unigram tokenizer family: seed / one-hard-EM-round vocabulary /

@@ -916,3 +916,75 @@ def test_blockmax_underfilled_champion_still_equals_full(spark):
                                   champion_m=2, block_span=4).collect()
     assert [(r["doc_id"], r["score"]) for r in full] == \
            [(r["doc_id"], r["score"]) for r in pruned]
+
+
+# ---------------------------------------------------------------------------
+# percolation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.spark
+def test_percolate_all_and_any_modes(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.index import percolate
+    docs = spark.createDataFrame(
+        [(1, "spark join hash join"), (2, "spark only"), (3, "other")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([
+        Row(query_id="q_both", terms=["spark", "join"]),
+        Row(query_id="q_spark", terms=["spark"]),
+        Row(query_id="q_none", terms=["zzz"]),
+    ])
+    allm = {(r["doc_id"], r["query_id"])
+            for r in percolate(docs, qs).collect()}
+    assert allm == {(1, "q_both"), (1, "q_spark"), (2, "q_spark")}
+    anym = {(r["doc_id"], r["query_id"])
+            for r in percolate(docs, qs, mode="any").collect()}
+    assert (2, "q_both") in anym  # one of two terms suffices
+    assert not any(q == "q_none" for _, q in anym)
+
+
+@pytest.mark.spark
+def test_percolate_dup_terms_and_dup_tokens_count_once(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.index import percolate
+    docs = spark.createDataFrame(
+        [(1, "join join join hash")], "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [Row(query_id="q", terms=["join", "join", "hash"])])
+    row = percolate(docs, qs).collect()[0]
+    assert (row["n_matched"], row["n_terms"]) == (2, 2)
+
+
+@pytest.mark.spark
+def test_percolate_mode_validation_and_plan(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.index import percolate
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    qs = spark.createDataFrame([Row(query_id="q", terms=["a"])])
+    with pytest.raises(ValueError):
+        percolate(docs, qs, mode="sometimes")
+    plan = percolate(docs, qs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+@pytest.mark.spark
+def test_blockmax_with_dl_column_matches_join_path(spark):
+    from commoncrawl_spark.operators.index import (
+        build_block_max, build_doclen, build_tf_index)
+    d = _bm_corpus(spark, n=120)
+    dl = build_doclen(d)
+    a = {(r["token"], r["block_id"]): (r["n_postings"], r["ub"])
+         for r in build_block_max(build_tf_index(d), dl,
+                                  block_span=32).collect()}
+    b = {(r["token"], r["block_id"]): (r["n_postings"], r["ub"])
+         for r in build_block_max(build_tf_index(d, with_dl=True), dl,
+                                  block_span=32).collect()}
+    assert a == b
+    # and the with_dl plan has no id-key join of the postings stream
+    p = build_block_max(build_tf_index(d, with_dl=True), dl,
+                        block_span=32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin [doc_id" not in p
