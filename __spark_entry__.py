@@ -5885,6 +5885,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("drift"))
     q["size_drift_sketch"] = size_drift_sketch
 
+    def bloom_point_read(spark, sf):
+        """Manifest Bloom filters (the Iceberg Puffin / Parquet
+        column-bloom analog): documents commit in two batches with a
+        per-file Bloom over the synthesized url; equality point
+        lookups then open only admitted files — the "did we ever
+        crawl url X?" path where min/max stats admit everything on a
+        high-cardinality key. Three planted lookups (one per commit +
+        one absent) unioned; the absent key must return nothing even
+        when a filter false-positives a file open. Oracle = the plain
+        filtered rows (superset guarantee + exact row predicate)."""
+        import tempfile
+
+        from commoncrawl_spark.tables import SnapshotTable
+
+        d = _read(spark, sf, "documents")
+        url = F.concat(F.lit("https://h"),
+                       (F.col("doc_id") % 23).cast("string"),
+                       F.lit(".bp.test/d/"),
+                       F.col("doc_id").cast("string"))
+        rows = d.select(url.alias("url"), "doc_id", "lang")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="ccs_bloom_"),
+                          bloom_by=("url",))
+        t.append(rows.filter(F.col("doc_id") % 2 == 0).repartition(4))
+        t.append(rows.filter(F.col("doc_id") % 2 == 1).repartition(4))
+        probes = ["https://h8.bp.test/d/100",
+                  "https://h10.bp.test/d/33",
+                  "https://absent.bp.test/d/1"]
+        out = t.read_point(spark, "url", probes[0])
+        for p in probes[1:]:
+            out = out.unionByName(t.read_point(spark, "url", p))
+        return out.select("url", "doc_id", "lang")
+    q["bloom_point_read"] = bloom_point_read
+
     def percolate_alerts(spark, sf):
         """Inverse search / percolation (the news-alert shape): six
         standing term queries matched against every document —
@@ -12923,6 +12956,16 @@ def oracle_sql() -> dict[str, str]:
                round(n.est - o.est, 6) AS drift
         FROM oldq o JOIN newq n
           ON n.event_type = o.event_type AND n.q = o.q
+    """
+
+    # bloom_point_read: superset guarantee + exact row predicate means
+    # the oracle is just the two present rows (the absent probe
+    # contributes nothing whatever files its filter admits)
+    o["bloom_point_read"] = """
+        SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.bp.test/d/' || CAST(doc_id AS VARCHAR) AS url,
+               doc_id, lang
+        FROM documents WHERE doc_id IN (100, 33)
     """
 
     # percolate_alerts: the inverted standing-query join replayed

@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SnapshotTable:
     def __init__(self, root: str, partition_by: tuple[str, ...] = (),
-                 stats_by: tuple[str, ...] = ()):
+                 stats_by: tuple[str, ...] = (),
+                 bloom_by: tuple[str, ...] = (),
+                 bloom_fp_rate: float = 0.01):
         """``partition_by`` is the table's partition spec (Iceberg's
         identity-transform case): commits lay data out hive-style
         (``col=value/`` directories) so reads that filter on a
@@ -46,11 +48,13 @@ class SnapshotTable:
         self.root = root
         self.partition_by = tuple(partition_by)
         self.stats_by = tuple(stats_by)
-        if self.partition_by and self.stats_by:
+        self.bloom_by = tuple(bloom_by)
+        self.bloom_fp_rate = bloom_fp_rate
+        if self.partition_by and (self.stats_by or self.bloom_by):
             raise ValueError(
-                "stats_by currently requires an unpartitioned table "
-                "(hive layout moves the partition column out of the "
-                "data files)")
+                "stats_by/bloom_by currently require an unpartitioned "
+                "table (hive layout moves the partition column out of "
+                "the data files)")
         self._snap_dir = os.path.join(root, "_snapshots")
         self._data_dir = os.path.join(root, "data")
 
@@ -102,6 +106,9 @@ class SnapshotTable:
         file_stats = (
             self._collect_file_stats(df.sparkSession, commit_dir)
             if self.stats_by else {})
+        file_blooms = (
+            self._collect_file_blooms(df.sparkSession, commit_dir)
+            if self.bloom_by else {})
 
         if operation == "append" and parent is not None:
             prev = self.snapshot(parent)
@@ -116,6 +123,9 @@ class SnapshotTable:
 
         if operation == "append" and parent is not None and self.stats_by:
             file_stats = {**(prev.get("file_stats") or {}), **file_stats}
+        if operation == "append" and parent is not None and self.bloom_by:
+            file_blooms = {**(prev.get("file_blooms") or {}),
+                           **file_blooms}
         if operation == "append" and parent is not None:
             # merge-on-read deletes accumulated so far still apply to
             # the carried-over ancestor files
@@ -131,6 +141,8 @@ class SnapshotTable:
             "partition_by": list(self.partition_by),
             "stats_by": list(self.stats_by),
             "file_stats": file_stats if self.stats_by else {},
+            "bloom_by": list(self.bloom_by),
+            "file_blooms": file_blooms if self.bloom_by else {},
             "delete_files": delete_files,
             "delete_key": delete_key,
             "metadata": metadata or {},
@@ -172,6 +184,137 @@ class SnapshotTable:
             rel = os.path.relpath(p, self._data_dir)
             out[rel] = {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
                         for c in self.stats_by}
+        return out
+
+    def _collect_file_blooms(self, spark: SparkSession,
+                             commit_dir: str) -> dict[str, Any]:
+        """Per-data-file Bloom filters over the ``bloom_by`` columns —
+        the Iceberg Puffin-blob / Parquet-column-bloom analog, stored
+        base64 in the manifest: an EQUALITY point lookup ("have we
+        ever crawled url X?") then opens only the files whose filter
+        admits the key, where min/max stats admit nearly everything
+        for high-cardinality keys. One grouped applyInPandas per
+        column over the just-written commit; blob size ~1.2 bytes/key
+        at the default 1% fp rate, manifest-bounded.
+
+        Keys are md5-hexed JVM-side so the filter works for any column
+        type and reuses the seen-set family's vectorized hex bit-index
+        kernel (operators/seen_set._key_indices) on both build and
+        probe."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .operators.seen_set import _bloom_params, _key_indices
+
+        base = os.path.join(self._data_dir, commit_dir)
+        fp = self.bloom_fp_rate
+        out: dict[str, Any] = {}
+        schema = T.StructType([
+            T.StructField("_f", T.StringType()),
+            T.StructField("m_bits", T.LongType()),
+            T.StructField("k_hashes", T.IntegerType()),
+            T.StructField("n_keys", T.LongType()),
+            T.StructField("bloom", T.BinaryType()),
+        ])
+        for c in self.bloom_by:
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                ks = pdf["_h"].dropna()
+                m, k = _bloom_params(len(ks), fp)
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                if len(ks):
+                    idx = _key_indices(ks, m, k).ravel()
+                    np.bitwise_or.at(bits, idx // 8,
+                                     (1 << (idx % 8)).astype(np.uint8))
+                return pd.DataFrame({
+                    "_f": [pdf["_f"].iloc[0]], "m_bits": [m],
+                    "k_hashes": [k], "n_keys": [len(ks)],
+                    "bloom": [bits.tobytes()],
+                })
+
+            rows = (
+                spark.read.parquet(base)
+                .select(F.input_file_name().alias("_f"),
+                        F.md5(F.col(c).cast("string")).alias("_h"))
+                .groupBy("_f").applyInPandas(build, schema)
+                .collect()
+            )
+            for r in rows:
+                p = r["_f"]
+                p = p[len("file:"):] if p.startswith("file:") else p
+                rel = os.path.relpath(p, self._data_dir)
+                out.setdefault(rel, {})[c] = {
+                    "m": int(r["m_bits"]), "k": int(r["k_hashes"]),
+                    "n": int(r["n_keys"]),
+                    "b64": base64.b64encode(r["bloom"]).decode(),
+                }
+        return out
+
+    def bloom_matching_files(self, col: str, value: Any,
+                             snapshot_id: int | None = None) -> list[str]:
+        """Data files whose Bloom filter ADMITS ``col == value`` — the
+        point-lookup file-skipping decision, made from the manifest
+        alone (no file opened, no Spark job: the probe is a few bit
+        tests per file in the driver). Files without a recorded filter
+        are conservatively kept. Superset guarantee: a file containing
+        the value is always returned (no false negatives by Bloom
+        construction); ~fp_rate of non-containing files leak through."""
+        import base64
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .operators.seen_set import _key_indices
+
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        blooms = snap.get("file_blooms") or {}
+        live_dirs = set(snap["files"])
+        hkey = hashlib.md5(str(value).encode()).hexdigest()
+        keep = []
+        for rel, cols in blooms.items():
+            if rel.split(os.sep, 1)[0] not in live_dirs:
+                continue
+            meta = cols.get(col)
+            if meta is None:
+                keep.append(os.path.join(self._data_dir, rel))
+                continue
+            bits = np.frombuffer(base64.b64decode(meta["b64"]), np.uint8)
+            idx = _key_indices(pd.Series([hkey]), meta["m"],
+                               meta["k"]).ravel()
+            if bool(np.all((bits[idx // 8] >> (idx % 8)) & 1)):
+                keep.append(os.path.join(self._data_dir, rel))
+        return keep
+
+    def read_point(self, spark: SparkSession, col: str, value: Any,
+                   snapshot_id: int | None = None) -> DataFrame:
+        """Equality point lookup through the manifest Bloom filters:
+        reads only the files :meth:`bloom_matching_files` admits AND
+        applies the exact row predicate (the filters only bound which
+        files can contain the key). At 10^10 rows across 10^5 files
+        this answers "was this url ever committed?" by opening a
+        handful of files instead of scanning the table."""
+        from pyspark.sql import functions as F
+
+        paths = self.bloom_matching_files(col, value, snapshot_id)
+        if not paths:
+            return self.read(spark, snapshot_id).filter("1 = 0")
+        out = spark.read.parquet(*paths).filter(
+            F.col(col) == F.lit(value))
+        # accumulated equality deletes still apply (merge-on-read):
+        # a tombstoned row must not resurface through the point path
+        snap = self.snapshot(snapshot_id)
+        dels = snap.get("delete_files") or []
+        if dels:
+            key = snap["delete_key"]
+            dkeys = spark.read.parquet(
+                *[os.path.join(self._data_dir, d) for d in dels])
+            out = out.join(dkeys.select(key).distinct(), key, "left_anti")
         return out
 
     def matching_files(self, prune: dict[str, tuple],

@@ -359,3 +359,80 @@ def test_delete_where_merge_on_read_cycle(spark, tmp_path):
     removed = t.vacuum()
     assert any(d.startswith("d") for d in removed)
     assert {tuple(r) for r in t.read(spark).collect()} == before
+
+
+# ---------------------------------------------------------------------------
+# manifest Bloom filters: equality point-lookup file skipping
+# ---------------------------------------------------------------------------
+
+def _bloom_table(spark, tmp_path, n=400, commits=2):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "bt"), bloom_by=("url",))
+    per = n // commits
+    for c in range(commits):
+        df = spark.range(c * per, (c + 1) * per).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".bl.test/p/"), F.col("id").cast("string"))
+            .alias("url"),
+            F.col("id").alias("v")).repartition(4)
+        t.append(df)
+    return t
+
+
+def test_bloom_point_read_exact_and_skips_files(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path)
+    target = "https://h3.bl.test/p/17"
+    got = t.read_point(spark, "url", target).collect()
+    assert [r["v"] for r in got] == [17]
+    # superset guarantee holds AND skipping actually happens: the
+    # admitted file set is far smaller than the full table (8 files)
+    snap = t.snapshot()
+    n_files = len(snap["file_blooms"])
+    admitted = t.bloom_matching_files("url", target)
+    assert n_files == 8
+    assert 1 <= len(admitted) < n_files
+    # absent key: usually zero files admit it (fp rate 1%); the read
+    # must return zero rows regardless
+    assert t.read_point(spark, "url", "https://nope.test/x").count() == 0
+
+
+def test_bloom_no_false_negatives_all_keys(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path, n=200)
+    rows = t.read(spark).collect()
+    import os
+    for r in rows[:50]:
+        admitted = t.bloom_matching_files("url", r["url"])
+        assert admitted, r["url"]
+    # and every admitted path is a live data file
+    live = {os.path.basename(p) for p in admitted}
+    assert live
+
+
+def test_bloom_append_accumulates_and_travel(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path, n=100, commits=2)
+    s0 = t.snapshot(0)["file_blooms"]
+    s1 = t.snapshot(1)["file_blooms"]
+    assert set(s0).issubset(set(s1)) and len(s1) > len(s0)
+    # a key only in commit 1 is invisible at snapshot 0
+    assert t.read_point(spark, "url", "https://h6.bl.test/p/97",
+                        snapshot_id=0).count() == 0
+    assert t.read_point(spark, "url", "https://h6.bl.test/p/97").count() == 1
+
+
+def test_bloom_point_respects_equality_deletes(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path, n=100)
+    target = "https://h2.bl.test/p/23"
+    assert t.read_point(spark, "url", target).count() == 1
+    t.delete_where(
+        spark.createDataFrame([(target,)], "url string"), "url")
+    assert t.read_point(spark, "url", target).count() == 0
+
+
+def test_bloom_requires_unpartitioned(tmp_path):
+    from commoncrawl_spark.tables import SnapshotTable
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SnapshotTable(str(tmp_path / "x"), partition_by=("lang",),
+                      bloom_by=("url",))
