@@ -5940,6 +5940,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return percolate(d, qs, mode="all")
     q["percolate_alerts"] = percolate_alerts
 
+    def stream_percolate(spark, sf):
+        """Percolation as a REAL stream — the alerting deployment
+        shape: documents arrive in two file-source micro-batches
+        (split by doc_id parity) and the standing queries evaluate per
+        batch via foreachBatch. Percolation is per-document, so the
+        union of per-batch matches equals whole-corpus percolation
+        EXACTLY — the oracle is the batch percolate SQL."""
+        import os
+        import tempfile
+
+        from pyspark.sql import Row
+
+        from commoncrawl_spark.operators.index import percolate
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="ccs_perc_stream_")
+        src = os.path.join(tmp, "src")
+        for i in range(2):
+            bdir = os.path.join(src, f"b{i}")
+            d.filter(F.col("doc_id") % 2 == i).coalesce(1) \
+                .write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(bdir, f),
+                             (1000 + i, 1000 + i))
+        qs = spark.createDataFrame([
+            Row(query_id="q_joinhash", terms=["join", "hash"]),
+            Row(query_id="q_scan", terms=["scan"]),
+            Row(query_id="q_triple", terms=["table", "row", "value"]),
+            Row(query_id="q_dup", terms=["batch", "batch", "slow"]),
+            Row(query_id="q_miss", terms=["join", "zzzz"]),
+            Row(query_id="q_none", terms=["qqqq"]),
+        ])
+        outdir = os.path.join(tmp, "hits")
+
+        def sink(bdf, _bid):
+            percolate(bdf, qs).write.mode("append").parquet(outdir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True).start().awaitTermination(300))
+        return spark.read.parquet(outdir).select(
+            "doc_id", "query_id", "n_matched", "n_terms")
+    q["stream_percolate"] = stream_percolate
+
     # ---- unigram-LM tokenizer (SentencePiece's default algorithm) ----
 
     def unigram_seed(spark, sf):
@@ -6029,7 +6081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span_corruption, host_quality_prior, lang_mismatch,
     # pagination_chains, stitched_chains, kmv_vocab_sample,
     # bm25_tombstoned, merge_plan, stream_feed_poll, microdata_stats,
-    # sq8_ann, feed_discovery);
+    # sq8_ann, feed_discovery) and the ninth-session adds
+    # (soft404_content, soft404_probe, quantile_sketch, ip_politeness,
+    # blockmax_topk, blockmax_plan, robots_compliance,
+    # size_drift_sketch, unigram_seed, unigram_vocab, unigram_tokens,
+    # percolate_alerts, bloom_point_read);
     # everything in the current list will then have
     # CORRECTNESS_r03 as its permanent record. Rotating 50
     # never-attested queries per round covers the whole surface by
@@ -12995,6 +13051,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, query_id, n_matched, n_terms
         FROM hits WHERE n_matched = n_terms
     """
+
+    # stream_percolate: per-document operation, so the streamed union
+    # equals the batch result exactly — same oracle
+    o["stream_percolate"] = o["percolate_alerts"]
 
     # unigram tokenizer family: seed / one-hard-EM-round vocabulary /
     # corpus fertility, all over the same unrolled chain (only the

@@ -417,7 +417,7 @@ def main() -> None:
             "ip_politeness", "blockmax_topk", "blockmax_plan",
             "robots_compliance", "size_drift_sketch",
             "unigram_seed", "unigram_vocab", "unigram_tokens",
-            "percolate_alerts", "bloom_point_read",
+            "percolate_alerts", "bloom_point_read", "stream_percolate",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
