@@ -13059,7 +13059,11 @@ def oracle_sql() -> dict[str, str]:
     # unigram tokenizer family: seed / one-hard-EM-round vocabulary /
     # corpus fertility, all over the same unrolled chain (only the
     # CTEs each query references are evaluated)
-    _uni = _sql_unigram_chain(maxlen=8, mpl=4, seed_size=20)
+    # maxlen bounds the DP unroll; the corpora's longest token is 8
+    # chars, and tests/test_unigram.py pins max word length <= this
+    # constant so a fixture/tokenizer change cannot silently truncate
+    # the oracle (words longer than maxlen would vanish from vit)
+    _uni = _sql_unigram_chain(maxlen=12, mpl=4, seed_size=20)
     o["unigram_seed"] = f"""
         WITH {_uni}
         SELECT piece, count FROM seed

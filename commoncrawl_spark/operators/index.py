@@ -1457,14 +1457,30 @@ def bm25_search_blockmax(
     :func:`bm25_search_indexed` is what the driver oracle checks.
 
     Scale shape: everything bounded or metadata-sized — champion pass
-    O(|terms|*m), region plan O(idspace/span), final pass reads only
-    surviving regions' postings via a broadcast semi-join on the
-    computed block id. No collect between stages: theta flows as a
-    1-row broadcast frame."""
+    O(|terms|*m) (built over the query terms' postings only), region
+    plan O(idspace/span), final pass excludes skippable regions via a
+    broadcast ANTI-join on the computed block id — regions with NO
+    metadata row are conservatively kept, so a block_max missing some
+    segments' rows (not yet merged) cannot silently drop documents.
+    No collect between stages: theta flows as a 1-row broadcast frame.
+
+    Prebuilt-``block_max`` contract: the metadata's ``ub`` values
+    embed the index's n/avgdl/df at build time, so a passed
+    ``block_max`` must correspond to the SAME ``tf_index``/``doclen``
+    state (rebuild it on merge/append, like any other index
+    artifact) and the same ``block_span``; only structurally MISSING
+    rows are recoverable (kept), stale values are not detectable
+    here."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
-    champs = build_champion_lists(tf_index, m=champion_m, id_col=id_col)
+    # champion lists only for the QUERY terms — exact, since each
+    # term's full posting list is retained (its top-m and stamped df
+    # are unchanged by dropping other terms), and it keeps the theta
+    # pass O(|terms|*m) instead of re-pruning the whole index per query
+    champs = build_champion_lists(
+        tf_index.filter(F.col("token").isin(terms)),
+        m=champion_m, id_col=id_col)
     ctop = bm25_search_champion(
         champs, doclen, terms, k1=k1, b=b, top_k=top_k, id_col=id_col)
     # theta = the champion k-th score, but ONLY when the champion pass
@@ -1478,15 +1494,21 @@ def bm25_search_blockmax(
     bm = block_max if block_max is not None else build_block_max(
         tf_index, doclen, block_span=block_span, k1=k1, b=b, id_col=id_col)
     plan = blockmax_region_plan(bm, terms, theta)
-    live = plan.filter(~F.col("skippable")).select("block_id")
+    # ANTI-join against the SKIPPABLE blocks, not semi against the
+    # live ones: a posting whose block is absent from the plan (a
+    # stale prebuilt block_max after appends, or a caller block_span
+    # mismatch) is conservatively KEPT — absence of metadata must
+    # never silently drop documents from a "provably lossless" top-k
+    skippable = plan.filter(F.col("skippable")).select("block_id")
 
     tf = tf_index.filter(F.col("token").isin(terms))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     pruned = (
         tf.withColumn(
             "_blk", (F.col(id_col) / block_span).cast("long"))
-        .join(F.broadcast(live.withColumnRenamed("block_id", "_blk")),
-              "_blk", "left_semi")
+        .join(F.broadcast(
+            skippable.withColumnRenamed("block_id", "_blk")),
+            "_blk", "left_anti")
         .join(dfreq, "token")
         .select(F.col(id_col), F.col("token"),
                 F.col("tf").alias("_tf"), F.col("_df"))

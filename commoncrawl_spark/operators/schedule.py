@@ -285,16 +285,23 @@ def robots_compliance_audit(
     apply_robots; the gap check is one lag window PARTITIONED BY host
     ordered by (ts, url) — deterministic under same-second fetches —
     and one map-side-partial host aggregate. No Python."""
-    v = with_robots_verdict(fetch_log, robots, url_col)
+    # with_robots_verdict joins rules on the literal 'host' column;
+    # normalize a differently-named input up front so the verdict,
+    # the gap window, and the rollup all key on the SAME column (a
+    # half-honored rename would attribute violations to the wrong
+    # host), then restore the caller's name on output.
+    log = (fetch_log.withColumnRenamed(host_col_name, "host")
+           if host_col_name != "host" else fetch_log)
+    v = with_robots_verdict(log, robots, url_col)
     if "crawl_delay_s" not in v.columns:
         v = v.withColumn("crawl_delay_s", F.lit(None).cast("double"))
-    w = Window.partitionBy(host_col_name).orderBy(
+    w = Window.partitionBy("host").orderBy(
         F.col(ts_col).asc(), F.col(url_col).asc())
     gap = F.col(ts_col).cast("double") - F.lag(
         F.col(ts_col).cast("double")).over(w)
     per = v.withColumn("_gap", gap)
-    return (
-        per.groupBy(host_col_name)
+    out = (
+        per.groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_fetches"),
             F.sum(F.col("robots_blocked").cast("long"))
@@ -313,6 +320,8 @@ def robots_compliance_audit(
             (F.col("n_disallowed") == 0)
             & (F.col("n_delay_violations") == 0))
     )
+    return (out.withColumnRenamed("host", host_col_name)
+            if host_col_name != "host" else out)
 
 
 def crawl_budget(

@@ -73,9 +73,11 @@ def soft404_signal_cols(text: Column, title: Column) -> dict[str, Column]:
     - ``title_err``: 1 if the lowercased title contains an error phrase
       (titles are the strongest single signal — servers template them);
     - ``n_tokens``: body word count;
-    - ``soft404_score``: 0.4*title + 0.25*min(err_hits,3)/3-scaled body
-      evidence + 0.2*short-body, rounded 4dp, in [0, 1.15] — weights
-      are fixed constants so the score is portable and auditable.
+    - ``soft404_score``: ``0.4*title_err + 0.25*min(err_hits, 3)
+      + 0.2*short`` rounded 4dp, range [0, 1.35] — body evidence alone
+      caps at 0.75 (three phrase hits), so two body hits (0.5) still
+      sit below the default 0.6 threshold without the title or
+      short-body signal. Fixed constants: portable and auditable.
     """
     body = F.lower(F.coalesce(text, F.lit("")))
     ttl = F.lower(F.coalesce(title, F.lit("")))

@@ -224,6 +224,13 @@ class SnapshotTable:
             def build(pdf: pd.DataFrame) -> pd.DataFrame:
                 ks = pdf["_h"].dropna()
                 m, k = _bloom_params(len(ks), fp)
+                # md5 keys are 32 hex chars = four independent 8-hex
+                # slices; _key_indices at k=5 would read zero-padding
+                # for the 5th slice (a constant bit — no information,
+                # inflated fp rate). Clamp to the slices the key width
+                # actually provides; probe reads k from the manifest,
+                # so build and probe stay consistent.
+                k = min(k, 4)
                 bits = np.zeros(m // 8, dtype=np.uint8)
                 if len(ks):
                     idx = _key_indices(ks, m, k).ravel()
@@ -270,6 +277,8 @@ class SnapshotTable:
 
         from .operators.seen_set import _key_indices
 
+        import glob as _glob
+
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
@@ -277,9 +286,12 @@ class SnapshotTable:
         live_dirs = set(snap["files"])
         hkey = hashlib.md5(str(value).encode()).hexdigest()
         keep = []
+        covered_dirs: set[str] = set()
         for rel, cols in blooms.items():
-            if rel.split(os.sep, 1)[0] not in live_dirs:
+            d = rel.split(os.sep, 1)[0]
+            if d not in live_dirs:
                 continue
+            covered_dirs.add(d)
             meta = cols.get(col)
             if meta is None:
                 keep.append(os.path.join(self._data_dir, rel))
@@ -289,6 +301,14 @@ class SnapshotTable:
                                meta["k"]).ravel()
             if bool(np.all((bits[idx // 8] >> (idx % 8)) & 1)):
                 keep.append(os.path.join(self._data_dir, rel))
+        # conservative keep: a live commit written before bloom_by was
+        # set (or by a writer without it) has no filters at all — every
+        # one of its data files stays a candidate; dropping them would
+        # be a silent false negative
+        for d in live_dirs - covered_dirs:
+            keep.extend(_glob.glob(
+                os.path.join(self._data_dir, d, "**", "*.parquet"),
+                recursive=True))
         return keep
 
     def read_point(self, spark: SparkSession, col: str, value: Any,
@@ -396,6 +416,8 @@ class SnapshotTable:
             "partition_by": list(prev.get("partition_by", ())),
             "stats_by": list(prev.get("stats_by", ())),
             "file_stats": prev.get("file_stats") or {},
+            "bloom_by": list(prev.get("bloom_by", ())),
+            "file_blooms": prev.get("file_blooms") or {},
             "delete_files": list(prev.get("delete_files", ())) + [ddir],
             "delete_key": key_col,
             "metadata": metadata or {},
@@ -430,6 +452,8 @@ class SnapshotTable:
             "partition_by": list(prev.get("partition_by", ())),
             "stats_by": list(prev.get("stats_by", ())),
             "file_stats": prev.get("file_stats") or {},
+            "bloom_by": list(prev.get("bloom_by", ())),
+            "file_blooms": prev.get("file_blooms") or {},
             "delete_files": list(prev.get("delete_files", ())),
             "delete_key": prev.get("delete_key"),
             "metadata": metadata or {},

@@ -988,3 +988,28 @@ def test_blockmax_with_dl_column_matches_join_path(spark):
                         block_span=32)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SortMergeJoin [doc_id" not in p
+
+
+@pytest.mark.spark
+def test_blockmax_missing_block_metadata_is_conservative(spark):
+    # block_max rows for some regions are absent (e.g. a segment whose
+    # metadata was not merged yet): those regions must be KEPT
+    # (anti-join against skippable), so the pruned ranking still
+    # equals the full one. Stats (n/avgdl/df) are unchanged here —
+    # stale STATS require a metadata rebuild, which the docstring
+    # makes a requirement, not a recoverable condition.
+    from pyspark.sql import functions as F
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, bm25_search_indexed, build_block_max,
+        build_doclen, build_tf_index)
+    d = _bm_corpus(spark, n=240)
+    tf, dl = build_tf_index(d), build_doclen(d)
+    holey = build_block_max(tf, dl, block_span=64).filter(
+        F.col("block_id") < 2)  # blocks 2,3 missing entirely
+    full = bm25_search_indexed(tf, dl, ["join", "hash"],
+                               top_k=10).collect()
+    pruned = bm25_search_blockmax(
+        tf, dl, ["join", "hash"], champion_m=16, block_span=64,
+        top_k=10, block_max=holey).collect()
+    assert [(r["doc_id"], r["score"]) for r in full] == \
+           [(r["doc_id"], r["score"]) for r in pruned]

@@ -428,6 +428,38 @@ def test_bloom_point_respects_equality_deletes(spark, tmp_path):
     t.delete_where(
         spark.createDataFrame([(target,)], "url string"), "url")
     assert t.read_point(spark, "url", target).count() == 0
+    # NOT vacuously: the delete manifest must CARRY the blooms, so a
+    # live key still resolves after the delete commit (regression:
+    # delete_where once dropped file_blooms and every point lookup
+    # went empty)
+    assert t.read_point(spark, "url",
+                        "https://h3.bl.test/p/31").count() == 1
+    assert t.snapshot().get("file_blooms")
+
+
+def test_bloom_conservative_keep_for_uncovered_commits(spark, tmp_path):
+    # commit 0 written WITHOUT bloom_by, commit 1 with it: point reads
+    # must still find commit-0 rows (files without filters are kept)
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import SnapshotTable
+    root = str(tmp_path / "bc")
+    plain = SnapshotTable(root)
+    df0 = spark.range(0, 50).select(
+        F.concat(F.lit("https://old.bl.test/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("v"))
+    plain.append(df0)
+    t = SnapshotTable(root, bloom_by=("url",))
+    df1 = spark.range(50, 100).select(
+        F.concat(F.lit("https://new.bl.test/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("v"))
+    t.append(df1)
+    assert t.read_point(spark, "url",
+                        "https://old.bl.test/p/7").count() == 1
+    assert t.read_point(spark, "url",
+                        "https://new.bl.test/p/77").count() == 1
 
 
 def test_bloom_requires_unpartitioned(tmp_path):

@@ -116,3 +116,17 @@ def test_train_is_partition_invariant(spark):
          for r in train_unigram(hist.repartition(7), seed,
                                 n_iter=1, max_piece_len=4).collect()}
     assert a == b
+
+
+def test_oracle_unroll_bound_covers_corpus_word_lengths():
+    # the DuckDB oracle unrolls the Viterbi DP to a fixed maxlen
+    # (__spark_entry__._sql_unigram_chain call site, 12); a longer
+    # token would silently vanish from the oracle's vit CTE.
+    import duckdb
+    for sf in ("0.001", "0.01", "0.1"):
+        mx = duckdb.sql(
+            "SELECT max(length(x)) FROM (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " t -> t <> '')) AS x FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet')").fetchone()[0]
+        assert mx <= 12, (sf, mx)
