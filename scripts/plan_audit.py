@@ -3389,9 +3389,11 @@ def main() -> None:
         "numbering — that window over a stopword's posting list would "
         "be the banned partition-less shape); the region plan is "
         "idspace/span rows; theta flows as a 1-row broadcast from the "
-        "champion pass (no driver collect between stages); survivors "
-        "join via broadcast semi on the computed block id. Equality "
-        "to the full-index ranking is oracle-checked (blockmax_topk).",
+        "champion pass, itself built over the QUERY terms' postings "
+        "only (no driver collect between stages); skippable regions "
+        "are excluded via broadcast ANTI-join, so regions with no "
+        "metadata row are conservatively kept. Equality to the "
+        "full-index ranking is oracle-checked (blockmax_topk).",
         [f"partition-less windows: {len(partitionless_windows(p))} "
          f"(expect 0)",
          f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in p}",
@@ -3476,6 +3478,25 @@ def main() -> None:
         [f"partition-less windows: {len(partitionless_windows(p))} "
          f"(expect 0)",
          f"Python operators: {p.count('EvalPython')} (expect 0)"],
+    ))
+
+    from commoncrawl_spark.operators.index import percolate
+
+    perc_qs = spark.createDataFrame(
+        [("q0", ["join", "hash"]), ("q1", ["scan"])],
+        "query_id string, terms array<string>")
+    p = plan_of(percolate(docs, perc_qs), label="percolation")
+    sections.append((
+        "Percolation: inverted standing-query join, no broadcast CNF",
+        "Standing alert queries evaluate as an equi-join of distinct "
+        "doc tokens against the slim exploded (term, query_id) table "
+        "plus a count-vs-size compare — a 10^6-query standing set "
+        "never replicates into every task, and a stopword-only query "
+        "still equi-joins (no cartesian path exists).",
+        [f"CartesianProduct: {p.count('CartesianProduct')} (expect 0)",
+         f"Python operators: {p.count('EvalPython')} (expect 0)",
+         f"partial_count (map-side combine) present: "
+         f"{'partial_count' in p}"],
     ))
 
     # partition-less Window sweep over EVERY plan rendered above —
