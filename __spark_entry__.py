@@ -5992,6 +5992,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "query_id", "n_matched", "n_terms")
     q["stream_percolate"] = stream_percolate
 
+    def schema_evolution_read(spark, sf):
+        """Iceberg add-column schema evolution at the table layer: the
+        second commit carries a column the first never had; read()
+        reconciles (old rows null), and the aggregate proves both the
+        merged schema and the null semantics. Oracle = the same
+        aggregate with the nulls made explicit."""
+        import tempfile
+
+        from commoncrawl_spark.tables import SnapshotTable
+
+        d = _read(spark, sf, "documents")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="ccs_se_"))
+        t.append(d.filter(F.col("doc_id") % 2 == 0)
+                 .select("doc_id", "lang"))
+        t.append(d.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "lang", "n_chars"))
+        return (
+            t.read(spark)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("n_chars").alias("n_with_chars"),
+                 F.sum("n_chars").cast("long").alias("chars"))
+        )
+    q["schema_evolution_read"] = schema_evolution_read
+
+    def kmv_set_ops(spark, sf):
+        """KMV set algebra (Beyer et al. SIGMOD'07) — the question HLL
+        cannot answer: per event_type, the Jaccard / intersection /
+        union cardinalities of the even-batch vs odd-batch distinct
+        user sets, from two k=16 blobs alone — "how many users do two
+        crawl snapshots share" without joining the underlying sets.
+        k=16 < per-type distinct users, so the estimator regime (not
+        the exact small-set path) is what the oracle checks."""
+        from commoncrawl_spark.operators.sketches import (
+            kmv_build,
+            kmv_set_estimates,
+        )
+
+        ev = _read(spark, sf, "events")
+        a = kmv_build(ev.filter(F.col("event_id") % 2 == 0),
+                      ["event_type"], "user_id", k=16)
+        b = kmv_build(ev.filter(F.col("event_id") % 2 == 1),
+                      ["event_type"], "user_id", k=16)
+        return kmv_set_estimates(a, b, ["event_type"], k=16)
+    q["kmv_set_ops"] = kmv_set_ops
+
     # ---- unigram-LM tokenizer (SentencePiece's default algorithm) ----
 
     def unigram_seed(spark, sf):
@@ -13055,6 +13101,77 @@ def oracle_sql() -> dict[str, str]:
     # stream_percolate: per-document operation, so the streamed union
     # equals the batch result exactly — same oracle
     o["stream_percolate"] = o["percolate_alerts"]
+
+    # schema_evolution_read: nulls for pre-evolution rows made explicit
+    o["schema_evolution_read"] = """
+        SELECT lang, count(*) AS n_docs,
+               count(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                 AS n_with_chars,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                    AS BIGINT) AS chars
+        FROM documents GROUP BY lang
+    """
+
+    # kmv_set_ops: the KMV algebra replayed — same md5-prefix hashes,
+    # same bottom-16s, union = bottom-16 of the merged pairs, Jaccard
+    # as the both-members fraction of the union sample
+    _kmv_est = ("CASE WHEN n < 16 THEN CAST(n AS DOUBLE) "
+                "ELSE round(15.0 / (hs[16] / 4294967296.0), 6) END")
+    o["kmv_set_ops"] = f"""
+        WITH da AS (
+          SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE event_id % 2 = 0),
+        db AS (
+          SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE event_id % 2 = 1),
+        ha AS (SELECT event_type, v,
+                      ('0x' || substring(md5(v), 1, 8))::BIGINT AS h
+               FROM da),
+        hb AS (SELECT event_type, v,
+                      ('0x' || substring(md5(v), 1, 8))::BIGINT AS h
+               FROM db),
+        ra AS (SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, v) AS rn
+               FROM ha),
+        rb AS (SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, v) AS rn
+               FROM hb),
+        sa AS (SELECT event_type, list(v ORDER BY h, v) AS mem,
+                      list(h ORDER BY h, v) AS hs, count(*) AS n
+               FROM ra WHERE rn <= 16 GROUP BY 1),
+        sb AS (SELECT event_type, list(v ORDER BY h, v) AS mem,
+                      list(h ORDER BY h, v) AS hs, count(*) AS n
+               FROM rb WHERE rn <= 16 GROUP BY 1),
+        un AS (SELECT DISTINCT event_type, v, h FROM (
+                 SELECT event_type, v, h FROM ra WHERE rn <= 16
+                 UNION ALL
+                 SELECT event_type, v, h FROM rb WHERE rn <= 16)),
+        ru AS (SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, v) AS rn
+               FROM un),
+        su AS (SELECT event_type, list(v ORDER BY h, v) AS mem,
+                      list(h ORDER BY h, v) AS hs, count(*) AS n
+               FROM ru WHERE rn <= 16 GROUP BY 1),
+        j AS (
+          SELECT su.event_type,
+                 (SELECT {_kmv_est} FROM (SELECT sa.hs AS hs,
+                     sa.n AS n)) AS a_est,
+                 (SELECT {_kmv_est} FROM (SELECT sb.hs AS hs,
+                     sb.n AS n)) AS b_est,
+                 (SELECT {_kmv_est} FROM (SELECT su.hs AS hs,
+                     su.n AS n)) AS union_est,
+                 round(len(list_filter(su.mem,
+                       m -> list_contains(sa.mem, m)
+                            AND list_contains(sb.mem, m))) * 1.0
+                       / greatest(su.n, 1), 6) AS jaccard,
+                 CAST(su.n AS INT) AS sample_union
+          FROM su JOIN sa USING (event_type)
+                  JOIN sb USING (event_type))
+        SELECT event_type, a_est, b_est, union_est, jaccard,
+               round(jaccard * union_est, 6) AS intersection_est,
+               sample_union
+        FROM j
+    """
 
     # unigram tokenizer family: seed / one-hard-EM-round vocabulary /
     # corpus fertility, all over the same unrolled chain (only the

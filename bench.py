@@ -418,6 +418,7 @@ def main() -> None:
             "robots_compliance", "size_drift_sketch",
             "unigram_seed", "unigram_vocab", "unigram_tokens",
             "percolate_alerts", "bloom_point_read", "stream_percolate",
+            "kmv_set_ops", "schema_evolution_read",
         ]:
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -481,11 +481,22 @@ class SnapshotTable:
             # discovery per branch, so a partition-column filter still
             # prunes directories in every commit's scan. Commit count is
             # bounded by compact()/expire_snapshots() maintenance.
+            # allowMissingColumns: Iceberg-style add-column schema
+            # evolution — a commit written before a column existed
+            # reads null for it (same contract as the unpartitioned
+            # branch's mergeSchema)
             out = spark.read.parquet(paths[0])
             for p in paths[1:]:
-                out = out.unionByName(spark.read.parquet(p))
+                out = out.unionByName(spark.read.parquet(p),
+                                      allowMissingColumns=True)
         else:
-            out = spark.read.parquet(*paths)
+            # mergeSchema reconciles per-commit schemas by union —
+            # Iceberg's add-column evolution: appends may carry new
+            # columns; rows from older commits read them as null. Type
+            # CHANGES still fail loudly (parquet merge refuses), which
+            # is the safe default.
+            out = (spark.read.option("mergeSchema", "true")
+                   .parquet(*paths))
         dels = snap.get("delete_files") or []
         if dels:
             key = snap["delete_key"]

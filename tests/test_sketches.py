@@ -442,3 +442,56 @@ def test_hist_quantile_windows_are_partitioned(spark):
         sys.path.insert(0, sys_path_hack)
     from scripts.plan_audit import partitionless_windows
     assert partitionless_windows(plan) == []
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_exact_small_regime(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.sketches import (
+        kmv_build, kmv_set_estimates)
+    # |A|=6, |B|=5, overlap 3, union 8 — all below k: everything exact
+    a_vals = ["u1", "u2", "u3", "u4", "u5", "u6"]
+    b_vals = ["u4", "u5", "u6", "u7", "u8"]
+    mk = lambda vals: spark.createDataFrame(
+        [Row(g="k", v=x) for x in vals])
+    a = kmv_build(mk(a_vals), ["g"], "v", k=16)
+    b = kmv_build(mk(b_vals), ["g"], "v", k=16)
+    r = kmv_set_estimates(a, b, ["g"], k=16).collect()[0]
+    assert (r["a_est"], r["b_est"], r["union_est"]) == (6.0, 5.0, 8.0)
+    assert r["jaccard"] == 0.375  # 3/8
+    assert r["intersection_est"] == 3.0
+    assert r["sample_union"] == 8
+
+
+def test_kmv_set_ops_estimation_regime_tolerance(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.sketches import (
+        kmv_build, kmv_set_estimates)
+    # 3000-member sets with 1000 shared -> union 5000, J = 0.2
+    a_vals = [f"x{i}" for i in range(3000)]
+    b_vals = [f"x{i}" for i in range(2000, 5000)]
+    mk = lambda vals: spark.createDataFrame(
+        [Row(g="k", v=x) for x in vals])
+    a = kmv_build(mk(a_vals), ["g"], "v", k=256)
+    b = kmv_build(mk(b_vals), ["g"], "v", k=256)
+    r = kmv_set_estimates(a, b, ["g"], k=256).collect()[0]
+    assert abs(r["union_est"] - 5000) / 5000 < 0.2
+    assert abs(r["jaccard"] - 0.2) < 0.08
+    assert abs(r["intersection_est"] - 1000) / 1000 < 0.45
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    from pyspark.sql import Row
+    from commoncrawl_spark.operators.sketches import (
+        kmv_build, kmv_set_estimates)
+    mk = lambda vals: spark.createDataFrame(
+        [Row(g="k", v=x) for x in vals])
+    a = kmv_build(mk([f"a{i}" for i in range(10)]), ["g"], "v", k=32)
+    b = kmv_build(mk([f"b{i}" for i in range(10)]), ["g"], "v", k=32)
+    r = kmv_set_estimates(a, b, ["g"], k=32).collect()[0]
+    assert r["jaccard"] == 0.0 and r["intersection_est"] == 0.0
+    same = kmv_set_estimates(a, a, ["g"], k=32).collect()[0]
+    assert same["jaccard"] == 1.0 and same["intersection_est"] == 10.0

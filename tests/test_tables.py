@@ -468,3 +468,43 @@ def test_bloom_requires_unpartitioned(tmp_path):
     with _pytest.raises(ValueError):
         SnapshotTable(str(tmp_path / "x"), partition_by=("lang",),
                       bloom_by=("url",))
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (Iceberg add-column semantics)
+# ---------------------------------------------------------------------------
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "se"))
+    t.append(spark.range(3).select(F.col("id").alias("url_id")))
+    # later commit carries a NEW column
+    t.append(spark.range(3, 6).select(
+        F.col("id").alias("url_id"),
+        F.lit("en").alias("lang")))
+    cur = t.read(spark)
+    assert set(cur.columns) == {"url_id", "lang"}
+    rows = {r["url_id"]: r["lang"] for r in cur.collect()}
+    assert rows[1] is None and rows[4] == "en"  # old rows read null
+    # time travel to the pre-evolution snapshot shows the old schema
+    assert t.read(spark, snapshot_id=0).columns == ["url_id"]
+
+
+def test_schema_evolution_partitioned_branch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "sep"), partition_by=("lang",))
+    t.append(spark.range(4).select(
+        F.col("id").alias("url_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang")))
+    t.append(spark.range(4, 8).select(
+        F.col("id").alias("url_id"),
+        F.lit("fr").alias("lang"),
+        F.lit(0.5).alias("quality")))
+    cur = t.read(spark)
+    assert "quality" in cur.columns
+    got = {r["url_id"]: r["quality"] for r in cur.collect()}
+    assert got[0] is None and got[5] == 0.5
+    # partition pruning still works across the evolved union
+    assert cur.filter(F.col("lang") == "fr").count() == 4
