@@ -2124,13 +2124,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["softdedup_weights"] = softdedup_weights
 
     def cdc_dedup(spark, sf):
-        """Content-defined chunking dedup ledger (rows-only by design:
-        the Gear rolling hash has no SQL equivalent — chunk coverage,
-        boundary-shift resistance, and this exact dedup arithmetic are
-        pinned in tests/test_cdc.py against the shared pure-Python
-        kernel). Each doc yields its payload and a prefix-shifted copy;
-        CDC re-aligns after the shift, so stored bytes land well under
-        the 2x logical size where fixed blocking would find nothing."""
+        """Content-defined chunking dedup ledger — FULL oracle since
+        round 3 session 9: the Gear rolling hash replays in DuckDB as
+        a list_reduce byte fold (the md5-derived GEAR table inlined,
+        md5 standing in for sha1 as the distinctness key — the ledger
+        is digest-free aggregates, so any injective chunk digest gives
+        identical stats). Each doc yields its payload and a
+        prefix-shifted copy; CDC re-aligns after the shift, so stored
+        bytes land well under the 2x logical size where fixed blocking
+        would find nothing. Kernel parity + boundary-shift tests in
+        tests/test_cdc.py."""
         from commoncrawl_spark.operators.cdc import (
             cdc_chunk_table,
             chunk_dedup_stats,
@@ -13101,6 +13104,96 @@ def oracle_sql() -> dict[str, str]:
     # stream_percolate: per-document operation, so the streamed union
     # equals the batch result exactly — same oracle
     o["stream_percolate"] = o["percolate_alerts"]
+
+    # cdc_dedup: the Gear rolling-hash chunker replayed as a byte fold
+    # — list_reduce with a prepended seed (element type == acc type),
+    # the md5-derived GEAR table inlined (ASCII payloads: only entries
+    # 0..127 are reachable, where md5(chr(b)) == md5(bytes([b]))), and
+    # md5 as the chunk-distinctness key (the ledger is digest-free
+    # aggregates; any injective digest yields identical stats).
+    # ACCUMULATOR IS A FLAT BIGINT LIST [h, start, end1, end2, ...]:
+    # a STRUCT(...)[] list inside the accumulator returns scrambled
+    # starts under DuckDB 1.0's vectorized lambda execution once many
+    # rows fold at once (single-row folds are correct — verified 513
+    # of 1000 segments corrupted in batch mode), so chunk (start, len)
+    # pairs are re-derived from the boundary-end list afterwards.
+    import hashlib as _hl
+
+    _gear = "[" + ",".join(
+        str(int.from_bytes(_hl.md5(bytes([i])).digest()[:4], "big"))
+        for i in range(128)) + "]"
+    _cdc_min, _cdc_max, _cdc_mod = 32, 2048, 1 << 8
+    o["cdc_dedup"] = f"""
+        WITH segs AS MATERIALIZED (
+          SELECT doc_id AS seg,
+                 array_to_string(list_transform(range(4), i -> text),
+                                 ' ') AS s
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS seg,
+                 'shift-' || CAST(doc_id AS VARCHAR) || ' '
+                   || array_to_string(list_transform(range(4),
+                                                     i -> text), ' ')
+                   AS s
+          FROM documents),
+        folded AS MATERIALIZED (
+          SELECT seg, s,
+            list_reduce(
+              list_prepend(
+                CAST([0, 0] AS BIGINT[]),
+                list_transform(range(1, length(s) + 1),
+                               i -> CAST([i] AS BIGINT[]))),
+              (acc, x) -> CASE
+                WHEN ((x[1] - acc[2] >= {_cdc_min}
+                       AND (acc[1] * 2 + {_gear}[
+                              ord(substring(s, CAST(x[1] AS INT), 1))
+                              + 1])
+                           % 4294967296 % {_cdc_mod} = 0)
+                      OR x[1] - acc[2] >= {_cdc_max})
+                THEN list_concat([CAST(0 AS BIGINT), x[1]],
+                                 acc[3:] || [x[1]])
+                ELSE list_concat(
+                       [(acc[1] * 2 + {_gear}[
+                           ord(substring(s, CAST(x[1] AS INT), 1))
+                           + 1]) % 4294967296,
+                        acc[2]], acc[3:])
+              END) AS f
+          FROM segs),
+        bounds AS (
+          SELECT seg, s,
+                 CASE WHEN f[2] < length(s)
+                      THEN (f[3:] || [CAST(length(s) AS BIGINT)])
+                      ELSE f[3:] END AS ends
+          FROM folded),
+        ch AS (
+          SELECT seg, s, ends,
+                 unnest(range(1, len(ends) + 1)) AS i
+          FROM bounds),
+        dig AS (
+          SELECT md5(substring(
+                   s,
+                   CAST(CASE WHEN i = 1 THEN 0
+                        ELSE ends[CAST(i AS INT) - 1] END AS INT) + 1,
+                   CAST(ends[CAST(i AS INT)]
+                        - CASE WHEN i = 1 THEN 0
+                          ELSE ends[CAST(i AS INT) - 1] END AS INT)))
+                   AS d,
+                 CAST(ends[CAST(i AS INT)]
+                      - CASE WHEN i = 1 THEN 0
+                        ELSE ends[CAST(i AS INT) - 1] END AS INT)
+                   AS length
+          FROM ch),
+        uniq AS (
+          SELECT d, min(length) AS length, count(*) AS copies
+          FROM dig GROUP BY d)
+        SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
+               count(*) AS unique_chunks,
+               CAST(sum(copies * length) AS BIGINT) AS logical_bytes,
+               CAST(sum(length) AS BIGINT) AS stored_bytes,
+               round(sum(length) * 1.0 / sum(copies * length), 6)
+                 AS dedup_ratio
+        FROM uniq
+    """
 
     # schema_evolution_read: nulls for pre-evolution rows made explicit
     o["schema_evolution_read"] = """
