@@ -6026,8 +6026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         union cardinalities of the even-batch vs odd-batch distinct
         user sets, from two k=16 blobs alone — "how many users do two
         crawl snapshots share" without joining the underlying sets.
-        k=16 < per-type distinct users, so the estimator regime (not
-        the exact small-set path) is what the oracle checks."""
+        At the driver gate's sf0.01 (and above), per-type distinct
+        users exceed k=16, so the estimator regime is what the oracle
+        checks there; at sf0.001 the halves hold exactly 15 users per
+        type and the exact small-set branch runs instead."""
         from commoncrawl_spark.operators.sketches import (
             kmv_build,
             kmv_set_estimates,

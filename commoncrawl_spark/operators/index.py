@@ -1389,6 +1389,7 @@ def blockmax_region_plan(
     block_max: DataFrame,
     terms: Sequence[str],
     theta: DataFrame,
+    term_caps: DataFrame | None = None,
 ) -> DataFrame:
     """Per docID region, the query's summed score ceiling and the skip
     verdict: ``(block_id, ub_sum, n_postings, skippable)``.
@@ -1400,27 +1401,54 @@ def blockmax_region_plan(
     search, whose doc scores are <= their full-index scores), skipping
     is LOSSLESS — every true top-k document survives.
 
+    Absent (term, block) rows are AMBIGUOUS: "no postings there"
+    (legitimate, ub contribution 0) vs "metadata row missing" (a
+    partially-merged prebuilt table — treating it as 0 underestimates
+    the ceiling and can skip a block holding a true top-k doc). With
+    ``term_caps`` (``(token, cap)``, a metadata-independent per-term
+    score bound — BM25 saturates at ``idf*(k1+1)``), absent terms
+    contribute their CAP instead of 0, making the verdict sound for
+    ANY metadata coverage; without it (None), absence means 0 — only
+    valid when the metadata is COMPLETE for the index state (built
+    atomically with it, the internal path).
+
     ``theta`` is a 1-row ``(theta)`` DataFrame so the plan composes
     lazily (no driver collect between champion pass and pruned pass).
     The sum folds in token order over a <=|terms|-element array —
     deterministic, oracle-replayable. Region count = idspace/span:
-    metadata-sized groupBy, broadcast theta."""
+    metadata-sized groupBy, broadcast theta and caps."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
-    return (
+    per_block = (
         block_max.filter(F.col("token").isin(terms))
         .groupBy("block_id")
         .agg(
             F.sum("n_postings").alias("n_postings"),
             F.array_sort(
                 F.collect_list(F.struct("token", "ub"))).alias("_tu"))
-        .select(
-            "block_id", "n_postings",
-            F.round(
-                F.aggregate(F.col("_tu"), F.lit(0.0),
-                            lambda acc, x: acc + x["ub"]),
-                6).alias("ub_sum"))
+    )
+    ub_present = F.aggregate(F.col("_tu"), F.lit(0.0),
+                             lambda acc, x: acc + x["ub"])
+    if term_caps is None:
+        ub_sum = F.round(ub_present, 6)
+    else:
+        caps = (
+            term_caps.filter(F.col("token").isin(terms))
+            .agg(F.array_sort(
+                F.collect_list(F.struct("token", "cap")))
+                .alias("_caps"))
+        )
+        per_block = per_block.crossJoin(F.broadcast(caps))
+        covered = F.transform(F.col("_tu"), lambda x: x["token"])
+        absent_caps = F.aggregate(
+            F.filter(F.col("_caps"),
+                     lambda c: ~F.array_contains(covered, c["token"])),
+            F.lit(0.0), lambda acc, c: acc + c["cap"])
+        ub_sum = F.round(ub_present + absent_caps, 6)
+    return (
+        per_block
+        .select("block_id", "n_postings", ub_sum.alias("ub_sum"))
         .crossJoin(F.broadcast(theta))
         .select(
             "block_id", "ub_sum", "n_postings",
@@ -1467,10 +1495,14 @@ def bm25_search_blockmax(
     Prebuilt-``block_max`` contract: the metadata's ``ub`` values
     embed the index's n/avgdl/df at build time, so a passed
     ``block_max`` must correspond to the SAME ``tf_index``/``doclen``
-    state (rebuild it on merge/append, like any other index
-    artifact) and the same ``block_span``; only structurally MISSING
-    rows are recoverable (kept), stale values are not detectable
-    here."""
+    state (rebuild it on merge/append, like any other index artifact)
+    and the same ``block_span``. MISSING rows — whole blocks or a
+    subset of a block's terms (a partially merged segment) — are
+    recoverable: absent terms are charged their saturation cap
+    ``idf*(k1+1)`` in the skip test and wholly-absent blocks are kept
+    by the anti-join, so no coverage gap can drop a true top-k doc;
+    stale ``ub`` VALUES (metadata from different corpus stats) are
+    not detectable here."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -1491,18 +1523,40 @@ def bm25_search_blockmax(
     theta = ctop.agg(
         F.when(F.count(F.lit(1)) >= top_k, F.min("score"))
         .otherwise(F.lit(float("-inf"))).alias("theta"))
-    bm = block_max if block_max is not None else build_block_max(
-        tf_index, doclen, block_span=block_span, k1=k1, b=b, id_col=id_col)
-    plan = blockmax_region_plan(bm, terms, theta)
+    tf = tf_index.filter(F.col("token").isin(terms))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    dl0 = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
+    globals0 = dl0.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"))
+    if block_max is not None:
+        # prebuilt metadata: its coverage cannot be verified here, so
+        # absent (term, block) rows must not read as 0 — give every
+        # absent term its metadata-independent saturation cap
+        # idf*(k1+1) (tf -> inf limit of the BM25 term score), making
+        # the skip verdict sound for ANY partial coverage
+        bm = block_max
+        caps = (
+            dfreq.crossJoin(F.broadcast(globals0))
+            .select(
+                "token",
+                (F.log(1.0 + (F.col("_n").cast("double")
+                              - F.col("_df") + 0.5)
+                       / (F.col("_df").cast("double") + 0.5))
+                 * (k1 + 1.0)).alias("cap")))
+    else:
+        # metadata built atomically with the index below: complete by
+        # construction, absence genuinely means "no postings here"
+        bm = build_block_max(tf_index, doclen, block_span=block_span,
+                             k1=k1, b=b, id_col=id_col)
+        caps = None
+    plan = blockmax_region_plan(bm, terms, theta, term_caps=caps)
     # ANTI-join against the SKIPPABLE blocks, not semi against the
     # live ones: a posting whose block is absent from the plan (a
     # stale prebuilt block_max after appends, or a caller block_span
     # mismatch) is conservatively KEPT — absence of metadata must
     # never silently drop documents from a "provably lossless" top-k
     skippable = plan.filter(F.col("skippable")).select("block_id")
-
-    tf = tf_index.filter(F.col("token").isin(terms))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     pruned = (
         tf.withColumn(
             "_blk", (F.col(id_col) / block_span).cast("long"))
@@ -1513,12 +1567,7 @@ def bm25_search_blockmax(
         .select(F.col(id_col), F.col("token"),
                 F.col("tf").alias("_tf"), F.col("_df"))
     )
-    dl = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
-    globals_ = dl.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
-    )
-    return _bm25_rank(pruned, dl, globals_, k1, b, top_k, id_col,
+    return _bm25_rank(pruned, dl0, globals0, k1, b, top_k, id_col,
                       df_precomputed=True)
 
 

@@ -427,6 +427,20 @@ def kmv_merge(*sketches: DataFrame, key_cols: list[str],
     )
 
 
+def _kmv_est_col(hashes, k: int):
+    """THE KMV estimator expression, shared by every consumer
+    (kmv_estimate, kmv_set_estimates' three sites): exact count below
+    k (the small-set regime), else (k-1)/u_k with u_k the k-th
+    smallest hash mapped to (0,1), rounded 6dp — one definition so a
+    future estimator change (bias correction, rounding) cannot
+    silently diverge the operators from each other or from the DuckDB
+    oracles."""
+    n = F.size(hashes)
+    u_k = F.element_at(hashes, k) / F.lit(KMV_HASH_SPACE)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / u_k, 6))
+
+
 def kmv_estimate(sketch: DataFrame, key_cols: list[str],
                  k: int = 64) -> DataFrame:
     """Distinct-count estimates from a KMV table: if the sketch holds
@@ -435,12 +449,10 @@ def kmv_estimate(sketch: DataFrame, key_cols: list[str],
     otherwise n_hat = (k-1) / u_k with u_k the k-th smallest hash
     mapped to (0,1). One per-row expression, no exchange; rounded
     6dp."""
-    n = F.size(F.col("hashes"))
-    u_k = F.element_at(F.col("hashes"), k) / F.lit(KMV_HASH_SPACE)
-    est = F.when(n < k, n.cast("double")).otherwise(
-        F.round(F.lit(float(k - 1)) / u_k, 6))
-    return sketch.select(*key_cols, est.alias("distinct_est"),
-                         n.alias("sample_size"))
+    return sketch.select(
+        *key_cols,
+        _kmv_est_col(F.col("hashes"), k).alias("distinct_est"),
+        F.size(F.col("hashes")).alias("sample_size"))
 
 
 # ---------------------------------------------------------------------------
@@ -595,16 +607,10 @@ def kmv_set_estimates(
     cz = F.slice(
         F.array_sort(F.array_distinct(F.concat(za, zb))), 1, k)
     n_union = F.size(cz)
-    u_k = F.element_at(cz, k)["h"] / F.lit(KMV_HASH_SPACE)
-    union_est = F.when(n_union < k, n_union.cast("double")).otherwise(
-        F.round(F.lit(float(k - 1)) / u_k, 6))
+    union_est = _kmv_est_col(F.transform(cz, lambda p: p["h"]), k)
 
     def est_of(side):
-        n = F.size(F.col(f"_{side}.hashes"))
-        uk = (F.element_at(F.col(f"_{side}.hashes"), k)
-              / F.lit(KMV_HASH_SPACE))
-        return F.when(n < k, n.cast("double")).otherwise(
-            F.round(F.lit(float(k - 1)) / uk, 6))
+        return _kmv_est_col(F.col(f"_{side}.hashes"), k)
 
     in_both = F.size(F.filter(
         cz,

@@ -324,8 +324,9 @@ class SnapshotTable:
         paths = self.bloom_matching_files(col, value, snapshot_id)
         if not paths:
             return self.read(spark, snapshot_id).filter("1 = 0")
-        out = spark.read.parquet(*paths).filter(
-            F.col(col) == F.lit(value))
+        # mergeSchema: admitted files may span schema-evolution commits
+        out = (spark.read.option("mergeSchema", "true").parquet(*paths)
+               .filter(F.col(col) == F.lit(value)))
         # accumulated equality deletes still apply (merge-on-read):
         # a tombstoned row must not resurface through the point path
         snap = self.snapshot(snapshot_id)
@@ -343,15 +344,20 @@ class SnapshotTable:
         EVERY ``{col: (lo, hi)}`` bound — the file-skipping decision,
         made from the manifest alone (no file opened). Files without
         recorded stats are conservatively kept."""
+        import glob as _glob
+
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         stats = snap.get("file_stats") or {}
         live_dirs = set(snap["files"])
         keep = []
+        covered_dirs: set[str] = set()
         for rel, cols in stats.items():
-            if rel.split(os.sep, 1)[0] not in live_dirs:
+            d = rel.split(os.sep, 1)[0]
+            if d not in live_dirs:
                 continue
+            covered_dirs.add(d)
             ok = True
             for c, (lo, hi) in prune.items():
                 if c in cols:
@@ -361,6 +367,14 @@ class SnapshotTable:
                         break
             if ok:
                 keep.append(os.path.join(self._data_dir, rel))
+        # conservative keep (the bloom_matching_files rule): a live
+        # commit written before stats_by was set has no stats rows —
+        # its files stay candidates rather than silently vanishing
+        # from pruned reads
+        for d in live_dirs - covered_dirs:
+            keep.extend(_glob.glob(
+                os.path.join(self._data_dir, d, "**", "*.parquet"),
+                recursive=True))
         return keep
 
     def read_pruned(self, spark: SparkSession, prune: dict[str, tuple],
@@ -373,7 +387,8 @@ class SnapshotTable:
         if not paths:
             full = self.read(spark, snapshot_id)
             return full.filter("1 = 0")
-        return spark.read.parquet(*paths)
+        # mergeSchema: admitted files may span schema-evolution commits
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def append(self, df: DataFrame, metadata: dict[str, Any] | None = None) -> int:
         """ST4: incremental checkpoint commit per round."""

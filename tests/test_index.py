@@ -1013,3 +1013,40 @@ def test_blockmax_missing_block_metadata_is_conservative(spark):
         top_k=10, block_max=holey).collect()
     assert [(r["doc_id"], r["score"]) for r in full] == \
            [(r["doc_id"], r["score"]) for r in pruned]
+
+
+@pytest.mark.spark
+def test_blockmax_partial_term_coverage_is_conservative(spark):
+    # the harder hole: a block whose metadata row for ONE term is
+    # missing (partially merged segment) must not be skipped off an
+    # underestimated ceiling — absent terms are charged their
+    # saturation cap idf*(k1+1), so the pruned ranking still equals
+    # the full one even when the dropped row belonged to the block
+    # holding the true top document.
+    from pyspark.sql import functions as F
+    from commoncrawl_spark.operators.index import (
+        bm25_search_blockmax, bm25_search_indexed, build_block_max,
+        build_doclen, build_tf_index)
+    # block 2 (ids 128..191 at span 64) holds the hash-rich true top
+    # doc; every other block is join-only noise
+    rows = []
+    for i in range(240):
+        if i == 151:
+            text = "hash " * 30 + "join " * 5
+        elif 128 <= i < 192:
+            text = "join pad " + "x " * 20
+        else:
+            text = "join " + "filler " * 25
+        rows.append((i, text.strip()))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tf, dl = build_tf_index(d), build_doclen(d)
+    holey = build_block_max(tf, dl, block_span=64).filter(
+        ~((F.col("token") == "hash") & (F.col("block_id") == 2)))
+    full = bm25_search_indexed(tf, dl, ["join", "hash"],
+                               top_k=5).collect()
+    pruned = bm25_search_blockmax(
+        tf, dl, ["join", "hash"], champion_m=16, block_span=64,
+        top_k=5, block_max=holey).collect()
+    assert [(r["doc_id"], r["score"]) for r in full] == \
+           [(r["doc_id"], r["score"]) for r in pruned]
+    assert full[0]["doc_id"] == 151  # the scenario is non-trivial

@@ -508,3 +508,20 @@ def test_schema_evolution_partitioned_branch(spark, tmp_path):
     assert got[0] is None and got[5] == 0.5
     # partition pruning still works across the evolved union
     assert cur.filter(F.col("lang") == "fr").count() == 4
+
+
+def test_stats_conservative_keep_for_uncovered_commits(spark, tmp_path):
+    # commit 0 written WITHOUT stats_by, commit 1 with it: pruned
+    # reads must still return commit-0 rows in range (files without
+    # stats stay candidates — same rule as the Bloom path)
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "sc")
+    plain = SnapshotTable(root)
+    plain.append(spark.range(0, 50).select(F.col("id").alias("v")))
+    t = SnapshotTable(root, stats_by=("v",))
+    t.append(spark.range(50, 100).select(F.col("id").alias("v")))
+    got = {r["v"] for r in
+           t.read_pruned(spark, {"v": (40, 60)}).filter(
+               "v BETWEEN 40 AND 60").collect()}
+    assert got == set(range(40, 61))
