@@ -6111,89 +6111,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round — go FIRST so the next driver run attests them; the
     # queries already attested in CORRECTNESS_r01/r02 keep those files
     # as their permanent record and follow after.
-    # ROUND-4 NOTE: the driver attests only the FIRST 50 entries. The
-    # list below is round 3's attestation set — do not reorder it
-    # before the round-3 driver run. NEXT round, front-load the never-
-    # attested queries that sit after position 50, starting with the
-    # late-r3 ones (semdedup, gopher_repetition, bpe_merges, bpe_tokens,
-    # filtering_pipeline, url_features, temperature_mix, warc_cdx,
-    # ann_recall, host_traps, hits_scores, stratified_sample,
-    # cdx_zipnum, crawl_budget, stream_window_stats, wet_export) and the
-    # fifth-session adds (opic_importance, dust_param_rules,
-    # dust_collapse, focused_frontier, aimd_rates, url_word_filter,
-    # adaptive_frontier_pipeline, revalidation_bandwidth, warc_export),
-    # the sixth-session retrieval wave (ql_topk, hybrid_rrf,
-    # fuzzy_terms, rm_expansion, kwic_snippets) and the seventh-session
-    # adds (bm25f_topk, champion_search, champion_recall, kcore_hosts,
-    # cocitation_hosts, corrected_search, fuzzy_contamination,
-    # mmr_diversify) and the eighth-session adds (c4_clean,
-    # heavy_hitters, publication_dates, feed_entries, news_pipeline,
-    # epoch_plan, epoch_stream, hreflang_pairs,
-    # span_corruption, host_quality_prior, lang_mismatch,
-    # pagination_chains, stitched_chains, kmv_vocab_sample,
-    # bm25_tombstoned, merge_plan, stream_feed_poll, microdata_stats,
-    # sq8_ann, feed_discovery) and the ninth-session adds
-    # (soft404_content, soft404_probe, quantile_sketch, ip_politeness,
-    # blockmax_topk, blockmax_plan, robots_compliance,
-    # size_drift_sketch, unigram_seed, unigram_vocab, unigram_tokens,
-    # percolate_alerts, bloom_point_read);
-    # everything in the current list will then have
-    # CORRECTNESS_r03 as its permanent record. Rotating 50
-    # never-attested queries per round covers the whole surface by
-    # round 5.
+    # ROUND-4 ROTATION (executed): the list below is 50 never-attested
+    # queries (each with a full DuckDB oracle), per the round-3 verdict's
+    # priority order — flagship curation/LM/ANN/graph operators, the
+    # table-layer reads, the frontier composites the engine exists for,
+    # and the ninth-session adds flagged in ADVICE.md. Everything in
+    # round 3's list keeps CORRECTNESS_r03 as its permanent record.
+    # ROUND-5 ROTATION (pre-staged — swap _front to this list before the
+    # round-5 driver run; 94 queries remain unattested after r4, the
+    # driver caps at 50/round, so the 44 left over are the long-tail
+    # diagnostics, deliberately lowest-priority):
+    #   warc_cdx, wet_export, warc_export, wat_export, cdx_zipnum,
+    #   warc_revisit, redirect_resolution, mime_sniff, page_directives,
+    #   dust_param_rules, dust_collapse, alias_collapse, url_word_filter,
+    #   aimd_rates, opic_importance, host_traps, stratified_sample,
+    #   revalidation_bandwidth, seed_depth_rings, fetch_timetable,
+    #   host_shard_ring, lpa_communities, harmonic_hosts,
+    #   cocitation_hosts, domain_webgraph, degree_histogram,
+    #   reciprocal_links, logreg_quality, nb_platt_calibration,
+    #   ssjoin_pairs, containment_pairs, lsh_recall, embedding_outliers,
+    #   hard_negatives, diversity_sample, mmr_diversify,
+    #   media_ahash_neardup, hll_host_cardinality, fuzzy_contamination,
+    #   champion_search, champion_recall, corrected_search, fuzzy_terms,
+    #   rm_expansion, kwic_snippets, proximity_search, html_quality,
+    #   sequence_pack, temperature_mix, pii_cards
     _front = [
-        # new in round 3
-        "line_dedup",
-        "near_dedup_incremental",
-        "bm25_merged",
-        "nfc_normalize",
-        "bm25_indexed",
-        "phrase_indexed",
-        "stream_sessionize",
-        "ann_ivf_kmeans_topk",  # r03: oracle added (was rows-only)
-        # round-2 surface, locally green but never driver-attested
-        "bm25_topk",
-        "phrase_search",
-        "boolean_search",
-        "lm_quality",
-        "lm_bigram",
-        "tfidf_terms",
-        "training_export_pipeline",
-        "crawl_pipeline",
-        "text_normalize",
-        "recrawl_priority",
-        "doc_chunks",
-        "benchmark_contamination",
-        "quality_buckets",
-        "host_stats",
-        "mirror_overlap",
-        "language_mix",
-        "corpus_report",
-        "anchor_texts",
-        "surt_keys",
-        "sitemap_entries",
-        "split_assign",
-        "shard_assign",
-        "link_locality_stats",
-        "bigram_topk",
-        "length_histogram",
-        "char_entropy",
-        "media_meta",
-        "media_decode",
-        "media_resize",
-        "compression_quality",
-        "stupid_backoff",
-        "dsir_weights",
-        "token_budget_sample",
-        "duplicate_spans",
-        "cluster_reps",
-        "selection_pipeline",
-        "winnow_fps",
-        "winnow_pairs",
-        "nb_classifier_scores",
-        "nb_classifier_eval",
-        "stream_dedup",
-        "key_skew",
+        # flagship curation / dedup / LM / retrieval operators
+        "semdedup",
+        "lm_kneser_ney",
+        "filtering_pipeline",
+        "cdc_dedup",
+        "heavy_hitters",
+        "c4_clean",
+        "bpe_merges",
+        "bpe_tokens",
+        "gopher_repetition",
+        "blockmax_topk",
+        "exactsubstr_strip",
+        "decontaminate_strip",
+        # ANN family
+        "pq_ann_topk",
+        "ivf_pq_ann",
+        "sq8_ann",
+        "ann_recall",
+        # graph / spam family
+        "trustrank_hosts",
+        "spam_mass_hosts",
+        "hits_scores",
+        "kcore_hosts",
+        "triangle_hosts",
+        # table-layer reads
+        "partitioned_read",
+        "stats_pruned_read",
+        "delete_read",
+        "schema_evolution_read",
+        "bloom_point_read",
+        # frontier composites (the engine's reason to exist)
+        "adaptive_frontier_pipeline",
+        "focused_frontier",
+        "news_pipeline",
+        "crawl_budget",
+        "robots_compliance",
+        "ip_politeness",
+        "curation_pipeline_v3",
+        # streaming + misc analytics
+        "stream_window_stats",
+        "stream_percolate",
+        "percolate_alerts",
+        "url_features",
+        "publication_dates",
+        "soft404_content",
+        "soft404_probe",
+        "quantile_sketch",
+        "blockmax_plan",
+        "size_drift_sketch",
+        "kmv_set_ops",
+        # unigram-LM tokenizer chain
+        "unigram_seed",
+        "unigram_vocab",
+        "unigram_tokens",
+        # retrieval scoring variants
+        "ql_topk",
+        "hybrid_rrf",
+        "bm25f_topk",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
