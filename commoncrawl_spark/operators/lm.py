@@ -47,6 +47,42 @@ from pyspark.sql import functions as F
 
 from .analytics import tokens_col
 
+# Auto-broadcast row ceiling for LM model tables. Spark hard-refuses
+# broadcasts past 8 GiB / 512M rows; a slim (w1, w2, cnt) unsafe row is
+# ~60-80 bytes, so 16M rows is ~1-1.25 GiB — large but safe on the
+# executor sizes this engine targets, and far under the hard ceiling.
+# The bound matters for the BIGRAM scorers: Heaps' law bounds token
+# TYPES (~10^7 at any corpus size) but NOT pair types — at the
+# 10^13-token design point bigram types are ~10^10 rows, which would
+# kill an unconditional broadcast outright. The auto gate probes the
+# model table's cardinality and refuses the hint above this bound,
+# leaving the join to AQE instead of dying at scale.
+BROADCAST_ROW_LIMIT = 16_000_000
+
+
+def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit):
+    """Tri-state physical-hint gate for LM model tables.
+
+    ``broadcast_counts=None`` (auto) probes ``counts``'s cardinality
+    with one count() job and hints only when it is at most
+    ``row_limit`` rows. The ``extra_tables`` (context totals,
+    continuation counts, unigrams) are aggregates OF ``counts`` or of
+    the same token stream, so ``|counts|`` bounds them all and one
+    probe suffices. ``True`` forces the hint (caller knows the model is
+    small — e.g. an external trusted-corpus model); ``False`` never
+    hints (AQE may still convert at runtime from actual shuffle sizes).
+    The hint is physical only — results are identical in all three
+    modes. The auto probe costs one extra pass over the model-table
+    subtree; against an external model table that is trivially cheap,
+    and self-trained it is the price of not OOMing the cluster at the
+    design scale.
+    """
+    if broadcast_counts is None:
+        broadcast_counts = counts.count() <= row_limit
+    if broadcast_counts:
+        return F.broadcast(counts), [F.broadcast(t) for t in extra_tables]
+    return counts, list(extra_tables)
+
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Train: corpus token frequencies ``(token, cnt)``. One explode +
@@ -192,7 +228,8 @@ def bigram_logprob_scores(
     counts: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Conditional bigram scoring — one order up from the unigram MLE
     toward the KenLM slot: per document, the mean ``ln p(w2 | w1)``
@@ -204,9 +241,14 @@ def bigram_logprob_scores(
 
     Scale shape: counts shuffle carries (w1, w2, count) — tokens, never
     text; the context table is a second tiny aggregate of the counts;
-    the scoring joins broadcast both type-bounded model tables
-    explicitly (``broadcast_counts``), so the per-doc pair stream is
-    never shuffled on pair keys. Self-trained (default
+    the scoring joins broadcast both model tables when the model is
+    provably small (``broadcast_counts=None`` auto-probes cardinality
+    against ``broadcast_row_limit`` — bigram TYPES are NOT Heaps-
+    bounded, ~10^10 at the 10^13-token design point, so an
+    unconditional hint would die there), so at moderate model sizes
+    the per-doc pair stream is never shuffled on pair keys, and at
+    extreme ones the join degrades to AQE instead of a broadcast OOM.
+    Self-trained (default
     counts) means every document bigram is in-table — no OOV path.
     Against EXTERNAL counts, a document containing any out-of-table
     bigram scores NULL (there is no smoothing on this path, and
@@ -229,13 +271,12 @@ def bigram_logprob_scores(
             .groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
         )
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
-    if broadcast_counts:
-        # explicit broadcast of the type-bounded model tables — same
-        # rationale as unigram_logprob_scores: without the hint the
-        # corpus-scale per-doc pair stream writes (w1, w2)-keyed
-        # shuffle files before AQE converts the join
-        counts = F.broadcast(counts)
-        ctx = F.broadcast(ctx)
+    # size-gated broadcast (r4): without the hint the corpus-scale
+    # per-doc pair stream writes (w1, w2)-keyed shuffle files before
+    # AQE converts the join, but an unconditional hint dies when the
+    # bigram-type table outgrows the broadcast ceiling — probe first
+    counts, (ctx,) = _gate_broadcast(
+        counts, [ctx], broadcast_counts, broadcast_row_limit)
     lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
     occ = (
         tfb.join(counts, ["w1", "w2"], "left")
@@ -275,7 +316,8 @@ def stupid_backoff_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Stupid Backoff bigram scoring (Brants et al. 2007, "Large
     Language Models in Machine Translation"): per consecutive pair,
@@ -301,11 +343,13 @@ def stupid_backoff_scores(
     (train)``).
 
     Scale shape: identical to ``bigram_logprob_scores`` — the corpus
-    pair stream aggregates per (doc, pair) once, the three model
-    tables (bigram, left-context, unigram+total) are type-bounded and
-    broadcast explicitly, so nothing corpus-scale shuffles on a token
-    key. Empty / single-token documents survive as explode_outer
-    sentinel rows (no restore join).
+    pair stream aggregates per (doc, pair) once, and the three model
+    tables (bigram, left-context, unigram+total) broadcast under the
+    same size gate (``broadcast_counts=None`` auto-probes the bigram
+    table's cardinality — it bounds the other two), so nothing
+    corpus-scale shuffles on a token key at moderate model sizes and
+    nothing OOMs at extreme ones. Empty / single-token documents
+    survive as explode_outer sentinel rows (no restore join).
     """
     if (counts is None) != (unigrams is None):
         # half a model silently self-trains the other half on the
@@ -334,9 +378,11 @@ def stupid_backoff_scores(
     uni = unigrams.select(F.col("token").alias("w2"),
                           F.col("cnt").alias("_ucnt"))
     totals = uni.agg(F.sum("_ucnt").alias("_n"))
-    if broadcast_counts:
-        counts = F.broadcast(counts)
-        ctx = F.broadcast(ctx)
+    counts, (ctx,) = _gate_broadcast(
+        counts, [ctx], broadcast_counts, broadcast_row_limit)
+    # the unigram table is genuinely Heaps-bounded (token TYPES, ~10^7
+    # at any corpus size) — always hint it unless explicitly disabled
+    if broadcast_counts is not False:
         uni = F.broadcast(uni)
     seen = F.col("cnt").isNotNull()
     score = F.when(
@@ -385,7 +431,8 @@ def kneser_ney_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring — the standard n-gram
     smoothing (what KenLM implements) and the real upgrade over the MLE
@@ -411,9 +458,11 @@ def kneser_ney_scores(
     Scale shape: identical to the other scorers — the shared per-doc
     pair-frequency table is the only corpus-size shuffle (slim token
     keys, map-side partial); the four model tables (counts, context
-    totals+fanouts, continuation counts, the 1-row type total) are
-    type-bounded and broadcast; scoring re-aggregates on the doc key.
-    No persist, no windows, no Python."""
+    totals+fanouts, continuation counts, the 1-row type total)
+    broadcast under the size gate (``broadcast_counts=None``
+    auto-probes the bigram table — it bounds the derived tables);
+    scoring re-aggregates on the doc key. No persist, no windows, no
+    Python."""
     d = float(discount)
     if not 0.0 < d < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
@@ -434,10 +483,8 @@ def kneser_ney_scores(
     )
     cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
     types = counts.agg(F.count(F.lit(1)).alias("_types"))
-    if broadcast_counts:
-        counts = F.broadcast(counts)
-        ctx = F.broadcast(ctx)
-        cont = F.broadcast(cont)
+    counts, (ctx, cont) = _gate_broadcast(
+        counts, [ctx, cont], broadcast_counts, broadcast_row_limit)
     # operand-for-operand the formula above — the DuckDB oracle replays
     # this exact arithmetic so the 6dp round is bit-stable cross-engine
     p = (

@@ -198,6 +198,49 @@ def test_lm_scoring_joins_broadcast_model_tables(spark):
 
 
 @pytest.mark.spark
+def test_lm_broadcast_size_gate(spark):
+    """The bigram scorers' model-table broadcast is size-gated: above
+    ``broadcast_row_limit`` the auto mode (default) must NOT plant a
+    broadcast hint — bigram TYPES are not Heaps-bounded, and an
+    unconditional hint is a guaranteed OOM at the 10^13-token design
+    point. Values are identical in all three modes (the hint is
+    physical only)."""
+    from commoncrawl_spark.operators.lm import (
+        bigram_logprob_scores,
+        kneser_ney_scores,
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"the quick fox number {i} jumps over fence {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string")
+
+    def hints(out):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("strategy=broadcast")
+
+    for fn in (bigram_logprob_scores, stupid_backoff_scores,
+               kneser_ney_scores):
+        # model table far above a tiny limit -> auto refuses the
+        # bigram-table hint. stupid_backoff still hints its unigram
+        # table (genuinely Heaps-bounded), so count hints, expect the
+        # pair-keyed ones gone: bigram+ctx(+cont) hints disappear.
+        gated = fn(df, broadcast_counts=None, broadcast_row_limit=1)
+        forced = fn(df, broadcast_counts=True)
+        auto = fn(df)  # default auto, tiny corpus -> hint present
+        assert hints(forced) > hints(gated), fn.__name__
+        assert hints(auto) == hints(forced), fn.__name__
+        rows_g = {r["doc_id"]: tuple(r) for r in gated.collect()}
+        rows_f = {r["doc_id"]: tuple(r) for r in forced.collect()}
+        assert rows_g == rows_f, fn.__name__
+        # gated plan actually joins without broadcasting the pair table
+        phys = gated._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys, \
+            fn.__name__
+
+
+@pytest.mark.spark
 def test_kneser_ney_hand_computed(spark):
     import math
 
@@ -258,6 +301,44 @@ def test_kneser_ney_short_doc_and_external_oov(spark):
     got2 = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
             for r in kneser_ney_scores(df, counts=ext).collect()}
     assert got2[2] == (2, None)
+
+
+@pytest.mark.spark
+def test_kneser_ney_external_oov_parity_with_bigram_mle(spark):
+    """Contract pin: against a SHARED external model table, the KN and
+    MLE bigram scorers null the same documents (any out-of-table pair
+    → null avg, n_bigrams always the document's actual pairs) — the
+    two scorers must not drift on the OOV contract (`lm.py` docstring:
+    'matching bigram_logprob_scores' contract')."""
+    from commoncrawl_spark.operators.lm import (
+        bigram_logprob_scores,
+        kneser_ney_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"),        # (a,b) in-table, (b,c) in-table
+         (2, "a b x"),        # (b,x) missing -> null
+         (3, "q r"),          # (q,r) missing -> null
+         (4, "single"),       # no pairs -> n=0, null
+         (5, "b c a b")],     # (b,c),(c,a),(a,b) all in-table
+        "doc_id long, text string")
+    ext = spark.createDataFrame(
+        [("a", "b", 4), ("b", "c", 2), ("c", "a", 1)],
+        "w1 string, w2 string, cnt long")
+    kn = {r["doc_id"]: r for r in
+          kneser_ney_scores(df, counts=ext).collect()}
+    mle = {r["doc_id"]: r for r in
+           bigram_logprob_scores(df, counts=ext).collect()}
+    assert set(kn) == set(mle) == {1, 2, 3, 4, 5}
+    for i in (1, 2, 3, 4, 5):
+        assert kn[i]["n_bigrams"] == mle[i]["n_bigrams"], i
+        assert (kn[i]["avg_logprob"] is None) == \
+               (mle[i]["avg_logprob"] is None), i
+    assert kn[2]["avg_logprob"] is None and kn[2]["n_bigrams"] == 2
+    assert kn[3]["avg_logprob"] is None
+    assert kn[4]["n_bigrams"] == 0 and kn[4]["avg_logprob"] is None
+    assert kn[1]["avg_logprob"] is not None
+    assert kn[5]["avg_logprob"] is not None
 
 
 @pytest.mark.spark
