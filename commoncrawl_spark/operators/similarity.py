@@ -379,6 +379,7 @@ def near_duplicate_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     max_unblocked_rows: int = 100_000,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
     ``block_col`` (e.g. a cluster label or an ``lsh_signature_col`` bucket)
@@ -387,7 +388,19 @@ def near_duplicate_pairs(
     ``max_unblocked_rows`` (one cheap count) instead of silently
     launching a 10^20-pair crossJoin on a 100 TB table. Scale users pass
     a block; the guard exists so nobody discovers the quadratic path in
-    production."""
+    production.
+
+    The BLOCKED path is a quadratic subproblem PER BLOCK — an equi
+    self-join keeps each block's pairs in one join-key group, so a
+    single fat block (16 default centroids over 10^9 vectors, a
+    degenerate LSH bucket) is a straggler task computing (n_block)^2/2
+    cosines. It is therefore guarded too: one slim
+    ``groupBy(block).count()`` probe refuses when any block exceeds
+    ``max_block_rows`` (default 20k rows = 2·10^8 pairs in one task —
+    already minutes of work). Pass ``max_block_rows=None`` to skip the
+    probe when block sizes are bounded by construction (e.g. LSH bands
+    over content hashes), or a larger bound when the cost is intended.
+    """
     if block_col is None:
         n = df.count()
         if n > max_unblocked_rows:
@@ -397,6 +410,21 @@ def near_duplicate_pairs(
                 "Pass block_col (e.g. an LSH bucket from "
                 "lsh_signature_col) or raise max_unblocked_rows "
                 "explicitly if the quadratic cost is intended."
+            )
+    elif max_block_rows is not None:
+        top = (
+            df.groupBy(block_col).count()
+            .agg(F.max("count").alias("m")).first()
+        )
+        biggest = top["m"] or 0
+        if biggest > max_block_rows:
+            raise ValueError(
+                f"near_duplicate_pairs: largest {block_col!r} block has "
+                f"{biggest} rows > max_block_rows={max_block_rows} — a "
+                f"~{biggest}^2/2-pair straggler task. Use finer blocks "
+                "(e.g. kmeans_centroids with k ~ sqrt(n) for SemDeDup "
+                "cells), or raise max_block_rows / pass None if the "
+                "quadratic block is intended."
             )
     a = df.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
@@ -425,6 +453,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_default_centroid_rows: int = 100_000,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): embedding-space near-dedup
@@ -453,6 +483,15 @@ def semantic_dedup(
     first ``n_centroids`` vectors (deterministic, what the cross-engine
     oracle replays); pass ``centroids=kmeans_centroids(vectors, ...)``
     for trained cells — mechanics identical.
+
+    Guards (r4): the default-centroid path makes cells of ~n/k rows —
+    quadratic PER CELL — so it refuses corpora above
+    ``max_default_centroid_rows`` (one cheap count; the paper uses
+    ~sqrt(n) clusters, so above the bound you must pass trained
+    ``centroids`` with a sane k). Independently, the cell self-join
+    inherits :func:`near_duplicate_pairs`' ``max_block_rows`` probe, so
+    even trained-but-skewed cells refuse loudly instead of launching a
+    quadratic straggler task.
     """
     from commoncrawl_spark.operators.graph import (
         cluster_representatives,
@@ -460,6 +499,16 @@ def semantic_dedup(
     )
 
     if centroids is None:
+        n = vectors.count()
+        if n > max_default_centroid_rows:
+            raise ValueError(
+                f"semantic_dedup default centroids (first {n_centroids} "
+                f"vectors) over {n} rows make cells of ~n/{n_centroids} "
+                "rows — a quadratic join per cell. Pass "
+                "centroids=kmeans_centroids(vectors, k ~ sqrt(n)) for "
+                "trained cells, or raise max_default_centroid_rows if "
+                "the cost is intended."
+            )
         centroids = vectors.filter(F.col(id_col) < n_centroids)
     # the winning cosine rides ivf_assign's argmax struct — no second
     # centroid join, no recomputed dot products
@@ -471,7 +520,7 @@ def semantic_dedup(
     )
     pairs = near_duplicate_pairs(
         with_cos, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        block_col="cell",
+        block_col="cell", max_block_rows=max_block_rows,
     )
     cc = connected_components(pairs.select("a", "b")).withColumnRenamed(
         "id", id_col).withColumnRenamed("cluster", "sem_cluster")

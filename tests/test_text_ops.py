@@ -226,6 +226,56 @@ def test_near_duplicate_pairs_guards_unblocked_quadratic(spark):
 
 
 @pytest.mark.spark
+def test_near_duplicate_pairs_guards_skewed_block(spark):
+    """The blocked path probes block sizes: one fat block (degenerate
+    LSH bucket, too-few SemDeDup cells) would be a quadratic straggler
+    task, so it must refuse loudly — and pass when blocks are bounded
+    or the probe is explicitly disabled."""
+    from commoncrawl_spark.operators.similarity import near_duplicate_pairs
+
+    skewed = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        # 150 rows land in block 0, the rest spread out
+        F.when(F.col("id") < 150, F.lit(0))
+        .otherwise(F.col("id")).alias("blk"),
+    )
+    with pytest.raises(ValueError, match="max_block_rows"):
+        near_duplicate_pairs(
+            skewed, threshold=0.9, block_col="blk", max_block_rows=100)
+    # bounded blocks pass the probe; None skips it entirely
+    assert near_duplicate_pairs(
+        skewed, threshold=0.9, block_col="blk",
+        max_block_rows=150).count() > 0
+    assert near_duplicate_pairs(
+        skewed, threshold=0.9, block_col="blk",
+        max_block_rows=None).count() > 0
+
+
+@pytest.mark.spark
+def test_semantic_dedup_guards_default_centroids_at_scale(spark):
+    """Default centroids (first k vectors) make ~n/k-row cells —
+    quadratic per cell — so above max_default_centroid_rows the
+    operator must demand trained centroids instead of silently
+    launching the quadratic join; trained centroids stay accepted."""
+    from commoncrawl_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"), F.lit(1.0))
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="kmeans_centroids"):
+        semantic_dedup(vecs, n_centroids=2,
+                       max_default_centroid_rows=100)
+    # under the bound the default path still runs (cells also pass the
+    # block probe), and explicit centroids bypass the corpus count
+    out = semantic_dedup(vecs, n_centroids=4,
+                         max_default_centroid_rows=1000)
+    assert out.count() == 300
+
+
+@pytest.mark.spark
 def test_kmeans_centroids_improve_over_first_k(spark, sf_dir):
     """Lloyd's iterations must (a) keep K stable, (b) preserve dims,
     (c) raise mean best-centroid cosine vs the untrained first-K init."""
