@@ -50,6 +50,21 @@ from commoncrawl_spark.operators.seen_set import (  # noqa: E402
     anti_join_seen_scalable,
 )
 from commoncrawl_spark.operators.similarity import cosine_topk, near_duplicate_pairs  # noqa: E402
+
+
+def _await_stream(query, timeout: int) -> None:
+    """Wait for an availableNow stream to FINISH before its sink is
+    read. ``awaitTermination(t)`` returning False (slow host past the
+    timeout) would otherwise silently yield partial output — a
+    confusing red hash instead of a clear failure — so raise loudly; a
+    query that died with an error raises from awaitTermination itself.
+    """
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise RuntimeError(
+            f"stream did not finish within {timeout}s on this host — "
+            "partial sink output would be silently wrong; rerun or "
+            "raise the timeout")
 from commoncrawl_spark.operators.text_dedup import (  # noqa: E402
     exact_duplicates,
     jaccard_pairs,
@@ -1135,10 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_sessionize(stream, gap_seconds=21600)
         name = f"ccs_sessions_{uuid.uuid4().hex[:8]}"
-        (out.writeStream.format("memory").queryName(name)
+        _await_stream(out.writeStream.format("memory").queryName(name)
             .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .outputMode("append").trigger(availableNow=True).start()
-            .awaitTermination(300))
+            .outputMode("append").trigger(availableNow=True).start(), 300)
         return spark.table(name).select("key", "ts_micros", "session_id")
     q["stream_sessionize"] = stream_sessionize
 
@@ -1181,10 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_first_seen(stream, ["fp"])
         name = f"ccs_dedup_{uuid.uuid4().hex[:8]}"
-        (out.writeStream.format("memory").queryName(name)
+        _await_stream(out.writeStream.format("memory").queryName(name)
             .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .outputMode("append").trigger(availableNow=True).start()
-            .awaitTermination(300))
+            .outputMode("append").trigger(availableNow=True).start(), 300)
         return spark.table(name).select("fp", "n_chars")
     q["stream_dedup"] = stream_dedup
 
@@ -1239,10 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream, ts_col="event_ts", window="1 hour",
             watermark="2 hours")
         name = f"ccs_win_{uuid.uuid4().hex[:8]}"
-        (out.writeStream.format("memory").queryName(name)
+        _await_stream(out.writeStream.format("memory").queryName(name)
             .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .outputMode("append").trigger(availableNow=True).start()
-            .awaitTermination(300))
+            .outputMode("append").trigger(availableNow=True).start(), 300)
         return spark.table(name).select(
             F.unix_timestamp("window_start").alias("window_start_s"),
             F.unix_timestamp("window_end").alias("window_end_s"),
@@ -3258,9 +3270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("asn"))
         )
         name = f"ccs_enrich_{uuid.uuid4().hex[:8]}"
-        (enriched.writeStream.format("memory").queryName(name)
+        _await_stream(enriched.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", os.path.join(d, "ckpt"))
-         .trigger(availableNow=True).start().awaitTermination(120))
+         .trigger(availableNow=True).start(), 120)
         return (
             spark.table(name)
             .groupBy("asn").agg(F.count("*").alias("n"))
@@ -4141,10 +4153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_first_seen(extract_feed_entries(stream), ["link"])
         name = f"ccs_feedpoll_{uuid.uuid4().hex[:8]}"
-        (out.writeStream.format("memory").queryName(name)
+        _await_stream(out.writeStream.format("memory").queryName(name)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .outputMode("append").trigger(availableNow=True).start()
-            .awaitTermination(300))
+            .outputMode("append").trigger(availableNow=True).start(), 300)
         return spark.table(name).select(
             "feed_url", "kind", "title", "link", "entry_id",
             "published", "published_raw")
@@ -5988,9 +5999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .option("pathGlobFilter", "*.parquet")
             .parquet(src)
         )
-        (stream.writeStream.foreachBatch(sink)
+        _await_stream(stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True).start().awaitTermination(300))
+            .trigger(availableNow=True).start(), 300)
         return spark.read.parquet(outdir).select(
             "doc_id", "query_id", "n_matched", "n_terms")
     q["stream_percolate"] = stream_percolate

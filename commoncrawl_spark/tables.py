@@ -31,6 +31,67 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _spark_cast_string(value: Any) -> str | None:
+    """Replicate Spark's ``CAST(x AS STRING)`` rendering driver-side.
+
+    The Bloom build hashes ``F.md5(col.cast("string"))`` JVM-side, so
+    the probe must hash the SAME rendering or a file containing the
+    value is wrongly skipped — a silent false negative (booleans render
+    ``true`` not ``True``; 1.0e7 renders ``1.0E7`` not ``10000000.0``;
+    timestamps trim trailing fraction zeros). Returns None for types
+    whose rendering is not replicated here (bytes — UTF-8 lossy decode;
+    Decimal — needs the column's scale, which the manifest does not
+    record); callers must then fall back to keeping all files, never
+    guess. Pass the probe value with the Python type matching the
+    column type (int for bigint, float for double): the manifest stores
+    no schema, so the probe cannot coerce for you, and hashing 5
+    against a double column (built as "5.0") would miss.
+    """
+    import datetime
+    import math
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        # Java Double.toString: shortest round-trip digits; plain form
+        # for 1e-3 <= |x| < 1e7, else d.dddEnn scientific
+        if math.isnan(value):
+            return "NaN"
+        if math.isinf(value):
+            return "Infinity" if value > 0 else "-Infinity"
+        if value == 0.0:
+            return "-0.0" if math.copysign(1.0, value) < 0 else "0.0"
+        import decimal as _dec
+        sign = "-" if value < 0 else ""
+        d = _dec.Decimal(repr(abs(value))).normalize()
+        digits = "".join(map(str, d.as_tuple().digits))
+        # exponent E such that |x| = 0.<digits> * 10^E
+        e = len(digits) + d.as_tuple().exponent
+        if -2 <= e <= 7:  # 1e-3 <= |x| < 1e7
+            if e <= 0:
+                body = "0." + "0" * (-e) + digits
+            elif e >= len(digits):
+                body = digits + "0" * (e - len(digits)) + ".0"
+            else:
+                body = digits[:e] + "." + digits[e:]
+        else:
+            frac = digits[1:] or "0"
+            body = f"{digits[0]}.{frac}E{e - 1}"
+        return sign + body
+    if isinstance(value, datetime.datetime):
+        s = value.strftime("%Y-%m-%d %H:%M:%S")
+        if value.microsecond:
+            s += (".%06d" % value.microsecond).rstrip("0")
+        return s
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    return None
+
+
 class SnapshotTable:
     def __init__(self, root: str, partition_by: tuple[str, ...] = (),
                  stats_by: tuple[str, ...] = (),
@@ -268,7 +329,14 @@ class SnapshotTable:
         tests per file in the driver). Files without a recorded filter
         are conservatively kept. Superset guarantee: a file containing
         the value is always returned (no false negatives by Bloom
-        construction); ~fp_rate of non-containing files leak through."""
+        construction); ~fp_rate of non-containing files leak through.
+
+        The probe key is rendered through the SAME cast-to-string
+        semantics the build used (:func:`_spark_cast_string` — Python
+        ``str()`` diverges for booleans/doubles/timestamps and would
+        silently skip matching files); a value of a non-replicable type
+        (bytes, Decimal) disables pruning for this probe — every live
+        file stays a candidate, preserving the superset guarantee."""
         import base64
         import hashlib
 
@@ -284,7 +352,15 @@ class SnapshotTable:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         blooms = snap.get("file_blooms") or {}
         live_dirs = set(snap["files"])
-        hkey = hashlib.md5(str(value).encode()).hexdigest()
+        rendered = _spark_cast_string(value)
+        if rendered is None:
+            keep = []
+            for d in live_dirs:
+                keep.extend(_glob.glob(
+                    os.path.join(self._data_dir, d, "**", "*.parquet"),
+                    recursive=True))
+            return keep
+        hkey = hashlib.md5(rendered.encode()).hexdigest()
         keep = []
         covered_dirs: set[str] = set()
         for rel, cols in blooms.items():

@@ -410,6 +410,72 @@ def test_bloom_no_false_negatives_all_keys(spark, tmp_path):
     assert live
 
 
+def test_bloom_probe_matches_build_for_non_string_types(spark, tmp_path):
+    """Build hashes Spark's cast-to-string rendering; the probe must
+    hash the SAME rendering for every supported type or a containing
+    file is silently skipped (false negative breaking read_point's
+    superset guarantee). Covers the divergence cases: booleans
+    ('true' vs Python 'True'), doubles ('1.0E7' vs '10000000.0'),
+    timestamps (trailing-zero trim), plus ints/dates; bytes fall back
+    to keep-all (rendering not replicable driver-side)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from commoncrawl_spark.tables import SnapshotTable, _spark_cast_string
+
+    ts1 = datetime.datetime(2023, 1, 1, 12, 0, 0)
+    ts2 = datetime.datetime(2023, 1, 1, 12, 0, 0, 500000)
+    rows = [(True, 1.0e7, ts1, 5, datetime.date(2023, 5, 6), b"k1"),
+            (False, 1e-8, ts2, -3, datetime.date(2024, 1, 2), b"k2"),
+            (True, 123.5, ts1, 7, datetime.date(2023, 5, 7), b"k3")]
+    df = spark.createDataFrame(
+        rows, "b boolean, d double, t timestamp, i long, dt date, "
+              "raw binary")
+    t = SnapshotTable(
+        str(tmp_path / "nb"), bloom_by=("b", "d", "t", "i", "dt"))
+    t.append(df.repartition(3))
+    probes = [("b", True, 2), ("b", False, 1),
+              ("d", 1.0e7, 1), ("d", 1e-8, 1), ("d", 123.5, 1),
+              ("t", ts1, 2), ("t", ts2, 1),
+              ("i", 5, 1), ("i", -3, 1),
+              ("dt", datetime.date(2023, 5, 6), 1)]
+    for col, val, n in probes:
+        assert t.bloom_matching_files(col, val), (col, val)
+        got = t.read_point(spark, col, val)
+        assert got.count() == n, (col, val)
+    # renderer parity with the JVM, pinned value-for-value
+    jvm = df.select(
+        F.col("b").cast("string"), F.col("d").cast("string"),
+        F.col("t").cast("string"), F.col("i").cast("string"),
+        F.col("dt").cast("string")).collect()
+    for r, (b, d, ts, i, dt, _) in zip(jvm, rows):
+        assert list(r) == [_spark_cast_string(v)
+                           for v in (b, d, ts, i, dt)]
+    # non-replicable type: conservative keep-all, superset holds
+    t2 = SnapshotTable(str(tmp_path / "nb2"), bloom_by=("raw",))
+    t2.append(df.repartition(3))
+    all_files = t2.bloom_matching_files("raw", b"k1")
+    import glob as _glob
+    live = _glob.glob(str(tmp_path / "nb2" / "data" / "**" / "*.parquet"),
+                      recursive=True)
+    assert sorted(all_files) == sorted(live) and live
+    assert _spark_cast_string(b"k1") is None
+
+
+def test_java_double_rendering_edges():
+    from commoncrawl_spark.tables import _spark_cast_string
+
+    cases = [(1.0e7, "1.0E7"), (9999999.0, "9999999.0"),
+             (123.0, "123.0"), (0.5, "0.5"), (1e-8, "1.0E-8"),
+             (0.001, "0.001"), (-0.0, "-0.0"), (0.0, "0.0"),
+             (-123.25, "-123.25"), (float("nan"), "NaN"),
+             (float("inf"), "Infinity"), (float("-inf"), "-Infinity"),
+             (1.2345678e20, "1.2345678E20"), (3.14159, "3.14159")]
+    for v, want in cases:
+        assert _spark_cast_string(v) == want, v
+
+
 def test_bloom_append_accumulates_and_travel(spark, tmp_path):
     t = _bloom_table(spark, tmp_path, n=100, commits=2)
     s0 = t.snapshot(0)["file_blooms"]
