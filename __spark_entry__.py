@@ -6263,15 +6263,19 @@ def _sql_unigram_chain(maxlen: int = 8, mpl: int = 4,
         v0 AS MATERIALIZED (SELECT word, freq, CAST(0.0 AS DOUBLE) AS cost,
                       0 AS np, CAST([] AS VARCHAR[]) AS path
                FROM hist)"""]
-    for k in range(1, maxlen + 1):
-        cands = "\n            UNION ALL\n            ".join(
-            f"""SELECT v.word, v.freq, v.cost - e.lp AS cost,
+    def dp_pass(prefix: str, edges_name: str, vit_name: str) -> None:
+        """Emit one unrolled Viterbi DP over ``edges_name`` into
+        ``{prefix}1..{prefix}{maxlen}`` + the per-word best CTE
+        ``vit_name`` — shared by the seed pass and the trained pass."""
+        for k in range(1, maxlen + 1):
+            cands = "\n            UNION ALL\n            ".join(
+                f"""SELECT v.word, v.freq, v.cost - e.lp AS cost,
                    v.np + 1 AS np,
                    list_append(v.path, e.piece) AS path
-            FROM v{j} v JOIN edges e
+            FROM {prefix}{j} v JOIN {edges_name} e
               ON e.word = v.word AND e.j = {j} AND e.i = {k}"""
-            for j in range(max(0, k - mpl), k))
-        parts.append(f"""v{k} AS MATERIALIZED (
+                for j in range(max(0, k - mpl), k))
+            parts.append(f"""{prefix}{k} AS MATERIALIZED (
           SELECT word, freq, cost, np, path FROM (
             SELECT c.*, row_number() OVER (
               PARTITION BY word
@@ -6279,21 +6283,44 @@ def _sql_unigram_chain(maxlen: int = 8, mpl: int = 4,
                        array_to_string(path, chr(31)) ASC) AS rn
             FROM ({cands}) c)
           WHERE rn = 1)""")
-    vit_union = "\n          UNION ALL\n          ".join(
-        f"SELECT word, freq, path FROM v{k} WHERE length(word) = {k}"
-        for k in range(1, maxlen + 1))
-    parts.append(f"""vit AS MATERIALIZED (
-          {vit_union}),
-        segcnt AS MATERIALIZED (
+        vit_union = "\n          UNION ALL\n          ".join(
+            f"SELECT word, freq, path FROM {prefix}{k} "
+            f"WHERE length(word) = {k}"
+            for k in range(1, maxlen + 1))
+        parts.append(f"""{vit_name} AS MATERIALIZED (
+          {vit_union})""")
+
+    dp_pass("v", "edges", "vit")
+    parts.append("""segcnt AS MATERIALIZED (
           SELECT p AS piece, CAST(sum(freq) AS BIGINT) AS count
           FROM (SELECT freq, unnest(path) AS p FROM vit)
           GROUP BY 1),
-        trained AS (
+        trained AS MATERIALIZED (
           SELECT piece, count FROM segcnt
           UNION ALL
           SELECT c.piece, CAST(1 AS BIGINT) AS count
           FROM chars c
-          WHERE c.piece NOT IN (SELECT piece FROM segcnt))""")
+          WHERE c.piece NOT IN (SELECT piece FROM segcnt)),
+        vocab2 AS MATERIALIZED (
+          SELECT piece,
+                 ln(count / (SELECT CAST(sum(count) AS DOUBLE)
+                             FROM trained)) AS lp
+          FROM trained),
+        edges2 AS MATERIALIZED (
+          SELECT e.word, e.j, e.i, v.lp,
+                 substring(e.word, e.j + 1, e.i - e.j) AS piece
+          FROM epair e
+          JOIN vocab2 v ON v.piece = substring(e.word, e.j + 1,
+                                               e.i - e.j)),
+        w0 AS MATERIALIZED (SELECT word, freq, CAST(0.0 AS DOUBLE) AS cost,
+                      0 AS np, CAST([] AS VARCHAR[]) AS path
+               FROM hist)""")
+    # second DP pass under the TRAINED log-probs: this is the model the
+    # Spark query actually encodes with (unigram_token_counts after
+    # train_unigram), so the oracle must replay THIS segmentation —
+    # sourcing n_pieces from the seed-model `vit` only coincides with
+    # it on closed vocabularies (ADVICE r3)
+    dp_pass("w", "edges2", "vit2")
     return ",\n        ".join(parts)
 
 
@@ -13297,7 +13324,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["unigram_tokens"] = f"""
         WITH {_uni},
-        wnp AS (SELECT word, len(path) AS n_pieces FROM vit),
+        wnp AS (SELECT word, len(path) AS n_pieces FROM vit2),
         dt AS (SELECT doc_id, unnest({toks_doc}) AS word
                FROM documents)
         SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,

@@ -130,3 +130,61 @@ def test_oracle_unroll_bound_covers_corpus_word_lengths():
             " t -> t <> '')) AS x FROM "
             f"'/root/testdata/sf{sf}/documents.parquet')").fetchone()[0]
         assert mx <= 12, (sf, mx)
+
+
+def test_oracle_replays_trained_not_seed_segmentation():
+    """ADVICE r3: the unigram_tokens oracle must source n_pieces from
+    the TRAINED-model Viterbi (vit2 — what unigram_token_counts after
+    train_unigram actually encodes with), not the seed-model pass
+    (vit). On this corpus the two genuinely diverge ('aabaaa' is 3
+    pieces under the seed model, 4 under the trained one), so sourcing
+    from vit would be wrong here — the divergence the old oracle only
+    escaped on closed vocabularies."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from commoncrawl_spark.operators.unigram import (
+        _logp_from_counts,
+        viterbi_segment,
+    )
+
+    hist = {"aabaaa": 9, "aba": 8, "abbaaa": 9, "baa": 1}
+    mpl, seed_size = 3, 4
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"(repeat('{w} ', {f}))" for w, f in hist.items())
+                + ") t(text)")
+    chain = e._sql_unigram_chain(maxlen=6, mpl=mpl, seed_size=seed_size)
+    vit1 = dict(con.execute(
+        f"WITH {chain} SELECT word, len(path) FROM vit").fetchall())
+    vit2 = dict(con.execute(
+        f"WITH {chain} SELECT word, len(path) FROM vit2").fetchall())
+
+    # pure-Python replay of seed -> one hard-EM round -> encode
+    from collections import Counter
+    pc = Counter()
+    for w, f in hist.items():
+        for i in range(len(w)):
+            for ln in range(1, min(mpl, len(w) - i) + 1):
+                pc[(w[i:i + ln], ln)] += f
+    multi = sorted(((p, c) for (p, ln), c in pc.items() if ln >= 2),
+                   key=lambda x: (-x[1], x[0]))[:seed_size]
+    seed = dict(multi + [(p, c) for (p, ln), c in pc.items() if ln == 1])
+    lp_seed = _logp_from_counts(seed)
+    tally = Counter()
+    for w, f in hist.items():
+        for p in viterbi_segment(w, lp_seed, mpl) or list(w):
+            tally[p] += f
+    trained = dict(tally)
+    for p in seed:
+        if len(p) == 1:
+            trained.setdefault(p, 1)
+    lp_tr = _logp_from_counts(trained)
+
+    want_seed = {w: len(viterbi_segment(w, lp_seed, mpl))
+                 for w in hist}
+    want_tr = {w: len(viterbi_segment(w, lp_tr, mpl)) for w in hist}
+    assert vit1 == want_seed
+    assert vit2 == want_tr
+    assert want_seed["aabaaa"] == 3 and want_tr["aabaaa"] == 4
+    assert vit1 != vit2
