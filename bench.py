@@ -268,6 +268,30 @@ def bench_seen_probe(spark, pages) -> dict[str, float]:
     return out
 
 
+GC_EVERY = int(os.environ.get("BENCH_GC_EVERY", "10"))
+BEST2_MIN_S = float(os.environ.get("BENCH_BEST2_THRESHOLD", "1.0"))
+
+
+def _session_hygiene(spark) -> None:
+    """Reset the in-session drift sources between query families.
+
+    BENCH_r03 showed 1.4-2.3x inflation on queries with NO code change
+    once the loop grew to ~173 queries in one JVM session: accumulated
+    cached blocks, leftover memory-sink temp views, and GC pressure
+    compound, and a single-run bench cannot distinguish that drift from
+    a real regression. clearCache + dropping finished memory-sink views
+    + an explicit JVM/Python GC between families keeps each query's
+    starting state comparable to a fresh session."""
+    import gc
+
+    spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.tableType == "TEMPORARY" and t.name.startswith("ccs_"):
+            spark.catalog.dropTempView(t.name)
+    spark._jvm.System.gc()
+    gc.collect()
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     extra = {}
@@ -311,7 +335,7 @@ def main() -> None:
         import __spark_entry__ as e
 
         qs = e.queries()
-        for name in [
+        names = [
             "best_capture_dedup", "bloom_anti_join", "politeness_schedule",
             "word_topk", "value_percentiles", "exact_dedup", "minhash_buckets",
             "simhash_neardup", "embedding_topk", "quality_scores",
@@ -419,10 +443,23 @@ def main() -> None:
             "unigram_seed", "unigram_vocab", "unigram_tokens",
             "percolate_alerts", "bloom_point_read", "stream_percolate",
             "kmv_set_ops", "schema_evolution_read",
-        ]:
+        ]
+        for i, name in enumerate(names):
+            if i % GC_EVERY == 0:
+                _session_hygiene(spark)
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.monotonic() - t0, 3)
+            dt = time.monotonic() - t0
+            if dt >= BEST2_MIN_S:
+                # best-of-2 for mid-weight queries (the crawl legs'
+                # documented policy, extended): the min strips one-off
+                # host/GC stalls the single-run number conflated with
+                # plan regressions in BENCH_r03
+                t0 = time.monotonic()
+                qs[name](spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = min(dt, time.monotonic() - t0)
+            queries[name] = round(dt, 3)
 
     out = {
         "metric": "crawl_pipeline_seconds",
@@ -442,7 +479,7 @@ def main() -> None:
     # would be apples-to-oranges). Caveat (BASELINE.md): the shared host
     # swings ~2.5x under load; judge deltas on the best-of-2 policy.
     here = os.path.dirname(os.path.abspath(__file__))
-    for rnd in ("r01", "r02"):
+    for rnd in ("r01", "r02", "r03"):
         try:
             with open(os.path.join(here, f"BENCH_{rnd}.json")) as fh:
                 parsed = json.load(fh).get("parsed", {})
