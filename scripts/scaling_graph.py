@@ -34,6 +34,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("GRAPH_SCALE_FACTOR", "64"))
 ITERS = int(os.environ.get("GRAPH_SCALE_ITERS", "8"))
+# interleaved (8, 2) pairs; the amplified-factor evidence leg (r3
+# verdict stretch: show per-round barriers amortizing as each round
+# carries more data) runs longer per rep, so reps are tunable
+REPS = int(os.environ.get("GRAPH_SCALE_REPS", "3"))
 
 
 def amplified_edges(spark, factor: int, parts: int = 64):
@@ -134,7 +138,7 @@ def main() -> None:
     from scaling_bench import hardware_ceiling
 
     reps: dict[int, list[dict]] = {2: [], 8: []}
-    for c in (8, 2, 8, 2, 8, 2):
+    for c in (8, 2) * REPS:
         r = run_leg(c)
         reps[c].append(r)
         print(f"rep cores={c}: pagerank {r['pagerank_s']}s, "
@@ -184,7 +188,9 @@ def main() -> None:
             "contention_corrected_efficiency": round(med * infl / 4, 3),
         }
         rows.append((name, med))
-    with open(os.path.join(REPO, "scaling_graph_report.json"), "w") as fh:
+    out_name = ("scaling_graph_report.json" if FACTOR == 512
+                else f"scaling_graph_report_f{FACTOR}.json")
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))
     print()
