@@ -509,6 +509,11 @@ def semantic_dedup(
                 "trained cells, or raise max_default_centroid_rows if "
                 "the cost is intended."
             )
+        if max_block_rows is not None and n <= max_block_rows:
+            # the guard count already bounds EVERY cell (a cell can at
+            # most hold all n vectors), so the per-block probe would
+            # re-run centroid assignment to learn nothing
+            max_block_rows = None
         centroids = vectors.filter(F.col(id_col) < n_centroids)
     # the winning cosine rides ivf_assign's argmax struct — no second
     # centroid join, no recomputed dot products
