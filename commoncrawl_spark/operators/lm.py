@@ -60,25 +60,37 @@ from .analytics import tokens_col
 BROADCAST_ROW_LIMIT = 16_000_000
 
 
-def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit):
+def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit,
+                    source=None, text_col=None):
     """Tri-state physical-hint gate for LM model tables.
 
-    ``broadcast_counts=None`` (auto) probes ``counts``'s cardinality
-    with one count() job and hints only when it is at most
-    ``row_limit`` rows. The ``extra_tables`` (context totals,
-    continuation counts, unigrams) are aggregates OF ``counts`` or of
-    the same token stream, so ``|counts|`` bounds them all and one
-    probe suffices. ``True`` forces the hint (caller knows the model is
-    small — e.g. an external trusted-corpus model); ``False`` never
-    hints (AQE may still convert at runtime from actual shuffle sizes).
-    The hint is physical only — results are identical in all three
-    modes. The auto probe costs one extra pass over the model-table
-    subtree; against an external model table that is trivially cheap,
-    and self-trained it is the price of not OOMing the cluster at the
-    design scale.
+    ``broadcast_counts=None`` (auto) proves the model table is at most
+    ``row_limit`` rows before hinting. The ``extra_tables`` (context
+    totals, continuation counts) are aggregates OF ``counts``, so
+    ``|counts|`` bounds them all and one proof suffices. ``True``
+    forces the hint (caller knows the model is small — e.g. an external
+    trusted-corpus model); ``False`` never hints (AQE may still convert
+    at runtime from actual shuffle sizes). The hint is physical only —
+    results are identical in all three modes.
+
+    Auto probes in two tiers. Tier 1 (self-trained models only, when
+    ``source``/``text_col`` are given): distinct pairs <= pair
+    instances <= total text bytes / 2 (tokens are >=1 char and
+    >=1-char separated), one scan-stage sum of ``octet_length`` — no
+    tokenize, no shuffle, near-free — which settles every corpus whose
+    TEXT is smaller than ~2x the row limit. Tier 2: an exact count()
+    of the model table — one extra pass over its subtree; trivially
+    cheap against an external model, and self-trained it is the price
+    of not OOMing the cluster at the design scale.
     """
     if broadcast_counts is None:
-        broadcast_counts = counts.count() <= row_limit
+        if source is not None and text_col is not None:
+            bound = source.agg(F.sum(
+                (F.octet_length(F.col(text_col)) + F.lit(1)) / 2
+            )).first()[0] or 0
+            broadcast_counts = bound <= row_limit or None
+        if broadcast_counts is None:
+            broadcast_counts = counts.count() <= row_limit
     if broadcast_counts:
         return F.broadcast(counts), [F.broadcast(t) for t in extra_tables]
     return counts, list(extra_tables)
@@ -265,6 +277,7 @@ def bigram_logprob_scores(
         .select(id_col, "bg.w1", "bg.w2")
         .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
     )
+    self_trained = counts is None
     if counts is None:
         counts = (
             tfb.where(F.col("w1").isNotNull())
@@ -276,7 +289,8 @@ def bigram_logprob_scores(
     # AQE converts the join, but an unconditional hint dies when the
     # bigram-type table outgrows the broadcast ceiling — probe first
     counts, (ctx,) = _gate_broadcast(
-        counts, [ctx], broadcast_counts, broadcast_row_limit)
+        counts, [ctx], broadcast_counts, broadcast_row_limit,
+        source=df if self_trained else None, text_col=text_col)
     lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
     occ = (
         tfb.join(counts, ["w1", "w2"], "left")
@@ -367,6 +381,7 @@ def stupid_backoff_scores(
         .select(id_col, "bg.w1", "bg.w2")
         .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
     )
+    self_trained = counts is None
     if counts is None:
         counts = (
             tfb.where(F.col("w1").isNotNull())
@@ -379,7 +394,8 @@ def stupid_backoff_scores(
                           F.col("cnt").alias("_ucnt"))
     totals = uni.agg(F.sum("_ucnt").alias("_n"))
     counts, (ctx,) = _gate_broadcast(
-        counts, [ctx], broadcast_counts, broadcast_row_limit)
+        counts, [ctx], broadcast_counts, broadcast_row_limit,
+        source=df if self_trained else None, text_col=text_col)
     # the unigram table is genuinely Heaps-bounded (token TYPES, ~10^7
     # at any corpus size) — always hint it unless explicitly disabled
     if broadcast_counts is not False:
@@ -472,6 +488,7 @@ def kneser_ney_scores(
         .select(id_col, "bg.w1", "bg.w2")
         .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tfd"))
     )
+    self_trained = counts is None
     if counts is None:
         counts = (
             tfb.where(F.col("w1").isNotNull())
@@ -484,7 +501,8 @@ def kneser_ney_scores(
     cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
     types = counts.agg(F.count(F.lit(1)).alias("_types"))
     counts, (ctx, cont) = _gate_broadcast(
-        counts, [ctx, cont], broadcast_counts, broadcast_row_limit)
+        counts, [ctx, cont], broadcast_counts, broadcast_row_limit,
+        source=df if self_trained else None, text_col=text_col)
     # operand-for-operand the formula above — the DuckDB oracle replays
     # this exact arithmetic so the 6dp round is bit-stable cross-engine
     p = (
