@@ -468,6 +468,12 @@ def main() -> None:
         "urls_per_sec": round(n_urls / crawl_s, 1),
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        # r04+: query timings are best-of-2 minima (when first run
+        # >= BENCH_BEST2_THRESHOLD) with per-10-query cache/GC hygiene;
+        # r01-r03 were single-run, so vs_r01/r02/r03 ratios carry a
+        # one-time downward level shift on mid-weight queries — judge
+        # regressions on ratios >> 1, not on sub-1.0 "speedups"
+        "bench_method": "best-of-2-min+hygiene (r04+)",
         "n_pages": n_pages,
         "n_urls_extracted": n_urls,
         "cpus": int(cpus),

@@ -396,10 +396,18 @@ def stupid_backoff_scores(
     counts, (ctx,) = _gate_broadcast(
         counts, [ctx], broadcast_counts, broadcast_row_limit,
         source=df if self_trained else None, text_col=text_col)
-    # the unigram table is genuinely Heaps-bounded (token TYPES, ~10^7
-    # at any corpus size) — always hint it unless explicitly disabled
-    if broadcast_counts is not False:
-        uni = F.broadcast(uni)
+    if self_trained:
+        # self-trained unigram table = token TYPES of the scored corpus
+        # — genuinely Heaps-bounded, hint unless explicitly disabled
+        if broadcast_counts is not False:
+            uni = F.broadcast(uni)
+    else:
+        # EXTERNAL unigram table (the both-or-neither guard above means
+        # external counts => external unigrams): its size is the
+        # caller's choice, not Heaps-bounded by df — gate it on its own
+        # cardinality (cheap: the table is precomputed)
+        uni, _ = _gate_broadcast(
+            uni, [], broadcast_counts, broadcast_row_limit)
     seen = F.col("cnt").isNotNull()
     score = F.when(
         seen, F.col("cnt").cast("double") / F.col("ctx").cast("double")

@@ -412,8 +412,12 @@ def near_duplicate_pairs(
                 "explicitly if the quadratic cost is intended."
             )
     elif max_block_rows is not None:
+        # NULL block keys never equi-join (zero pairs), so they must
+        # not count as a block — a large unassigned group would
+        # spuriously abort a linear job
         top = (
-            df.groupBy(block_col).count()
+            df.where(F.col(block_col).isNotNull())
+            .groupBy(block_col).count()
             .agg(F.max("count").alias("m")).first()
         )
         biggest = top["m"] or 0

@@ -38,11 +38,13 @@ def _spark_cast_string(value: Any) -> str | None:
     the probe must hash the SAME rendering or a file containing the
     value is wrongly skipped — a silent false negative (booleans render
     ``true`` not ``True``; 1.0e7 renders ``1.0E7`` not ``10000000.0``;
-    timestamps trim trailing fraction zeros). Returns None for types
+    timestamps trim trailing fraction zeros). Returns None for values
     whose rendering is not replicated here (bytes — UTF-8 lossy decode;
     Decimal — needs the column's scale, which the manifest does not
-    record); callers must then fall back to keeping all files, never
-    guess. Pass the probe value with the Python type matching the
+    record; tz-aware datetimes — Spark renders the instant in the
+    session timezone; doubles outside [1e-290, 9e15) — JDK 17's legacy
+    Double.toString emits non-shortest digits there); callers must then
+    fall back to keeping all files, never guess. Pass the probe value with the Python type matching the
     column type (int for bigint, float for double): the manifest stores
     no schema, so the probe cannot coerce for you, and hashing 5
     against a double column (built as "5.0") would miss.
@@ -58,13 +60,22 @@ def _spark_cast_string(value: Any) -> str | None:
         return str(value)
     if isinstance(value, float):
         # Java Double.toString: shortest round-trip digits; plain form
-        # for 1e-3 <= |x| < 1e7, else d.dddEnn scientific
+        # for 1e-3 <= |x| < 1e7, else d.dddEnn scientific.
+        # JDK range gate: Spark on JDK 17 uses the LEGACY FloatingDecimal
+        # algorithm, which emits non-shortest digits for some values
+        # with |v| >= 2^53 and for subnormals (differential fuzz on this
+        # host: all mismatches at |v| >= ~1e16 or < ~1e-300; JDK 19+
+        # adopted shortest-digits and would match everywhere). Outside
+        # the verified-equal range return None -> caller keeps all
+        # files, preserving the superset guarantee instead of guessing.
         if math.isnan(value):
             return "NaN"
         if math.isinf(value):
             return "Infinity" if value > 0 else "-Infinity"
         if value == 0.0:
             return "-0.0" if math.copysign(1.0, value) < 0 else "0.0"
+        if not 1e-290 <= abs(value) < 9.0e15:
+            return None
         import decimal as _dec
         sign = "-" if value < 0 else ""
         d = _dec.Decimal(repr(abs(value))).normalize()
@@ -83,6 +94,11 @@ def _spark_cast_string(value: Any) -> str | None:
             body = f"{digits[0]}.{frac}E{e - 1}"
         return sign + body
     if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            # Spark renders the INSTANT in the session timezone; a
+            # naive strftime of the aware value's own wall-clock would
+            # hash a different key -> silent false negative. Keep-all.
+            return None
         s = value.strftime("%Y-%m-%d %H:%M:%S")
         if value.microsecond:
             s += (".%06d" % value.microsecond).rstrip("0")

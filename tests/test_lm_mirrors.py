@@ -241,6 +241,39 @@ def test_lm_broadcast_size_gate(spark):
 
 
 @pytest.mark.spark
+def test_stupid_backoff_external_unigram_table_is_gated(spark):
+    """With an EXTERNAL model, auto mode must size-gate the unigram
+    table too — it is the caller's table, not Heaps-bounded by df, so
+    'not False => broadcast' would re-open the OOM the gate closed."""
+    from commoncrawl_spark.operators.lm import stupid_backoff_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    counts = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2)], "w1 string, w2 string, cnt long")
+    uni = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("c", 2), ("d", 1)],
+        "token string, cnt long")
+
+    def hints(out):
+        return out._jdf.queryExecution().optimizedPlan().toString() \
+            .count("strategy=broadcast")
+
+    gated = stupid_backoff_scores(
+        df, counts=counts, unigrams=uni,
+        broadcast_counts=None, broadcast_row_limit=1)
+    forced = stupid_backoff_scores(
+        df, counts=counts, unigrams=uni, broadcast_counts=True)
+    # the single remaining hint is the sanctioned 1-row totals
+    # crossJoin broadcast; all three MODEL-table hints must be gone
+    assert hints(gated) == 1
+    assert hints(forced) >= 4
+    rows_g = {r["doc_id"]: tuple(r) for r in gated.collect()}
+    rows_f = {r["doc_id"]: tuple(r) for r in forced.collect()}
+    assert rows_g == rows_f
+
+
+@pytest.mark.spark
 def test_kneser_ney_hand_computed(spark):
     import math
 

@@ -471,9 +471,24 @@ def test_java_double_rendering_edges():
              (0.001, "0.001"), (-0.0, "-0.0"), (0.0, "0.0"),
              (-123.25, "-123.25"), (float("nan"), "NaN"),
              (float("inf"), "Infinity"), (float("-inf"), "-Infinity"),
-             (1.2345678e20, "1.2345678E20"), (3.14159, "3.14159")]
+             (8.9e15, "8.9E15"), (3.14159, "3.14159")]
     for v, want in cases:
         assert _spark_cast_string(v) == want, v
+    # outside the range where JDK 17's legacy Double.toString is
+    # verifiably shortest-digits (|v| >= ~2^53, subnormals), the
+    # renderer must refuse (keep-all fallback), not guess: Spark on
+    # this JVM renders e.g. 1.373428634809579e18 with a legacy extra
+    # digit ('...57901E18') that no shortest-repr replica produces
+    for v in (1.373428634809579e18, 9.1e15, -2e16, 5e-324, 1e-300):
+        assert _spark_cast_string(v) is None, v
+    # tz-aware datetimes render in the SESSION timezone JVM-side —
+    # refuse rather than hash the wrong wall-clock
+    import datetime
+    aware = datetime.datetime(2023, 1, 1, 12, 0,
+                              tzinfo=datetime.timezone.utc)
+    assert _spark_cast_string(aware) is None
+    assert _spark_cast_string(datetime.datetime(2023, 1, 1, 12, 0)) \
+        == "2023-01-01 12:00:00"
 
 
 def test_bloom_append_accumulates_and_travel(spark, tmp_path):

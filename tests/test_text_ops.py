@@ -250,6 +250,13 @@ def test_near_duplicate_pairs_guards_skewed_block(spark):
     assert near_duplicate_pairs(
         skewed, threshold=0.9, block_col="blk",
         max_block_rows=None).count() > 0
+    # NULL blocks never join (zero pairs) so they must not trip the
+    # probe: 150 unassigned rows + small real buckets is a LINEAR job
+    nulled = skewed.withColumn(
+        "blk", F.when(F.col("blk") == 0, F.lit(None)).otherwise(F.col("blk")))
+    out = near_duplicate_pairs(
+        nulled, threshold=0.9, block_col="blk", max_block_rows=100)
+    assert out.count() == 0  # singleton real blocks -> no pairs
 
 
 @pytest.mark.spark
