@@ -4564,9 +4564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _read(spark, sf, "documents")
         train = d.where(F.col("doc_id") % 2 == 0)
+        # broadcast_counts=True: the model derives in-plan from a
+        # bounded half-corpus slice the CALLER knows is tiny at every
+        # test sf — the library's auto gate would pay a tier-2 exact
+        # count that re-derives the model subtree just to learn that
+        # (external models have no tier-1 byte bound). The gate's auto
+        # path is exercised in test_lm_mirrors; this is the documented
+        # explicit-knowledge escape hatch, not an opt-out of safety.
         return stupid_backoff_scores(
             d, counts=bigram_counts(train),
-            unigrams=unigram_counts(train))
+            unigrams=unigram_counts(train), broadcast_counts=True)
     q["stupid_backoff"] = stupid_backoff
 
     def dsir_weights(spark, sf):
