@@ -4533,7 +4533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from commoncrawl_spark.operators.lm import bigram_logprob_scores
 
         d = _read(spark, sf, "documents")
-        return bigram_logprob_scores(d)
+        # broadcast_counts=True: sandbox corpora are caller-known tiny,
+        # and _read's bench repartition would make the auto gate's
+        # tier-1 probe shuffle the projected text column (Catalyst
+        # does not push projects below round-robin exchanges). The
+        # auto path is pytest-pinned in test_lm_mirrors.
+        return bigram_logprob_scores(d, broadcast_counts=True)
     q["lm_bigram"] = lm_bigram
 
     def lm_kneser_ney(spark, sf):
@@ -4546,7 +4551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from commoncrawl_spark.operators.lm import kneser_ney_scores
 
         d = _read(spark, sf, "documents").select("doc_id", "text")
-        return kneser_ney_scores(d, discount=0.75)
+        # broadcast_counts=True: same caller-knowledge rationale as
+        # lm_bigram (gate exercised in tests; probe would pay the
+        # bench repartition exchange)
+        return kneser_ney_scores(d, discount=0.75,
+                                 broadcast_counts=True)
     q["lm_kneser_ney"] = lm_kneser_ney
 
     def stupid_backoff(spark, sf):

@@ -27,17 +27,19 @@ Determinism: scores are rounded to 6 decimals (the cross-engine compare
 precision); the summation is a float add over per-token logs whose
 error is ~1e-13 relative, far below the rounding grain.
 
-Caching note (r03): NOTHING here persists or checkpoints — the
-operators are stateless, with no cache lifecycle and no
-``clearCache()`` contract for long-running sessions (the r02 footgun).
-Both scorers aggregate into a per-document term-frequency table;
-self-training derives the corpus counts FROM that table (sum of
-per-doc counts), and scoring reconstructs the occurrence stream from
-it (``array_repeat`` by the per-doc count). Train + score still means
-the tf subtree evaluates twice (Spark plans DataFrame reuse as two
-subtrees) — a deliberate trade: two scan-stage tokenize passes, which
-parallelize perfectly, instead of caching a corpus-token-scale frame
-into LRU churn at 100 TB.
+Caching note (r03, amended r04): no CORPUS-scale frame is ever
+persisted or cached — the per-document term-frequency table stays a
+recomputed subtree (train + score means it evaluates twice — a
+deliberate trade: two scan-stage tokenize passes, which parallelize
+perfectly, instead of caching a corpus-token-scale frame into LRU
+churn at 100 TB). The one exception added in r04 is MODEL-table-sized
+and gate-proven: when a bigram model table is about to broadcast,
+``_gate_model`` materializes it with ``localCheckpoint(eager=True)``
+(bounded blocks, lineage truncated) because otherwise the expensive
+training aggregation re-evaluates once per derived-table broadcast
+build — measured 4-5x in kneser_ney. Scoring reconstructs the
+occurrence stream from the tf table (``array_repeat`` by the per-doc
+count).
 """
 
 from __future__ import annotations
@@ -60,18 +62,21 @@ from .analytics import tokens_col
 BROADCAST_ROW_LIMIT = 16_000_000
 
 
-def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit,
-                    source=None, text_col=None):
-    """Tri-state physical-hint gate for LM model tables.
+def _gate_model(counts, broadcast_counts, row_limit,
+                source=None, text_col=None):
+    """Tri-state broadcast gate for LM model tables. Returns
+    ``(counts, hint)`` — the possibly-materialized model table and the
+    resolved broadcast decision; callers derive the secondary tables
+    (context totals, continuation counts — aggregates OF ``counts``,
+    so ``|counts|`` bounds them all) from the RETURNED frame and apply
+    ``F.broadcast`` to each iff ``hint``.
 
     ``broadcast_counts=None`` (auto) proves the model table is at most
-    ``row_limit`` rows before hinting. The ``extra_tables`` (context
-    totals, continuation counts) are aggregates OF ``counts``, so
-    ``|counts|`` bounds them all and one proof suffices. ``True``
-    forces the hint (caller knows the model is small — e.g. an external
-    trusted-corpus model); ``False`` never hints (AQE may still convert
-    at runtime from actual shuffle sizes). The hint is physical only —
-    results are identical in all three modes.
+    ``row_limit`` rows before hinting; ``True`` forces the hint
+    (caller knows the model is small — e.g. an external trusted-corpus
+    model); ``False`` never hints (AQE may still convert at runtime
+    from actual shuffle sizes). The hint is physical only — results
+    are identical in all three modes.
 
     Auto probes in two tiers. Tier 1 (self-trained models only, when
     ``source``/``text_col`` are given): distinct pairs <= pair
@@ -82,6 +87,17 @@ def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit,
     of the model table — one extra pass over its subtree; trivially
     cheap against an external model, and self-trained it is the price
     of not OOMing the cluster at the design scale.
+
+    Materialization: when the decision is to broadcast, the model
+    table is ``localCheckpoint(eager=True)``-ed first — the gate just
+    proved it bounded, and WITHOUT this the corpus-scale aggregation
+    beneath it re-evaluates for every derived table's broadcast build
+    (measured: kneser_ney ran the pair aggregation 4-5x — its plan
+    held five copies of the upstream exchange with zero reuse). The
+    checkpoint stores model-table-sized blocks on executors and
+    truncates lineage, so training runs exactly once; the repo's
+    analytics/bpe precedent for bounded intermediates. Unbroadcast
+    (huge) models are never materialized.
     """
     if broadcast_counts is None:
         if source is not None and text_col is not None:
@@ -92,8 +108,8 @@ def _gate_broadcast(counts, extra_tables, broadcast_counts, row_limit,
         if broadcast_counts is None:
             broadcast_counts = counts.count() <= row_limit
     if broadcast_counts:
-        return F.broadcast(counts), [F.broadcast(t) for t in extra_tables]
-    return counts, list(extra_tables)
+        counts = counts.localCheckpoint(eager=True)
+    return counts, bool(broadcast_counts)
 
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -283,14 +299,18 @@ def bigram_logprob_scores(
             tfb.where(F.col("w1").isNotNull())
             .groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
         )
-    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     # size-gated broadcast (r4): without the hint the corpus-scale
     # per-doc pair stream writes (w1, w2)-keyed shuffle files before
     # AQE converts the join, but an unconditional hint dies when the
-    # bigram-type table outgrows the broadcast ceiling — probe first
-    counts, (ctx,) = _gate_broadcast(
-        counts, [ctx], broadcast_counts, broadcast_row_limit,
+    # bigram-type table outgrows the broadcast ceiling — probe first;
+    # ctx derives from the RETURNED (materialized) model table so the
+    # training aggregation runs once, not once per broadcast build
+    counts, _hint = _gate_model(
+        counts, broadcast_counts, broadcast_row_limit,
         source=df if self_trained else None, text_col=text_col)
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    if _hint:
+        counts, ctx = F.broadcast(counts), F.broadcast(ctx)
     lp = F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))
     occ = (
         tfb.join(counts, ["w1", "w2"], "left")
@@ -389,13 +409,15 @@ def stupid_backoff_scores(
         )
     if unigrams is None:
         unigrams = unigram_counts(df, text_col=text_col)
+    counts, _hint = _gate_model(
+        counts, broadcast_counts, broadcast_row_limit,
+        source=df if self_trained else None, text_col=text_col)
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     uni = unigrams.select(F.col("token").alias("w2"),
                           F.col("cnt").alias("_ucnt"))
     totals = uni.agg(F.sum("_ucnt").alias("_n"))
-    counts, (ctx,) = _gate_broadcast(
-        counts, [ctx], broadcast_counts, broadcast_row_limit,
-        source=df if self_trained else None, text_col=text_col)
+    if _hint:
+        counts, ctx = F.broadcast(counts), F.broadcast(ctx)
     if self_trained:
         # self-trained unigram table = token TYPES of the scored corpus
         # — genuinely Heaps-bounded, hint unless explicitly disabled
@@ -406,8 +428,10 @@ def stupid_backoff_scores(
         # external counts => external unigrams): its size is the
         # caller's choice, not Heaps-bounded by df — gate it on its own
         # cardinality (cheap: the table is precomputed)
-        uni, _ = _gate_broadcast(
-            uni, [], broadcast_counts, broadcast_row_limit)
+        uni, _uhint = _gate_model(
+            uni, broadcast_counts, broadcast_row_limit)
+        if _uhint:
+            uni = F.broadcast(uni)
     seen = F.col("cnt").isNotNull()
     score = F.when(
         seen, F.col("cnt").cast("double") / F.col("ctx").cast("double")
@@ -502,15 +526,18 @@ def kneser_ney_scores(
             tfb.where(F.col("w1").isNotNull())
             .groupBy("w1", "w2").agg(F.sum("_tfd").alias("cnt"))
         )
+    counts, _hint = _gate_model(
+        counts, broadcast_counts, broadcast_row_limit,
+        source=df if self_trained else None, text_col=text_col)
     ctx = counts.groupBy("w1").agg(
         F.sum("cnt").alias("ctx"),
         F.count(F.lit(1)).alias("n_follow"),
     )
     cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
     types = counts.agg(F.count(F.lit(1)).alias("_types"))
-    counts, (ctx, cont) = _gate_broadcast(
-        counts, [ctx, cont], broadcast_counts, broadcast_row_limit,
-        source=df if self_trained else None, text_col=text_col)
+    if _hint:
+        counts, ctx, cont = (F.broadcast(counts), F.broadcast(ctx),
+                             F.broadcast(cont))
     # operand-for-operand the formula above — the DuckDB oracle replays
     # this exact arithmetic so the 6dp round is bit-stable cross-engine
     p = (
