@@ -527,6 +527,19 @@ def semantic_dedup(
         id_col, vec_col, "cell",
         F.round(F.col("cent_cos"), 6).alias("cent_cos"),
     )
+    # the assignment subtree is referenced FOUR times below (both pair
+    # sides, rep election, verdict restore) and Spark evaluates each
+    # broadcast/join child independently (zero ReusedExchange —
+    # measured 4 scans of the vectors with 4 argmax passes). The
+    # vector-free projection is ~20 B/row, so checkpoint IT once and
+    # feed the two slim consumers from the blocks; only the pair join
+    # (which genuinely needs the vectors) recomputes the assignment —
+    # scan-local columnar work that beats shuffling full embedding
+    # vectors to reunite them with a slim table. 4 corpus argmax
+    # passes -> 3 (2 at the default-centroid sandbox shape, where the
+    # block probe is already skipped).
+    slim = with_cos.select(id_col, "cell", "cent_cos") \
+        .localCheckpoint(eager=True)
     pairs = near_duplicate_pairs(
         with_cos, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="cell", max_block_rows=max_block_rows,
@@ -535,11 +548,11 @@ def semantic_dedup(
         "id", id_col).withColumnRenamed("cluster", "sem_cluster")
     reps = cluster_representatives(
         cc,
-        with_cos.select(id_col, (-F.col("cent_cos")).alias("score")),
+        slim.select(id_col, (-F.col("cent_cos")).alias("score")),
         id_col=id_col, cluster_col="sem_cluster", score_col="score",
     ).select(F.col("sem_cluster"), F.col(f"rep_{id_col}").alias("_rep"))
     return (
-        with_cos.select(id_col, "cell", "cent_cos")
+        slim
         .join(cc, id_col, "left")
         .join(reps, "sem_cluster", "left")
         .select(

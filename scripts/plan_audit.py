@@ -1865,6 +1865,18 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     sd = semantic_dedup(emb, n_centroids=16, threshold=0.3)
     p = plan_of(sd)
+    # the candidate-pair subplan (assignment + cell self-join) — the
+    # final verdict plan reads the slim assignment from its r4
+    # localCheckpoint blocks, so the centroid BNLJ and the cell
+    # equi-join live HERE, not in the output plan
+    from commoncrawl_spark.operators.similarity import (
+        ivf_assign,
+        near_duplicate_pairs,
+    )
+    _asg = ivf_assign(emb, emb.filter(F.col("vec_id") < 16),
+                      "vec_id", "embedding", with_score=True)
+    _pp = plan_of(near_duplicate_pairs(
+        _asg, threshold=0.3, block_col="cell", max_block_rows=None))
     sections.append((
         "SemDeDup: within-cell pairs only, never all-pairs",
         "semantic_dedup compares embeddings only inside a k-means cell: "
@@ -1893,12 +1905,16 @@ def main() -> None:
         "pays the one extra cell-assignment pass, the price of being "
         "safe to point at a corpus whose skew you did not check "
         "first.",
-        [f"CartesianProduct present: {'CartesianProduct' in p} "
+        [f"CartesianProduct in verdict plan: {'CartesianProduct' in p} "
          f"(expect False)",
-         f"BroadcastNestedLoopJoin present: "
-         f"{'BroadcastNestedLoopJoin' in p} (expect True — the tiny "
-         f"broadcast centroid cross)",
-         f"Python operators: {p.count('EvalPython')} (expect 0)"],
+         f"CartesianProduct in pair subplan: "
+         f"{'CartesianProduct' in _pp} (expect False)",
+         f"BroadcastNestedLoopJoin in pair subplan: "
+         f"{'BroadcastNestedLoopJoin' in _pp} (expect True — the tiny "
+         f"broadcast centroid cross; since r4 the slim assignment is "
+         f"checkpointed once, so it no longer appears in the verdict "
+         f"plan)",
+         f"Python operators: {p.count('EvalPython') + _pp.count('EvalPython')} (expect 0)"],
     ))
 
     # host boilerplate: slim-key frequency agg, broadcast anti-join
