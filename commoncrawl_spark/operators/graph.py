@@ -35,22 +35,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
+def _propagate(sym: DataFrame, labels: DataFrame,
+               carry_prev: bool = False) -> DataFrame:
     """One label-propagation round: neighbor-min, then pointer doubling.
 
     Split out (un-checkpointed) so plan tests and the SCALE.md audit can
     inspect the per-iteration physical plan — the loop checkpoints each
     round, which would otherwise hide it behind an RDD scan.
+
+    ``carry_prev`` threads each node's INCOMING label through the round
+    as ``_prev`` (every node contributes exactly one own-label row, so
+    a ``max`` aggregate recovers it beside the min-label fold). The
+    loop's convergence check then becomes a filter over the round's own
+    checkpointed output instead of a node-scale shuffle join of new
+    labels against old — one fewer exchange per iteration (r4; the
+    check was measurably driver/shuffle-bound at sandbox round sizes).
     """
+    own = labels.select("id", "cluster")
     nbr_labels = (
-        sym.join(labels.withColumnRenamed("id", "nb"), "nb")
+        sym.join(own.withColumnRenamed("id", "nb"), "nb")
         .select("id", "cluster")
     )
-    stepped = (
-        labels.unionByName(nbr_labels)
-        .groupBy("id")
-        .agg(F.min("cluster").alias("cluster"))
-    )
+    if carry_prev:
+        ctype = dict(own.dtypes)["cluster"]
+        own = own.withColumn("_prev", F.col("cluster"))
+        nbr_labels = nbr_labels.withColumn(
+            "_prev", F.lit(None).cast(ctype))
+        aggs = [F.min("cluster").alias("cluster"),
+                F.max("_prev").alias("_prev")]
+        carry = [F.col("_prev")]
+    else:
+        aggs = [F.min("cluster").alias("cluster")]
+        carry = []
+    stepped = own.unionByName(nbr_labels).groupBy("id").agg(*aggs)
     # pointer doubling: follow the label chain one extra hop. Every
     # label IS a node id, and labels only decrease, so the jump is
     # always valid and monotone: cluster' = label(label(id)).
@@ -60,7 +77,7 @@ def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
                            F.col("cluster").alias("_c2")),
             "cluster",
         )
-        .select("id", F.col("_c2").alias("cluster"))
+        .select("id", F.col("_c2").alias("cluster"), *carry)
     )
 
 
@@ -98,18 +115,20 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        new_labels = _propagate(sym, labels).localCheckpoint(eager=True)
+        new_labels = _propagate(
+            sym, labels, carry_prev=True).localCheckpoint(eager=True)
+        # convergence reads the round's own checkpoint blocks — no
+        # join of new labels against old (r4: one fewer node-scale
+        # exchange + count per iteration)
         changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
+            new_labels.filter(F.col("cluster") != F.col("_prev")).count()
         )
         old = labels
         labels = new_labels
         old.unpersist()
         if changed == 0:
             break
-    return labels
+    return labels.select("id", "cluster")
 
 
 def pagerank(
