@@ -6147,7 +6147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-5 ROTATION (pre-staged — swap _front to this list before the
     # round-5 driver run; 94 queries remain unattested after r4, the
     # driver caps at 50/round, so the 44 left over are the long-tail
-    # diagnostics, deliberately lowest-priority):
+    # diagnostics, deliberately lowest-priority). All 50 below were
+    # re-verified hash-green under scripts/check_contract.py at the end
+    # of round 4 (late-r4 engine), so the swap is mechanical:
     #   warc_cdx, wet_export, warc_export, wat_export, cdx_zipnum,
     #   warc_revisit, redirect_resolution, mime_sniff, page_directives,
     #   dust_param_rules, dust_collapse, alias_collapse, url_word_filter,
