@@ -1506,13 +1506,22 @@ def bm25_search_blockmax(
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
+    # the query-term posting slice is the working set of EVERY stage
+    # below (champions, df, ad-hoc block maxima, the pruned scorer) —
+    # materialize it once: each stage otherwise re-evaluates the whole
+    # tf_index subtree independently (zero cross-stage reuse of
+    # broadcast builds; measured 12 corpus scans per ad-hoc query).
+    # The slice is the postings the full scorer must read anyway — the
+    # standard serving materialization — and filtering by token keeps
+    # each retained term's posting list COMPLETE, so df, champions and
+    # block maxima computed from it are exactly the full-index values.
+    tf = tf_index.filter(F.col("token").isin(terms)) \
+        .localCheckpoint(eager=True)
     # champion lists only for the QUERY terms — exact, since each
     # term's full posting list is retained (its top-m and stamped df
     # are unchanged by dropping other terms), and it keeps the theta
     # pass O(|terms|*m) instead of re-pruning the whole index per query
-    champs = build_champion_lists(
-        tf_index.filter(F.col("token").isin(terms)),
-        m=champion_m, id_col=id_col)
+    champs = build_champion_lists(tf, m=champion_m, id_col=id_col)
     ctop = bm25_search_champion(
         champs, doclen, terms, k1=k1, b=b, top_k=top_k, id_col=id_col)
     # theta = the champion k-th score, but ONLY when the champion pass
@@ -1523,7 +1532,6 @@ def bm25_search_blockmax(
     theta = ctop.agg(
         F.when(F.count(F.lit(1)) >= top_k, F.min("score"))
         .otherwise(F.lit(float("-inf"))).alias("theta"))
-    tf = tf_index.filter(F.col("token").isin(terms))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     dl0 = doclen.select(F.col(id_col), F.col("dl").alias("_dl"))
     globals0 = dl0.agg(
@@ -1546,8 +1554,14 @@ def bm25_search_blockmax(
                  * (k1 + 1.0)).alias("cap")))
     else:
         # metadata built atomically with the index below: complete by
-        # construction, absence genuinely means "no postings here"
-        bm = build_block_max(tf_index, doclen, block_span=block_span,
+        # construction, absence genuinely means "no postings here".
+        # Built from the QUERY-TERM slice (r4): the region plan only
+        # reads (query term, block) rows, and the slice carries each
+        # retained term's complete posting list, so its per-block
+        # maxima and stamped df equal the full-index build's — while
+        # the build drops from corpus-token scale to touched-postings
+        # scale (and reads the materialized slice, not a fresh scan)
+        bm = build_block_max(tf, doclen, block_span=block_span,
                              k1=k1, b=b, id_col=id_col)
         caps = None
     plan = blockmax_region_plan(bm, terms, theta, term_caps=caps)
