@@ -6164,65 +6164,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   champion_search, champion_recall, corrected_search, fuzzy_terms,
     #   rm_expansion, kwic_snippets, proximity_search, html_quality,
     #   sequence_pack, temperature_mix, pii_cards
+    # ROUND-5 ROTATION (active): the 50 never-attested queries listed
+    # above, swapped in as directed by the round-4 verdict. Everything
+    # in rounds 1-4's lists keeps its CORRECTNESS_r0{1..4} file as the
+    # permanent record. After this run 44 long-tail diagnostics remain
+    # (pre-staged as the ROUND-6 list below).
     _front = [
-        # flagship curation / dedup / LM / retrieval operators
-        "semdedup",
-        "lm_kneser_ney",
-        "filtering_pipeline",
-        "cdc_dedup",
-        "heavy_hitters",
-        "c4_clean",
-        "bpe_merges",
-        "bpe_tokens",
-        "gopher_repetition",
-        "blockmax_topk",
-        "exactsubstr_strip",
-        "decontaminate_strip",
-        # ANN family
-        "pq_ann_topk",
-        "ivf_pq_ann",
-        "sq8_ann",
-        "ann_recall",
-        # graph / spam family
-        "trustrank_hosts",
-        "spam_mass_hosts",
-        "hits_scores",
-        "kcore_hosts",
-        "triangle_hosts",
-        # table-layer reads
-        "partitioned_read",
-        "stats_pruned_read",
-        "delete_read",
-        "schema_evolution_read",
-        "bloom_point_read",
-        # frontier composites (the engine's reason to exist)
-        "adaptive_frontier_pipeline",
-        "focused_frontier",
-        "news_pipeline",
-        "crawl_budget",
-        "robots_compliance",
-        "ip_politeness",
-        "curation_pipeline_v3",
-        # streaming + misc analytics
-        "stream_window_stats",
-        "stream_percolate",
-        "percolate_alerts",
-        "url_features",
-        "publication_dates",
-        "soft404_content",
-        "soft404_probe",
-        "quantile_sketch",
-        "blockmax_plan",
-        "size_drift_sketch",
-        "kmv_set_ops",
-        # unigram-LM tokenizer chain
-        "unigram_seed",
-        "unigram_vocab",
-        "unigram_tokens",
-        # retrieval scoring variants
-        "ql_topk",
-        "hybrid_rrf",
-        "bm25f_topk",
+        # WARC/CDX export + archive formats
+        "warc_cdx",
+        "wet_export",
+        "warc_export",
+        "wat_export",
+        "cdx_zipnum",
+        "warc_revisit",
+        "redirect_resolution",
+        "mime_sniff",
+        "page_directives",
+        # DUST / URL normalization family
+        "dust_param_rules",
+        "dust_collapse",
+        "alias_collapse",
+        "url_word_filter",
+        # crawl scheduling / frontier long-tail
+        "aimd_rates",
+        "opic_importance",
+        "host_traps",
+        "stratified_sample",
+        "revalidation_bandwidth",
+        "seed_depth_rings",
+        "fetch_timetable",
+        "host_shard_ring",
+        # graph long-tail
+        "lpa_communities",
+        "harmonic_hosts",
+        "cocitation_hosts",
+        "domain_webgraph",
+        "degree_histogram",
+        "reciprocal_links",
+        # classifiers
+        "logreg_quality",
+        "nb_platt_calibration",
+        # similarity / embedding long-tail
+        "ssjoin_pairs",
+        "containment_pairs",
+        "lsh_recall",
+        "embedding_outliers",
+        "hard_negatives",
+        "diversity_sample",
+        "mmr_diversify",
+        "media_ahash_neardup",
+        "hll_host_cardinality",
+        "fuzzy_contamination",
+        # retrieval variants
+        "champion_search",
+        "champion_recall",
+        "corrected_search",
+        "fuzzy_terms",
+        "rm_expansion",
+        "kwic_snippets",
+        "proximity_search",
+        "html_quality",
+        # training-data export long-tail
+        "sequence_pack",
+        "temperature_mix",
+        "pii_cards",
     ]
     ordered = {k: q[k] for k in _front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
