@@ -12,6 +12,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..materialize import materialize as _materialize
 
 TOKEN_RE = "[^a-z0-9]+"
 
@@ -444,7 +445,7 @@ def pmi_collocations(
     ranked = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
     if not materialize:
         return ranked  # lazy plan for audits; caller owns toks cleanup
-    out = ranked.localCheckpoint(eager=True)
+    out = ranked.transform(_materialize)
     toks.unpersist()
     return out
 

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.analytics import tokens_col
+from ..materialize import materialize as _materialize
 
 END = "</w>"  # end-of-word marker (the published formulation)
 
@@ -179,7 +180,7 @@ def bpe_train(
     words = (
         word_histogram(df, text_col, min_freq)
         .select("word", "freq", _char_symbols(F.col("word")).alias("syms"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -193,7 +194,7 @@ def bpe_train(
         words = words.select(
             "word", "freq",
             _merge_fold(F.col("syms"), left, right).alias("syms"),
-        ).localCheckpoint()
+        ).transform(_materialize)
         # the superseded checkpoint is dead the moment the new one
         # materializes — at 10^7 histogram rows x 10^3 merges, leaking
         # one cached copy per iteration is an executor-storage OOM
@@ -241,7 +242,16 @@ def bpe_encode_udf(merges: list[tuple[str, str, int]]):
     """Arrow-batched pandas UDF encoding a text column with the learned
     merges — the production path for real vocabulary sizes (the 6th
     sanctioned Python site; see module docstring). Shares
-    ``bpe_encode_word`` with the tests."""
+    ``bpe_encode_word`` with the tests.
+
+    The merge table ships as a ``SparkContext.broadcast`` handle, NOT a
+    closure capture: a closure-captured model is re-pickled into every
+    task's serialized UDF, so a production vocabulary (10k-1M merges,
+    megabytes) × thousands of tasks is real repeated serialization; the
+    broadcast ships once per executor and the closure holds only the
+    handle. Falls back to plain capture when no active session exists
+    (the factory called before/without Spark — local unit use)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     import re
@@ -251,15 +261,27 @@ def bpe_encode_udf(merges: list[tuple[str, str, int]]):
     pairs = [(a, b) for a, b, _ in merges]
     tok_re = re.compile(TOKEN_RE)
 
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(pairs)
+
+        def get_pairs():
+            return bc.value
+    else:  # pragma: no cover - factory used without a session
+        def get_pairs():
+            return pairs
+
     @pandas_udf("array<string>")
     def encode(texts):  # pragma: no cover - executed on executors
+        model = get_pairs()
+
         def enc(t):
             if t is None:
                 return None
             out: list[str] = []
             for w in tok_re.split(t.lower()):
                 if w:
-                    out.extend(bpe_encode_word(w, pairs))
+                    out.extend(bpe_encode_word(w, model))
             return out
 
         return texts.map(enc)

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .seen_set import anti_join_seen
+from ..materialize import materialize as _materialize
 
 _ASSOC = 4            # slots per cuckoo bucket (the 2014 paper's sweet spot)
 _FP_MIX = 0x5BD1E995  # odd multiplier: i2 = i1 XOR ((fp * mix) & mask)
@@ -350,7 +351,7 @@ class CuckooSeenSet:
                         checkpoint: bool = True) -> DataFrame:
         g = keys_df.select(self.key)
         if checkpoint:
-            g = g.localCheckpoint(eager=True)
+            g = g.transform(_materialize)
         g = g.repartition(self._P, self.key).persist()
         g.count()
         return g
@@ -400,7 +401,7 @@ class CuckooSeenSet:
         )
 
     def _swap_blobs(self, new_blobs: DataFrame) -> None:
-        blobs2 = new_blobs.localCheckpoint(eager=True)
+        blobs2 = new_blobs.transform(_materialize)
         old = self.cuckoos
         self.cuckoos = blobs2
         old.unpersist()
@@ -446,7 +447,7 @@ class CuckooSeenSet:
         removed = (
             keys.select(self.key).distinct()
             .join(self.seen, self.key, "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
             .repartition(self._P, self.key)
             .persist()
         )

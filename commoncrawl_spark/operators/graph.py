@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..materialize import materialize as _materialize
 
 
 def _propagate(sym: DataFrame, labels: DataFrame,
@@ -107,16 +108,16 @@ def connected_components(
             edges.select(F.col(b_col).alias("id"), F.col(a_col).alias("nb")))
         .filter(F.col("id").isNotNull() & F.col("nb").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     labels = (
         sym.select("id").distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     for _ in range(max_iters):
         new_labels = _propagate(
-            sym, labels, carry_prev=True).localCheckpoint(eager=True)
+            sym, labels, carry_prev=True).transform(_materialize)
         # convergence reads the round's own checkpoint blocks — no
         # join of new labels against old (r4: one fewer node-scale
         # exchange + count per iteration)
@@ -191,7 +192,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
@@ -207,7 +208,7 @@ def pagerank(
              ).alias("rank"),
         )
         if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_materialize)
     ann.unpersist()
     return ranks
 
@@ -260,7 +261,7 @@ def hits(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     by_src = e.repartition("src").persist()
     by_dst = e.repartition("dst").persist()
@@ -270,7 +271,7 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     scores = nodes.select(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
@@ -295,7 +296,7 @@ def hits(
             nodes.join(auth_mass, "node", "left")
             .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
             "auth",
-        ).localCheckpoint(eager=True)
+        ).transform(_materialize)
         # hub'(n) = sum of the NEW auth over out-edges, then normalize
         hub_mass = (
             by_dst.join(
@@ -311,7 +312,7 @@ def hits(
         scores = (
             hub.join(auth, "node")
             .select("node", "hub", "auth")
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
         )
     by_src.unpersist()
     by_dst.unpersist()
@@ -372,7 +373,7 @@ def trustrank(
         seeds.select(F.col(seed_col).alias("node"))
         .filter(F.col("node").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     n_seeds = s.agg(F.count("*").alias("_ns"))
     nodes = (
@@ -387,7 +388,7 @@ def trustrank(
             (F.when(F.col("_seed").isNotNull(), 1.0 / F.col("_ns"))
              .otherwise(F.lit(0.0))).alias("bias"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     ranks = nodes.select("node", F.col("bias").alias("trust"))
     for i in range(iters):
@@ -406,7 +407,7 @@ def trustrank(
         # per-round convergence action, so per-round barriers are pure
         # serial overhead; lineage stays <= checkpoint_interval deep
         if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_materialize)
     ann.unpersist()
     return ranks
 
@@ -498,7 +499,7 @@ def opic(
               "node", "left")
         .select("node", "_n",
                 F.coalesce("_has_out", F.lit(0)).alias("_has_out"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     state = nodes.select(
         "node", "_n", "_has_out",
@@ -524,7 +525,7 @@ def opic(
             )
         )
         if (i + 1) % checkpoint_interval == 0 or i == iters - 1:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(_materialize)
     ann.unpersist()
     return state.select(
         "node", "cash", "history",
@@ -710,7 +711,7 @@ def seed_distances(
         .filter(F.col("node").isNotNull())
         .distinct()
         .withColumn("depth", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     for i in range(max_depth):
         hop = (
@@ -724,7 +725,7 @@ def seed_distances(
             .agg(F.min("depth").alias("depth"))
         )
         if (i + 1) % checkpoint_interval == 0 or i == max_depth - 1:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.transform(_materialize)
     e.unpersist()
     return dist
 
@@ -805,7 +806,7 @@ def harmonic_centrality(
         .agg(F.hll_sketch_agg("node", F.lit(lgk)).alias("sk"))
         .withColumn("cnt", F.lit(1).cast("long"))
         .withColumn("harm", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     for t in range(1, radius + 1):
         contrib = (
@@ -830,7 +831,7 @@ def harmonic_centrality(
              / F.lit(float(t))).alias("harm"),
         )
         if t % checkpoint_interval == 0 or t == radius:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(_materialize)
     e.unpersist()
     return state.select(
         "node",
@@ -895,7 +896,7 @@ def label_propagation(
     state = (
         e.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     for it in range(1, iters + 1):
         votes = (
@@ -911,7 +912,7 @@ def label_propagation(
             ).alias("label"))
         state = winner
         if it % checkpoint_interval == 0 or it == iters:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(_materialize)
     e.unpersist()
     return state.select("node", F.col("label").alias("community"))
 
@@ -1024,7 +1025,7 @@ def triangle_counts(
     )
     if not materialize:
         return out
-    ck = out.localCheckpoint(eager=True)
+    ck = out.transform(_materialize)
     ranked.unpersist()
     deg.unpersist()
     return ck
@@ -1161,7 +1162,7 @@ def kcore(
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     prev_alive = sym.select("a").distinct().count()
     for i in range(max_rounds):
@@ -1176,7 +1177,7 @@ def kcore(
             .join(alive.withColumnRenamed("a", "b"), "b", "semi")
         )
         if (i + 1) % checkpoint_interval == 0:
-            sym = sym.localCheckpoint(eager=True)
+            sym = sym.transform(_materialize)
     return (
         sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= k)

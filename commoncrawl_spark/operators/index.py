@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analytics import tokens_col
+from ..materialize import materialize as _materialize
 
 
 def build_postings(
@@ -969,7 +970,7 @@ def rm_expansion(
     # the corpus is scanned once, not three times (the zipnum pattern)
     ranked = ql_search(df, terms, mu=mu, top_k=fb_docs,
                        text_col=text_col, id_col=id_col
-                       ).localCheckpoint(eager=False)
+                       ).transform(_materialize, eager=False)
     # shift-normalized doc weights: 1-row frame (max, Z) with Z folded
     # in doc-id order over <= fb_docs rows
     mx = ranked.agg(F.max("score").alias("_mx"))
@@ -1516,7 +1517,7 @@ def bm25_search_blockmax(
     # each retained term's posting list COMPLETE, so df, champions and
     # block maxima computed from it are exactly the full-index values.
     tf = tf_index.filter(F.col("token").isin(terms)) \
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     # champion lists only for the QUERY terms — exact, since each
     # term's full posting list is retained (its top-m and stamped df
     # are unchanged by dropping other terms), and it keeps the theta

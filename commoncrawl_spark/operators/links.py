@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..materialize import materialize as _materialize
 
 # href values in <a> tags, one pattern per quoting style so the closing
 # quote always pairs the opening one (a single alternation with a shared
@@ -471,7 +472,7 @@ def resolve_redirects(
         .filter(F.col("url").isNotNull() & F.col("_dst").isNotNull())
         .groupBy("url")
         .agg(F.min("_dst").alias("cur"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     m = r.withColumn("hops", F.lit(1).cast("long"))
     # 2^rounds >= max_hops covers every chain the budget admits; one
@@ -494,7 +495,7 @@ def resolve_redirects(
                        F.col("hops") + F.col("_mh"))
                 .otherwise(F.col("hops")).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
         )
     done = (
         m.join(r.select(F.col("url").alias("cur"),
@@ -683,7 +684,7 @@ def expand_sitemap_tree(
             F.explode(
                 F.regexp_extract_all(text, F.lit(_LOC_RE), F.lit(1))
             ).alias("loc"),
-        ).filter(F.col("loc") != "").localCheckpoint(eager=False)
+        ).filter(F.col("loc") != "").transform(_materialize, eager=False)
         out.append(
             locs.filter(~F.col("is_index"))
             .select("root", "sitemap_url", "depth", "loc"))

@@ -34,10 +34,14 @@ deliberate trade: two scan-stage tokenize passes, which parallelize
 perfectly, instead of caching a corpus-token-scale frame into LRU
 churn at 100 TB). The one exception added in r04 is MODEL-table-sized
 and gate-proven: when a bigram model table is about to broadcast,
-``_gate_model`` materializes it with ``localCheckpoint(eager=True)``
-(bounded blocks, lineage truncated) because otherwise the expensive
-training aggregation re-evaluates once per derived-table broadcast
-build — measured 4-5x in kneser_ney. Scoring reconstructs the
+``_gate_model`` materializes it through the package seam
+(``materialize`` — reliable ``checkpoint`` when a checkpoint dir is
+configured, ``localCheckpoint`` in the sandbox; bounded blocks,
+lineage truncated) because otherwise the expensive training
+aggregation re-evaluates once per derived-table broadcast build —
+measured 4-5x in kneser_ney. Retention: the blocks live while the
+returned scorer/model frame is reachable; see ``_gate_model``'s
+lifecycle paragraph. Scoring reconstructs the
 occurrence stream from the tf table (``array_repeat`` by the per-doc
 count).
 """
@@ -48,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .analytics import tokens_col
+from ..materialize import materialize as _materialize
 
 # Auto-broadcast row ceiling for LM model tables. Spark hard-refuses
 # broadcasts past 8 GiB / 512M rows; a slim (w1, w2, cnt) unsafe row is
@@ -82,21 +87,38 @@ def _gate_model(counts, broadcast_counts, row_limit,
     ``source``/``text_col`` are given): distinct pairs <= pair
     instances <= total text bytes / 2 (tokens are >=1 char and
     >=1-char separated), one scan-stage sum of ``octet_length`` — no
-    tokenize, no shuffle, near-free — which settles every corpus whose
-    TEXT is smaller than ~2x the row limit. Tier 2: an exact count()
-    of the model table — one extra pass over its subtree; trivially
-    cheap against an external model, and self-trained it is the price
-    of not OOMing the cluster at the design scale.
+    tokenize, no shuffle — which settles every corpus whose TEXT is
+    smaller than ~2x the row limit. "No shuffle" is not "no cost": the
+    probe is a FULL SCAN of the corpus text column, and it runs
+    EAGERLY at scorer construction — at the 100 TB design point that
+    is a real extra corpus pass (cheap relative to the tokenize passes
+    scoring itself pays, but a pass), and construction now blocks on —
+    and can fail on — source availability before any action is
+    requested. Callers who cannot afford either pass the decision
+    themselves (``broadcast_counts=True/False``), which skips every
+    probe. Tier 2: an exact count() of the model table — one extra
+    pass over its subtree; trivially cheap against an external model,
+    and self-trained it is the price of not OOMing the cluster at the
+    design scale.
 
-    Materialization: when the decision is to broadcast, the model
-    table is ``localCheckpoint(eager=True)``-ed first — the gate just
-    proved it bounded, and WITHOUT this the corpus-scale aggregation
-    beneath it re-evaluates for every derived table's broadcast build
-    (measured: kneser_ney ran the pair aggregation 4-5x — its plan
-    held five copies of the upstream exchange with zero reuse). The
-    checkpoint stores model-table-sized blocks on executors and
-    truncates lineage, so training runs exactly once; the repo's
-    analytics/bpe precedent for bounded intermediates. Unbroadcast
+    Materialization & lifecycle: when the decision is to broadcast,
+    the model table is materialized first via the package seam
+    (``materialize`` — reliable ``checkpoint`` under a configured
+    checkpoint dir, else ``localCheckpoint``; eager, so construction
+    triggers the training job). The gate just proved it bounded, and
+    WITHOUT this the corpus-scale aggregation beneath it re-evaluates
+    for every derived table's broadcast build (measured: kneser_ney
+    ran the pair aggregation 4-5x — its plan held five copies of the
+    upstream exchange with zero reuse). The materialized blocks live
+    as long as the RETURNED frame is reachable: the scorer closure
+    holds it, so each scorer pins one model-table-sized block set
+    (bounded by ``row_limit`` rows by construction). Long-lived
+    sessions that build many scorers should drop scorer references
+    when done — Spark's ContextCleaner frees the blocks after Python
+    GC (``spark.cleaner.referenceTracking``, on by default; local
+    checkpoints add ``...cleanCheckpoints=true`` for the reliable
+    mode). There is deliberately no unpersist hook: the frame itself
+    IS the handle, and releasing it is dropping it. Unbroadcast
     (huge) models are never materialized.
     """
     if broadcast_counts is None:
@@ -108,7 +130,7 @@ def _gate_model(counts, broadcast_counts, row_limit,
         if broadcast_counts is None:
             broadcast_counts = counts.count() <= row_limit
     if broadcast_counts:
-        counts = counts.localCheckpoint(eager=True)
+        counts = counts.transform(_materialize)
     return counts, bool(broadcast_counts)
 
 

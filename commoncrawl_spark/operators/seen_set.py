@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.urls import url_key_col
+from ..materialize import materialize as _materialize
 
 SEEN_SCHEMA = T.StructType([T.StructField("url_sha1", T.StringType(), False)])
 
@@ -271,7 +272,7 @@ class BloomSeenSet:
         the partitioned layout for every later verify join."""
         g = keys_df.select(self.key)
         if checkpoint:
-            g = g.localCheckpoint(eager=True)
+            g = g.transform(_materialize)
         g = g.repartition(self._P, self.key).persist()
         g.count()
         return g
@@ -334,7 +335,7 @@ class BloomSeenSet:
         # cogroups them by BUCKET (n_buckets rows — that exchange is
         # noise), and checkpointing stops plan depth and cache-loss
         # recompute growing by one rebuild-join per round
-        blooms2 = rebuilt.unionByName(untouched).localCheckpoint(eager=True)
+        blooms2 = rebuilt.unionByName(untouched).transform(_materialize)
         old_blooms = self.blooms
         self.blooms = blooms2
         old_blooms.unpersist()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..materialize import materialize as _materialize
 
 
 def _as_double(vec: Column) -> Column:
@@ -289,7 +290,7 @@ def kmeans_centroids(
         .agg(F.array_sort(F.collect_list("_r")).alias("_rs"))
         .select(F.posexplode("_rs").alias("_pos", "_r"))
         .select(F.col("_pos").alias(id_col), F.col("_r._v").alias(vec_col))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     sval = F.round(F.col("val").cast("double") * 1000000.0).cast("long")
     for _ in range(n_iters):
@@ -314,7 +315,7 @@ def kmeans_centroids(
         survivors = cents.join(means.select(id_col), id_col, "left_anti")
         # localCheckpoint: K rows, truncates the per-iteration lineage so
         # the final plan is not n_iters joins deep
-        cents = means.unionByName(survivors).localCheckpoint()
+        cents = means.unionByName(survivors).transform(_materialize)
     return cents
 
 
@@ -379,7 +380,7 @@ def near_duplicate_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     max_unblocked_rows: int = 100_000,
-    max_block_rows: int | None = 20_000,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
     ``block_col`` (e.g. a cluster label or an ``lsh_signature_col`` bucket)
@@ -394,12 +395,15 @@ def near_duplicate_pairs(
     self-join keeps each block's pairs in one join-key group, so a
     single fat block (16 default centroids over 10^9 vectors, a
     degenerate LSH bucket) is a straggler task computing (n_block)^2/2
-    cosines. It is therefore guarded too: one slim
-    ``groupBy(block).count()`` probe refuses when any block exceeds
-    ``max_block_rows`` (default 20k rows = 2·10^8 pairs in one task —
-    already minutes of work). Pass ``max_block_rows=None`` to skip the
-    probe when block sizes are bounded by construction (e.g. LSH bands
-    over content hashes), or a larger bound when the cost is intended.
+    cosines. ``max_block_rows`` opts into a guard for that case: one
+    slim ``groupBy(block).count()`` probe refuses when any block
+    exceeds it (20k rows = 2·10^8 pairs in one task — already minutes
+    of work). The default is ``None`` — no probe, no extra input pass —
+    so existing blocked callers whose block sizes are bounded by
+    construction (e.g. LSH bands over content hashes) keep their exact
+    pre-r4 behavior; composite operators whose blocks come from DATA
+    (``semantic_dedup``'s k-means cells) pass ``max_block_rows=20_000``
+    explicitly, which is where the r3 straggler finding lived.
     """
     if block_col is None:
         n = df.count()
@@ -539,7 +543,7 @@ def semantic_dedup(
     # passes -> 3 (2 at the default-centroid sandbox shape, where the
     # block probe is already skipped).
     slim = with_cos.select(id_col, "cell", "cent_cos") \
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     pairs = near_duplicate_pairs(
         with_cos, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="cell", max_block_rows=max_block_rows,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col
 from ..operators.analytics import tokens_col
+from ..materialize import materialize as _materialize
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
@@ -181,7 +182,7 @@ def minhash_candidate_pairs(
     )
     if not materialize:
         return pairs
-    out = pairs.localCheckpoint(eager=True)
+    out = pairs.transform(_materialize)
     bk.unpersist()
     return out
 
@@ -276,7 +277,7 @@ def jaccard_pairs(
     j = j.filter(F.col("jaccard") >= threshold)
     if not materialize:
         return j
-    out = j.localCheckpoint(eager=True)
+    out = j.transform(_materialize)
     sh.unpersist()
     return out
 
@@ -479,7 +480,7 @@ def near_duplicates_against_index(
     )
     if not materialize:
         return out
-    ck = out.localCheckpoint(eager=True)
+    ck = out.transform(_materialize)
     new_sigs.unpersist()
     return ck
 
@@ -632,7 +633,7 @@ def hamming_near_duplicate_pairs(
     )
     if not materialize:
         return out
-    cp = out.localCheckpoint(eager=True)
+    cp = out.transform(_materialize)
     sims.unpersist()
     return cp
 
@@ -1596,7 +1597,7 @@ def set_similarity_join(
     )
     if not materialize:
         return j
-    out = j.localCheckpoint(eager=True)
+    out = j.transform(_materialize)
     sets.unpersist()
     return out
 
@@ -1689,7 +1690,7 @@ def containment_join(
     )
     if not materialize:
         return out
-    ck = out.localCheckpoint(eager=True)
+    ck = out.transform(_materialize)
     sets.unpersist()
     return ck
 

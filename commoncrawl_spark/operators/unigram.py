@@ -226,15 +226,34 @@ def unigram_vocab_dict(vocab: DataFrame) -> dict[str, float]:
 def unigram_encode_udf(logp: dict[str, float], max_piece_len: int = 6):
     """Arrow-batched encoder: text -> array<string> of pieces (words
     Viterbi-segmented independently, concatenated in order). Per-batch
-    word memoization applies the histogram trick inside each batch."""
+    word memoization applies the histogram trick inside each batch.
+
+    The piece log-prob model ships as a ``SparkContext.broadcast``
+    handle, not a closure capture: a SentencePiece-scale vocabulary
+    (32k-1M pieces) captured in the closure is re-pickled into every
+    task's serialized UDF; the broadcast ships once per executor and
+    the closure holds only the handle. Falls back to plain capture
+    when no active session exists."""
     import re
 
     import pandas as pd
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     tok_re = re.compile(r"[^a-z0-9]+")
 
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(logp)
+
+        def get_model():
+            return bc.value
+    else:  # pragma: no cover - factory used without a session
+        def get_model():
+            return logp
+
     def encode(texts):
+        model = get_model()
         memo: dict[str, list[str]] = {}
 
         def enc(t):
@@ -246,7 +265,7 @@ def unigram_encode_udf(logp: dict[str, float], max_piece_len: int = 6):
                     continue
                 segs = memo.get(w)
                 if segs is None:
-                    segs = viterbi_segment(w, logp, max_piece_len) \
+                    segs = viterbi_segment(w, model, max_piece_len) \
                         or list(w)
                     memo[w] = segs
                 out.extend(segs)

@@ -29,6 +29,7 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from .materialize import materialize as _materialize
 
 
 def _spark_cast_string(value: Any) -> str | None:
@@ -1081,7 +1082,7 @@ def zipnum_cluster_idx(
         # and _mid is nondeterministic: checkpoint so both consumers see
         # ONE materialization (lazy — first action triggers it), the
         # same discipline as BloomSeenSet's generation checkpoint
-        .localCheckpoint(eager=False)
+        .transform(_materialize, eager=False)
     )
     counts = rows.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     prior = counts.select(F.col("_pid").alias("_p2"),

@@ -3546,6 +3546,57 @@ def main() -> None:
          f"{'partial_count' in p}"],
     ))
 
+    # reliable-materialization seam (round 5): every lineage cut in the
+    # package routes through materialize(), which upgrades to reliable
+    # checkpoint() whenever a checkpoint dir is configured — the r4
+    # verdict's one remaining cluster-fault-tolerance flaw.
+    import tempfile
+
+    from commoncrawl_spark.materialize import (
+        checkpoint_dir_configured,
+        materialize,
+    )
+
+    pkg = os.path.join(os.path.dirname(OUT), "commoncrawl_spark")
+    nsites = 0
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(root, f)) as fh:
+                    nsites += fh.read().count(".transform(_materialize")
+    toy = spark.range(0, 100).withColumn("k", F.col("id") % 3)
+    sandbox = not checkpoint_dir_configured(toy)
+    ckd = tempfile.mkdtemp(prefix="ckpt_audit_")
+    spark.sparkContext.setCheckpointDir(ckd)
+    cluster = checkpoint_dir_configured(toy)
+    materialize(toy).count()
+    ckfiles = sum(len(fs) for _, _, fs in os.walk(ckd))
+    getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+        spark.sparkContext._jvm.scala.Option.empty())
+    sections.append((
+        "Reliable-materialization seam (executor-loss tolerance)",
+        "localCheckpoint stores blocks only on executors with no lineage "
+        "left to recompute them: on a real cluster, losing ONE executor "
+        "mid-job makes the truncated RDD unrecoverable and fails the job "
+        "— fatal for an hour-long PageRank on 1000 executors, where "
+        "executor loss is near-certain. Every lineage cut in the package "
+        "(graph fixpoint loops, LM model tables, SemDeDup assignment, "
+        "Block-Max posting slice, BPE merge loop, cuckoo kick rounds, "
+        "text-dedup slim outputs) routes through materialize() "
+        "(commoncrawl_spark/materialize.py), which uses reliable "
+        "DataFrame.checkpoint whenever sc.setCheckpointDir was called — "
+        "the normal cluster setup, paired with "
+        "spark.cleaner.referenceTracking.cleanCheckpoints=true — and "
+        "falls back to localCheckpoint only in single-JVM sandboxes, "
+        "where executor loss already implies job loss. Result identity "
+        "across modes is pytest-pinned (tests/test_materialize.py).",
+        [f"package call sites routed through the seam: {nsites}",
+         f"no checkpoint dir -> sandbox localCheckpoint mode: {sandbox}",
+         f"checkpoint dir set -> reliable checkpoint mode: {cluster}",
+         f"reliable checkpoint wrote files under the dir: "
+         f"{ckfiles > 0} ({ckfiles} files)"],
+    ))
+
     # partition-less Window sweep over EVERY plan rendered above —
     # the r02 bm25 scale-killer class, asserted globally so no future
     # operator reintroduces it (quality-buckets' rule, SCALE.md r02:179)
@@ -3592,6 +3643,17 @@ def main() -> None:
             "- Arrow/parquet batch sizes are byte-sized for the fat html "
             "column (session.py, bench.py) — row-count defaults are "
             "byte-bombs at ~50-100 KB per value.\n"
+            "- Trained tokenizer models (BPE merge tables, unigram "
+            "piece log-probs) ship to executors as SparkContext "
+            "broadcasts, not closure captures — one send per executor "
+            "instead of one pickle per task at 10^5-10^6-piece vocab "
+            "sizes (bpe.bpe_encode_udf, unigram.unigram_encode_udf; "
+            "pinned in tests/test_review_fixes.py).\n"
+            "- Quadratic-block guards are opt-in where block sizes are "
+            "bounded by construction (near_duplicate_pairs "
+            "max_block_rows=None default — no extra input pass) and ON "
+            "where blocks come from data (semantic_dedup passes 20k "
+            "explicitly for its k-means cells).\n"
         )
     print(f"wrote {OUT}")
 

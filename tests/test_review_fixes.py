@@ -84,3 +84,54 @@ def test_sample_exact_stable_across_partitionings(spark, sf_dir):
     b = {r["doc_id"] for r in
          sample_exact(d.repartition(17), 25, key_cols=["doc_id"]).collect()}
     assert a == b and len(a) == 25
+
+
+@pytest.mark.spark
+def test_tokenizer_udfs_ship_model_via_broadcast(spark):
+    """r4 ADVICE: the trained tokenizer models must ride a
+    SparkContext.broadcast (shipped once per executor), not a closure
+    capture re-pickled into every task. Pin (a) a Broadcast handle in
+    the factory's closure chain with the raw model absent, and (b)
+    unchanged outputs through the broadcast path."""
+    from pyspark.broadcast import Broadcast
+
+    from commoncrawl_spark.operators.bpe import (
+        bpe_encode_udf,
+        bpe_encode_word,
+    )
+    from commoncrawl_spark.operators.unigram import unigram_encode_udf
+
+    def closure_cells(fn):
+        seen, out, stack = set(), [], [fn]
+        while stack:
+            f = stack.pop()
+            if id(f) in seen or not getattr(f, "__closure__", None):
+                continue
+            seen.add(id(f))
+            for c in f.__closure__:
+                v = c.cell_contents
+                out.append(v)
+                if callable(v):
+                    stack.append(v)
+        return out
+
+    merges = [("a", "b", 3), ("ab", "c", 2)]
+    udf = bpe_encode_udf(merges)
+    cells = closure_cells(udf.func)
+    assert any(isinstance(v, Broadcast) for v in cells)
+    assert merges not in cells and [("a", "b"), ("ab", "c")] not in cells
+    df = spark.createDataFrame([(0, "abc abd xyz")], "id long, text string")
+    got = df.select(udf(F.col("text")).alias("t")).first()["t"]
+    want = [p for w in ["abc", "abd", "xyz"]
+            for p in bpe_encode_word(w, [("a", "b"), ("ab", "c")])]
+    assert got == want
+
+    logp = {"ab": -0.5, "a": -2.0, "b": -2.0, "c": -2.0}
+    uudf = unigram_encode_udf(logp, max_piece_len=2)
+    ucells = closure_cells(uudf.func)
+    assert any(isinstance(v, Broadcast) for v in ucells)
+    assert logp not in ucells
+    got_u = df.select(uudf(F.col("text")).alias("t")).first()["t"]
+    # "abd"/"xyz" contain pieces missing from the vocab -> the kernel
+    # falls back to per-char segmentation for those words
+    assert got_u == ["ab", "c", "a", "b", "d", "x", "y", "z"]
