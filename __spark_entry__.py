@@ -2344,14 +2344,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["explore_exploit"] = explore_exploit
 
     def bloom_fpr_audit(spark, sf):
-        """Seen-set quality audit (rows-only by design — the xxhash64
-        bit fold has no SQL twin; the bound is pinned in
-        tests/test_seen_set.py): build the Bloom blob table at
-        fp_rate=0.01 from 5,000 seen keys, probe 5,000 DISJOINT fresh
-        keys, report the measured false-positive rate against the
-        configured budget. A crawl runs this against every blob
-        generation — FPR drift above budget means the bucket sizing no
-        longer matches the key count and re-fetch waste is growing."""
+        """Seen-set quality audit — FULL-ORACLE as of r5: build the
+        Bloom blob table at fp_rate=0.01 from the seeded seen keys,
+        probe an equal number of DISJOINT fresh keys, report the
+        measured false-positive rate against the configured budget. A
+        crawl runs this against every blob generation — FPR drift above
+        budget means the bucket sizing no longer matches the key count
+        and re-fetch waste is growing.
+
+        The Bloom bit derivation (_key_indices) reads k fixed 32-bit
+        hex slices of the key itself, so the ONLY engine-private step
+        was the xxhash64 bucket assignment. The audit therefore keys on
+        a 48-hex-char md5-concat digest (chars 1-40 feed the k<=5 bit
+        slices, chars 41-48 the bucket — disjoint, so bucket choice
+        stays uncorrelated with bit positions) and passes the hex-slice
+        bucket_expr to build/probe. Every step — params per bucket, bit
+        sets, membership — then replays exactly in DuckDB SQL; the FPR
+        contract gets a hard hash row instead of rows-only."""
         from commoncrawl_spark.operators.seen_set import (
             bloom_prefilter,
             build_bloom_table,
@@ -2361,17 +2370,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tenfold = d.select(
             F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j"),
             F.col("doc_id"))
-        seen = tenfold.select(
-            F.sha1(F.concat(F.lit("seen-"), F.col("doc_id").cast("string"),
-                            F.lit("-"), F.col("j").cast("string")))
-            .alias("url_sha1"))
-        probes = tenfold.select(
-            F.sha1(F.concat(F.lit("fresh-"),
-                            F.col("doc_id").cast("string"),
-                            F.lit("-"), F.col("j").cast("string")))
-            .alias("url_sha1"))
-        blooms = build_bloom_table(seen, n_buckets=16, fp_rate=0.01)
-        flagged = bloom_prefilter(probes, blooms, 16)
+
+        def keyed(prefix):
+            base = F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
+                            F.lit("-"), F.col("j").cast("string"))
+            return tenfold.select(
+                F.concat(
+                    F.md5(base),
+                    F.substring(F.md5(F.concat(F.lit("salt:"), base)), 1, 16),
+                ).alias("url_key"))
+
+        bucket = F.pmod(
+            F.conv(F.substring(F.col("url_key"), 41, 8), 16, 10)
+            .cast("long"),
+            F.lit(16))
+        blooms = build_bloom_table(keyed("seen-"), n_buckets=16,
+                                   fp_rate=0.01, key="url_key",
+                                   bucket_expr=bucket)
+        flagged = bloom_prefilter(keyed("fresh-"), blooms, 16,
+                                  key="url_key", bucket_expr=bucket)
         return flagged.agg(
             F.count(F.lit(1)).alias("n_probes"),
             F.sum(F.col("_maybe_seen").cast("int"))
@@ -6751,6 +6768,78 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_orderkey FROM lineitem
           WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'
             AND substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) >= '1')
+    """
+
+    # bloom_fpr_audit: full replay of the Bloom build+probe. The bit
+    # indices are k fixed 32-bit hex slices of the key (seen_set.
+    # _key_indices) and the audit's bucket is a DISJOINT hex slice, so
+    # the whole pipeline — per-bucket (m, k) sizing, bit sets, probe
+    # membership — is pure SQL. Sizing replays _bloom_params: m0 =
+    # max(floor(-n*ln(.01)/ln(2)^2), 64) rounded up to a power of two,
+    # k = clamp(round(m/n*ln 2), 1, 5).
+    o["bloom_fpr_audit"] = """
+        WITH tenfold AS MATERIALIZED (
+          SELECT doc_id, j FROM documents, range(0, 10) t(j)
+        ),
+        sk AS MATERIALIZED (
+          SELECT md5('seen-' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(j AS VARCHAR))
+                 || substr(md5('salt:seen-' || CAST(doc_id AS VARCHAR)
+                               || '-' || CAST(j AS VARCHAR)), 1, 16) AS key
+          FROM tenfold),
+        pk AS MATERIALIZED (
+          SELECT md5('fresh-' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(j AS VARCHAR))
+                 || substr(md5('salt:fresh-' || CAST(doc_id AS VARCHAR)
+                               || '-' || CAST(j AS VARCHAR)), 1, 16) AS key
+          FROM tenfold),
+        sb AS MATERIALIZED (
+          SELECT key, ('0x' || substr(key, 41, 8))::BIGINT % 16 AS bucket
+          FROM sk),
+        pb AS MATERIALIZED (
+          SELECT key, ('0x' || substr(key, 41, 8))::BIGINT % 16 AS bucket
+          FROM pk),
+        params AS MATERIALIZED (
+          SELECT bucket, count(*) AS n,
+                 GREATEST(CAST(floor((-count(*) * ln(0.01))
+                                     / (ln(2) * ln(2))) AS BIGINT),
+                          64) AS m0
+          FROM sb GROUP BY bucket),
+        params3 AS MATERIALIZED (
+          SELECT bucket, n, m2,
+                 CAST(GREATEST(1, LEAST(5, round((CAST(m2 AS DOUBLE) / n)
+                                                 * ln(2)))) AS INTEGER) AS k
+          FROM (
+            SELECT bucket, n,
+                   (SELECT min(1::BIGINT << g) FROM range(6, 40) r(g)
+                    WHERE (1::BIGINT << g) >= m0) AS m2
+            FROM params)),
+        seen_bits AS MATERIALIZED (
+          SELECT DISTINCT s.bucket,
+                 ('0x' || substr(s.key, jj * 8 + 1, 8))::BIGINT % p.m2 AS idx
+          FROM sb s JOIN params3 p USING (bucket), range(0, 5) r(jj)
+          WHERE jj < p.k),
+        probe_idx AS MATERIALIZED (
+          SELECT pr.key, pr.bucket,
+                 ('0x' || substr(pr.key, jj * 8 + 1, 8))::BIGINT % p.m2 AS idx
+          FROM pb pr JOIN params3 p USING (bucket), range(0, 5) r(jj)
+          WHERE jj < p.k),
+        hits AS MATERIALIZED (
+          SELECT pi.key, bool_and(sb2.idx IS NOT NULL) AS maybe_seen
+          FROM probe_idx pi
+          LEFT JOIN seen_bits sb2
+            ON sb2.bucket = pi.bucket AND sb2.idx = pi.idx
+          GROUP BY pi.key),
+        verdicts AS MATERIALIZED (
+          SELECT pb.key, COALESCE(h.maybe_seen, FALSE) AS maybe_seen
+          FROM pb LEFT JOIN hits h USING (key))
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS BIGINT)
+                 AS false_positives,
+               round(CAST(sum(CASE WHEN maybe_seen THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS fpr,
+               CAST(0.01 AS DOUBLE) AS fp_budget
+        FROM verdicts
     """
 
     o["politeness_schedule"] = """

@@ -32,7 +32,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -93,9 +93,19 @@ def _key_indices(keys: pd.Series, m: int, k: int) -> np.ndarray:
 
 def build_bloom_table(seen: DataFrame, n_buckets: int = 64,
                       fp_rate: float = 0.01,
-                      key: str = "url_sha1") -> DataFrame:
+                      key: str = "url_sha1",
+                      bucket_expr: Column | None = None) -> DataFrame:
     """One Bloom blob per hash bucket. Bucketing by xxhash64 spreads even a
-    single-host corpus uniformly (keys are sha1 hex — already uniform)."""
+    single-host corpus uniformly (keys are sha1 hex — already uniform).
+
+    ``bucket_expr`` overrides the default ``pmod(xxhash64(key), P)``
+    bucket assignment — for callers that already partition their seen
+    set some other deterministic way (the FPR audit derives the bucket
+    from a hex slice of the key so a SQL oracle can replay it; a crawl
+    sharded by host ring can reuse its ring id). Probes MUST use the
+    same expression (``bloom_prefilter(bucket_expr=...)``); the
+    expression must be a pure function of the key so build and probe
+    agree."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         ks = pdf[key]
@@ -114,7 +124,9 @@ def build_bloom_table(seen: DataFrame, n_buckets: int = 64,
         )
 
     bucketed = seen.select(key).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        "bucket",
+        (bucket_expr if bucket_expr is not None
+         else F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))).cast("int")
     )
     schema = T.StructType(
         [
@@ -129,8 +141,11 @@ def build_bloom_table(seen: DataFrame, n_buckets: int = 64,
 
 
 def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
-                    n_buckets: int = 64, key: str = "url_sha1") -> DataFrame:
+                    n_buckets: int = 64, key: str = "url_sha1",
+                    bucket_expr: Column | None = None) -> DataFrame:
     """Drop candidates that are *definitely not* in the seen set.
+    ``bucket_expr`` must mirror the one the blob table was built with
+    (see :func:`build_bloom_table`).
 
     Fully distributed: candidates are shuffled by the same
     ``pmod(xxhash64(key), P)`` bucketing the blobs were built with and
@@ -166,7 +181,9 @@ def bloom_prefilter(candidates: DataFrame, bloom_table: DataFrame,
         return out
 
     with_bucket = candidates.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        "_bucket",
+        (bucket_expr if bucket_expr is not None
+         else F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))).cast("int")
     )
     return (
         with_bucket.groupBy("_bucket")
