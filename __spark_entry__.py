@@ -4558,6 +4558,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_logprob_scores(d, broadcast_counts=True)
     q["lm_bigram"] = lm_bigram
 
+    def lm_bigram_autogate(spark, sf):
+        """lm_bigram with the broadcast gate left on AUTO — the
+        production default. Every other lm_* entry passes
+        broadcast_counts=True (caller-known-tiny sandbox corpora), so
+        without this entry the driver would only ever attest the
+        caller-hinted plan; here the gate itself runs — tier-1
+        octet-length probe, then materialization of the gate-proven
+        model table — and the result must be hash-identical to the
+        hinted path (the hint is physical-only). Scores are the same
+        conditional bigram means, so the oracle is shared verbatim
+        with lm_bigram."""
+        from commoncrawl_spark.operators.lm import bigram_logprob_scores
+
+        d = _read(spark, sf, "documents")
+        return bigram_logprob_scores(d, broadcast_counts=None)
+    q["lm_bigram_autogate"] = lm_bigram_autogate
+
     def lm_kneser_ney(spark, sf):
         """Interpolated Kneser-Ney bigram scoring (the KenLM smoothing):
         absolute-discounted pair probability backed off to the
@@ -6181,11 +6198,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   champion_search, champion_recall, corrected_search, fuzzy_terms,
     #   rm_expansion, kwic_snippets, proximity_search, html_quality,
     #   sequence_pack, temperature_mix, pii_cards
+    # ROUND-6 ROTATION (pre-staged — swap _front to this list before
+    # any round-6 driver run; it is the COMPLETE remainder, 45 queries,
+    # so the attestation drain finishes with it): every query below has
+    # a full DuckDB oracle — including bloom_fpr_audit, which gained
+    # one in r5 (md5-slice keys + hex-slice bucketing; previously the
+    # only fixable no-oracle query) and lm_bigram_autogate (new in r5:
+    # attests the LM broadcast-gate AUTO path itself, which every other
+    # lm_* entry bypasses with a caller hint) — and all 45 were
+    # verified hash-green under scripts/check_contract.py on the r5
+    # engine. After this list, zero queries remain unattested: the
+    # only entries without oracle_sql() are the no_oracle-BY-DESIGN
+    # trio, which already hold prior-round rows-only driver records —
+    # media_resize (output bytes pinned in pytest instead; binary
+    # column), value_percentiles_approx (approx_percentile is
+    # engine-defined, exact twin attested as value_percentiles), and
+    # compression_quality (zlib ratio has no SQL twin; pinned in
+    # pytest):
+    #   bloom_fpr_audit, lm_bigram_autogate, bitext_pairs,
+    #   script_profile, vocab_coverage,
+    #   softdedup_weights, retrieval_metrics, anchor_bm25,
+    #   snapshot_term_drift, zipf_slope, ngram_diversity,
+    #   explore_exploit, curation_attribution, lsh_plan,
+    #   host_boilerplate, sitemap_tree, pmi_collocations, readability,
+    #   ip_asn_lookup, event_funnel, retention, cms_word_counts,
+    #   mojibake_repair, postings_delta, tokenizer_fertility,
+    #   stream_enrich, vocab_growth, url_tree, feed_entries,
+    #   epoch_plan, hreflang_pairs, span_corruption,
+    #   host_quality_prior, epoch_stream, lang_mismatch,
+    #   pagination_chains, kmv_vocab_sample, bm25_tombstoned,
+    #   merge_plan, stream_feed_poll, microdata_stats, coverage_gap,
+    #   feed_discovery, stitched_chains, weighted_sample
     # ROUND-5 ROTATION (active): the 50 never-attested queries listed
     # above, swapped in as directed by the round-4 verdict. Everything
     # in rounds 1-4's lists keeps its CORRECTNESS_r0{1..4} file as the
-    # permanent record. After this run 44 long-tail diagnostics remain
-    # (pre-staged as the ROUND-6 list below).
+    # permanent record. After this run the 45 ROUND-6 queries above
+    # are all that remain.
     _front = [
         # WARC/CDX export + archive formats
         "warc_cdx",
@@ -10559,6 +10607,11 @@ def oracle_sql() -> dict[str, str]:
                s.avg_logprob
         FROM documents d LEFT JOIN scored s USING (doc_id)
     """
+
+    # lm_bigram_autogate: identical math — the broadcast gate is
+    # physical-only, so the auto-gated scorer must reproduce the
+    # hinted scorer's hashes against the very same SQL
+    o["lm_bigram_autogate"] = o["lm_bigram"]
 
     # lm_kneser_ney: the exact interpolated-KN arithmetic replayed
     # operand-for-operand (discount 0.75 as the same double literal);
