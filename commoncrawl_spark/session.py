@@ -81,6 +81,12 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the reliable-materialization seam (materialize.py) switches
+        # to DataFrame.checkpoint when a cluster deployment calls
+        # sc.setCheckpointDir; pre-arm the cleaner so GC'd checkpoints
+        # are deleted from the fault-tolerant store instead of leaking
+        # (no-op while no checkpoint dir is configured)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
