@@ -101,7 +101,11 @@ def main() -> None:
             results[lb].append(r)
             print(f"rep {rep} {lb}: {round(time.monotonic() - t, 1)}s "
                   f"wall — {r}", file=sys.stderr)
-        order.reverse()  # symmetric exposure to host drift
+        # rotate the starting engine each rep (not just reverse): with
+        # a plain reversal the first label owns the first-after-idle
+        # slot in every run, which reads as a systematic engine edge
+        # when the host degrades under sustained load
+        order = order[1:] + order[:1]
 
     best = {lb: {q: min(r[q] for r in rs) for q in args.queries}
             for lb, rs in results.items() if rs}
