@@ -116,11 +116,18 @@ def connected_components(
         .transform(_materialize)
     )
     for _ in range(max_iters):
+        # LAZY materialize + count in ONE job (r5): an eager checkpoint
+        # here launches a materialization job and the convergence count
+        # launches a second — two driver barriers per round, and the
+        # 16x-edges scaling leg showed the fixed per-round barrier cost
+        # is exactly what holds CC's N->4N efficiency under pagerank's.
+        # Marked lazy, the blocks are stored DURING the count's job, so
+        # each round costs one job; later rounds read the stored blocks
+        # (plan depth stays constant — the count runs immediately, so
+        # no deep lazy chain ever builds up).
         new_labels = _propagate(
-            sym, labels, carry_prev=True).transform(_materialize)
-        # convergence reads the round's own checkpoint blocks — no
-        # join of new labels against old (r4: one fewer node-scale
-        # exchange + count per iteration)
+            sym, labels, carry_prev=True).transform(
+                _materialize, eager=False)
         changed = (
             new_labels.filter(F.col("cluster") != F.col("_prev")).count()
         )
@@ -1177,7 +1184,11 @@ def kcore(
             .join(alive.withColumnRenamed("a", "b"), "b", "semi")
         )
         if (i + 1) % checkpoint_interval == 0:
-            sym = sym.transform(_materialize)
+            # lazy: the NEXT round's alive-count (or the final degree
+            # aggregate) materializes the blocks inside its own job —
+            # no separate checkpoint job per interval (same one-job
+            # pattern as connected_components' convergence count)
+            sym = sym.transform(_materialize, eager=False)
     return (
         sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= k)
